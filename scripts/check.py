@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
+
+Loads each <out>/<name>/ parquet (Spark result), runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB over the sfdir tables,
+and compares: column name sets, row counts, and values (exact for
+non-floats; floats must agree to 1e-9 rel — flagged if not bit-equal).
+"""
+import duckdb, json, sys, glob, math
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING_SPARK_OUTPUT"
+            continue
+        try:
+            sdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            ddf = con.sql(sql).df()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR: {e}"
+            continue
+        scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+        if scols != dcols:
+            results[name] = f"SCHEMA_MISMATCH spark={scols} duck={dcols}"
+            continue
+        if len(sdf) != len(ddf):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(sdf)} duck={len(ddf)}"
+            continue
+        sdf = sdf[scols].sort_values(scols).reset_index(drop=True)
+        ddf = ddf[dcols].sort_values(dcols).reset_index(drop=True)
+        bad = None
+        exact = True
+        for c in scols:
+            a, b = sdf[c], ddf[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                af = a.astype(float); bf = b.astype(float)
+                if not (af.equals(bf)):
+                    exact = False
+                    diff = (af - bf).abs()
+                    denom = bf.abs().clip(lower=1.0)
+                    rel = (diff / denom).max()
+                    if not (rel < 1e-9 or math.isnan(rel)):
+                        bad = f"VALUE_MISMATCH col={c} max_rel={rel}"
+                        break
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    neq = (a.astype(str) != b.astype(str))
+                    i = neq.idxmax()
+                    bad = f"VALUE_MISMATCH col={c} row={i} spark={a[i]!r} duck={b[i]!r}"
+                    break
+        if bad:
+            results[name] = bad
+        else:
+            results[name] = "OK" if exact else "OK_FLOAT_TOL"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for name, v in results.items():
+        print(f"{name:25s} {v}")
+    # queries without oracle: rows-only check
+    for name in sorted(set(g.split('/')[-1] for g in glob.glob(f"{outdir}/q*")) - set(oracle)):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+        print(f"{name:25s} {'ROWS_ONLY ok n=' + str(n) if n > 0 else 'ROWS_ONLY EMPTY'}")
+    print(f"\n{n_ok}/{len(results)} oracled queries OK")
+    return 0 if n_ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,528 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2.
+  *
+  * Every query mirrors a data-processing capability of the reference
+  * app (edoatley/tv-event-streaming; file:line cites inline) re-expressed
+  * Spark-first, plus the training-data-pipeline operators. Results are
+  * deterministically ordered and float aggregates rounded so the
+  * DuckDB oracle hash-matches.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship query on sf=0.001 (multi-join revenue rollup; driver
+    * smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q06_multi_join")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- §2A
+
+  /** TPC-H-Q1-shape scan→filter→agg — the admin "table summary"
+    * pattern (reference admin_lambda.py:31-50) generalized. */
+  private val q01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Predicate + projection pushdown (reference web_api.py:52-76
+    * prefix-scan with ProjectionExpression). */
+  private val q02: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") > 100)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Fact ⋈ broadcast-dim join + agg (enrichment-style join;
+    * reference enrichment.py:83-131). */
+  private val q03: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-semi (EXISTS) — the titles-by-preferences index probe
+    * (reference web_api.py:155-175). */
+  private val q04: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti (NOT EXISTS) — the preferences-delta "to delete" set
+    * (reference web_api.py:103-147 set difference). */
+  private val q05: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** 5-table join chain + agg (TPC-H Q5 shape): dims broadcast, facts
+    * shuffle once on the join key. */
+  private val q06: Q = (s, d) => {
+    val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d); val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d); val r = Tables.region(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey") &&
+        col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Distinct union — all-users preference aggregation
+    * (reference ingestion.py:79-118 get_all_user_preferences). */
+  private val q07: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_type").as("pref")).distinct()
+      .union(Tables.customer(s, d).select(col("c_mktsegment").as("pref")).distinct())
+      .distinct()
+      .orderBy(col("pref"))
+
+  /** Filter + top-k — recommendations rating > 7
+    * (reference web_api.py:231-237). */
+  private val q08: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") > 7)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+
+  /** Window rank per key. */
+  private val q09: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("rn").cast("long").as("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Dedup keep-latest per key — consumer materialization dedup
+    * (reference consumer.py:57-92). */
+  private val q10: Q = (s, d) =>
+    Dedup.keepLatest(Tables.events(s, d), Seq("user_id", "event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Set difference (EXCEPT) — preference delta sets
+    * (reference web_api.py:117-124). */
+  private val q11: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "click").select(col("user_id")).distinct()
+      .except(e.filter(col("event_type") === "purchase").select(col("user_id")).distinct())
+      .orderBy(col("user_id"))
+  }
+
+  /** Conditional aggregation (TPC-H Q14 shape). */
+  private val q12: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0)), 2).as("promo_rev"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"))
+
+  /** Tumbling 1h event-time window — admin per-hour invocation/error
+    * metrics (reference admin_lambda.py:75-140). */
+  private val q13: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").cast("long").as("hour_start"),
+        col("n_events"), col("n_errors"), col("total_value"))
+      .orderBy(col("hour_start"))
+
+  /** Gap sessionization (batch form of the streaming sessionizer). */
+  private val q14: Q = (s, d) =>
+    Sessionize.sessions(Tables.events(s, d), 1800)
+      .orderBy(col("user_id"), col("sess_no"))
+
+  /** Enrichment left join + coalesce defaults
+    * (reference enrichment.py:106-127 'N/A' defaults). */
+  private val q15: Q = (s, d) =>
+    Tables.events(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_name"), lit("N/A")).as("cust_name"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("value"))
+      .orderBy(col("event_id"))
+
+  /** ROLLUP multi-level admin summary. */
+  private val q16: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Exact percentiles per group. */
+  private val q17: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.9D))").as("pcts"))
+      .select(col("event_type"),
+        round(element_at(col("pcts"), 1), 4).as("p25"),
+        round(element_at(col("pcts"), 2), 4).as("p50"),
+        round(element_at(col("pcts"), 3), 4).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** Pivot event_type → per-user count columns. */
+  private val q18: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Explode → inverted index + agg — the source×genre title index
+    * (reference consumer.py:79-92 nested-loop index build). */
+  private val q19: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+
+  /** Correlated EXISTS via semi-join on a filtered child. */
+  private val q20: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  // ---------------------------------------------------------------- §2B
+
+  /** Exact text dedup by 64-bit content hash. */
+  private val q21: Q = (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  /** MinHash + LSH banding near-dup pairs (verified exact Jaccard). */
+  private val q22: Q = (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  /** 64-bit SimHash fingerprints. */
+  private val q23: Q = (s, d) =>
+    Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Exact 3-gram-shingle Jaccard pairs via inverted-index join. */
+  private val q24: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  /** Embedding cosine near-dup pairs, blocked by label. */
+  private val q25: Q = (s, d) =>
+    Dedup.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("label"), threshold = 0.4)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Brute-force cosine top-k ANN baseline (probes broadcast). */
+  private val q26: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Random-hyperplane-LSH bucketed ANN (the scale path). */
+  private val q27: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, bits = 4, dim = 64)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Heuristic language ID (n-gram profile argmax) vs. the label. */
+  private val q28: Q = (s, d) => {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the ", " and ", "ing ", " of "),
+      "fr" -> Seq(" le ", " la ", " et ", " des "),
+      "es" -> Seq(" el ", " los ", " que ", " de "),
+      "de" -> Seq(" der ", " und ", " die ", " ein "),
+      "zh" -> Seq("的", "了", "是", "我"))
+    val scored = array(profiles.toSeq.sortBy(_._1).map { case (l, p) =>
+      struct(TF.langIdScore(col("text"), p).as("score"), lit(l).as("lang"))
+    }: _*)
+    Tables.documents(s, d)
+      .withColumn("best", array_max(scored))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"), col("lang"),
+        (col("best.lang") === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token stats + stopword ratio. */
+  private val q29: Q = (s, d) => {
+    val toks = TF.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(TF.avgTokenLen(col("n_chars"), toks), 4).as("avg_tok_len"),
+        round(TF.stopwordRatio(toks, Seq("the", "a")), 4).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace + BPE-ish regex lexer. */
+  private val q30: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(TF.regexTokens(col("text"))).cast("long").as("rx_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash (Rabin–Karp) document fingerprint summary. */
+  private val q31: Q = (s, d) => {
+    val win = 16
+    val chars = split(col("text"), "")
+    val positions = when(length(col("text")) >= win,
+        sequence(lit(1), length(col("text")) - (win - 1)))
+      .otherwise(array().cast("array<int>"))
+    // modulus keeps the polynomial hash in 31 bits (no ANSI overflow)
+    val hashes = transform(positions, i =>
+      aggregate(sequence(lit(0), lit(win - 1)), lit(0L),
+        (acc, j) => pmod(acc * 31L + ascii(element_at(chars, i + j)), lit(2147483647L))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"),
+        array_min(col("h")).as("fp_min"),
+        size(array_distinct(col("h"))).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal binary-column pipeline (batched decode stub). */
+  private val q32: Q = (s, d) =>
+    Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_broadcast_join" -> q03,
+    "q04_semi_join" -> q04,
+    "q05_anti_join" -> q05,
+    "q06_multi_join" -> q06,
+    "q07_distinct_union" -> q07,
+    "q08_topk_recommend" -> q08,
+    "q09_window_rank" -> q09,
+    "q10_dedup_latest" -> q10,
+    "q11_set_diff" -> q11,
+    "q12_conditional_agg" -> q12,
+    "q13_time_window" -> q13,
+    "q14_sessionize" -> q14,
+    "q15_enrich_join" -> q15,
+    "q16_rollup" -> q16,
+    "q17_percentile" -> q17,
+    "q18_pivot_counts" -> q18,
+    "q19_explode_index" -> q19,
+    "q20_correlated_exists" -> q20,
+    "q21_dedup_exact" -> q21,
+    "q22_minhash_lsh" -> q22,
+    "q23_simhash" -> q23,
+    "q24_ngram_jaccard" -> q24,
+    "q25_cosine_neardup" -> q25,
+    "q26_ann_bruteforce" -> q26,
+    "q27_ann_lsh" -> q27,
+    "q28_lang_id" -> q28,
+    "q29_quality_score" -> q29,
+    "q30_token_count" -> q30,
+    "q31_fingerprint" -> q31,
+    "q32_multimodal" -> q32,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty, count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id""",
+    "q03_broadcast_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS
+         (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+         (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "q06_multi_join" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q07_distinct_union" ->
+      """SELECT DISTINCT event_type AS pref FROM events
+         UNION SELECT DISTINCT c_mktsegment FROM customer ORDER BY pref""",
+    "q08_topk_recommend" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' AND value > 7
+         ORDER BY value DESC, event_id LIMIT 100""",
+    "q09_window_rank" ->
+      """SELECT user_id, event_id, value, rn FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+           FROM events) WHERE rn <= 3 ORDER BY user_id, rn""",
+    "q10_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q11_set_diff" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q12_conditional_agg" ->
+      """SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+           THEN l_extendedprice*(1-l_discount) ELSE 0 END),2) AS promo_rev,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS total_rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "q13_time_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_start,
+         count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         round(sum(value),2) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q14_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+         flagged AS (SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (SELECT user_id, value,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no FROM flagged)
+         SELECT user_id, sess_no, count(*) AS n_events, round(sum(value),2) AS total_value
+         FROM sess GROUP BY user_id, sess_no ORDER BY user_id, sess_no""",
+    "q15_enrich_join" ->
+      """SELECT event_id, user_id, coalesce(c_name, 'N/A') AS cust_name,
+         coalesce(c_mktsegment, 'UNKNOWN') AS segment, value
+         FROM events LEFT JOIN customer ON user_id = c_custkey ORDER BY event_id""",
+    "q16_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n, round(sum(o_totalprice),2) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q17_percentile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.25),4) AS p25,
+         round(quantile_cont(value, 0.5),4) AS p50,
+         round(quantile_cont(value, 0.9),4) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q18_pivot_counts" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q19_explode_index" ->
+      """SELECT word, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+           FROM documents) GROUP BY word ORDER BY cnt DESC, word LIMIT 50""",
+    "q20_correlated_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS
+         (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         ORDER BY o_orderkey""",
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q24_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+             FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT d1, d2, inter*1.0/(s1.n + s2.n - inter) AS jaccard
+             FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+         SELECT d1, d2, round(jaccard, 4) AS jaccard FROM j
+         WHERE jaccard > 0.5 ORDER BY d1, d2""",
+    "q25_cosine_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])) > 0.4
+         ORDER BY id1, id2""",
+    "q26_ann_bruteforce" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+             FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT probe_id, vec_id AS nbr_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), pv) AS cos
+             FROM embeddings, probes WHERE vec_id <> probe_id),
+         ranked AS (SELECT probe_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+             FROM scored)
+         SELECT probe_id, rank, nbr_id, round(cos, 6) AS cos FROM ranked
+         WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q29_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         round(n_chars * 1.0 / greatest(len(w), 1), 4) AS avg_tok_len,
+         round(len(list_filter(w, x -> lower(x) IN ('the', 'a'))) * 1.0
+           / greatest(len(w), 1), 4) AS stop_ratio
+         FROM t ORDER BY doc_id""",
+    "q30_token_count" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS rx_tokens
+         FROM documents ORDER BY doc_id""",
+    "q32_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(n_chars % 64 AS INTEGER) AS width
+         FROM documents ORDER BY doc_id""",
+  )
 }

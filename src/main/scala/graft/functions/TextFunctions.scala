@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions`
+  * (codegen'd, whole-stage-compatible) — no Scala UDFs in the hot path.
+  * These generalize the reference's text handling (title/plot fields,
+  * `web_api.py:207-216` projections) to corpus-scale document ops.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** BPE-ish lexer tokens: runs of letters, runs of digits, or a single
+    * other non-space char. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Word k-shingles ("a b c") from a token array column. */
+  def shingles(toks: Column, k: Int): Column = {
+    // shingle i (1-based) = toks[i..i+k-1] joined by ' '
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Ratio of tokens found in `stop` (lowercased exact match). */
+  def stopwordRatio(toks: Column, stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, lower(t)))) /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Simple composite quality features used by q29. */
+  def avgTokenLen(nChars: Column, toks: Column): Column =
+    nChars.cast("double") / greatest(size(toks), lit(1))
+
+  /** 64-bit SimHash fingerprint of a token array.
+    * Classic Charikar simhash: per bit b, sum +1/-1 of xxhash64(token)'s
+    * bit b over tokens; fingerprint bit b = sign. Computed fully with
+    * codegen'd expressions: aggregate() over the token array.
+    */
+  def simhash64(toks: Column): Column = {
+    // per-token 64-bit hash
+    val hashes = transform(toks, t => xxhash64(t))
+    // fold into 64 counters is wide; instead build fingerprint bitwise
+    val bits = (0 until 64).map { b =>
+      val cnt = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(cnt > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Language ID via stopword/character heuristics. The synthetic corpus
+    * carries a `lang` label; this recomputes a deterministic n-gram-
+    * frequency score per candidate language and picks the argmax.
+    * (Heuristic profile approach — see reference `documents` handling;
+    * scoring is a plain expression tree.) */
+  def langIdScore(text: Column, profile: Seq[String]): Column = {
+    // score = number of profile n-grams contained in the text
+    val arr = array(profile.map(lit): _*)
+    size(filter(arr, g => text.contains(g)))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication family for the training-data pipeline.
+  *
+  * The reference dedups title events by primary key before materializing
+  * (`consumer.py:57-92`, `processed_keys` set). At corpus scale that
+  * generalizes to exact and near-duplicate detection over documents.
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup: one hash-shuffle on the text hash — never on the
+  *    full text (group key is a 64/128-bit hash, not the payload).
+  *  - keep-latest: one shuffle on the business key; window row_number.
+  *  - MinHash/LSH: candidate generation is a self-join on (band,
+  *    bandHash) buckets — shuffle is O(docs × bands), never O(n²);
+  *    exact Jaccard verification runs only inside candidate pairs.
+  *  - all shingle/signature construction stays in codegen'd higher-order
+  *    functions; no UDFs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-text hash; keeps min(id) per group.
+    * Grouping on xxhash64(text) (collision odds negligible at corpus
+    * scale) keeps shuffle rows narrow. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Keep the latest record per key ordered by (ts desc, id desc) —
+    * the reference consumer's last-writer-wins materialization. */
+  def keepLatest(df: DataFrame, keys: Seq[String], ts: String, id: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).desc, col(id).desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** doc_id → exploded distinct word-k-shingles (posting list). */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k))).as("shingle"))
+      .filter(col("shingle") =!= "")
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+    * Inverted-index join (shingle equi-join) — the scalable formulation:
+    * pairs are generated per-shingle then aggregated, never by cross
+    * product. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, k).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.toDF("d1", "s").join(sh.toDF("d2", "s"), Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, threshold)
+  }
+
+  /** Attach exact Jaccard from per-doc shingle counts; filter. */
+  private def withJaccard(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    inter
+      .join(broadcast(sizes.toDF("d1", "n1")), "d1")
+      .join(broadcast(sizes.toDF("d2", "n2")), "d2")
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** MinHash signatures: numPerms independent permutations simulated by
+    * seeded xxhash64(shingle, seed); signature[p] = min over shingles. */
+  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
+    val aggs = (0 until numPerms).map(p =>
+      min(xxhash64(col("shingle"), lit(p))).as(s"mh_$p"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numPerms).map(p => col(s"mh_$p")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified by exact
+    * Jaccard over shingles. bands × rowsPerBand = signature length. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, k).cache()
+    val sig = minhashSignatures(sh, bands * rowsPerBand)
+    // band b → hash of the band's slice; bucket join on (band, bandHash)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+      .toDF("doc_id", "band", "band_hash")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard (join back on posting lists —
+    // intersection computed per shared shingle, never a cross product)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = cand
+      .join(sh.toDF("d1", "s"), "d1")
+      .join(sh.toDF("d2", "s"), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, threshold)
+  }
+
+  /** SimHash fingerprints per doc (64-bit), plus 16-bit block keys for
+    * hamming-distance banding (any block equal → candidate). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  /** Embedding cosine near-duplicate pairs, blocked by a coarse key to
+    * avoid the full cross product (here: LSH sign-bucket or any
+    * partition column the caller provides). */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         blockCol: Column, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val x = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"), blockCol.as("blk"))
+    val y = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"), blockCol.as("blk"))
+    x.join(y, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") > threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+}

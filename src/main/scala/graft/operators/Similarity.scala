@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — the PROBE side is broadcast
+  * (probes are a small query set), so the big corpus is scanned exactly
+  * once with no shuffle of the corpus itself; only the per-probe top-k
+  * reduction shuffles k rows per probe per partition.
+  *
+  * Scale path: random-hyperplane LSH bucketing — corpus and probes are
+  * signed into nBits-bit buckets; candidate scoring happens only inside
+  * a probe's bucket, pruning the scan by ~2^bits for balanced data.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each probe vector. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("cv"), col("pv")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-bucketed ANN: score only corpus vectors in the probe's bucket.
+    * Recall < 1.0 by construction; bits trades recall vs. cost. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int, dim: Int): DataFrame = {
+    val sig = (df: DataFrame, idAs: String, vecAs: String) =>
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+        VectorFunctions.hyperplaneSignature(col("embedding"), bits, dim).as("bucket"))
+    val c = sig(corpus, "nbr_id", "cv")
+    val p = sig(probes, "probe_id", "pv")
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("cv"), col("pv")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
+  }
+}
