@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.Event
+
+/** Structured Streaming pipelines — the reference's Kinesis →
+  * consumer → DynamoDB flow (consumer.py, enrichment.py,
+  * admin_lambda.py metrics) re-expressed as readStream → transform →
+  * writeStream graphs.
+  *
+  * Each transform takes an unbounded DataFrame (works identically on a
+  * batch frame), so the same logic serves the batch queries and the
+  * streaming path. State is bounded by watermarks: at 100 TB/day the
+  * per-key state store holds only the open windows/sessions inside the
+  * watermark horizon, partitioned by the group key.
+  */
+object EventPipeline {
+
+  /** Tumbling 1h metrics with late-data tolerance — the admin
+    * invocation/error dashboard (admin_lambda.py:75-140) as a live
+    * stream. Append-mode compatible (watermark closes windows). */
+  def hourlyMetrics(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("n_events"),
+        col("n_errors"), col("total_value"))
+
+  /** Streaming dedup by event id within the watermark horizon —
+    * the consumer's `processed_keys` dedup (consumer.py:57-66) with
+    * bounded state. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap sessions via the native session_window operator (Spark-first:
+    * let Catalyst manage merge/state rather than hand-rolling). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Stream ⋈ static broadcast dim — the enrichment join
+    * (enrichment.py:83-131) on a live stream. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        coalesce(col("c_name"), lit("N/A")).as("cust_name"),
+        col("value"))
+
+  // ------------------------------------------------------- custom state
+
+  case class SessionState(sessNo: Int, lastTsMicros: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, sess_no: Int, n_events: Long, total_value: Double)
+
+  /** Custom-state gap sessionization via flatMapGroupsWithState — for
+    * semantics session_window can't express (per-session derived
+    * state, early emission rules). Emits a session when the gap is
+    * exceeded inside a batch; an EventTimeTimeout (watermark-driven)
+    * flushes the open session of idle keys once the watermark passes
+    * lastTs + gap.
+    *
+    * State per key is O(1) (one open session), the canonical bounded-
+    * state shape for KeyValueGroupedDataset pipelines.
+    */
+  def sessionizeStateful(events: Dataset[Event], gapSeconds: Long,
+                         watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              SessionOut(userId, st.sessNo, st.n, math.rint(st.total * 100) / 100))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0, 0.0))
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val tsMicros = e.ts.getTime * 1000
+              if (st.n > 0 && tsMicros - st.lastTsMicros > gapSeconds * 1000000L) {
+                closed += SessionOut(userId, st.sessNo, st.n, math.rint(st.total * 100) / 100)
+                st = SessionState(st.sessNo + 1, tsMicros, 1, e.value)
+              } else {
+                st = SessionState(if (st.n == 0) st.sessNo + 1 else st.sessNo,
+                  tsMicros, st.n + 1, st.total + e.value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsMicros / 1000 + gapSeconds * 1000)
+            closed.result().iterator
+          }
+      }
+  }
+}

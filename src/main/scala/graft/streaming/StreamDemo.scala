@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{Event, Tables}
+
+/** Runnable streaming demo: feeds the events table through the
+  * Structured Streaming pipelines in micro-batches and prints one JSON
+  * summary line. Usage: StreamDemo [sfDir] [batchSize]
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val batchSize = args.lift(1).map(_.toInt).getOrElse(250)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-stream-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(name: String, mk: MemoryStream[Event] => org.apache.spark.sql.DataFrame): Long = {
+      val mem = MemoryStream[Event]
+      val q = mk(mem).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      events.grouped(batchSize).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // sentinel far in the future closes all windows/sessions
+      val last = events.maxBy(_.ts.getTime)
+      val flush = Event(-1, new java.sql.Timestamp(last.ts.getTime + 86400000L), -1, "view", 0, "{}")
+      mem.addData(flush); q.processAllAvailable()
+      mem.addData(flush.copy(event_id = -2,
+        ts = new java.sql.Timestamp(last.ts.getTime + 2 * 86400000L))); q.processAllAvailable()
+      q.stop()
+      spark.table(name).count()
+    }
+
+    val hm = run("hourly", m => EventPipeline.hourlyMetrics(m.toDF()))
+    val dd = run("dedup", m => EventPipeline.dedupStream(m.toDF()))
+    val sw = run("sessions", m => EventPipeline.sessionWindows(m.toDF()))
+    val ss = run("stateful", m => EventPipeline.sessionizeStateful(m.toDS(), 1800).toDF())
+    val en = run("enriched", m =>
+      EventPipeline.enrichStream(m.toDF(), Tables.customer(spark, sfDir)))
+    println(s"""{"events":${events.size},"hourly_windows":$hm,"deduped":$dd,"session_windows":$sw,"stateful_sessions":$ss,"enriched":$en}""")
+    spark.stop()
+  }
+}

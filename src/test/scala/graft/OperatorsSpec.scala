@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Semantics checks for the operator library at sf0.001. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def docs = Tables.documents(spark, TestSpark.sf)
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+
+  test("exact dedup groups cover all docs") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    val total = groups.agg(sum("n_copies")).head.getLong(0)
+    assert(total === docs.count())
+  }
+
+  test("keepLatest keeps exactly one row per key") {
+    val out = Dedup.keepLatest(Tables.events(spark, TestSpark.sf),
+      Seq("user_id", "event_type"), "ts", "event_id")
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
+  test("minhash-LSH recovers the exact-Jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies with the same exact Jaccard, so lsh ⊆ exact; at
+    // jaccard ≈ 0.97 planted dups, 16 bands × 4 rows recall ≈ 1.
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact, s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash of near-duplicates is close in hamming distance") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+    val joined = pairs
+      .join(sh.toDF("d1", "h1"), "d1").join(sh.toDF("d2", "h2"), "d2")
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+    val avgNearDup = joined.agg(avg("hamming")).head.getDouble(0)
+    assert(avgNearDup < 12.0, s"near-dup avg hamming $avgNearDup")
+  }
+
+  test("LSH ANN results are a subset of brute-force rankings' pool") {
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, probes, 10)
+    val lsh = Similarity.lshTopK(emb, probes, 10, bits = 4, dim = 64)
+    assert(brute.count() === 50)
+    assert(lsh.count() > 0)
+    // every LSH neighbor must carry the same cosine the brute pass
+    // computed for that (probe, nbr) pair
+    val b = brute.select(col("probe_id"), col("nbr_id"), col("cos").as("bcos"))
+    val mismatch = lsh.join(b, Seq("probe_id", "nbr_id"))
+      .filter(abs(col("cos") - col("bcos")) > 1e-9).count()
+    assert(mismatch === 0)
+  }
+
+  test("multimodal decode stub computes n_bytes and checksum") {
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.mediaFromDocuments(docs)).cache()
+    val joined = feats.toDF().join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text"))).count()
+    assert(joined === 0) // ascii corpus: bytes == chars
+    assert(feats.filter(col("checksum") <= 0).count() === 0)
+  }
+}

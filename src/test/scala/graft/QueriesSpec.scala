@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every SparkEntry query runs and returns a sane shape at sf0.001. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // legitimately empty at sf0.001 (every customer has orders; every
+  // clicker also purchased) — run-only
+  private val mayBeEmpty = Set("q05_anti_join", "q11_set_diff")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs" + (if (mayBeEmpty(name)) "" else " and returns rows")) {
+      val df = fn(spark, TestSpark.sf)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is a documented rows-only op") {
+    val rowsOnly = Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh",
+      "q28_lang_id", "q31_fingerprint")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+}

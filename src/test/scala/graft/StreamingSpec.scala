@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Event
+import graft.streaming.EventPipeline
+
+/** Structured Streaming pipelines driven by MemoryStream and checked
+  * against their batch equivalents. Append-mode aggregations emit a
+  * window only in a batch AFTER the watermark passed its end, so tests
+  * feed sentinel events in later batches to flush. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Event(0, ts("2024-01-01 00:01:00"), 1, "click", 10.0, "{}"),
+    Event(1, ts("2024-01-01 00:05:00"), 1, "purchase", 20.0, "{}"),
+    Event(1, ts("2024-01-01 00:05:00"), 1, "purchase", 20.0, "{}"), // dup id
+    Event(2, ts("2024-01-01 01:10:00"), 1, "error", 5.0, "{}"),     // >30m gap
+    Event(3, ts("2024-01-01 00:02:00"), 2, "view", 1.0, "{}"),
+    Event(4, ts("2024-01-01 02:30:00"), 2, "click", 2.0, "{}"))
+
+  private def late(id: Long, t: String) = Event(id, ts(t), 999, "view", 0.0, "{}")
+
+  /** Run a streaming df to a memory sink, feeding `batches` one
+    * micro-batch at a time. */
+  private def runBatches(mkDf: MemoryStream[Event] => DataFrame, name: String,
+                         batches: Seq[Seq[Event]]): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = mkDf(mem).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("hourlyMetrics aggregates tumbling windows with watermark") {
+    val out = runBatches(m => EventPipeline.hourlyMetrics(m.toDF()), "hm",
+      Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
+    val h0 = out.filter(col("hour_start") === ts("2024-01-01 00:00:00")).head
+    assert(h0.getAs[Long]("n_events") === 4)
+    assert(h0.getAs[Long]("n_errors") === 0)
+    val h1 = out.filter(col("hour_start") === ts("2024-01-01 01:00:00")).head
+    assert(h1.getAs[Long]("n_errors") === 1)
+    assert(out.filter(col("hour_start") === ts("2024-01-01 02:00:00")).count() === 1)
+  }
+
+  test("dedupStream drops duplicate event ids within the watermark") {
+    val out = runBatches(m => EventPipeline.dedupStream(m.toDF()), "dd", Seq(sample))
+    assert(out.count() === 5)
+    assert(out.filter(col("event_id") === 1).count() === 1)
+  }
+
+  test("sessionWindows matches the batch sessionizer") {
+    val out = runBatches(m => EventPipeline.sessionWindows(m.toDF()), "sw",
+      Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
+    assert(out.filter(col("user_id") === 1).count() === 2)
+    assert(out.filter(col("user_id") === 2).count() === 2)
+    val s1 = out.filter(col("user_id") === 1 &&
+      col("session_start") === ts("2024-01-01 00:01:00")).head
+    assert(s1.getAs[Long]("n_events") === 3)
+    assert(s1.getAs[Double]("total_value") === 50.0)
+  }
+
+  test("enrichStream joins the static dim with defaults") {
+    val unknownUser = Event(50, ts("2024-01-01 03:00:00"), 999999, "view", 1.0, "{}")
+    val out = runBatches(
+      m => EventPipeline.enrichStream(m.toDF(),
+        graft.sources.Tables.customer(spark, TestSpark.sf)),
+      "es", Seq(sample :+ unknownUser))
+    assert(out.count() === sample.length + 1)
+    assert(out.filter(col("event_id") === 50 && col("cust_name") === "N/A").count() === 1)
+  }
+
+  test("sessionizeStateful emits gap-closed and timed-out sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = EventPipeline.sessionizeStateful(mem.toDS(), 1800)
+      .writeStream.format("memory").queryName("ss").outputMode("append").start()
+    mem.addData(sample: _*); q.processAllAvailable()
+    // in-batch gap closures: user 1 session 1 (3 events), user 2 session 1
+    // advance the watermark far past every open session → timeout flush
+    mem.addData(late(90, "2024-01-02 12:00:00")); q.processAllAvailable()
+    mem.addData(late(91, "2024-01-03 12:00:00")); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss")
+    val s1 = out.filter(col("user_id") === 1 && col("sess_no") === 1).head
+    assert(s1.getAs[Long]("n_events") === 3)
+    assert(s1.getAs[Double]("total_value") === 50.0)
+    // both users end with 2 sessions each once timeouts flush
+    assert(out.filter(col("user_id") === 1).count() === 2)
+    assert(out.filter(col("user_id") === 2).count() === 2)
+  }
+}
