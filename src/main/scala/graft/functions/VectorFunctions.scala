@@ -22,6 +22,21 @@ object VectorFunctions {
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Dot of two already-double arrays (skips the per-element cast —
+    * use after projecting vectors with [[asDouble]]). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cast an array<float> to array<double> once, at projection time.
+    * Pair-wise ops then avoid 2×dim casts per comparison. */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine from pre-projected double vectors and their pre-computed
+    * norms: dot(a,b)/(na*nb) — identical arithmetic to [[cosine]]
+    * (same sqrt-per-vector factorization), ~3× less work per pair. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotD(a, b) / (na * nb)
+
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a
     * long. Hyperplane j's component d is a deterministic pseudo-random
     * value derived from xxhash64(j, d) mapped to [-1, 1] — no stored

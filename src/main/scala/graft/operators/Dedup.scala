@@ -44,7 +44,8 @@ object Dedup {
   /** doc_id → exploded distinct word-k-shingles (posting list). */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k))).as("shingle"))
+        explode(array_distinct(graft.plans.ShingleTokens.shingleTokens(
+          TextFunctions.tokens(col(textCol)), k))).as("shingle"))
       .filter(col("shingle") =!= "")
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
@@ -71,14 +72,18 @@ object Dedup {
       .filter(col("jaccard") > threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
 
-  /** MinHash signatures: numPerms independent permutations simulated by
-    * seeded xxhash64(shingle, seed); signature[p] = min over shingles. */
-  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
-    val aggs = (0 until numPerms).map(p =>
-      min(xxhash64(col("shingle"), lit(p))).as(s"mh_$p"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until numPerms).map(p => col(s"mh_$p")): _*).as("sig"))
-  }
+  /** MinHash signatures computed per-row, no shuffle: each distinct
+    * shingle string is hashed to a long ONCE; permutation p's value is
+    * a cheap long re-hash xxhash64(h, p); signature[p] = min over
+    * shingles. The whole signature is one codegen'd projection — at
+    * cluster scale this is a map-only stage over the corpus. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, numPerms: Int): DataFrame =
+    docs
+      .filter(size(TextFunctions.tokens(col(textCol))) >= k)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.MinHashTokens.minhashTokens(
+          TextFunctions.tokens(col(textCol)), k, numPerms).as("sig"))
 
   /** MinHash + LSH banding near-dup candidates, verified by exact
     * Jaccard over shingles. bands × rowsPerBand = signature length. */
@@ -86,11 +91,11 @@ object Dedup {
                       k: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, k).cache()
-    val sig = minhashSignatures(sh, bands * rowsPerBand)
+    val sig = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
     // band b → hash of the band's slice; bucket join on (band, bandHash)
     val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*)))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "band_hash")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -119,12 +124,14 @@ object Dedup {
     * partition column the caller provides). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          blockCol: Column, threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
-    val x = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"), blockCol.as("blk"))
-    val y = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"), blockCol.as("blk"))
-    x.join(y, Seq("blk"))
+    import graft.functions.VectorFunctions.{asDouble, cosinePre, dotD}
+    // cast + norm once per vector; each pair is then one dot product
+    def side(i: Int) = emb.select(col(idCol).as(s"id$i"),
+        asDouble(col(vecCol)).as(s"v$i"), blockCol.as("blk"))
+      .withColumn(s"n$i", sqrt(dotD(col(s"v$i"), col(s"v$i"))))
+    side(1).join(side(2), Seq("blk"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", cosinePre(col("v1"), col("v2"), col("n1"), col("n2")))
       .filter(col("cos") > threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }

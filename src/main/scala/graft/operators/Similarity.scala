@@ -18,12 +18,19 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Project (id, double-vector, norm) once — every pair comparison
+    * afterwards is a single dot product. */
+  private def prepped(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+      VectorFunctions.asDouble(col("embedding")).as(vecAs))
+      .withColumn(normAs, sqrt(VectorFunctions.dotD(col(vecAs), col(vecAs))))
+
   /** Exact top-k by cosine for each probe vector. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("cv"))
-      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))))
+    val scored = prepped(corpus, "nbr_id", "cv", "cn")
+      .crossJoin(broadcast(prepped(probes, "probe_id", "pv", "pn")))
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("cv"), col("pv")))
+      .withColumn("cos", VectorFunctions.cosinePre(col("cv"), col("pv"), col("cn"), col("pn")))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -33,14 +40,14 @@ object Similarity {
   /** LSH-bucketed ANN: score only corpus vectors in the probe's bucket.
     * Recall < 1.0 by construction; bits trades recall vs. cost. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int, dim: Int): DataFrame = {
-    val sig = (df: DataFrame, idAs: String, vecAs: String) =>
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
-        VectorFunctions.hyperplaneSignature(col("embedding"), bits, dim).as("bucket"))
-    val c = sig(corpus, "nbr_id", "cv")
-    val p = sig(probes, "probe_id", "pv")
+    val sig = (df: DataFrame, idAs: String, vecAs: String, normAs: String) =>
+      prepped(df, idAs, vecAs, normAs)
+        .withColumn("bucket", VectorFunctions.hyperplaneSignature(col(vecAs), bits, dim))
+    val c = sig(corpus, "nbr_id", "cv", "cn")
+    val p = sig(probes, "probe_id", "pv", "pn")
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("cv"), col("pv")))
+      .withColumn("cos", VectorFunctions.cosinePre(col("cv"), col("pv"), col("cn"), col("pn")))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
