@@ -325,6 +325,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** JSON payload extraction — the Kinesis consumer's event decode
+    * (reference consumer.py:38-52 json.loads of the record payload):
+    * parse `props`, extract the key, aggregate per key. */
+  private val q33: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("k"))
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -365,6 +375,7 @@ object SparkEntry {
     "q30_token_count" -> q30,
     "q31_fingerprint" -> q31,
     "q32_multimodal" -> q32,
+    "q33_json_extract" -> q33,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -524,5 +535,9 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(n_chars % 64 AS INTEGER) AS width
          FROM documents ORDER BY doc_id""",
+    "q33_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         count(*) AS n, round(sum(value),2) AS total_value
+         FROM events GROUP BY k ORDER BY k""",
   )
 }
