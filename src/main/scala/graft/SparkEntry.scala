@@ -335,6 +335,41 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("k"))
 
+  /** Recommendations composite — the titles-by-preferences +
+    * popularity shape (reference web_api.py:224-237): per segment, the
+    * top-10 parts by quantity bought by that segment's customers. */
+  private val q34: Q = (s, d) => {
+    val agg = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("qty").desc, col("l_partkey"))
+    agg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
+        col("l_partkey"), round(col("qty"), 2).as("qty"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** As-of join — enrich each event with the user's latest prior order
+    * total (the enrichment-at-event-time pattern; composed scalably,
+    * see operators.AsOfJoin). */
+  private val q35: Q = (s, d) =>
+    graft.operators.AsOfJoin.asof(
+        Tables.events(s, d),
+        Tables.orders(s, d).withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        rightVal = "o_totalprice", rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), round(col("asof_value"), 2).as("asof_value"))
+      .orderBy(col("event_id"))
+
+  /** SimHash near-dup pairs via pigeonhole banding. */
+  private val q36: Q = (s, d) =>
+    graft.operators.Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 16)
+      .orderBy(col("d1"), col("d2"))
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -376,6 +411,9 @@ object SparkEntry {
     "q31_fingerprint" -> q31,
     "q32_multimodal" -> q32,
     "q33_json_extract" -> q33,
+    "q34_recommend_popular" -> q34,
+    "q35_asof_enrich" -> q35,
+    "q36_simhash_pairs" -> q36,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -539,5 +577,28 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          count(*) AS n, round(sum(value),2) AS total_value
          FROM events GROUP BY k ORDER BY k""",
+    "q34_recommend_popular" ->
+      """WITH agg AS (
+           SELECT c_mktsegment, l_partkey, sum(l_quantity) AS qty
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, l_partkey),
+         ranked AS (
+           SELECT c_mktsegment, l_partkey, qty,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY qty DESC, l_partkey) AS rn
+           FROM agg)
+         SELECT c_mktsegment, rn, l_partkey, round(qty, 2) AS qty
+         FROM ranked WHERE rn <= 10 ORDER BY c_mktsegment, rn""",
+    "q35_asof_enrich" ->
+      """WITH ranked AS (
+           SELECT e.event_id, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         SELECT e.event_id, e.user_id, round(r.o_totalprice, 2) AS asof_value
+         FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+         ORDER BY e.event_id""",
   )
 }

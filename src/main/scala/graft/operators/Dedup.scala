@@ -119,6 +119,28 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
+  /** SimHash near-dup pairs: pigeonhole banding — any pair within
+    * hamming distance <= 3 of a 64-bit fingerprint shares at least one
+    * of four 16-bit blocks, so candidates come from four equi-joins on
+    * block values (linear-ish), then exact hamming verification. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int): DataFrame = {
+    val sh = simhashTable(docs, idCol, textCol)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "simhash", "band", "block")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.block") === col("y.block") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Embedding cosine near-duplicate pairs, blocked by a coarse key to
     * avoid the full cross product (here: LSH sign-bucket or any
     * partition column the caller provides). */

@@ -1,0 +1,24 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Output sinks. The reference materializes into DynamoDB
+  * (consumer.py batch_writer); at 100 TB the analogue is partitioned
+  * columnar layout: partition directories bound rewrite scope and give
+  * downstream scans partition pruning. */
+object Sinks {
+
+  /** Partitioned parquet write. Repartitions by the partition columns
+    * first so each partition directory receives one file per shuffle
+    * partition that actually holds its data (avoids the
+    * every-task-writes-every-partition small-files explosion). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Plain columnar snapshot (dims, small results). */
+  def writeSnapshot(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.coalesce(1).write.mode(mode).parquet(path)
+}

@@ -20,7 +20,10 @@ class QueriesSpec extends AnyFunSuite {
 
   // legitimately empty at sf0.001 (every customer has orders; every
   // clicker also purchased) — run-only
-  private val mayBeEmpty = Set("q05_anti_join", "q11_set_diff")
+  // q36: 4-block banding only guarantees recall for hamming<=3; the
+  // synthetic near-dups sit at ~8-11, so matches are possible but not
+  // guaranteed at every scale factor
+  private val mayBeEmpty = Set("q05_anti_join", "q11_set_diff", "q36_simhash_pairs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs" + (if (mayBeEmpty(name)) "" else " and returns rows")) {
@@ -36,7 +39,7 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query has an oracle or is a documented rows-only op") {
     val rowsOnly = Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh",
-      "q28_lang_id", "q31_fingerprint")
+      "q28_lang_id", "q31_fingerprint", "q36_simhash_pairs")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
