@@ -370,6 +370,13 @@ object SparkEntry {
     graft.operators.Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 16)
       .orderBy(col("d1"), col("d2"))
 
+  /** Deterministic stratified sample — k events per event_type chosen
+    * by md5-hash rank (reproducible across engines and runs). */
+  private val q37: Q = (s, d) =>
+    graft.operators.Sample.stratified(Tables.events(s, d), Seq("event_type"), "event_id", 20)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("event_id"))
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -414,6 +421,7 @@ object SparkEntry {
     "q34_recommend_popular" -> q34,
     "q35_asof_enrich" -> q35,
     "q36_simhash_pairs" -> q36,
+    "q37_stratified_sample" -> q37,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -600,5 +608,11 @@ object SparkEntry {
          SELECT e.event_id, e.user_id, round(r.o_totalprice, 2) AS asof_value
          FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
          ORDER BY e.event_id""",
+    "q37_stratified_sample" ->
+      """SELECT event_type, event_id, user_id, value FROM (
+           SELECT event_type, event_id, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+           FROM events) WHERE rn <= 20 ORDER BY event_type, event_id""",
   )
 }
