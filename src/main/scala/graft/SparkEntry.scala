@@ -377,6 +377,43 @@ object SparkEntry {
       .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_type"), col("event_id"))
 
+  /** Sliding event-time windows (1h width, 30m slide) — each event
+    * lands in two overlapping windows. */
+  private val q38: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("win_start"))
+
+  /** Distinct-count aggregation — unique users per event type (the
+    * all-user preference counting shape, exact). */
+  private val q39: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Group-level MinHash sketches via the MinHashUnion custom
+    * aggregate: per-source union signatures, then pairwise estimated
+    * Jaccard between sources — near-dup analysis at corpus grain
+    * without touching documents twice. */
+  private val q40: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .select(col("source"),
+        graft.plans.MinHashTokens.minhashTokens(
+          graft.functions.TextFunctions.tokens(col("text")), 3, 64).as("sig"))
+      .groupBy(col("source"))
+      .agg(graft.plans.MinHashUnion.minhashUnion(col("sig"), 64).as("usig"))
+    sigs.toDF("s1", "sig1").join(sigs.toDF("s2", "sig2"), col("s1") < col("s2"))
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          / lit(64.0), 4))
+      .select(col("s1"), col("s2"), col("est_jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -422,6 +459,9 @@ object SparkEntry {
     "q35_asof_enrich" -> q35,
     "q36_simhash_pairs" -> q36,
     "q37_stratified_sample" -> q37,
+    "q38_sliding_window" -> q38,
+    "q39_distinct_users" -> q39,
+    "q40_minhash_union" -> q40,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -614,5 +654,15 @@ object SparkEntry {
              row_number() OVER (PARTITION BY event_type
                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
            FROM events) WHERE rn <= 20 ORDER BY event_type, event_id""",
+    "q38_sliding_window" ->
+      """WITH e AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/1800) AS BIGINT) AS b, value
+             FROM events),
+         x AS (SELECT b*1800 AS win_start, value FROM e
+               UNION ALL SELECT (b-1)*1800, value FROM e)
+         SELECT win_start, count(*) AS n_events, round(sum(value),2) AS total_value
+         FROM x GROUP BY win_start ORDER BY win_start""",
+    "q39_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -60,6 +60,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("MinHashUnion aggregate equals elementwise min of member signatures") {
+    import graft.plans.{MinHashTokens, MinHashUnion}
+    import graft.functions.{TextFunctions => TF}
+    val sigs = docs.filter(col("source") === "src0")
+      .select(MinHashTokens.minhashTokens(TF.tokens(col("text")), 3, 16).as("sig"))
+    val manual = sigs.collect().map(_.getSeq[Long](0))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => math.min(x, y) }.toSeq)
+    val agged = sigs.agg(MinHashUnion.minhashUnion(col("sig"), 16).as("u"))
+      .head.getSeq[Long](0)
+    assert(agged === manual)
+  }
+
   test("multimodal decode stub computes n_bytes and checksum") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaFromDocuments(docs)).cache()
