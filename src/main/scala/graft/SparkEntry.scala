@@ -287,14 +287,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Quality scoring: token stats + stopword ratio. */
+  /** Quality scoring: token stats + stopword ratio (native one-pass
+    * TextStats expression; same arithmetic as the SQL oracle). */
   private val q29: Q = (s, d) => {
-    val toks = TF.tokens(col("text"))
+    val st = graft.plans.TextStats.textStats(col("text"), Seq("the", "a"))
     Tables.documents(s, d)
+      .withColumn("__st", st)
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        round(TF.avgTokenLen(col("n_chars"), toks), 4).as("avg_tok_len"),
-        round(TF.stopwordRatio(toks, Seq("the", "a")), 4).as("stop_ratio"))
+        col("__st.n_tokens").as("n_tokens"),
+        round(col("n_chars").cast("double") /
+          greatest(col("__st.n_tokens"), lit(1L)), 4).as("avg_tok_len"),
+        round(col("__st.n_stop").cast("double") /
+          greatest(col("__st.n_tokens"), lit(1L)), 4).as("stop_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -306,24 +310,15 @@ object SparkEntry {
         size(TF.regexTokens(col("text"))).cast("long").as("rx_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Rolling-hash (Rabin–Karp) document fingerprint summary. */
-  private val q31: Q = (s, d) => {
-    val win = 16
-    val chars = split(col("text"), "")
-    val positions = when(length(col("text")) >= win,
-        sequence(lit(1), length(col("text")) - (win - 1)))
-      .otherwise(array().cast("array<int>"))
-    // modulus keeps the polynomial hash in 31 bits (no ANSI overflow)
-    val hashes = transform(positions, i =>
-      aggregate(sequence(lit(0), lit(win - 1)), lit(0L),
-        (acc, j) => pmod(acc * 31L + ascii(element_at(chars, i + j)), lit(2147483647L))))
+  /** Rolling-hash (Rabin–Karp) document fingerprint summary (native
+    * RollingFingerprint expression — one pass over the char stream). */
+  private val q31: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), hashes.as("h"))
+      .withColumn("__fp", graft.plans.TextStats.rollingFingerprint(col("text"), 16))
       .select(col("doc_id"),
-        array_min(col("h")).as("fp_min"),
-        size(array_distinct(col("h"))).cast("long").as("n_distinct"))
+        col("__fp.fp_min").as("fp_min"),
+        col("__fp.n_distinct").as("n_distinct"))
       .orderBy(col("doc_id"))
-  }
 
   /** JSON payload extraction — the Kinesis consumer's event decode
     * (reference consumer.py:38-52 json.loads of the record payload):

@@ -42,22 +42,12 @@ object TextFunctions {
   def avgTokenLen(nChars: Column, toks: Column): Column =
     nChars.cast("double") / greatest(size(toks), lit(1))
 
-  /** 64-bit SimHash fingerprint of a token array.
-    * Classic Charikar simhash: per bit b, sum +1/-1 of xxhash64(token)'s
-    * bit b over tokens; fingerprint bit b = sign. Computed fully with
-    * codegen'd expressions: aggregate() over the token array.
-    */
-  def simhash64(toks: Column): Column = {
-    // per-token 64-bit hash
-    val hashes = transform(toks, t => xxhash64(t))
-    // fold into 64 counters is wide; instead build fingerprint bitwise
-    val bits = (0 until 64).map { b =>
-      val cnt = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(cnt > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
-  }
+  /** 64-bit SimHash fingerprint of a token array (classic Charikar
+    * simhash). Delegates to the native [[graft.plans.SimHashTokens]]
+    * expression — the equivalent 64-interpreted-aggregates expression
+    * tree re-walks the token array per bit and is ~100× slower. */
+  def simhash64(toks: Column): Column =
+    graft.plans.SimHashTokens.simhashTokens(toks)
 
   /** Language ID via stopword/character heuristics. The synthetic corpus
     * carries a `lang` label; this recomputes a deterministic n-gram-

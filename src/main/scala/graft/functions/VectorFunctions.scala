@@ -23,9 +23,9 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Dot of two already-double arrays (skips the per-element cast —
-    * use after projecting vectors with [[asDouble]]). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    * use after projecting vectors with [[asDouble]]). Native loop
+    * (graft.plans.VecDot); sequential order keeps oracle bit-parity. */
+  def dotD(a: Column, b: Column): Column = graft.plans.VecDot.vecDot(a, b)
 
   /** Cast an array<float> to array<double> once, at projection time.
     * Pair-wise ops then avoid 2×dim casts per comparison. */

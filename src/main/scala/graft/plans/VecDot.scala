@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two array<double> columns in a native loop —
+  * strictly sequential element order, so results are bit-identical to
+  * the interpreted `aggregate(zip_with(...))` formulation and to a
+  * sequential engine (the DuckDB oracle), just without per-element
+  * lambda dispatch. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+object VecDot {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def vecDot(a: Column, b: Column): Column =
+    Bridge.toColumn(VecDot(Bridge.toExpression(a), Bridge.toExpression(b)))
+}
