@@ -269,6 +269,25 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF-flat bucketed ANN (hash-rank centroids, nProbe=4 of 16 cells). */
+  private val q41: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCentroids = 16, nProbe = 4)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Multimodal feature-extraction path: decode → 16-bin byte-histogram
+    * embeddings → brute-force cosine self-similarity top-3 — the
+    * image-dedup composite over the binary-column pipeline. */
+  private val q42: Q = (s, d) => {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val emb = Multimodal.extractFeatures(media).toDF()
+      .withColumnRenamed("doc_id", "vec_id")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Heuristic language ID (n-gram profile argmax) vs. the label. */
   private val q28: Q = (s, d) => {
     val profiles: Map[String, Seq[String]] = Map(
@@ -457,6 +476,8 @@ object SparkEntry {
     "q38_sliding_window" -> q38,
     "q39_distinct_users" -> q39,
     "q40_minhash_union" -> q40,
+    "q41_ann_ivf" -> q41,
+    "q42_multimodal_ann" -> q42,
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -53,4 +53,51 @@ object Multimodal {
       it.grouped(BatchSize).flatMap(batch => decodeStub(batch))
     }
   }
+
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long)
+
+  /** Feature-extract stub: 16-bin byte histogram, L1-normalized — a
+    * deterministic stand-in for a real image/audio embedding model.
+    * Output feeds the ANN/near-dup operators unchanged (same
+    * Array[Float] embedding shape as the embeddings table). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < m.payload.length) { hist((m.payload(i) & 0xff) >> 4) += 1f; i += 1 }
+        val n = math.max(1, m.payload.length).toFloat
+        MediaEmbedding(m.doc_id, hist.map(_ / n))
+      })
+    }
+  }
+
+  /** Resize stub: every-other-byte downscale, halved dimensions —
+    * stands in for an image resample; batch contract identical. */
+  def resize(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val out = new Array[Byte]((m.payload.length + 1) / 2)
+        var i = 0
+        while (i < out.length) { out(i) = m.payload(i * 2); i += 1 }
+        MediaRow(m.doc_id, out, m.width / 2, m.height / 2)
+      })
+    }
+  }
+
+  /** Frame-sample stub: treat the payload as a frame stream
+    * (frameBytes per frame), keep every `stride`-th frame — the video
+    * path's explode shape (one row per sampled frame). */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = m.payload.length / frameBytes
+      (0 until nFrames by stride).map { f =>
+        Frame(m.doc_id, f, math.min(frameBytes, m.payload.length - f * frameBytes).toLong)
+      }
+    }
+  }
 }

@@ -37,6 +37,45 @@ object Similarity {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF-flat ANN: partition the corpus into cells around deterministic
+    * centroids (hash-rank-sampled corpus vectors), assign each probe to
+    * its nProbe nearest cells, score only inside those cells.
+    *
+    * Scale shape: centroid set is tiny and broadcast twice (assignment
+    * passes are map-only over corpus and probes); the candidate join is
+    * an equi-join on cell id. Corpus assignment is computed once —
+    * in a real deployment it would be materialized alongside the
+    * embeddings (partitioned by cell) so queries prune at the scan. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nCentroids: Int, nProbe: Int): DataFrame = {
+    // deterministic centroids: first nCentroids corpus vectors by
+    // md5(vec_id) order (hash-rank sample, engine-independent)
+    val centroids = prepped(corpus, "cent_id", "centv", "centn")
+      .withColumn("__r", row_number().over(
+        Window.orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))))
+      .filter(col("__r") <= nCentroids).drop("__r")
+    def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String, keep: Int) = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__sim").desc, col("cent_id"))
+      prepped(df, idAs, vecAs, normAs)
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim", VectorFunctions.cosinePre(col(vecAs), col("centv"), col(normAs), col("centn")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .select(col(idAs), col(vecAs), col(normAs), col("cent_id").as("cell"))
+    }
+    val c = assign(corpus, "nbr_id", "cv", "cn", 1)
+    val p = assign(probes, "probe_id", "pv", "pn", nProbe)
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("cos", VectorFunctions.cosinePre(col("cv"), col("pv"), col("cn"), col("pn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed ANN: score only corpus vectors in the probe's bucket.
     * Recall < 1.0 by construction; bits trades recall vs. cost. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int, dim: Int): DataFrame = {

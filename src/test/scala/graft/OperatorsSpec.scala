@@ -72,6 +72,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(agged === manual)
   }
 
+  test("IVF ANN: every result carries the brute-force cosine for its pair") {
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, probes, 10)
+      .select(col("probe_id"), col("nbr_id"), col("cos").as("bcos"))
+    val ivf = Similarity.ivfTopK(emb, probes, 10, nCentroids = 16, nProbe = 4)
+    assert(ivf.count() > 0)
+    val mismatch = ivf.join(brute, Seq("probe_id", "nbr_id"))
+      .filter(abs(col("cos") - col("bcos")) > 1e-9).count()
+    assert(mismatch === 0)
+  }
+
+  test("multimodal resize, frame-sample and feature-extract stages") {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.resize(media)
+    val both = media.toDF().select(col("doc_id"), length(col("payload")).as("orig"))
+      .join(resized.toDF().select(col("doc_id"), length(col("payload")).as("small")), "doc_id")
+    assert(both.filter(col("small") =!= floor((col("orig") + 1) / 2).cast("int")).count() === 0)
+    val frames = Multimodal.frameSample(media, frameBytes = 32, stride = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.filter(size(col("embedding")) =!= 16).count() === 0)
+    // L1-normalized histogram sums to ~1
+    val sums = feats.toDF().select(graft.functions.VectorFunctions
+      .dot(col("embedding"), org.apache.spark.sql.functions.array_repeat(lit(1.0f), 16)).as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 0.01).count() === 0)
+  }
+
   test("multimodal decode stub computes n_bytes and checksum") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaFromDocuments(docs)).cache()

@@ -39,7 +39,8 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query has an oracle or is a documented rows-only op") {
     val rowsOnly = Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh",
-      "q28_lang_id", "q31_fingerprint", "q36_simhash_pairs", "q40_minhash_union")
+      "q28_lang_id", "q31_fingerprint", "q36_simhash_pairs", "q40_minhash_union",
+      "q41_ann_ivf", "q42_multimodal_ann")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
