@@ -428,6 +428,56 @@ object SparkEntry {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** Window-function battery: lag/lead/rank/dense_rank/ntile/running
+    * sum per user over event time. */
+  private val q43: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(sum(col("value")).over(wRun), 2).as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Full outer join — per-key reconciliation of two aggregates (users
+    * seen in events vs customers with orders). */
+  private val q44: Q = (s, d) => {
+    val eu = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val cu = Tables.orders(s, d).groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    eu.join(cu, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Interval join (batch form of the stream-stream funnel join):
+    * purchases within 1h after a click by the same user. */
+  private val q45: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    // exact integer-microsecond bound arithmetic (matches the oracle's
+    // INTERVAL add; double epoch seconds can't represent every µs)
+    clicks.join(purchases,
+        col("user_id") === col("pu") &&
+        col("purchase_ts") >= col("click_ts") &&
+        unix_micros(col("purchase_ts")) <= unix_micros(col("click_ts")) + lit(3600000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -478,6 +528,9 @@ object SparkEntry {
     "q40_minhash_union" -> q40,
     "q41_ann_ivf" -> q41,
     "q42_multimodal_ann" -> q42,
+    "q43_window_battery" -> q43,
+    "q44_full_outer" -> q44,
+    "q45_interval_join" -> q45,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -680,5 +733,35 @@ object SparkEntry {
     "q39_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q43_window_battery" ->
+      """SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS prev_value,
+         lead(value, 1) OVER w AS next_value,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4) OVER w AS quartile,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS UNBOUNDED PRECEDING), 2) AS running_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+         ORDER BY user_id, event_id""",
+    "q44_full_outer" ->
+      """WITH eu AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+         cu AS (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+         SELECT coalesce(eu.user_id, cu.user_id) AS user_id,
+           coalesce(n_events, 0) AS n_events, coalesce(n_orders, 0) AS n_orders
+         FROM eu FULL OUTER JOIN cu ON eu.user_id = cu.user_id
+         ORDER BY user_id""",
+    "q45_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           round(p.value, 2) AS value
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id
+               FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, event_id, value
+               FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+         ORDER BY click_id, purchase_id""",
   )
 }

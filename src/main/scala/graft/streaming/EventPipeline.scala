@@ -60,6 +60,28 @@ object EventPipeline {
         coalesce(col("c_name"), lit("N/A")).as("cust_name"),
         col("value"))
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks within the preceding `windowSeconds` — the funnel/attribution
+    * shape. Both sides carry watermarks so the join state is bounded:
+    * a click is dropped once the watermark passes click_ts + window. */
+  def clickToPurchase(events: DataFrame, windowSeconds: Long,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   // ------------------------------------------------------- custom state
 
   case class SessionState(sessNo: Int, lastTsMicros: Long, n: Long, total: Double)

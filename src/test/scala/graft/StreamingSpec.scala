@@ -79,6 +79,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("event_id") === 50 && col("cust_name") === "N/A").count() === 1)
   }
 
+  test("clickToPurchase stream-stream interval join attributes purchases") {
+    val out = runBatches(m => EventPipeline.clickToPurchase(m.toDF(), 3600), "cp",
+      Seq(sample, Seq(late(90, "2024-01-02 12:00:00"))))
+    // user 1's click at 00:01 → purchases 00:05 (id 1, deduped? no dedup
+    // here: both duplicate purchase rows join) within 1h; error at 01:10
+    // is outside event_type filter
+    assert(out.count() === 2)
+    assert(out.filter(col("click_id") === 0 && col("purchase_id") === 1).count() === 2)
+  }
+
   test("sessionizeStateful emits gap-closed and timed-out sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
