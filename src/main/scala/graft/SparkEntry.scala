@@ -478,6 +478,20 @@ object SparkEntry {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Aggregation-based top-k (TopKPairs custom aggregate): per event
+    * type, top-5 events by value — shuffle carries 5 pairs per group
+    * per partition instead of sorting every row (contrast q09's
+    * window-rank formulation). */
+  private val q46: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.TopKPairs.topK(
+        struct(col("value"), col("event_id")), 5).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.value").as("value"), col("col.id").as("event_id"))
+      .orderBy(col("event_type"), col("rn"))
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -531,6 +545,7 @@ object SparkEntry {
     "q43_window_battery" -> q43,
     "q44_full_outer" -> q44,
     "q45_interval_join" -> q45,
+    "q46_topk_agg" -> q46,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -763,5 +778,11 @@ object SparkEntry {
           AND p.purchase_ts >= c.click_ts
           AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
          ORDER BY click_id, purchase_id""",
+    "q46_topk_agg" ->
+      """SELECT event_type, rn, value, event_id FROM (
+           SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id) AS rn
+           FROM events) WHERE rn <= 5 ORDER BY event_type, rn""",
   )
 }

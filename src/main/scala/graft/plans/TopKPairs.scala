@@ -1,0 +1,99 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Top-k (value, id) pairs per group as an aggregate — the scalable
+  * alternative to window-rank top-k: a window formulation sorts and
+  * shuffles EVERY row of the group; this aggregate's buffer holds at
+  * most k pairs, partial aggregation combines map-side, and the
+  * shuffle carries k pairs per group per partition. Order: value desc,
+  * id asc (deterministic).
+  */
+case class TopKPairs(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  // worst-kept pair first: ascending by (value, then id desc), so
+  // head() is the pair to evict
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (v, -id) }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](ord)
+
+  private def add(buf: java.util.TreeSet[(Double, Long)], p: (Double, Long)): Unit = {
+    if (buf.size < k) buf.add(p)
+    else if (ord.compare(p, buf.first()) > 0) { buf.pollFirst(); buf.add(p) }
+  }
+
+  override def update(buf: java.util.TreeSet[(Double, Long)], input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val row = child.eval(input)
+    if (row != null) {
+      val r = row.asInstanceOf[InternalRow]
+      add(buf, (r.getDouble(0), r.getLong(1)))
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[(Double, Long)], b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    // emit best → worst
+    val arr = buf.descendingIterator()
+    val out = new Array[Any](buf.size)
+    var i = 0
+    while (arr.hasNext) { val (v, id) = arr.next(); out(i) = InternalRow(v, id); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (v, id) = it.next(); bb.putDouble(v); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add((bb.getDouble, bb.getLong)))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(child = newChildren.head)
+}
+
+object TopKPairs {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Aggregate Column over struct(value: double, id: long). */
+  def topK(pair: Column, k: Int): Column =
+    Bridge.toColumn(TopKPairs(Bridge.toExpression(pair), k).toAggregateExpression())
+}

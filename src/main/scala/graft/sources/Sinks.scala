@@ -21,4 +21,10 @@ object Sinks {
   /** Plain columnar snapshot (dims, small results). */
   def writeSnapshot(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.coalesce(1).write.mode(mode).parquet(path)
+
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
 }

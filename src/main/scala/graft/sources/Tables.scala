@@ -19,6 +19,18 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** JSON source with explicit schema (schema inference is a full
+    * extra pass at 100 TB — never rely on it). The reference ingests
+    * JSON API payloads (ingestion.py fetch_titles). */
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV source with explicit schema. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -35,6 +35,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("event_type=")))
   }
 
+  test("json and csv sources round-trip with explicit schemas") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val events = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "user_id", "event_type", "value")
+    Sinks.writeJson(events, s"$dir/j")
+    Sinks.writeCsv(events, s"$dir/c")
+    val schema = events.schema
+    val fromJson = Tables.readJson(spark, s"$dir/j", schema)
+    val fromCsv = Tables.readCsv(spark, s"$dir/c", schema)
+    assert(fromJson.count() === events.count())
+    assert(fromCsv.count() === events.count())
+    assert(fromJson.except(events).count() === 0)
+    assert(fromCsv.except(events).count() === 0)
+  }
+
+  test("TopKPairs aggregate matches window-rank top-k") {
+    import graft.plans.TopKPairs
+    val events = Tables.events(spark, TestSpark.sf)
+    val viaAgg = events.groupBy(col("event_type"))
+      .agg(TopKPairs.topK(struct(col("value"), col("event_id")), 7).as("top"))
+      .select(col("event_type"), explode(col("top")).as("p"))
+      .select(col("event_type"), col("p.value"), col("p.id").as("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val viaWindow = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select(col("event_type"), col("value"), col("event_id"))
+    assert(viaAgg.except(viaWindow).count() === 0)
+    assert(viaWindow.except(viaAgg).count() === 0)
+  }
+
   test("asof join attaches latest prior right value with null for no match") {
     val events = Tables.events(spark, TestSpark.sf)
     // exclude user 0's orders so the no-match → null path is exercised
