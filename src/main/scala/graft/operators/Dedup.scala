@@ -18,8 +18,10 @@ import graft.functions.TextFunctions
   *  - MinHash/LSH: candidate generation is a self-join on (band,
   *    bandHash) buckets — shuffle is O(docs × bands), never O(n²);
   *    exact Jaccard verification runs only inside candidate pairs.
-  *  - all shingle/signature construction stays in codegen'd higher-order
-  *    functions; no UDFs.
+  *  - shingle/signature construction runs in native Catalyst
+  *    expressions (graft.plans) — one tight JVM loop per row, no UDFs,
+  *    no interpreted per-element lambdas; posting-list joins key on
+  *    64-bit shingle fingerprints, not strings.
   */
 object Dedup {
 
@@ -48,13 +50,23 @@ object Dedup {
           TextFunctions.tokens(col(textCol)), k))).as("shingle"))
       .filter(col("shingle") =!= "")
 
+  /** Posting list with shingles fingerprinted to 64-bit longs: the
+    * shuffle/join key is 8 bytes instead of a ~25-char string.
+    * Collision odds (~|distinct shingles|²/2^65) are negligible even at
+    * corpus scale, so intersection counts — and Jaccard — are exact. */
+  def shingleHashTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(
+          graft.plans.ShingleTokens.shingleTokens(TextFunctions.tokens(col(textCol)), k),
+          s => xxhash64(s)))).as("shingle"))
+
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     * Inverted-index join (shingle equi-join) — the scalable formulation:
     * pairs are generated per-shingle then aggregated, never by cross
     * product. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, k).cache()
+    val sh = shingleHashTable(docs, idCol, textCol, k).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.toDF("d1", "s").join(sh.toDF("d2", "s"), Seq("s"))
       .filter(col("d1") < col("d2"))
@@ -90,7 +102,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, k).cache()
+    val sh = shingleHashTable(docs, idCol, textCol, k).cache()
     val sig = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
     // band b → hash of the band's slice; bucket join on (band, bandHash)
     val banded = sig.select(col("doc_id"),

@@ -101,6 +101,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sums.filter(abs(col("s") - 1.0) > 0.01).count() === 0)
   }
 
+  test("operators tolerate empty inputs") {
+    import spark.implicits._
+    val noDocs = docs.filter(col("doc_id") < 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text", 3, 0.5).count() === 0)
+    assert(Dedup.minhashLshPairs(noDocs, "doc_id", "text", 3, 16, 4, 0.5).count() === 0)
+    assert(Dedup.simhashNearDupPairs(noDocs, "doc_id", "text", 16).count() === 0)
+    val noEvents = Tables.events(spark, TestSpark.sf).filter(col("event_id") < 0)
+    assert(graft.operators.Sessionize.sessions(noEvents, 1800).count() === 0)
+    val noVecs = emb.filter(col("vec_id") < 0)
+    assert(Similarity.bruteForceTopK(emb, noVecs, 5).count() === 0)
+    assert(Similarity.ivfTopK(noVecs, noVecs, 5, 4, 2).count() === 0)
+  }
+
   test("multimodal decode stub computes n_bytes and checksum") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaFromDocuments(docs)).cache()
