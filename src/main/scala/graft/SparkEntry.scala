@@ -492,6 +492,31 @@ object SparkEntry {
         col("col.value").as("value"), col("col.id").as("event_id"))
       .orderBy(col("event_type"), col("rn"))
 
+  /** CUBE grouping-sets summary (all subtotal combinations). */
+  private val q47: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("user_parity", (col("user_id") % 2).cast("string"))
+      .cube(col("event_type"), col("user_parity"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("user_parity"), lit("ALL")).as("user_parity"),
+        col("n"), col("total"))
+      .orderBy(col("event_type"), col("user_parity"))
+
+  /** Edit-distance (Levenshtein) near-dup on text prefixes — the
+    * string-similarity member of the dedup family (bounded pair set:
+    * same source, small ids). */
+  private val q48: Q = (s, d) => {
+    val t = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 40).as("prefix"))
+    t.toDF("d1", "source", "p1").join(t.toDF("d2", "source", "p2"), "source")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("p1"), col("p2")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 30)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -546,6 +571,8 @@ object SparkEntry {
     "q44_full_outer" -> q44,
     "q45_interval_join" -> q45,
     "q46_topk_agg" -> q46,
+    "q47_cube" -> q47,
+    "q48_edit_distance" -> q48,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -784,5 +811,19 @@ object SparkEntry {
              row_number() OVER (PARTITION BY event_type
                ORDER BY value DESC, event_id) AS rn
            FROM events) WHERE rn <= 5 ORDER BY event_type, rn""",
+    "q47_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 2 AS VARCHAR), 'ALL') AS user_parity,
+           count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY CUBE(event_type, user_id % 2)
+         ORDER BY event_type, user_parity""",
+    "q48_edit_distance" ->
+      """WITH t AS (SELECT doc_id, source, substr(text, 1, 40) AS prefix
+             FROM documents WHERE doc_id < 100)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.prefix, b.prefix) <= 30
+         ORDER BY d1, d2""",
   )
 }

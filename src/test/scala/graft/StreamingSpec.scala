@@ -89,6 +89,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("click_id") === 0 && col("purchase_id") === 1).count() === 2)
   }
 
+  test("file-source stream with checkpoint resumes exactly-once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+
+    def startQuery() = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    sample.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst === sample.length)
+
+    // restart from the same checkpoint; only the NEW file is processed
+    Seq(late(90, "2024-01-02 12:00:00")).toDF().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val afterSecond = spark.read.parquet(outDir).count()
+    assert(afterSecond === sample.length + 1) // no reprocessing of batch 1
+  }
+
   test("sessionizeStateful emits gap-closed and timed-out sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
