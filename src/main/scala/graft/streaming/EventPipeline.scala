@@ -33,6 +33,16 @@ object EventPipeline {
       .select(col("window.start").as("hour_start"), col("n_events"),
         col("n_errors"), col("total_value"))
 
+  /** Sliding-window variant (width/slide), same append-mode contract. */
+  def slidingMetrics(events: DataFrame, width: String = "1 hour",
+                     slide: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("n_events"), col("total_value"))
+
   /** Streaming dedup by event id within the watermark horizon —
     * the consumer's `processed_keys` dedup (consumer.py:57-66) with
     * bounded state. */

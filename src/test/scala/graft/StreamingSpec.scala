@@ -52,6 +52,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("hour_start") === ts("2024-01-01 02:00:00")).count() === 1)
   }
 
+  test("slidingMetrics: each event lands in two overlapping windows") {
+    val out = runBatches(m => EventPipeline.slidingMetrics(m.toDF()), "sm",
+      Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
+    // events at 00:01/00:02/00:05 → windows 23:30(-day) and 00:00
+    val w0 = out.filter(col("win_start") === ts("2024-01-01 00:00:00")).head
+    assert(w0.getAs[Long]("n_events") === 4) // 00:01,00:02,00:05,00:05dup
+    val w2300 = out.filter(col("win_start") === ts("2023-12-31 23:30:00")).head
+    assert(w2300.getAs[Long]("n_events") === 4)
+  }
+
   test("dedupStream drops duplicate event ids within the watermark") {
     val out = runBatches(m => EventPipeline.dedupStream(m.toDF()), "dd", Seq(sample))
     assert(out.count() === 5)
