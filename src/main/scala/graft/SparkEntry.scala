@@ -517,6 +517,28 @@ object SparkEntry {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Date-function battery: calendar breakdown of order revenue. */
+  private val q49: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        col("o_totalprice"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** String-function battery: normalization pipeline over names. */
+  private val q50: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("seg"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+      .orderBy(col("c_custkey"))
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -573,6 +595,8 @@ object SparkEntry {
     "q46_topk_agg" -> q46,
     "q47_cube" -> q47,
     "q48_edit_distance" -> q48,
+    "q49_date_battery" -> q49,
+    "q50_string_battery" -> q50,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -825,5 +849,17 @@ object SparkEntry {
          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE levenshtein(a.prefix, b.prefix) <= 30
          ORDER BY d1, d2""",
+    "q49_date_battery" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY yr, mo ORDER BY yr, mo""",
+    "q50_string_battery" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS seg,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substr(c_name, 1, 8) AS prefix,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           concat_ws('|', c_mktsegment, c_name) AS joined
+         FROM customer ORDER BY c_custkey""",
   )
 }

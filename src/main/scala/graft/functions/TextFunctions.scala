@@ -31,16 +31,8 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Ratio of tokens found in `stop` (lowercased exact match). */
-  def stopwordRatio(toks: Column, stop: Seq[String]): Column = {
-    val stopArr = array(stop.map(lit): _*)
-    size(filter(toks, t => array_contains(stopArr, lower(t)))) /
-      greatest(size(toks), lit(1)).cast("double")
-  }
-
-  /** Simple composite quality features used by q29. */
-  def avgTokenLen(nChars: Column, toks: Column): Column =
-    nChars.cast("double") / greatest(size(toks), lit(1))
+  // token-count / stopword-ratio quality features live in the native
+  // graft.plans.TextStats expression (one pass over the raw string)
 
   /** 64-bit SimHash fingerprint of a token array (classic Charikar
     * simhash). Delegates to the native [[graft.plans.SimHashTokens]]

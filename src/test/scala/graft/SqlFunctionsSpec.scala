@@ -18,6 +18,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) === Seq("a b c", "b c d", "c d e"))
   }
 
+  test("native ShingleTokens matches the higher-order-function reference") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val mismatch = docs.select(
+        TF.shingles(TF.tokens(col("text")), 3).as("hof"),
+        graft.plans.ShingleTokens.shingleTokens(TF.tokens(col("text")), 3).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(mismatch === 0)
+  }
+
   test("SQL minhash matches the Column API") {
     GraftFunctions.register(spark)
     graft.sources.Tables.documents(spark, TestSpark.sf)
