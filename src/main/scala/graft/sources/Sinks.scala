@@ -27,4 +27,13 @@ object Sinks {
 
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
+
+  /** Bucketed + sorted table: co-locates join keys at write time so
+    * subsequent equi-joins on `key` between tables bucketed the same
+    * way plan WITHOUT a shuffle — the write-once/join-many layout for
+    * repeated large-fact joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

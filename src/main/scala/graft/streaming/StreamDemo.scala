@@ -41,13 +41,33 @@ object StreamDemo {
       spark.table(name).count()
     }
 
+    // rate source — the live-ingest (Kinesis) stand-in: rows arrive at
+    // `rowsPerSecond`, get shaped into events, flow through the same
+    // windowed pipeline
+    import org.apache.spark.sql.functions._
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"),
+        (col("value") % 50).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (col("value") % 3 + 1).cast("int")).as("event_type"),
+        (col("value") % 100).cast("double").as("value"),
+        lit("{}").as("props"))
+    val rq = rate.groupBy(window(col("ts"), "2 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("rate_agg")
+      .outputMode("complete").start()
+    Thread.sleep(3000)
+    rq.processAllAvailable(); rq.stop()
+    val rateRows = spark.table("rate_agg").count()
+
     val hm = run("hourly", m => EventPipeline.hourlyMetrics(m.toDF()))
     val dd = run("dedup", m => EventPipeline.dedupStream(m.toDF()))
     val sw = run("sessions", m => EventPipeline.sessionWindows(m.toDF()))
     val ss = run("stateful", m => EventPipeline.sessionizeStateful(m.toDS(), 1800).toDF())
     val en = run("enriched", m =>
       EventPipeline.enrichStream(m.toDF(), Tables.customer(spark, sfDir)))
-    println(s"""{"events":${events.size},"hourly_windows":$hm,"deduped":$dd,"session_windows":$sw,"stateful_sessions":$ss,"enriched":$en}""")
+    println(s"""{"events":${events.size},"hourly_windows":$hm,"deduped":$dd,"session_windows":$sw,"stateful_sessions":$ss,"enriched":$en,"rate_source_groups":$rateRows}""")
     spark.stop()
   }
 }

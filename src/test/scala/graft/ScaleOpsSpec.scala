@@ -66,6 +66,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaWindow.except(viaAgg).count() === 0)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val events = Tables.events(spark, TestSpark.sf)
+      .withColumn("o_custkey", col("user_id"))
+    Sinks.writeBucketed(orders, "orders_b", "o_custkey", 8)
+    Sinks.writeBucketed(events, "events_b", "o_custkey", 8)
+    val joined = spark.table("orders_b").join(spark.table("events_b"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("asof join attaches latest prior right value with null for no match") {
     val events = Tables.events(spark, TestSpark.sf)
     // exclude user 0's orders so the no-match → null path is exercised
