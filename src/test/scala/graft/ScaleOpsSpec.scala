@@ -70,6 +70,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     val orders = Tables.orders(spark, TestSpark.sf)
     val events = Tables.events(spark, TestSpark.sf)
       .withColumn("o_custkey", col("user_id"))
+    // a previous JVM's warehouse dir survives while the in-memory
+    // catalog doesn't — clear both
+    Seq("orders_b", "events_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
     Sinks.writeBucketed(orders, "orders_b", "o_custkey", 8)
     Sinks.writeBucketed(events, "events_b", "o_custkey", 8)
     val joined = spark.table("orders_b").join(spark.table("events_b"), "o_custkey")
