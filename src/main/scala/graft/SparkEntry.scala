@@ -539,6 +539,21 @@ object SparkEntry {
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
       .orderBy(col("c_custkey"))
 
+  /** SCD1 upsert/merge — apply a versioned update set over a base
+    * snapshot, highest version wins (reference.py batch upserts). */
+  private val q51: Q = (s, d) => {
+    val customer = Tables.customer(s, d)
+    val base = customer
+      .select(col("c_custkey"), col("c_acctbal"), lit(0L).as("version"))
+    val updates = customer
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), round(col("c_acctbal") * 2, 2).as("c_acctbal"),
+        lit(1L).as("version"))
+    graft.operators.Relational.upsert(base, updates, Seq("c_custkey"), "version")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"), col("version"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -597,6 +612,7 @@ object SparkEntry {
     "q48_edit_distance" -> q48,
     "q49_date_battery" -> q49,
     "q50_string_battery" -> q50,
+    "q51_upsert" -> q51,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -861,5 +877,17 @@ object SparkEntry {
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
            concat_ws('|', c_mktsegment, c_name) AS joined
          FROM customer ORDER BY c_custkey""",
+    "q51_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, 0 AS version FROM customer),
+         upd AS (SELECT c_custkey, round(c_acctbal * 2, 2) AS c_acctbal, 1 AS version
+             FROM customer WHERE EXISTS
+               (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         r AS (SELECT c_custkey, c_acctbal, version,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+           FROM u)
+         SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+           CAST(version AS BIGINT) AS version
+         FROM r WHERE rn = 1 ORDER BY c_custkey""",
   )
 }

@@ -101,6 +101,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sums.filter(abs(col("s") - 1.0) > 0.01).count() === 0)
   }
 
+  test("approximate aggregates track exact values") {
+    val events = Tables.events(spark, TestSpark.sf)
+    val row = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx"),
+      expr("percentile(value, 0.5D)").as("p50"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a")).head
+    val exact = row.getAs[Long]("exact").toDouble
+    assert(math.abs(row.getAs[Long]("approx") - exact) / exact < 0.05)
+    val p50 = row.getAs[Double]("p50")
+    assert(math.abs(row.getAs[Double]("p50a") - p50) / math.max(p50, 1) < 0.05)
+  }
+
   test("operators tolerate empty inputs") {
     import spark.implicits._
     val noDocs = docs.filter(col("doc_id") < 0)
