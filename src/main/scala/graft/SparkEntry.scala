@@ -1,12 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2.
   *
