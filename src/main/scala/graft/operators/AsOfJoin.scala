@@ -44,7 +44,7 @@ object AsOfJoin {
         lit(0).as("__side"),
         col(rightTieBreak).cast("long").as("__tie"),
         col(rightVal).as("__v"))
-    val lCols = left.columns
+    val lCols = left.columns.toSeq
     // right rows sort before left rows at the same __t (side 0 < 1),
     // so a state record timestamped exactly at the event is visible
     val w = Window.partitionBy(col(key))

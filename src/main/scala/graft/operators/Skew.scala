@@ -21,7 +21,7 @@ object Skew {
     // salt from the whole fact row: deterministic, uniform, and not a
     // function of the key alone (which would just move the hot spot)
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltFactor.toLong)))
+      pmod(xxhash64(struct(fact.columns.toSeq.map(col): _*)), lit(saltFactor.toLong)))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
