@@ -28,6 +28,24 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("oracle SQL texts are ANSI enough to run on Spark SQL itself") {
+    graft.sources.Tables.all.foreach {
+      case "events" =>
+        graft.sources.Tables.events(spark, TestSpark.sf).createOrReplaceTempView("events")
+      case t =>
+        graft.sources.Tables.load(spark, TestSpark.sf, t).createOrReplaceTempView(t)
+    }
+    // queries whose oracle SQL is pure ANSI (no DuckDB-only functions)
+    Seq("q01_pricing_summary", "q03_broadcast_join", "q04_semi_join",
+        "q07_distinct_union", "q16_rollup", "q39_distinct_users",
+        "q49_date_battery").foreach { name =>
+      val viaSql = spark.sql(SparkEntry.oracleSql(name))
+      val viaDf = SparkEntry.queries(name)(spark, TestSpark.sf)
+      assert(viaSql.exceptAll(viaDf).count() === 0, s"$name sql-vs-df")
+      assert(viaDf.exceptAll(viaSql).count() === 0, s"$name df-vs-sql")
+    }
+  }
+
   test("SQL minhash matches the Column API") {
     GraftFunctions.register(spark)
     graft.sources.Tables.documents(spark, TestSpark.sf)
