@@ -358,12 +358,17 @@ object SparkEntry {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("l_partkey"))
       .agg(sum(col("l_quantity")).as("qty"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("qty").desc, col("l_partkey"))
-    agg.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
-        col("l_partkey"), round(col("qty"), 2).as("qty"))
+    // top-10 per segment via the bounded TopKPairs aggregate (its
+    // (value desc, id asc) order matches qty desc, l_partkey asc): a
+    // window rank over 5 segments sorts every (segment, part) row
+    // through 5 reducers; the aggregate's shuffle carries 10 pairs per
+    // segment per partition.
+    agg.groupBy(col("c_mktsegment"))
+      .agg(graft.plans.TopKPairs.topK(
+        struct(col("qty"), col("l_partkey")), 10).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("l_partkey"), round(col("col.value"), 2).as("qty"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
@@ -375,7 +380,8 @@ object SparkEntry {
         Tables.events(s, d),
         Tables.orders(s, d).withColumnRenamed("o_custkey", "user_id"),
         key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
-        rightVal = "o_totalprice", rightTieBreak = "o_orderkey")
+        rightVal = "o_totalprice", rightTieBreak = "o_orderkey",
+        leftId = "event_id")
       .select(col("event_id"), col("user_id"), round(col("asof_value"), 2).as("asof_value"))
       .orderBy(col("event_id"))
 

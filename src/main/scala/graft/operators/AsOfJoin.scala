@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * linear scan per partition — the sort-merge shape a dedicated
   * physical operator would use anyway.
   *
+  * Only (key, id, ts, side, tie, value) go through the union/window —
+  * never the full left row. Wide or string-heavy left columns would
+  * otherwise be null-padded through the shuffle and sorted per key;
+  * they are joined back by the unique `leftId` afterwards.
+  *
+  * Ordering uses integer microseconds (`unix_micros`), not double
+  * epoch seconds — a double cannot represent every microsecond, which
+  * would blur the <= visibility boundary.
+  *
   * Ties: right records sharing the as-of timestamp resolve to the
   * greatest `rightTieBreak`; a right record at exactly the event's ts
   * IS visible (<=).
@@ -30,31 +39,34 @@ object AsOfJoin {
     * @param rightTs    event-time column on right
     * @param rightVal   right column to carry (attached as `asof_value`)
     * @param rightTieBreak deterministic tiebreak among equal rightTs
+    * @param leftId     unique left row id (used to join the match back)
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
-           rightVal: String, rightTieBreak: String): DataFrame = {
-    val l = left.withColumn("__t", col(leftTs).cast("timestamp").cast("double"))
-      .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(Long.MaxValue))
-      .withColumn("__v", lit(null).cast(right.schema(rightVal).dataType))
+           rightVal: String, rightTieBreak: String, leftId: String): DataFrame = {
+    val l = left.select(
+      col(key),
+      col(leftId).as("__lid"),
+      unix_micros(col(leftTs).cast("timestamp")).as("__t"),
+      lit(1).as("__side"),
+      lit(Long.MaxValue).as("__tie"),
+      lit(null).cast(right.schema(rightVal).dataType).as("__v"))
     val r = right.select(
-        col(key),
-        col(rightTs).cast("timestamp").cast("double").as("__t"),
-        lit(0).as("__side"),
-        col(rightTieBreak).cast("long").as("__tie"),
-        col(rightVal).as("__v"))
-    val lCols = left.columns.toSeq
+      col(key),
+      lit(null).cast(left.schema(leftId).dataType).as("__lid"),
+      unix_micros(col(rightTs).cast("timestamp")).as("__t"),
+      lit(0).as("__side"),
+      col(rightTieBreak).cast("long").as("__tie"),
+      col(rightVal).as("__v"))
     // right rows sort before left rows at the same __t (side 0 < 1),
     // so a state record timestamped exactly at the event is visible
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select((lCols.map(col) :+ col("__t") :+ col("__side") :+ col("__tie") :+ col("__v")): _*)
-      .unionByName(r.select((lCols.map(c => if (c == key) col(c) else lit(null).cast(left.schema(c).dataType).as(c))
-        :+ col("__t") :+ col("__side") :+ col("__tie") :+ col("__v")): _*))
+    val matched = l.unionByName(r)
       .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(lCols.map(col) :+ col("asof_value"): _*)
+      .select(col("__lid"), col("asof_value"))
+    left.join(matched, col(leftId) === col("__lid")).drop("__lid")
   }
 }

@@ -66,7 +66,11 @@ object Dedup {
     * product. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
-    val sh = shingleHashTable(docs, idCol, textCol, k).cache()
+    // no cache(): a lazily returned plan can never unpersist it, so
+    // repeated invocations would pin copies in storage memory for the
+    // session lifetime. Shingling is a cheap native pass over the scan
+    // and the self-join's repeated subtree benefits from exchange reuse.
+    val sh = shingleHashTable(docs, idCol, textCol, k)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.toDF("d1", "s").join(sh.toDF("d2", "s"), Seq("s"))
       .filter(col("d1") < col("d2"))
@@ -102,7 +106,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sh = shingleHashTable(docs, idCol, textCol, k).cache()
+    val sh = shingleHashTable(docs, idCol, textCol, k) // see ngramJaccardPairs re: no cache()
+
     val sig = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
     // band b → hash of the band's slice; bucket join on (band, bandHash)
     val banded = sig.select(col("doc_id"),
@@ -131,26 +136,45 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs: pigeonhole banding — any pair within
-    * hamming distance <= 3 of a 64-bit fingerprint shares at least one
-    * of four 16-bit blocks, so candidates come from four equi-joins on
-    * block values (linear-ish), then exact hamming verification. */
+  /** SimHash near-dup pairs: pigeonhole banding — candidate pairs must
+    * share at least one of four 16-bit blocks (which pigeonhole makes
+    * exhaustive for hamming <= 3), then exact hamming verification.
+    *
+    * Skew shape: near-dup corpora have many documents with IDENTICAL
+    * fingerprints, and banding doc-grain rows explodes those cliques
+    * through the block join (hot low-entropy blocks × hot blocks). So
+    * the banding join runs over DISTINCT fingerprints only — cliques
+    * of equal hashes contribute one row each — and doc pairs are
+    * expanded from the verified HASH pairs afterwards, so every
+    * expanded row is an output row (no wasted candidates):
+    *   - equal-hash pairs (hamming 0): equi-self-join on the hash;
+    *   - unequal-hash pairs: banding join over distinct hashes,
+    *     dedup, hamming filter, then two joins back to doc ids. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int): DataFrame = {
     val sh = simhashTable(docs, idCol, textCol)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .toDF("doc_id", "simhash", "band", "block")
-    val cand = banded.as("x").join(banded.as("y"),
+    val intra = sh.toDF("d1", "h").join(sh.toDF("d2", "h"), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), lit(0L).as("hamming"))
+    val banded = sh.select(col("simhash")).distinct()
+      .select(col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("simhash", "band", "block")
+    val hashPairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.block") === col("y.block") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+        col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("h1"), col("y.simhash").as("h2"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming && col("hamming") > 0)
+    val inter = hashPairs
+      .join(sh.toDF("da", "h1"), "h1")
+      .join(sh.toDF("db", "h2"), "h2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        col("hamming").cast("long").as("hamming"))
+    intra.unionByName(inter)
   }
 
   /** Embedding cosine near-duplicate pairs, blocked by a coarse key to

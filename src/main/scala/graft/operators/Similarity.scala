@@ -41,29 +41,44 @@ object Similarity {
     * centroids (hash-rank-sampled corpus vectors), assign each probe to
     * its nProbe nearest cells, score only inside those cells.
     *
-    * Scale shape: centroid set is tiny and broadcast twice (assignment
-    * passes are map-only over corpus and probes); the candidate join is
-    * an equi-join on cell id. Corpus assignment is computed once —
-    * in a real deployment it would be materialized alongside the
-    * embeddings (partitioned by cell) so queries prune at the scan. */
+    * Scale shape: the tiny centroid set is selected with a distributed
+    * top-n (per-partition top-n, merge n×partitions at the driver — no
+    * global sort), collected once, and inlined as literal vectors; cell
+    * assignment is then a MAP-ONLY per-row argmax over the literal
+    * array — no cross-join, no window, no shuffle of the corpus at all.
+    * The candidate join is an equi-join on cell id. Corpus assignment
+    * is computed once — in a real deployment it would be materialized
+    * alongside the embeddings (partitioned by cell) so queries prune at
+    * the scan. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nCentroids: Int, nProbe: Int): DataFrame = {
     // deterministic centroids: first nCentroids corpus vectors by
-    // md5(vec_id) order (hash-rank sample, engine-independent)
+    // md5(vec_id) order (hash-rank sample, engine-independent).
+    // orderBy(...).limit(n) plans as TakeOrderedAndProject: each task
+    // keeps n rows, the driver merges — nothing like a global sort.
     val centroids = prepped(corpus, "cent_id", "centv", "centn")
-      .withColumn("__r", row_number().over(
-        Window.orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))))
-      .filter(col("__r") <= nCentroids).drop("__r")
-    def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String, keep: Int) = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__sim").desc, col("cent_id"))
-      prepped(df, idAs, vecAs, normAs)
-        .crossJoin(broadcast(centroids))
-        .withColumn("__sim", VectorFunctions.cosinePre(col(vecAs), col("centv"), col(normAs), col("centn")))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .select(col(idAs), col(vecAs), col(normAs), col("cent_id").as("cell"))
+      .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    if (centroids.isEmpty)
+      return probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
+        col("vec_id").as("nbr_id"), lit(0.0).as("cos")).limit(0)
+    // per-row nearest cells: sort_array over an nCentroids-element
+    // literal struct array — (neg sim, cent_id) ascending == sim desc,
+    // cent_id asc, matching the previous window ordering exactly
+    def cells(vecAs: String, normAs: String, keep: Int) = {
+      val scored = centroids.map { case (cid, cv, cn) =>
+        struct(
+          (-VectorFunctions.dotD(col(vecAs), typedlit(cv)) / (col(normAs) * lit(cn))).as("negsim"),
+          lit(cid).as("cell"))
+      }
+      slice(sort_array(array(scored.toSeq: _*)), 1, keep).getField("cell")
     }
+    def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String, keep: Int) =
+      prepped(df, idAs, vecAs, normAs)
+        .select(col(idAs), col(vecAs), col(normAs),
+          explode(cells(vecAs, normAs, keep)).as("cell"))
     val c = assign(corpus, "nbr_id", "cv", "cn", 1)
     val p = assign(probes, "probe_id", "pv", "pn", nProbe)
     val scored = c.join(broadcast(p), Seq("cell"))

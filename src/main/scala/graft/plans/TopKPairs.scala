@@ -15,13 +15,17 @@ import org.apache.spark.sql.types._
   * most k pairs, partial aggregation combines map-side, and the
   * shuffle carries k pairs per group per partition. Order: value desc,
   * id asc (deterministic).
+  *
+  * Duplicate (value, id) pairs are preserved (the buffer is a heap,
+  * not a set) and rows with a null value or id are skipped — matching
+  * the window-rank formulation over non-null inputs exactly.
   */
 case class TopKPairs(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
@@ -29,44 +33,43 @@ case class TopKPairs(
     StructField("value", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
 
-  // worst-kept pair first: ascending by (value, then id desc), so
-  // head() is the pair to evict
+  // heap head is the worst kept pair: ascending by (value, then id desc)
   private def ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (v, -id) }
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
-    new java.util.TreeSet[(Double, Long)](ord)
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
+    new java.util.PriorityQueue[(Double, Long)](k.max(1), ord)
 
-  private def add(buf: java.util.TreeSet[(Double, Long)], p: (Double, Long)): Unit = {
+  private def add(buf: java.util.PriorityQueue[(Double, Long)], p: (Double, Long)): Unit = {
     if (buf.size < k) buf.add(p)
-    else if (ord.compare(p, buf.first()) > 0) { buf.pollFirst(); buf.add(p) }
+    else if (ord.compare(p, buf.peek()) > 0) { buf.poll(); buf.add(p) }
   }
 
-  override def update(buf: java.util.TreeSet[(Double, Long)], input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+  override def update(buf: java.util.PriorityQueue[(Double, Long)], input: InternalRow): java.util.PriorityQueue[(Double, Long)] = {
     val row = child.eval(input)
     if (row != null) {
       val r = row.asInstanceOf[InternalRow]
-      add(buf, (r.getDouble(0), r.getLong(1)))
+      if (!r.isNullAt(0) && !r.isNullAt(1)) add(buf, (r.getDouble(0), r.getLong(1)))
     }
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[(Double, Long)], b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+  override def merge(b1: java.util.PriorityQueue[(Double, Long)], b2: java.util.PriorityQueue[(Double, Long)]): java.util.PriorityQueue[(Double, Long)] = {
     val it = b2.iterator()
     while (it.hasNext) add(b1, it.next())
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+  override def eval(buf: java.util.PriorityQueue[(Double, Long)]): Any = {
     // emit best → worst
-    val arr = buf.descendingIterator()
-    val out = new Array[Any](buf.size)
+    val sorted = buf.toArray(new Array[(Double, Long)](buf.size)).sorted(ord.reverse)
+    val out = new Array[Any](sorted.length)
     var i = 0
-    while (arr.hasNext) { val (v, id) = arr.next(); out(i) = InternalRow(v, id); i += 1 }
+    while (i < sorted.length) { out(i) = InternalRow(sorted(i)._1, sorted(i)._2); i += 1 }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: java.util.PriorityQueue[(Double, Long)]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 16 * buf.size)
     bb.putInt(buf.size)
     val it = buf.iterator()
@@ -74,7 +77,7 @@ case class TopKPairs(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long)] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()

@@ -98,7 +98,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       .withColumnRenamed("o_custkey", "user_id")
       .filter(col("user_id") =!= 0)
     val out = AsOfJoin.asof(events, orders, "user_id", "ts", "o_orderdate",
-      "o_totalprice", "o_orderkey")
+      "o_totalprice", "o_orderkey", "event_id")
     assert(out.count() === events.count())
     assert(out.filter(col("user_id") === 0 && col("asof_value").isNotNull).count() === 0)
     // spot-check one user against a direct computation
