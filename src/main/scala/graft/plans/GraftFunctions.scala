@@ -16,8 +16,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private def asInt(e: Expression): Int =
+  private def asInt(e: Expression): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("scalaMsg" ->
+          "graft function k/numPerms arguments must be integer literals"))
     e.eval().asInstanceOf[Number].intValue
+  }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_tokens" -> (es => MinHashTokens(es(0), asInt(es(1)), asInt(es(2)))),

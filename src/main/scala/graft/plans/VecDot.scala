@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -10,9 +10,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * strictly sequential element order, so results are bit-identical to
   * the interpreted `aggregate(zip_with(...))` formulation and to a
   * sequential engine (the DuckDB oracle), just without per-element
-  * lambda dispatch. */
+  * lambda dispatch.
+  *
+  * Implements `doGenCode` (not CodegenFallback): this is the hottest
+  * expression in the similarity family — evaluated once per candidate
+  * pair — and a fallback would split the whole-stage-codegen span of
+  * every scoring stage at its boundary.
+  */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -25,6 +31,21 @@ case class VecDot(left: Expression, right: Expression)
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
     java.lang.Double.valueOf(acc)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)

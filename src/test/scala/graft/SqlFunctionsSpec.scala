@@ -18,6 +18,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) === Seq("a b c", "b c d", "c d e"))
   }
 
+  test("non-literal k/numPerms arguments fail with a clear analysis-time error") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a b c d", 3)).toDF("t", "n").createOrReplaceTempView("fold_v")
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_tokens(split(t, ' '), n) FROM fold_v").collect()
+    }
+    assert(e.getMessage.contains("integer literals"), e.getMessage)
+  }
+
   test("native ShingleTokens matches the higher-order-function reference") {
     import graft.functions.{TextFunctions => TF}
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
