@@ -18,8 +18,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.all.foreach { t =>
-      try graft.sources.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => }
+      // events is TIMESTAMP(NANOS) parquet — only Tables.events sets the
+      // legacy nanos conf, so a raw load would abort and skip the warmup.
+      try {
+        if (t == "events") graft.sources.Tables.events(spark, sfDir).count()
+        else graft.sources.Tables.load(spark, sfDir, t).count()
+      } catch { case e: Throwable => System.err.println(s"WARMUP FAIL $t: $e") }
     }
     // noop sink: forces every projection to actually compute (count()
     // would let Catalyst prune unused result columns)

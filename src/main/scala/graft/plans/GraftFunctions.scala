@@ -17,11 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private def asInt(e: Expression): Int = {
+    // Thrown from the function builder, so it surfaces at analysis time.
     if (!e.foldable)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "_LEGACY_ERROR_TEMP_3055",
-        messageParameters = Map("scalaMsg" ->
-          "graft function k/numPerms arguments must be integer literals"))
+      throw new IllegalArgumentException(
+        "graft function k/numPerms arguments must be integer literals")
     e.eval().asInstanceOf[Number].intValue
   }
 
