@@ -265,7 +265,7 @@ object SparkEntry {
   /** Random-hyperplane-LSH bucketed ANN (the scale path). */
   private val q27: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, bits = 4, dim = 64)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, bits = 4)
       .orderBy(col("probe_id"), col("rank"))
   }
 

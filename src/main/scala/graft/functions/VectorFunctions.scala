@@ -40,18 +40,12 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a
     * long. Hyperplane j's component d is a deterministic pseudo-random
     * value derived from xxhash64(j, d) mapped to [-1, 1] — no stored
-    * model, reproducible across the cluster, and computed per-row
-    * entirely in codegen'd expressions.
-    */
-  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      // dot(vec, h_j) where h_j[d] = hash01(j, d) - 0.5
-      val contrib = (0 until dim).map { d =>
-        val h = xxhash64(lit(j), lit(d)).cast("double") / lit(Long.MaxValue.toDouble)
-        element_at(vec, d + 1).cast("double") * (h)
-      }.reduce(_ + _)
-      when(contrib > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
-  }
+    * model, reproducible across the cluster. Native single-node
+    * expression (graft.plans.HyperplaneSignature): plan size is
+    * independent of the vector dimension, so this works unchanged at
+    * real embedding dims (768–4096) where the old per-(bit,dim)
+    * expression tree blew up task binaries. Vector must already be
+    * array<double> ([[asDouble]]); dim is taken from the array. */
+  def hyperplaneSignature(vec: Column, nBits: Int): Column =
+    graft.plans.HyperplaneSignature.hyperplaneSignature(vec, nBits)
 }

@@ -93,10 +93,10 @@ object Similarity {
 
   /** LSH-bucketed ANN: score only corpus vectors in the probe's bucket.
     * Recall < 1.0 by construction; bits trades recall vs. cost. */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int, dim: Int): DataFrame = {
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int): DataFrame = {
     val sig = (df: DataFrame, idAs: String, vecAs: String, normAs: String) =>
       prepped(df, idAs, vecAs, normAs)
-        .withColumn("bucket", VectorFunctions.hyperplaneSignature(col(vecAs), bits, dim))
+        .withColumn("bucket", VectorFunctions.hyperplaneSignature(col(vecAs), bits))
     val c = sig(corpus, "nbr_id", "cv", "cn")
     val p = sig(probes, "probe_id", "pv", "pn")
     val scored = c.join(broadcast(p), Seq("bucket"))

@@ -12,3 +12,11 @@ object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `AbstractDataType` is `private[sql]` in Spark 4, but expressions
+  * outside org.apache.spark.sql still need it to declare
+  * `ExpectsInputTypes.inputTypes`. The alias is public; the underlying
+  * type resolves because this file lives under org.apache.spark.sql. */
+object BridgeTypes {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}

@@ -47,13 +47,26 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 /** Rabin–Karp rolling fingerprints of the character stream: polynomial
   * hash (base 31, mod 2^31-1) of every `win`-char window; returns
   * struct(fp_min, n_distinct) — the document fingerprint summary.
-  * One native loop; the HOF formulation (transform × aggregate over a
-  * split-to-chars array) re-walks the window per position interpreted
-  * and is ~1000× slower at corpus scale. */
+  *
+  * Genuinely rolling: the first window pays O(win), every subsequent
+  * position is O(1) — drop the outgoing char's 31^(win-1) term,
+  * multiply by the base, add the incoming char, re-normalize mod p.
+  * Modular arithmetic makes the rolled value bit-identical to a full
+  * recomputation, so fingerprints are unchanged from the (previous)
+  * per-position O(win) form. Total cost O(n) per row instead of
+  * O(n·win) — flat in the window size. */
 case class RollingFingerprint(child: Expression, win: Int)
     extends UnaryExpression with CodegenFallback {
 
   private val Mod = 2147483647L
+
+  /** 31^(win-1) mod p — the outgoing character's positional weight. */
+  private lazy val outPow: Long = {
+    var p = 1L
+    var k = 1
+    while (k < win) { p = p * 31L % Mod; k += 1 }
+    p
+  }
 
   override def dataType: DataType = StructType(Seq(
     StructField("fp_min", LongType, nullable = false),
@@ -64,15 +77,20 @@ case class RollingFingerprint(child: Expression, win: Int)
     val n = s.length
     if (n < win) return InternalRow(0L, 0L)
     val seen = new java.util.HashSet[Long]()
-    var minFp = Long.MaxValue
-    var i = 0
+    var h = 0L
+    var j = 0
+    while (j < win) {
+      h = java.lang.Math.floorMod(h * 31L + s.charAt(j).toLong, Mod)
+      j += 1
+    }
+    var minFp = h
+    seen.add(h)
+    var i = 1
     while (i <= n - win) {
-      var h = 0L
-      var j = 0
-      while (j < win) {
-        h = java.lang.Math.floorMod(h * 31L + s.charAt(i + j).toLong, Mod)
-        j += 1
-      }
+      // h < p and char*outPow < 2^16 * 2^31: the intermediate stays
+      // well inside a long before the floorMod re-normalizes
+      h = java.lang.Math.floorMod(
+        (h - s.charAt(i - 1).toLong * outPow) * 31L + s.charAt(i + win - 1).toLong, Mod)
       if (h < minFp) minFp = h
       seen.add(h)
       i += 1

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.BridgeTypes.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dot product of two array<double> columns in a native loop —
   * strictly sequential element order, so results are bit-identical to
@@ -18,14 +19,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * every scoring stage at its boundary.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // Declared input types make SQL/un-cast misuse an analysis error
+  // (implicit cast to array<double>) instead of a runtime
+  // ClassCastException on float ArrayData.
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+
+  // Length mismatch is a caller bug (a dot product over differing dims
+  // has no meaning) — fail loudly rather than silently truncate.
+  private def mismatch(nx: Int, ny: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"vec_dot: arrays must have equal length, got $nx vs $ny")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) mismatch(n, y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -34,11 +47,13 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ref = ctx.addReferenceObj("vecDot", this, classOf[VecDot].getName)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) $ref.genMismatch($n, $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
@@ -46,6 +61,9 @@ case class VecDot(left: Expression, right: Expression)
          |${ev.value} = $acc;
        """.stripMargin
     })
+
+  /** Codegen entry for the mismatch error (keeps generated code tiny). */
+  def genMismatch(nx: Int, ny: Int): Unit = mismatch(nx, ny)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)

@@ -49,7 +49,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("LSH ANN results are a subset of brute-force rankings' pool") {
     val probes = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, probes, 10)
-    val lsh = Similarity.lshTopK(emb, probes, 10, bits = 4, dim = 64)
+    val lsh = Similarity.lshTopK(emb, probes, 10, bits = 4)
     assert(brute.count() === 50)
     assert(lsh.count() > 0)
     // every LSH neighbor must carry the same cosine the brute pass
@@ -58,6 +58,43 @@ class OperatorsSpec extends AnyFunSuite {
     val mismatch = lsh.join(b, Seq("probe_id", "nbr_id"))
       .filter(abs(col("cos") - col("bcos")) > 1e-9).count()
     assert(mismatch === 0)
+  }
+
+  test("native HyperplaneSignature matches the expression-tree formulation") {
+    import graft.functions.VectorFunctions
+    val dim = 64
+    val bits = 8
+    // the pre-round-3 bits×dim expression tree, kept here as the
+    // independent reference for the native loop's hash/sum/sign math
+    def hofSignature(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val bitCols = (0 until bits).map { j =>
+        val contrib = (0 until dim).map { d =>
+          val h = xxhash64(lit(j), lit(d)).cast("double") / lit(Long.MaxValue.toDouble)
+          element_at(vec, d + 1).cast("double") * h
+        }.reduce(_ + _)
+        when(contrib > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }
+      bitCols.reduce((a, c) => a.bitwiseOR(c))
+    }
+    val prepped = emb.select(VectorFunctions.asDouble(col("embedding")).as("v"))
+    val mismatch = prepped.select(
+        hofSignature(col("v")).as("hof"),
+        VectorFunctions.hyperplaneSignature(col("v"), bits).as("native"))
+      .filter(col("hof") =!= col("native")).count()
+    assert(mismatch === 0)
+  }
+
+  test("HyperplaneSignature runs at dim=1024 with a plan-size-independent expression") {
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    val wide = spark.range(200).select(col("id"),
+      transform(sequence(lit(1), lit(1024)),
+        x => sin(x.cast("double") * (col("id") + 1))).as("v"))
+    val sigs = wide.select(col("id"),
+      VectorFunctions.hyperplaneSignature(col("v"), 16).as("sig"))
+    assert(sigs.count() === 200)
+    // signatures are non-degenerate: different rows land in many buckets
+    assert(sigs.select(countDistinct(col("sig"))).head.getLong(0) > 10)
   }
 
   test("MinHashUnion aggregate equals elementwise min of member signatures") {

@@ -110,4 +110,47 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(u.select("asof_value").distinct().head.getDouble(0) === expected)
     }
   }
+
+  test("RollingFingerprint rolls: matches brute recompute, cost flat in window size") {
+    import graft.plans.RollingFingerprint
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val Mod = 2147483647L
+    def brute(s: String, win: Int): (Long, Long) = {
+      if (s.length < win) return (0L, 0L)
+      val seen = scala.collection.mutable.Set[Long]()
+      var minFp = Long.MaxValue
+      for (i <- 0 to s.length - win) {
+        var h = 0L
+        for (j <- 0 until win) h = java.lang.Math.floorMod(h * 31L + s.charAt(i + j).toLong, Mod)
+        minFp = math.min(minFp, h); seen += h
+      }
+      (minFp, seen.size.toLong)
+    }
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.tabulate(30)(i =>
+      rnd.alphanumeric.take(20 + rnd.nextInt(400)).mkString) ++
+      Seq("", "short", "a" * 300) // degenerate: empty, sub-window, constant
+    for (win <- Seq(8, 16, 64); s <- samples) {
+      val expr = RollingFingerprint(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), win)
+      val row = expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      assert((row.getLong(0), row.getLong(1)) === brute(s, win), s"win=$win s=${s.take(20)}")
+    }
+    // O(1) per position: win=256 must cost nowhere near 16× win=16.
+    // (The old per-position recompute measured ~14× here.)
+    val big = rnd.alphanumeric.take(200000).mkString
+    val lit = Literal(UTF8String.fromString(big), org.apache.spark.sql.types.StringType)
+    def time(win: Int): Long = {
+      val expr = RollingFingerprint(lit, win)
+      expr.eval(null) // warm
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < 5) { expr.eval(null); r += 1 }
+      System.nanoTime() - t0
+    }
+    time(16); time(256) // JIT warmup
+    val ratio = time(256).toDouble / time(16).toDouble
+    assert(ratio < 6.0, s"win=256 vs win=16 cost ratio $ratio — not rolling")
+  }
 }

@@ -56,6 +56,34 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("VecDot rejects un-cast float arrays at analysis time, not runtime") {
+    import org.apache.spark.sql.AnalysisException
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf).limit(20)
+    // raw array<float> input is now a clear DATATYPE_MISMATCH analysis
+    // error (was: ClassCastException deep inside task execution)
+    val e = intercept[AnalysisException] {
+      emb.select(graft.plans.VecDot.vecDot(col("embedding"), col("embedding")).as("d")).collect()
+    }
+    assert(e.getMessage.contains("ARRAY<DOUBLE>"), e.getMessage)
+    // and the documented path — asDouble at projection time — works
+    import graft.functions.{VectorFunctions => VF}
+    val viaNative = emb.select(graft.plans.VecDot.vecDot(
+      VF.asDouble(col("embedding")), VF.asDouble(col("embedding"))).as("d"))
+    val viaHof = emb.select(VF.dot(col("embedding"), col("embedding")).as("d"))
+    assert(viaNative.exceptAll(viaHof).count() === 0)
+  }
+
+  test("VecDot rejects length-mismatched arrays loudly") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.plans.VecDot.vecDot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("equal length") ||
+      e.getCause != null && e.getCause.getMessage.contains("equal length"),
+      e.toString)
+  }
+
   test("SQL minhash matches the Column API") {
     GraftFunctions.register(spark)
     graft.sources.Tables.documents(spark, TestSpark.sf)
