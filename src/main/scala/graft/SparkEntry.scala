@@ -560,6 +560,41 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Multi-key union-probe composite — the reference's optimized
+    * titles-for-user read path (web_api.py:147-190
+    * `_get_titles_from_dynamo_optimized`): per user, probe the index
+    * once per (source, genre) preference pair, union the probed id
+    * sets, dedup, then batch-fetch full records and filter. Spark
+    * re-expression: the per-key `table.query` loop becomes ONE
+    * broadcast equi-join of the (small) probe-key set against the
+    * indexed table; the chunked `batch_get_item` detail fetch becomes
+    * a second join on the deduped id set — chunking dissolves into
+    * partitioning, and the "100 keys per request" limit disappears.
+    * Preferences are derived deterministically from a sampled doc
+    * history (doc_id % 97 < 2), giving each user a small
+    * sources × langs probe cartesian exactly like the reference's
+    * nested source/genre loop. */
+  private val q52: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hist = docs.filter(col("doc_id") % 97 < 2)
+      .select((col("doc_id") % 8).as("user_id"), col("source"), col("lang"))
+    val userSources = hist.select("user_id", "source").distinct()
+    val userLangs = hist.select("user_id", "lang").distinct()
+    // per-user source×genre probe-key cartesian (web_api.py:158-165)
+    val probeKeys = userSources.join(userLangs, "user_id")
+    // one equi-join replaces the per-key index queries; distinct = the
+    // title_ids_to_fetch set union (web_api.py:166-168)
+    val ids = broadcast(probeKeys)
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("source", "lang"))
+      .select("user_id", "doc_id").distinct()
+    // the chunked batch_get_item detail fetch (web_api.py:180-183) is
+    // a join on the deduped ids; filter_func is a plain predicate
+    broadcast(ids).join(docs, "doc_id")
+      .filter(col("n_chars") >= 200)
+      .select(col("user_id"), col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("user_id"), col("doc_id"))
+  }
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -619,6 +654,7 @@ object SparkEntry {
     "q49_date_battery" -> q49,
     "q50_string_battery" -> q50,
     "q51_upsert" -> q51,
+    "q52_union_probe" -> q52,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -895,5 +931,87 @@ object SparkEntry {
          SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
            CAST(version AS BIGINT) AS version
          FROM r WHERE rn = 1 ORDER BY c_custkey""",
+    "q52_union_probe" ->
+      """WITH hist AS (
+           SELECT doc_id % 8 AS user_id, source, lang
+           FROM documents WHERE doc_id % 97 < 2),
+         user_sources AS (SELECT DISTINCT user_id, source FROM hist),
+         user_langs AS (SELECT DISTINCT user_id, lang FROM hist),
+         probe_keys AS (
+           SELECT us.user_id, us.source, ul.lang
+           FROM user_sources us JOIN user_langs ul ON us.user_id = ul.user_id),
+         ids AS (
+           SELECT DISTINCT k.user_id, d.doc_id
+           FROM probe_keys k
+           JOIN documents d ON d.source = k.source AND d.lang = k.lang)
+         SELECT i.user_id, i.doc_id, d.source, d.lang, d.n_chars
+         FROM ids i JOIN documents d ON i.doc_id = d.doc_id
+         WHERE d.n_chars >= 200
+         ORDER BY i.user_id, i.doc_id""",
+    // Replays q28's contains-count + argmax exactly: per-candidate
+    // profile hit counts, best = max (score, cand) — Spark's
+    // array_max over struct(score, lang) ties upward on lang, hence
+    // ORDER BY score DESC, cand DESC here.
+    "q28_lang_id" ->
+      """WITH scores AS (
+           SELECT doc_id, 'en' AS cand,
+             (CAST(contains(text, 'the ') AS INT) + CAST(contains(text, ' and ') AS INT)
+              + CAST(contains(text, 'ing ') AS INT) + CAST(contains(text, ' of ') AS INT)) AS score
+           FROM documents
+           UNION ALL SELECT doc_id, 'fr',
+             (CAST(contains(text, ' le ') AS INT) + CAST(contains(text, ' la ') AS INT)
+              + CAST(contains(text, ' et ') AS INT) + CAST(contains(text, ' des ') AS INT)) FROM documents
+           UNION ALL SELECT doc_id, 'es',
+             (CAST(contains(text, ' el ') AS INT) + CAST(contains(text, ' los ') AS INT)
+              + CAST(contains(text, ' que ') AS INT) + CAST(contains(text, ' de ') AS INT)) FROM documents
+           UNION ALL SELECT doc_id, 'de',
+             (CAST(contains(text, ' der ') AS INT) + CAST(contains(text, ' und ') AS INT)
+              + CAST(contains(text, ' die ') AS INT) + CAST(contains(text, ' ein ') AS INT)) FROM documents
+           UNION ALL SELECT doc_id, 'zh',
+             (CAST(contains(text, '的') AS INT) + CAST(contains(text, '了') AS INT)
+              + CAST(contains(text, '是') AS INT) + CAST(contains(text, '我') AS INT)) FROM documents
+         ),
+         best AS (
+           SELECT doc_id, cand,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+           FROM scores
+         )
+         SELECT d.doc_id, b.cand AS pred_lang, d.lang, (b.cand = d.lang) AS is_match
+         FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         ORDER BY d.doc_id""",
+    // Replays q31's Rabin–Karp window hash positionally: the repeated
+    // (h*31 + c) mod p fold equals the expanded polynomial mod p, so
+    // the sum of c_j * 31^(15-j) (HUGEINT — no overflow at 2^82) mod
+    // 2147483647 reproduces the Scala floorMod chain bit-for-bit.
+    "q31_fingerprint" ->
+      """WITH posidx AS (
+           SELECT doc_id, text, unnest(range(greatest(length(text) - 15, 0))) AS i
+           FROM documents
+         ),
+         pos AS (
+           SELECT doc_id,
+             (CAST(unicode(substr(text, CAST(i AS INT)+1, 1)) AS HUGEINT) * 23465261991844685929951
+              + CAST(unicode(substr(text, CAST(i AS INT)+2, 1)) AS HUGEINT) * 756943935220796320321
+              + CAST(unicode(substr(text, CAST(i AS INT)+3, 1)) AS HUGEINT) * 24417546297445042591
+              + CAST(unicode(substr(text, CAST(i AS INT)+4, 1)) AS HUGEINT) * 787662783788549761
+              + CAST(unicode(substr(text, CAST(i AS INT)+5, 1)) AS HUGEINT) * 25408476896404831
+              + CAST(unicode(substr(text, CAST(i AS INT)+6, 1)) AS HUGEINT) * 819628286980801
+              + CAST(unicode(substr(text, CAST(i AS INT)+7, 1)) AS HUGEINT) * 26439622160671
+              + CAST(unicode(substr(text, CAST(i AS INT)+8, 1)) AS HUGEINT) * 852891037441
+              + CAST(unicode(substr(text, CAST(i AS INT)+9, 1)) AS HUGEINT) * 27512614111
+              + CAST(unicode(substr(text, CAST(i AS INT)+10, 1)) AS HUGEINT) * 887503681
+              + CAST(unicode(substr(text, CAST(i AS INT)+11, 1)) AS HUGEINT) * 28629151
+              + CAST(unicode(substr(text, CAST(i AS INT)+12, 1)) AS HUGEINT) * 923521
+              + CAST(unicode(substr(text, CAST(i AS INT)+13, 1)) AS HUGEINT) * 29791
+              + CAST(unicode(substr(text, CAST(i AS INT)+14, 1)) AS HUGEINT) * 961
+              + CAST(unicode(substr(text, CAST(i AS INT)+15, 1)) AS HUGEINT) * 31
+              + unicode(substr(text, CAST(i AS INT)+16, 1))) % 2147483647 AS h
+           FROM posidx
+         ),
+         agg AS (SELECT doc_id, CAST(min(h) AS BIGINT) AS fp_min,
+                   count(DISTINCT h) AS n_distinct FROM pos GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.fp_min, 0) AS fp_min,
+                coalesce(a.n_distinct, 0) AS n_distinct
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
   )
 }
