@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Keyed last-writer-wins table materialized from a stream — the
+  * reference's consumer → DynamoDB write path (consumer.py:58-92:
+  * `batch_writer` + unconditional `put_item` per title key) as a
+  * Structured Streaming `foreachBatch` sink over
+  * [[graft.operators.Relational.upsert]].
+  *
+  * Storage is a minimal commit protocol on plain parquet:
+  *   - every micro-batch writes a FULL merged snapshot to
+  *     `root/snap_<batchId>/`;
+  *   - a snapshot is committed iff its parquet `_SUCCESS` marker
+  *     exists; the table's current state is the highest-numbered
+  *     committed snapshot (no pointer file to corrupt);
+  *   - `mode("overwrite")` deletes the target dir (and its `_SUCCESS`)
+  *     first, so a crash mid-write leaves an uncommitted dir that
+  *     readers skip, falling back to the previous snapshot;
+  *   - after a crash, foreachBatch replays the last uncommitted batch
+  *     against the previous snapshot — the merge is last-writer-wins
+  *     by `versionCol`, so the replay is idempotent (same snapshot
+  *     content, rewritten in place).
+  *
+  * `versionCol` must be monotone per key for arrival order to be
+  * honored (the reference gets this from Kinesis shard order; here an
+  * event timestamp or sequence number). Version ties between the
+  * stored row and an incoming row are broken arbitrarily — exactly
+  * DynamoDB's behavior for two unconditioned writes of the same key.
+  *
+  * At scale: full-snapshot rewrites are the plain-parquet stand-in for
+  * a table format's merge commit (Delta/Iceberg); the merge itself is
+  * one shuffle on the key, and old snapshots are pruned to bound
+  * storage at 2× table size.
+  */
+object KeyedTable {
+  private val SnapPrefix = "snap_"
+
+  private def fileSystem(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest-numbered committed (_SUCCESS-marked) snapshot dir. */
+  private def latestSnap(fs: FileSystem, root: String): Option[Path] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return None
+    fs.listStatus(rootPath).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .toSeq
+      .sortBy(s => s.getPath.getName.stripPrefix(SnapPrefix).toLong)
+      .lastOption.map(_.getPath)
+  }
+
+  /** Current committed table state, if any batch has committed yet. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    latestSnap(fileSystem(spark, root), root)
+      .map(p => spark.read.parquet(p.toString))
+
+  /** The foreachBatch sink:
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(KeyedTable.sink(root, Seq("key"), "ts"))
+    *   .option("checkpointLocation", ckpt).start()
+    * }}} */
+  def sink(root: String, keys: Seq[String], versionCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    // within-batch last-writer-wins first (the batch_writer collapses
+    // repeated keys before hitting the store)
+    val updates = graft.operators.Dedup.keepLatest(
+      batch, keys, versionCol, versionCol)
+    val merged = read(spark, root) match {
+      case Some(base) =>
+        graft.operators.Relational.upsert(base, updates, keys, versionCol)
+      case None => updates
+    }
+    val target = new Path(root, f"$SnapPrefix$batchId%012d")
+    merged.write.mode("overwrite").parquet(target.toString)
+    pruneOldSnaps(fileSystem(spark, root), root, keep = 2)
+  }
+
+  /** Keep the newest `keep` committed snapshots, drop the rest (plus
+    * any stale uncommitted dirs older than the newest commit). */
+  private def pruneOldSnaps(fs: FileSystem, root: String, keep: Int): Unit = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return
+    val snaps = fs.listStatus(rootPath).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
+      .toSeq
+      .sortBy(s => s.getPath.getName.stripPrefix(SnapPrefix).toLong)
+    snaps.dropRight(keep).foreach(s => fs.delete(s.getPath, true))
+  }
+}

@@ -41,18 +41,12 @@ object StreamDemo {
       spark.table(name).count()
     }
 
-    // rate source — the live-ingest (Kinesis) stand-in: rows arrive at
-    // `rowsPerSecond`, get shaped into events, flow through the same
-    // windowed pipeline
+    // live source via the EventStreams seam — the rate transport here;
+    // a deployment passes FileTail/Socket (or adds a Kafka/Kinesis
+    // case) and this demo runs unchanged
     import org.apache.spark.sql.functions._
-    val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", "500").load()
-      .select(col("value").as("event_id"), col("timestamp").as("ts"),
-        (col("value") % 50).as("user_id"),
-        element_at(array(lit("click"), lit("view"), lit("purchase")),
-          (col("value") % 3 + 1).cast("int")).as("event_type"),
-        (col("value") % 100).cast("double").as("value"),
-        lit("{}").as("props"))
+    val rate = EventStreams.readEventStream(spark,
+      EventStreams.EventSource.Rate(rowsPerSecond = 500))
     val rq = rate.groupBy(window(col("ts"), "2 seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName("rate_agg")

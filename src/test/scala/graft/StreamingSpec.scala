@@ -123,6 +123,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterSecond === sample.length + 1) // no reprocessing of batch 1
   }
 
+  test("EventStreams seam: FileTail transport feeds the same pipelines") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_seam").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    sample.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val stream = EventStreams.readEventStream(spark,
+      EventStreams.EventSource.FileTail(inDir))
+    assert(stream.isStreaming)
+    val q = EventPipeline.dedupStream(stream)
+      .writeStream.format("memory").queryName("seam_dd").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("seam_dd").count() === 5) // dup event_id=1 dropped
+  }
+
+  test("EventStreams JSON payload decode maps queue blobs to events") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val lines = Seq(
+      """{"event_id":7,"ts":"2024-01-01T00:01:00.000Z","user_id":3,"event_type":"click","value":1.5,"props":"{}"}""",
+      "not json at all").toDF("value")
+    val parsed = lines.select(EventStreams.jsonLinesToEvents(col("value")).as("e"))
+      .select("e.*").filter(col("event_id").isNotNull)
+    val r = parsed.collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("event_id") === 7)
+    assert(r(0).getAs[String]("event_type") === "click")
+  }
+
+  test("keyed-upsert sink: last-writer-wins across micro-batches and checkpoint restart") {
+    import spark.implicits._
+    import graft.streaming.KeyedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val inDir = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+
+    def startQuery() = spark.readStream.schema(rowSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch(KeyedTable.sink(table, Seq("k"), "version"))
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def tableState(): Map[String, (Long, Double)] =
+      KeyedTable.read(spark, table).get.collect()
+        .map(r => r.getAs[String]("k") -> (r.getAs[Long]("version"), r.getAs[Double]("value")))
+        .toMap
+
+    // batch 1: duplicate key A inside one batch — highest version wins
+    Seq(("A", 1L, 10.0), ("B", 1L, 20.0), ("A", 2L, 11.0)).toDF("k", "version", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    assert(tableState() === Map("A" -> (2L, 11.0), "B" -> (1L, 20.0)))
+
+    // restart from the checkpoint: new-key insert, key update, AND a
+    // stale lower-version write for A that must NOT regress the store
+    Seq(("B", 3L, 21.0), ("C", 1L, 30.0), ("A", 0L, 9.0)).toDF("k", "version", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    assert(tableState() === Map(
+      "A" -> (2L, 11.0), "B" -> (3L, 21.0), "C" -> (1L, 30.0)))
+  }
+
   test("sessionizeStateful emits gap-closed and timed-out sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
