@@ -39,7 +39,12 @@ object AsOfJoin {
     * @param rightTs    event-time column on right
     * @param rightVal   right column to carry (attached as `asof_value`)
     * @param rightTieBreak deterministic tiebreak among equal rightTs
-    * @param leftId     unique left row id (used to join the match back)
+    * @param leftId     unique NON-NULL left row id (used to join the
+    *                   match back: the join-back is an inner equi-join
+    *                   on this id, so a null id would drop its row and
+    *                   a duplicated id would multiply its rows —
+    *                   surrogate-key the left side first if needed,
+    *                   e.g. `monotonically_increasing_id()`)
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,

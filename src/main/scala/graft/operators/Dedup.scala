@@ -137,8 +137,19 @@ object Dedup {
       TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: pigeonhole banding — candidate pairs must
-    * share at least one of four 16-bit blocks (which pigeonhole makes
-    * exhaustive for hamming <= 3), then exact hamming verification.
+    * share at least one of four 16-bit blocks, then exact hamming
+    * verification.
+    *
+    * Recall contract: pigeonhole makes 4 bands EXHAUSTIVE only for
+    * hamming <= 3 (a pair differing in >= 4 bits can differ in every
+    * block). For `maxHamming` > 3 results are APPROXIMATE — standard
+    * LSH behavior: candidates still share a block, so recall stays
+    * high for near pairs and decays toward the hamming cutoff.
+    * Exhaustiveness at larger cutoffs would need maxHamming+1 bands,
+    * whose narrow blocks (< 8 bits) collide so broadly that the
+    * candidate join degenerates toward all-pairs of distinct
+    * fingerprints — the wrong trade at corpus scale, so it is
+    * deliberately not done here.
     *
     * Skew shape: near-dup corpora have many documents with IDENTICAL
     * fingerprints, and banding doc-grain rows explodes those cliques

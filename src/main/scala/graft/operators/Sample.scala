@@ -21,9 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Sample {
 
-  /** Keep k rows per stratum, chosen by md5(idCol) order (id must be
-    * unique across `df`; ties under md5 collision resolve by id). */
+  /** Keep k rows per stratum, chosen by md5(idCol) order.
+    *
+    * `idCol` must be a unique INTEGRAL id (ties under md5 collision
+    * resolve by id): the bounded aggregate keys on the id cast to
+    * long, and a non-numeric id would cast to null — skipped by the
+    * aggregate and never matched by the semi-join — silently
+    * returning a partial sample. Fail fast instead. */
   def stratified(df: DataFrame, strata: Seq[String], idCol: String, k: Int): DataFrame = {
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"Sample.stratified: idCol '$idCol' must be an integral type " +
+          s"(byte/short/int/long), got ${other.sql}. Map your id to a " +
+          "unique long (e.g. xxhash64) before sampling.")
+    }
     val hashKey = md5(col(idCol).cast("string").cast("binary"))
     val keep = df
       .groupBy(strata.map(col): _*)

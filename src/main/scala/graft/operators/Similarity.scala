@@ -64,17 +64,17 @@ object Similarity {
     if (centroids.isEmpty)
       return probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
         col("vec_id").as("nbr_id"), lit(0.0).as("cos")).limit(0)
-    // per-row nearest cells: sort_array over an nCentroids-element
-    // literal struct array — (neg sim, cent_id) ascending == sim desc,
-    // cent_id asc, matching the previous window ordering exactly
-    def cells(vecAs: String, normAs: String, keep: Int) = {
-      val scored = centroids.map { case (cid, cv, cn) =>
-        struct(
-          (-VectorFunctions.dotD(col(vecAs), typedlit(cv)) / (col(normAs) * lit(cn))).as("negsim"),
-          lit(cid).as("cell"))
-      }
-      slice(sort_array(array(scored.toSeq: _*)), 1, keep).getField("cell")
-    }
+    // per-row nearest cells: ONE typedlit array<struct<id,vec,norm>>
+    // literal (plan size independent of nCentroids — per-centroid
+    // expression subtrees would bloat codegen at larger counts), scored
+    // with transform + sort_array: (neg sim, cent_id) ascending ==
+    // sim desc, cent_id asc — the window ordering, exactly
+    val centArr = typedlit(centroids.toSeq)
+    def cells(vecAs: String, normAs: String, keep: Int) =
+      slice(sort_array(transform(centArr, c => struct(
+        (-VectorFunctions.dotD(col(vecAs), c.getField("_2"))
+          / (col(normAs) * c.getField("_3"))).as("negsim"),
+        c.getField("_1").as("cell")))), 1, keep).getField("cell")
     def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String, keep: Int) =
       prepped(df, idAs, vecAs, normAs)
         .select(col(idAs), col(vecAs), col(normAs),

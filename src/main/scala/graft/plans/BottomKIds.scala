@@ -35,6 +35,18 @@ case class BottomKIds(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // the buffer reads getUTF8String/getLong positionally — a mistyped
+  // struct must be an analysis error, not silent garbage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(f1, f2))
+          if f1.dataType == StringType && f2.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bottom_k requires struct<string, bigint> input, got ${other.sql}")
+    }
+
   private def asc: Ordering[(UTF8String, Long)] =
     new Ordering[(UTF8String, Long)] {
       override def compare(a: (UTF8String, Long), b: (UTF8String, Long)): Int = {

@@ -33,6 +33,18 @@ case class TopKPairs(
     StructField("value", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
 
+  // the buffer reads getDouble/getLong positionally — a mistyped
+  // struct (e.g. decimal value) must be an analysis error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(f1, f2))
+          if f1.dataType == DoubleType && f2.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_k requires struct<double, bigint> input, got ${other.sql}")
+    }
+
   // heap head is the worst kept pair: ascending by (value, then id desc)
   private def ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (v, -id) }

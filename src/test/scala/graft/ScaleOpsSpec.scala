@@ -111,6 +111,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sampling rejects non-integral id columns loudly") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sample.stratified(docs, Seq("lang"), "text", 5)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // integral path still works and stays exactly-k
+    val s = graft.operators.Sample.stratified(docs, Seq("lang"), "doc_id", 5)
+    assert(s.groupBy("lang").count().filter(col("count") =!= 5).count() === 0)
+  }
+
+  test("bounded aggregates reject mistyped input structs at analysis time") {
+    import org.apache.spark.sql.AnalysisException
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val e1 = intercept[AnalysisException] {
+      docs.agg(graft.plans.TopKPairs.topK(
+        struct(col("text"), col("doc_id")), 3)).collect()
+    }
+    assert(e1.getMessage.contains("struct<double, bigint>"), e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      docs.agg(graft.plans.BottomKIds.bottomK(
+        struct(col("doc_id"), col("doc_id")), 3)).collect()
+    }
+    assert(e2.getMessage.contains("struct<string, bigint>"), e2.getMessage)
+  }
+
   test("RollingFingerprint rolls: matches brute recompute, cost flat in window size") {
     import graft.plans.RollingFingerprint
     import org.apache.spark.sql.catalyst.expressions.Literal
