@@ -595,6 +595,30 @@ object SparkEntry {
       .orderBy(col("user_id"), col("doc_id"))
   }
 
+  /** Corpus-pipeline composite — the canonical training-data prep
+    * chain (C4-style): exact dedup → quality gate → deterministic
+    * stratified sample, end-to-end in one plan. Each stage is the
+    * scale-shape operator: dedup shuffles a 16-byte hash (md5 here,
+    * not xxhash64, so the DuckDB oracle replays the grouping
+    * byte-for-byte), the quality gate is the one-pass native
+    * TextStats expression, and the sample is the bounded BottomKIds
+    * aggregate (k×strata×partitions rows on the shuffle). */
+  private val q53: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val keep = docs.groupBy(md5(col("text").cast("binary")).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+    val st = graft.plans.TextStats.textStats(col("text"), Seq("the", "a"))
+    val quality = kept.withColumn("__st", st)
+      .filter(col("__st.n_tokens") >= 20 &&
+        col("__st.n_stop") <= col("__st.n_tokens") * 0.5)
+      .drop("__st")
+    graft.operators.Sample.stratified(quality, Seq("lang"), "doc_id", 10)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -655,6 +679,7 @@ object SparkEntry {
     "q50_string_battery" -> q50,
     "q51_upsert" -> q51,
     "q52_union_probe" -> q52,
+    "q53_corpus_pipeline" -> q53,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1013,5 +1038,21 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(a.fp_min, 0) AS fp_min,
                 coalesce(a.n_distinct, 0) AS n_distinct
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    "q53_corpus_pipeline" ->
+      """WITH dd AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         ),
+         kept AS (SELECT d.* FROM documents d JOIN dd USING (doc_id)),
+         q AS (
+           SELECT doc_id, lang, source, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), x -> lower(x) IN ('the', 'a'))) AS n_stop
+           FROM kept
+         ),
+         f AS (SELECT * FROM q WHERE n_tokens >= 20 AND n_stop <= n_tokens * 0.5),
+         r AS (SELECT doc_id, lang, source, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM f)
+         SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""",
   )
 }
