@@ -4,15 +4,29 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SQL surface for graft's native expressions.
+/** SQL surface for ALL of graft's native expressions and aggregates.
   *
   * Two registration paths:
   *  - `GraftFunctions.register(spark)` on a live session (temp functions)
   *  - `.withExtensions(new GraftExtensions)` at session build time —
   *    the SparkSessionExtensions route a cluster deployment would use.
   *
-  * SQL: `SELECT minhash_tokens(split(text, ' '), 3, 64)`,
-  *      `SELECT shingle_tokens(split(text, ' '), 3)`.
+  * SQL:
+  * {{{
+  * SELECT minhash_tokens(split(text, ' '), 3, 64)       -- array<long>
+  * SELECT shingle_tokens(split(text, ' '), 3)           -- array<string>
+  * SELECT simhash_tokens(split(text, ' '))              -- 64-bit fingerprint
+  * SELECT text_stats(text, array('the', 'a')).n_tokens  -- one-pass stats
+  * SELECT rolling_fingerprint(text, 16).fp_min          -- Rabin–Karp summary
+  * SELECT vec_dot(a, b)                                 -- array<double> dot
+  * SELECT hyperplane_signature(vec, 16)                 -- LSH bucket
+  * SELECT minhash_union(sig, 64) ... GROUP BY src       -- sketch-union agg
+  * SELECT top_k_pairs(struct(val, id), 5) ... GROUP BY g  -- bounded top-k agg
+  * SELECT bottom_k_ids(struct(key, id), 5) ... GROUP BY g -- hash-rank sample agg
+  * }}}
+  * Aggregate builders return the bare `AggregateFunction`; the
+  * analyzer wraps it in an AggregateExpression (same contract as the
+  * built-in registry).
   */
 object GraftFunctions {
 
@@ -24,9 +38,27 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue
   }
 
+  private def asStrings(e: Expression): Seq[String] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "graft function stopword arguments must be a string array literal")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_tokens" -> (es => MinHashTokens(es(0), asInt(es(1)), asInt(es(2)))),
-    "shingle_tokens" -> (es => ShingleTokens(es(0), asInt(es(1)))))
+    "shingle_tokens" -> (es => ShingleTokens(es(0), asInt(es(1)))),
+    "simhash_tokens" -> (es => SimHashTokens(es(0))),
+    "text_stats" -> (es => TextStats(es(0), asStrings(es(1)))),
+    "rolling_fingerprint" -> (es => RollingFingerprint(es(0), asInt(es(1)))),
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "hyperplane_signature" -> (es => HyperplaneSignature(es(0), asInt(es(1)))),
+    "minhash_union" -> (es => MinHashUnion(es(0), asInt(es(1)))),
+    "top_k_pairs" -> (es => TopKPairs(es(0), asInt(es(1)))),
+    "bottom_k_ids" -> (es => BottomKIds(es(0), asInt(es(1)))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

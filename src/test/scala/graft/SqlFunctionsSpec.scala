@@ -84,6 +84,56 @@ class SqlFunctionsSpec extends AnyFunSuite {
       e.toString)
   }
 
+  test("full native surface is SQL-callable and matches the Column API") {
+    GraftFunctions.register(spark)
+    graft.sources.Tables.documents(spark, TestSpark.sf)
+      .limit(20).createOrReplaceTempView("docs20")
+    // scalar natives
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+           simhash_tokens(filter(split(text, ' '), x -> x != '')) AS sh,
+           text_stats(text, array('the', 'a')).n_tokens AS nt,
+           rolling_fingerprint(text, 16).fp_min AS fp
+         FROM docs20""")
+    import graft.functions.{TextFunctions => TF}
+    val viaApi = spark.table("docs20").select(col("doc_id"),
+      TF.simhash64(TF.tokens(col("text"))).as("sh"),
+      graft.plans.TextStats.textStats(col("text"), Seq("the", "a"))
+        .getField("n_tokens").as("nt"),
+      graft.plans.TextStats.rollingFingerprint(col("text"), 16)
+        .getField("fp_min").as("fp"))
+    assert(viaSql.exceptAll(viaApi).count() === 0)
+    assert(viaApi.exceptAll(viaSql).count() === 0)
+    // vector natives
+    graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .limit(20).createOrReplaceTempView("emb20")
+    val vecSql = spark.sql(
+      """SELECT vec_id,
+           vec_dot(cast(embedding AS array<double>), cast(embedding AS array<double>)) AS d,
+           hyperplane_signature(cast(embedding AS array<double>), 8) AS b
+         FROM emb20""")
+    import graft.functions.{VectorFunctions => VF}
+    val vecApi = spark.table("emb20").select(col("vec_id"),
+      VF.dotD(VF.asDouble(col("embedding")), VF.asDouble(col("embedding"))).as("d"),
+      VF.hyperplaneSignature(VF.asDouble(col("embedding")), 8).as("b"))
+    assert(vecSql.exceptAll(vecApi).count() === 0)
+    // aggregates — the analyzer must wrap the bare AggregateFunction
+    val aggSql = spark.sql(
+      """SELECT lang, minhash_union(minhash_tokens(split(text, ' '), 3, 16), 16) AS u,
+           top_k_pairs(struct(cast(n_chars AS double), doc_id), 3) AS tk,
+           bottom_k_ids(struct(md5(cast(doc_id AS string)), doc_id), 3) AS bk
+         FROM docs20 GROUP BY lang""")
+    val aggApi = spark.table("docs20").groupBy("lang").agg(
+      graft.plans.MinHashUnion.minhashUnion(
+        graft.plans.MinHashTokens.minhashTokens(split(col("text"), " "), 3, 16), 16).as("u"),
+      graft.plans.TopKPairs.topK(
+        struct(col("n_chars").cast("double"), col("doc_id")), 3).as("tk"),
+      graft.plans.BottomKIds.bottomK(
+        struct(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")), 3).as("bk"))
+    assert(aggSql.exceptAll(aggApi).count() === 0)
+    assert(aggApi.exceptAll(aggSql).count() === 0)
+  }
+
   test("SQL minhash matches the Column API") {
     GraftFunctions.register(spark)
     graft.sources.Tables.documents(spark, TestSpark.sf)
