@@ -249,6 +249,15 @@ object SparkEntry {
         k = 3, threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
+  /** Prefix-filtered (PPJoin-style) variant of q24 — identical output
+    * by construction; oracled against the SAME naive SQL so the hash
+    * match PROVES the prefix filter loses no pairs. The skew-safe
+    * path for corpora with hot shingles. */
+  private val q54: Q = (s, d) =>
+    Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
   /** Embedding cosine near-dup pairs, blocked by label. */
   private val q25: Q = (s, d) =>
     Dedup.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -680,6 +689,7 @@ object SparkEntry {
     "q51_upsert" -> q51,
     "q52_union_probe" -> q52,
     "q53_corpus_pipeline" -> q53,
+    "q54_ngram_prefix" -> q54,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1054,5 +1064,19 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM f)
          SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    // Same naive SQL as q24: the hash match proves the prefix-filtered
+    // path drops no pairs and invents none.
+    "q54_ngram_prefix" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+             FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT d1, d2, inter*1.0/(s1.n + s2.n - inter) AS jaccard
+             FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+         SELECT d1, d2, round(jaccard, 4) AS jaccard FROM j
+         WHERE jaccard > 0.5 ORDER BY d1, d2""",
   )
 }

@@ -61,21 +61,81 @@ object Dedup {
           s => xxhash64(s)))).as("shingle"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
-    * Inverted-index join (shingle equi-join) — the scalable formulation:
-    * pairs are generated per-shingle then aggregated, never by cross
-    * product. */
+    * Inverted-index join (shingle equi-join) — pairs are generated
+    * per-shingle then aggregated, never by cross product. One shingle
+    * appearing in f docs contributes f·(f−1)/2 join rows, so this is
+    * the cheapest exact formulation when shingle frequencies are
+    * tame (one self-join, one aggregation); for corpora with HOT
+    * shingles (boilerplate, headers — the realistic web-corpus case)
+    * use [[ngramJaccardPairsPrefix]], which bounds the hot-shingle
+    * blowup with exact prefix filtering at the cost of extra passes.
+    *
+    * No cache(): a lazily returned plan can never unpersist it, so
+    * repeated invocations would pin copies in storage memory for the
+    * session lifetime. Shingling is a cheap native pass over the scan
+    * and the self-join's repeated subtree benefits from exchange reuse. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
-    // no cache(): a lazily returned plan can never unpersist it, so
-    // repeated invocations would pin copies in storage memory for the
-    // session lifetime. Shingling is a cheap native pass over the scan
-    // and the self-join's repeated subtree benefits from exchange reuse.
     val sh = shingleHashTable(docs, idCol, textCol, k)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.toDF("d1", "s").join(sh.toDF("d2", "s"), Seq("s"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, threshold)
+  }
+
+  /** Exact n-gram Jaccard via a PREFIX-FILTERED inverted-index join
+    * (the SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et
+    * al. WWW'08): row-for-row identical output to
+    * [[ngramJaccardPairs]], different cost shape.
+    *
+    * Sort each document's distinct shingle hashes by one global total
+    * order (the hash value) and join only each doc's first
+    * n − ⌈t·n⌉ + 1 shingles. Pigeonhole (with the size filter
+    * t·|bigger| ≤ |smaller|, applied in the join) guarantees every
+    * pair with Jaccard ≥ t shares a PREFIX shingle — recall 1.0 —
+    * while a hot shingle participates with only ~(1−t) of its
+    * postings and size-incompatible docs never pair at all.
+    * Verification then costs O(candidates): each candidate pair
+    * fetches its two sorted hash arrays and intersects in-row.
+    *
+    * Trade-off, measured at sf0.1 (uniform synthetic corpus, no hot
+    * shingles): ~2× slower than the naive join — the extra shingling
+    * passes and candidate shuffle buy nothing when no shingle is
+    * hot. On a skewed corpus the naive join's worst shingle costs
+    * f², this one's costs (f·(1−t))² with verification decoupled —
+    * at 100 TB that is the difference between finishing and not. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, threshold: Double): DataFrame = {
+    val lists = docs.select(col(idCol).as("doc_id"),
+        sort_array(array_distinct(transform(
+          graft.plans.ShingleTokens.shingleTokens(TextFunctions.tokens(col(textCol)), k),
+          s => xxhash64(s)))).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+    val sizes = lists.select(col("doc_id"),
+      size(col("sharr")).cast("long").as("n_shingles"))
+    // prefix length n − ⌈t·n⌉ + 1; slice is 1-based
+    val plen = (size(col("sharr"))
+      - ceil(lit(threshold) * size(col("sharr"))) + 1).cast("int")
+    val prefix = lists.select(col("doc_id"), size(col("sharr")).as("n"),
+      explode(slice(col("sharr"), lit(1), plen)).as("s"))
+    val cand = prefix.toDF("d1", "n1", "s")
+      .join(prefix.toDF("d2", "n2", "s"), Seq("s"))
+      .filter(col("d1") < col("d2") &&
+        lit(threshold) * col("n2") <= col("n1") &&
+        lit(threshold) * col("n1") <= col("n2"))
+      .select("d1", "d2").distinct()
+    // verification cost is proportional to CANDIDATES, not postings:
+    // fetch the two hash arrays per candidate pair and intersect
+    // in-row (arrays are distinct, so the count is the exact shingle
+    // intersection) — no posting-list re-explosion, no third shuffle
+    // over the corpus
+    val inter = cand
+      .join(lists.toDF("d1", "a1"), "d1")
+      .join(lists.toDF("d2", "a2"), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("a1"), col("a2"))).cast("long").as("inter"))
     withJaccard(inter, sizes, threshold)
   }
 

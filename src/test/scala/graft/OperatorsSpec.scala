@@ -36,6 +36,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh === exact, s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("prefix-filtered Jaccard join equals the naive inverted-index join") {
+    import graft.functions.{TextFunctions => TF}
+    // naive formulation: every shared shingle generates a pair row
+    def naive(threshold: Double) = {
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          graft.plans.ShingleTokens.shingleTokens(TF.tokens(col("text")), 3),
+          s => xxhash64(s)))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.toDF("d1", "s").join(sh.toDF("d2", "s"), Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.toDF("d1", "n1")), "d1")
+        .join(broadcast(sizes.toDF("d2", "n2")), "d2")
+        .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") > threshold)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+      assert(fast.exceptAll(naive(t)).count() === 0, s"t=$t extra pairs")
+      assert(naive(t).exceptAll(fast).count() === 0, s"t=$t missed pairs")
+      val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+      assert(plain.exceptAll(fast).count() === 0, s"t=$t plain-vs-prefix")
+    }
+  }
+
   test("simhash of near-duplicates is close in hamming distance") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val sh = Dedup.simhashTable(docs, "doc_id", "text")
