@@ -61,7 +61,21 @@ object StreamDemo {
     val ss = run("stateful", m => EventPipeline.sessionizeStateful(m.toDS(), 1800).toDF())
     val en = run("enriched", m =>
       EventPipeline.enrichStream(m.toDF(), Tables.customer(spark, sfDir)))
-    println(s"""{"events":${events.size},"hourly_windows":$hm,"deduped":$dd,"session_windows":$sw,"stateful_sessions":$ss,"enriched":$en,"rate_source_groups":$rateRows}""")
+
+    // keyed-upsert materialization — the consumer→store write path:
+    // stream the events through foreachBatch, last writer per
+    // (user_id, event_type) wins; read back the committed snapshot
+    val upsertRoot = java.nio.file.Files.createTempDirectory("graft_demo_upsert").toString + "/t"
+    locally {
+      val mem = MemoryStream[Event]
+      val q = mem.toDF().writeStream
+        .foreachBatch(KeyedTable.sink(upsertRoot, Seq("user_id", "event_type"), "ts"))
+        .start()
+      events.grouped(batchSize).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    val up = KeyedTable.read(spark, upsertRoot).map(_.count()).getOrElse(0L)
+    println(s"""{"events":${events.size},"hourly_windows":$hm,"deduped":$dd,"session_windows":$sw,"stateful_sessions":$ss,"enriched":$en,"rate_source_groups":$rateRows,"upserted_keys":$up}""")
     spark.stop()
   }
 }

@@ -147,6 +147,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("IVF ANN plan size is independent of centroid count (single-literal argmax)") {
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, probes, 10)
+      .select(col("probe_id"), col("nbr_id"), col("cos").as("bcos"))
+    // 64 centroids would have been 64 expression subtrees in the old
+    // per-centroid formulation; now it's one typedlit + transform
+    val ivf = Similarity.ivfTopK(emb, probes, 10, nCentroids = 64, nProbe = 8)
+    assert(ivf.count() > 0)
+    val mismatch = ivf.join(brute, Seq("probe_id", "nbr_id"))
+      .filter(abs(col("cos") - col("bcos")) > 1e-9).count()
+    assert(mismatch === 0)
+  }
+
   test("multimodal resize, frame-sample and feature-extract stages") {
     import graft.operators.Multimodal
     val media = Multimodal.mediaFromDocuments(docs)
