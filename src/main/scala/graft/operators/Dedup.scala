@@ -113,30 +113,32 @@ object Dedup {
           graft.plans.ShingleTokens.shingleTokens(TextFunctions.tokens(col(textCol)), k),
           s => xxhash64(s)))).as("sharr"))
       .filter(size(col("sharr")) > 0)
-    val sizes = lists.select(col("doc_id"),
-      size(col("sharr")).cast("long").as("n_shingles"))
     // prefix length n − ⌈t·n⌉ + 1; slice is 1-based
     val plen = (size(col("sharr"))
       - ceil(lit(threshold) * size(col("sharr"))) + 1).cast("int")
     val prefix = lists.select(col("doc_id"), size(col("sharr")).as("n"),
       explode(slice(col("sharr"), lit(1), plen)).as("s"))
+    // sizes ride along with the candidates (functionally dependent on
+    // the ids, so distinct cardinality is unchanged) — saves two more
+    // shingling passes that separate size joins would cost
     val cand = prefix.toDF("d1", "n1", "s")
       .join(prefix.toDF("d2", "n2", "s"), Seq("s"))
       .filter(col("d1") < col("d2") &&
         lit(threshold) * col("n2") <= col("n1") &&
         lit(threshold) * col("n1") <= col("n2"))
-      .select("d1", "d2").distinct()
+      .select("d1", "d2", "n1", "n2").distinct()
     // verification cost is proportional to CANDIDATES, not postings:
     // fetch the two hash arrays per candidate pair and intersect
     // in-row (arrays are distinct, so the count is the exact shingle
     // intersection) — no posting-list re-explosion, no third shuffle
     // over the corpus
-    val inter = cand
+    cand
       .join(lists.toDF("d1", "a1"), "d1")
       .join(lists.toDF("d2", "a2"), "d2")
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("a1"), col("a2"))).cast("long").as("inter"))
-    withJaccard(inter, sizes, threshold)
+      .withColumn("inter", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Attach exact Jaccard from per-doc shingle counts; filter. */
