@@ -111,6 +111,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("no accidental cartesian products in any query plan") {
+    // brute-force ANN scans corpus × broadcast probes BY DESIGN (the
+    // exact baseline the approximate operators are judged against);
+    // q40 compares group-level sketches pairwise AFTER aggregation —
+    // cardinality is #groups (sources), not #rows, so the nested-loop
+    // join is over a handful of sketch rows by construction
+    val intentionalCross =
+      Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      if (!intentionalCross(name)) {
+        assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+      }
+    }
+  }
+
   test("stratified sampling rejects non-integral id columns loudly") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val e = intercept[IllegalArgumentException] {
