@@ -66,18 +66,25 @@ object KeyedTable {
   def sink(root: String, keys: Seq[String], versionCol: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    // within-batch last-writer-wins first (the batch_writer collapses
-    // repeated keys before hitting the store)
-    val updates = graft.operators.Dedup.keepLatest(
-      batch, keys, versionCol, versionCol)
-    val merged = read(spark, root) match {
-      case Some(base) =>
-        graft.operators.Relational.upsert(base, updates, keys, versionCol)
-      case None => updates
-    }
+    val fs = fileSystem(spark, root)
     val target = new Path(root, f"$SnapPrefix$batchId%012d")
-    merged.write.mode("overwrite").parquet(target.toString)
-    pruneOldSnaps(fileSystem(spark, root), root, keep = 2)
+    // If this batch's snapshot is already COMMITTED, the crash happened
+    // between our commit and the stream checkpoint: the replay must be
+    // a no-op. (Merging again would also read snap_<batchId> while
+    // overwriting the same dir — a read-under-write on one path.)
+    if (!fs.exists(new Path(target, "_SUCCESS"))) {
+      // within-batch last-writer-wins first (the batch_writer collapses
+      // repeated keys before hitting the store)
+      val updates = graft.operators.Dedup.keepLatest(
+        batch, keys, versionCol, versionCol)
+      val merged = read(spark, root) match {
+        case Some(base) =>
+          graft.operators.Relational.upsert(base, updates, keys, versionCol)
+        case None => updates
+      }
+      merged.write.mode("overwrite").parquet(target.toString)
+      pruneOldSnaps(fs, root, keep = 2)
+    }
   }
 
   /** Keep the newest `keep` committed snapshots, drop the rest (plus

@@ -188,6 +188,14 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
     assert(tableState() === Map(
       "A" -> (2L, 11.0), "B" -> (3L, 21.0), "C" -> (1L, 30.0)))
+
+    // replay of an ALREADY-COMMITTED batch (crash between snapshot
+    // commit and stream checkpoint) must be a no-op — in particular it
+    // must not read snap_N while overwriting snap_N
+    val replayed = Seq(("B", 99L, 999.0)).toDF("k", "version", "value")
+    KeyedTable.sink(table, Seq("k"), "version")(replayed, 1L) // batchId 1 already committed
+    assert(tableState() === Map(
+      "A" -> (2L, 11.0), "B" -> (3L, 21.0), "C" -> (1L, 30.0)))
   }
 
   test("sessionizeStateful emits gap-closed and timed-out sessions") {
