@@ -53,12 +53,14 @@ object Dedup {
   /** Posting list with shingles fingerprinted to 64-bit longs: the
     * shuffle/join key is 8 bytes instead of a ~25-char string.
     * Collision odds (~|distinct shingles|²/2^65) are negligible even at
-    * corpus scale, so intersection counts — and Jaccard — are exact. */
+    * corpus scale, so intersection counts — and Jaccard — are exact.
+    * Shingle+hash+dedup is one native loop (SortedShingleHashes) —
+    * same hashes as the transform/xxhash64 HOF chain, minus the
+    * interpreted per-element passes. */
   def shingleHashTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(transform(
-          graft.plans.ShingleTokens.shingleTokens(TextFunctions.tokens(col(textCol)), k),
-          s => xxhash64(s)))).as("shingle"))
+        explode(graft.plans.SortedShingleHashes.sortedShingleHashes(
+          TextFunctions.tokens(col(textCol)), k)).as("shingle"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     * Inverted-index join (shingle equi-join) — pairs are generated
@@ -108,11 +110,14 @@ object Dedup {
     * at 100 TB that is the difference between finishing and not. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    val lists = docs.select(col(idCol).as("doc_id"),
-        sort_array(array_distinct(transform(
-          graft.plans.ShingleTokens.shingleTokens(TextFunctions.tokens(col(textCol)), k),
-          s => xxhash64(s)))).as("sharr"))
-      .filter(size(col("sharr")) > 0)
+    // token-count pre-filter (cheap split) instead of size(sharr) > 0:
+    // a filter on the computed array would inline the whole shingling
+    // expression into the filter condition too (CollapseProject)
+    val lists = docs
+      .filter(size(TextFunctions.tokens(col(textCol))) >= k)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.SortedShingleHashes.sortedShingleHashes(
+          TextFunctions.tokens(col(textCol)), k).as("sharr"))
     // prefix length n − ⌈t·n⌉ + 1; slice is 1-based
     val plen = (size(col("sharr"))
       - ceil(lit(threshold) * size(col("sharr"))) + 1).cast("int")
