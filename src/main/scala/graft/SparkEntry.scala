@@ -394,6 +394,19 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), round(col("asof_value"), 2).as("asof_value"))
       .orderBy(col("event_id"))
 
+  /** q35 through the CUSTOM PHYSICAL OPERATOR (AsOfJoinExec: logical
+    * node + planner strategy + sort-merge exec — one exchange/sort
+    * per side, single merge pass, no join-back shuffle). Same oracle
+    * as q35: the hash match proves the custom exec's semantics. */
+  private val q55: Q = (s, d) =>
+    graft.operators.AsOfJoin.asofNative(
+        Tables.events(s, d),
+        Tables.orders(s, d).withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        rightVal = "o_totalprice", rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), round(col("asof_value"), 2).as("asof_value"))
+      .orderBy(col("event_id"))
+
   /** SimHash near-dup pairs via pigeonhole banding. */
   private val q36: Q = (s, d) =>
     graft.operators.Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 16)
@@ -690,6 +703,7 @@ object SparkEntry {
     "q52_union_probe" -> q52,
     "q53_corpus_pipeline" -> q53,
     "q54_ngram_prefix" -> q54,
+    "q55_asof_exec" -> q55,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1078,5 +1092,16 @@ object SparkEntry {
              FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
          SELECT d1, d2, round(jaccard, 4) AS jaccard FROM j
          WHERE jaccard > 0.5 ORDER BY d1, d2""",
+    // Same SQL as q35 — proves AsOfJoinExec against the oracle.
+    "q55_asof_exec" ->
+      """WITH ranked AS (
+           SELECT e.event_id, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         SELECT e.event_id, e.user_id, round(r.o_totalprice, 2) AS asof_value
+         FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+         ORDER BY e.event_id""",
   )
 }

@@ -74,4 +74,40 @@ object AsOfJoin {
       .select(col("__lid"), col("asof_value"))
     left.join(matched, col(leftId) === col("__lid")).drop("__lid")
   }
+
+  /** As-of join via the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics as [[asof]] but a
+    * strictly better plan — one exchange + sort per side and a single
+    * streaming merge pass, where the composed version pays the window
+    * pass PLUS a join-back shuffle of the left side. No `leftId` is
+    * needed at all: the exec carries the full left row natively.
+    * Registered through `spark.experimental.extraStrategies` (the
+    * live-session analog of `SparkSessionExtensions
+    * .injectPlannerStrategy`). */
+  def asofNative(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String,
+                 rightVal: String, rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column '$n' not found in ${p.output.map(_.name)}"))
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // both ts sides cast to TIMESTAMP — the same normalization the
+    // composed formulation applies before unix_micros
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      Cast(attr(lPlan, leftTs), TimestampType, tz),
+      Cast(attr(rPlan, rightTs), TimestampType, tz),
+      attr(rPlan, rightVal),
+      Cast(attr(rPlan, rightTieBreak), LongType, tz))
+    org.apache.spark.sql.graftbridge.BridgePlans.ofRows(spark, node)
+  }
 }

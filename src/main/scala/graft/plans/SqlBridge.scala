@@ -20,3 +20,12 @@ object Bridge {
 object BridgeTypes {
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
 }
+
+/** Custom-LogicalPlan plumbing that Spark 4 keeps `private[sql]`:
+  * building a DataFrame from a hand-constructed logical node. */
+object BridgePlans {
+  def ofRows(spark: org.apache.spark.sql.classic.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+}

@@ -90,6 +90,12 @@ class PropertySpec extends AnyFunSuite {
           .asof(l, r, "k", "ts", "sts", "v", "sid", "eid")
           .select(col("eid"), col("asof_value")).collect()
           .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+        // the custom physical operator must agree row-for-row
+        val outNative = graft.operators.AsOfJoin
+          .asofNative(l, r, "k", "ts", "sts", "v", "sid")
+          .select(col("eid"), col("asof_value")).collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+        assert(outNative === out)
         val expect = events.zipWithIndex.map { case ((k, t), i) =>
           val visible = states.zipWithIndex
             .filter { case ((sk, st, _), _) => sk == k && st <= t }

@@ -128,6 +128,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of join exec matches the composed union+window formulation") {
+    val events = Tables.events(spark, TestSpark.sf)
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .withColumnRenamed("o_custkey", "user_id")
+      .filter(col("user_id") =!= 0) // keep a no-match → null path
+    val composed = AsOfJoin.asof(events, orders, "user_id", "ts", "o_orderdate",
+        "o_totalprice", "o_orderkey", "event_id")
+      .select(col("event_id"), col("asof_value"))
+    val native = AsOfJoin.asofNative(events, orders, "user_id", "ts", "o_orderdate",
+        "o_totalprice", "o_orderkey")
+      .select(col("event_id"), col("asof_value"))
+    assert(native.count() === events.count())
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+    // and the plan really is the custom exec (nodeName strips "Exec"),
+    // with no join-back: exactly one exchange per side, no more
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan.take(500))
+    assert(!plan.contains("Window"), "native path must not fall back to the window plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan.take(800))
+  }
+
   test("stratified sampling rejects non-integral id columns loudly") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val e = intercept[IllegalArgumentException] {
