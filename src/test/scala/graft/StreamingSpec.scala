@@ -198,6 +198,32 @@ class StreamingSpec extends AnyFunSuite {
       "A" -> (2L, 11.0), "B" -> (3L, 21.0), "C" -> (1L, 30.0)))
   }
 
+  test("windowed metrics materialize into the keyed table (README pattern)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.KeyedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_metrics").toString + "/t"
+    val mem = MemoryStream[Event]
+    // update mode: every batch re-emits a window's CURRENT totals, so
+    // n_events is monotone per window — a valid upsert version
+    val q = EventPipeline.hourlyMetrics(mem.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch(KeyedTable.sink(root, Seq("hour_start"), "n_events"))
+      .start()
+    // in event-time order: out-of-order feeds would cross the 10-min
+    // watermark and legitimately drop late rows in update mode
+    sample.sortBy(_.ts.getTime).grouped(2)
+      .foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val table = KeyedTable.read(spark, root).get
+      .select(col("hour_start"), col("n_events")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // keyed table state == the batch aggregation over all events
+    assert(table(ts("2024-01-01 00:00:00")) === 4L)
+    assert(table(ts("2024-01-01 01:00:00")) === 1L)
+    assert(table(ts("2024-01-01 02:00:00")) === 1L)
+  }
+
   test("sessionizeStateful emits gap-closed and timed-out sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
