@@ -130,8 +130,10 @@ case class AsOfJoinExec(
           if (visible) {
             if (c == 0) {
               // rights sort by (ts, tie) asc, so the LAST consumed
-              // visible row is the greatest (ts, tie) — keep it
-              lastKey = rKey
+              // visible row is the greatest (ts, tie) — keep it.
+              // Both values are copied: eval results of non-primitive
+              // types point into the reused UnsafeRow buffer.
+              lastKey = InternalRow.copyValue(rKey)
               lastVal = InternalRow.copyValue(rValB.eval(rRow))
               hasVal = true
             }

@@ -150,6 +150,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan.take(800))
   }
 
+  test("native as-of join handles string keys and values (buffer-copy safety)") {
+    import spark.implicits._
+    // string key + string value exercise the UnsafeRow buffer-copy
+    // path: the kept (key, value) must survive row reuse
+    val l = Seq(("alpha", 10L, 1L), ("beta", 10L, 2L), ("gamma", 10L, 3L))
+      .toDF("k", "ts", "eid")
+    val r = Seq(("alpha", 5L, "va", 1L), ("alpha", 6L, "va2", 2L), ("beta", 6L, "vb", 1L))
+      .toDF("k", "ts", "v", "tie")
+    val out = AsOfJoin.asofNative(l, r, "k", "ts", "ts", "v", "tie")
+      .select(col("eid"), col("asof_value")).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(out === Map(1L -> Some("va2"), 2L -> Some("vb"), 3L -> None))
+  }
+
   test("stratified sampling rejects non-integral id columns loudly") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val e = intercept[IllegalArgumentException] {
