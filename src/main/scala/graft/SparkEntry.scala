@@ -1103,5 +1103,139 @@ object SparkEntry {
          SELECT e.event_id, e.user_id, round(r.o_totalprice, 2) AS asof_value
          FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
          ORDER BY e.event_id""",
+     // IVF replay: same md5-ranked centroids, same argmax ordering,
+    // same cosine expression order — list_dot_product is sequential
+    // like VecDot, so even un-rounded ranks agree.
+    "q41_ann_ivf" ->
+      """WITH prep AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         corpus_cells AS (
+           SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY -(list_dot_product(v, cv)) / (nrm * cn), cent_id) AS crn
+           FROM prep, cents),
+         corpus AS (SELECT vec_id AS nbr_id, v AS cv2, nrm AS cn2, cent_id AS cell
+                    FROM corpus_cells WHERE crn = 1),
+         probe_cells AS (
+           SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY -(list_dot_product(v, cv)) / (nrm * cn), cent_id) AS prn
+           FROM prep, cents WHERE vec_id < 5),
+         probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, cent_id AS cell
+                    FROM probe_cells WHERE prn <= 4),
+         scored AS (
+           SELECT p.probe_id, c.nbr_id,
+             list_dot_product(c.cv2, p.pv) / (c.cn2 * p.pn) AS cos
+           FROM corpus c JOIN probes p ON c.cell = p.cell
+           WHERE p.probe_id <> c.nbr_id),
+         ranked AS (
+           SELECT probe_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // LSH-bucket replay: the hyperplane matrix is data-independent
+    // (XXH64.hashInt(d, hashInt(j, 42)) / Long.MaxValue), so the 4x64
+    // plane values are embedded as literals; bucket bit j is the sign
+    // of the sequential dot product, exactly the native expression.
+    "q27_ann_lsh" ->
+      """WITH prep AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         sigs AS (
+           SELECT vec_id, v, nrm,
+             (CASE WHEN list_dot_product(v, [
+           0.1248797255066728, 0.8615034637294334, 0.4278592836270982, -0.70073988869681, 
+           0.3190881944619717, -0.0654434391249459, 0.90038699763468, 0.994749075225878, 
+           -0.6651622290133714, -0.8139941210307352, -0.12969263260984842, 
+           -0.5666266243240662, 0.5174693031053932, -0.20862623588749638, 0.3126234108924164, 
+           0.2934193439483648, -0.7273811471993392, 0.5327987336955273, 0.5300582066082247, 
+           0.31034190167129005, -0.016590982927597833, -0.6230895335485913, 
+           0.6592516410879461, -0.7402152037698175, 0.04021099636038024, 0.8941794116010962, 
+           0.6063545723243106, -0.6218761343832618, 0.8646923637940502, -0.6423193262413465, 
+           -0.33999484467055463, -0.08834300086297732, 0.1377137161149722, 0.5720020419158336, 
+           -0.1955551348713213, -0.9640910034173844, -0.2148781357579575, 0.6075784878342901, 
+           -0.7826235843476768, -0.8398393745592496, -0.08487510397953195, 0.3679838845521031, 
+           -0.6025767711047828, -0.006482209883356711, 0.9733584585017037, 
+           -0.36118864663604067, -0.7063579839988419, -0.17715130031012274, 
+           -0.1935141645259489, -0.9921814782098209, 0.8303108853071121, -0.4761445517157877, 
+           -0.8983187658211937, 0.8768015981337498, -0.7294855430034153, -0.9887130694648162, 
+           -0.6342072303713392, -0.23128278091573765, 0.2649175455257085, 0.3479866473225758, 
+           -0.053911548318343924, -0.6584587061386373, 0.060324568398293324, 
+           -0.5964429763623977]) > 0 THEN 1 ELSE 0 END
+              + CASE WHEN list_dot_product(v, [
+           -0.4606355298836309, 0.9848704807678725, -0.8818745461352844, -0.3668153419343566, 
+           -0.37342477250818673, -0.16262865801094448, -0.3371421880883868, 
+           0.1131054665795641, 0.7371546784701606, -0.5035374831481945, 0.5396686935872796, 
+           -0.833289028914701, -0.7877882888710371, -0.6185957654226776, 0.3304529272355671, 
+           0.22650384416884678, -0.6782159104843489, 0.34677284472870035, 
+           0.0036339420253292255, 0.14765987082509208, -0.3197000070410587, 
+           -0.9741818675866596, 0.11799707365811793, -0.47398096622322655, 
+           -0.5795014036296886, -0.6705353633133838, -0.25316689082705457, 
+           0.36040205731690184, 0.053693260260157714, -0.49364169930364454, 
+           -0.5597851800176635, 0.23298039004626422, -0.22286641825042297, 0.4935030009944587, 
+           0.8987051231080888, -0.3855493004690274, -0.40530197239791127, 0.6063399839959217, 
+           -0.6289481513302102, 0.5431741131223601, -0.8703176212334887, 0.4571474276941216, 
+           0.09853634061846885, 0.19504434443842303, 0.5808736828651351, -0.12015014536336366, 
+           0.08807732801280586, 0.6891126624981576, 0.389545206569681, -0.4225457575750734, 
+           0.3624150923369493, -0.5998911925351899, -0.5823366296492738, -0.1453957645015033, 
+           0.9037632163664515, -0.6782199881316404, 0.10883041939082162, 0.11776121656544934, 
+           -0.057614083800097686, 0.31931314012974504, 0.8964289139671068, 
+           -0.9375280696273852, 0.8532596088406811, 0.8135391379450052]) > 0 THEN 2 ELSE 0 END
+              + CASE WHEN list_dot_product(v, [
+           -0.3102042839534239, -0.11339050553505962, -0.6778003629420613, 
+           -0.8465550635460948, -0.29363511689671923, -0.9464188254692614, 0.5761906405769582, 
+           -0.21771212791379696, -0.7283804458108981, 0.606670320805459, -0.8004499284487971, 
+           0.06211029274895555, 0.39623254675685715, 0.9136773615595409, 0.08818453964573991, 
+           -0.3523407001467119, 0.4121837012972725, 0.9401266462238488, 0.1637874547883401, 
+           0.7189189949678667, 0.4354150532283926, 0.9065608265060919, -0.750296927757843, 
+           0.046661800049823884, 0.8129134395221946, 0.8646878056810062, 0.3447526438420833, 
+           -0.26945404260111444, -0.3742725248242407, -0.9306588337339352, 0.7626941748352682, 
+           -0.4232704727840136, -0.4458289546814248, -0.5909655765707116, 
+           -0.37916606993076074, 0.8766360589859281, 0.5315816953505823, 0.6762934007373271, 
+           0.26699398506206357, -0.565622736412785, -0.39808442212322376, 
+           -0.42686894716264606, 0.1679692848567947, 0.6605155545578179, -0.5345638259457922, 
+           -0.7047110712503426, -0.6553535445092773, 0.6911734489157397, -0.8390204833534413, 
+           -0.5213173607668792, -0.9368801171698271, 0.42439318085320094, 
+           -0.37969518814818765, -0.8666123916046743, -0.41060142654613646, 
+           -0.8521561196848306, -0.6249003911214257, -0.5630290803917012, 0.5634057647843028, 
+           0.40138206780544944, -0.5055081700021138, -0.8472954479306737, 
+           -0.035721245538117306, -0.9256420669983267]) > 0 THEN 4 ELSE 0 END
+              + CASE WHEN list_dot_product(v, [
+           -0.17651563194053146, -0.09397568724504447, -0.19289763372644855, 
+           0.7472659815577944, -0.34547298639691637, 0.6537349182165169, 0.3042968263135401, 
+           0.6691737550021171, 0.3891140316039664, -0.2638165640037933, -0.5377490917545318, 
+           0.7137221027438154, -0.1092904975512141, 0.8216909990185536, 0.007734117201533451, 
+           -0.6618470934260511, 0.5291950304006664, 0.4388944582742109, 0.9851829215815089, 
+           0.2120925703591529, -0.7949665634104748, -0.33170821567593434, 0.6129308800406768, 
+           0.24577196580549124, -0.8584481604218864, -0.9194461759320246, 0.7874310313743756, 
+           0.13541417961476115, 0.5764416477141646, -0.037758626347698394, 0.9323062164993923, 
+           0.7149280078181822, 0.6055697106467952, 0.8798439374858251, 0.36822062972105724, 
+           -0.9464431042752001, 0.48814782822249214, -0.7181324442883317, 0.71383983785837, 
+           -0.19520049381910787, -0.834309849864001, 0.4429737929784604, -0.04497582774894805, 
+           0.7567343015111044, -0.5242772208002042, 0.6424691720513809, 0.9444202210733309, 
+           -0.6643543113170988, -0.9192098803210017, -0.1741934421842896, 
+           -0.010555406715654244, -0.3579650884773491, -0.8385546520324498, 
+           -0.5323005694380264, -0.10176377079726825, 0.015276268386818307, 
+           -0.8869768173536424, 0.20890464644867612, -0.6515512895389559, -0.6345033164699628, 
+           0.9400021286970719, -0.5186017401234865, 0.6870935275499845, -0.28824472309277044]) > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM prep),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cos
+           FROM sigs c JOIN (SELECT * FROM sigs WHERE vec_id < 5) p ON c.bucket = p.bucket
+           WHERE p.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT probe_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
   )
 }
