@@ -1237,5 +1237,36 @@ object SparkEntry {
            FROM scored)
          SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+     // Multimodal-ANN replay: the decode stub's 16-bin byte histogram
+    // over the ASCII payload, float-normalized (DuckDB REAL division
+    // rounds identically), then the brute-force cosine top-k.
+    "q42_multimodal_ann" ->
+      """WITH chars AS (
+           SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents),
+         counts AS (
+           SELECT doc_id, unicode(substr(text, CAST(i AS INT)+1, 1)) // 16 AS bin, count(*) AS c
+           FROM chars GROUP BY 1, 2),
+         emb AS (
+           SELECT d.doc_id AS vec_id,
+             list(CAST(coalesce(c.c, 0) AS REAL) / CAST(greatest(length(d.text), 1) AS REAL)
+                  ORDER BY b.bin) AS fe
+           FROM documents d CROSS JOIN range(16) b(bin)
+           LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.bin
+           GROUP BY d.doc_id, d.text),
+         prep AS (
+           SELECT vec_id, CAST(fe AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(fe AS DOUBLE[]), CAST(fe AS DOUBLE[]))) AS nrm
+           FROM emb),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             list_dot_product(c.v, p.v) / (c.nrm * p.nrm) AS cos
+           FROM prep c CROSS JOIN (SELECT * FROM prep WHERE vec_id < 3) p
+           WHERE p.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT probe_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""",
   )
 }
