@@ -198,6 +198,22 @@ class StreamingSpec extends AnyFunSuite {
       "A" -> (2L, 11.0), "B" -> (3L, 21.0), "C" -> (1L, 30.0)))
   }
 
+  test("keyed table prunes old snapshots but keeps the committed state") {
+    import spark.implicits._
+    import graft.streaming.KeyedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    val sink = KeyedTable.sink(root, Seq("k"), "version")
+    (0L until 5L).foreach { b =>
+      sink(Seq(("X", b, b * 1.0)).toDF("k", "version", "value"), b)
+    }
+    // storage stays bounded at `keep`=2 snapshots...
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+    assert(dirs.length <= 2, dirs.map(_.getName).mkString(","))
+    // ...and the surviving state is the latest version
+    val row = KeyedTable.read(spark, root).get.collect()
+    assert(row.map(r => (r.getAs[String]("k"), r.getAs[Long]("version"))).toSeq === Seq(("X", 4L)))
+  }
+
   test("windowed metrics materialize into the keyed table (README pattern)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
