@@ -641,6 +641,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+
+  /** Deterministic train/val/test split — the dataset-versioning
+    * primitive of a training pipeline (hash-bucket assignment, no
+    * rand(): a row keeps its split across runs and dataset growth).
+    * Aggregated per (split, lang) so the oracle checks every
+    * assignment through the counts. */
+  private val q56: Q = (s, d) =>
+    graft.operators.Sample.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -704,6 +717,7 @@ object SparkEntry {
     "q53_corpus_pipeline" -> q53,
     "q54_ngram_prefix" -> q54,
     "q55_asof_exec" -> q55,
+    "q56_hash_split" -> q56,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1268,5 +1282,20 @@ object SparkEntry {
            FROM scored)
          SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""",
+     // Same md5-bucket arithmetic: first 8 hex chars as an integer,
+    // modulo 1e6, cut at the cumulative weights.
+    "q56_hash_split" ->
+      """WITH b AS (
+           SELECT lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % 1000000 AS bucket
+           FROM documents),
+         s AS (
+           SELECT lang, CASE WHEN bucket < 800000 THEN 'train'
+                             WHEN bucket < 900000 THEN 'val'
+                             ELSE 'test' END AS split
+           FROM b)
+         SELECT split, lang, count(*) AS n FROM s
+         GROUP BY split, lang ORDER BY split, lang""",
   )
 }

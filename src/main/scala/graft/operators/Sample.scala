@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -44,5 +44,30 @@ object Sample {
         struct(hashKey, col(idCol).cast("long")), k).as("__ids"))
       .select(explode(col("__ids")).as("__keep_id"))
     df.join(broadcast(keep), col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
+
+  private val SplitBuckets = 1000000L
+
+  /** Deterministic train/val/test split: each row gets a stable label
+    * from an md5 hash bucket of its unique id. Unlike
+    * `randomSplit`, assignment is reproducible across runs, engines
+    * and cluster layouts, and a row keeps its split when the dataset
+    * grows (the property training pipelines need to avoid test-set
+    * leakage between dataset versions). Map-only — no shuffle, no
+    * state; `weights` need not be normalized. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one (label, weight)")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    val bucket = conv(substring(
+        md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % SplitBuckets
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * SplitBuckets))
+    val assign = splits.zip(cuts).init.foldRight(lit(splits.last._1): Column) {
+      case (((label, _), cut), acc) => when(bucket < cut, label).otherwise(acc)
+    }
+    df.withColumn(splitCol, assign)
   }
 }

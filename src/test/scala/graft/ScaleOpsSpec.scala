@@ -175,6 +175,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(s.groupBy("lang").count().filter(col("count") =!= 5).count() === 0)
   }
 
+  test("hashSplit is exhaustive, deterministic and leakage-stable under growth") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = graft.operators.Sample.hashSplit(docs, "doc_id", splits)
+    // exhaustive: every row labeled, labels only from the split set
+    assert(out.filter(col("split").isNull).count() === 0)
+    assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // ratios roughly honored (md5 uniformity; 500 docs)
+    val n = docs.count().toDouble
+    val train = out.filter(col("split") === "train").count()
+    assert(math.abs(train / n - 0.8) < 0.08, s"train fraction ${train / n}")
+    // leakage-stable: a row's split is unchanged when the dataset grows
+    val half = graft.operators.Sample.hashSplit(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", splits)
+    val moved = half.select(col("doc_id"), col("split").as("s2"))
+      .join(out.select("doc_id", "split"), "doc_id")
+      .filter(col("split") =!= col("s2")).count()
+    assert(moved === 0)
+  }
+
   test("bounded aggregates reject mistyped input structs at analysis time") {
     import org.apache.spark.sql.AnalysisException
     val docs = Tables.documents(spark, TestSpark.sf)
