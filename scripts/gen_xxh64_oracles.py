@@ -1,0 +1,340 @@
+#!/usr/bin/env python3
+"""Generates the DuckDB oracle SQL for graft's hash-based queries
+(q22 minhash-LSH, q23 simhash, q36 simhash pairs, q40 minhash union).
+
+Why generated: these queries hash VARIABLE-LENGTH strings with XXH64
+(Spark's xxhash64). DuckDB has no compatible hash, so the oracle
+replays the algorithm in SQL — wrap-around u64 arithmetic in HUGEINT
+(mul-mod via 32-bit splitting, xor through signed BIGINT), with the
+per-token byte loop UNROLLED. The corpus contract makes that finite:
+whitespace tokens are at most 8 bytes (verified at every SF), so one
+8-byte word + one 4-byte chunk + 3 tail bytes covers every token
+(max_words is a parameter if a future corpus needs longer tokens).
+Emitted SQL goes to src/main/scala/graft/GeneratedOracles.scala.
+
+Run: python3 scripts/gen_xxh64_oracles.py  (regenerates the scala file)
+"""
+# XXH64-over-short-ascii-strings in DuckDB SQL, micro-step CTE form:
+# every arithmetic op reads named columns and emits one named column,
+# so expression size stays O(1) per step and total SQL stays small.
+W = 18446744073709551616
+P1, P2, P3, P4, P5 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+class Gen:
+    def __init__(self, source, prefix):
+        self.steps = []  # (cte_name, extra_select)
+        self.prev = source
+        self.n = 0
+        self.prefix = prefix
+    def step(self, expr):
+        self.n += 1
+        name = f"{self.prefix}{self.n}"
+        col = f"v{self.prefix}{self.n}"
+        self.steps.append((name, f"SELECT *, {expr} AS {col} FROM {self.prev}"))
+        self.prev = name
+        return col
+    def mulmod(self, a, b):
+        return self.step(f"(({a} % 4294967296) * {b} + "
+                         f"(({a} // 4294967296) * {b} % 4294967296) * 4294967296) % {W}")
+    def rotl(self, x, r):
+        return self.step(f"({x} * {1 << r} + {x} // {1 << (64 - r)}) % {W}")
+    def xor(self, a, b):
+        sa = self.step(f"CAST(CASE WHEN {a} >= 9223372036854775808 THEN {a} - {W} ELSE {a} END AS BIGINT)")
+        sb = self.step(f"CAST(CASE WHEN {b} >= 9223372036854775808 THEN {b} - {W} ELSE {b} END AS BIGINT)")
+        x = self.step(f"xor({sa}, {sb})")
+        return self.step(f"CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {W} ELSE CAST({x} AS HUGEINT) END")
+    def addmod(self, a, b):
+        return self.step(f"({a} + {b}) % {W}")
+    def shr(self, x, r):
+        return self.step(f"{x} // {1 << r}")
+    def pick(self, cond, a, b):
+        return self.step(f"CASE WHEN {cond} THEN {a} ELSE {b} END")
+
+def gen_xxh64(g, tok="t", L="L", max_words=1, seed=42):
+    """Emit steps computing XXH64(ascii bytes of tok, seed) for len < 32.
+    Returns the final column name (HUGEINT in [0, 2^64))."""
+    ncodes = 8 * max_words + 7
+    codes = ", ".join(
+        f"CASE WHEN {L} >= {i} THEN CAST(unicode(substr({tok}, {i}, 1)) AS HUGEINT) ELSE 0 END AS {g.prefix}c{i}"
+        for i in range(1, ncodes + 1))
+    g.steps.append((f"{g.prefix}codes", f"SELECT *, {codes} FROM {g.prev}"))
+    g.prev = f"{g.prefix}codes"
+    c = lambda i: f"{g.prefix}c{i}"
+    h = g.step(f"CAST(({seed + P5} + {L}) % {W} AS HUGEINT)")
+    for w in range(max_words):
+        base = 8 * w
+        k1 = g.step("(" + " + ".join(f"{c(base + j + 1)} * {1 << (8 * j)}" for j in range(8)) + ")")
+        t1 = g.mulmod(k1, P2)
+        t2 = g.rotl(t1, 31)
+        t3 = g.mulmod(t2, P1)
+        hx = g.xor(h, t3)
+        t4 = g.rotl(hx, 27)
+        t5 = g.mulmod(t4, P1)
+        hn = g.addmod(t5, P4)
+        h = g.pick(f"{L} >= {base + 8}", hn, h)
+    # 4-byte chunk at offset 8*(L//8) when L%8 >= 4
+    lane4 = g.step("(" + " + ".join(
+        f"(CASE ({L} // 8) " +
+        " ".join(f"WHEN {w} THEN {c(8 * w + j + 1)}" for w in range(max_words + 1)) +
+        f" ELSE 0 END) * {1 << (8 * j)}" for j in range(4)) + ")")
+    m4 = g.mulmod(lane4, P1)
+    hx4 = g.xor(h, m4)
+    r4 = g.rotl(hx4, 23)
+    m42 = g.mulmod(r4, P2)
+    h4n = g.addmod(m42, P3)
+    h = g.pick(f"{L} % 8 >= 4", h4n, h)
+    # up to 3 tail bytes
+    for k in range(3):
+        pos = f"(8 * ({L} // 8) + CASE WHEN {L} % 8 >= 4 THEN 4 ELSE 0 END + {k + 1})"
+        code = g.step(f"(CASE {pos} " +
+                      " ".join(f"WHEN {i} THEN {c(i)}" for i in range(1, ncodes + 1)) +
+                      " ELSE 0 END)")
+        mb = g.step(f"({code} * {P5}) % {W}")
+        hxb = g.xor(h, mb)
+        rb = g.rotl(hxb, 11)
+        hbn = g.mulmod(rb, P1)
+        h = g.pick(f"{pos} <= {L}", hbn, h)
+    # avalanche
+    s1 = g.shr(h, 33); h = g.xor(h, s1)
+    h = g.mulmod(h, P2)
+    s2 = g.shr(h, 29); h = g.xor(h, s2)
+    h = g.mulmod(h, P3)
+    s3 = g.shr(h, 32); h = g.xor(h, s3)
+    return h
+
+def cte_block(g):
+    return ",\n".join(f"{n} AS ({b})" for n, b in g.steps)
+
+def build_q23():
+    g = Gen("toks", "x")
+    h = gen_xxh64(g)
+    bits = " + ".join(
+        f"CASE WHEN SUM(CASE WHEN ({h} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
+        for b in range(64))
+    return f"""WITH toks AS (
+  SELECT doc_id, t, length(t) AS L FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents)),
+{cte_block(g)},
+fps AS (
+  SELECT doc_id, ({bits}) AS fpu
+  FROM {g.prev} GROUP BY doc_id),
+out AS (
+  SELECT d.doc_id,
+    CAST(CASE WHEN f.fpu >= 9223372036854775808 THEN f.fpu - {W} ELSE f.fpu END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN fps f USING (doc_id))
+SELECT doc_id, coalesce(simhash, 0) AS simhash FROM out ORDER BY doc_id"""
+
+
+def gen_hashlong(g, inp, seed):
+    """hashLong(inp, seed): both SQL columns/exprs (HUGEINT in [0,2^64))."""
+    h = g.step(f"({seed} + {P5} + 8) % {W}")
+    t1 = g.mulmod(inp, P2)
+    t2 = g.rotl(t1, 31)
+    t3 = g.mulmod(t2, P1)
+    hx = g.xor(h, t3)
+    t4 = g.rotl(hx, 27)
+    t5 = g.mulmod(t4, P1)
+    h = g.addmod(t5, P4)
+    s1 = g.shr(h, 33); h = g.xor(h, s1)
+    h = g.mulmod(h, P2)
+    s2 = g.shr(h, 29); h = g.xor(h, s2)
+    h = g.mulmod(h, P3)
+    s3 = g.shr(h, 32); h = g.xor(h, s3)
+    return h
+
+MAXLONG = 9223372036854775807
+
+def build_sig_ctes():
+    """CTEs up to sigs(source, doc_id, p, minv): per-doc-group minhash values."""
+    # token hashes
+    g = Gen("toks", "x")
+    th = gen_xxh64(g)
+    tok_hash_ctes = cte_block(g)
+    # shingle folds over the ordered token-hash list
+    g2 = Gen("shpos", "y")
+    sh1 = gen_hashlong(g2, "thl[CAST(s+1 AS INT)]", "CAST(42 AS HUGEINT)")
+    sh2 = gen_hashlong(g2, "thl[CAST(s+2 AS INT)]", sh1)
+    sh3 = gen_hashlong(g2, "thl[CAST(s+3 AS INT)]", sh2)
+    sh_ctes = cte_block(g2)
+    # permutation values
+    g3 = Gen("shperm", "z")
+    pv = gen_hashlong(g3, "shv", "CAST(p AS HUGEINT)")
+    perm_ctes = cte_block(g3)
+    return f"""toks AS (
+  SELECT doc_id, source, i, tl[CAST(i+1 AS INT)] AS t, length(tl[CAST(i+1 AS INT)]) AS L
+  FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS tl,
+          unnest(range(len(list_filter(string_split(text, ' '), x -> x <> '')))) AS i
+        FROM documents)),
+{tok_hash_ctes},
+thlist AS (
+  SELECT doc_id, any_value(source) AS source, list({g.prev}.{ 'v' + g.prefix + str(g.n)} ORDER BY i) AS thl,
+         count(*) AS n
+  FROM {g.prev} GROUP BY doc_id),
+shpos AS (
+  SELECT doc_id, source, thl, unnest(range(n - 2)) AS s
+  FROM thlist WHERE n >= 3),
+{sh_ctes},
+shingles AS (SELECT doc_id, source, {sh3} AS shv FROM {g2.prev}),
+shperm AS (SELECT source, shv, unnest(range(64)) AS p FROM shingles),
+{perm_ctes},
+sigs AS (
+  SELECT source, p,
+    min(CAST(CASE WHEN {pv} >= 9223372036854775808
+        THEN {pv} - {W} ELSE {pv} END AS BIGINT)) AS minv
+  FROM {g3.prev} GROUP BY source, p)"""
+
+def build_q40():
+    return f"""WITH {build_sig_ctes()},
+scaffold AS (
+  SELECT s.source, b.p FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN range(64) b(p)),
+usig AS (
+  SELECT sc.source, sc.p, coalesce(sg.minv, {MAXLONG}) AS minv
+  FROM scaffold sc LEFT JOIN sigs sg ON sg.source = sc.source AND sg.p = sc.p),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2,
+    SUM(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END) AS matches
+  FROM usig a JOIN usig b ON a.p = b.p AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT s1, s2, round(matches / 64.0, 4) AS est_jaccard
+FROM pairs ORDER BY s1, s2"""
+
+def build_q22():
+    sig_ctes = build_sig_ctes_doc()
+    # band hash: fold hashLong over the 4 sig entries of the band,
+    # seed 42, inputs are the signed mins' unsigned bit patterns
+    g4 = Gen("bandrow", "w")
+    u = lambda col: (f"(CASE WHEN {col} < 0 THEN CAST({col} AS HUGEINT) + {W} "
+                     f"ELSE CAST({col} AS HUGEINT) END)")
+    bh = "CAST(42 AS HUGEINT)"
+    for j in range(4):
+        bh = gen_hashlong(g4, u(f"sg[CAST(4*band + {j + 1} AS INT)]"), bh)
+    band_ctes = cte_block(g4)
+    return f"""WITH {sig_ctes},
+sigarr AS (
+  SELECT doc_id, list(minv ORDER BY p) AS sg FROM sigs GROUP BY doc_id),
+bandrow AS (
+  SELECT doc_id, sg, unnest(range(16)) AS band FROM sigarr),
+{band_ctes},
+banded AS (SELECT doc_id, band, {bh} AS band_hash FROM {g4.prev}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents) t, UNNEST(range(1, len(w)-1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+  GROUP BY c.d1, c.d2),
+j AS (
+  SELECT d1, d2, i * 1.0 / (s1.n + s2.n - i) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+SELECT d1, d2, round(jaccard, 4) AS jaccard FROM j
+WHERE jaccard > 0.5 ORDER BY d1, d2"""
+
+def build_sig_ctes_doc():
+    """Like build_sig_ctes but sigs keyed per doc (signed mins)."""
+    g = Gen("toks", "x")
+    th = gen_xxh64(g)
+    tok_hash_ctes = cte_block(g)
+    g2 = Gen("shpos", "y")
+    sh1 = gen_hashlong(g2, "thl[CAST(s+1 AS INT)]", "CAST(42 AS HUGEINT)")
+    sh2 = gen_hashlong(g2, "thl[CAST(s+2 AS INT)]", sh1)
+    sh3 = gen_hashlong(g2, "thl[CAST(s+3 AS INT)]", sh2)
+    sh_ctes = cte_block(g2)
+    g3 = Gen("shperm", "z")
+    pv = gen_hashlong(g3, "shv", "CAST(p AS HUGEINT)")
+    perm_ctes = cte_block(g3)
+    thcol = f"v{g.prefix}{g.n}"
+    return f"""toks AS (
+  SELECT doc_id, i, tl[CAST(i+1 AS INT)] AS t, length(tl[CAST(i+1 AS INT)]) AS L
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl,
+          unnest(range(len(list_filter(string_split(text, ' '), x -> x <> '')))) AS i
+        FROM documents)),
+{tok_hash_ctes},
+thlist AS (
+  SELECT doc_id, list({thcol} ORDER BY i) AS thl, count(*) AS n
+  FROM {g.prev} GROUP BY doc_id),
+shpos AS (
+  SELECT doc_id, thl, unnest(range(n - 2)) AS s
+  FROM thlist WHERE n >= 3),
+{sh_ctes},
+shingles AS (SELECT doc_id, {sh3} AS shv FROM {g2.prev}),
+shperm AS (SELECT doc_id, shv, unnest(range(64)) AS p FROM shingles),
+{perm_ctes},
+sigs AS (
+  SELECT doc_id, p,
+    min(CAST(CASE WHEN {pv} >= 9223372036854775808
+        THEN {pv} - {W} ELSE {pv} END AS BIGINT)) AS minv
+  FROM {g3.prev} GROUP BY doc_id, p)"""
+
+def build_q36():
+    g = Gen("toks", "x")
+    h = gen_xxh64(g)
+    bits = " + ".join(
+        f"CASE WHEN SUM(CASE WHEN ({h} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
+        for b in range(64))
+    # fingerprints (unsigned + signed) per doc; docs with no tokens get fp 0
+    return f"""WITH toks AS (
+  SELECT doc_id, t, length(t) AS L FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents)),
+{cte_block(g)},
+fps0 AS (
+  SELECT doc_id, ({bits}) AS fpu
+  FROM {g.prev} GROUP BY doc_id),
+fps AS (
+  SELECT d.doc_id, coalesce(f.fpu, 0) AS fpu,
+    CAST(CASE WHEN coalesce(f.fpu, 0) >= 9223372036854775808
+         THEN coalesce(f.fpu, 0) - {W} ELSE coalesce(f.fpu, 0) END AS BIGINT) AS fp
+  FROM documents d LEFT JOIN fps0 f USING (doc_id)),
+intra AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+  FROM fps a JOIN fps b ON a.fpu = b.fpu AND a.doc_id < b.doc_id),
+dfp AS (SELECT DISTINCT fpu, fp FROM fps),
+banded AS (
+  SELECT fpu, fp, b.band, (fpu // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
+    WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS block
+  FROM dfp CROSS JOIN range(4) b(band)),
+hp AS (
+  SELECT DISTINCT x.fpu AS h1u, x.fp AS h1, y.fpu AS h2u, y.fp AS h2
+  FROM banded x JOIN banded y ON x.band = y.band AND x.block = y.block AND x.fpu < y.fpu),
+hph AS (
+  SELECT h1u, h2u, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+  FROM hp WHERE bit_count(xor(h1, h2)) <= 16 AND bit_count(xor(h1, h2)) > 0),
+inter AS (
+  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2, p.hamming
+  FROM hph p JOIN fps a ON a.fpu = p.h1u JOIN fps b ON b.fpu = p.h2u)
+SELECT d1, d2, hamming FROM (
+  SELECT * FROM intra UNION ALL SELECT * FROM inter)
+ORDER BY d1, d2"""
+
+SCALA_HEADER = """package graft
+
+/** DuckDB oracle SQL for the XXH64-based queries — GENERATED by
+  * scripts/gen_xxh64_oracles.py (do not hand-edit). Each query replays
+  * Spark's exact hash arithmetic in SQL, so the driver's hash compare
+  * proves the minhash/simhash pipelines end to end. Token length is
+  * bounded at 8 bytes by the corpus (asserted by the generator). */
+object GeneratedOracles {
+"""
+
+def emit():
+    parts = [("q22_minhash_lsh", build_q22()), ("q23_simhash", build_q23()),
+             ("q36_simhash_pairs", build_q36()), ("q40_minhash_union", build_q40())]
+    out = [SCALA_HEADER]
+    for name, sql in parts:
+        assert '"""' not in sql and len(sql.encode()) < 60000, name
+        short = name.split("_")[0]
+        out.append('  val ' + short + ': String =\n"""' + sql + '"""\n')
+    out.append("}\n")
+    return "\n".join(out)
+
+if __name__ == "__main__":
+    open("src/main/scala/graft/GeneratedOracles.scala", "w").write(emit())
+    print("wrote GeneratedOracles.scala")

@@ -1297,5 +1297,12 @@ object SparkEntry {
            FROM b)
          SELECT split, lang, count(*) AS n FROM s
          GROUP BY split, lang ORDER BY split, lang""",
+     // XXH64-replay oracles (GENERATED — scripts/gen_xxh64_oracles.py):
+    // wrap-around u64 arithmetic in HUGEINT replays Spark's exact
+    // minhash/simhash hashing, closing the last rows-only gaps.
+    "q22_minhash_lsh" -> GeneratedOracles.q22,
+    "q23_simhash" -> GeneratedOracles.q23,
+    "q36_simhash_pairs" -> GeneratedOracles.q36,
+    "q40_minhash_union" -> GeneratedOracles.q40,
   )
 }
