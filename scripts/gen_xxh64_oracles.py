@@ -145,19 +145,18 @@ def gen_hashlong(g, inp, seed):
 
 MAXLONG = 9223372036854775807
 
-def build_sig_ctes():
-    """CTEs up to sigs(source, doc_id, p, minv): per-doc-group minhash values."""
-    # token hashes
+def build_sig_ctes_shared():
+    """Shared CTE chain ending at sigs(doc_id, source, p, minv):
+    per-doc minhash values (signed mins), source carried through."""
     g = Gen("toks", "x")
     th = gen_xxh64(g)
-    tok_hash_ctes = cte_block(g)
-    # shingle folds over the ordered token-hash list
+    tok_ctes = cte_block(g)
+    thcol = f"v{g.prefix}{g.n}"
     g2 = Gen("shpos", "y")
     sh1 = gen_hashlong(g2, "thl[CAST(s+1 AS INT)]", "CAST(42 AS HUGEINT)")
     sh2 = gen_hashlong(g2, "thl[CAST(s+2 AS INT)]", sh1)
     sh3 = gen_hashlong(g2, "thl[CAST(s+3 AS INT)]", sh2)
     sh_ctes = cte_block(g2)
-    # permutation values
     g3 = Gen("shperm", "z")
     pv = gen_hashlong(g3, "shv", "CAST(p AS HUGEINT)")
     perm_ctes = cte_block(g3)
@@ -166,9 +165,9 @@ def build_sig_ctes():
   FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS tl,
           unnest(range(len(list_filter(string_split(text, ' '), x -> x <> '')))) AS i
         FROM documents)),
-{tok_hash_ctes},
+{tok_ctes},
 thlist AS (
-  SELECT doc_id, any_value(source) AS source, list({g.prev}.{ 'v' + g.prefix + str(g.n)} ORDER BY i) AS thl,
+  SELECT doc_id, any_value(source) AS source, list({thcol} ORDER BY i) AS thl,
          count(*) AS n
   FROM {g.prev} GROUP BY doc_id),
 shpos AS (
@@ -176,22 +175,72 @@ shpos AS (
   FROM thlist WHERE n >= 3),
 {sh_ctes},
 shingles AS (SELECT doc_id, source, {sh3} AS shv FROM {g2.prev}),
-shperm AS (SELECT source, shv, unnest(range(64)) AS p FROM shingles),
+shperm AS (SELECT doc_id, source, shv, unnest(range(64)) AS p FROM shingles),
 {perm_ctes},
 sigs AS (
-  SELECT source, p,
+  SELECT doc_id, any_value(source) AS source, p,
     min(CAST(CASE WHEN {pv} >= 9223372036854775808
         THEN {pv} - {W} ELSE {pv} END AS BIGINT)) AS minv
-  FROM {g3.prev} GROUP BY source, p)"""
+  FROM {g3.prev} GROUP BY doc_id, p)"""
 
-def build_q40():
-    return f"""WITH {build_sig_ctes()},
+def build_fps_shared():
+    """Shared CTE chain ending at fps(doc_id, fpu, fp): per-doc simhash
+    fingerprint, unsigned + signed, 0 for token-less docs."""
+    g = Gen("toks", "x")
+    h = gen_xxh64(g)
+    bits = " + ".join(
+        f"CASE WHEN SUM(CASE WHEN ({h} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
+        for b in range(64))
+    return f"""toks AS (
+  SELECT doc_id, t, length(t) AS L FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+    FROM documents)),
+{cte_block(g)},
+fps0 AS (
+  SELECT doc_id, ({bits}) AS fpu
+  FROM {g.prev} GROUP BY doc_id),
+fps AS (
+  SELECT d.doc_id, coalesce(f.fpu, 0) AS fpu,
+    CAST(CASE WHEN coalesce(f.fpu, 0) >= 9223372036854775808
+         THEN coalesce(f.fpu, 0) - {W} ELSE coalesce(f.fpu, 0) END AS BIGINT) AS fp
+  FROM documents d LEFT JOIN fps0 f USING (doc_id))"""
+
+def build_q23_suffix():
+    return """
+SELECT doc_id, fp AS simhash FROM fps ORDER BY doc_id"""
+
+def build_q36_suffix():
+    return f""",
+intra AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+  FROM fps a JOIN fps b ON a.fpu = b.fpu AND a.doc_id < b.doc_id),
+dfp AS (SELECT DISTINCT fpu, fp FROM fps),
+banded AS (
+  SELECT fpu, fp, b.band, (fpu // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
+    WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS block
+  FROM dfp CROSS JOIN range(4) b(band)),
+hp AS (
+  SELECT DISTINCT x.fpu AS h1u, x.fp AS h1, y.fpu AS h2u, y.fp AS h2
+  FROM banded x JOIN banded y ON x.band = y.band AND x.block = y.block AND x.fpu < y.fpu),
+hph AS (
+  SELECT h1u, h2u, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+  FROM hp WHERE bit_count(xor(h1, h2)) <= 16 AND bit_count(xor(h1, h2)) > 0),
+inter AS (
+  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2, p.hamming
+  FROM hph p JOIN fps a ON a.fpu = p.h1u JOIN fps b ON b.fpu = p.h2u)
+SELECT d1, d2, hamming FROM (
+  SELECT * FROM intra UNION ALL SELECT * FROM inter)
+ORDER BY d1, d2"""
+
+def build_q40_suffix():
+    return f""",
+srcsigs AS (SELECT source, p, min(minv) AS minv FROM sigs GROUP BY source, p),
 scaffold AS (
   SELECT s.source, b.p FROM (SELECT DISTINCT source FROM documents) s
   CROSS JOIN range(64) b(p)),
 usig AS (
   SELECT sc.source, sc.p, coalesce(sg.minv, {MAXLONG}) AS minv
-  FROM scaffold sc LEFT JOIN sigs sg ON sg.source = sc.source AND sg.p = sc.p),
+  FROM scaffold sc LEFT JOIN srcsigs sg ON sg.source = sc.source AND sg.p = sc.p),
 pairs AS (
   SELECT a.source AS s1, b.source AS s2,
     SUM(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END) AS matches
@@ -200,10 +249,7 @@ pairs AS (
 SELECT s1, s2, round(matches / 64.0, 4) AS est_jaccard
 FROM pairs ORDER BY s1, s2"""
 
-def build_q22():
-    sig_ctes = build_sig_ctes_doc()
-    # band hash: fold hashLong over the 4 sig entries of the band,
-    # seed 42, inputs are the signed mins' unsigned bit patterns
+def build_q22_suffix():
     g4 = Gen("bandrow", "w")
     u = lambda col: (f"(CASE WHEN {col} < 0 THEN CAST({col} AS HUGEINT) + {W} "
                      f"ELSE CAST({col} AS HUGEINT) END)")
@@ -211,7 +257,7 @@ def build_q22():
     for j in range(4):
         bh = gen_hashlong(g4, u(f"sg[CAST(4*band + {j + 1} AS INT)]"), bh)
     band_ctes = cte_block(g4)
-    return f"""WITH {sig_ctes},
+    return f""",
 sigarr AS (
   SELECT doc_id, list(minv ORDER BY p) AS sg FROM sigs GROUP BY doc_id),
 bandrow AS (
@@ -237,102 +283,39 @@ j AS (
 SELECT d1, d2, round(jaccard, 4) AS jaccard FROM j
 WHERE jaccard > 0.5 ORDER BY d1, d2"""
 
-def build_sig_ctes_doc():
-    """Like build_sig_ctes but sigs keyed per doc (signed mins)."""
-    g = Gen("toks", "x")
-    th = gen_xxh64(g)
-    tok_hash_ctes = cte_block(g)
-    g2 = Gen("shpos", "y")
-    sh1 = gen_hashlong(g2, "thl[CAST(s+1 AS INT)]", "CAST(42 AS HUGEINT)")
-    sh2 = gen_hashlong(g2, "thl[CAST(s+2 AS INT)]", sh1)
-    sh3 = gen_hashlong(g2, "thl[CAST(s+3 AS INT)]", sh2)
-    sh_ctes = cte_block(g2)
-    g3 = Gen("shperm", "z")
-    pv = gen_hashlong(g3, "shv", "CAST(p AS HUGEINT)")
-    perm_ctes = cte_block(g3)
-    thcol = f"v{g.prefix}{g.n}"
-    return f"""toks AS (
-  SELECT doc_id, i, tl[CAST(i+1 AS INT)] AS t, length(tl[CAST(i+1 AS INT)]) AS L
-  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl,
-          unnest(range(len(list_filter(string_split(text, ' '), x -> x <> '')))) AS i
-        FROM documents)),
-{tok_hash_ctes},
-thlist AS (
-  SELECT doc_id, list({thcol} ORDER BY i) AS thl, count(*) AS n
-  FROM {g.prev} GROUP BY doc_id),
-shpos AS (
-  SELECT doc_id, thl, unnest(range(n - 2)) AS s
-  FROM thlist WHERE n >= 3),
-{sh_ctes},
-shingles AS (SELECT doc_id, {sh3} AS shv FROM {g2.prev}),
-shperm AS (SELECT doc_id, shv, unnest(range(64)) AS p FROM shingles),
-{perm_ctes},
-sigs AS (
-  SELECT doc_id, p,
-    min(CAST(CASE WHEN {pv} >= 9223372036854775808
-        THEN {pv} - {W} ELSE {pv} END AS BIGINT)) AS minv
-  FROM {g3.prev} GROUP BY doc_id, p)"""
-
-def build_q36():
-    g = Gen("toks", "x")
-    h = gen_xxh64(g)
-    bits = " + ".join(
-        f"CASE WHEN SUM(CASE WHEN ({h} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
-        for b in range(64))
-    # fingerprints (unsigned + signed) per doc; docs with no tokens get fp 0
-    return f"""WITH toks AS (
-  SELECT doc_id, t, length(t) AS L FROM (
-    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-    FROM documents)),
-{cte_block(g)},
-fps0 AS (
-  SELECT doc_id, ({bits}) AS fpu
-  FROM {g.prev} GROUP BY doc_id),
-fps AS (
-  SELECT d.doc_id, coalesce(f.fpu, 0) AS fpu,
-    CAST(CASE WHEN coalesce(f.fpu, 0) >= 9223372036854775808
-         THEN coalesce(f.fpu, 0) - {W} ELSE coalesce(f.fpu, 0) END AS BIGINT) AS fp
-  FROM documents d LEFT JOIN fps0 f USING (doc_id)),
-intra AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
-  FROM fps a JOIN fps b ON a.fpu = b.fpu AND a.doc_id < b.doc_id),
-dfp AS (SELECT DISTINCT fpu, fp FROM fps),
-banded AS (
-  SELECT fpu, fp, b.band, (fpu // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
-    WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS block
-  FROM dfp CROSS JOIN range(4) b(band)),
-hp AS (
-  SELECT DISTINCT x.fpu AS h1u, x.fp AS h1, y.fpu AS h2u, y.fp AS h2
-  FROM banded x JOIN banded y ON x.band = y.band AND x.block = y.block AND x.fpu < y.fpu),
-hph AS (
-  SELECT h1u, h2u, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-  FROM hp WHERE bit_count(xor(h1, h2)) <= 16 AND bit_count(xor(h1, h2)) > 0),
-inter AS (
-  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2, p.hamming
-  FROM hph p JOIN fps a ON a.fpu = p.h1u JOIN fps b ON b.fpu = p.h2u)
-SELECT d1, d2, hamming FROM (
-  SELECT * FROM intra UNION ALL SELECT * FROM inter)
-ORDER BY d1, d2"""
-
 SCALA_HEADER = """package graft
 
 /** DuckDB oracle SQL for the XXH64-based queries — GENERATED by
   * scripts/gen_xxh64_oracles.py (do not hand-edit). Each query replays
   * Spark's exact hash arithmetic in SQL, so the driver's hash compare
   * proves the minhash/simhash pipelines end to end. Token length is
-  * bounded at 8 bytes by the corpus (asserted by the generator). */
+  * bounded at 8 bytes by the corpus (asserted by the generator).
+  *
+  * Layout: the heavy CTE chains (per-token XXH64, shingle/permutation
+  * hashLong folds, simhash bit counters) are emitted ONCE as shared
+  * blocks; the four query strings are small suffixes composed onto
+  * them. */
 object GeneratedOracles {
 """
 
 def emit():
-    parts = [("q22_minhash_lsh", build_q22()), ("q23_simhash", build_q23()),
-             ("q36_simhash_pairs", build_q36()), ("q40_minhash_union", build_q40())]
+    # shared block: everything through sigs(doc_id, source, p, minv)
+    sig = build_sig_ctes_shared()
+    fps = build_fps_shared()
+    suffix22 = build_q22_suffix()
+    suffix23 = build_q23_suffix()
+    suffix36 = build_q36_suffix()
+    suffix40 = build_q40_suffix()
     out = [SCALA_HEADER]
-    for name, sql in parts:
-        assert '"""' not in sql and len(sql.encode()) < 60000, name
-        short = name.split("_")[0]
-        out.append('  val ' + short + ': String =\n"""' + sql + '"""\n')
+    out.append('  private val sigCtes: String =\n"""' + sig + '"""\n')
+    out.append('  private val fpsCtes: String =\n"""' + fps + '"""\n')
+    for name, sfx, base in [("q22", suffix22, "sigCtes"), ("q23", suffix23, "fpsCtes"),
+                            ("q36", suffix36, "fpsCtes"), ("q40", suffix40, "sigCtes")]:
+        assert '"""' not in sfx and len(sfx.encode()) < 60000, name
+        out.append('  val ' + name + ': String = "WITH " + ' + base + ' + """' + sfx + '"""\n')
     out.append("}\n")
+    for blk in (sig, fps):
+        assert '"""' not in blk and len(blk.encode()) < 60000
     return "\n".join(out)
 
 if __name__ == "__main__":
