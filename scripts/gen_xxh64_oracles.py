@@ -105,27 +105,6 @@ def gen_xxh64(g, tok="t", L="L", max_words=1, seed=42):
 def cte_block(g):
     return ",\n".join(f"{n} AS ({b})" for n, b in g.steps)
 
-def build_q23():
-    g = Gen("toks", "x")
-    h = gen_xxh64(g)
-    bits = " + ".join(
-        f"CASE WHEN SUM(CASE WHEN ({h} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
-        for b in range(64))
-    return f"""WITH toks AS (
-  SELECT doc_id, t, length(t) AS L FROM (
-    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-    FROM documents)),
-{cte_block(g)},
-fps AS (
-  SELECT doc_id, ({bits}) AS fpu
-  FROM {g.prev} GROUP BY doc_id),
-out AS (
-  SELECT d.doc_id,
-    CAST(CASE WHEN f.fpu >= 9223372036854775808 THEN f.fpu - {W} ELSE f.fpu END AS BIGINT) AS simhash
-  FROM documents d LEFT JOIN fps f USING (doc_id))
-SELECT doc_id, coalesce(simhash, 0) AS simhash FROM out ORDER BY doc_id"""
-
-
 def gen_hashlong(g, inp, seed):
     """hashLong(inp, seed): both SQL columns/exprs (HUGEINT in [0,2^64))."""
     h = g.step(f"({seed} + {P5} + 8) % {W}")
