@@ -90,6 +90,13 @@ case class AsOfJoinExec(
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
       SortOrder(rightTie, Ascending)))
 
+  // rows stream out in the left child's partitioning and order —
+  // declaring it lets downstream keyed operators skip their own
+  // exchange/sort
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val lKeyB = BindReferences.bindReference(leftKey, left.output)

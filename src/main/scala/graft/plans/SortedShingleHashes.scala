@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,15 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark's `xxhash64` over the same string, so posting lists and
   * Jaccard counts are bit-identical to the HOF formulation. */
 case class SortedShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    hashes(input.asInstanceOf[ArrayData])
+
+  /** Called from both interpreted eval and generated code — this
+    * expression feeds the scan projection of the two heaviest queries
+    * (q24/q54), so it must not split their whole-stage-codegen span. */
+  def hashes(input: ArrayData): GenericArrayData = {
+    val toks = input
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.HashSet[java.lang.Long](math.max(16, (n - k + 1) * 2))
@@ -49,6 +55,11 @@ case class SortedShingleHashes(child: Expression, k: Int)
     val arr = java.util.Arrays.copyOf(out, c)
     java.util.Arrays.sort(arr)
     new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[SortedShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.hashes($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SortedShingleHashes =

@@ -23,6 +23,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.except(salted).count() === 0)
   }
 
+  test("saltedJoin spreads a pathologically hot key and stays exact") {
+    import spark.implicits._
+    // 100k-row hot key + a long tail: the shape where an unsalted
+    // shuffle join puts ~all rows on one reducer
+    val fact = spark.range(100000).select(lit(7L).as("k"), col("id").as("v"))
+      .union(spark.range(5000).select((col("id") % 100).as("k"), col("id").as("v")))
+    val dim = spark.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+    val plain = fact.join(dim, "k")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", 16)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // the hot key's rows really are spread across salt buckets
+    val spread = fact.filter(col("k") === 7)
+      .withColumn("__salt", pmod(xxhash64(struct(col("k"), col("v"))), lit(16L)))
+      .select(countDistinct(col("__salt"))).head.getLong(0)
+    assert(spread === 16L)
+  }
+
   test("writePartitioned produces prunable partition directories") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/events"
     val events = Tables.events(spark, TestSpark.sf)
