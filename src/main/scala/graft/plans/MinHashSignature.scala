@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -22,12 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * viable on a 100 TB corpus: signatures stream out of the scan stage.
   */
 case class MinHashTokens(child: Expression, k: Int, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    signature(input.asInstanceOf[ArrayData])
+
+  /** Called from both interpreted eval and generated code. */
+  def signature(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     // per-token hashes
     val th = new Array[Long](n)
@@ -52,6 +55,11 @@ case class MinHashTokens(child: Expression, k: Int, numPerms: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashTokens].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.signature($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashTokens =

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,14 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * transform/slice/concat_ws lambdas. Output matches the SQL
   * formulation `w[i] || ' ' || w[i+1] || ...` byte-for-byte. */
 case class ShingleTokens(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   private val sep = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    shingles(input.asInstanceOf[ArrayData])
+
+  /** Called from both interpreted eval and generated code. */
+  def shingles(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n - k + 1)
@@ -32,6 +35,11 @@ case class ShingleTokens(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShingleTokens].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.shingles($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleTokens =

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -13,12 +13,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * fingerprint bit b = sign(counter b). Replaces the 64-interpreted-
   * aggregates formulation (one pass, no per-bit lambda dispatch). */
 case class SimHashTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(fingerprint(input.asInstanceOf[ArrayData]))
+
+  /** Called from both interpreted eval and generated code. */
+  def fingerprint(toks: ArrayData): Long = {
     val n = toks.numElements()
     val counters = new Array[Int](64)
     var i = 0
@@ -38,7 +41,12 @@ case class SimHashTokens(child: Expression)
       if (counters(b) > 0) fp |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(fp)
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashTokens].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.fingerprint($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashTokens =

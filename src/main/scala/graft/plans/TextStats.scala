@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (tokens whose lowercase form is in the stopword list). Feeds the
   * quality-score query without materializing token arrays. */
 case class TextStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -22,8 +22,12 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   private val stops: Set[UTF8String] =
     stopwords.map(s => UTF8String.fromString(s.toLowerCase)).toSet
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    stats(input.asInstanceOf[UTF8String])
+
+  /** Called from both interpreted eval and generated code. */
+  def stats(u: UTF8String): InternalRow = {
+    val s = u.toString
     var nTokens = 0L
     var nStop = 0L
     var i = 0
@@ -38,6 +42,11 @@ case class TextStats(child: Expression, stopwords: Seq[String])
       } else i += 1
     }
     InternalRow(nTokens, nStop)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStats", this, classOf[TextStats].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.stats($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextStats =
@@ -56,7 +65,7 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   * per-position O(win) form. Total cost O(n) per row instead of
   * O(n·win) — flat in the window size. */
 case class RollingFingerprint(child: Expression, win: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val Mod = 2147483647L
 
@@ -72,8 +81,12 @@ case class RollingFingerprint(child: Expression, win: Int)
     StructField("fp_min", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    fingerprints(input.asInstanceOf[UTF8String])
+
+  /** Called from both interpreted eval and generated code. */
+  def fingerprints(u: UTF8String): InternalRow = {
+    val s = u.toString
     val n = s.length
     if (n < win) return InternalRow(0L, 0L)
     val seen = new java.util.HashSet[Long]()
@@ -96,6 +109,11 @@ case class RollingFingerprint(child: Expression, win: Int)
       i += 1
     }
     InternalRow(minFp, seen.size.toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingFp", this, classOf[RollingFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.fingerprints($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
