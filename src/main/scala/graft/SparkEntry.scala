@@ -654,6 +654,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("split"), col("lang"))
 
+
+  /** Benchmark decontamination — flag training docs overlapping an
+    * eval set by >= 5 shared 3-shingles (the test-set-leakage guard
+    * every serious pipeline runs). Eval set stand-in: every 91st doc;
+    * the corpus side excludes them. Broadcast-asymmetric inverted
+    * index: the corpus never shuffles. */
+  private val q57: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 91 =!= 0),
+        docs.filter(col("doc_id") % 91 === 0),
+        "doc_id", "text", k = 3, minOverlap = 5)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** PII scrubbing — deterministic synthetic emails/phones woven into
+    * each doc, then redacted with the dialect-neutral regex chain.
+    * The oracle replays both the construction and the redaction, so
+    * the hash match proves the scrubber byte-for-byte. */
+  private val q58: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+          substring(col("text"), 1, 40),
+          lit(" mail u"), col("doc_id").cast("string"),
+          lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" end"))
+        .as("pii_text"))
+      .select(col("doc_id"), TF.redactPii(col("pii_text")).as("redacted"))
+      .orderBy(col("doc_id"))
+
   /** Multimodal binary-column pipeline (batched decode stub). */
   private val q32: Q = (s, d) =>
     Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
@@ -718,6 +749,8 @@ object SparkEntry {
     "q54_ngram_prefix" -> q54,
     "q55_asof_exec" -> q55,
     "q56_hash_split" -> q56,
+    "q57_decontaminate" -> q57,
+    "q58_redact_pii" -> q58,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1304,5 +1337,31 @@ object SparkEntry {
     "q23_simhash" -> GeneratedOracles.q23,
     "q36_simhash_pairs" -> GeneratedOracles.q36,
     "q40_minhash_union" -> GeneratedOracles.q40,
+     "q57_decontaminate" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+                 FROM documents) t, UNNEST(range(1, len(w)-1)) AS u(i)),
+         bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 91 = 0),
+         corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 91 <> 0)
+         SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         FROM corp c JOIN bench b ON c.s = b.s
+         GROUP BY c.doc_id, b.bench_id
+         HAVING count(*) >= 5
+         ORDER BY c.doc_id, b.bench_id""",
+    "q58_redact_pii" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             substr(text, 1, 40) || ' mail u' || CAST(doc_id AS VARCHAR)
+               || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org call 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' AS pii_text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM pii ORDER BY doc_id""",
   )
 }

@@ -41,6 +41,19 @@ object TextFunctions {
   def simhash64(toks: Column): Column =
     graft.plans.SimHashTokens.simhashTokens(toks)
 
+  /** PII scrubbing: redact email-like and phone-like spans with typed
+    * placeholder tokens — the standard pre-training privacy pass.
+    * Plain `regexp_replace` chains (codegen'd, no UDF); patterns are
+    * deliberately dialect-neutral (character classes and bounded
+    * quantifiers only) so an engine-independent oracle can replay
+    * them. Real deployments extend the chain with locale-specific
+    * patterns the same way. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>")
+
   /** Language ID via stopword/character heuristics. The synthetic corpus
     * carries a `lang` label; this recomputes a deterministic n-gram-
     * frequency score per candidate language and picks the argmax.

@@ -255,6 +255,27 @@ object Dedup {
     intra.unionByName(inter)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` word k-shingles with any document of a benchmark /
+    * eval set — the standard guard against test-set leakage into
+    * training data. Same inverted-index shape as the Jaccard join but
+    * ASYMMETRIC: the (small) benchmark side's posting list is
+    * broadcast, so the corpus is scanned once, map-side, with no
+    * corpus shuffle — at 100 TB the benchmark side is the only thing
+    * that moves. Returns (doc_id, bench_id, n_shared) per
+    * contaminated pair. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, minOverlap: Int): DataFrame = {
+    val c = shingleHashTable(corpus, idCol, textCol, k)
+    val b = shingleHashTable(bench, idCol, textCol, k)
+      .toDF("bench_id", "shingle")
+    c.join(broadcast(b), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Embedding cosine near-duplicate pairs, blocked by a coarse key to
     * avoid the full cross product (here: LSH sign-bucket or any
     * partition column the caller provides). */
