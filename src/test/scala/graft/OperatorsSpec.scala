@@ -160,6 +160,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("contaminationPairs flags exactly the docs overlapping the benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about databases and storage engines"),
+      (3L, "the quick brown fox jumps over something else entirely today")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog again")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(corpus, bench, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares a long prefix with the benchmark; doc 3 shares only
+    // the 3 shingles of "the quick brown fox jumps"; doc 2 shares none
+    assert(hits.map(_._1).toSet === Set(1L, 3L))
+    assert(hits.forall(_._2 == 100L))
+    assert(hits.find(_._1 == 1L).get._3 > hits.find(_._1 == 3L).get._3)
+  }
+
+  test("redactPii scrubs emails and phones, leaves clean text alone") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val rows = Seq(
+      "write to alice.smith+x@mail.example.org or bob@ex.io now",
+      "call 555-867-5309 or 123.456.7890 thanks",
+      "no pii here, just words and numbers like 42 or 1234567").toDF("t")
+    val out = rows.select(TF.redactPii(col("t")).as("r")).collect().map(_.getString(0))
+    assert(out(0) === "write to <EMAIL> or <EMAIL> now")
+    assert(out(1) === "call <PHONE> or <PHONE> thanks")
+    assert(out(2) === "no pii here, just words and numbers like 42 or 1234567")
+  }
+
   test("multimodal resize, frame-sample and feature-extract stages") {
     import graft.operators.Multimodal
     val media = Multimodal.mediaFromDocuments(docs)
