@@ -610,8 +610,11 @@ object SparkEntry {
       .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("source", "lang"))
       .select("user_id", "doc_id").distinct()
     // the chunked batch_get_item detail fetch (web_api.py:180-183) is
-    // a join on the deduped ids; filter_func is a plain predicate
-    broadcast(ids).join(docs, "doc_id")
+    // a join on the deduped ids; filter_func is a plain predicate.
+    // NO broadcast hint here: ids is bounded by matches, not by the
+    // probe-key count, and can approach corpus scale — let AQE pick
+    // broadcast only when the runtime size actually allows it
+    ids.join(docs, "doc_id")
       .filter(col("n_chars") >= 200)
       .select(col("user_id"), col("doc_id"), col("source"), col("lang"), col("n_chars"))
       .orderBy(col("user_id"), col("doc_id"))

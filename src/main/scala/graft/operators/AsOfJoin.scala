@@ -83,7 +83,13 @@ object AsOfJoin {
     * needed at all: the exec carries the full left row natively.
     * Registered through `spark.experimental.extraStrategies` (the
     * live-session analog of `SparkSessionExtensions
-    * .injectPlannerStrategy`). */
+    * .injectPlannerStrategy`).
+    *
+    * Null KEYS group together (a null-key event sees null-key state),
+    * mirroring [[asof]]'s window partitioning — note this differs from
+    * a SQL equi-join, where null never matches null. Null TIMESTAMPS
+    * sort first on either side: a null-ts state row is visible to
+    * every event of its key; a null-ts event sees only null-ts state. */
   def asofNative(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String,
                  rightVal: String, rightTieBreak: String): DataFrame = {

@@ -64,17 +64,16 @@ object Similarity {
     if (centroids.isEmpty)
       return probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
         col("vec_id").as("nbr_id"), lit(0.0).as("cos")).limit(0)
-    // per-row nearest cells: ONE typedlit array<struct<id,vec,norm>>
-    // literal (plan size independent of nCentroids — per-centroid
-    // expression subtrees would bloat codegen at larger counts), scored
-    // with transform + sort_array: (neg sim, cent_id) ascending ==
-    // sim desc, cent_id asc — the window ordering, exactly
-    val centArr = typedlit(centroids.toSeq)
+    // per-row nearest cells: ONE native expression carrying the
+    // centroid set as data (plan size independent of nCentroids) —
+    // a transform/sort_array HOF over a typedlit would evaluate
+    // nCentroids INTERPRETED dot products per corpus row, the exact
+    // hot-path trap the native tier exists to avoid. Ordering is
+    // (neg sim, cent_id) ascending == sim desc, cent_id asc — the
+    // original window ordering, exactly
     def cells(vecAs: String, normAs: String, keep: Int) =
-      slice(sort_array(transform(centArr, c => struct(
-        (-VectorFunctions.dotD(col(vecAs), c.getField("_2"))
-          / (col(normAs) * c.getField("_3"))).as("negsim"),
-        c.getField("_1").as("cell")))), 1, keep).getField("cell")
+      graft.plans.NearestCells.nearestCells(
+        col(vecAs), col(normAs), centroids.toSeq, keep)
     def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String, keep: Int) =
       prepped(df, idAs, vecAs, normAs)
         .select(col(idAs), col(vecAs), col(normAs),

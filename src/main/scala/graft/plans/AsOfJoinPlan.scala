@@ -129,10 +129,14 @@ case class AsOfJoinExec(
         while (advance) {
           val rKey = rKeyB.eval(rRow)
           val c = cmpKey(rKey, lKey)
+          // a null right ts sorts NULLS FIRST — like the composed
+          // window formulation it counts as "before every event" and
+          // MUST be consumed here, or the right stream stalls on it
+          // and later valid rows of the key are never seen
           val visible = c < 0 ||
-            (c == 0 && lTs != null && {
+            (c == 0 && {
               val rTs = rTsB.eval(rRow)
-              rTs != null && tsOrd.compare(rTs, lTs) <= 0
+              rTs == null || (lTs != null && tsOrd.compare(rTs, lTs) <= 0)
             })
           if (visible) {
             if (c == 0) {

@@ -42,7 +42,11 @@ object GraftFunctions {
     if (!e.foldable)
       throw new IllegalArgumentException(
         "graft function stopword arguments must be a string array literal")
-    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val v = e.eval()
+    if (v == null)
+      throw new IllegalArgumentException(
+        "graft function stopword arguments must not be a null literal")
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toArray[org.apache.spark.unsafe.types.UTF8String](
         org.apache.spark.sql.types.StringType)
       .map(_.toString).toSeq

@@ -12,10 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Storage is a minimal commit protocol on plain parquet:
   *   - every micro-batch writes a FULL merged snapshot to
   *     `root/snap_<batchId>/`;
-  *   - a snapshot is committed iff its parquet `_SUCCESS` marker
-  *     exists; the table's current state is the highest-numbered
-  *     committed snapshot (no pointer file to corrupt);
-  *   - `mode("overwrite")` deletes the target dir (and its `_SUCCESS`)
+  *   - a snapshot is committed iff its `_GRAFT_COMMIT` marker exists
+  *     (our own file, written after the parquet write returns — NOT
+  *     parquet's `_SUCCESS`, which vanishes under
+  *     `marksuccessfuljobs=false` committer configs); the table's
+  *     current state is the highest-numbered committed snapshot;
+  *   - `mode("overwrite")` deletes the target dir (and its marker)
   *     first, so a crash mid-write leaves an uncommitted dir that
   *     readers skip, falling back to the previous snapshot;
   *   - after a crash, foreachBatch replays the last uncommitted batch
@@ -36,17 +38,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object KeyedTable {
   private val SnapPrefix = "snap_"
+  // our OWN commit marker: parquet's _SUCCESS disappears under
+  // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common
+  // with object-store committers), which would make every snapshot
+  // look uncommitted and silently reduce the table to the last batch
+  private val CommitMarker = "_GRAFT_COMMIT"
 
   private def fileSystem(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest-numbered committed (_SUCCESS-marked) snapshot dir. */
+  /** Highest-numbered committed (marker-bearing) snapshot dir. */
   private def latestSnap(fs: FileSystem, root: String): Option[Path] = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return None
     fs.listStatus(rootPath).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .filter(s => fs.exists(new Path(s.getPath, CommitMarker)))
       .toSeq
       .sortBy(s => s.getPath.getName.stripPrefix(SnapPrefix).toLong)
       .lastOption.map(_.getPath)
@@ -62,9 +69,14 @@ object KeyedTable {
     * stream.writeStream
     *   .foreachBatch(KeyedTable.sink(root, Seq("key"), "ts"))
     *   .option("checkpointLocation", ckpt).start()
-    * }}} */
-  def sink(root: String, keys: Seq[String], versionCol: String)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    * }}}
+    * @param keep snapshots retained after each commit. The default (2)
+    *        bounds storage at ~2× table size; widen it when readers
+    *        may hold a snapshot open across several commits — a
+    *        reader's lazy DataFrame pins a snapshot PATH, and pruning
+    *        it mid-scan fails that reader's query. */
+  def sink(root: String, keys: Seq[String], versionCol: String,
+           keep: Int = 2): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val fs = fileSystem(spark, root)
     val target = new Path(root, f"$SnapPrefix$batchId%012d")
@@ -72,7 +84,7 @@ object KeyedTable {
     // between our commit and the stream checkpoint: the replay must be
     // a no-op. (Merging again would also read snap_<batchId> while
     // overwriting the same dir — a read-under-write on one path.)
-    if (!fs.exists(new Path(target, "_SUCCESS"))) {
+    if (!fs.exists(new Path(target, CommitMarker))) {
       // within-batch last-writer-wins first (the batch_writer collapses
       // repeated keys before hitting the store)
       val updates = graft.operators.Dedup.keepLatest(
@@ -83,7 +95,10 @@ object KeyedTable {
         case None => updates
       }
       merged.write.mode("overwrite").parquet(target.toString)
-      pruneOldSnaps(fs, root, keep = 2)
+      // the write returning IS the data being fully on disk; the
+      // marker makes that durable and committer-config-independent
+      fs.create(new Path(target, CommitMarker), true).close()
+      pruneOldSnaps(fs, root, keep)
     }
   }
 

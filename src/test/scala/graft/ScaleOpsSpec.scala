@@ -169,6 +169,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan.take(800))
   }
 
+  test("native as-of join consumes null-timestamp rows instead of stalling on them") {
+    import spark.implicits._
+    // right rows: a null-ts row FIRST in key order (sorts NULLS FIRST),
+    // then valid rows — the regression shape where the merge loop
+    // stalled on the null row and hid everything after it
+    val l = Seq((1L, Some(5L), 10L), (1L, None, 11L), (2L, Some(5L), 20L))
+      .toDF("k", "ts", "eid")
+    val r = Seq((1L, None, "vnull", 1L), (1L, Some(2L), "v2", 2L), (2L, Some(9L), "late", 3L))
+      .toDF("k", "ts", "v", "tie")
+    val native = AsOfJoin.asofNative(l, r, "k", "ts", "ts", "v", "tie")
+      .select(col("eid"), col("asof_value")).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    // eid 10: sees v2 (ts 2 <= 5) — NOT stalled behind the null row;
+    // eid 11 (null left ts): sees only the null-ts right row;
+    // eid 20: right ts 9 > 5 → no match
+    assert(native === Map(10L -> Some("v2"), 11L -> Some("vnull"), 20L -> None))
+    // and the composed formulation agrees row for row
+    val composed = AsOfJoin.asof(l, r, "k", "ts", "ts", "v", "tie", "eid")
+      .select(col("eid"), col("asof_value")).collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(native === composed)
+  }
+
   test("native as-of join handles string keys and values (buffer-copy safety)") {
     import spark.implicits._
     // string key + string value exercise the UnsafeRow buffer-copy
