@@ -67,39 +67,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("AsOfJoin equals per-row brute force on random event/state data") {
+  test("AsOfJoin equals per-row brute force on random event/state data (incl. null ts)") {
     import spark.implicits._
+    val tsGen: Gen[Option[Long]] =
+      Gen.frequency(9 -> Gen.chooseNum(0L, 50L).map(Some(_)), 1 -> Gen.const(None))
     val gen = for {
       events <- Gen.listOfN(25, for {
-        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 50L)
+        k <- Gen.chooseNum(0L, 4L); t <- tsGen
       } yield (k, t))
       states <- Gen.listOfN(15, for {
-        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 50L)
+        k <- Gen.chooseNum(0L, 4L); t <- tsGen
         v <- Gen.chooseNum(1.0, 9.0)
       } yield (k, t, math.rint(v)))
     } yield (events, states)
     forSamples(gen) { case (events, states) =>
       if (events.nonEmpty) {
         val l = events.zipWithIndex
-          .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+          .map { case ((k, t), i) =>
+            (i.toLong, k, t.map(x => new java.sql.Timestamp(x * 1000)).orNull) }
           .toDF("eid", "k", "ts")
         val r = states.zipWithIndex
-          .map { case ((k, t, v), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000), v) }
+          .map { case ((k, t, v), i) =>
+            (i.toLong, k, t.map(x => new java.sql.Timestamp(x * 1000)).orNull, v) }
           .toDF("sid", "k", "sts", "v")
         val out = graft.operators.AsOfJoin
           .asof(l, r, "k", "ts", "sts", "v", "sid", "eid")
           .select(col("eid"), col("asof_value")).collect()
           .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
-        // the custom physical operator must agree row-for-row
+        // the custom physical operator must agree row-for-row,
+        // including on null-timestamp rows (both treat null ts as
+        // "before all events" on the state side, and a null-ts event
+        // sees only null-ts state)
         val outNative = graft.operators.AsOfJoin
           .asofNative(l, r, "k", "ts", "sts", "v", "sid")
           .select(col("eid"), col("asof_value")).collect()
           .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
         assert(outNative === out)
+        // brute force: null state ts sorts before everything; a
+        // null-ts event admits only null-ts state
         val expect = events.zipWithIndex.map { case ((k, t), i) =>
-          val visible = states.zipWithIndex
-            .filter { case ((sk, st, _), _) => sk == k && st <= t }
-          val best = visible.sortBy { case ((_, st, _), si) => (-st, -si) }.headOption
+          val visible = states.zipWithIndex.filter { case ((sk, st, _), _) =>
+            sk == k && (st.isEmpty || (t.nonEmpty && st.get <= t.get))
+          }
+          // null ts ranks below every concrete ts (NULLS FIRST);
+          // note -Long.MinValue overflows, hence the explicit MaxValue
+          val best = visible.sortBy { case ((_, st, _), si) =>
+            (st.map(x => -x).getOrElse(Long.MaxValue), -si) }.headOption
           i.toLong -> best.map(_._1._3)
         }.toMap
         assert(out === expect)
