@@ -695,6 +695,96 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bytes"), col("width"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup cluster resolution — the dedup capstone: resolve the q24
+    * pair set into connected components (alternating large-star /
+    * small-star, Kiveris et al. SoCC'14 — the shuffle-native CC
+    * algorithm) and pick the canonical (min-id) doc per cluster. The
+    * reference dedups per event key (consumer.py:57-92); at corpus
+    * scale that becomes per-CLUSTER canonicalization. */
+  private val q59: Q = (s, d) =>
+    graft.operators.Cluster.canonicalize(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, threshold = 0.5), "d1", "d2")
+      .orderBy(col("doc_id"))
+
+  /** TF-IDF top-5 keywords per document — term weighting over the
+    * corpus (tf shuffles (doc,term) once map-side-combined; df
+    * aggregates the distinct pairs; N joins as a broadcast row). */
+  private val q60: Q = (s, d) =>
+    graft.operators.Terms.topTfidf(Tables.documents(s, d), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Gopher-style repetition/boilerplate ratios — duplicate-token and
+    * top-n-gram fractions from the ONE-PASS native RepetitionStats
+    * expression (map-only; the composed explode+groupBy formulation
+    * would shuffle every token instance of the corpus). */
+  private val q61: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("__r", graft.plans.RepetitionStats.repetitionStats(col("text")))
+      .select(col("doc_id"),
+        col("__r.n_tokens").as("n_tokens"),
+        round((col("__r.n_tokens") - col("__r.n_distinct")) /
+          greatest(col("__r.n_tokens"), lit(1L)), 6).as("dup_token_frac"),
+        round(col("__r.top_bigram") /
+          greatest(col("__r.n_tokens") - 1, lit(1L)), 6).as("top_bigram_frac"),
+        round(col("__r.top_trigram") /
+          greatest(col("__r.n_tokens") - 2, lit(1L)), 6).as("top_trigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Token chunking with overlap (32-token windows, stride 24) — the
+    * document → training-example transform; map-only, tokens
+    * materialized once per doc before the generator. */
+  private val q62: Q = (s, d) =>
+    graft.operators.Chunker.tokenChunks(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Symmetric int8 embedding quantization — scale, integer code
+    * checksum and worst reconstruction error per vector, one native
+    * pass (map-only). The oracle replays every code. */
+  private val q63: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.plans.VecQuant.int8QuantStats(
+          graft.functions.VectorFunctions.asDouble(col("embedding"))).as("__q"))
+      .select(col("vec_id"), round(col("__q.scale"), 6).as("scale"),
+        col("__q.sum_q").as("sum_q"),
+        round(col("__q.max_abs_err"), 6).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+
+  /** Temperature-weighted source rebalancing (alpha=0.5 mixture):
+    * deterministic md5-bucket thinning to sqrt-weighted per-source
+    * rates, checked through per-source kept counts. */
+  private val q64: Q = (s, d) =>
+    graft.operators.Sample.mixtureBySource(Tables.documents(s, d),
+        "source", "doc_id", targetRows = 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), round(max(col("keep_rate")), 6).as("keep_rate"))
+      .orderBy(col("source"))
+
+  /** Corpus vocabulary: top-50 tokens by frequency with cumulative
+    * coverage fraction — the vocab/tokenizer-training primitive. The
+    * global top-k plans as TakeOrderedAndProject (per-partition top-k,
+    * driver merges k×partitions rows — no global sort); the cumulative
+    * window runs over 50 rows. */
+  private val q65: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(50)
+    // constant partition key: the window runs over the 50-row top-k
+    // result only (already reduced), never the corpus — the explicit
+    // key just keeps the single-partition intent visible in the plan
+    val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_frac", round(sum(col("n")).over(w) / col("total"), 6))
+      .select(col("rank"), col("token"), col("n"), col("cum_frac"))
+      .orderBy(col("rank"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -754,6 +844,13 @@ object SparkEntry {
     "q56_hash_split" -> q56,
     "q57_decontaminate" -> q57,
     "q58_redact_pii" -> q58,
+    "q59_cluster_dedup" -> q59,
+    "q60_tfidf" -> q60,
+    "q61_repetition" -> q61,
+    "q62_chunking" -> q62,
+    "q63_quantize" -> q63,
+    "q64_mixture" -> q64,
+    "q65_vocab" -> q65,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1366,5 +1463,104 @@ object SparkEntry {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM pii ORDER BY doc_id""",
+    "q59_cluster_dedup" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         edges AS (SELECT d1, d2
+             FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             WHERE inter*1.0/(s1.n + s2.n - inter) > 0.5),
+         sym AS (SELECT d1 AS u, d2 AS v FROM edges UNION SELECT d2, d1 FROM edges),
+         reach(u, v) AS (
+             SELECT u, v FROM sym
+             UNION
+             SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
+         SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+           u = least(u, min(v)) AS is_canonical
+         FROM reach GROUP BY u ORDER BY doc_id""",
+    "q60_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term, tf, tf * ln(n_docs * 1.0 / df) AS tfidf
+             FROM tf JOIN df USING (term), n),
+         ranked AS (SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+             FROM scored)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, round(tfidf, 6) AS tfidf
+         FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "q61_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+             FROM documents),
+         uni AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
+             FROM t),
+         bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+             FROM t, UNNEST(range(1, len(w))) AS u(i)),
+         tbi AS (SELECT doc_id, max(c) AS top_bigram FROM
+             (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY doc_id),
+         tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+             FROM t, UNNEST(range(1, len(w)-1)) AS u(i)),
+         ttri AS (SELECT doc_id, max(c) AS top_trigram FROM
+             (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2) GROUP BY doc_id)
+         SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round((n_tokens - n_distinct) * 1.0 / greatest(n_tokens, 1), 6) AS dup_token_frac,
+           round(coalesce(top_bigram, 0) * 1.0 / greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+           round(coalesce(top_trigram, 0) * 1.0 / greatest(n_tokens - 2, 1), 6) AS top_trigram_frac
+         FROM uni u LEFT JOIN tbi USING (doc_id) LEFT JOIN ttri USING (doc_id)
+         ORDER BY doc_id""",
+    "q62_chunking" ->
+      """WITH t AS (SELECT doc_id, w FROM
+             (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents) WHERE len(w) > 0),
+         st AS (SELECT doc_id, w, i FROM t, UNNEST(range(0, len(w), 24)) AS u(i))
+         SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_id,
+           CAST(least(32, len(w) - i) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(w[i+1 : i+32], ' ') AS chunk_text
+         FROM st ORDER BY doc_id, chunk_id""",
+    "q63_quantize" ->
+      """WITH m AS (SELECT vec_id, x, list_max(list_transform(x, a -> abs(a))) AS amax FROM
+             (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)),
+         q AS (SELECT vec_id,
+             CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+             CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(list_sum(list_transform(x,
+                    a -> floor(a / (amax/127.0) + 0.5))) AS BIGINT) END AS sum_q,
+             CASE WHEN amax = 0 THEN 0.0
+                  ELSE list_max(list_transform(x,
+                    a -> abs(a - floor(a / (amax/127.0) + 0.5) * (amax/127.0)))) END AS max_abs_err
+           FROM m)
+         SELECT vec_id, round(scale, 6) AS scale, sum_q, round(max_abs_err, 6) AS max_abs_err
+         FROM q ORDER BY vec_id""",
+    "q64_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         w AS (SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w FROM c),
+         tw AS (SELECT sum(w) AS tw FROM w),
+         r AS (SELECT source, n, least(1.0, 200 * w / tw / n) AS keep_rate FROM w, tw),
+         kept AS (SELECT d.source, keep_rate FROM documents d JOIN r USING (source)
+             WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % 1000000 < keep_rate * 1000000)
+         SELECT source, count(*) AS n_kept, round(keep_rate, 6) AS keep_rate
+         FROM kept GROUP BY source, keep_rate ORDER BY source""",
+    "q65_vocab" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+           FROM documents),
+         counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+         total AS (SELECT count(*) AS total FROM toks),
+         top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 50)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+           token, n,
+           round(sum(n) OVER (ORDER BY n DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / total, 6) AS cum_frac
+         FROM top, total ORDER BY rank""",
   )
 }

@@ -48,6 +48,41 @@ object Sample {
 
   private val SplitBuckets = 1000000L
 
+  /** Temperature-weighted source rebalancing (the "data mixing" step
+    * of a pre-training pipeline): thin each source group to a rate
+    * proportional to n_s^0.5 / n_s — i.e. sample counts follow
+    * sqrt-temperature weights (alpha = 0.5), flattening the source
+    * distribution toward small sources the way multilingual /
+    * multi-domain training mixes do.
+    *
+    * Deterministic end to end: keep decisions are md5-bucket
+    * thresholds (same scheme as [[hashSplit]] — a row keeps its fate
+    * across runs and engines), and the per-source rates use only
+    * engine-exact arithmetic — sqrt (IEEE correctly rounded) floored
+    * to integer weights so the cross-source sum is order-independent.
+    *
+    * Scale shape: the per-source counts are a tiny aggregate broadcast
+    * back onto the scan; the thinning itself is MAP-ONLY. Returns the
+    * input rows that survive, plus the computed `keep_rate`. */
+  def mixtureBySource(df: DataFrame, sourceCol: String, idCol: String,
+                      targetRows: Long): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      // integer weights: floor(sqrt(n)*1e6) — sqrt is correctly
+      // rounded IEEE (engine-independent); the integer sum below is
+      // order-independent where a double sum would not be
+      .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(sum(col("__w")).as("__tw"))))
+      .withColumn("keep_rate", least(lit(1.0),
+        lit(targetRows) * col("__w") / col("__tw") / col("__n")))
+      .select(col(sourceCol), col("keep_rate"))
+    val bucket = conv(substring(
+        md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % SplitBuckets
+    df.join(broadcast(rates), sourceCol)
+      .filter(bucket < col("keep_rate") * SplitBuckets)
+  }
+
   /** Deterministic train/val/test split: each row gets a stable label
     * from an md5 hash bucket of its unique id. Unlike
     * `randomSplit`, assignment is reproducible across runs, engines

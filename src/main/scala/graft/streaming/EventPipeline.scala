@@ -51,6 +51,23 @@ object EventPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup: drop near-identical payloads (not just
+    * replayed ids) within the watermark horizon, keyed by the 64-bit
+    * SimHash fingerprint of the text column — the streaming face of
+    * the batch dedup family ([[graft.operators.Dedup]]). Exact
+    * SimHash-equal duplicates collapse to the first arrival; state is
+    * one 8-byte key per distinct fingerprint inside the watermark,
+    * bounded and tiny (the payload itself is never stored). */
+  def dedupStreamByContent(docs: DataFrame, textCol: String, tsCol: String,
+                           watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp",
+        graft.functions.TextFunctions.simhash64(
+          graft.functions.TextFunctions.tokens(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Gap sessions via the native session_window operator (Spark-first:
     * let Catalyst manage merge/state rather than hand-rolling). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",

@@ -68,6 +68,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("event_id") === 1).count() === 1)
   }
 
+  test("dedupStreamByContent drops same-text payloads under different ids") {
+    // same text on events 10/11/13 (different event ids — id-dedup would
+    // keep all three); 12 differs by one word and must survive
+    val batch = Seq(
+      Event(10, ts("2024-01-01 00:01:00"), 1, "doc", 0.0, "alpha beta gamma delta"),
+      Event(11, ts("2024-01-01 00:02:00"), 2, "doc", 0.0, "alpha beta gamma delta"),
+      Event(12, ts("2024-01-01 00:03:00"), 3, "doc", 0.0, "alpha beta gamma epsilon"),
+      Event(13, ts("2024-01-01 00:04:00"), 4, "doc", 0.0, "alpha beta gamma delta"))
+    val out = runBatches(
+      m => EventPipeline.dedupStreamByContent(m.toDF(), "props", "ts"), "ddc",
+      Seq(batch))
+    assert(out.count() === 2)
+    assert(out.select("event_id").collect().map(_.getLong(0)).toSet === Set(10L, 12L))
+    assert(!out.columns.contains("__fp"))
+  }
+
   test("sessionWindows matches the batch sessionizer") {
     val out = runBatches(m => EventPipeline.sessionWindows(m.toDF()), "sw",
       Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
