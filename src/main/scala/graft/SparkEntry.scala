@@ -720,7 +720,11 @@ object SparkEntry {
     * would shuffle every token instance of the corpus). */
   private val q61: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("__r", graft.plans.RepetitionStats.repetitionStats(col("text")))
+      // null text = empty doc (coalesce on BOTH sides: a null would
+      // propagate to null fractions in Spark but coalesce to 0.0 in
+      // the oracle's outer-join arithmetic — a silent parity break)
+      .withColumn("__r", graft.plans.RepetitionStats.repetitionStats(
+        coalesce(col("text"), lit(""))))
       .select(col("doc_id"),
         col("__r.n_tokens").as("n_tokens"),
         round((col("__r.n_tokens") - col("__r.n_distinct")) /
@@ -771,7 +775,11 @@ object SparkEntry {
     val toks = Tables.documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("token"))
     val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // total token instances from the ALREADY-AGGREGATED counts — its
+    // subtree is byte-identical to the top-50 branch, so ReuseExchange
+    // tokenizes the corpus exactly once (toks.agg(count) would plan a
+    // second full scan + explode)
+    val total = counts.agg(sum(col("n")).as("total"))
     val top = counts.orderBy(col("n").desc, col("token")).limit(50)
     // constant partition key: the window runs over the 50-row top-k
     // result only (already reduced), never the corpus — the explicit
@@ -1498,7 +1506,8 @@ object SparkEntry {
          SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, round(tfidf, 6) AS tfidf
          FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""",
     "q61_repetition" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
              FROM documents),
          uni AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
              FROM t),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate cluster resolution — the dedup family's capstone.
@@ -32,10 +31,12 @@ import org.apache.spark.sql.functions._
   * fixpoint test would recompute the whole history.
   *
   * Skew posture at 100 TB: a giant component makes its root a hot key
-  * (every member eventually links to it). Both stars group by the
-  * non-root endpoint, so the hot root appears as a VALUE in those
-  * aggregations, not as the grouping key; only the final distinct
-  * touches (root, member) pairs, which AQE skew-split handles.
+  * — once stars form, the root's neighborhood is the whole membership.
+  * Neighborhood minima are therefore computed with groupBy (map-side
+  * partial combine collapses the hot key to one row per map partition)
+  * and joined back with an equi-join AQE can skew-split — never with a
+  * window over partitionBy(node), which would sort the entire
+  * membership on one reducer.
   */
 object Cluster {
 
@@ -73,23 +74,32 @@ object Cluster {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // Neighborhood minima via groupBy + join-back, NOT a window: a
+      // groupBy gets map-side partial aggregation (the giant
+      // component's root — whose neighborhood is the whole membership
+      // once stars form — combines to one row per map partition before
+      // the shuffle), and the join back on u is an equi-join AQE can
+      // skew-split. A window over partitionBy(u) would put that entire
+      // hot neighborhood on ONE reducer with no partial combine.
+      def withMin(edges: DataFrame): DataFrame = {
+        val mins = edges.groupBy("u").agg(min(col("v")).as("__mn"))
+        edges.join(mins, "u")
+      }
       // large-star: symmetrize; m(u) = min(N(u) ∪ {u}); emit (v, m(u))
-      // for v in N(u), v > u. Window-min over the partition avoids a
-      // groupBy + join-back (one shuffle instead of two).
+      // for v in N(u), v > u.
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val wU = Window.partitionBy("u")
-      val large = sym
-        .withColumn("m", least(col("u"), min(col("v")).over(wU)))
+      val large = withMin(sym)
+        .withColumn("m", least(col("u"), col("__mn")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-      // small-star: orient u > v; m(u) = min of smaller neighborhood;
-      // emit (v, m(u)) for each smaller neighbor and (u, m(u)).
-      val dir = large
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .filter(col("u") =!= col("v"))
-      val dirM = dir.withColumn("m", min(col("v")).over(wU))
+      // small-star: m(u) = min of the smaller neighborhood; emit
+      // (v, m(u)) for each smaller neighbor and (u, m(u)). Large-star
+      // output already satisfies u > v by construction (the emitted
+      // pair is (old v, m) with m the neighborhood minimum < v), so no
+      // re-orientation pass is needed.
+      val dirM = withMin(large).withColumnRenamed("__mn", "m")
       val small = dirM
         .select(col("v").as("a"), col("m").as("b"))
         .unionByName(dirM.select(col("u").as("a"), col("m").as("b")).distinct())

@@ -48,6 +48,15 @@ object Sample {
 
   private val SplitBuckets = 1000000L
 
+  /** The shared deterministic bucket: first 8 md5 hex chars of the id
+    * string, mod [[SplitBuckets]]. ONE definition for both
+    * [[hashSplit]] and [[mixtureBySource]] — their cross-operator
+    * stability contract (a row keeps its fate across runs, engines and
+    * operators) holds only if the bucket expression never diverges. */
+  private def md5Bucket(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % SplitBuckets
+
   /** Temperature-weighted source rebalancing (the "data mixing" step
     * of a pre-training pipeline): thin each source group to a rate
     * proportional to n_s^0.5 / n_s — i.e. sample counts follow
@@ -71,16 +80,18 @@ object Sample {
       // rounded IEEE (engine-independent); the integer sum below is
       // order-independent where a double sum would not be
       .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+    // cross-source total via a constant-key window over the few-row
+    // counts frame — a separate counts.agg(...) + crossJoin would plan
+    // a SECOND full corpus scan (exchange reuse is defeated by the
+    // differing aggregates)
     val rates = counts
-      .crossJoin(broadcast(counts.agg(sum(col("__w")).as("__tw"))))
+      .withColumn("__tw", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
       .withColumn("keep_rate", least(lit(1.0),
         lit(targetRows) * col("__w") / col("__tw") / col("__n")))
       .select(col(sourceCol), col("keep_rate"))
-    val bucket = conv(substring(
-        md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % SplitBuckets
     df.join(broadcast(rates), sourceCol)
-      .filter(bucket < col("keep_rate") * SplitBuckets)
+      .filter(md5Bucket(idCol) < col("keep_rate") * SplitBuckets)
   }
 
   /** Deterministic train/val/test split: each row gets a stable label
@@ -95,9 +106,7 @@ object Sample {
     require(splits.nonEmpty, "hashSplit needs at least one (label, weight)")
     require(splits.forall(_._2 > 0), "split weights must be positive")
     val total = splits.map(_._2).sum
-    val bucket = conv(substring(
-        md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % SplitBuckets
+    val bucket = md5Bucket(idCol)
     val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail.map(f => math.round(f * SplitBuckets))
     val assign = splits.zip(cuts).init.foldRight(lit(splits.last._1): Column) {

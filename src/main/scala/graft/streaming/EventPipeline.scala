@@ -79,6 +79,25 @@ object EventPipeline {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Trending top-k per tumbling window — the reference's
+    * "recommendations" ranking (web_api.py:231-237) as a live stream.
+    * Uses the native bounded-buffer [[graft.plans.TopKPairs]]
+    * aggregate INSIDE the streaming window: state per open window is
+    * k (value, id) pairs — not the window's row set — and partial
+    * buffers merge map-side before the state store, the same
+    * bounded-shuffle shape as the batch q46. Append-mode compatible
+    * (the watermark closes windows). */
+  def trendingTopK(events: DataFrame, k: Int, width: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(graft.plans.TopKPairs.topK(
+        struct(col("value"), col("event_id")), k).as("top"))
+      .select(col("window.start").as("win_start"), posexplode(col("top")))
+      .select(col("win_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"), col("col.value").as("value"))
+
   /** Stream ⋈ static broadcast dim — the enrichment join
     * (enrichment.py:83-131) on a live stream. */
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =

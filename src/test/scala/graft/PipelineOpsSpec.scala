@@ -97,6 +97,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(4L) === ((1L, 1L, 0L, 0L)))
   }
 
+  test("repetition stats on null text behave as an empty doc (q61 shape)") {
+    // the q61 projection coalesces null text to '' — without it a null
+    // struct propagates to null fractions while the oracle's
+    // outer-join arithmetic yields 0.0 (silent parity break)
+    val r = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(graft.plans.RepetitionStats.repetitionStats(
+        coalesce(col("text"), lit(""))).as("r"))
+      .select(col("r.n_tokens"), col("r.top_bigram")).head
+    assert(!r.isNullAt(0) && r.getLong(0) === 0L && r.getLong(1) === 0L)
+  }
+
   // ---- chunking -------------------------------------------------------
 
   test("token chunks cover the doc with the right overlap") {

@@ -84,6 +84,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.columns.contains("__fp"))
   }
 
+  test("trendingTopK ranks the window's top events with bounded state") {
+    val out = runBatches(m => EventPipeline.trendingTopK(m.toDF(), k = 2), "tk",
+      Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
+    // hour 00: values 10,20,20,1 → top-2 = the two 20s (ids 1, then its dup
+    // is same id 1 — both rows carry event_id 1), ranked by value desc, id asc
+    val h0 = out.filter(col("win_start") === ts("2024-01-01 00:00:00"))
+      .orderBy("rank").collect()
+    assert(h0.length === 2)
+    assert(h0.map(_.getAs[Double]("value")).toSeq === Seq(20.0, 20.0))
+    // hour 01 has a single event (id 2, value 5.0)
+    val h1 = out.filter(col("win_start") === ts("2024-01-01 01:00:00")).collect()
+    assert(h1.length === 1 && h1.head.getAs[Long]("event_id") === 2L)
+  }
+
   test("sessionWindows matches the batch sessionizer") {
     val out = runBatches(m => EventPipeline.sessionWindows(m.toDF()), "sw",
       Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
