@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SELECT text_stats(text, array('the', 'a')).n_tokens  -- one-pass stats
   * SELECT rolling_fingerprint(text, 16).fp_min          -- Rabin–Karp summary
   * SELECT vec_dot(a, b)                                 -- array<double> dot
+ * SELECT repetition_stats(text).top_bigram             -- one-pass rep ratios
+ * SELECT int8_quant_stats(vec).max_abs_err             -- quantization stats
   * SELECT hyperplane_signature(vec, 16)                 -- LSH bucket
   * SELECT minhash_union(sig, 64) ... GROUP BY src       -- sketch-union agg
   * SELECT top_k_pairs(struct(val, id), 5) ... GROUP BY g  -- bounded top-k agg
@@ -59,6 +61,8 @@ object GraftFunctions {
     "text_stats" -> (es => TextStats(es(0), asStrings(es(1)))),
     "rolling_fingerprint" -> (es => RollingFingerprint(es(0), asInt(es(1)))),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "repetition_stats" -> (es => RepetitionStats(es(0))),
+    "int8_quant_stats" -> (es => Int8QuantStats(es(0))),
     "hyperplane_signature" -> (es => HyperplaneSignature(es(0), asInt(es(1)))),
     "minhash_union" -> (es => MinHashUnion(es(0), asInt(es(1)))),
     "top_k_pairs" -> (es => TopKPairs(es(0), asInt(es(1)))),

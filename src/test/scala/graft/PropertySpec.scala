@@ -119,4 +119,84 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val docGen: Gen[List[String]] =
+    Gen.listOfN(25, for {
+      n <- Gen.chooseNum(0, 40)
+      // a 6-word vocab forces heavy token/bigram/trigram repetition
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee", "f"))
+    } yield toks.mkString(" "))
+
+  test("RepetitionStats equals the composed explode+groupBy formulation") {
+    import spark.implicits._
+    forSamples(docGen, n = 5) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = df.select(col("doc_id"),
+          graft.plans.RepetitionStats.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"),
+          col("r.top_bigram"), col("r.top_trigram"))
+      import graft.functions.{TextFunctions => TF}
+      def topNgram(k: Int) = df
+        .select(col("doc_id"), explode(TF.shingles(TF.tokens(col("text")), k)).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(max("count").as(s"top$k"))
+      val composed = df.select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(TF.tokens(col("text")))).cast("long").as("n_distinct"))
+        .join(topNgram(2), Seq("doc_id"), "left")
+        .join(topNgram(3), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          coalesce(col("top2"), lit(0L)).as("top_bigram"),
+          coalesce(col("top3"), lit(0L)).as("top_trigram"))
+      assert(native.exceptAll(composed).count() === 0)
+      assert(composed.exceptAll(native).count() === 0)
+    }
+  }
+
+  test("Chunker covers every token position with the exact stride pattern") {
+    import spark.implicits._
+    val cfgGen = for {
+      n <- Gen.chooseNum(0, 50)
+      size <- Gen.chooseNum(1, 12)
+      stride <- Gen.chooseNum(1, 12)
+    } yield (n, size, stride)
+    forSamples(cfgGen, n = 12) { case (n, size, stride) =>
+      val df = Seq((1L, (0 until n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val out = graft.operators.Chunker
+        .tokenChunks(df, "doc_id", "text", size, stride)
+        .orderBy("chunk_id").collect()
+      val expectStarts = (0 until n by stride).toSeq
+      assert(out.map(_.getLong(1)).toSeq === expectStarts.indices.map(_.toLong))
+      out.zip(expectStarts).foreach { case (r, start) =>
+        val want = (start until math.min(start + size, n)).map(i => s"t$i")
+        assert(r.getLong(2) === want.length.toLong)
+        assert(r.getString(3) === want.mkString(" "))
+      }
+    }
+  }
+
+  test("Int8QuantStats matches an interpreted reference on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-50.0, 50.0))
+    forSamples(vecGen, n = 10) { v =>
+      val r = Seq(Tuple1(v.toArray)).toDF("v")
+        .select(graft.plans.VecQuant.int8QuantStats(col("v")).as("q"))
+        .select(col("q.scale"), col("q.sum_q"), col("q.max_abs_err")).head
+      val amax = v.map(math.abs).foldLeft(0.0)(math.max)
+      if (amax == 0.0) {
+        assert(r.getDouble(0) === 0.0 && r.getLong(1) === 0L && r.getDouble(2) === 0.0)
+      } else {
+        val scale = amax / 127.0
+        val qs = v.map(x => math.floor(x / scale + 0.5))
+        assert(r.getDouble(0) === scale)
+        assert(r.getLong(1) === qs.map(_.toLong).sum)
+        assert(r.getDouble(2) ===
+          v.zip(qs).map { case (x, q) => math.abs(x - q * scale) }.foldLeft(0.0)(math.max))
+        // every code fits int8 by construction
+        assert(qs.forall(q => q >= -127 && q <= 127))
+      }
+    }
+  }
 }

@@ -93,7 +93,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
       """SELECT doc_id,
            simhash_tokens(filter(split(text, ' '), x -> x != '')) AS sh,
            text_stats(text, array('the', 'a')).n_tokens AS nt,
-           rolling_fingerprint(text, 16).fp_min AS fp
+           rolling_fingerprint(text, 16).fp_min AS fp,
+           repetition_stats(text).top_bigram AS tb
          FROM docs20""")
     import graft.functions.{TextFunctions => TF}
     val viaApi = spark.table("docs20").select(col("doc_id"),
@@ -101,7 +102,9 @@ class SqlFunctionsSpec extends AnyFunSuite {
       graft.plans.TextStats.textStats(col("text"), Seq("the", "a"))
         .getField("n_tokens").as("nt"),
       graft.plans.TextStats.rollingFingerprint(col("text"), 16)
-        .getField("fp_min").as("fp"))
+        .getField("fp_min").as("fp"),
+      graft.plans.RepetitionStats.repetitionStats(col("text"))
+        .getField("top_bigram").as("tb"))
     assert(viaSql.exceptAll(viaApi).count() === 0)
     assert(viaApi.exceptAll(viaSql).count() === 0)
     // vector natives
@@ -110,12 +113,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val vecSql = spark.sql(
       """SELECT vec_id,
            vec_dot(cast(embedding AS array<double>), cast(embedding AS array<double>)) AS d,
-           hyperplane_signature(cast(embedding AS array<double>), 8) AS b
+           hyperplane_signature(cast(embedding AS array<double>), 8) AS b,
+           int8_quant_stats(cast(embedding AS array<double>)).sum_q AS sq
          FROM emb20""")
     import graft.functions.{VectorFunctions => VF}
     val vecApi = spark.table("emb20").select(col("vec_id"),
       VF.dotD(VF.asDouble(col("embedding")), VF.asDouble(col("embedding"))).as("d"),
-      VF.hyperplaneSignature(VF.asDouble(col("embedding")), 8).as("b"))
+      VF.hyperplaneSignature(VF.asDouble(col("embedding")), 8).as("b"),
+      graft.plans.VecQuant.int8QuantStats(VF.asDouble(col("embedding")))
+        .getField("sum_q").as("sq"))
     assert(vecSql.exceptAll(vecApi).count() === 0)
     // aggregates — the analyzer must wrap the bare AggregateFunction
     val aggSql = spark.sql(
