@@ -781,15 +781,19 @@ object SparkEntry {
     // second full scan + explode)
     val total = counts.agg(sum(col("n")).as("total"))
     val top = counts.orderBy(col("n").desc, col("token")).limit(50)
-    // constant partition key: the window runs over the 50-row top-k
-    // result only (already reduced), never the corpus — the explicit
-    // key just keeps the single-partition intent visible in the plan
-    val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    top.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum_frac", round(sum(col("n")).over(w) / col("total"), 6))
-      .select(col("rank"), col("token"), col("n"), col("cum_frac"))
+    // rank + running sum over the 50-row result via a bounded
+    // self-join (50×50 pairs) — a global window here would be a
+    // no-partition WindowExec (single-partition warning); tokens are
+    // distinct, so the prefix count IS row_number
+    val t = top.crossJoin(broadcast(total))
+    val prefix = top.select(col("token").as("__tok2"), col("n").as("__n2"))
+    t.join(broadcast(prefix),
+        col("__n2") > col("n") ||
+          (col("__n2") === col("n") && col("__tok2") <= col("token")))
+      .groupBy(col("token"), col("n"), col("total"))
+      .agg(count(lit(1)).as("rank"), sum(col("__n2")).as("__cum"))
+      .select(col("rank"), col("token"), col("n"),
+        round(col("__cum") / col("total"), 6).as("cum_frac"))
       .orderBy(col("rank"))
   }
 

@@ -75,18 +75,19 @@ object Sample {
     * input rows that survive, plus the computed `keep_rate`. */
   def mixtureBySource(df: DataFrame, sourceCol: String, idCol: String,
                       targetRows: Long): DataFrame = {
+    // counts is ONE ROW PER SOURCE — materialize it eagerly so the
+    // scalar total below reads the tiny checkpoint, not the corpus a
+    // second time (exchange reuse across the two aggregates is not
+    // guaranteed, and a degenerate global window would warn + single-
+    // partition). The checkpoint holds #sources rows: bounded.
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
       // integer weights: floor(sqrt(n)*1e6) — sqrt is correctly
       // rounded IEEE (engine-independent); the integer sum below is
       // order-independent where a double sum would not be
       .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
-    // cross-source total via a constant-key window over the few-row
-    // counts frame — a separate counts.agg(...) + crossJoin would plan
-    // a SECOND full corpus scan (exchange reuse is defeated by the
-    // differing aggregates)
+      .localCheckpoint(true)
     val rates = counts
-      .withColumn("__tw", sum(col("__w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+      .crossJoin(broadcast(counts.agg(sum(col("__w")).as("__tw"))))
       .withColumn("keep_rate", least(lit(1.0),
         lit(targetRows) * col("__w") / col("__tw") / col("__n")))
       .select(col(sourceCol), col("keep_rate"))
