@@ -130,6 +130,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed co-located join plans WITHOUT a shuffle on either side") {
+    val dir = Files.createTempDirectory("graft_bucketed").toFile.getAbsolutePath
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // defeat broadcast so the join must pick sort-merge — the path
+      // bucketing optimizes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(spark, TestSpark.sf), "orders_b", s"$dir/orders_b",
+        "o_orderkey", 4)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(spark, TestSpark.sf)
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", s"$dir/lineitem_b", "o_orderkey", 4)
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+      // same-bucket-count tables: bucket i reads against bucket i —
+      // the executed plan must contain NO exchange at all
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and the result is the plain join's result exactly
+      val plain = Tables.orders(spark, TestSpark.sf)
+        .join(Tables.lineitem(spark, TestSpark.sf)
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      assert(joined.count() === plain.count())
+      assert(joined.exceptAll(plain).count() === 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("no accidental cartesian products in any query plan") {
     // brute-force ANN scans corpus × broadcast probes BY DESIGN (the
     // exact baseline the approximate operators are judged against);
