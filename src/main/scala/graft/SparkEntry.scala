@@ -797,6 +797,22 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Per-label embedding centroids via the native VecSum aggregate —
+    * one dim-length buffer per label, map-side combined; the composed
+    * alternative (posexplode → groupBy(label, pos)) multiplies the
+    * corpus by the embedding dim BEFORE its shuffle. Output exploded
+    * to scalars so the oracle hash-checks every component. */
+  private val q66: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(graft.plans.VecSum.vecSum(
+        graft.functions.VectorFunctions.asDouble(col("embedding"))).as("s"))
+      .select(col("label"), col("s.n").as("n_vecs"),
+        posexplode(col("s.sum")).as(Seq("pos", "__v")))
+      .select(col("label"), col("n_vecs"), col("pos").cast("long").as("pos"),
+        round(col("__v") / col("n_vecs"), 6).as("c"))
+      .orderBy(col("label"), col("pos"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -863,6 +879,7 @@ object SparkEntry {
     "q63_quantize" -> q63,
     "q64_mixture" -> q64,
     "q65_vocab" -> q65,
+    "q66_centroids" -> q66,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1575,5 +1592,13 @@ object SparkEntry {
            round(sum(n) OVER (ORDER BY n DESC, token
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / total, 6) AS cum_frac
          FROM top, total ORDER BY rank""",
+    "q66_centroids" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         e AS (SELECT label, i AS pos, x[i] AS val
+             FROM v, UNNEST(range(1, len(x)+1)) AS u(i)),
+         m AS (SELECT label, pos, sum(val) AS sv, count(*) AS n FROM e GROUP BY 1, 2)
+         SELECT label, n AS n_vecs, CAST(pos - 1 AS BIGINT) AS pos,
+           round(sv / n, 6) AS c
+         FROM m ORDER BY label, pos""",
   )
 }

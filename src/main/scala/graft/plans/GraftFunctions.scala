@@ -65,6 +65,7 @@ object GraftFunctions {
     "int8_quant_stats" -> (es => Int8QuantStats(es(0))),
     "hyperplane_signature" -> (es => HyperplaneSignature(es(0), asInt(es(1)))),
     "minhash_union" -> (es => MinHashUnion(es(0), asInt(es(1)))),
+    "vec_sum" -> (es => VecSum(es(0))),
     "top_k_pairs" -> (es => TopKPairs(es(0), asInt(es(1)))),
     "bottom_k_ids" -> (es => BottomKIds(es(0), asInt(es(1)))))
 

@@ -149,6 +149,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter(col("max_abs_err") > col("scale") * 0.5 + 1e-12).count() === 0)
   }
 
+  test("VecSum centroids equal the exploded groupBy formulation") {
+    import graft.functions.VectorFunctions.asDouble
+    val native = emb.groupBy("label")
+      .agg(graft.plans.VecSum.vecSum(asDouble(col("embedding"))).as("s"))
+      .select(col("label"), col("s.n").as("n1"), posexplode(col("s.sum")))
+      .toDF("label", "n1", "pos", "v1")
+    val composed = emb
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n2"), sum(col("col")).as("v2"))
+    // partial-merge order differs between the two plans, so compare
+    // with a tolerance rather than bitwise
+    val j = native.join(composed, Seq("label", "pos"))
+    assert(j.count() === native.count())
+    assert(j.filter(col("n1") =!= col("n2") ||
+      abs(col("v1") - col("v2")) > 1e-9).count() === 0)
+  }
+
+  test("VecSum rejects dimension mismatches loudly") {
+    val bad = Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0, 2.0, 3.0))).toDF("g", "v")
+    val ex = intercept[Exception] {
+      bad.groupBy("g").agg(graft.plans.VecSum.vecSum(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("dimension mismatch"))
+  }
+
   // ---- mixture sampling ----------------------------------------------
 
   test("mixture sampling is deterministic and sqrt-flattens sources") {

@@ -127,7 +127,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val aggSql = spark.sql(
       """SELECT lang, minhash_union(minhash_tokens(split(text, ' '), 3, 16), 16) AS u,
            top_k_pairs(struct(cast(n_chars AS double), doc_id), 3) AS tk,
-           bottom_k_ids(struct(md5(cast(doc_id AS string)), doc_id), 3) AS bk
+           bottom_k_ids(struct(md5(cast(doc_id AS string)), doc_id), 3) AS bk,
+           vec_sum(array(cast(n_chars AS double))) AS vs
          FROM docs20 GROUP BY lang""")
     val aggApi = spark.table("docs20").groupBy("lang").agg(
       graft.plans.MinHashUnion.minhashUnion(
@@ -135,7 +136,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
       graft.plans.TopKPairs.topK(
         struct(col("n_chars").cast("double"), col("doc_id")), 3).as("tk"),
       graft.plans.BottomKIds.bottomK(
-        struct(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")), 3).as("bk"))
+        struct(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")), 3).as("bk"),
+      graft.plans.VecSum.vecSum(array(col("n_chars").cast("double"))).as("vs"))
     assert(aggSql.exceptAll(aggApi).count() === 0)
     assert(aggApi.exceptAll(aggSql).count() === 0)
   }
