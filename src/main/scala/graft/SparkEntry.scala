@@ -813,6 +813,38 @@ object SparkEntry {
         round(col("__v") / col("n_vecs"), 6).as("c"))
       .orderBy(col("label"), col("pos"))
 
+  /** Full corpus-prep pipeline v2 — the round-4 capstone composite,
+    * one plan end to end: near-dup CLUSTER dedup (keep canonical docs
+    * only) → repetition/boilerplate gate (integer arithmetic, engine-
+    * exact) → overlapping token chunking → leakage-stable hash split,
+    * verified through per-split chunk/token totals (every stage's
+    * effect lands in the counts). The driver-loop CC rounds are the
+    * only non-single-plan step; everything downstream of the pair set
+    * is one dataflow. */
+  private val q67: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = graft.operators.Cluster.canonicalize(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5),
+      "d1", "d2")
+    val dropIds = clusters.filter(!col("is_canonical")).select(col("doc_id"))
+    val kept = docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val r = graft.plans.RepetitionStats.repetitionStats(coalesce(col("text"), lit("")))
+    // integer-only gate (no float thresholds): >= 20 tokens and the
+    // top bigram must cover <= 15% of bigram slots
+    val gated = kept.withColumn("__r", r)
+      .filter(col("__r.n_tokens") >= 20 &&
+        col("__r.top_bigram") * 20 <= (col("__r.n_tokens") - 1) * 3)
+      .drop("__r")
+    val chunks = graft.operators.Chunker.tokenChunks(gated, "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .withColumn("chunk_uid", col("doc_id") * 100000 + col("chunk_id"))
+    graft.operators.Sample.hashSplit(chunks, "chunk_uid",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("total_tokens"))
+      .orderBy(col("split"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -880,6 +912,7 @@ object SparkEntry {
     "q64_mixture" -> q64,
     "q65_vocab" -> q65,
     "q66_centroids" -> q66,
+    "q67_prep_pipeline" -> q67,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1600,5 +1633,44 @@ object SparkEntry {
          SELECT label, n AS n_vecs, CAST(pos - 1 AS BIGINT) AS pos,
            round(sv / n, 6) AS c
          FROM m ORDER BY label, pos""",
+    "q67_prep_pipeline" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         edges AS (SELECT d1, d2
+             FROM prs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             WHERE inter*1.0/(s1.n + s2.n - inter) > 0.5),
+         sym AS (SELECT d1 AS u, d2 AS v FROM edges UNION SELECT d2, d1 FROM edges),
+         reach(u, v) AS (
+             SELECT u, v FROM sym
+             UNION
+             SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u WHERE s2.v <> r.u),
+         dropids AS (SELECT u AS doc_id FROM reach GROUP BY u
+             HAVING u <> least(u, min(v))),
+         kept AS (SELECT t.doc_id, t.w FROM toks t
+             WHERE t.doc_id NOT IN (SELECT doc_id FROM dropids)),
+         bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+             FROM kept, UNNEST(range(1, len(w))) AS u(i)),
+         tbi AS (SELECT doc_id, max(c) AS top_bigram FROM
+             (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY doc_id),
+         gated AS (SELECT k.doc_id, k.w FROM kept k LEFT JOIN tbi USING (doc_id)
+             WHERE len(w) >= 20
+               AND coalesce(top_bigram, 0) * 20 <= (len(w) - 1) * 3),
+         chunks AS (SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_id,
+               CAST(least(32, len(w) - i) AS BIGINT) AS n_chunk_tokens
+             FROM gated, UNNEST(range(0, len(w), 24)) AS u(i)),
+         labeled AS (SELECT n_chunk_tokens,
+               CASE WHEN CAST(concat('0x', substr(md5(
+                   CAST(doc_id * 100000 + chunk_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 % 1000000 < 900000 THEN 'train' ELSE 'val' END AS split
+             FROM chunks)
+         SELECT split, count(*) AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS total_tokens
+         FROM labeled GROUP BY split ORDER BY split""",
   )
 }

@@ -37,11 +37,8 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("q22_minhash_lsh", "q23_simhash", "q27_ann_lsh",
-      "q28_lang_id", "q31_fingerprint", "q36_simhash_pairs", "q40_minhash_union",
-      "q41_ann_ivf", "q42_multimodal_ann")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("EVERY query has an oracle — coverage is total since round 3") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
