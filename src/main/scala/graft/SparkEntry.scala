@@ -845,6 +845,60 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
+  /** Sequence packing — the document → fixed-length training-sequence
+    * layout (concatenate-and-chop, the standard pre-training packer):
+    * per source shard, docs are laid out in a stable order (doc_id)
+    * and cut into 4096-token sequences by cumulative token offset; a
+    * doc belongs to the sequence its FIRST token lands in. Packing is
+    * inherently sequential WITHIN a shard (each offset depends on
+    * every predecessor), so the unit of parallelism is the shard —
+    * exactly how training shards are built at 100 TB: one narrow
+    * (id, n_tokens) window per source, never a global order. Verified
+    * through per-sequence doc/token totals and boundary ids, so the
+    * oracle checks every assignment. */
+  private val q68: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(TF.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seq_id", expr("(__cum - n_tokens) DIV 4096"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+
+  /** Histogram-sketch quantiles — the MERGEABLE approximate-percentile
+    * path (fixed-width bins, counts combine map-side; the sketch for a
+    * 100 TB column is a few thousand integers per group). q17's exact
+    * percentile materializes every group's values on one reducer —
+    * this is the operator that replaces it at scale, with error
+    * bounded by the bin width. All decisions are integer-exact
+    * (cum·k ≥ n·q with integer thresholds), so the oracle hash-matches
+    * bit-for-bit; the reported estimate is the lower edge of the first
+    * bin whose cumulative count crosses the quantile. */
+  private val q69: Q = (s, d) => {
+    val binned = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(0.25)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("b50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("bin"))).as("b90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("b99"))
+      .select(col("event_type"), col("n"),
+        (col("b50") * lit(0.25)).as("p50_est"),
+        (col("b90") * lit(0.25)).as("p90_est"),
+        (col("b99") * lit(0.25)).as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -913,6 +967,8 @@ object SparkEntry {
     "q65_vocab" -> q65,
     "q66_centroids" -> q66,
     "q67_prep_pipeline" -> q67,
+    "q68_seq_pack" -> q68,
+    "q69_quantile_hist" -> q69,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1672,5 +1728,46 @@ object SparkEntry {
          SELECT split, count(*) AS n_chunks,
            CAST(sum(n_chunk_tokens) AS BIGINT) AS total_tokens
          FROM labeled GROUP BY split ORDER BY split""",
+    // Integer-exact replay: same cumulative-offset layout, same
+    // truncating integer division (DuckDB // == Spark DIV on
+    // non-negative offsets).
+    "q68_seq_pack" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT source, CAST((cum - n_tokens) // 4096 AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY source, seq_id ORDER BY source, seq_id""",
+    // Same integer crossing rules; bin edges multiply a DOUBLE 0.25
+    // (a DECIMAL literal would change the result type).
+    "q69_quantile_hist" ->
+      """WITH b AS (
+           SELECT event_type,
+             CAST(floor(value / CAST(0.25 AS DOUBLE)) AS BIGINT) AS bin, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+           FROM b),
+         q AS (
+           SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum * 2 >= n THEN bin END) AS b50,
+             min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS b90,
+             min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS b99
+           FROM cum GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           b50 * CAST(0.25 AS DOUBLE) AS p50_est,
+           b90 * CAST(0.25 AS DOUBLE) AS p90_est,
+           b99 * CAST(0.25 AS DOUBLE) AS p99_est
+         FROM q ORDER BY event_type""",
   )
 }
