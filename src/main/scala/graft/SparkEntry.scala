@@ -855,13 +855,17 @@ object SparkEntry {
     * exactly how training shards are built at 100 TB: one narrow
     * (id, n_tokens) window per source, never a global order. Verified
     * through per-sequence doc/token totals and boundary ids, so the
-    * oracle checks every assignment. */
+    * oracle checks every assignment. The layout order is TOTAL —
+    * (doc_id, md5(text)) — so packing is well-defined even if a shard
+    * ever carries duplicate doc_ids; on this corpus doc_id is unique
+    * per source and the tiebreaker is inert. */
   private val q68: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
-        size(TF.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
+        size(TF.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("__tie"))
       .withColumn("__cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        Window.partitionBy(col("source")).orderBy(col("doc_id"), col("__tie"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("seq_id", expr("(__cum - n_tokens) DIV 4096"))
       .groupBy(col("source"), col("seq_id"))
@@ -879,11 +883,15 @@ object SparkEntry {
     * bit-for-bit; the reported estimate is the lower edge of the first
     * bin whose cumulative count crosses the quantile. */
   private val q69: Q = (s, d) => {
+    // null values are excluded on BOTH sides (Spark sorts nulls first,
+    // DuckDB last — a null bin would shift every cumulative count), and
+    // the cumulative order pins nulls last anyway as a belt-and-braces.
     val binned = Tables.events(s, d)
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"),
         floor(col("value") / lit(0.25)).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
-    val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("bin").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     binned.withColumn("cum", sum(col("c")).over(wc))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
@@ -1734,11 +1742,12 @@ object SparkEntry {
     "q68_seq_pack" ->
       """WITH t AS (
            SELECT source, doc_id,
-             len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS n_tokens
+             len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS n_tokens,
+             md5(coalesce(text, '')) AS tie
            FROM documents),
          c AS (
            SELECT source, doc_id, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, tie
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM t)
          SELECT source, CAST((cum - n_tokens) // 4096 AS BIGINT) AS seq_id,
@@ -1751,7 +1760,7 @@ object SparkEntry {
       """WITH b AS (
            SELECT event_type,
              CAST(floor(value / CAST(0.25 AS DOUBLE)) AS BIGINT) AS bin, count(*) AS c
-           FROM events GROUP BY 1, 2),
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          cum AS (
            SELECT event_type, bin, c,
              sum(c) OVER (PARTITION BY event_type ORDER BY bin

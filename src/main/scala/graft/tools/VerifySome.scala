@@ -14,6 +14,10 @@ import graft.SparkEntry
 object VerifySome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — valid names: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-verify-some")
@@ -23,10 +27,6 @@ object VerifySome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$name")
-    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -36,9 +36,17 @@ object VerifySome {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json first: check.py gates on it even if a query fails
     val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify-some] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
