@@ -907,6 +907,34 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Approximate distinct count via the mergeable HLL register bank
+    * ([[graft.plans.HllRegisters]]) — the `count(distinct)` that scales:
+    * exact distinct shuffles every distinct value; this shuffles one
+    * 256-byte register bank per group per partition (map-side combined)
+    * and the banks union associatively across shards/days. The hash is
+    * md5-derived and every estimate step is engine-neutral (integer
+    * bucket/rho arithmetic; the harmonic denominator is an EXACT
+    * DECIMAL integer, so no float accumulation order exists), which is
+    * how an approximate sketch gets a bit-exact DuckDB oracle. nz and
+    * sum_rho are integer witnesses over the final bank — the oracle
+    * checks the registers themselves, not just the rounded estimate. */
+  private val q70: Q = (s, d) => {
+    import graft.functions.Sketches
+    val hx = Sketches.hashHex(col("user_id"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+      .groupBy(col("event_type"))
+      .agg(graft.plans.HllRegisters.hllRegisters(
+        struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+      .select(col("event_type"),
+        Sketches.hllEstimate(col("regs")).as("est_distinct"),
+        Sketches.nonZero(col("regs")).as("nz"),
+        aggregate(col("regs"), lit(0L), (a, r) => a + r).as("sum_rho"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -977,6 +1005,7 @@ object SparkEntry {
     "q67_prep_pipeline" -> q67,
     "q68_seq_pack" -> q68,
     "q69_quantile_hist" -> q69,
+    "q70_hll_distinct" -> q70,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1778,5 +1807,48 @@ object SparkEntry {
            b90 * CAST(0.25 AS DOUBLE) AS p90_est,
            b99 * CAST(0.25 AS DOUBLE) AS p99_est
          FROM q ORDER BY event_type""",
+    // Replays the HLL sketch exactly: md5 bucket/rho by hex arithmetic,
+    // per-bucket max, EXACT HUGEINT harmonic numerator (no float fold),
+    // one double division + optional ln. strpos hex math ≡ Spark conv.
+    "q70_hll_distinct" ->
+      """WITH h AS (
+           SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+           FROM events WHERE user_id IS NOT NULL),
+         d AS (
+           SELECT event_type,
+             CAST((strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+               + strpos('0123456789abcdef', substr(hx,2,1))-1 AS BIGINT) AS bucket,
+             length(regexp_extract(substr(hx,3,14), '^0*')) AS lz,
+             substr(substr(hx,3,14),
+               length(regexp_extract(substr(hx,3,14), '^0*'))+1, 1) AS fc
+           FROM h),
+         r0 AS (
+           SELECT event_type, bucket,
+             CASE WHEN lz = 14 THEN 57
+                  ELSE 4*lz + CASE WHEN fc = '1' THEN 3
+                                   WHEN fc IN ('2','3') THEN 2
+                                   WHEN fc IN ('4','5','6','7') THEN 1
+                                   ELSE 0 END + 1 END AS rho
+           FROM d),
+         r AS (SELECT event_type, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, count(*) AS nz,
+             sum(CAST(pow(2.0, 57 - rho) AS HUGEINT)) AS numer_nz,
+             sum(rho) AS sum_rho
+           FROM r GROUP BY 1),
+         e AS (
+           SELECT event_type, nz, sum_rho,
+             CAST(numer_nz + CAST(256 - nz AS HUGEINT)
+               * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE) AS numer
+           FROM g),
+         raw AS (
+           SELECT event_type, nz, sum_rho, numer,
+             (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57)) / numer AS raw_est
+           FROM e)
+         SELECT event_type,
+           round(CASE WHEN 256 - nz > 0 AND raw_est <= 640.0
+                 THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw_est END, 4) AS est_distinct,
+           CAST(nz AS BIGINT) AS nz, CAST(sum_rho AS BIGINT) AS sum_rho
+         FROM raw ORDER BY event_type""",
   )
 }

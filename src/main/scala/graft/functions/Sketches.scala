@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distinct-count sketch column builders (HyperLogLog over an
+  * md5-derived hash), engineered so an independent SQL engine can
+  * replay every step bit-for-bit:
+  *
+  *  - the hash is `md5(cast(x as string))` — a public, engine-neutral
+  *    function (xxhash64 exists only in Spark);
+  *  - bucket/rho come from hex-string arithmetic (conv / leading-zero
+  *    count), all integer-exact;
+  *  - the harmonic denominator sum(2^-rho) is computed as an EXACT
+  *    integer numerator sum(2^(57-rho)) in DECIMAL(38,0), so no
+  *    floating-point fold order is involved — the only double ops are
+  *    one division and (on the small-range branch) one ln, both
+  *    deterministic IEEE round-to-nearest in any engine.
+  *
+  * The per-group state is the [[graft.plans.HllRegisters]] bank
+  * (m bytes, map-side combined) — `count(distinct)` at 100 TB without
+  * shuffling distinct values.
+  */
+object Sketches {
+
+  /** Register count (2^8) — est. standard error 1.04/sqrt(m) ≈ 6.5%. */
+  val M = 256
+
+  /** Max rho: 56 hashed bits after the bucket byte, all-zero → 57. */
+  val MaxRho = 57
+
+  /** Lowercase-hex md5 of any column, the sketch's hash source. */
+  def hashHex(x: Column): Column = md5(x.cast("string"))
+
+  /** HLL bucket = first 8 hash bits (2 hex chars) → [0, 256). */
+  def hllBucket(hx: Column): Column =
+    conv(substring(hx, 1, 2), 16, 10).cast("long")
+
+  /** rho = 1 + number of leading zero BITS in hash bits 9..64
+    * (14 hex chars), computed by hex-char arithmetic: 4 bits per
+    * leading '0' char plus 0–3 bits from the first non-zero char. */
+  def hllRho(hx: Column): Column = {
+    val s14 = substring(hx, 3, 14)
+    val lz = length(regexp_extract(s14, "^0*", 0))
+    val fc = s14.substr(lz + lit(1), lit(1))
+    val extra = when(fc === "1", 3)
+      .when(fc.isin("2", "3"), 2)
+      .when(fc.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    when(lz === 14, MaxRho).otherwise(lz * 4 + extra + 1).cast("long")
+  }
+
+  /** Number of non-empty registers in a register bank. */
+  def nonZero(regs: Column): Column =
+    size(filter(regs, r => r > 0)).cast("long")
+
+  /** Exact-integer harmonic numerator: sum over all m registers of
+    * 2^(57-rho), empty registers contributing 2^57. DECIMAL(38,0)
+    * addition is exact, so accumulation order cannot matter. */
+  def harmonicNumerator(regs: Column): Column =
+    aggregate(regs,
+      ((lit(M) - nonZero(regs)) * pow(lit(2.0), lit(MaxRho))).cast(DecimalType(38, 0)),
+      (acc, r) => acc + pow(lit(2.0), lit(MaxRho) - r).cast(DecimalType(38, 0)))
+
+  /** HLL cardinality estimate from a register bank: raw harmonic
+    * estimate with the standard small-range linear-counting branch,
+    * rounded to 4 decimals. */
+  def hllEstimate(regs: Column): Column = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val zeros = lit(M) - nonZero(regs)
+    val raw = alpha * lit(65536.0) * pow(lit(2.0), lit(MaxRho)) /
+      harmonicNumerator(regs).cast("double")
+    val est = when(zeros > 0 && raw <= lit(2.5 * M),
+      lit(256.0) * log(lit(256.0) / zeros)).otherwise(raw)
+    round(est, 4)
+  }
+}

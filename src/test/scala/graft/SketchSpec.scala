@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sketches
+import graft.plans.HllRegisters.hllRegisters
+
+/** Semantics of the round-6 sketch operators (HLL distinct). */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def regsOf(xs: Seq[Long]): Array[Long] = {
+    val hx = Sketches.hashHex(col("x"))
+    xs.toDF("x")
+      .select(Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+      .agg(hllRegisters(struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+      .collect()(0).getSeq[Long](0).toArray
+  }
+
+  private def estimateOf(xs: Seq[Long]): Double = {
+    val hx = Sketches.hashHex(col("x"))
+    xs.toDF("x")
+      .select(Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+      .agg(hllRegisters(struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+      .select(Sketches.hllEstimate(col("regs")).as("est"))
+      .collect()(0).getDouble(0)
+  }
+
+  test("hll estimate tracks exact cardinality across ranges") {
+    for (n <- Seq(50, 500, 5000)) {
+      val est = estimateOf((1L to n.toLong).toSeq)
+      assert(math.abs(est - n) <= 0.2 * n,
+        s"n=$n est=$est off by more than 20% (sketch sigma is ~6.5%)")
+    }
+  }
+
+  test("hll registers are duplicate-insensitive") {
+    val once = regsOf((1L to 300L).toSeq)
+    val dup = regsOf((1L to 300L) ++ (1L to 300L) ++ (1L to 100L))
+    assert(once.sameElements(dup))
+  }
+
+  test("hll register banks union by elementwise max (mergeable sketch)") {
+    val whole = regsOf((1L to 1000L).toSeq)
+    val left = regsOf((1L to 700L).toSeq)     // overlapping halves: union
+    val right = regsOf((400L to 1000L).toSeq) // must still equal the whole
+    val merged = left.zip(right).map { case (a, b) => math.max(a, b) }
+    assert(whole.sameElements(merged))
+  }
+
+  test("hll_registers is callable from SQL") {
+    graft.plans.GraftFunctions.register(spark)
+    (1L to 100L).toDF("x").createOrReplaceTempView("hll_in")
+    val est = spark.sql(
+      """SELECT hll_registers(struct(
+           CAST(conv(substring(md5(CAST(x AS STRING)),1,2),16,10) AS BIGINT),
+           CAST(58 - length(regexp_extract(substring(md5(CAST(x AS STRING)),3,14),'^0*',0))*0 - 1 AS BIGINT)), 256) AS regs
+         FROM hll_in""").collect()(0).getSeq[Long](0)
+    assert(est.length === 256 && est.exists(_ > 0))
+  }
+
+  test("rho is 1 + leading zero bits, capped at 57") {
+    // deterministic cross-check against a JVM model on the same md5 hex
+    val xs = (1L to 500L).toSeq
+    val hx = Sketches.hashHex(col("x"))
+    val got = xs.toDF("x")
+      .select(col("x"), Sketches.hllRho(hx).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def model(x: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(2, 16)
+      val v = java.lang.Long.parseLong(hex, 16) // 56 bits, fits a long
+      if (v == 0) 57L else (java.lang.Long.numberOfLeadingZeros(v) - 8 + 1).toLong
+    }
+    xs.foreach(x => assert(got(x) === model(x), s"x=$x"))
+  }
+}
