@@ -935,6 +935,20 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Weighted sampling without replacement — exactly 5 docs per source
+    * with inclusion odds proportional to n_chars (Efraimidis–Spirakis
+    * A-ES keys over a deterministic md5-uniform). The winners come from
+    * the bounded [[graft.plans.BottomKByScore]] aggregate — k pairs of
+    * state per stratum, map-side combined, never a per-stratum window —
+    * and the oracle replays key = -ln((v+1)/2^52)/w and the rank in
+    * DuckDB (ln/division parity holds bit-for-bit, q60 precedent). */
+  private val q71: Q = (s, d) =>
+    graft.operators.Sample.weighted(
+        Tables.documents(s, d), Seq("source"), "doc_id", col("n_chars"), 5)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("sample_key"), 6).as("sample_key"))
+      .orderBy(col("source"), col("doc_id"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1006,6 +1020,7 @@ object SparkEntry {
     "q68_seq_pack" -> q68,
     "q69_quantile_hist" -> q69,
     "q70_hll_distinct" -> q70,
+    "q71_weighted_sample" -> q71,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1850,5 +1865,23 @@ object SparkEntry {
                  THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw_est END, 4) AS est_distinct,
            CAST(nz AS BIGINT) AS nz, CAST(sum_rho AS BIGINT) AS sum_rho
          FROM raw ORDER BY event_type""",
+    // A-ES replay: u from the first 52 md5 bits of the id (cast via the
+    // '0x' hex-literal path), key = -ln(u)/max(w,1), rank per source.
+    "q71_weighted_sample" ->
+      """WITH v AS (
+           SELECT source, doc_id, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+           FROM documents),
+         k AS (
+           SELECT source, doc_id, n_chars,
+             (0.0 - ln((hv + 1) / 4503599627370496.0))
+               / greatest(CAST(n_chars AS DOUBLE), 1.0) AS key
+           FROM v),
+         r AS (
+           SELECT source, doc_id, n_chars, key,
+             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+           FROM k)
+         SELECT source, doc_id, n_chars, round(key, 6) AS sample_key
+         FROM r WHERE rn <= 5 ORDER BY source, doc_id""",
   )
 }

@@ -46,6 +46,41 @@ object Sample {
     df.join(broadcast(keep), col(idCol).cast("long") === col("__keep_id"), "left_semi")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum
+    * (Efraimidis–Spirakis A-ES, IPL 2006): each row gets key
+    * -ln(u)/w with u a deterministic md5-uniform in (0, 1] and w its
+    * weight; the k smallest keys are an exact weighted sample. Unlike
+    * rate-based thinning ([[mixtureBySource]]) this yields EXACTLY k
+    * rows per stratum with inclusion probability proportional to
+    * weight — the "pick the 5 best-weighted docs per source" shape.
+    *
+    * Deterministic across runs/engines: u comes from 52 md5 bits of
+    * the id ((v+1)/2^52, never 0), and -ln/division are single IEEE
+    * ops. Scale shape: keys are map-only; the k winners per stratum
+    * come from the bounded [[graft.plans.BottomKByScore]] aggregate
+    * (k pairs of state, map-side combined), then a broadcast join
+    * fetches the full rows — same posture as [[stratified]].
+    *
+    * Non-positive/null weights are clamped to 1 (guards the key
+    * against -ln(u)/0 = Inf and keeps u's ordering intact for
+    * degenerate rows). Adds `sample_key` to the surviving rows. */
+  def weighted(df: DataFrame, strata: Seq[String], idCol: String,
+               weight: Column, k: Int): DataFrame = {
+    val hx = md5(col(idCol).cast("string").cast("binary"))
+    val v = conv(substring(hx, 1, 13), 16, 10).cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val key = (lit(0.0) - log(u)) / greatest(weight.cast("double"), lit(1.0))
+    val picks = df
+      .withColumn("__aes_key", key)
+      .groupBy(strata.map(col): _*)
+      .agg(graft.plans.BottomKByScore.bottomKByScore(
+        struct(col("__aes_key"), col(idCol).cast("long")), k).as("__picks"))
+      .select(explode(col("__picks")).as("__p"))
+      .select(col("__p.id").as("__keep_id"), col("__p.key").as("sample_key"))
+    df.join(broadcast(picks), col(idCol).cast("long") === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   private val SplitBuckets = 1000000L
 
   /** The shared deterministic bucket: first 8 md5 hex chars of the id

@@ -68,7 +68,8 @@ object GraftFunctions {
     "vec_sum" -> (es => VecSum(es(0))),
     "top_k_pairs" -> (es => TopKPairs(es(0), asInt(es(1)))),
     "bottom_k_ids" -> (es => BottomKIds(es(0), asInt(es(1)))),
-    "hll_registers" -> (es => HllRegisters(es(0), asInt(es(1)))))
+    "hll_registers" -> (es => HllRegisters(es(0), asInt(es(1)))),
+    "bottom_k_by_score" -> (es => BottomKByScore(es(0), asInt(es(1)))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

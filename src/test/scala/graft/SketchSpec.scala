@@ -61,6 +61,48 @@ class SketchSpec extends AnyFunSuite {
     assert(est.length === 256 && est.exists(_ > 0))
   }
 
+  // ---- weighted sampling (A-ES) --------------------------------------
+
+  private def aesModel(ids: Seq[Long], w: Long => Double, k: Int): Set[Long] = {
+    def key(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(13), 16)
+      -math.log((v + 1).toDouble / 4503599627370496.0) / math.max(w(id), 1.0)
+    }
+    ids.sortBy(id => (key(id), id)).take(k).toSet
+  }
+
+  test("weighted sample matches the A-ES reference model exactly") {
+    val rows = for (g <- 0 until 4; i <- 0 until 50)
+      yield (s"g$g", g * 1000L + i, (i % 7 + 1) * 10L)
+    val df = rows.toDF("grp", "id", "w")
+    val got = graft.operators.Sample.weighted(df, Seq("grp"), "id", col("w"), 5)
+      .select(col("grp"), col("id")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for (g <- 0 until 4) {
+      val ids = rows.filter(_._1 == s"g$g").map(_._2)
+      val wOf = rows.map(r => r._2 -> r._3.toDouble).toMap
+      assert(got(s"g$g") === aesModel(ids, wOf, 5), s"group g$g")
+    }
+  }
+
+  test("weighted sample is exactly-k and favors heavy weights") {
+    // one item per group carries 10000x the weight of the other 19:
+    // it must appear in (nearly) every group's sample of 3
+    val rows = for (g <- 0 until 50; i <- 0 until 20)
+      yield (s"g$g", g * 100L + i, if (i == 0) 100000L else 10L)
+    val df = rows.toDF("grp", "id", "w")
+    val picked = graft.operators.Sample.weighted(df, Seq("grp"), "id", col("w"), 3)
+      .select(col("grp"), col("id")).collect()
+    val byGroup = picked.groupBy(_.getString(0))
+    assert(byGroup.size === 50 && byGroup.forall(_._2.length === 3))
+    val heavyHits = byGroup.count { case (g, rs) =>
+      rs.map(_.getLong(1)).contains(g.drop(1).toLong * 100L)
+    }
+    assert(heavyHits >= 45, s"heavy item picked in only $heavyHits/50 groups")
+  }
+
   test("rho is 1 + leading zero bits, capped at 57") {
     // deterministic cross-check against a JVM model on the same md5 hex
     val xs = (1L to 500L).toSeq
