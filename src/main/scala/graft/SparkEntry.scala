@@ -949,6 +949,17 @@ object SparkEntry {
         round(col("sample_key"), 6).as("sample_key"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** Corpus-trained bigram LM scoring (CCNet-style perplexity gate):
+    * unigram/bigram counts trained on the corpus itself, each doc
+    * scored by mean bigram log-prob with add-one smoothing. The
+    * per-doc sum folds in position order so the float result is
+    * engine-exact; the oracle replays counts, ln and the ordered fold
+    * in DuckDB (list_sum is a strict left fold — verified). */
+  private val q72: Q = (s, d) =>
+    graft.operators.LanguageModel.bigramScore(
+        Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1021,6 +1032,7 @@ object SparkEntry {
     "q69_quantile_hist" -> q69,
     "q70_hll_distinct" -> q70,
     "q71_weighted_sample" -> q71,
+    "q72_lm_score" -> q72,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1883,5 +1895,39 @@ object SparkEntry {
            FROM k)
          SELECT source, doc_id, n_chars, round(key, 6) AS sample_key
          FROM r WHERE rn <= 5 ORDER BY source, doc_id""",
+    // Bigram LM replay: same counts, same ln((c2+1)/(c1+V)) per bigram
+    // instance, and the per-doc sum via list_sum over a position-ordered
+    // list — DuckDB's list_sum is a strict left fold, matching Spark's
+    // aggregate() fold bit-for-bit.
+    "q72_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+           FROM documents),
+         bi0 AS (
+           SELECT doc_id, toks,
+             unnest(range(greatest(len(toks) - 1, 0))) AS pos
+           FROM toks),
+         bi AS (
+           SELECT doc_id, pos,
+             toks[pos + 1] || ' ' || toks[pos + 2] AS bigram,
+             toks[pos + 1] AS w1
+           FROM bi0),
+         uni AS (
+           SELECT term, count(*) AS c1
+           FROM (SELECT unnest(toks) AS term FROM toks) GROUP BY 1),
+         vocab AS (SELECT count(*) AS v FROM uni),
+         bic AS (SELECT bigram, count(*) AS c2 FROM bi GROUP BY 1),
+         lp AS (
+           SELECT b.doc_id, b.pos, ln((bc.c2 + 1) / (u.c1 + vv.v)) AS lp
+           FROM bi b JOIN bic bc USING (bigram)
+             JOIN uni u ON b.w1 = u.term CROSS JOIN vocab vv),
+         agg AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             list_sum(list(lp ORDER BY pos)) AS s
+           FROM lp GROUP BY 1)
+         SELECT doc_id, n_bigrams, round(s / n_bigrams, 4) AS lp_avg,
+           CAST(CASE WHEN s / n_bigrams > -7.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM agg ORDER BY doc_id""",
   )
 }

@@ -103,6 +103,27 @@ class SketchSpec extends AnyFunSuite {
     assert(heavyHits >= 45, s"heavy item picked in only $heavyHits/50 groups")
   }
 
+  // ---- bigram LM scoring ---------------------------------------------
+
+  test("bigram LM scores fluent repetition above word soup") {
+    // "the cat sat" repeated trains high bigram counts; the soup doc's
+    // bigrams occur once each → much lower mean log-prob
+    val fluent = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val soup = Seq((100L, "zq xv wk jm yt rb nc"))
+    val df = (fluent ++ soup).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(100L) + 1.0,
+      s"fluent=${got(1L)} soup=${got(100L)}")
+  }
+
+  test("bigram LM counts n-1 bigrams and drops sub-bigram docs") {
+    val df = Seq((1L, "a b c d"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.LanguageModel.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L))
+  }
+
   test("rho is 1 + leading zero bits, capped at 57") {
     // deterministic cross-check against a JVM model on the same md5 hex
     val xs = (1L to 500L).toSeq
