@@ -960,6 +960,19 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Semantic dedup (SemDeDup): IVF-cell blocking → within-cell cosine
+    * near-dup groups → connected components → keep the exemplar
+    * FARTHEST from its cell centroid (min cosine, the paper's
+    * diversity-preserving rule). Every vec comes back labeled
+    * (cell, cluster, kept), so the same plan serves both "drop the
+    * dupes" and audit queries. Oracle replays centroid choice, argmax
+    * assignment, edges and the closure in DuckDB (q41 + q59 patterns
+    * composed). */
+  private val q73: Q = (s, d) =>
+    graft.operators.SemDedup.semDedup(
+        Tables.embeddings(s, d), nCentroids = 16, threshold = 0.4)
+      .orderBy(col("vec_id"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1033,6 +1046,7 @@ object SparkEntry {
     "q70_hll_distinct" -> q70,
     "q71_weighted_sample" -> q71,
     "q72_lm_score" -> q72,
+    "q73_semdedup" -> q73,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1929,5 +1943,47 @@ object SparkEntry {
          SELECT doc_id, n_bigrams, round(s / n_bigrams, 4) AS lp_avg,
            CAST(CASE WHEN s / n_bigrams > -7.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM agg ORDER BY doc_id""",
+    // SemDeDup replay: q41's md5-centroid + argmax-assignment CTEs
+    // composed with q59's recursive-closure CTE; exemplar = argmin
+    // (cos_cent, vec_id) per cluster via a rank.
+    "q73_semdedup" ->
+      """WITH RECURSIVE prep AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cell, v AS cv, nrm AS cn
+           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         asgn AS (
+           SELECT vec_id, v, nrm, cell, cv, cn,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY -(list_dot_product(v, cv)) / (nrm * cn), cell) AS rn
+           FROM prep, cents),
+         mine AS (
+           SELECT vec_id, v, nrm, cell,
+             list_dot_product(v, cv) / (nrm * cn) AS cos_cent
+           FROM asgn WHERE rn = 1),
+         edges AS (
+           SELECT a.vec_id AS ea, b.vec_id AS eb
+           FROM mine a JOIN mine b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4),
+         sym AS (SELECT ea AS u, eb AS v FROM edges UNION SELECT eb, ea FROM edges),
+         reach(u, v) AS (
+           SELECT u, v FROM sym
+           UNION
+           SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+         comp AS (SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u),
+         labeled AS (
+           SELECT m.vec_id, m.cell, coalesce(c.root, m.vec_id) AS cluster_id,
+             m.cos_cent
+           FROM mine m LEFT JOIN comp c ON m.vec_id = c.u),
+         ranked AS (
+           SELECT vec_id, cell, cluster_id, cos_cent,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY cos_cent, vec_id) AS krn
+           FROM labeled)
+         SELECT vec_id, cell, cluster_id, round(cos_cent, 6) AS cos_cent,
+           krn = 1 AS is_kept
+         FROM ranked ORDER BY vec_id""",
   )
 }

@@ -124,6 +124,35 @@ class SketchSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3L))
   }
 
+  // ---- semantic dedup ------------------------------------------------
+
+  test("semDedup keeps one exemplar per duplicate group, singletons intact") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    val base = vec(1); val other = vec(2)
+    val rows =
+      // group A: ids 1,2,3 identical; group B: ids 10,11 identical
+      Seq(1L, 2L, 3L).map(id => (id, base.clone())) ++
+      Seq(10L, 11L).map(id => (id, other.clone())) ++
+      // 5 mutually-far singletons
+      (20L to 24L).map(id => (id, vec(100 + id.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.SemDedup.semDedup(df, nCentroids = 3, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    val byCluster = out.groupBy(_._2)
+    // every cluster keeps exactly one exemplar
+    assert(byCluster.forall(_._2.count(_._3) === 1))
+    // identical groups collapse to one cluster each, min-id kept on ties
+    val a = out.filter(r => Seq(1L, 2L, 3L).contains(r._1))
+    assert(a.map(_._2).distinct.length === 1 && a.filter(_._3).map(_._1).toSeq === Seq(1L))
+    val b = out.filter(r => Seq(10L, 11L).contains(r._1))
+    assert(b.map(_._2).distinct.length === 1 && b.filter(_._3).map(_._1).toSeq === Seq(10L))
+    // singletons are their own kept cluster
+    assert(out.filter(r => r._1 >= 20L).forall(r => r._2 === r._1 && r._3))
+  }
+
   test("rho is 1 + leading zero bits, capped at 57") {
     // deterministic cross-check against a JVM model on the same md5 hex
     val xs = (1L to 500L).toSeq
