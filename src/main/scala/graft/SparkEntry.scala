@@ -973,6 +973,20 @@ object SparkEntry {
         Tables.embeddings(s, d), nCentroids = 16, threshold = 0.4)
       .orderBy(col("vec_id"))
 
+  /** BM25 top-10 retrieval for three keyword queries — the ranking half
+    * of decontamination audits / corpus slicing. Probe terms broadcast
+    * onto the posting lists (the corpus never shuffles for the probe
+    * side); per-query top-k via the bounded negated-score aggregate.
+    * The oracle mirrors every double op expression-for-expression
+    * (including writing (1.2+1.0) rather than 2.2 — the engines must
+    * COMPUTE the same constants) and folds contributions in term
+    * order. */
+  private val q74: Q = (s, d) =>
+    graft.operators.Search.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq((1L, "hash join merge"), (2L, "window sort order"),
+          (3L, "stream batch scan")), k = 10)
+      .orderBy(col("qid"), col("rank"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1047,6 +1061,7 @@ object SparkEntry {
     "q71_weighted_sample" -> q71,
     "q72_lm_score" -> q72,
     "q73_semdedup" -> q73,
+    "q74_bm25" -> q74,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1985,5 +2000,42 @@ object SparkEntry {
          SELECT vec_id, cell, cluster_id, round(cos_cent, 6) AS cos_cent,
            krn = 1 AS is_kept
          FROM ranked ORDER BY vec_id""",
+    // BM25 replay: identical constants COMPUTED the same way
+    // ((1.2+1.0), (1.0-0.75)), integer tf/df/dl, one exact-integer
+    // avgdl division, per-(query,doc) fold in term order.
+    "q74_bm25" ->
+      """WITH q(qid, qtext) AS (VALUES
+           (1, 'hash join merge'), (2, 'window sort order'), (3, 'stream batch scan')),
+         qt AS (
+           SELECT DISTINCT qid,
+             unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term
+           FROM q),
+         toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         contrib AS (
+           SELECT qt.qid, tf.doc_id, tf.term,
+             ln(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl
+                   / (CAST(sc.sum_dl AS DOUBLE) / sc.n_docs))) AS c
+           FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+             JOIN dl USING (doc_id), sc),
+         scored AS (
+           SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS score
+           FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY 0.0 - score, doc_id) AS rank
+           FROM scored)
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+           doc_id, round(score, 4) AS score
+         FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
   )
 }

@@ -153,6 +153,35 @@ class SketchSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 >= 20L).forall(r => r._2 === r._1 && r._3))
   }
 
+  // ---- BM25 retrieval ------------------------------------------------
+
+  test("bm25 ranks term coverage and rarity sensibly") {
+    val docs = (
+      Seq((1L, "alpha beta gamma"),          // all three query terms
+          (2L, "alpha beta filler filler"),  // two
+          (3L, "alpha filler filler filler filler")) ++ // one, longer doc
+      (10L to 29L).map(id => (id, "filler common words here"))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Search.bm25TopK(
+        docs, "doc_id", "text", Seq((1L, "alpha beta gamma")), k = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).take(3).toSeq === Seq(1L, 2L, 3L))
+    assert(got.length === 3) // only docs matching >=1 term appear
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > got(2)._2)
+  }
+
+  test("bm25 returns at most k per query and is deterministic") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val qs = Seq((1L, "hash join merge"), (2L, "window sort order"))
+    val a = graft.operators.Search.bm25TopK(docs, "doc_id", "text", qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.operators.Search.bm25TopK(docs, "doc_id", "text", qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.groupBy(_._1).forall(_._2.size <= 10) && a.nonEmpty)
+  }
+
   test("rho is 1 + leading zero bits, capped at 57") {
     // deterministic cross-check against a JVM model on the same md5 hex
     val xs = (1L to 500L).toSeq
