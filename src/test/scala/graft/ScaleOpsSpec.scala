@@ -169,14 +169,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     // q40 compares group-level sketches pairwise AFTER aggregation —
     // cardinality is #groups (sources), not #rows, so the nested-loop
     // join is over a handful of sketch rows by construction
-    // q60/q64 attach a SINGLE-ROW aggregate (corpus count / weight
-    // total) via crossJoin(broadcast(...)): a 1-row build side makes
-    // the nested-loop join a map-only scalar attach, not a blowup.
+    // q60/q64/q72/q74 attach a SINGLE-ROW aggregate (corpus count /
+    // weight total / vocab size / N+avgdl scalars) via
+    // crossJoin(broadcast(...)): a 1-row build side makes the
+    // nested-loop join a map-only scalar attach, not a blowup.
     // q65 additionally ranks its 50-row top-k result with a bounded
     // broadcast self-join (≤2500 pairs) instead of a global window
     val intentionalCross =
       Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union",
-        "q60_tfidf", "q64_mixture", "q65_vocab")
+        "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!intentionalCross(name)) {
