@@ -98,6 +98,29 @@ object EventPipeline {
       .select(col("win_start"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("event_id"), col("col.value").as("value"))
 
+  /** Windowed approximate distinct users per event type — the
+    * [[graft.plans.HllRegisters]] HLL sketch inside watermarked
+    * streaming state: each open (window, event_type) group holds a
+    * 256-BYTE register bank instead of the distinct user set, so
+    * state is bounded regardless of cardinality — the streaming
+    * `count(distinct)` that survives 100 TB/day. Banks merge by
+    * elementwise max across micro-batches (the aggregate is
+    * associative, exactly what streaming partial aggregation needs). */
+  def windowedDistinctUsers(events: DataFrame, width: String = "1 hour",
+                            watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.Sketches
+    val hx = Sketches.hashHex(col("user_id"))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(graft.plans.HllRegisters.hllRegisters(
+        struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        Sketches.hllEstimate(col("regs")).as("approx_users"))
+  }
+
   /** Stream ⋈ static broadcast dim — the enrichment join
     * (enrichment.py:83-131) on a live stream. */
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =

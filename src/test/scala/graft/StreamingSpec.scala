@@ -98,6 +98,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(h1.length === 1 && h1.head.getAs[Long]("event_id") === 2L)
   }
 
+  test("windowedDistinctUsers: HLL banks merge across micro-batches to the batch answer") {
+    import spark.implicits._
+    // 60 distinct users in hour 00, split across two batches with an
+    // overlapping stripe — the streamed sketch must equal the batch
+    // sketch over the union (register banks merge associatively)
+    def ev(id: Long, user: Long) =
+      Event(id, ts("2024-01-01 00:30:00"), user, "click", 1.0, "{}")
+    val b1 = (1L to 40L).map(u => ev(u, u))
+    val b2 = (25L to 60L).map(u => ev(100 + u, u))
+    val out = runBatches(m => EventPipeline.windowedDistinctUsers(m.toDF()), "du",
+      Seq(b1, b2, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
+    val got = out.filter(col("win_start") === ts("2024-01-01 00:00:00")).head
+      .getAs[Double]("approx_users")
+    val batch = (b1 ++ b2).toDF()
+      .select(graft.functions.Sketches.hllBucket(
+          graft.functions.Sketches.hashHex(col("user_id"))).as("bucket"),
+        graft.functions.Sketches.hllRho(
+          graft.functions.Sketches.hashHex(col("user_id"))).as("rho"))
+      .agg(graft.plans.HllRegisters.hllRegisters(
+        struct(col("bucket"), col("rho")), graft.functions.Sketches.M).as("regs"))
+      .select(graft.functions.Sketches.hllEstimate(col("regs")).as("est"))
+      .head.getAs[Double]("est")
+    assert(got === batch)
+    assert(math.abs(got - 60.0) <= 12.0, s"estimate $got far from 60")
+  }
+
   test("sessionWindows matches the batch sessionizer") {
     val out = runBatches(m => EventPipeline.sessionWindows(m.toDF()), "sw",
       Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
