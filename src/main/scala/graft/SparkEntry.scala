@@ -987,6 +987,16 @@ object SparkEntry {
           (3L, "stream batch scan")), k = 10)
       .orderBy(col("qid"), col("rank"))
 
+  /** Duplicate-substring span stats: which 16-token windows repeat
+    * anywhere in the corpus, per doc — substring-granular dedup signal
+    * (suffix arrays re-expressed as shingle-hash counting; 8-byte
+    * shuffle keys). Integer outputs + one division; the oracle groups
+    * by the raw window text — identical partitioning, no hash
+    * replay needed. */
+  private val q75: Q = (s, d) =>
+    Dedup.duplicateSpanStats(Tables.documents(s, d), "doc_id", "text", win = 16)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1062,6 +1072,7 @@ object SparkEntry {
     "q72_lm_score" -> q72,
     "q73_semdedup" -> q73,
     "q74_bm25" -> q74,
+    "q75_dup_spans" -> q75,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2037,5 +2048,23 @@ object SparkEntry {
          SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
            doc_id, round(score, 4) AS score
          FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
+    // Groups by the raw 16-token window text — the same equivalence
+    // classes as Spark's xxhash64 keys (outputs are counts only).
+    "q75_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, array_to_string(w[i+1:i+16], ' ') AS s
+           FROM toks, unnest(range(greatest(len(w) - 15, 0))) AS t(i)),
+         c AS (SELECT s, count(*) AS occ FROM sh GROUP BY 1),
+         agg AS (
+           SELECT doc_id, count(*) AS n_windows,
+             CAST(sum(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+           FROM sh JOIN c USING (s) GROUP BY doc_id)
+         SELECT doc_id, n_windows, n_dup_windows,
+           round(n_dup_windows / n_windows, 4) AS dup_frac
+         FROM agg ORDER BY doc_id""",
   )
 }

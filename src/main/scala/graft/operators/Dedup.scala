@@ -264,6 +264,36 @@ object Dedup {
     * corpus shuffle — at 100 TB the benchmark side is the only thing
     * that moves. Returns (doc_id, bench_id, n_shared) per
     * contaminated pair. */
+  /** Duplicate-substring span statistics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", at
+    * token-window granularity): every `win`-token window is hashed;
+    * a window position is DUPLICATED if its text occurs >= 2 times
+    * anywhere in the corpus. Per doc: window count, duplicated-window
+    * count, duplicated fraction — the signal used to cut boilerplate
+    * spans that whole-doc dedup misses.
+    *
+    * Scale shape: the suffix-array of the paper is replaced by
+    * shingle-hash counting — one explode (n windows per doc), one
+    * map-side-combined count keyed on an 8-BYTE xxhash64 (never the
+    * window text; equal hashes ≡ equal windows up to 2^-64), one
+    * join-back keyed the same. Output columns are integers plus one
+    * division, so an independent engine grouping by the raw window
+    * text replays it exactly (q75's oracle). */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         win: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(
+          TextFunctions.tokens(coalesce(col(textCol), lit(""))), win)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val occ = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    sh.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows"), 4).as("dup_frac"))
+  }
+
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          k: Int, minOverlap: Int): DataFrame = {

@@ -182,6 +182,25 @@ class SketchSpec extends AnyFunSuite {
     assert(a.groupBy(_._1).forall(_._2.size <= 10) && a.nonEmpty)
   }
 
+  // ---- duplicate-substring spans -------------------------------------
+
+  test("duplicateSpanStats flags shared and self-repeated windows") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")      // 20 tokens
+    val block = (1 to 16).map(i => s"b$i").mkString(" ")       // 16 tokens
+    val docs = Seq(
+      (1L, shared),                                  // 5 windows, all shared with doc 2
+      (2L, shared + " t1 t2 t3 t4"),                 // 9 windows, first 5 shared
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")), // unique
+      (4L, block + " " + block)                      // self-repeat: windows 0 and 16 equal
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.duplicateSpanStats(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((5L, 5L)))
+    assert(got(2L) === ((9L, 5L)))
+    assert(got(3L) === ((15L, 0L)))
+    assert(got(4L) === ((17L, 2L))) // within-doc repetition counts too
+  }
+
   test("rho is 1 + leading zero bits, capped at 57") {
     // deterministic cross-check against a JVM model on the same md5 hex
     val xs = (1L to 500L).toSeq
