@@ -1918,7 +1918,8 @@ object SparkEntry {
            CAST(nz AS BIGINT) AS nz, CAST(sum_rho AS BIGINT) AS sum_rho
          FROM raw ORDER BY event_type""",
     // A-ES replay: u from the first 52 md5 bits of the id (cast via the
-    // '0x' hex-literal path), key = -ln(u)/max(w,1), rank per source.
+    // '0x' hex-literal path), key = -ln(u)/w (w=1 only for null/
+    // non-positive weights, mirroring Sample.weighted), rank per source.
     "q71_weighted_sample" ->
       """WITH v AS (
            SELECT source, doc_id, n_chars,
@@ -1927,7 +1928,8 @@ object SparkEntry {
          k AS (
            SELECT source, doc_id, n_chars,
              (0.0 - ln((hv + 1) / 4503599627370496.0))
-               / greatest(CAST(n_chars AS DOUBLE), 1.0) AS key
+               / (CASE WHEN n_chars IS NULL OR n_chars <= 0
+                       THEN 1.0 ELSE CAST(n_chars AS DOUBLE) END) AS key
            FROM v),
          r AS (
            SELECT source, doc_id, n_chars, key,

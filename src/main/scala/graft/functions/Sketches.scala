@@ -56,11 +56,15 @@ object Sketches {
     size(filter(regs, r => r > 0)).cast("long")
 
   /** Exact-integer harmonic numerator: sum over all m registers of
-    * 2^(57-rho), empty registers contributing 2^57. DECIMAL(38,0)
-    * addition is exact, so accumulation order cannot matter. */
+    * 2^(57-rho). An empty register (rho=0) contributes 2^(57-0) = 2^57
+    * from the fold itself, so the fold starts at 0 — no separate
+    * empty-register term (a prior revision added one AND folded over
+    * empties, double-counting them whenever any register was empty).
+    * DECIMAL(38,0) addition is exact, so accumulation order cannot
+    * matter. */
   def harmonicNumerator(regs: Column): Column =
     aggregate(regs,
-      ((lit(M) - nonZero(regs)) * pow(lit(2.0), lit(MaxRho))).cast(DecimalType(38, 0)),
+      lit(0).cast(DecimalType(38, 0)),
       (acc, r) => acc + pow(lit(2.0), lit(MaxRho) - r).cast(DecimalType(38, 0)))
 
   /** HLL cardinality estimate from a register bank: raw harmonic

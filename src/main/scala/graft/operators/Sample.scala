@@ -61,15 +61,18 @@ object Sample {
     * (k pairs of state, map-side combined), then a broadcast join
     * fetches the full rows — same posture as [[stratified]].
     *
-    * Non-positive/null weights are clamped to 1 (guards the key
+    * Non-positive/null weights fall back to 1 (guards the key
     * against -ln(u)/0 = Inf and keeps u's ordering intact for
-    * degenerate rows). Adds `sample_key` to the surviving rows. */
+    * degenerate rows); positive fractional weights are honored as-is —
+    * A-ES is scale-free, so normalized weights work. Adds
+    * `sample_key` to the surviving rows. */
   def weighted(df: DataFrame, strata: Seq[String], idCol: String,
                weight: Column, k: Int): DataFrame = {
     val hx = md5(col(idCol).cast("string").cast("binary"))
     val v = conv(substring(hx, 1, 13), 16, 10).cast("long")
     val u = (v + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
-    val key = (lit(0.0) - log(u)) / greatest(weight.cast("double"), lit(1.0))
+    val w = weight.cast("double")
+    val key = (lit(0.0) - log(u)) / when(w.isNull || w <= 0.0, lit(1.0)).otherwise(w)
     val picks = df
       .withColumn("__aes_key", key)
       .groupBy(strata.map(col): _*)

@@ -82,15 +82,31 @@ class JsonlScanBuilder(fullSchema: StructType, path: String, splitBytes: Long)
     // preserve our field order (parser builds rows positionally)
     required = StructType(fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  /** Accept simple comparisons on top-level fields; everything else
-    * stays in Spark's post-scan filter. */
+  /** Accept simple comparisons on top-level fields — but ONLY the
+    * (field dtype, literal type) combinations the reader's `cmp()` can
+    * actually evaluate (long/int/double/string). A consumed filter
+    * Spark never re-applies post-scan, so claiming a comparison on,
+    * say, a BooleanType field (legal in user schemas — `fieldVal`
+    * parses it) would silently drop every row when `cmp()` returns
+    * None. Unsupported combinations stay in Spark's post-scan filter
+    * instead. */
+  private def comparable(field: String, lit: Any): Boolean =
+    fullSchema.fields.exists(f => f.name == field && (f.dataType match {
+      case LongType | IntegerType | DoubleType | StringType => true
+      case _ => false
+    })) && (lit match {
+      case _: java.lang.Long | _: Integer | _: java.lang.Double |
+           _: String | _: UTF8String => true
+      case _ => false
+    })
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition {
-      case EqualTo(a, _) => fullSchema.fieldNames.contains(a)
-      case GreaterThan(a, _) => fullSchema.fieldNames.contains(a)
-      case GreaterThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
-      case LessThan(a, _) => fullSchema.fieldNames.contains(a)
-      case LessThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
+      case EqualTo(a, v) => comparable(a, v)
+      case GreaterThan(a, v) => comparable(a, v)
+      case GreaterThanOrEqual(a, v) => comparable(a, v)
+      case LessThan(a, v) => comparable(a, v)
+      case LessThanOrEqual(a, v) => comparable(a, v)
       case IsNotNull(a) => fullSchema.fieldNames.contains(a)
       case _ => false
     }

@@ -75,6 +75,34 @@ class JsonlSourceSpec extends AnyFunSuite {
       col("event_type") === "purchase" && col("value") > 400).count())
   }
 
+  test("unsupported filter dtypes stay post-scan (no silent empty results)") {
+    // A consumed V2 filter is never re-applied by Spark, so the scan
+    // must NOT claim comparisons its reader can't evaluate. Boolean is
+    // a legal schema dtype (fieldVal parses it) but cmp() has no
+    // boolean branch — claiming flag=true used to return zero rows.
+    val d = Files.createTempDirectory("jsonl_bool").toString
+    val lines = (0 until 100).map(i => s"""{"event_id":$i,"flag":${i % 2 == 0}}""")
+    Files.write(Paths.get(d, "part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("flag", BooleanType)))
+    val df = spark.read.format("graft.sources.JsonlSource").schema(sch)
+      .option("path", d).load().filter(col("flag") === true)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(!scan.contains("EqualTo(flag"), scan)
+    assert(df.count() === 50) // Spark evaluates it post-scan instead
+    // supported comparisons on the same read still push down
+    val pushed = spark.read.format("graft.sources.JsonlSource").schema(sch)
+      .option("path", d).load().filter(col("event_id") < 10)
+    val scan2 = pushed.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.get
+    assert(scan2.contains("LessThan(event_id,10)"), scan2)
+    assert(pushed.count() === 10)
+  }
+
   test("default schema covers the event stream shape") {
     val df = spark.read.format("graft.sources.JsonlSource").option("path", dir).load()
     assert(df.schema.fieldNames.toSeq ===

@@ -36,6 +36,33 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("hll estimate is bit-exact vs an integer JVM replay (raw branch, empty registers)") {
+    // n≈1500 with m=256: some registers stay empty AND the raw harmonic
+    // branch is taken (raw > 2.5m) — exactly the regime where a
+    // double-counted empty-register term inflates the denominator
+    // (the round-6 ADVICE bug; sf0.1 q70 regime)
+    val n = 1500L
+    val xs = (1L to n).toSeq
+    val regs = Array.fill(256)(0L)
+    xs.foreach { x =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+      val v = java.lang.Long.parseLong(hex.substring(2, 16), 16)
+      val rho = if (v == 0) 57L else (java.lang.Long.numberOfLeadingZeros(v) - 8 + 1).toLong
+      regs(bucket) = math.max(regs(bucket), rho)
+    }
+    val nz = regs.count(_ > 0)
+    assert(nz < 256, "test must exercise the empty-register path")
+    val numer = regs.map(r => BigInt(2).pow(57 - r.toInt)).sum
+    val raw = (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 * math.pow(2.0, 57) / numer.toDouble
+    assert(raw > 2.5 * 256, "test must exercise the raw-estimate branch")
+    val expected = BigDecimal(raw)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(estimateOf(xs) === expected)
+  }
+
   test("hll registers are duplicate-insensitive") {
     val once = regsOf((1L to 300L).toSeq)
     val dup = regsOf((1L to 300L) ++ (1L to 300L) ++ (1L to 100L))
@@ -68,7 +95,8 @@ class SketchSpec extends AnyFunSuite {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
       val v = java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(13), 16)
-      -math.log((v + 1).toDouble / 4503599627370496.0) / math.max(w(id), 1.0)
+      val eff = if (w(id) <= 0 || w(id).isNaN) 1.0 else w(id)
+      -math.log((v + 1).toDouble / 4503599627370496.0) / eff
     }
     ids.sortBy(id => (key(id), id)).take(k).toSet
   }
@@ -101,6 +129,29 @@ class SketchSpec extends AnyFunSuite {
       rs.map(_.getLong(1)).contains(g.drop(1).toLong * 100L)
     }
     assert(heavyHits >= 45, s"heavy item picked in only $heavyHits/50 groups")
+  }
+
+  test("weighted sample honors fractional weights (A-ES is scale-free)") {
+    // normalized weights in (0,1]: one item per group carries 1000x the
+    // others' weight. The old greatest(w, 1) clamp collapsed ALL of
+    // these to 1 (uniform sampling) — with true A-ES the heavy item
+    // must appear in nearly every group's sample of 3.
+    val rows = for (g <- 0 until 50; i <- 0 until 20)
+      yield (s"g$g", g * 100L + i, if (i == 0) 0.5 else 0.0005)
+    val df = rows.toDF("grp", "id", "w")
+    val byGroup = graft.operators.Sample.weighted(df, Seq("grp"), "id", col("w"), 3)
+      .select(col("grp"), col("id")).collect().groupBy(_.getString(0))
+    assert(byGroup.size === 50 && byGroup.forall(_._2.length === 3))
+    val heavyHits = byGroup.count { case (g, rs) =>
+      rs.map(_.getLong(1)).contains(g.drop(1).toLong * 100L)
+    }
+    assert(heavyHits >= 45, s"heavy item picked in only $heavyHits/50 groups")
+    // and the fractional keys must match the A-ES reference model exactly
+    val wOf = rows.map(r => r._2 -> r._3).toMap
+    for (g <- Seq(0, 17, 49)) {
+      val ids = rows.filter(_._1 == s"g$g").map(_._2)
+      assert(byGroup(s"g$g").map(_.getLong(1)).toSet === aesModel(ids, wOf, 3), s"g$g")
+    }
   }
 
   // ---- bigram LM scoring ---------------------------------------------
