@@ -997,6 +997,49 @@ object SparkEntry {
     Dedup.duplicateSpanStats(Tables.documents(s, d), "doc_id", "text", win = 16)
       .orderBy(col("doc_id"))
 
+  /** Count-min-sketch term frequencies vs exact counts for the top-20
+    * terms. The d×w counter grid is the whole sketch state — map-side
+    * combined, sum-mergeable across shards — so frequency estimation
+    * shuffles a BOUNDED grid where exact counting shuffles the
+    * vocabulary. Estimates are never under the exact count; the
+    * oracle replays the md5 bucket arithmetic cell-for-cell. */
+  private val q76: Q = (s, d) =>
+    graft.operators.Freq.cmsHeavyHitters(Tables.documents(s, d), "text",
+      depth = 4, width = 1024, topN = 20)
+
+  /** Bloom-filter decontamination: the q57 shingle guard with a
+    * CONSTANT-SIZE broadcast — the filter is 2^16 bit positions no
+    * matter how large the eval set grows. No false negatives
+    * (bloom_hits covers every true_hits shingle); false positives
+    * surface as bloom_hits > true_hits. Same eval split as q57. */
+  private val q77: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.operators.Freq.bloomContamination(
+      docs.filter(col("doc_id") % 91 =!= 0),
+      docs.filter(col("doc_id") % 91 === 0),
+      "doc_id", "text", k = 3, hashes = 3, mBits = 65536)
+  }
+
+  /** Product-quantization ANN with ADC scoring — after the map-only
+    * native encode, each corpus vector is 8 longs and pair scoring is
+    * a table lookup that never reads raw vectors (the billion-vector
+    * memory regime). Same probe set and codebook rule as q41; the
+    * oracle replays block argmin codes and the ordered ADC fold. */
+  private val q78: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCentroids = 16, blockDim = 8)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Character-distribution entropy per doc — the cheap gibberish /
+    * binary-spill quality signal. The Σ c·ln(c) term folds in sorted
+    * character order (q72 discipline) so the float result is
+    * engine-exact. */
+  private val q79: Q = (s, d) =>
+    graft.operators.Entropy.charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1073,6 +1116,10 @@ object SparkEntry {
     "q73_semdedup" -> q73,
     "q74_bm25" -> q74,
     "q75_dup_spans" -> q75,
+    "q76_cms_heavy_hitters" -> q76,
+    "q77_bloom_decontaminate" -> q77,
+    "q78_pq_ann" -> q78,
+    "q79_char_entropy" -> q79,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2067,6 +2114,110 @@ object SparkEntry {
            FROM sh JOIN c USING (s) GROUP BY doc_id)
          SELECT doc_id, n_windows, n_dup_windows,
            round(n_dup_windows / n_windows, 4) AS dup_frac
+         FROM agg ORDER BY doc_id""",
+    // CMS replay: same md5("h:term") first-32-bit bucket per hash row,
+    // same d×w counter grid, estimate = min over rows — cell-for-cell.
+    "q76_cms_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+           FROM documents),
+         exact AS (SELECT term, count(*) AS n_exact FROM toks GROUP BY 1),
+         top AS (SELECT term, n_exact FROM exact
+                 ORDER BY n_exact DESC, term LIMIT 20),
+         cells AS (
+           SELECT term, h,
+             CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || term), 1, 8)
+               AS BIGINT) % 1024 AS bucket
+           FROM toks, unnest(range(4)) AS u(h)),
+         sketch AS (SELECT h, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+         probes AS (
+           SELECT t.term, t.n_exact, h,
+             CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || t.term), 1, 8)
+               AS BIGINT) % 1024 AS bucket
+           FROM top t, unnest(range(4)) AS u(h))
+         SELECT p.term, p.n_exact, min(s.c) AS n_est
+         FROM probes p JOIN sketch s ON p.h = s.h AND p.bucket = s.bucket
+         GROUP BY 1, 2 ORDER BY n_exact DESC, term""",
+    // Bloom replay: distinct set-bit positions over eval shingles, a
+    // corpus shingle hits when all 3 md5 positions (with multiplicity)
+    // are set; true_hits from the exact shingle join.
+    "q77_bloom_decontaminate" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+                 FROM documents) t, UNNEST(range(1, len(w)-1)) AS u(i)),
+         evals AS (SELECT DISTINCT s FROM sh WHERE doc_id % 91 = 0),
+         corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 91 <> 0),
+         bloom AS (
+           SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || s), 1, 8)
+               AS BIGINT) % 65536 AS pos
+           FROM evals, unnest(range(3)) AS u(h)),
+         cpos AS (
+           SELECT doc_id, s,
+             CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || s), 1, 8)
+               AS BIGINT) % 65536 AS pos
+           FROM corp, unnest(range(3)) AS u(h)),
+         mt AS (SELECT doc_id, s, count(*) AS nset
+                FROM cpos JOIN bloom USING (pos) GROUP BY 1, 2),
+         perdoc AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+         bh AS (SELECT doc_id, count(*) AS bloom_hits FROM mt WHERE nset = 3 GROUP BY 1),
+         th AS (SELECT c.doc_id, count(*) AS true_hits
+                FROM corp c JOIN evals e ON c.s = e.s GROUP BY 1)
+         SELECT p.doc_id, p.n_shingles, bh.bloom_hits,
+           CAST(coalesce(th.true_hits, 0) AS BIGINT) AS true_hits
+         FROM perdoc p JOIN bh USING (doc_id) LEFT JOIN th USING (doc_id)
+         ORDER BY doc_id""",
+    // PQ replay: md5-rank codebook (q41 rule), per-block argmin codes
+    // over ascending-dim squared-L2 folds, ADC = ordered fold of the
+    // probe's block-distance table entries — every float op in the
+    // same sequence as the native encoder/scorer.
+    "q78_pq_ann" ->
+      """WITH prep AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (
+           SELECT vec_id, v,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         bd AS (
+           SELECT p.vec_id, b, cb.cidx,
+             list_sum([ (p.v[b*8 + i] - cb.v[b*8 + i]) * (p.v[b*8 + i] - cb.v[b*8 + i])
+                        FOR i IN range(1, 9) ]) AS d
+           FROM prep p, unnest(range(8)) AS u(b), cb),
+         codes AS (
+           SELECT vec_id, b, cidx AS code FROM (
+             SELECT vec_id, b, cidx,
+               row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cidx) AS rn
+             FROM bd) WHERE rn = 1),
+         pd AS (SELECT vec_id AS probe_id, b, cidx, d FROM bd WHERE vec_id < 5),
+         pair AS (
+           SELECT p.probe_id, c.vec_id AS nbr_id, c.b, p.d
+           FROM codes c JOIN pd p ON p.b = c.b AND p.cidx = c.code
+           WHERE p.probe_id <> c.vec_id),
+         scored AS (
+           SELECT probe_id, nbr_id, list_sum(list(d ORDER BY b)) AS adc
+           FROM pair GROUP BY 1, 2),
+         ranked AS (
+           SELECT probe_id, nbr_id, adc,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adc, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id,
+           round(adc, 6) AS adc_dist
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // Entropy replay: char histogram, Σ c·ln(c) folded in sorted-char
+    // order via list_sum (strict left fold, q72 precedent).
+    "q79_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         hist AS (SELECT doc_id, ch, count(*) AS c
+                  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, sum(c) AS n, count(*) AS distinct_chars,
+             list_sum(list(c * ln(c) ORDER BY ch)) AS s
+           FROM hist GROUP BY 1)
+         SELECT doc_id, CAST(n AS BIGINT) AS n,
+           CAST(distinct_chars AS BIGINT) AS distinct_chars,
+           round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) AS entropy
          FROM agg ORDER BY doc_id""",
   )
 }

@@ -90,6 +90,68 @@ object Similarity {
         col("nbr_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Product-quantization ANN (Jégou et al. TPAMI 2011): vectors are
+    * split into `dim/blockDim` contiguous sub-vectors, each encoded as
+    * the index of its nearest codebook entry, and probe↔corpus
+    * distance is estimated by ADC — Σ over blocks of the probe's
+    * PRECOMPUTED distance to the corpus code's centroid.
+    *
+    * Scale shape: the codebook is deterministic (hash-rank corpus
+    * vectors, the q41 centroid rule) and tiny; corpus encoding is a
+    * MAP-ONLY native expression ([[graft.plans.PqCodes]]) — after it,
+    * every corpus vector is `blocks` longs (64 dims × 8 bytes →
+    * 8 bytes: a 64× compression of what ANN scoring ever touches
+    * again). Each probe's distance table is computed once
+    * (blocks×nCentroids doubles, broadcast with the probe), and pair
+    * scoring is a native table lookup ([[graft.plans.PqAdc]]) that
+    * never reads raw vectors — the memory-bound regime real
+    * billion-vector deployments run in. Compose with IVF cells (q41)
+    * for candidate pruning on top. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+             nCentroids: Int = 16, blockDim: Int = 8): DataFrame = {
+    // deterministic codebook: first nCentroids corpus vectors in
+    // md5(vec_id) order — TakeOrderedAndProject + a bounded collect,
+    // inlined as expression data (never a shuffle of the corpus)
+    val codebook = prepped(corpus, "cent_id", "centv", "centn")
+      .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Double](1))
+      .toSeq
+    if (codebook.isEmpty)
+      return probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
+        col("vec_id").as("nbr_id"), lit(0.0).as("adc_dist")).limit(0)
+    val dim = codebook.head.length
+    val blocks = dim / blockDim
+    val enc = prepped(corpus, "nbr_id", "cv", "cn")
+      .select(col("nbr_id"),
+        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
+    // per-probe ADC table: table[b][c] = squared L2 between the
+    // probe's block-b sub-vector and codebook entry c. Probes are a
+    // tiny broadcast set, so an interpreted HOF over the literal
+    // codebook is fine here — the per-row hot path is the corpus
+    // side, which is native. Fold order (ascending dim) matches the
+    // native encoder exactly.
+    val centsLit = typedlit(codebook.map(_.toIndexedSeq).toIndexedSeq)
+    val table = transform(sequence(lit(0), lit(blocks - 1)), b =>
+      transform(centsLit, cvv =>
+        aggregate(sequence(lit(0), lit(blockDim - 1)), lit(0.0), (a, i) => {
+          val idx = b * blockDim + i + 1 // element_at is 1-based
+          val d = element_at(col("pv"), idx) - element_at(cvv, idx)
+          a + d * d
+        })))
+    val p = prepped(probes, "probe_id", "pv", "pn")
+      .select(col("probe_id"), table.as("tab"))
+    val scored = enc.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("adc", graft.plans.PqCodes.pqAdc(col("codes"), col("tab")))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
   /** LSH-bucketed ANN: score only corpus vectors in the probe's bucket.
     * Recall < 1.0 by construction; bits trades recall vs. cost. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int): DataFrame = {

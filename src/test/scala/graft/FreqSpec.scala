@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Entropy, Freq, Similarity}
+
+/** Semantics of the round-7 operators: count-min sketch, Bloom-filter
+  * decontamination, PQ-ANN, char entropy. */
+class FreqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- count-min sketch ----------------------------------------------
+
+  test("cms estimates never undercount and are exact without collisions") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val got = Freq.cmsHeavyHitters(docs, "text", depth = 4, width = 1024, topN = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 20)
+    got.foreach { case (term, exact, est) =>
+      assert(est >= exact, s"$term: est $est < exact $exact")
+    }
+    // with a huge width there are effectively no collisions at this
+    // corpus size in at least one of the 4 rows → estimates are exact
+    val wide = Freq.cmsHeavyHitters(docs, "text", depth = 4, width = 1 << 22, topN = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    wide.foreach { case (term, exact, est) =>
+      assert(est === exact, s"$term: est $est != exact $exact at width 2^22")
+    }
+  }
+
+  test("cms counter grids merge by addition across shards") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    def grid(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      Freq.cmsSketch(df, "text", depth = 4, width = 256).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = grid(docs)
+    val merged = (grid(a).toSeq ++ grid(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(whole === merged)
+  }
+
+  // ---- bloom decontamination -----------------------------------------
+
+  test("bloom guard has no false negatives and bounds hits by shingles") {
+    val evalDocs = Seq(
+      (910L, "the quick brown fox jumps over the lazy dog today"),
+      (1820L, "entirely different benchmark content for the eval set")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog today"),
+      (2L, "no overlap with anything in that set at all"),
+      (3L, "entirely different benchmark content for the eval set verbatim copy")
+    ).toDF("doc_id", "text")
+    val got = Freq.bloomContamination(corpus, evalDocs, "doc_id", "text",
+        k = 3, hashes = 3, mBits = 65536)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1 and 3 share shingles with the eval set: MUST be flagged,
+    // with bloom_hits covering every true hit (no false negatives)
+    for (id <- Seq(1L, 3L)) {
+      val (n, bloomHits, trueHits) = got(id)
+      assert(trueHits > 0 && bloomHits >= trueHits && bloomHits <= n, s"doc $id")
+    }
+    // doc 2 has zero true hits; it may appear only via false positives
+    got.get(2L).foreach { case (_, bloomHits, trueHits) =>
+      assert(trueHits === 0L && bloomHits > 0L)
+    }
+  }
+
+  test("bloom flags agree with the exact guard on the corpus") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val corpus = docs.filter(col("doc_id") % 91 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 91 === 0)
+    val rows = Freq.bloomContamination(corpus, evalSet, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (id, bloomHits, trueHits) =>
+      assert(bloomHits >= trueHits, s"doc $id lost a true hit")
+    }
+    // every doc with a real shared shingle is present in the output
+    val exactContaminated = corpus
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("s"))
+      .distinct()
+      .join(evalSet.select(
+        explode(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("s")).distinct(), "s")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exactContaminated.subsetOf(rows.map(_._1).toSet))
+  }
+
+  // ---- PQ ANN --------------------------------------------------------
+
+  test("pq retrieves exact-match vectors first with zero ADC distance") {
+    // corpus = 4 anchors repeated; every vector quantizes exactly onto
+    // its anchor, so same-anchor neighbors have adc = 0 and rank first
+    val r = new scala.util.Random(7)
+    val anchors = Array.fill(4)(Array.fill(64)(r.nextFloat() * 2 - 1))
+    val corpus = (0 until 40).map(i => (i.toLong, anchors(i % 4).clone()))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 0) // anchor 0
+    val got = Similarity.pqTopK(corpus, probes, k = 9, nCentroids = 16, blockDim = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.length === 9)
+    // the 9 other anchor-0 copies (ids 4,8,...,36) come first, at 0
+    assert(got.map(_._1).toSet === (4L to 36L by 4).toSet)
+    assert(got.forall(_._2 === 0.0))
+  }
+
+  test("pq is deterministic and ranks within-probe by distance") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val probes = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.pqTopK(emb, probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val a = run(); val b = run()
+    assert(a.toSet === b.toSet && a.length === 50)
+    a.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+    }
+  }
+
+  // ---- char entropy --------------------------------------------------
+
+  test("char entropy matches closed-form values") {
+    val df = Seq(
+      (1L, "aaaa"),            // single symbol: H = 0
+      (2L, "abcd"),            // uniform over 4: H = ln 4
+      (3L, "aab")              // H = ln 3 - (2 ln 2)/3
+    ).toDF("doc_id", "text")
+    val got = Entropy.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L) === ((4L, 4L, r6(math.log(4)))))
+    assert(got(3L) === ((3L, 2L, r6(math.log(3) - 2 * math.log(2) / 3))))
+  }
+
+  test("char entropy drops null and empty docs") {
+    val df = Seq((1L, "ab"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Entropy.charEntropy(df, "doc_id", "text").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+}
