@@ -32,8 +32,10 @@ object Freq {
     conv(substring(md5(concat(row.cast("string"), lit(":"), term).cast("binary")),
       1, 8), 16, 10).cast("long") % width
 
-  /** The `depth` (row, bucket) cells a term hashes into. */
-  private def cmsCells(term: Column, depth: Int, width: Int): Column =
+  /** The `depth` (row, bucket) cells a term hashes into. Public so the
+    * streaming window sketch ([[graft.streaming.EventPipeline]]) uses
+    * the identical cell mapping as the batch grid. */
+  def cmsCells(term: Column, depth: Int, width: Int): Column =
     transform(sequence(lit(0), lit(depth - 1)),
       h => struct(h.cast("long").as("row"), cmsBucket(h, term, width).as("bucket")))
 

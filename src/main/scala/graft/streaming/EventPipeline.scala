@@ -121,6 +121,29 @@ object EventPipeline {
         Sketches.hllEstimate(col("regs")).as("approx_users"))
   }
 
+  /** Windowed count-min user-frequency sketch — the
+    * [[graft.operators.Freq]] CMS grid inside watermarked streaming
+    * state: each open window holds at most depth×width counters (one
+    * long each) instead of per-user counts, so heavy-hitter estimation
+    * survives unbounded user cardinality. Counters are sums — they
+    * merge across micro-batches by plain addition, which is exactly
+    * what streaming partial aggregation does — and the emitted grid is
+    * cell-identical to the batch [[graft.operators.Freq.cmsSketch]]
+    * over the same rows (spec-proved), so downstream probes
+    * (estimate = min over rows of the term's counters) work unchanged
+    * on either. */
+  def windowedUserFreqSketch(events: DataFrame, depth: Int = 4, width: Int = 256,
+                             winWidth: String = "1 hour",
+                             watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(graft.operators.Freq.cmsCells(
+        col("user_id").cast("string"), depth, width)).as("cell"))
+      .groupBy(window(col("ts"), winWidth), col("cell.row").as("row"),
+        col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"), col("row"), col("bucket"), col("c"))
+
   /** Stream ⋈ static broadcast dim — the enrichment join
     * (enrichment.py:83-131) on a live stream. */
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =

@@ -124,6 +124,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(got - 60.0) <= 12.0, s"estimate $got far from 60")
   }
 
+  test("windowedUserFreqSketch: CMS counters sum across micro-batches to the batch grid") {
+    import spark.implicits._
+    // skewed user traffic in hour 00 split across two batches — the
+    // streamed counter grid must equal the batch CMS grid over the
+    // union (counters merge by addition)
+    def ev(id: Long, user: Long) =
+      Event(id, ts("2024-01-01 00:30:00"), user, "click", 1.0, "{}")
+    val b1 = (1L to 50L).map(i => ev(i, i % 7))       // users 0..6
+    val b2 = (51L to 90L).map(i => ev(i, i % 3))      // users 0..2 get heavier
+    val out = runBatches(m => EventPipeline.windowedUserFreqSketch(m.toDF()), "cms",
+      Seq(b1, b2, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
+    val streamed = out.filter(col("win_start") === ts("2024-01-01 00:00:00"))
+      .select("row", "bucket", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = (b1 ++ b2).toDF()
+      .select(explode(graft.operators.Freq.cmsCells(
+        col("user_id").cast("string"), 4, 256)).as("cell"))
+      .groupBy(col("cell.row"), col("cell.bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    // probing the streamed grid estimates user 0's count correctly
+    // (min over rows can only overcount)
+    val exactU0 = (b1 ++ b2).count(_.user_id == 0L)
+    val cells = spark.range(1).select(explode(graft.operators.Freq.cmsCells(
+        lit("0"), 4, 256)).as("cell"))
+      .select(col("cell.row"), col("cell.bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val est = cells.map(streamed.getOrElse(_, 0L)).min
+    assert(est >= exactU0)
+  }
+
   test("sessionWindows matches the batch sessionizer") {
     val out = runBatches(m => EventPipeline.sessionWindows(m.toDF()), "sw",
       Seq(sample, Seq(late(90, "2024-01-01 12:00:00")), Seq(late(91, "2024-01-02 12:00:00"))))
