@@ -99,8 +99,17 @@ object Freq {
     * themselves). A corpus shingle "hits" when all `hashes` of its
     * positions are set; no false negatives by construction, false
     * positives at the classic (1-e^(-kn/m))^k rate — visible in the
-    * output as bloom_hits > true_hits. The corpus side is a map-only
-    * probe plus one per-doc count: nothing eval-sized ever shuffles.
+    * output as bloom_hits > true_hits.
+    *
+    * Scale shape: the corpus is scanned ONCE — the bloom probe and
+    * the exact-truth flag ride the same flow as two broadcast LEFT
+    * joins (both builds bounded: m bit positions, eval shingles), and
+    * the only wide shuffles are the (doc, shingle) distinct and the
+    * per-doc reduce; the (doc, shingle) partitioning carries through
+    * generate + broadcast joins, so the flag aggregation adds no
+    * exchange. `true_hits` is the verification harness — a pure
+    * deployment drops it and the eval-shingle broadcast, keeping only
+    * the m-bit filter.
     *
     * Returns per corpus doc with at least one flagged shingle:
     * (doc_id, n_shingles, bloom_hits, true_hits). */
@@ -114,22 +123,20 @@ object Freq {
     val bloom = evalShingles
       .select(explode(bloomPositions(col("s"), hashes, mBits)).as("pos"))
       .distinct()
-    val corp = shingleSet(corpus)
-    val perDoc = corp.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     // a shingle is flagged when all `hashes` positions (with
     // multiplicity, if two hash rows collide) land on set bits
-    val flagged = corp
-      .select(col(idCol), col("s"), explode(bloomPositions(col("s"), hashes, mBits)).as("pos"))
-      .join(broadcast(bloom), "pos")
-      .groupBy(col(idCol), col("s")).agg(count(lit(1)).as("nset"))
-      .filter(col("nset") === hashes)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("bloom_hits"))
-    val truth = corp.join(broadcast(evalShingles), "s")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("true_hits"))
-    perDoc.join(flagged, Seq(idCol))
-      .join(truth, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"), col("bloom_hits"),
-        coalesce(col("true_hits"), lit(0L)).as("true_hits"))
+    shingleSet(corpus)
+      .select(col(idCol), col("s"),
+        explode(bloomPositions(col("s"), hashes, mBits)).as("pos"))
+      .join(broadcast(bloom.withColumn("set_bit", lit(1L))), Seq("pos"), "left")
+      .groupBy(col(idCol), col("s"))
+      .agg(sum(coalesce(col("set_bit"), lit(0L))).as("nset"))
+      .join(broadcast(evalShingles.withColumn("in_eval", lit(1L))), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nset") === hashes, lit(1L)).otherwise(lit(0L))).as("bloom_hits"),
+        sum(coalesce(col("in_eval"), lit(0L))).as("true_hits"))
+      .filter(col("bloom_hits") > 0)
       .orderBy(col(idCol))
   }
 }
