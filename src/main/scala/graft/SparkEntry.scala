@@ -1040,6 +1040,25 @@ object SparkEntry {
     graft.operators.Entropy.charEntropy(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** IVF+PQ composite — the FAISS-IVFPQ index shape: cells prune
+    * WHICH vectors a probe scores, code words compress WHAT scoring
+    * reads. One map-only corpus pass emits (cell, codes); candidate
+    * scoring touches only 8-long codes and the broadcast ADC table.
+    * Oracle composes the q41 cell replay with the q78 code replay. */
+  private val q80: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCentroids = 16, nProbe = 4, blockDim = 8)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus blend — the
+    * domain-shift diagnostic behind mixture rebalancing (q64). Σ
+    * folds in sorted-term order; every contribution is the same op
+    * sequence in both engines. */
+  private val q81: Q = (s, d) =>
+    graft.operators.Terms.sourceDivergence(Tables.documents(s, d), "source", "text")
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1120,6 +1139,8 @@ object SparkEntry {
     "q77_bloom_decontaminate" -> q77,
     "q78_pq_ann" -> q78,
     "q79_char_entropy" -> q79,
+    "q80_ivfpq_ann" -> q80,
+    "q81_source_kl" -> q81,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2219,5 +2240,83 @@ object SparkEntry {
            CAST(distinct_chars AS BIGINT) AS distinct_chars,
            round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) AS entropy
          FROM agg ORDER BY doc_id""",
+    // IVFPQ replay: q41's cosine cell argmax composed with q78's block
+    // argmin codes and ordered ADC fold — candidates are (probe cell ∩
+    // corpus cell) pairs only.
+    "q80_ivfpq_ann" ->
+      """WITH prep AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cent_id, v AS cv, nrm AS cn,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         corpus_cells AS (
+           SELECT p.vec_id, cent_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY -(list_dot_product(p.v, cv)) / (p.nrm * cn), cent_id) AS crn
+           FROM prep p, cents),
+         cc AS (SELECT vec_id, cent_id AS cell FROM corpus_cells WHERE crn = 1),
+         probe_cells AS (
+           SELECT p.vec_id, cent_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY -(list_dot_product(p.v, cv)) / (p.nrm * cn), cent_id) AS prn
+           FROM prep p, cents WHERE p.vec_id < 5),
+         pc AS (SELECT vec_id AS probe_id, cent_id AS cell FROM probe_cells WHERE prn <= 4),
+         bd AS (
+           SELECT p.vec_id, b, cents.cidx,
+             list_sum([ (p.v[b*8 + i] - cents.cv[b*8 + i]) * (p.v[b*8 + i] - cents.cv[b*8 + i])
+                        FOR i IN range(1, 9) ]) AS d
+           FROM prep p, unnest(range(8)) AS u(b), cents),
+         codes AS (
+           SELECT vec_id, b, cidx AS code FROM (
+             SELECT vec_id, b, cidx,
+               row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cidx) AS rn
+             FROM bd) WHERE rn = 1),
+         pd AS (SELECT vec_id AS probe_id, b, cidx, d FROM bd WHERE vec_id < 5),
+         cand AS (
+           SELECT pc.probe_id, cc.vec_id AS nbr_id
+           FROM cc JOIN pc ON cc.cell = pc.cell
+           WHERE pc.probe_id <> cc.vec_id),
+         pair AS (
+           SELECT ca.probe_id, ca.nbr_id, c.b, p.d
+           FROM cand ca
+           JOIN codes c ON c.vec_id = ca.nbr_id
+           JOIN pd p ON p.probe_id = ca.probe_id AND p.b = c.b AND p.cidx = c.code),
+         scored AS (
+           SELECT probe_id, nbr_id, list_sum(list(d ORDER BY b)) AS adc
+           FROM pair GROUP BY 1, 2),
+         ranked AS (
+           SELECT probe_id, nbr_id, adc,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adc, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id,
+           round(adc, 6) AS adc_dist
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // KL replay: same count ratios, same p·ln(p/q) per term, Σ folded
+    // in sorted-term order via list_sum.
+    "q81_source_kl" ->
+      """WITH st AS (
+           SELECT source, term, count(*) AS c_st FROM (
+             SELECT source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+             FROM documents) GROUP BY 1, 2),
+         g AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1),
+         ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+         tot AS (SELECT sum(n_s) AS n_total FROM ns),
+         contrib AS (
+           SELECT st.source, st.term, ns.n_s,
+             (CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)) AS p,
+             (CAST(g.c_t AS DOUBLE) / CAST(tot.n_total AS DOUBLE)) AS q
+           FROM st JOIN g USING (term) JOIN ns USING (source), tot),
+         agg AS (
+           SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             list_sum(list(p * ln(p / q) ORDER BY term)) AS kl_raw
+           FROM contrib GROUP BY 1)
+         SELECT source, n_tokens, vocab, round(kl_raw, 6) AS kl
+         FROM agg ORDER BY source""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -107,42 +107,86 @@ object Similarity {
     * never reads raw vectors — the memory-bound regime real
     * billion-vector deployments run in. Compose with IVF cells (q41)
     * for candidate pruning on top. */
-  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-             nCentroids: Int = 16, blockDim: Int = 8): DataFrame = {
-    // deterministic codebook: first nCentroids corpus vectors in
-    // md5(vec_id) order — TakeOrderedAndProject + a bounded collect,
-    // inlined as expression data (never a shuffle of the corpus)
-    val codebook = prepped(corpus, "cent_id", "centv", "centn")
+  /** Deterministic centroid/codebook set: first n corpus vectors in
+    * md5(vec_id) order — TakeOrderedAndProject + a bounded collect,
+    * inlined as expression data (never a shuffle of the corpus). */
+  private def hashRankCents(corpus: DataFrame, n: Int): Array[(Long, Seq[Double], Double)] =
+    prepped(corpus, "cent_id", "centv", "centn")
       .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
-      .limit(nCentroids)
+      .limit(n)
       .collect()
-      .map(_.getSeq[Double](1))
-      .toSeq
-    if (codebook.isEmpty)
-      return probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
-        col("vec_id").as("nbr_id"), lit(0.0).as("adc_dist")).limit(0)
-    val dim = codebook.head.length
-    val blocks = dim / blockDim
-    val enc = prepped(corpus, "nbr_id", "cv", "cn")
-      .select(col("nbr_id"),
-        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
-    // per-probe ADC table: table[b][c] = squared L2 between the
-    // probe's block-b sub-vector and codebook entry c. Probes are a
-    // tiny broadcast set, so an interpreted HOF over the literal
-    // codebook is fine here — the per-row hot path is the corpus
-    // side, which is native. Fold order (ascending dim) matches the
-    // native encoder exactly.
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  /** Per-probe ADC table: table[b][c] = squared L2 between the
+    * probe's block-b sub-vector (column `pv`) and codebook entry c.
+    * Probes are a tiny broadcast set, so an interpreted HOF over the
+    * literal codebook is fine here — the per-row hot path is the
+    * corpus side, which is native. Fold order (ascending dim) matches
+    * the native encoder exactly. */
+  private def adcTable(codebook: Seq[Seq[Double]], blocks: Int, blockDim: Int): Column = {
     val centsLit = typedlit(codebook.map(_.toIndexedSeq).toIndexedSeq)
-    val table = transform(sequence(lit(0), lit(blocks - 1)), b =>
+    transform(sequence(lit(0), lit(blocks - 1)), b =>
       transform(centsLit, cvv =>
         aggregate(sequence(lit(0), lit(blockDim - 1)), lit(0.0), (a, i) => {
           val idx = b * blockDim + i + 1 // element_at is 1-based
           val d = element_at(col("pv"), idx) - element_at(cvv, idx)
           a + d * d
         })))
+  }
+
+  private def emptyPqResult(probes: DataFrame): DataFrame =
+    probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
+      col("vec_id").as("nbr_id"), lit(0.0).as("adc_dist")).limit(0)
+
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+             nCentroids: Int = 16, blockDim: Int = 8): DataFrame = {
+    val codebook = hashRankCents(corpus, nCentroids).map(_._2).toSeq
+    if (codebook.isEmpty) return emptyPqResult(probes)
+    val dim = codebook.head.length
+    val blocks = dim / blockDim
+    val enc = prepped(corpus, "nbr_id", "cv", "cn")
+      .select(col("nbr_id"),
+        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
     val p = prepped(probes, "probe_id", "pv", "pn")
-      .select(col("probe_id"), table.as("tab"))
+      .select(col("probe_id"), adcTable(codebook, blocks, blockDim).as("tab"))
     val scored = enc.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("adc", graft.plans.PqCodes.pqAdc(col("codes"), col("tab")))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** IVF+PQ — the composed index shape real billion-vector
+    * deployments run (FAISS IVFPQ): IVF cells prune WHICH vectors a
+    * probe scores (q41's map-only native cell argmax), PQ codes
+    * compress WHAT scoring reads (q78's 8-long code words + ADC
+    * lookup). One deterministic hash-rank vector set serves as both
+    * the cell centroids (cosine) and the PQ codebook (per-block L2),
+    * so corpus preparation is a single map-only pass emitting
+    * (cell, codes) — at 100 TB the corpus would be materialized
+    * partitioned by cell, making the candidate equi-join a pruned
+    * scan. Candidate scoring touches only code words and the probe's
+    * broadcast ADC table: never a raw vector. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4, blockDim: Int = 8): DataFrame = {
+    val cents = hashRankCents(corpus, nCentroids)
+    if (cents.isEmpty) return emptyPqResult(probes)
+    val codebook = cents.map(_._2).toSeq
+    val dim = codebook.head.length
+    val blocks = dim / blockDim
+    val c = prepped(corpus, "nbr_id", "cv", "cn")
+      .select(col("nbr_id"),
+        explode(graft.plans.NearestCells.nearestCells(
+          col("cv"), col("cn"), cents.toSeq, 1)).as("cell"),
+        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
+    val p = prepped(probes, "probe_id", "pv", "pn")
+      .select(col("probe_id"), adcTable(codebook, blocks, blockDim).as("tab"),
+        explode(graft.plans.NearestCells.nearestCells(
+          col("pv"), col("pn"), cents.toSeq, nProbe)).as("cell"))
+    val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("adc", graft.plans.PqCodes.pqAdc(col("codes"), col("tab")))
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("nbr_id"))

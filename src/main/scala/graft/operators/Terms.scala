@@ -39,4 +39,44 @@ object Terms {
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), col("tf"), round(col("tfidf"), 6).as("tfidf"))
   }
+
+  /** Per-source unigram-distribution KL divergence from the corpus
+    * distribution: KL(P_source ‖ Q_corpus) = Σ_t p_t·ln(p_t/q_t) —
+    * the domain-shift / mixture-health diagnostic run after every
+    * rebalancing step (does a source's token distribution drift from
+    * the blend it feeds?). P's support is a subset of Q's by
+    * construction, so every term is well-defined.
+    *
+    * Engine-exact floats: the Σ folds per source in sorted-term order
+    * (q72 discipline), and each contribution is the same op sequence
+    * both engines run (two count ratios, one ln of their quotient,
+    * one multiply). Scale shape: (source, term) counts shuffle once,
+    * map-side combined; the global term counts REUSE that aggregate
+    * (sum over sources — never a second corpus scan); per-source
+    * totals and the corpus total join back as broadcasts. Final state
+    * per source is its vocabulary histogram — vocabulary-bounded, not
+    * corpus-bounded. */
+  def sourceDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val global = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
+    val perSource = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val total = perSource.agg(sum(col("n_s")).as("n_total"))
+    val contrib = st
+      .join(global, "term")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("p", col("c_st").cast("double") / col("n_s").cast("double"))
+      .withColumn("q", col("c_t").cast("double") / col("n_total").cast("double"))
+      .withColumn("kl_term", col("p") * log(col("p") / col("q")))
+    contrib
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sort_array(collect_list(struct(col("term"), col("kl_term")))).as("ts"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(aggregate(col("ts"), lit(0.0), (a, s) => a + s.getField("kl_term")), 6)
+          .as("kl"))
+      .orderBy(col("source"))
+  }
 }

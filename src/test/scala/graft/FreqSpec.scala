@@ -125,6 +125,59 @@ class FreqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq candidates come from probe cells and score identically to pq") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val probes = emb.filter(col("vec_id") < 5)
+    val ivfpq = Similarity.ivfPqTopK(emb, probes, k = 10, nCentroids = 16,
+        nProbe = 4, blockDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ivfpq.nonEmpty)
+    // ADC is a function of (probe table, corpus codes) only — pruning
+    // must not change any pair's score, merely which pairs exist
+    val full = Similarity.pqTopK(emb, probes, k = 2000, blockDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfpq.foreach { case (pair, adc) =>
+      assert(full(pair) === adc, s"pair $pair scored differently under pruning")
+    }
+  }
+
+  // ---- source KL divergence ------------------------------------------
+
+  test("source KL divergence is non-negative, zero for a single source") {
+    val one = Seq((1L, "alpha beta beta"), (2L, "alpha gamma")).map { case (i, t) => (i, "s0", t) }
+      .toDF("doc_id", "source", "text")
+    val gotOne = graft.operators.Terms.sourceDivergence(one, "source", "text").collect()
+    assert(gotOne.length === 1 && gotOne.head.getDouble(3) === 0.0)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val got = graft.operators.Terms.sourceDivergence(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, kl) => assert(kl >= 0.0 && n > 0, s"$src kl=$kl") }
+  }
+
+  test("source KL divergence matches a JVM reference model") {
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x z"),
+      (3L, "b", "y y y z"), (4L, "b", "w")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.Terms.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val corpus = Map("x" -> 3L, "y" -> 4L, "z" -> 2L, "w" -> 1L)
+    val bySource = Map(
+      "a" -> Map("x" -> 3L, "y" -> 1L, "z" -> 1L),
+      "b" -> Map("y" -> 3L, "z" -> 1L, "w" -> 1L))
+    val nTotal = corpus.values.sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((src, cs) <- bySource) {
+      val ns = cs.values.sum.toDouble
+      val kl = cs.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (t, c)) =>
+        val p = c / ns; val q = corpus(t) / nTotal
+        acc + p * math.log(p / q)
+      }
+      assert(got(src) === ((ns.toLong, cs.size.toLong, r6(kl))), s"source $src")
+    }
+  }
+
   // ---- char entropy --------------------------------------------------
 
   test("char entropy matches closed-form values") {
