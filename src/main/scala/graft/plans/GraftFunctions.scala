@@ -69,7 +69,10 @@ object GraftFunctions {
     "top_k_pairs" -> (es => TopKPairs(es(0), asInt(es(1)))),
     "bottom_k_ids" -> (es => BottomKIds(es(0), asInt(es(1)))),
     "hll_registers" -> (es => HllRegisters(es(0), asInt(es(1)))),
-    "bottom_k_by_score" -> (es => BottomKByScore(es(0), asInt(es(1)))))
+    "bottom_k_by_score" -> (es => BottomKByScore(es(0), asInt(es(1)))),
+    // PqCodes is NOT here: its codebook is constructor data (arrays of
+    // doubles collected at plan time), which SQL literals can't carry
+    "pq_adc" -> (es => PqAdc(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

@@ -142,6 +142,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(aggApi.exceptAll(aggSql).count() === 0)
   }
 
+  test("pq_adc is SQL-callable and sums table entries by code") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT pq_adc(array(1L, 0L),
+           array(array(10.0d, 20.0d), array(30.0d, 40.0d))) AS adc""")
+      .head.getDouble(0)
+    assert(got === 20.0 + 30.0) // block 0 → code 1 (20), block 1 → code 0 (30)
+  }
+
   test("SQL minhash matches the Column API") {
     GraftFunctions.register(spark)
     graft.sources.Tables.documents(spark, TestSpark.sf)
