@@ -50,16 +50,20 @@ object Terms {
     * Engine-exact floats: the Σ folds per source in sorted-term order
     * (q72 discipline), and each contribution is the same op sequence
     * both engines run (two count ratios, one ln of their quotient,
-    * one multiply). Scale shape: (source, term) counts shuffle once,
-    * map-side combined; the global term counts REUSE that aggregate
-    * (sum over sources — never a second corpus scan); per-source
-    * totals and the corpus total join back as broadcasts. Final state
-    * per source is its vocabulary histogram — vocabulary-bounded, not
-    * corpus-bounded. */
+    * one multiply). Scale shape: the corpus is scanned once into the
+    * (source, term) count grid, which is materialized eagerly (the
+    * [[Sample.mixtureBySource]] checkpoint pattern — the grid is
+    * vocabulary×sources-bounded, not corpus-bounded, and without the
+    * materialization Spark recomputes the corpus explode+aggregate
+    * for EACH of its four consumers); global term counts, per-source
+    * totals and the corpus total are all re-aggregations of the grid
+    * joining back as broadcasts. Final state per source is its
+    * vocabulary histogram. */
   def sourceDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val st = docs
       .select(col(sourceCol).as("source"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
     val global = st.groupBy("term").agg(sum(col("c_st")).as("c_t"))
     val perSource = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
     val total = perSource.agg(sum(col("n_s")).as("n_total"))
