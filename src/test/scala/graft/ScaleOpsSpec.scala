@@ -169,15 +169,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     // q40 compares group-level sketches pairwise AFTER aggregation —
     // cardinality is #groups (sources), not #rows, so the nested-loop
     // join is over a handful of sketch rows by construction
-    // q60/q64/q72/q74 attach a SINGLE-ROW aggregate (corpus count /
-    // weight total / vocab size / N+avgdl scalars) via
+    // q60/q64/q72/q74/q81 attach a SINGLE-ROW aggregate (corpus count
+    // / weight total / vocab size / N+avgdl / token-total scalars) via
     // crossJoin(broadcast(...)): a 1-row build side makes the
     // nested-loop join a map-only scalar attach, not a blowup.
     // q65 additionally ranks its 50-row top-k result with a bounded
-    // broadcast self-join (≤2500 pairs) instead of a global window
+    // broadcast self-join (≤2500 pairs) instead of a global window.
+    // q78 scans corpus codes × broadcast probes BY DESIGN (PQ without
+    // cell pruning — q80 is the pruned composite, which equi-joins)
     val intentionalCross =
       Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union",
-        "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25")
+        "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25",
+        "q78_pq_ann", "q81_source_kl")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!intentionalCross(name)) {
