@@ -1059,6 +1059,21 @@ object SparkEntry {
   private val q81: Q = (s, d) =>
     graft.operators.Terms.sourceDivergence(Tables.documents(s, d), "source", "text")
 
+  /** Ordered funnel conversion (view → click → purchase, each step's
+    * first event strictly after the previous step's): co-partitioned
+    * per-step user aggregates, stage totals unioned, conversion via a
+    * 3-row self-join — never a window over the event stream. Pure
+    * counting, so oracle parity is structural. */
+  private val q82: Q = (s, d) =>
+    graft.operators.Funnel.funnel(Tables.events(s, d), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+
+  /** Weekly cohort retention over integer epoch-week buckets (no
+    * calendar convention to disagree on): first-event cohorts, one
+    * (user, week) distinct + a co-partitioned join back. */
+  private val q83: Q = (s, d) =>
+    graft.operators.Funnel.weeklyRetention(Tables.events(s, d), "user_id", "ts")
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1141,6 +1156,8 @@ object SparkEntry {
     "q79_char_entropy" -> q79,
     "q80_ivfpq_ann" -> q80,
     "q81_source_kl" -> q81,
+    "q82_funnel" -> q82,
+    "q83_retention" -> q83,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2318,5 +2335,49 @@ object SparkEntry {
            FROM contrib GROUP BY 1)
          SELECT source, n_tokens, vocab, round(kl_raw, 6) AS kl
          FROM agg ORDER BY source""",
+    // Funnel replay: per-step first-qualifying-event frames (strictly
+    // after the previous step's), stage totals, lag-based conversion.
+    "q82_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+           GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+           GROUP BY 1),
+         c AS (
+           SELECT 1 AS stage_idx, '1_view' AS stage, count(*) AS n FROM s1
+           UNION ALL SELECT 2, '2_click', count(*) FROM s2
+           UNION ALL SELECT 3, '3_purchase', count(*) FROM s3)
+         SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n AS BIGINT) AS n_users,
+           round(CAST(n AS DOUBLE) /
+             CAST(coalesce(lag(n) OVER (ORDER BY stage_idx), n) AS DOUBLE), 4) AS conv
+         FROM c ORDER BY stage_idx""",
+    // Retention replay: integer epoch-week division, first-week
+    // cohorts, (user, week) distinct activity.
+    "q83_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+           FROM events),
+         cohort AS (SELECT user_id, min(week) AS w0 FROM uw GROUP BY 1),
+         sizes AS (SELECT w0, count(*) AS n_cohort FROM cohort GROUP BY 1),
+         cells AS (
+           SELECT c.w0, uw.week - c.w0 AS week_offset, count(*) AS n_active
+           FROM uw JOIN cohort c ON uw.user_id = c.user_id
+           GROUP BY 1, 2)
+         SELECT w0 AS cohort_week, week_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_cohort AS BIGINT) AS n_cohort,
+           round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 4) AS retention
+         FROM cells JOIN sizes USING (w0)
+         ORDER BY cohort_week, week_offset""",
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over the event stream — the product side of
+  * the reference's event pipeline (the web_api/admin views aggregate
+  * per-user activity; these are the two classic questions asked of
+  * that activity at scale).
+  *
+  * Both operators are pure counting — no float folds anywhere except
+  * one final rounded division — so oracle parity is structural.
+  */
+object Funnel {
+
+  /** Ordered funnel conversion: step i counts users whose FIRST
+    * step-i event happens strictly after their first step-(i-1)
+    * event (the classic "view → click → purchase within order"
+    * definition, unbounded horizon).
+    *
+    * Scale shape: one filtered scan + (user) aggregate per step, each
+    * joined user-to-user with the previous stage — co-partitioned
+    * shuffles on the natural high-cardinality key, never a window
+    * over the event stream. Stage totals are single-row aggregates
+    * assembled by union; the conversion join is over #steps rows.
+    *
+    * Returns (stage_idx, stage, n_users, conv) with conv =
+    * n_users / previous stage's n_users (1.0 for the first). */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // per-stage (user, first-qualifying-ts) frames, built sequentially
+    val stageFrames = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val mine = events.filter(col(typeCol) === step)
+        val staged = acc.lastOption match {
+          case None => mine.groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+          case Some(prev) =>
+            mine.join(prev.select(col(userCol), col("t").as("prev_t")), userCol)
+              .filter(col(tsCol) > col("prev_t"))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+        }
+        acc :+ staged
+    }
+    val counts = stageFrames.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage_idx"),
+          lit(s"${i + 1}_$step").as("stage"), col("n_users"))
+    }.reduce(_.union(_))
+    // conversion from the previous stage: a #steps-row self-join,
+    // never a global window
+    val prev = counts.select((col("stage_idx") + 1).as("stage_idx"),
+      col("n_users").as("prev_n"))
+    counts.join(prev, Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        round(col("n_users").cast("double") /
+          coalesce(col("prev_n"), col("n_users")).cast("double"), 4).as("conv"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first event; each (cohort_week, week_offset) cell counts how
+    * many came back `offset` weeks later. Weeks are integer
+    * microsecond-epoch division (604800e6 us) — no calendar
+    * convention to disagree on across engines.
+    *
+    * Scale shape: one map-only week projection, one (user, week)
+    * distinct, one co-partitioned join back on user, two bounded
+    * aggregates; cohort sizes re-join as a broadcast (≤ #weeks rows).
+    *
+    * Returns (cohort_week, week_offset, n_active, n_cohort,
+    * retention), retention rounded to 4. */
+  def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val week = expr(s"unix_micros($tsCol) div 604800000000").as("week")
+    val uw = events.select(col(userCol), week).distinct()
+    val cohort = uw.groupBy(col(userCol)).agg(min(col("week")).as("w0"))
+    val sizes = cohort.groupBy(col("w0")).agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, userCol) // (user, week) is distinct → cells count rows
+      .groupBy(col("w0"), (col("week") - col("w0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "w0")
+      .select(col("w0").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 4)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+}

@@ -178,6 +178,55 @@ class FreqSpec extends AnyFunSuite {
     }
   }
 
+  // ---- funnel / retention --------------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel counts only strictly-ordered step sequences") {
+    val rows = Seq(
+      // user 1: full ordered journey
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase"),
+      // user 2: purchase BEFORE click → drops at stage 3
+      (4L, ts("2024-01-02 10:00:00"), 2L, "view"),
+      (5L, ts("2024-01-02 12:00:00"), 2L, "purchase"),
+      (6L, ts("2024-01-02 13:00:00"), 2L, "click"),
+      // user 3: click before any view → drops at stage 2
+      (7L, ts("2024-01-03 09:00:00"), 3L, "click"),
+      (8L, ts("2024-01-03 10:00:00"), 3L, "view"),
+      // user 4: view only
+      (9L, ts("2024-01-04 10:00:00"), 4L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Funnel.funnel(rows, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, "1_view", 4L, 1.0),
+      (2L, "2_click", 2L, 0.5),      // users 1, 2
+      (3L, "3_purchase", 1L, 0.5))) // user 1 only
+  }
+
+  test("weekly retention cohorts by first-event week") {
+    val w0 = ts("2024-01-01 00:00:00") // within some epoch week W
+    def plus(days: Int) = new java.sql.Timestamp(w0.getTime + days * 86400000L)
+    val rows = Seq(
+      (1L, plus(0), 10L, "click"),   // user 10: weeks W, W+2
+      (2L, plus(15), 10L, "view"),
+      (3L, plus(1), 11L, "click"),   // user 11: week W only
+      (4L, plus(8), 12L, "view")     // user 12: first event week W+1
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Funnel.weeklyRetention(rows, "user_id", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // offsets relative to each user's own first week; 2024-01-01 falls
+    // mid-epoch-week so day+1 may or may not share user 10's week —
+    // assert on the structural cells instead of absolute weeks
+    val byOffset = got.groupBy(_._1)
+    assert(byOffset(0L).map(_._3).sum === 3L)          // everyone at offset 0
+    assert(got.filter(_._1 > 0L).forall(_._4 <= 1.0))  // rates bounded
+    assert(got.map(_._1).max === 2L || got.map(_._1).max === 1L)
+  }
+
   // ---- char entropy --------------------------------------------------
 
   test("char entropy matches closed-form values") {
