@@ -1074,6 +1074,23 @@ object SparkEntry {
   private val q83: Q = (s, d) =>
     graft.operators.Funnel.weeklyRetention(Tables.events(s, d), "user_id", "ts")
 
+  /** Dataset-version diff: v2 is v1 with deterministic removals
+    * (id%17), edits (id%13 → uppercased text) and additions (id%19
+    * re-keyed) — the incremental-pipeline primitive that lets
+    * downstream stages reprocess only the delta. Both sides reduce to
+    * (id, md5(content)) digests before one co-partitioned full outer
+    * join; the payload never shuffles. */
+  private val q84: Q = (s, d) => {
+    val v1 = Tables.documents(s, d)
+    val base = v1.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, upper(col("text"))).otherwise(col("text")))
+    val adds = v1.filter(col("doc_id") % 19 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    graft.operators.Versioning.datasetDiff(
+      v1, base.unionByName(adds), "doc_id", "text")
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1158,6 +1175,7 @@ object SparkEntry {
     "q81_source_kl" -> q81,
     "q82_funnel" -> q82,
     "q83_retention" -> q83,
+    "q84_dataset_diff" -> q84,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2379,5 +2397,26 @@ object SparkEntry {
            round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 4) AS retention
          FROM cells JOIN sizes USING (w0)
          ORDER BY cohort_week, week_offset""",
+    // Diff replay: same deterministic v2 construction, same md5
+    // digests, same full-outer classification.
+    "q84_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             md5(coalesce(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END,
+               '')) AS h
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, md5(coalesce(text, ''))
+           FROM documents WHERE doc_id % 19 = 0),
+         j AS (
+           SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.h IS NULL THEN 'added'
+                  WHEN v2.h IS NULL THEN 'removed'
+                  WHEN v1.h <> v2.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+         ORDER BY doc_id""",
   )
 }

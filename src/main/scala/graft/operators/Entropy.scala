@@ -14,30 +14,22 @@ import org.apache.spark.sql.functions._
   * order, so both engines perform the identical sequence of IEEE
   * ops (DuckDB's list_sum is a strict left fold — verified round 6).
   *
-  * Scale shape: explode→count shuffles on (doc_id, char) — keys a few
-  * bytes wide with ≤ alphabet-size distinct chars per doc — then one
-  * per-doc reduce whose state is the ≤ alphabet-sized histogram.
-  * Map-side combine absorbs the char-instance fan-out.
+  * Scale shape: MAP-ONLY — the histogram and its ordered fold live in
+  * the one-pass native [[graft.plans.CharStats]] expression
+  * (alphabet-sized JVM map per row). The first formulation exploded
+  * one row PER CHARACTER and aggregated twice: the fan-out hit the
+  * shuffle machinery before map-side combine could absorb it.
   */
 object Entropy {
 
   /** Per-doc char entropy: (id, n_chars_counted, distinct_chars,
     * entropy). Docs with null/empty text produce no row. */
-  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = df
-      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
-    counts
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("distinct_chars"),
-        sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"))
-      .select(col(idCol), col("n"), col("distinct_chars"),
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), graft.plans.CharStats.charStats(col(textCol)).as("cs"))
+      .filter(col("cs.n") > 0)
+      .select(col(idCol), col("cs.n").as("n"),
+        col("cs.distinct_chars").as("distinct_chars"),
         round(
-          log(col("n").cast("double")) -
-            aggregate(col("cs"), lit(0.0),
-              (a, s) => a + s.getField("c").cast("double") *
-                log(s.getField("c").cast("double"))) / col("n").cast("double"),
-          6).as("entropy"))
-  }
+          log(col("cs.n").cast("double")) -
+            col("cs.sum_cln") / col("cs.n").cast("double"), 6).as("entropy"))
 }

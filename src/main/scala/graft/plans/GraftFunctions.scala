@@ -72,7 +72,8 @@ object GraftFunctions {
     "bottom_k_by_score" -> (es => BottomKByScore(es(0), asInt(es(1)))),
     // PqCodes is NOT here: its codebook is constructor data (arrays of
     // doubles collected at plan time), which SQL literals can't carry
-    "pq_adc" -> (es => PqAdc(es(0), es(1))))
+    "pq_adc" -> (es => PqAdc(es(0), es(1))),
+    "char_stats" -> (es => CharStats(es(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

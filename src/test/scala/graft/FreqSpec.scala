@@ -227,6 +227,29 @@ class FreqSpec extends AnyFunSuite {
     assert(got.map(_._1).max === 2L || got.map(_._1).max === 1L)
   }
 
+  // ---- dataset diff --------------------------------------------------
+
+  test("dataset diff classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq((1L, "same"), (2L, "gone"), (3L, "was this"), (4L, "stable"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (3L, "now this"), (4L, "stable"), (5L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Versioning.datasetDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "removed", 3L -> "changed", 5L -> "added"))
+    val summary = graft.operators.Versioning.diffSummary(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary === Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 2L))
+  }
+
+  test("dataset diff treats null content as empty (no spurious changes)") {
+    val v1 = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("doc_id", "text")
+    val v2 = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.operators.Versioning.datasetDiff(v1, v2, "doc_id", "text").collect()
+    assert(got.map(_.getLong(0)).toSet === Set(2L)) // null ≡ "" unchanged; "x"→null changed
+  }
+
   // ---- char entropy --------------------------------------------------
 
   test("char entropy matches closed-form values") {

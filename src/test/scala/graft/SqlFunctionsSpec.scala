@@ -151,6 +151,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got === 20.0 + 30.0) // block 0 → code 1 (20), block 1 → code 0 (30)
   }
 
+  test("char_stats is SQL-callable and matches the explode formulation") {
+    GraftFunctions.register(spark)
+    graft.sources.Tables.documents(spark, TestSpark.sf)
+      .limit(50).createOrReplaceTempView("docs50")
+    val native = spark.sql(
+      """SELECT doc_id, char_stats(text).n AS n,
+           char_stats(text).distinct_chars AS dc,
+           round(char_stats(text).sum_cln, 9) AS s
+         FROM docs50 WHERE text IS NOT NULL AND length(text) > 0""")
+    val hof = spark.sql(
+      """SELECT doc_id, n, dc, round(aggregate(cs, 0.0d,
+           (a, x) -> a + CAST(x.c AS DOUBLE) * ln(CAST(x.c AS DOUBLE))), 9) AS s
+         FROM (
+           SELECT doc_id, sum(c) AS n, count(*) AS dc,
+             sort_array(collect_list(struct(ch, c))) AS cs
+           FROM (
+             SELECT doc_id, ch, count(*) AS c
+             FROM (SELECT doc_id, explode(split(text, '')) AS ch FROM docs50)
+             WHERE ch <> '' GROUP BY doc_id, ch)
+           GROUP BY doc_id)""")
+    assert(native.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(native).count() === 0)
+  }
+
   test("SQL minhash matches the Column API") {
     GraftFunctions.register(spark)
     graft.sources.Tables.documents(spark, TestSpark.sf)
