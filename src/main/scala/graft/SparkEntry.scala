@@ -1074,6 +1074,14 @@ object SparkEntry {
   private val q83: Q = (s, d) =>
     graft.operators.Funnel.weeklyRetention(Tables.events(s, d), "user_id", "ts")
 
+  /** Hourly rate anomalies per event type: z-score vs the trailing 24
+    * full hours, integer-exact rolling sums, |z| >= 2. The alerting
+    * half of the reference's admin metrics (admin_lambda.py
+    * get_lambda_summaries) at corpus scale. */
+  private val q85: Q = (s, d) =>
+    graft.operators.Funnel.rateAnomalies(Tables.events(s, d), "event_type", "ts",
+      lookback = 24, zThresh = 2.0)
+
   /** Dataset-version diff: v2 is v1 with deterministic removals
     * (id%17), edits (id%13 → uppercased text) and additions (id%19
     * re-keyed) — the incremental-pipeline primitive that lets
@@ -1176,6 +1184,7 @@ object SparkEntry {
     "q82_funnel" -> q82,
     "q83_retention" -> q83,
     "q84_dataset_diff" -> q84,
+    "q85_rate_anomaly" -> q85,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2418,5 +2427,36 @@ object SparkEntry {
            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          SELECT doc_id, status FROM j WHERE status <> 'unchanged'
          ORDER BY doc_id""",
+    // Anomaly replay: integer epoch-hour buckets, ROWS-frame integer
+    // sums (exact), identical mean/variance/sqrt/z expressions.
+    "q85_rate_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         framed AS (
+           SELECT event_type, hour, n,
+             count(n) OVER w AS k,
+             sum(n) OVER w AS s1,
+             sum(n * n) OVER w AS s2
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         stats AS (
+           SELECT event_type, hour, n,
+             CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) AS variance
+           FROM framed WHERE k = 24),
+         z AS (
+           SELECT event_type, hour, n, mean,
+             (CAST(n AS DOUBLE) - mean) / sqrt(variance) AS z
+           FROM stats WHERE variance > 0.0)
+         SELECT event_type, hour AS hour_start, CAST(n AS BIGINT) AS n,
+           round(mean, 4) AS mean24, round(z, 4) AS z
+         FROM z WHERE abs(z) >= 2.0
+         ORDER BY event_type, hour_start""",
   )
 }

@@ -58,6 +58,49 @@ object Funnel {
       .orderBy(col("stage_idx"))
   }
 
+  /** Hourly event-rate anomaly detection — the alerting half of the
+    * reference's admin metrics (1h invocation/error windows,
+    * admin_lambda.py get_lambda_summaries): per event type, each
+    * hour's count is z-scored against the trailing `lookback` full
+    * hours, and |z| ≥ `zThresh` rows are flagged.
+    *
+    * Engine-exact: the rolling mean/std come from ROWS-frame sums of
+    * INTEGER counts (exact in any engine), so the only float ops are
+    * the final mean/variance/sqrt/z expressions — single IEEE ops
+    * replayed identically by the oracle. Scale shape: one (type,
+    * hour) pre-aggregation (map-side combined), then a window whose
+    * partitions are event types ordered by hour — bounded rows per
+    * partition (hours, not events); the raw stream never meets the
+    * window.
+    *
+    * Returns flagged rows only: (event_type, hour_start, n, mean24,
+    * z) with mean/z rounded to 4. */
+  def rateAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                    lookback: Int = 24, zThresh: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-lookback, -1)
+    hourly
+      .withColumn("k", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("k") === lookback) // full trailing windows only
+      .withColumn("mean", col("s1").cast("double") / col("k").cast("double"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("k").cast("double") - col("mean") * col("mean"))
+      .filter(col("variance") > 0.0)
+      .withColumn("z",
+        (col("n").cast("double") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) >= zThresh)
+      .select(col("event_type"), col("hour").as("hour_start"), col("n"),
+        round(col("mean"), 4).as("mean24"), round(col("z"), 4).as("z"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * first event; each (cohort_week, week_offset) cell counts how
     * many came back `offset` weeks later. Weeks are integer

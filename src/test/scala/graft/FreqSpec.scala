@@ -227,6 +227,35 @@ class FreqSpec extends AnyFunSuite {
     assert(got.map(_._1).max === 2L || got.map(_._1).max === 1L)
   }
 
+  test("rate anomalies flag an injected spike, not the steady state") {
+    // 80 hours of exactly-3-events steady state... except hour 60
+    // carries a 40-event burst. Variance of the trailing window is 0
+    // until the burst enters it, so only the burst hour can flag.
+    val base = ts("2024-01-01 00:00:00").getTime
+    def at(hour: Int, i: Int) =
+      (hour * 100L + i, new java.sql.Timestamp(base + hour * 3600000L + i * 1000L),
+        5L, "click")
+    val rows = (for (h <- 0 until 80; i <- 0 until (if (h == 60) 40 else 3))
+      yield at(h, i)).toDF("event_id", "ts", "user_id", "event_type")
+    val h0 = base / 3600000L // hour_start is the ABSOLUTE epoch hour
+    val got = graft.operators.Funnel.rateAnomalies(rows, "event_type", "ts",
+        lookback = 24, zThresh = 2.0)
+      .collect().map(r => (r.getLong(1) - h0, r.getLong(2), r.getDouble(4)))
+    // the steady window before the burst has zero variance → no rows
+    // until hour 60; the burst itself z-scores against mean 3, var 0 →
+    // filtered (variance > 0 guard), so flags can only appear AFTER
+    // the burst enters the trailing window
+    assert(got.forall(_._1 > 60L), s"unexpected flags: ${got.toSeq}")
+    // re-run with a noisy baseline so the burst itself flags
+    val noisy = (for (h <- 0 until 80;
+                      i <- 0 until (if (h == 60) 40 else 3 + (h % 3)))
+      yield at(h, i)).toDF("event_id", "ts", "user_id", "event_type")
+    val flagged = graft.operators.Funnel.rateAnomalies(noisy, "event_type", "ts",
+        lookback = 24, zThresh = 2.0)
+      .collect().map(_.getLong(1) - h0)
+    assert(flagged.contains(60L), s"burst hour not flagged: ${flagged.toSeq}")
+  }
+
   // ---- dataset diff --------------------------------------------------
 
   test("dataset diff classifies added/removed/changed and drops unchanged") {
