@@ -30,8 +30,8 @@ object Funnel {
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     // per-stage (user, first-qualifying-ts) frames, built sequentially
-    val stageFrames = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
-      case (acc, (step, i)) =>
+    val stageFrames = steps.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, step) =>
         val mine = events.filter(col(typeCol) === step)
         val staged = acc.lastOption match {
           case None => mine.groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))

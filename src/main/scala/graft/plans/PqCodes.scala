@@ -24,6 +24,10 @@ case class PqCodes(child: Expression, codebook: Seq[Seq[Double]],
     extends UnaryExpression with ExpectsInputTypes {
   require(codebook.nonEmpty, "PqCodes needs at least one codebook entry")
   require(blocks >= 1 && blockDim >= 1, "blocks and blockDim must be >= 1")
+  require(codebook.forall(_.length >= blocks * blockDim),
+    s"every codebook entry must have >= ${blocks * blockDim} dims " +
+      s"(blocks=$blocks × blockDim=$blockDim); got lengths " +
+      codebook.map(_.length).distinct.mkString(","))
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -91,7 +95,14 @@ case class PqAdc(left: Expression, right: Expression)
     var b = 0
     while (b < n) {
       val row = table.getArray(b)
-      acc += row.getDouble(codes.getLong(b).toInt)
+      val code = codes.getLong(b)
+      // pq_adc is SQL-exposed: fail loudly on a code outside its
+      // block's table row instead of an opaque index error
+      if (code < 0 || code >= row.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code at block $b is outside the distance " +
+            s"table row (${row.numElements()} entries)")
+      acc += row.getDouble(code.toInt)
       b += 1
     }
     acc
