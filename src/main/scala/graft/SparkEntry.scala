@@ -1082,6 +1082,14 @@ object SparkEntry {
     graft.operators.Funnel.rateAnomalies(Tables.events(s, d), "event_type", "ts",
       lookback = 24, zThresh = 2.0)
 
+  /** Exact median + MAD of event values per type — robust
+    * location/spread for quality gates where means are outlier-prone.
+    * Selections under a deterministic (value, id) order: engine-exact
+    * with no float-fold discipline at all. */
+  private val q86: Q = (s, d) =>
+    graft.operators.Funnel.medianMad(Tables.events(s, d), "event_type",
+      "value", "event_id")
+
   /** Dataset-version diff: v2 is v1 with deterministic removals
     * (id%17), edits (id%13 → uppercased text) and additions (id%19
     * re-keyed) — the incremental-pipeline primitive that lets
@@ -1185,6 +1193,7 @@ object SparkEntry {
     "q83_retention" -> q83,
     "q84_dataset_diff" -> q84,
     "q85_rate_anomaly" -> q85,
+    "q86_median_mad" -> q86,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2458,5 +2467,31 @@ object SparkEntry {
            round(mean, 4) AS mean24, round(z, 4) AS z
          FROM z WHERE abs(z) >= 2.0
          ORDER BY event_type, hour_start""",
+    // Median/MAD replay: identical lower-median rank selections under
+    // the same (value, id) deterministic order.
+    "q86_median_mad" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         med AS (
+           SELECT event_type, CAST(n AS BIGINT) AS n, value AS median
+           FROM ranked WHERE rn = (n + 1) // 2),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.median) AS absdev, e.event_id
+           FROM events e JOIN med m ON e.event_type = m.event_type),
+         dranked AS (
+           SELECT event_type, absdev,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY absdev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev)
+         SELECT m.event_type, m.n, m.median, d.absdev AS mad
+         FROM med m JOIN (
+           SELECT event_type, absdev FROM dranked WHERE rn = (n + 1) // 2) d
+           ON m.event_type = d.event_type
+         ORDER BY m.event_type""",
   )
 }

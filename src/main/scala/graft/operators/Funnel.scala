@@ -76,11 +76,21 @@ object Funnel {
     * Returns flagged rows only: (event_type, hour_start, n, mean24,
     * z) with mean/z rounded to 4. */
   def rateAnomalies(events: DataFrame, typeCol: String, tsCol: String,
-                    lookback: Int = 24, zThresh: Double = 3.0): DataFrame = {
-    val hourly = events
-      .groupBy(col(typeCol).as("event_type"),
-        expr(s"unix_micros($tsCol) div 3600000000").as("hour"))
-      .agg(count(lit(1)).as("n"))
+                    lookback: Int = 24, zThresh: Double = 3.0): DataFrame =
+    anomaliesFromHourly(
+      events.groupBy(col(typeCol).as("event_type"),
+          expr(s"unix_micros($tsCol) div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n")),
+      lookback, zThresh)
+
+  /** The z-score half of [[rateAnomalies]] over an ALREADY-hourly
+    * (event_type, hour, n) frame — shared by the batch operator and
+    * the streaming alerting loop, where the hourly counts come from a
+    * watermarked window aggregate materialized into a
+    * [[graft.streaming.KeyedTable]] (update-mode counts are monotone
+    * per window, so last-writer-wins by n keeps the latest). */
+  def anomaliesFromHourly(hourly: DataFrame,
+                          lookback: Int = 24, zThresh: Double = 3.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-lookback, -1)
@@ -99,6 +109,44 @@ object Funnel {
       .select(col("event_type"), col("hour").as("hour_start"), col("n"),
         round(col("mean"), 4).as("mean24"), round(col("z"), 4).as("z"))
       .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /** Robust per-group location/spread: exact median and MAD (median
+    * absolute deviation) — the outlier-resistant complement to the
+    * moment-based z-scores of [[rateAnomalies]] (one wild value moves
+    * a mean arbitrarily; it moves a median by at most one rank).
+    *
+    * Medians are SELECTIONS, not folds — the lower median is the row
+    * ranked (n+1)/2 under the deterministic (value, id) order — so
+    * the result is engine-exact with no float-order discipline
+    * needed; the only arithmetic is the |x − med| subtraction.
+    *
+    * Scale shape: two rank-selection passes per group (the q17 exact-
+    * percentile shape — exactness demanded, each group's rows sort on
+    * one reducer; the sketch-based alternative is q69). Group counts
+    * re-enter as broadcasts.
+    *
+    * Returns (group, n, median, mad). */
+  def medianMad(df: DataFrame, groupCol: String, valueCol: String,
+                idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(in: DataFrame, v: String, as: String): DataFrame = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(v), col(idCol))
+      val counts = in.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      in.withColumn("__rn", row_number().over(w))
+        .join(broadcast(counts), groupCol)
+        .filter(col("__rn") === expr("(__n + 1) div 2")) // integer division
+        .select(col(groupCol), col("__n").as("n"), col(v).as(as))
+    }
+    val med = lowerMedian(df.select(col(groupCol), col(valueCol), col(idCol)),
+      valueCol, "median")
+    val dev = df.join(broadcast(med.select(col(groupCol), col("median"))), groupCol)
+      .withColumn("__absdev", abs(col(valueCol) - col("median")))
+    lowerMedian(dev, "__absdev", "mad")
+      .select(col(groupCol), col("mad"))
+      .join(med, groupCol)
+      .select(col(groupCol), col("n"), col("median"), col("mad"))
+      .orderBy(col(groupCol))
   }
 
   /** Weekly cohort retention: users are cohorted by the week of their

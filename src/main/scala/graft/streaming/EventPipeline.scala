@@ -144,6 +144,23 @@ object EventPipeline {
       .agg(count(lit(1)).as("c"))
       .select(col("window.start").as("win_start"), col("row"), col("bucket"), col("c"))
 
+  /** Streaming half of the rate-anomaly alerting loop: watermarked
+    * per-(type, hour) counts in UPDATE mode. Pair with
+    * `KeyedTable.sink(root, Seq("event_type", "hour"), "n")` in
+    * `foreachBatch` — a window's count only grows as late rows
+    * arrive, so last-writer-wins by n materializes the latest count —
+    * then alert with
+    * [[graft.operators.Funnel.anomaliesFromHourly]] over
+    * `KeyedTable.read`. State per open window is one count; history
+    * lives in the keyed table, not the stream. */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("unix_micros(window.start) div 3600000000").as("hour"), col("n"))
+
   /** Stream ⋈ static broadcast dim — the enrichment join
     * (enrichment.py:83-131) on a live stream. */
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =

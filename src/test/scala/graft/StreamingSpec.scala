@@ -240,6 +240,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(r(0).getAs[String]("event_type") === "click")
   }
 
+  test("anomaly alerting loop: streamed hourly counts + keyed table + batch z-score") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.KeyedTable
+    val table = java.nio.file.Files.createTempDirectory("graft_anom").toString + "/t"
+    // 10 steady hours (3 events, slight wobble) then a 30-event burst
+    val base = ts("2024-01-01 00:00:00").getTime
+    def hourEvents(h: Int, k: Int) = (0 until k).map(i =>
+      Event(h * 100L + i, new java.sql.Timestamp(base + h * 3600000L + i * 1000L),
+        7L, "click", 1.0, "{}"))
+    val steady = (0 until 10).flatMap(h => hourEvents(h, 3 + h % 2))
+    val burst = hourEvents(10, 30)
+    val mem = MemoryStream[Event]
+    val q = EventPipeline.hourlyTypeCounts(mem.toDF()).writeStream
+      .foreachBatch(KeyedTable.sink(table, Seq("event_type", "hour"), "n"))
+      .outputMode("update").start()
+    // two batches splitting an hour: the keyed table must end with the
+    // FULL count for the split hour (update-mode rows are monotone)
+    mem.addData(steady.take(2): _*); q.processAllAvailable()
+    mem.addData(steady.drop(2) ++ burst: _*); q.processAllAvailable()
+    q.stop()
+    val hourly = KeyedTable.read(spark, table).get
+    // streamed counts equal the batch aggregation of the same events
+    val batchHourly = (steady ++ burst).toDF()
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = hourly.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")) -> r.getAs[Long]("n")).toMap
+    assert(streamed === batchHourly)
+    // the alerting half flags the burst hour
+    val alerts = graft.operators.Funnel.anomaliesFromHourly(
+        hourly, lookback = 8, zThresh = 2.0)
+      .collect().map(_.getLong(1) - base / 3600000L)
+    assert(alerts.contains(10L), s"burst not flagged: ${alerts.toSeq}")
+  }
+
   test("keyed-upsert sink: last-writer-wins across micro-batches and checkpoint restart") {
     import spark.implicits._
     import graft.streaming.KeyedTable
