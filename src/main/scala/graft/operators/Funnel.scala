@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Exact integer `div` of a timestamp column's epoch-microseconds,
+    * with the caller-supplied column name backtick-quoted so names
+    * needing escaping (spaces, dots, hyphens) parse and resolve like
+    * the `col()`-based handling elsewhere in this file. */
+  private def epochDiv(tsCol: String, unitMicros: Long) = {
+    val quoted = "`" + tsCol.replace("`", "``") + "`"
+    expr(s"unix_micros($quoted) div $unitMicros")
+  }
+
   /** Ordered funnel conversion: step i counts users whose FIRST
     * step-i event happens strictly after their first step-(i-1)
     * event (the classic "view → click → purchase within order"
@@ -79,7 +88,7 @@ object Funnel {
                     lookback: Int = 24, zThresh: Double = 3.0): DataFrame =
     anomaliesFromHourly(
       events.groupBy(col(typeCol).as("event_type"),
-          expr(s"unix_micros($tsCol) div 3600000000").as("hour"))
+          epochDiv(tsCol, 3600000000L).as("hour"))
         .agg(count(lit(1)).as("n")),
       lookback, zThresh)
 
@@ -162,7 +171,7 @@ object Funnel {
     * Returns (cohort_week, week_offset, n_active, n_cohort,
     * retention), retention rounded to 4. */
   def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val week = expr(s"unix_micros($tsCol) div 604800000000").as("week")
+    val week = epochDiv(tsCol, 604800000000L).as("week")
     val uw = events.select(col(userCol), week).distinct()
     val cohort = uw.groupBy(col(userCol)).agg(min(col("week")).as("w0"))
     val sizes = cohort.groupBy(col("w0")).agg(count(lit(1)).as("n_cohort"))

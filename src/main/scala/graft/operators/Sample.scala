@@ -72,7 +72,8 @@ object Sample {
     val v = conv(substring(hx, 1, 13), 16, 10).cast("long")
     val u = (v + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
     val w = weight.cast("double")
-    val key = (lit(0.0) - log(u)) / when(w.isNull || w <= 0.0, lit(1.0)).otherwise(w)
+    val key = (lit(0.0) - log(u)) /
+      when(w.isNull || isnan(w) || w <= 0.0, lit(1.0)).otherwise(w)
     val picks = df
       .withColumn("__aes_key", key)
       .groupBy(strata.map(col): _*)

@@ -143,6 +143,8 @@ object Similarity {
     val codebook = hashRankCents(corpus, nCentroids).map(_._2).toSeq
     if (codebook.isEmpty) return emptyPqResult(probes)
     val dim = codebook.head.length
+    require(dim >= blockDim && dim % blockDim == 0,
+      s"pqTopK: embedding dim $dim must be a positive multiple of blockDim $blockDim")
     val blocks = dim / blockDim
     val enc = prepped(corpus, "nbr_id", "cv", "cn")
       .select(col("nbr_id"),
@@ -176,6 +178,8 @@ object Similarity {
     if (cents.isEmpty) return emptyPqResult(probes)
     val codebook = cents.map(_._2).toSeq
     val dim = codebook.head.length
+    require(dim >= blockDim && dim % blockDim == 0,
+      s"ivfPqTopK: embedding dim $dim must be a positive multiple of blockDim $blockDim")
     val blocks = dim / blockDim
     val c = prepped(corpus, "nbr_id", "cv", "cn")
       .select(col("nbr_id"),

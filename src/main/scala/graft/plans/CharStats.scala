@@ -29,24 +29,34 @@ case class CharStats(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     stats(input.asInstanceOf[UTF8String])
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code.
+    *
+    * Iterates by Unicode CODEPOINT (not UTF-16 code unit) so that
+    * supplementary characters (emoji, rare CJK) count once and sort by
+    * codepoint — matching the oracle's `string_split(text, '')`
+    * character semantics. Codepoint-ascending order equals UTF-8
+    * byte order, so the fold sequence matches DuckDB's binary
+    * collation exactly. */
   def stats(u: UTF8String): InternalRow = {
     val s = u.toString
-    val counts = new java.util.TreeMap[Character, Long]()
+    val counts = new java.util.TreeMap[Integer, Long]()
     var i = 0
+    var n = 0L
     while (i < s.length) {
-      val ch = Character.valueOf(s.charAt(i))
-      val prev = counts.get(ch)
-      counts.put(ch, if (prev == null) 1L else prev + 1L)
-      i += 1
+      val cp = s.codePointAt(i)
+      val key = Integer.valueOf(cp)
+      val prev: java.lang.Long = counts.get(key)
+      counts.put(key, if (prev eq null) 1L else prev + 1L)
+      i += Character.charCount(cp)
+      n += 1L
     }
     var sum = 0.0
-    val it = counts.values().iterator() // TreeMap: ascending char order
+    val it = counts.values().iterator() // TreeMap: ascending codepoint order
     while (it.hasNext) {
       val c = it.next().toDouble
       sum += c * java.lang.Math.log(c)
     }
-    InternalRow(s.length.toLong, counts.size.toLong, sum)
+    InternalRow(n, counts.size.toLong, sum)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

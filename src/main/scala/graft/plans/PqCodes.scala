@@ -90,7 +90,14 @@ case class PqAdc(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   def adc(codes: ArrayData, table: ArrayData): Double = {
-    val n = math.min(codes.numElements(), table.numElements())
+    val n = codes.numElements()
+    // Same fail-loudly stance as the per-code range check below: a
+    // block-count mismatch would otherwise yield a quietly wrong
+    // partial distance.
+    if (n != table.numElements())
+      throw new IllegalArgumentException(
+        s"pq_adc: code word has $n blocks but distance table has " +
+          s"${table.numElements()} rows")
     var acc = 0.0
     var b = 0
     while (b < n) {

@@ -295,6 +295,18 @@ class FreqSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 2L, r6(math.log(3) - 2 * math.log(2) / 3))))
   }
 
+  test("char entropy counts supplementary characters as one codepoint") {
+    // "😀😀a" = 2× U+1F600 (surrogate PAIRS in UTF-16) + 'a':
+    // codepoint semantics → n=3, distinct=2, H = ln 3 - (2 ln 2)/3
+    val df = Seq((1L, "😀😀a")).toDF("doc_id", "text")
+    val got = Entropy.charEntropy(df, "doc_id", "text").collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === 3L)
+    assert(got(0).getLong(2) === 2L)
+    assert(got(0).getDouble(3) === r6(math.log(3) - 2 * math.log(2) / 3))
+  }
+
   test("char entropy drops null and empty docs") {
     val df = Seq((1L, "ab"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -115,6 +115,16 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample maps NaN weights to the degenerate fallback of 1") {
+    val rows = (0L until 40L).map(id =>
+      ("g", id, if (id % 5 == 0) Double.NaN else (id % 7 + 1).toDouble * 10.0))
+    val df = rows.toDF("grp", "id", "w")
+    val got = graft.operators.Sample.weighted(df, Seq("grp"), "id", col("w"), 8)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val wOf = rows.map(r => r._2 -> r._3).toMap
+    assert(got === aesModel(rows.map(_._2), wOf, 8))
+  }
+
   test("weighted sample is exactly-k and favors heavy weights") {
     // one item per group carries 10000x the weight of the other 19:
     // it must appear in (nearly) every group's sample of 3
