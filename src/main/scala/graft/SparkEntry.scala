@@ -849,24 +849,27 @@ object SparkEntry {
     * layout (concatenate-and-chop, the standard pre-training packer):
     * per source shard, docs are laid out in a stable order (doc_id)
     * and cut into 4096-token sequences by cumulative token offset; a
-    * doc belongs to the sequence its FIRST token lands in. Packing is
-    * inherently sequential WITHIN a shard (each offset depends on
-    * every predecessor), so the unit of parallelism is the shard —
-    * exactly how training shards are built at 100 TB: one narrow
-    * (id, n_tokens) window per source, never a global order. Verified
+    * doc belongs to the sequence its FIRST token lands in. The
+    * running offset depends on every predecessor, but it does NOT
+    * need a per-shard serial window: [[graft.operators.Pack]]'s
+    * two-phase prefix sum (fixed-width doc_id range buckets → local
+    * window per bucket → bounded base-offset frame) computes the
+    * identical integer totals with #shards × #buckets parallelism —
+    * the plan that survives a handful of sources at 100 TB. Verified
     * through per-sequence doc/token totals and boundary ids, so the
     * oracle checks every assignment. The layout order is TOTAL —
     * (doc_id, md5(text)) — so packing is well-defined even if a shard
     * ever carries duplicate doc_ids; on this corpus doc_id is unique
-    * per source and the tiebreaker is inert. */
+    * per source and the tiebreaker is inert (and ties always share a
+    * doc_id range bucket, so bucketing preserves the order). */
   private val q68: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        size(TF.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"),
-        md5(coalesce(col("text"), lit(""))).as("__tie"))
-      .withColumn("__cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"), col("__tie"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.operators.Pack.shardedCumSum(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(TF.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"),
+          md5(coalesce(col("text"), lit(""))).as("__tie")),
+      part = "source", ordId = "doc_id", tieCol = "__tie",
+      valueCol = "n_tokens", cumAs = "__cum", bucketWidth = 4096L)
       .withColumn("seq_id", expr("(__cum - n_tokens) DIV 4096"))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),

@@ -23,6 +23,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain.except(salted).count() === 0)
   }
 
+  test("shardedCumSum equals the single-window running total exactly") {
+    import spark.implicits._
+    // ids are NON-dense and include duplicates (5 rows per id value at
+    // id%11==0) so ties and ragged buckets are exercised; bucketWidth=16
+    // forces many buckets per shard.
+    val rows = for {
+      s <- Seq("a", "b"); i <- 0 until 500
+      r <- 0 until (if (i % 11 == 0) 3 else 1)
+    } yield (s, i.toLong * 7L, s"t_${s}_${i}_$r", (i % 13 + 1).toLong)
+    val df = rows.toDF("source", "doc_id", "tie", "v")
+      .repartition(8) // scatter input so locality can't mask ordering bugs
+    val got = graft.operators.Pack
+      .shardedCumSum(df, "source", "doc_id", "tie", "v", "cum", bucketWidth = 16L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"), col("tie"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // the local phase really is bucket-parallel: no Sort over a whole
+    // shard, i.e. the widest window partitioning includes the bucket
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__pk_bucket") || plan.contains("pk_bucket"),
+      "two-phase plan should partition the local window by range bucket")
+  }
+
   test("saltedJoin spreads a pathologically hot key and stays exact") {
     import spark.implicits._
     // 100k-row hot key + a long tail: the shape where an unsalted
