@@ -161,6 +161,25 @@ object EventPipeline {
       .select(col("event_type"),
         expr("unix_micros(window.start) div 3600000000").as("hour"), col("n"))
 
+  /** The composed consumer loop — dedup by event id THEN hourly
+    * per-type counts, the reference's full receive→dedup→aggregate
+    * handler (consumer.py:57-92) as one query. The two standalone
+    * pipelines each define their own watermark, and Spark disallows
+    * redefining one mid-stream, so the composition shares a single
+    * watermark across both stateful operators (dedup state and open
+    * windows evict on the same horizon). Append-mode: each closed
+    * (hour, type) emits exactly once — pair with
+    * `KeyedTable.sink(root, Seq("event_type", "hour"), "n")`. */
+  def dedupedHourlyTypeCounts(events: DataFrame,
+                              watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("unix_micros(window.start) div 3600000000").as("hour"), col("n"))
+
   /** Stream ⋈ static broadcast dim — the enrichment join
     * (enrichment.py:83-131) on a live stream. */
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =

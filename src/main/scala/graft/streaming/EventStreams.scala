@@ -17,7 +17,10 @@ import graft.sources.Event
   *  - [[EventSource.FileTail]] — tail a directory of event files (the
   *    file-drop analog of a queue; exactly-once with a checkpoint);
   *  - [[EventSource.Socket]] — JSON event lines over a socket
-  *    (`nc -lk 9999`-style live demos).
+  *    (`nc -lk 9999`-style live demos). NOT checkpoint-resumable (a
+  *    raw socket can't replay); for exactly-once over a socket, land
+  *    frames with [[SocketSpool]] and read the spool via `FileTail(dir,
+  *    "json")` — persist-then-process, proved live in StreamingSpec.
   *
   * A production deployment swaps in Kafka/Kinesis by adding a case
   * that maps the connector's payload to the same schema:

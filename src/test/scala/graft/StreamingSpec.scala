@@ -364,6 +364,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(table(ts("2024-01-01 02:00:00")) === 1L)
   }
 
+  test("live socket-JSON seam end-to-end: dedup → hourly counts → keyed table, " +
+       "crash/resume with at-least-once redelivery stays exactly-once") {
+    import graft.streaming.{EventStreams, KeyedTable, SocketSpool}
+    // The full consumer-loop shape (consumer.py:57-92: receive JSON
+    // records at-least-once, dedup by event id, aggregate, persist)
+    // over a LIVE transport: a real TCP server feeds frames to a
+    // SocketSpool relay, whose durable spool is the replayable source
+    // — persist-then-process, because a raw socket cannot checkpoint-
+    // resume. Exactly-once is asserted END-TO-END across a crash:
+    // recovered dedup state drops redelivered ids, the recovered
+    // watermark drops stale replays, and each closed hour lands in the
+    // keyed table exactly once.
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    server.setSoTimeout(30000)
+    val port = server.getLocalPort
+    val base = java.nio.file.Files.createTempDirectory("graft_socket").toString
+    val spoolDir = s"$base/spool"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+
+    def frame(id: Long, hhmm: String, typ: String = "click") =
+      s"""{"event_id":$id,"ts":"2024-01-01T$hhmm:00.000Z","user_id":7,""" +
+        s""""event_type":"$typ","value":1.0,"props":"{}"}"""
+
+    def startQuery() = EventStreams.readEventStream(spark,
+        EventStreams.EventSource.FileTail(spoolDir, "json"))
+      .transform(EventPipeline.dedupedHourlyTypeCounts(_))
+      .writeStream
+      .foreachBatch(KeyedTable.sink(table, Seq("event_type", "hour"), "n"))
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // "tick" events only run batches / advance the clock — assert on clicks
+    def tableState(): Map[Long, Long] = KeyedTable.read(spark, table) match {
+      case Some(df) => df.filter(col("event_type") === "click").collect()
+        .map(r => r.getAs[Long]("hour") -> r.getAs[Long]("n")).toMap
+      case None => Map.empty
+    }
+
+    /** Send frames over the live socket, then poll processAllAvailable
+      * until the keyed table satisfies `want` — transport + relay are
+      * asynchronous, so lines may not have landed in the spool when the
+      * first processAllAvailable runs. */
+    def feedUntil(out: java.io.PrintWriter, q: org.apache.spark.sql.streaming.StreamingQuery,
+                  frames: Seq[String], want: Map[Long, Long] => Boolean): Unit = {
+      frames.foreach(out.println); out.flush()
+      val deadline = System.currentTimeMillis() + 30000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        done = want(tableState())
+        if (!done) Thread.sleep(200)
+      }
+      assert(done, s"timed out waiting for keyed-table state; got ${tableState()}")
+    }
+
+    val relay = new SocketSpool("127.0.0.1", port, spoolDir)
+    val conn = server.accept() // the relay connects once; it outlives query crashes
+    val producer = new java.io.PrintWriter(conn.getOutputStream, true)
+    try {
+      // ---- session 1: normal ingest, including an in-batch duplicate
+      val q1 = startQuery()
+      val trancheA = Seq(
+        frame(1, "00:05"), frame(2, "00:10"), frame(2, "00:10"), // dup frame
+        frame(3, "00:20"),
+        frame(10, "01:02"), frame(11, "01:20"),
+        frame(19, "01:25")) // advances watermark to 01:15 → hour 0 closes
+      // append-mode hours emit in a batch AFTER the watermark passes, so
+      // follow with tick events (filtered pre-watermark) to run batches
+      feedUntil(producer, q1, trancheA, _ => true)
+      feedUntil(producer, q1, Seq(frame(900, "01:25", "tick"), frame(901, "01:25", "tick")),
+        st => st.nonEmpty)
+      val h0 = tableState().keys.min
+      assert(tableState() === Map(h0 -> 3L), "hour 0 must close with ids 1,2,3 deduped")
+
+      // ---- crash: kill the query mid-stream (the relay keeps spooling)
+      q1.stop()
+
+      // ---- session 2: resume from the checkpoint; the producer re-sends
+      // in-flight frames (at-least-once, like a queue consumer restart)
+      val q2 = startQuery()
+      val trancheB = Seq(
+        frame(11, "01:20"), // redelivery ≥ watermark: recovered dedup state must drop it
+        frame(3, "00:20"),  // stale replay < recovered watermark: dropped as late
+        frame(12, "01:30"), // genuinely new hour-1 event
+        frame(20, "02:05"), frame(21, "02:10"),
+        frame(29, "02:45")) // advances watermark to 02:35 → hour 1 closes
+      feedUntil(producer, q2, trancheB, _ => true)
+      feedUntil(producer, q2, Seq(frame(902, "02:45", "tick"), frame(903, "02:45", "tick")),
+        st => st.contains(h0 + 1))
+      q2.stop()
+
+      // hour 1 = ids 10,11,19,12 — pre-crash rows merged with post-crash
+      // rows (agg state recovered), redelivered 11 dropped (dedup state
+      // recovered), replayed 3 dropped (watermark recovered, hour 0 final)
+      assert(tableState() === Map(h0 -> 3L, (h0 + 1) -> 4L))
+    } finally {
+      relay.close(); producer.close(); conn.close(); server.close()
+    }
+  }
+
   test("sessionizeStateful emits gap-closed and timed-out sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
