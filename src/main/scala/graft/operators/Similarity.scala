@@ -51,16 +51,14 @@ object Similarity {
     * alongside the embeddings (partitioned by cell) so queries prune at
     * the scan. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int): DataFrame = {
+              nCentroids: Int, nProbe: Int, refineIters: Int = 0): DataFrame = {
     // deterministic centroids: first nCentroids corpus vectors by
-    // md5(vec_id) order (hash-rank sample, engine-independent).
-    // orderBy(...).limit(n) plans as TakeOrderedAndProject: each task
-    // keeps n rows, the driver merges — nothing like a global sort.
-    val centroids = prepped(corpus, "cent_id", "centv", "centn")
-      .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
-      .limit(nCentroids)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    // md5(vec_id) order (hash-rank sample, engine-independent), then
+    // optional Lloyd refinement. orderBy(...).limit(n) plans as
+    // TakeOrderedAndProject: each task keeps n rows, the driver
+    // merges — nothing like a global sort.
+    val centroids = refineCents(corpus,
+      hashRankCents(corpus, nCentroids), refineIters)
     if (centroids.isEmpty)
       return probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
         col("vec_id").as("nbr_id"), lit(0.0).as("cos")).limit(0)
@@ -117,6 +115,84 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
 
+  /** Deterministic Lloyd (k-means) refinement of a centroid seed:
+    * assign every corpus vector to its nearest current centroid (the
+    * same map-only native argmax the query path uses), average per
+    * cell with the bounded [[graft.plans.VecSum]] aggregate (one
+    * dim-length buffer per cell, map-side combined), and keep the old
+    * centroid for any empty cell. Each iteration is one scan + one
+    * bounded aggregate + a ≤ nCentroids collect — the standard IVF
+    * training loop, deterministic because the seed is (hash-rank
+    * sampling has no RNG) and Lloyd is seed-determined. Off by
+    * default: the oracled queries pin refineIters=0; the recall spec
+    * exercises the trained path. */
+  private def refineCents(corpus: DataFrame,
+                          seed: Array[(Long, Seq[Double], Double)],
+                          iters: Int): Array[(Long, Seq[Double], Double)] = {
+    var cur = seed
+    if (seed.isEmpty) return cur
+    for (_ <- 0 until iters) {
+      val means = prepped(corpus, "vid", "v", "vn")
+        .select(explode(graft.plans.NearestCells.nearestCells(
+          col("v"), col("vn"), cur.toSeq, 1)).as("cell"), col("v"))
+        .groupBy(col("cell"))
+        .agg(graft.plans.VecSum.vecSum(col("v")).as("s"))
+        .select(col("cell"), col("s.n").as("n"), col("s.sum").as("sum"))
+        .collect()
+        .map { r =>
+          val mean = r.getSeq[Double](2).map(_ / r.getLong(1)).toIndexedSeq
+          r.getLong(0) -> mean
+        }.toMap
+      cur = cur.map { case (id, v, nrm) =>
+        means.get(id) match {
+          case Some(m) =>
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            if (norm > 0.0) (id, m, norm) else (id, v, nrm)
+          case None => (id, v, nrm) // empty cell keeps its seed
+        }
+      }
+    }
+    cur
+  }
+
+  /** Per-block Lloyd refinement of the PQ codebook — true PQ training
+    * (Jégou §II.C): each block's sub-codebook is refined on that
+    * block's sub-vectors independently. One pass per iteration:
+    * encode with the current codebook (native [[graft.plans.PqCodes]]),
+    * posexplode the code word to (block, code), slice the matching
+    * sub-vector, and VecSum per (block, code) — bounded at
+    * blocks × nCentroids buffers. Codebook entries stay full-length
+    * vectors (block b's slice = that block's centroid c), preserving
+    * the storage layout the untrained path uses. */
+  private def refinePqCodebook(corpus: DataFrame, seed: Seq[Seq[Double]],
+                               blocks: Int, blockDim: Int, iters: Int): Seq[Seq[Double]] = {
+    var cur = seed
+    if (seed.isEmpty) return cur
+    for (_ <- 0 until iters) {
+      val means = prepped(corpus, "vid", "v", "vn")
+        .select(posexplode(graft.plans.PqCodes.pqCodes(
+          col("v"), cur, blocks, blockDim)).as(Seq("b", "code")),
+          col("v"))
+        .select(col("b"), col("code"),
+          slice(col("v"), col("b") * blockDim + 1, lit(blockDim)).as("sub"))
+        .groupBy(col("b"), col("code"))
+        .agg(graft.plans.VecSum.vecSum(col("sub")).as("s"))
+        .select(col("b"), col("code"), col("s.n").as("n"), col("s.sum").as("sum"))
+        .collect()
+        .map { r =>
+          (r.getInt(0), r.getLong(1)) ->
+            r.getSeq[Double](3).map(_ / r.getLong(2)).toIndexedSeq
+        }.toMap
+      cur = cur.zipWithIndex.map { case (entry, c) =>
+        (0 until blocks).flatMap { b =>
+          means.getOrElse((b, c.toLong),
+            entry.slice(b * blockDim, (b + 1) * blockDim))
+        }
+      }
+    }
+    cur
+  }
+
   /** Per-probe ADC table: table[b][c] = squared L2 between the
     * probe's block-b sub-vector (column `pv`) and codebook entry c.
     * Probes are a tiny broadcast set, so an interpreted HOF over the
@@ -138,14 +214,39 @@ object Similarity {
     probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
       col("vec_id").as("nbr_id"), lit(0.0).as("adc_dist")).limit(0)
 
+  /** Exact-cosine re-rank of an ADC shortlist (the FAISS
+    * `IndexRefineFlat` pattern): the quantized index nominates
+    * `shortlist` candidates per probe, then ONLY those rows read
+    * their raw vectors for exact scoring — ADC's distortion decides
+    * what to read, never the final order. The raw-vector join is an
+    * equi-join on nbr_id against a (probes × shortlist)-row frame:
+    * tiny relative to the corpus, so the memory-bound ADC win stands.
+    * Output matches bruteForceTopK's schema (cos, not adc_dist). */
+  private def rerankExact(shortlist: DataFrame, corpus: DataFrame,
+                          probes: DataFrame, k: Int): DataFrame = {
+    val c = prepped(corpus, "nbr_id", "cv", "cn")
+    val p = prepped(probes, "probe_id", "pv", "pn")
+    val scored = shortlist.select(col("probe_id"), col("nbr_id"))
+      .join(c, "nbr_id")
+      .join(broadcast(p), "probe_id")
+      .withColumn("cos", VectorFunctions.cosinePre(col("cv"), col("pv"), col("cn"), col("pn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), round(col("cos"), 6).as("cos"))
+  }
+
   def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-             nCentroids: Int = 16, blockDim: Int = 8): DataFrame = {
-    val codebook = hashRankCents(corpus, nCentroids).map(_._2).toSeq
-    if (codebook.isEmpty) return emptyPqResult(probes)
-    val dim = codebook.head.length
+             nCentroids: Int = 16, blockDim: Int = 8, refineIters: Int = 0,
+             rerank: Int = 0): DataFrame = {
+    val seed = hashRankCents(corpus, nCentroids).map(_._2).toSeq
+    if (seed.isEmpty) return emptyPqResult(probes)
+    val dim = seed.head.length
     require(dim >= blockDim && dim % blockDim == 0,
       s"pqTopK: embedding dim $dim must be a positive multiple of blockDim $blockDim")
     val blocks = dim / blockDim
+    val codebook = refinePqCodebook(corpus, seed, blocks, blockDim, refineIters)
     val enc = prepped(corpus, "nbr_id", "cv", "cn")
       .select(col("nbr_id"),
         graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
@@ -155,10 +256,12 @@ object Similarity {
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("adc", graft.plans.PqCodes.pqAdc(col("codes"), col("tab")))
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"), round(col("adc"), 6).as("adc_dist"))
+    val shortK = if (rerank > 0) math.max(k, rerank) else k
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortK)
+    if (rerank > 0) rerankExact(ranked, corpus, probes, k)
+    else ranked.select(col("probe_id"), col("rank").cast("long").as("rank"),
+      col("nbr_id"), round(col("adc"), 6).as("adc_dist"))
   }
 
   /** IVF+PQ — the composed index shape real billion-vector
@@ -173,14 +276,16 @@ object Similarity {
     * scan. Candidate scoring touches only code words and the probe's
     * broadcast ADC table: never a raw vector. */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-                nCentroids: Int = 16, nProbe: Int = 4, blockDim: Int = 8): DataFrame = {
-    val cents = hashRankCents(corpus, nCentroids)
+                nCentroids: Int = 16, nProbe: Int = 4, blockDim: Int = 8,
+                refineIters: Int = 0, rerank: Int = 0): DataFrame = {
+    val cents = refineCents(corpus, hashRankCents(corpus, nCentroids), refineIters)
     if (cents.isEmpty) return emptyPqResult(probes)
-    val codebook = cents.map(_._2).toSeq
-    val dim = codebook.head.length
+    val dim = cents.head._2.length
     require(dim >= blockDim && dim % blockDim == 0,
       s"ivfPqTopK: embedding dim $dim must be a positive multiple of blockDim $blockDim")
     val blocks = dim / blockDim
+    val codebook = refinePqCodebook(corpus, cents.map(_._2).toSeq,
+      blocks, blockDim, refineIters)
     val c = prepped(corpus, "nbr_id", "cv", "cn")
       .select(col("nbr_id"),
         explode(graft.plans.NearestCells.nearestCells(
@@ -194,20 +299,36 @@ object Similarity {
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("adc", graft.plans.PqCodes.pqAdc(col("codes"), col("tab")))
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"), round(col("adc"), 6).as("adc_dist"))
+    val shortK = if (rerank > 0) math.max(k, rerank) else k
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortK)
+    if (rerank > 0) rerankExact(ranked, corpus, probes, k)
+    else ranked.select(col("probe_id"), col("rank").cast("long").as("rank"),
+      col("nbr_id"), round(col("adc"), 6).as("adc_dist"))
   }
 
   /** LSH-bucketed ANN: score only corpus vectors in the probe's bucket.
-    * Recall < 1.0 by construction; bits trades recall vs. cost. */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int): DataFrame = {
+    * Recall < 1.0 by construction; bits trades recall vs. cost.
+    * `multiProbe = 1` additionally probes every bucket at Hamming
+    * distance 1 (classic multi-probe LSH): the PROBE side explodes to
+    * bits+1 buckets — the corpus is never re-signed or re-shuffled —
+    * trading a (bits+1)× candidate read for the recall a near-miss
+    * sign bit costs. Off by default (the oracled q27 pins the exact-
+    * bucket variant); the recall spec exercises it. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int,
+              multiProbe: Int = 0): DataFrame = {
+    require(multiProbe == 0 || multiProbe == 1,
+      s"multiProbe supports Hamming radius 0 or 1, got $multiProbe")
     val sig = (df: DataFrame, idAs: String, vecAs: String, normAs: String) =>
       prepped(df, idAs, vecAs, normAs)
         .withColumn("bucket", VectorFunctions.hyperplaneSignature(col(vecAs), bits))
     val c = sig(corpus, "nbr_id", "cv", "cn")
-    val p = sig(probes, "probe_id", "pv", "pn")
+    val p0 = sig(probes, "probe_id", "pv", "pn")
+    val p = if (multiProbe == 0) p0 else
+      p0.select(col("probe_id"), col("pv"), col("pn"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket"))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("cos", VectorFunctions.cosinePre(col("cv"), col("pv"), col("cn"), col("pn")))
