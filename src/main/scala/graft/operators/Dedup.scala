@@ -93,36 +93,48 @@ object Dedup {
     * [[ngramJaccardPairs]], different cost shape.
     *
     * Sort each document's distinct shingle hashes by one global total
-    * order (the hash value) and join only each doc's first
+    * order — ascending DOCUMENT FREQUENCY, ties by hash (the PPJoin
+    * canonical order) — and join only each doc's first
     * n − ⌈t·n⌉ + 1 shingles. Pigeonhole (with the size filter
     * t·|bigger| ≤ |smaller|, applied in the join) guarantees every
-    * pair with Jaccard ≥ t shares a PREFIX shingle — recall 1.0 —
-    * while a hot shingle participates with only ~(1−t) of its
-    * postings and size-incompatible docs never pair at all.
-    * Verification then costs O(candidates): each candidate pair
-    * fetches its two sorted hash arrays and intersects in-row.
+    * pair with Jaccard ≥ t shares a PREFIX shingle — recall 1.0
+    * under ANY consistent total order — while rarest-first ordering
+    * pushes hot shingles to the END of every doc's list, so
+    * boilerplate never pairs anyone unless a doc is nearly all
+    * boilerplate. (Ordering by raw hash instead is cheaper — no df
+    * pass — but a hot shingle that happens to hash small lands in
+    * EVERY doc's prefix and the f² blowup returns; the PropertySpec
+    * hot-shingle stress fails exactly that way.) Verification costs
+    * O(candidates): each candidate pair fetches its two sorted
+    * (df, hash) arrays and intersects in-row.
     *
     * Trade-off, measured at sf0.1 (uniform synthetic corpus, no hot
-    * shingles): ~2× slower than the naive join — the extra shingling
-    * passes and candidate shuffle buy nothing when no shingle is
-    * hot. On a skewed corpus the naive join's worst shingle costs
-    * f², this one's costs (f·(1−t))² with verification decoupled —
-    * at 100 TB that is the difference between finishing and not. */
+    * shingles): ~2× slower than the naive join — the df aggregate,
+    * per-doc re-sort, and candidate shuffle buy nothing when no
+    * shingle is hot. On a skewed corpus the naive join's worst
+    * shingle costs f², this one pairs docs on their RAREST shingles
+    * with verification decoupled — at 100 TB that is the difference
+    * between finishing and not. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    // token-count pre-filter (cheap split) instead of size(sharr) > 0:
-    // a filter on the computed array would inline the whole shingling
-    // expression into the filter condition too (CollapseProject)
-    val lists = docs
-      .filter(size(TextFunctions.tokens(col(textCol))) >= k)
-      .select(col(idCol).as("doc_id"),
-        graft.plans.SortedShingleHashes.sortedShingleHashes(
-          TextFunctions.tokens(col(textCol)), k).as("sharr"))
-    // prefix length n − ⌈t·n⌉ + 1; slice is 1-based
-    val plen = (size(col("sharr"))
-      - ceil(lit(threshold) * size(col("sharr"))) + 1).cast("int")
-    val prefix = lists.select(col("doc_id"), size(col("sharr")).as("n"),
-      explode(slice(col("sharr"), lit(1), plen)).as("s"))
+    val sh = shingleHashTable(docs, idCol, textCol, k) // distinct postings
+    // global document frequency per shingle: ONE aggregate over the
+    // postings, the price of a skew-proof canonical order
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // prefix selection DIRECTLY on the postings — rank each doc's
+    // shingles rarest-first and keep rank ≤ n − ⌈t·n⌉ + 1. A window
+    // (count + row_number over the doc partition) instead of a
+    // collect_list array rebuild: the self-join below recomputes its
+    // input subtree once per side, and rebuilding sorted arrays per
+    // side was a measured 19× regression at sf0.1; the identical
+    // window subtree on both sides reuses one exchange.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wRank = wDoc.orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("n"), col("shingle").as("s"))
     // sizes ride along with the candidates (functionally dependent on
     // the ids, so distinct cardinality is unchanged) — saves two more
     // shingling passes that separate size joins would cost
@@ -133,10 +145,15 @@ object Dedup {
         lit(threshold) * col("n1") <= col("n2"))
       .select("d1", "d2", "n1", "n2").distinct()
     // verification cost is proportional to CANDIDATES, not postings:
-    // fetch the two hash arrays per candidate pair and intersect
-    // in-row (arrays are distinct, so the count is the exact shingle
-    // intersection) — no posting-list re-explosion, no third shuffle
-    // over the corpus
+    // fetch the two hash-sorted arrays per candidate pair (the cheap
+    // MAP-ONLY native projection — verification needs any consistent
+    // arrays, not the df order) and intersect in-row — no posting-
+    // list re-explosion, no third shuffle over the corpus
+    val lists = docs
+      .filter(size(TextFunctions.tokens(col(textCol))) >= k)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.SortedShingleHashes.sortedShingleHashes(
+          TextFunctions.tokens(col(textCol)), k).as("sharr"))
     cand
       .join(lists.toDF("d1", "a1"), "d1")
       .join(lists.toDF("d2", "a2"), "d2")
