@@ -49,6 +49,49 @@ class ScaleOpsSpec extends AnyFunSuite {
       "two-phase plan should partition the local window by range bucket")
   }
 
+  test("materialized IVF+PQ index: probes match the inline operator and prune to probed cells") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val probes = emb.filter(col("vec_id") < 3)
+    val path = Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, path, nCentroids = 8, blockDim = 8)
+    val fromIndex = Similarity.probeIvfPqIndex(probes, path, k = 5, nProbe = 2)
+    // the materialized index must return EXACTLY what the inline
+    // operator computes with the same parameters
+    val inline = Similarity.ivfPqTopK(emb, probes, k = 5, nCentroids = 8,
+      nProbe = 2, blockDim = 8)
+    assert(fromIndex.exceptAll(inline).count() === 0)
+    assert(inline.exceptAll(fromIndex).count() === 0)
+    // pruning proof, twice over: (1) the cells/ scan carries a
+    // dynamic-pruning PartitionFilter (the broadcast join key IS the
+    // partition column); (2) after execution the scan's runtime metric
+    // shows fewer partition directories READ than exist on disk —
+    // at most 3 probes × nProbe=2 of the 8 cells
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: QueryStageExec => findScans(q.plan)
+      case r: ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(findScans)
+    }
+    fromIndex.collect() // execute THIS plan instance so its metrics populate
+    val cellScan = findScans(fromIndex.queryExecution.executedPlan)
+      .find(_.metadata("Location").contains("/cells"))
+      .getOrElse(fail("no file scan over the cells/ layout in the probe plan"))
+    assert(cellScan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"cells scan lacks a dynamic pruning filter: ${cellScan.partitionFilters}")
+    val partitionsRead = cellScan.metrics("numPartitions").value
+    assert(partitionsRead > 0, "scan metric not populated — pruning proof is vacuous")
+    val allCells = new java.io.File(s"$path/cells").listFiles()
+      .count(_.getName.startsWith("cell="))
+    info(s"partitions read = $partitionsRead of $allCells on disk")
+    assert(partitionsRead <= 6, s"probe scan read $partitionsRead cells — no pruning")
+    assert(partitionsRead < allCells, "probe scan read every cell directory")
+  }
+
   test("saltedJoin spreads a pathologically hot key and stays exact") {
     import spark.implicits._
     // 100k-row hot key + a long tail: the shape where an unsalted
