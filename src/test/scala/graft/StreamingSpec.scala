@@ -277,6 +277,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts.contains(10L), s"burst not flagged: ${alerts.toSeq}")
   }
 
+  test("anomaly alerting freshness: late rows update an emitted hour and correct the z") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.KeyedTable
+    val table = java.nio.file.Files.createTempDirectory("graft_late").toString + "/t"
+    val base = ts("2024-01-01 00:00:00").getTime
+    def hourEvents(h: Int, k: Int, off: Int = 0) = (0 until k).map(i =>
+      Event(h * 1000L + off + i, new java.sql.Timestamp(base + h * 3600000L + (off + i) * 1000L),
+        7L, "click", 1.0, "{}"))
+    val mem = MemoryStream[Event]
+    val q = EventPipeline.hourlyTypeCounts(mem.toDF(), watermark = "2 hours").writeStream
+      .foreachBatch(KeyedTable.sink(table, Seq("event_type", "hour"), "n"))
+      .outputMode("update").start()
+    def zOfBurstHour(): Option[Double] = {
+      val hourly = KeyedTable.read(spark, table).get
+      graft.operators.Funnel.anomaliesFromHourly(hourly, lookback = 8, zThresh = 2.0)
+        .collect().find(_.getLong(1) === base / 3600000L + 10)
+        .map(_.getAs[Double]("z"))
+    }
+    // batch 1: 10 steady hours (counts 3/4 alternating), then hour 10
+    // arrives with only a PARTIAL count (4 events) — within noise
+    // (z = 1), no alert yet
+    val steady = (0 until 10).flatMap(h => hourEvents(h, 3 + h % 2))
+    mem.addData(steady ++ hourEvents(10, 4): _*); q.processAllAvailable()
+    val zBefore = zOfBurstHour()
+    assert(zBefore.isEmpty, s"partial hour should be sub-threshold, got z=$zBefore")
+    val hourly1 = KeyedTable.read(spark, table).get
+      .filter(col("hour") === base / 3600000L + 10).collect()
+    assert(hourly1.head.getAs[Long]("n") === 4, "partial hour must be materialized")
+    // batch 2: 26 LATE events for hour 10 arrive (inside the 2h
+    // watermark) — update mode re-emits the window's corrected count,
+    // and last-writer-wins by n replaces the stale row
+    mem.addData(hourEvents(10, 26, off = 4): _*); q.processAllAvailable()
+    q.stop()
+    val hourly2 = KeyedTable.read(spark, table).get
+      .filter(col("hour") === base / 3600000L + 10).collect()
+    assert(hourly2.head.getAs[Long]("n") === 30, "late rows must correct the emitted hour")
+    val zAfter = zOfBurstHour()
+    // the corrected count flips the alert: no z (or sub-threshold z)
+    // before, a strong positive z after
+    assert(zAfter.isDefined, "corrected hour must now alert")
+    assert(zAfter.get > 2.0, s"corrected z should exceed threshold, got $zAfter")
+    assert(zBefore.forall(_ < zAfter.get), s"z must increase: $zBefore -> $zAfter")
+    // batch-equivalence of the final state: streamed counts == batch agg
+    val want = (steady ++ hourEvents(10, 30)).toDF()
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = KeyedTable.read(spark, table).get.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")) -> r.getAs[Long]("n")).toMap
+    assert(got === want)
+  }
+
   test("keyed-upsert sink: last-writer-wins across micro-batches and checkpoint restart") {
     import spark.implicits._
     import graft.streaming.KeyedTable
