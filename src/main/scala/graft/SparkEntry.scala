@@ -1093,6 +1093,25 @@ object SparkEntry {
     graft.operators.Funnel.medianMad(Tables.events(s, d), "event_type",
       "value", "event_id")
 
+  /** The MATERIALIZED IVF+PQ index under the correctness gate:
+    * build the cell-partitioned index
+    * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
+    * codes) parquet partitioned by cell, centroids + codebook
+    * persisted beside it) into a scratch dir, then probe it with
+    * dynamic partition pruning. Build-once/probe-many is the real
+    * deployment shape; output is IDENTICAL to the inline q80
+    * composite with the same parameters, so it shares q80's DuckDB
+    * replay oracle — the gate proves the landed layout (partition-
+    * column round-trip, persisted centroids/codebook) loses
+    * nothing. */
+  private val q87: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val path = java.nio.file.Files.createTempDirectory("graft_q87_idx").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, path, nCentroids = 16, blockDim = 8)
+    Similarity.probeIvfPqIndex(emb.filter(col("vec_id") < 5), path, k = 10, nProbe = 4)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Dataset-version diff: v2 is v1 with deterministic removals
     * (id%17), edits (id%13 → uppercased text) and additions (id%19
     * re-keyed) — the incremental-pipeline primitive that lets
@@ -1197,6 +1216,7 @@ object SparkEntry {
     "q84_dataset_diff" -> q84,
     "q85_rate_anomaly" -> q85,
     "q86_median_mad" -> q86,
+    "q87_ivfpq_index" -> q87,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2299,7 +2319,13 @@ object SparkEntry {
     // IVFPQ replay: q41's cosine cell argmax composed with q78's block
     // argmin codes and ordered ADC fold — candidates are (probe cell ∩
     // corpus cell) pairs only.
-    "q80_ivfpq_ann" ->
+    "q80_ivfpq_ann" -> IvfPqReplaySql,
+    // the materialized-index probe (q87) is output-identical to the
+    // inline q80 composite by construction — same replay oracle
+    "q87_ivfpq_index" -> IvfPqReplaySql,
+  ) ++ oracleSqlRest
+
+  private val IvfPqReplaySql: String =
       """WITH prep AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -2350,7 +2376,9 @@ object SparkEntry {
            FROM scored)
          SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id,
            round(adc, 6) AS adc_dist
-         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  private def oracleSqlRest: Map[String, String] = Map(
     // KL replay: same count ratios, same p·ln(p/q) per term, Σ folded
     // in sorted-term order via list_sum.
     "q81_source_kl" ->

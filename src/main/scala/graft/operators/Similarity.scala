@@ -124,9 +124,13 @@ object Similarity {
     * centroid for any empty cell. Each iteration is one scan + one
     * bounded aggregate + a ≤ nCentroids collect — the standard IVF
     * training loop, deterministic because the seed is (hash-rank
-    * sampling has no RNG) and Lloyd is seed-determined. Off by
-    * default: the oracled queries pin refineIters=0; the recall spec
-    * exercises the trained path. */
+    * sampling has no RNG) and Lloyd is seed-determined. One caveat:
+    * the per-cell mean is a float sum whose partition merge order
+    * Spark does not fix, so training is deterministic only up to
+    * ~1-ulp fold-order differences (an assignment can flip for a
+    * near-exact centroid tie). This is why the ORACLED queries pin
+    * refineIters=0 and the recall spec asserts FLOORS, not hashes,
+    * on the trained path. */
   private def refineCents(corpus: DataFrame,
                           seed: Array[(Long, Seq[Double], Double)],
                           iters: Int): Array[(Long, Seq[Double], Double)] = {
