@@ -211,6 +211,29 @@ SELECT d1, d2, hamming FROM (
   SELECT * FROM intra UNION ALL SELECT * FROM inter)
 ORDER BY d1, d2"""
 
+def build_q88_suffix():
+    # Ground truth for the WIDE-banded pair operator: a brute-force
+    # hamming <= 3 join over distinct fingerprints. The Spark side uses
+    # Manku-style piece-combination banding, so the hash match proves
+    # the banding is exhaustive for hamming <= 3 on real data — the
+    # oracle never replays the bands at all.
+    return f""",
+intra AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+  FROM fps a JOIN fps b ON a.fpu = b.fpu AND a.doc_id < b.doc_id),
+dfp AS (SELECT DISTINCT fpu, fp FROM fps),
+hph AS (
+  SELECT x.fpu AS h1u, y.fpu AS h2u,
+    CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+  FROM dfp x JOIN dfp y ON x.fpu < y.fpu
+  WHERE bit_count(xor(x.fp, y.fp)) <= 3 AND bit_count(xor(x.fp, y.fp)) > 0),
+inter AS (
+  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2, p.hamming
+  FROM hph p JOIN fps a ON a.fpu = p.h1u JOIN fps b ON b.fpu = p.h2u)
+SELECT d1, d2, hamming FROM (
+  SELECT * FROM intra UNION ALL SELECT * FROM inter)
+ORDER BY d1, d2"""
+
 def build_q40_suffix():
     return f""",
 srcsigs AS (SELECT source, p, min(minv) AS minv FROM sigs GROUP BY source, p),
@@ -285,11 +308,13 @@ def emit():
     suffix23 = build_q23_suffix()
     suffix36 = build_q36_suffix()
     suffix40 = build_q40_suffix()
+    suffix88 = build_q88_suffix()
     out = [SCALA_HEADER]
     out.append('  private val sigCtes: String =\n"""' + sig + '"""\n')
     out.append('  private val fpsCtes: String =\n"""' + fps + '"""\n')
     for name, sfx, base in [("q22", suffix22, "sigCtes"), ("q23", suffix23, "fpsCtes"),
-                            ("q36", suffix36, "fpsCtes"), ("q40", suffix40, "sigCtes")]:
+                            ("q36", suffix36, "fpsCtes"), ("q40", suffix40, "sigCtes"),
+                            ("q88", suffix88, "fpsCtes")]:
         assert '"""' not in sfx and len(sfx.encode()) < 60000, name
         out.append('  val ' + name + ': String = "WITH " + ' + base + ' + """' + sfx + '"""\n')
     out.append("}\n")

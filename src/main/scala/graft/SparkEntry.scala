@@ -412,6 +412,18 @@ object SparkEntry {
     graft.operators.Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 16)
       .orderBy(col("d1"), col("d2"))
 
+  /** SimHash pairs via WIDE piece-combination banding (Manku WWW'07)
+    * at the exhaustive hamming ≤ 3 cutoff — the q36 shape that
+    * survives 100×: ~26-bit band keys collapse spurious collisions
+    * ~400× (PropertySpec measures 12,232 → 33 join pair-rows on
+    * 20k random fingerprints). The oracle is a brute-force hamming
+    * join over XXH64-replayed fingerprints — it never sees the bands,
+    * so the hash match PROVES the banding exhaustive on real data. */
+  private val q88: Q = (s, d) =>
+    graft.operators.Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, wideBands = true)
+      .orderBy(col("d1"), col("d2"))
+
   /** Deterministic stratified sample — k events per event_type chosen
     * by md5-hash rank (reproducible across engines and runs). */
   private val q37: Q = (s, d) =>
@@ -1217,6 +1229,7 @@ object SparkEntry {
     "q85_rate_anomaly" -> q85,
     "q86_median_mad" -> q86,
     "q87_ivfpq_index" -> q87,
+    "q88_simhash_wide" -> q88,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1802,6 +1815,7 @@ object SparkEntry {
     "q22_minhash_lsh" -> GeneratedOracles.q22,
     "q23_simhash" -> GeneratedOracles.q23,
     "q36_simhash_pairs" -> GeneratedOracles.q36,
+    "q88_simhash_wide" -> GeneratedOracles.q88,
     "q40_minhash_union" -> GeneratedOracles.q40,
      "q57_decontaminate" ->
       """WITH sh AS (

@@ -246,23 +246,13 @@ object Dedup {
     *   - unequal-hash pairs: banding join over distinct hashes,
     *     dedup, hamming filter, then two joins back to doc ids. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int): DataFrame = {
+                          maxHamming: Int, wideBands: Boolean = false): DataFrame = {
     val sh = simhashTable(docs, idCol, textCol)
     val intra = sh.toDF("d1", "h").join(sh.toDF("d2", "h"), Seq("h"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"), lit(0L).as("hamming"))
-    val banded = sh.select(col("simhash")).distinct()
-      .select(col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .toDF("simhash", "band", "block")
-    val hashPairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.block") === col("y.block") &&
-        col("x.simhash") < col("y.simhash"))
-      .select(col("x.simhash").as("h1"), col("y.simhash").as("h2"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
-      .filter(col("hamming") <= maxHamming && col("hamming") > 0)
+    val hashPairs = bandedHashPairs(sh.select(col("simhash")).distinct(),
+      maxHamming, wideBands)
     val inter = hashPairs
       .join(sh.toDF("da", "h1"), "h1")
       .join(sh.toDF("db", "h2"), "h2")
@@ -270,6 +260,48 @@ object Dedup {
         greatest(col("da"), col("db")).as("d2"),
         col("hamming").cast("long").as("hamming"))
     intra.unionByName(inter)
+  }
+
+  /** Candidate (h1, h2, hamming) pairs over DISTINCT fingerprints.
+    *
+    * `wide = false`: the 4 × 16-bit block scheme above — 4 band keys
+    * per fingerprint, collisions among random fingerprints ≈ n²/2^16
+    * per band. Exhaustive for hamming ≤ 3.
+    *
+    * `wide = true`: the piece-combination scheme SimHash dedup runs
+    * at web scale (Manku, Jain & Das Sarma, WWW'07 §3): split the 64
+    * bits into 5 pieces (13+13+13+13+12); ≤ 3 flipped bits hit ≤ 3
+    * pieces, so ≥ 2 pieces are clean and the pair agrees on one of
+    * the C(5,2) = 10 ordered piece CONCATENATIONS — band keys are now
+    * ~26 bits wide, so random collisions fall ~2^10× per band (≈400×
+    * overall at 10/4 the bands). Same recall contract (exhaustive for
+    * hamming ≤ 3), spec-proved pair-identical to the narrow scheme;
+    * the trade is 10 band rows per fingerprint instead of 4. This is
+    * the q36 shape that survives 100×: at sf1 the narrow scheme's
+    * candidate join was the round-8 bench's steepest scaler. */
+  private[graft] def bandedHashPairs(hashes: DataFrame, maxHamming: Int,
+                                     wide: Boolean): DataFrame = {
+    val bandCols: Seq[Column] =
+      if (!wide) (0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
+      else {
+        val offs = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+        def piece(i: Int): Column =
+          shiftright(col("simhash"), offs(i)._1)
+            .bitwiseAND(lit((1L << offs(i)._2) - 1))
+        for { i <- 0 until 5; j <- i + 1 until 5 }
+          yield shiftleft(piece(i), 14).bitwiseOR(piece(j))
+      }
+    val banded = hashes
+      .select(col("simhash"), posexplode(array(bandCols: _*)))
+      .toDF("simhash", "band", "block")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.block") === col("y.block") &&
+        col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming && col("hamming") > 0)
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at least

@@ -200,6 +200,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wide simhash banding: pair-identical to narrow for hamming<=3, far fewer collisions") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // deterministic fingerprints: LCG randoms + planted near-pairs at
+    // hamming 1, 2, 3 (must be found — both schemes are exhaustive
+    // there) and 4 (must be excluded by the hamming filter)
+    var s = 88172645463325252L
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    val base = Seq.fill(500)(next())
+    def flip(h: Long, bits: Seq[Int]) = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val planted = base.take(40).zipWithIndex.flatMap { case (h, i) =>
+      Seq(flip(h, Seq(i % 64)),                                  // hamming 1
+          flip(h, Seq(i % 64, (i + 21) % 64)),                   // hamming 2
+          flip(h, Seq(i % 64, (i + 21) % 64, (i + 43) % 64)),    // hamming 3
+          flip(h, Seq(i % 64, (i + 7) % 64, (i + 29) % 64, (i + 51) % 64))) // 4
+    }
+    val hashes = (base ++ planted).distinct.toDF("simhash")
+    def pairSet(wide: Boolean): Set[(Long, Long)] =
+      Dedup.bandedHashPairs(hashes, maxHamming = 3, wide = wide)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force hamming join is the ground truth both must equal
+    val truth = hashes.toDF("h1").crossJoin(hashes.toDF("h2"))
+      .filter(col("h1") < col("h2"))
+      .withColumn("d", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("d") <= 3 && col("d") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = pairSet(wide = false)
+    val wide = pairSet(wide = true)
+    assert(narrow === truth, "narrow banding must be exhaustive for hamming <= 3")
+    assert(wide === truth, "wide banding must be exhaustive for hamming <= 3")
+    assert(truth.nonEmpty, "planted near-pairs must appear")
+    // collision work: Σ f·(f−1)/2 over (band, block) buckets — the
+    // rows each scheme's candidate self-join must produce. Measured on
+    // PURELY RANDOM fingerprints at n=20000 (no planted pairs), where
+    // work is all spurious collisions: narrow expects ≈ 4·n²/2/2^16
+    // ≈ 12k rows, wide ≈ 10·n²/2/2^26 ≈ 30 — the 100× gap is the
+    // whole point of the wider keys. (On the small planted set above
+    // the counts are dominated by TRUE pairs, which legitimately
+    // share more of wide's 10 bands.)
+    val randoms = Seq.fill(20000)(next()).distinct.toDF("simhash")
+    def work(wide: Boolean): Long = {
+      val cols =
+        if (!wide) (0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
+        else {
+          val offs = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+          def piece(i: Int) = shiftright(col("simhash"), offs(i)._1)
+            .bitwiseAND(lit((1L << offs(i)._2) - 1))
+          for { i <- 0 until 5; j <- i + 1 until 5 }
+            yield shiftleft(piece(i), 14).bitwiseOR(piece(j))
+        }
+      randoms.select(posexplode(array(cols: _*))).toDF("band", "block")
+        .groupBy("band", "block").agg(count(lit(1)).as("f"))
+        .agg(sum(expr("f * (f - 1)"))).collect()(0).getLong(0) / 2
+    }
+    val (wNarrow, wWide) = (work(false), work(true))
+    info(s"random-collision work at n=20000: narrow(4x16) = $wNarrow, wide(10x~26) = $wWide")
+    assert(wWide * 50 <= wNarrow,
+      s"wide banding should collapse spurious collisions: $wWide vs $wNarrow")
+  }
+
   test("prefix-filtered Jaccard stays exact AND bounds candidates under a hot shingle") {
     import spark.implicits._
     import graft.operators.Dedup
