@@ -42,11 +42,59 @@ class ScaleOpsSpec extends AnyFunSuite {
     val want = df.withColumn("cum", sum(col("v")).over(w))
     assert(got.exceptAll(want).count() === 0)
     assert(want.exceptAll(got).count() === 0)
+    // bucket-width extremes are the degenerate shapes: width=1 (one
+    // bucket per id — the base frame is largest) and a width larger
+    // than the id range (single bucket — reduces to the plain window)
+    for (width <- Seq(1L, Long.MaxValue)) {
+      val g = graft.operators.Pack
+        .shardedCumSum(df, "source", "doc_id", "tie", "v", "cum", bucketWidth = width)
+      assert(g.exceptAll(want).count() === 0, s"width=$width diverges")
+      assert(want.exceptAll(g).count() === 0, s"width=$width diverges")
+    }
     // the local phase really is bucket-parallel: no Sort over a whole
     // shard, i.e. the widest window partitioning includes the bucket
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("__pk_bucket") || plan.contains("pk_bucket"),
       "two-phase plan should partition the local window by range bucket")
+  }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // the declarative skew path that complements Skew.saltedJoin: when
+    // a plan is a plain shuffle join, AQE's skew-join rule re-plans
+    // the oversized partition into splits at RUNTIME — no salting
+    // code. Verified via the executed plan's skew=true marker.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one pathologically hot key (40k rows + payload) vs a long tail
+      val fact = spark.range(40000)
+        .select(lit(7L).as("k"), concat(lit("pay"), col("id")).as("pad"))
+        .union(spark.range(2000).select((col("id") % 100).as("k"),
+          concat(lit("pay"), col("id")).as("pad")))
+      val dim = spark.range(100).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+      // execute THIS plan instance (count() would build a different
+      // aggregate plan and leave this one unexecuted/un-adapted)
+      assert(joined.collect().length === 42000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE should mark the hot partition's join as skew=true:\n" +
+          plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
   }
 
   test("materialized IVF+PQ index: probes match the inline operator and prune to probed cells") {
