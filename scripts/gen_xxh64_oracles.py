@@ -189,21 +189,34 @@ def build_q23_suffix():
 SELECT doc_id, fp AS simhash FROM fps ORDER BY doc_id"""
 
 def build_q36_suffix():
+    # Replays the WIDE piece-combination banding (Manku WWW'07: pieces
+    # 13+13+13+13+12 bits, C(5,2)=10 piece-pair band keys) at the
+    # moderate hamming <= 8 cutoff. Banding is NOT exhaustive beyond
+    # hamming 3, so the oracle must replay the bands exactly — a
+    # brute-force hamming join would over-count.
+    piece_offs = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+    pieces = ", ".join(
+        f"(fpu // {1 << off}) % {1 << ln} AS p{i}"
+        for i, (off, ln) in enumerate(piece_offs))
+    combos = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    band_case = " ".join(
+        f"WHEN {b} THEN p{i} * 16384 + p{j}" for b, (i, j) in enumerate(combos))
     return f""",
 intra AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
   FROM fps a JOIN fps b ON a.fpu = b.fpu AND a.doc_id < b.doc_id),
 dfp AS (SELECT DISTINCT fpu, fp FROM fps),
+pieces AS (
+  SELECT fpu, fp, {pieces} FROM dfp),
 banded AS (
-  SELECT fpu, fp, b.band, (fpu // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
-    WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS block
-  FROM dfp CROSS JOIN range(4) b(band)),
+  SELECT fpu, fp, b.band, CASE b.band {band_case} ELSE 0 END AS block
+  FROM pieces CROSS JOIN range(10) b(band)),
 hp AS (
   SELECT DISTINCT x.fpu AS h1u, x.fp AS h1, y.fpu AS h2u, y.fp AS h2
   FROM banded x JOIN banded y ON x.band = y.band AND x.block = y.block AND x.fpu < y.fpu),
 hph AS (
   SELECT h1u, h2u, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-  FROM hp WHERE bit_count(xor(h1, h2)) <= 16 AND bit_count(xor(h1, h2)) > 0),
+  FROM hp WHERE bit_count(xor(h1, h2)) <= 8 AND bit_count(xor(h1, h2)) > 0),
 inter AS (
   SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2, p.hamming
   FROM hph p JOIN fps a ON a.fpu = p.h1u JOIN fps b ON b.fpu = p.h2u)

@@ -407,9 +407,17 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), round(col("asof_value"), 2).as("asof_value"))
       .orderBy(col("event_id"))
 
-  /** SimHash near-dup pairs via pigeonhole banding. */
+  /** SimHash near-dup pairs at a MODERATE cutoff (hamming ≤ 8) via the
+    * wide piece-combination bands. Approximate-by-contract beyond
+    * hamming 3 (pigeonhole only guarantees ≥ 2 clean pieces for ≤ 3
+    * flips); recall for 4–8 decays gracefully because 8 random flips
+    * rarely touch 4+ of the 5 pieces. The oracle replays the SAME
+    * banding in SQL, so correctness is exact over the contract. This
+    * replaced the round-8 narrow 4×16-bit scheme whose n²/2^16-per-band
+    * candidate join was the bench's steepest scaler (×8.84 at 10×). */
   private val q36: Q = (s, d) =>
-    graft.operators.Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", 16)
+    graft.operators.Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 8, wideBands = true)
       .orderBy(col("d1"), col("d2"))
 
   /** SimHash pairs via WIDE piece-combination banding (Manku WWW'07)
@@ -707,15 +715,19 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bytes"), col("width"))
       .orderBy(col("doc_id"))
 
-  /** Near-dup cluster resolution — the dedup capstone: resolve the q24
-    * pair set into connected components (alternating large-star /
-    * small-star, Kiveris et al. SoCC'14 — the shuffle-native CC
-    * algorithm) and pick the canonical (min-id) doc per cluster. The
-    * reference dedups per event key (consumer.py:57-92); at corpus
+  /** Near-dup cluster resolution — the dedup capstone: resolve the
+    * Jaccard pair set into connected components (alternating
+    * large-star / small-star, Kiveris et al. SoCC'14 — the
+    * shuffle-native CC algorithm) and pick the canonical (min-id) doc
+    * per cluster. The pair generator is the PREFIX-FILTERED join (the
+    * q54 path, hash-proved row-identical to the naive q24 join) so the
+    * composite inherits its hot-shingle skew-proofness — the naive
+    * generator's f² blowup was the composite's 100 TB scale-killer.
+    * The reference dedups per event key (consumer.py:57-92); at corpus
     * scale that becomes per-CLUSTER canonicalization. */
   private val q59: Q = (s, d) =>
     graft.operators.Cluster.canonicalize(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
           k = 3, threshold = 0.5), "d1", "d2")
       .orderBy(col("doc_id"))
 
@@ -827,8 +839,10 @@ object SparkEntry {
 
   /** Full corpus-prep pipeline v2 — the round-4 capstone composite,
     * one plan end to end: near-dup CLUSTER dedup (keep canonical docs
-    * only) → repetition/boilerplate gate (integer arithmetic, engine-
-    * exact) → overlapping token chunking → leakage-stable hash split,
+    * only; pairs from the skew-proof PREFIX generator, row-identical
+    * to the naive join) → repetition/boilerplate gate (integer
+    * arithmetic, engine-exact) → overlapping token chunking →
+    * leakage-stable hash split,
     * verified through per-split chunk/token totals (every stage's
     * effect lands in the counts). The driver-loop CC rounds are the
     * only non-single-plan step; everything downstream of the pair set
@@ -836,7 +850,7 @@ object SparkEntry {
   private val q67: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val clusters = graft.operators.Cluster.canonicalize(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5),
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", k = 3, threshold = 0.5),
       "d1", "d2")
     val dropIds = clusters.filter(!col("is_canonical")).select(col("doc_id"))
     val kept = docs.join(dropIds, Seq("doc_id"), "left_anti")

@@ -163,11 +163,15 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Attach exact Jaccard from per-doc shingle counts; filter. */
+  /** Attach exact Jaccard from per-doc shingle counts; filter.
+    * No broadcast hint on `sizes`: it has one row PER DOCUMENT, so a
+    * forced broadcast would blow past the 8 GB broadcast limit at
+    * corpus scale. AQE broadcasts it at small sf on its own; at scale
+    * it becomes a (narrow, two-column) shuffle join keyed on doc id. */
   private def withJaccard(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
-      .join(broadcast(sizes.toDF("d1", "n1")), "d1")
-      .join(broadcast(sizes.toDF("d2", "n2")), "d2")
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") > threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))

@@ -20,9 +20,9 @@ class QueriesSpec extends AnyFunSuite {
 
   // legitimately empty at sf0.001 (every customer has orders; every
   // clicker also purchased) — run-only
-  // q36: 4-block banding only guarantees recall for hamming<=3; the
-  // synthetic near-dups sit at ~8-11, so matches are possible but not
-  // guaranteed at every scale factor
+  // q36: wide banding at hamming<=8 only guarantees recall for
+  // hamming<=3; the synthetic near-dups sit at ~8-11, so matches are
+  // possible but not guaranteed at every scale factor
   // q88: the hamming<=3 cutoff is tighter still — rows come from
   // exact-fingerprint dups plus whatever lands within 3 bits
   private val mayBeEmpty = Set("q05_anti_join", "q11_set_diff", "q36_simhash_pairs",
