@@ -67,12 +67,14 @@ class JsonlTable(tableSchema: StructType, path: String, splitBytes: Long)
   override def name(): String = s"jsonl($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(tableSchema, path, splitBytes)
+    new JsonlScanBuilder(tableSchema, path, splitBytes,
+      options.getLong("maxBytesPerTrigger", Long.MaxValue))
 }
 
-class JsonlScanBuilder(fullSchema: StructType, path: String, splitBytes: Long)
+class JsonlScanBuilder(fullSchema: StructType, path: String, splitBytes: Long,
+                       maxBytesPerTrigger: Long = Long.MaxValue)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -115,33 +117,56 @@ class JsonlScanBuilder(fullSchema: StructType, path: String, splitBytes: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new JsonlScan(fullSchema, required, pushed, path, splitBytes)
+  override def build(): Scan =
+    new JsonlScan(fullSchema, required, pushed, path, splitBytes, maxBytesPerTrigger)
 }
 
 class JsonlScan(fullSchema: StructType, required: StructType, pushed: Array[Filter],
-                path: String, splitBytes: Long) extends Scan with Batch {
+                path: String, splitBytes: Long,
+                maxBytesPerTrigger: Long = Long.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonlMicroBatchStream(fullSchema, required, pushed, path, splitBytes,
+      maxBytesPerTrigger)
   override def description(): String =
     s"jsonl($path) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = new java.io.File(path)
-    val files = (if (root.isDirectory) root.listFiles().toSeq else Seq(root))
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .sortBy(_.getName)
-    files.flatMap { f =>
-      val len = f.length()
-      val nSplits = math.max(1L, (len + splitBytes - 1) / splitBytes)
-      (0L until nSplits).map(i =>
-        JsonlPartition(f.getAbsolutePath, i * splitBytes,
-          math.min((i + 1) * splitBytes, len)): InputPartition)
+    JsonlScan.listFiles(path).flatMap { f =>
+      JsonlScan.rangePartitions(f.getAbsolutePath, 0L, f.length(), splitBytes)
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(fullSchema, required, pushed)
+}
+
+object JsonlScan {
+  /** Visible data files under `path` (dot/underscore prefixes are
+    * temp/metadata by convention — e.g. SocketSpool's in-flight
+    * `.part-*.tmp` files), stable name order. */
+  def listFiles(path: String): Seq[java.io.File] = {
+    val root = new java.io.File(path)
+    (if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+     else Seq(root))
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+  }
+
+  /** Cut [start, end) of a file into `splitBytes` chunks. */
+  def rangePartitions(file: String, start: Long, end: Long,
+                      splitBytes: Long): Seq[InputPartition] = {
+    if (end <= start) Seq.empty
+    else {
+      val nSplits = math.max(1L, (end - start + splitBytes - 1) / splitBytes)
+      (0L until nSplits).map(i =>
+        JsonlPartition(file, start + i * splitBytes,
+          math.min(start + (i + 1) * splitBytes, end)): InputPartition)
+    }
+  }
 }
 
 case class JsonlPartition(file: String, start: Long, end: Long) extends InputPartition
@@ -196,6 +221,12 @@ class JsonlReader(fullSchema: StructType, required: StructType,
       case DoubleType => v.asDouble()
       case StringType => UTF8String.fromString(v.asText())
       case BooleanType => v.asBoolean()
+      case TimestampType =>
+        // ISO-8601 instants (the JSON event payload's ts format) or
+        // numeric epoch millis → Catalyst micros; unparseable → null
+        if (v.isNumber) v.asLong() * 1000L
+        else try java.time.Instant.parse(v.asText()).toEpochMilli * 1000L
+        catch { case _: java.time.format.DateTimeParseException => null }
       case _ => null
     }
   }
@@ -249,4 +280,136 @@ class JsonlReader(fullSchema: StructType, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Streaming offset: a (file → bytes consumed) log. JSON is a single
+  * sorted object so serialization is deterministic and diffable in the
+  * checkpoint's offset WAL. */
+case class JsonlOffset(files: Map[String, Long])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    files.toSeq.sortBy(_._1).foreach { case (f, n) => node.put(f, n) }
+    m.writeValueAsString(node)
+  }
+}
+
+object JsonlOffset {
+  def fromJson(s: String): JsonlOffset = {
+    val node = new ObjectMapper().readTree(s)
+    val it = node.fields()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+    JsonlOffset(b.result())
+  }
+}
+
+/** Micro-batch streaming over a directory of jsonl files — the
+  * checkpointable message-bus analog of the reference's Kinesis ingest
+  * (consumer.py:30-52 record loop): the offset is a durable
+  * (file, byte position) log, so a restarted query resumes EXACTLY
+  * where the last committed batch ended, including mid-file.
+  *
+  * Exactly-once mechanics:
+  *  - `latestOffset` advances each visible file's position to its
+  *    current length (files are expected to appear atomically and then
+  *    be immutable — the SocketSpool / object-store landing pattern;
+  *    a file that grows in place is still consumed correctly as long
+  *    as appends are whole lines).
+  *  - A batch's partitions are the byte ranges between the two
+  *    offsets, cut into `split.bytes` chunks — the SAME ownership rule
+  *    as the batch reader (a line belongs to the range its terminator
+  *    ends in), so consecutive batches partition the file's lines
+  *    exactly, even when a trigger cap cuts mid-line.
+  *  - Offsets live in the query's checkpoint WAL; a crashed batch is
+  *    re-planned from identical offsets and re-reads identical rows
+  *    (deterministic), which with an idempotent/transactional sink is
+  *    end-to-end exactly-once.
+  *
+  * `maxBytesPerTrigger` bounds each micro-batch (admission in stable
+  * file-name order, cut at an exact byte position) — the backlog-drain
+  * throttle a 100 TB replay needs so the first trigger doesn't plan
+  * the whole history as one batch. */
+class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
+                            pushed: Array[Filter], path: String, splitBytes: Long,
+                            maxBytesPerTrigger: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** Per-file high-water mark of every offset this stream has seen —
+    * engine-reported starts, committed batches, WAL offsets replayed
+    * through deserializeOffset on restart, and offsets this stream
+    * itself returned. Budgeting from the max keeps returned offsets
+    * MONOTONE even when a crash left the WAL's planned end ahead of
+    * the commit log — a trigger-capped latestOffset from a stale
+    * baseline could otherwise step backward. */
+  @volatile private var baseline: Map[String, Long] = Map.empty
+
+  private def mergeMax(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    (a.keySet ++ b.keySet).iterator
+      .map(k => k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+
+  override def initialOffset(): Offset = JsonlOffset(Map.empty)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control path: the engine hands us the batch's START
+    * offset (recovered from the WAL on restart), so the byte budget
+    * counts strictly NEW bytes. The ReadLimit is ignored — the cap is
+    * this source's own maxBytesPerTrigger option. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val prev = mergeMax(baseline, start.asInstanceOf[JsonlOffset].files)
+    var budget = maxBytesPerTrigger
+    val out = Map.newBuilder[String, Long]
+    JsonlScan.listFiles(path).foreach { f =>
+      val fp = f.getAbsolutePath
+      val done = prev.getOrElse(fp, 0L)
+      // never regress a file's position (a shrunk file would otherwise
+      // re-serve bytes); admission in stable name order up to the cap
+      val take = math.max(0L, math.min(f.length() - done, budget))
+      budget -= take
+      out += fp -> (done + take)
+    }
+    // files deleted after processing keep their last position: dropping
+    // them would make a recreated file replay from zero
+    prev.foreach { case (fp, n) =>
+      if (!new java.io.File(fp).exists()) out += fp -> n
+    }
+    val next = mergeMax(prev, out.result())
+    baseline = next
+    JsonlOffset(next)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[JsonlOffset].files
+    val e = end.asInstanceOf[JsonlOffset].files
+    e.toSeq.sortBy(_._1).flatMap { case (fp, endPos) =>
+      val startPos = s.getOrElse(fp, 0L)
+      if (endPos > startPos && new java.io.File(fp).exists())
+        JsonlScan.rangePartitions(fp, startPos, endPos, splitBytes)
+      else Seq.empty
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(fullSchema, required, pushed)
+
+  override def commit(end: Offset): Unit =
+    baseline = mergeMax(baseline, end.asInstanceOf[JsonlOffset].files)
+
+  override def deserializeOffset(json: String): Offset = {
+    // the restart path: Spark replays the WAL's offsets through here
+    // before the first latestOffset call — seed the admission baseline
+    val o = JsonlOffset.fromJson(json)
+    baseline = mergeMax(baseline, o.files)
+    o
+  }
+
+  override def stop(): Unit = ()
 }

@@ -41,6 +41,14 @@ object EventStreams {
     final case class FileTail(dir: String, format: String = "parquet") extends EventSource
     /** JSON event lines from a TCP socket. */
     final case class Socket(host: String, port: Int) extends EventSource
+    /** Tail `dir` of jsonl files through graft's own DSv2 micro-batch
+      * source — a durable (file, byte-range) offset log, so resume is
+      * exact even MID-FILE, and `maxBytesPerTrigger` caps each batch
+      * (the backlog-drain throttle). The checkpointable message-bus
+      * analog: SocketSpool (or any queue lander) writes the dir, this
+      * reads it exactly-once. */
+    final case class JsonlDir(dir: String,
+                              maxBytesPerTrigger: Long = Long.MaxValue) extends EventSource
   }
   import EventSource._
 
@@ -74,5 +82,11 @@ object EventStreams {
         .select(jsonLinesToEvents(col("value")).as("e"))
         .select("e.*")
         .filter(col("event_id").isNotNull)
+    case JsonlDir(dir, cap) =>
+      spark.readStream.format("graft.sources.JsonlSource")
+        .schema(eventSchema)
+        .option("path", dir)
+        .option("maxBytesPerTrigger", cap.toString)
+        .load()
   }
 }

@@ -32,16 +32,33 @@ import scala.jdk.CollectionConverters._
   *    crashes on the QUERY side don't lose the transport.
   *
   * Downstream, `EventStreams.readEventStream(spark,
-  * EventSource.FileTail(dir, "json"))` is the replayable source: with
-  * a checkpoint, files are processed exactly once across crash/resume,
-  * and recovered dedup state drops at-least-once redeliveries from
-  * the producer. StreamingSpec drives the full loop live.
+  * EventSource.JsonlDir(dir))` (graft's own DSv2 micro-batch source —
+  * durable (file, byte-range) offsets, resumable mid-file, byte-capped
+  * triggers) or `EventSource.FileTail(dir, "json")` is the replayable
+  * source: with a checkpoint, lines are processed exactly once across
+  * crash/resume, and recovered dedup state drops at-least-once
+  * redeliveries from the producer. StreamingSpec drives the full loop
+  * live on both paths.
   */
 final class SocketSpool(host: String, port: Int, dir: String,
                         idleMillis: Int = 100,
                         maxLinesPerFile: Int = 1000) extends AutoCloseable {
   require(idleMillis > 0 && maxLinesPerFile > 0)
   Files.createDirectories(Paths.get(dir))
+  // recover from a predecessor killed mid-roll: orphaned `.part-*.tmp`
+  // files are invisible to Spark (dot prefix) but would accumulate.
+  // Assumes one (recovering) writer per spool dir — the same contract
+  // the sessionId file naming already relies on.
+  locally {
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".part-") && n.endsWith(".tmp")
+      }
+      .toList.foreach(p => try Files.deleteIfExists(p) catch { case _: IOException => () })
+    finally listing.close()
+  }
 
   @volatile private var running = true
   private val seq = new AtomicLong(0)
@@ -54,11 +71,15 @@ final class SocketSpool(host: String, port: Int, dir: String,
   private def pump(): Unit = {
     while (running) {
       var sock: Socket = null
+      // buffer scoped to the CONNECTION, flushed in the finally: a
+      // transport error mid-read (connection reset, not clean EOF)
+      // must still land the lines already consumed from the socket —
+      // dropping them would break the durable-landing contract
+      val buf = new ArrayBuffer[String]
       try {
         sock = new Socket(host, port)
         sock.setSoTimeout(idleMillis)
         val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
-        val buf = new ArrayBuffer[String]
         var open = true
         while (open && running) {
           val got = try {
@@ -71,12 +92,12 @@ final class SocketSpool(host: String, port: Int, dir: String,
           if (buf.nonEmpty && (got.isEmpty || buf.length >= maxLinesPerFile))
             rollNow(buf)
         }
-        if (buf.nonEmpty) rollNow(buf)
       } catch {
-        case _: IOException => // reconnect after a beat
+        case _: IOException => // reconnect after a beat (buf flushed below)
           if (running) try Thread.sleep(200) catch { case _: InterruptedException => () }
         case _: InterruptedException => () // close() → exit via the running flag
       } finally {
+        if (buf.nonEmpty) try rollNow(buf) catch { case _: IOException => () }
         if (sock != null) try sock.close() catch { case _: IOException => () }
       }
     }
@@ -94,9 +115,15 @@ final class SocketSpool(host: String, port: Int, dir: String,
     buf.clear()
   }
 
+  /** Graceful stop: clear the flag and let the pump exit through its
+    * soTimeout poll (≤ idleMillis), so an in-flight rollNow completes —
+    * an interrupt landing inside NIO Files.write would abort the roll
+    * with ClosedByInterruptException, losing the final buffer and
+    * leaving a stray .tmp. Interrupt only as a last resort (e.g. the
+    * pump is stuck in a blocking connect). */
   def close(): Unit = {
     running = false
-    thread.interrupt()
     thread.join(2000)
+    if (thread.isAlive) { thread.interrupt(); thread.join(2000) }
   }
 }

@@ -108,4 +108,70 @@ class JsonlSourceSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq ===
       Seq("event_id", "user_id", "event_type", "value"))
   }
+
+  // ---- micro-batch streaming (the checkpointable message-bus analog) ----
+
+  private def startStream(inDir: String, ckpt: String, sink: String,
+                          cap: Long, trigger: Option[org.apache.spark.sql.streaming.Trigger] = None) = {
+    val reader = spark.readStream.format("graft.sources.JsonlSource").schema(schema)
+      .option("path", inDir).option("maxBytesPerTrigger", cap.toString)
+      .option("split.bytes", "2048")
+    val w = reader.load().writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt).outputMode("append")
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  test("micro-batch stream: byte-capped triggers cover every line exactly once") {
+    val q = startStream(dir, Files.createTempDirectory("jsonl_ck1").toString,
+      "jsonl_mb", cap = 20000)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("jsonl_mb")
+    assert(got.count() === 6000)
+    assert(got.select("event_id").distinct().count() === 6000)
+    // the cap actually split the backlog into multiple micro-batches
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length > 3, s"expected >3 capped batches, got ${batches.length}")
+  }
+
+  test("micro-batch stream: checkpoint resume is exact, including MID-FILE") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("jsonl_grow").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    new java.io.File(in).mkdirs()
+    def lines(from: Int, until: Int): String =
+      (from until until).map(i => s"""{"event_id":$i,"user_id":$i,"event_type":"e","value":1.5}""")
+        .mkString("", "\n", "\n")
+    Files.write(Paths.get(in, "a.jsonl"), lines(0, 1000).getBytes("UTF-8"))
+
+    def startTo(cap: Long, trigger: Option[org.apache.spark.sql.streaming.Trigger]) = {
+      val w = spark.readStream.format("graft.sources.JsonlSource").schema(schema)
+        .option("path", in).option("maxBytesPerTrigger", cap.toString)
+        .option("split.bytes", "2048").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append")
+      trigger.fold(w)(w.trigger).start()
+    }
+    // one capped batch per run: each run stops MID-FILE and the next
+    // resumes from the checkpointed (file, byte) offset
+    def runOnce(): Long = {
+      val q = startTo(cap = 9000, Some(Trigger.Once()))
+      q.awaitTermination(60000)
+      spark.read.parquet(out).count()
+    }
+    val c1 = runOnce()
+    assert(c1 > 0 && c1 < 1000, s"first capped run should stop mid-file, got $c1")
+    val c2 = runOnce()
+    assert(c2 > c1 && c2 < 1000, s"second run must resume mid-file, got $c2")
+    // a new file arrives; drain everything
+    Files.write(Paths.get(in, "b.jsonl"), lines(1000, 1500).getBytes("UTF-8"))
+    val q = startTo(cap = Long.MaxValue, None)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 1500, "every line exactly once across 3 restarts")
+    assert(got.select("event_id").distinct().count() === 1500)
+    // the WAL offset is a (file → byte position) log
+    val off = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(ckpt, "offsets", "0")), "UTF-8")
+    assert(off.contains("a.jsonl"), off)
+  }
 }

@@ -518,6 +518,94 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("live socket → spool → streaming JsonlSource (DSv2 micro-batch): " +
+       "dedup → hourly counts → keyed table, crash/resume stays exactly-once") {
+    import graft.streaming.{EventStreams, KeyedTable, SocketSpool}
+    // Same consumer-loop shape as the FileTail e2e above, but the
+    // replayable leg is graft's OWN DSv2 streaming source — the
+    // checkpointable message-bus analog (consumer.py:30-52): offsets
+    // are a durable (file, byte-range) log, and a tiny
+    // maxBytesPerTrigger forces multi-batch drains so the crash lands
+    // between byte-offset checkpoints, not on a tidy file boundary.
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    server.setSoTimeout(30000)
+    val port = server.getLocalPort
+    val base = java.nio.file.Files.createTempDirectory("graft_mbsock").toString
+    val spoolDir = s"$base/spool"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+
+    def frame(id: Long, hhmm: String, typ: String = "click") =
+      s"""{"event_id":$id,"ts":"2024-01-01T$hhmm:00.000Z","user_id":7,""" +
+        s""""event_type":"$typ","value":1.0,"props":"{}"}"""
+
+    def startQuery() = EventStreams.readEventStream(spark,
+        EventStreams.EventSource.JsonlDir(spoolDir, maxBytesPerTrigger = 256))
+      .transform(EventPipeline.dedupedHourlyTypeCounts(_))
+      .writeStream
+      .foreachBatch(KeyedTable.sink(table, Seq("event_type", "hour"), "n"))
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def tableState(): Map[Long, Long] = KeyedTable.read(spark, table) match {
+      case Some(df) => df.filter(col("event_type") === "click").collect()
+        .map(r => r.getAs[Long]("hour") -> r.getAs[Long]("n")).toMap
+      case None => Map.empty
+    }
+
+    def feedUntil(out: java.io.PrintWriter, q: org.apache.spark.sql.streaming.StreamingQuery,
+                  frames: Seq[String], want: Map[Long, Long] => Boolean): Unit = {
+      frames.foreach(out.println); out.flush()
+      val deadline = System.currentTimeMillis() + 30000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        done = want(tableState())
+        if (!done) Thread.sleep(200)
+      }
+      assert(done, s"timed out waiting for keyed-table state; got ${tableState()}")
+    }
+
+    val relay = new SocketSpool("127.0.0.1", port, spoolDir)
+    val conn = server.accept()
+    val producer = new java.io.PrintWriter(conn.getOutputStream, true)
+    try {
+      // ---- session 1: ingest with an in-batch duplicate
+      val q1 = startQuery()
+      feedUntil(producer, q1, Seq(
+        frame(1, "00:05"), frame(2, "00:10"), frame(2, "00:10"), // dup frame
+        frame(3, "00:20"),
+        frame(10, "01:02"), frame(11, "01:20"),
+        frame(19, "01:25")), _ => true)
+      feedUntil(producer, q1, Seq(frame(900, "01:25", "tick"), frame(901, "01:25", "tick")),
+        st => st.nonEmpty)
+      val h0 = tableState().keys.min
+      assert(tableState() === Map(h0 -> 3L), "hour 0 must close with ids 1,2,3 deduped")
+      // the byte cap actually forced a multi-batch drain (each ~140-byte
+      // frame exceeds half the 256-byte budget)
+      assert(q1.recentProgress.count(_.numInputRows > 0) > 2,
+        "maxBytesPerTrigger must split the drain into multiple micro-batches")
+
+      // ---- crash mid-stream; the relay keeps spooling
+      q1.stop()
+
+      // ---- session 2: resume from the (file, byte) offsets in the WAL
+      val q2 = startQuery()
+      feedUntil(producer, q2, Seq(
+        frame(11, "01:20"), // redelivery: recovered dedup state drops it
+        frame(3, "00:20"),  // stale replay < recovered watermark: dropped
+        frame(12, "01:30"),
+        frame(20, "02:05"), frame(21, "02:10"),
+        frame(29, "02:45")), _ => true)
+      feedUntil(producer, q2, Seq(frame(902, "02:45", "tick"), frame(903, "02:45", "tick")),
+        st => st.contains(h0 + 1))
+      q2.stop()
+      assert(tableState() === Map(h0 -> 3L, (h0 + 1) -> 4L))
+    } finally {
+      relay.close(); producer.close(); conn.close(); server.close()
+    }
+  }
+
   test("sessionizeStateful emits gap-closed and timed-out sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
