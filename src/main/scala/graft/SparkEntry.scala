@@ -1130,13 +1130,56 @@ object SparkEntry {
     * replay oracle — the gate proves the landed layout (partition-
     * column round-trip, persisted centroids/codebook) loses
     * nothing. */
+  /** Index dirs cached per sf dir: repeated bench/verify/explain runs
+    * in one JVM reuse one build instead of leaking a fresh tree under
+    * /tmp per invocation; the tree is removed on JVM exit. */
+  private val q87IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q87: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val path = java.nio.file.Files.createTempDirectory("graft_q87_idx").toString + "/idx"
-    Similarity.writeIvfPqIndex(emb, path, nCentroids = 16, blockDim = 8)
+    val path = q87IndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q87_idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val idx = root.toString + "/idx"
+      Similarity.writeIvfPqIndex(emb, idx, nCentroids = 16, blockDim = 8)
+      idx
+    })
     Similarity.probeIvfPqIndex(emb.filter(col("vec_id") < 5), path, k = 10, nProbe = 4)
       .orderBy(col("probe_id"), col("rank"))
   }
+
+  /** Operational log search — the admin console's "show me this
+    * lambda's latest logs" (admin_lambda.py:152-207): per log group
+    * (event_type), elect the most recently active stream (user_id),
+    * then that stream's 20 most recent time-bounded events whose
+    * message matches the filter pattern. */
+  private val q89: Q = (s, d) =>
+    graft.operators.Logs.latestStreamEvents(Tables.events(s, d),
+        group = "event_type", stream = "user_id", tsCol = "ts",
+        idCol = "event_id", msgCol = "props",
+        from = lit("2024-01-15 00:00:00").cast("timestamp"),
+        pattern = "9", limit = 20)
+      .orderBy(col("event_type"), col("rn"))
+
+  /** Keyset pagination driven to exhaustion — the LastEvaluatedKey
+    * loop (web_api.py:54-76, preferences.py:62-89) over one day of
+    * events: stable cursor predicate + limit per page, pages stitched
+    * with their page_no. The oracle computes page assignment as ONE
+    * row_number pass over the full scan, so the hash match PROVES
+    * page-union == full scan with exact boundaries — no overlap, no
+    * gap, no tail loss. */
+  private val q90: Q = (s, d) =>
+    graft.operators.Pagination.stitched(
+        Tables.events(s, d)
+          .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        keys = Seq("event_id"), pageSize = 250)
+      .orderBy(col("event_id"))
 
   /** Dataset-version diff: v2 is v1 with deterministic removals
     * (id%17), edits (id%13 → uppercased text) and additions (id%19
@@ -1244,6 +1287,8 @@ object SparkEntry {
     "q86_median_mad" -> q86,
     "q87_ivfpq_index" -> q87,
     "q88_simhash_wide" -> q88,
+    "q89_log_search" -> q89,
+    "q90_keyset_page" -> q90,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2351,6 +2396,36 @@ object SparkEntry {
     // the materialized-index probe (q87) is output-identical to the
     // inline q80 composite by construction — same replay oracle
     "q87_ivfpq_index" -> IvfPqReplaySql,
+    "q89_log_search" ->
+      """WITH streams AS (
+           SELECT event_type, user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts
+           FROM events GROUP BY event_type, user_id),
+         top AS (
+           SELECT event_type, user_id FROM (
+             SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY last_ts DESC, user_id DESC) AS srn
+             FROM streams) WHERE srn = 1),
+         matched AS (
+           SELECT e.event_type, e.user_id, e.event_id,
+             epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, e.props
+           FROM events e JOIN top t
+             ON e.event_type = t.event_type AND e.user_id = t.user_id
+           WHERE CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+             AND e.props LIKE '%9%')
+         SELECT event_type, user_id, CAST(rn AS BIGINT) AS rn, event_id, ts_us, props
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY ts_us DESC, event_id DESC) AS rn FROM matched)
+         WHERE rn <= 20 ORDER BY event_type, rn""",
+    // page assignment replayed as ONE row_number pass: hash equality
+    // proves the driver-looped cursor pages tile the scan exactly
+    "q90_keyset_page" ->
+      """SELECT CAST((row_number() OVER (ORDER BY event_id) - 1) // 250 AS BIGINT) AS page_no,
+           event_id, user_id, event_type, value
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'
+         ORDER BY event_id""",
   ) ++ oracleSqlRest
 
   private val IvfPqReplaySql: String =

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyset (cursor) pagination — the reference's LastEvaluatedKey loop
+  * (`web_api.py:54-76`, `preferences.py:62-89`): each page re-issues
+  * the query with a stable "strictly after the last key seen"
+  * predicate plus a limit, so pages stitch into the full result with
+  * no overlap and no gap even while a consumer paces through slowly.
+  *
+  * 100 TB shape: a cursor page plans as filter → TakeOrderedAndProject
+  * — the cursor predicate prunes at the scan (PushedFilters on the
+  * leading key) and the per-page cost is O(page) regardless of how
+  * deep into the result the cursor is. The OFFSET alternative re-scans
+  * and re-sorts everything before the page — O(cursor depth) per page
+  * — which is why keyset is the only pagination that survives scale.
+  * Correctness needs the key list to be UNIQUE over the data (use a
+  * rowid-like tiebreaker last); ties across a page boundary would
+  * otherwise be skipped or repeated. */
+object Pagination {
+
+  /** Lexicographic "strictly after the cursor" over the key columns:
+    * (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ... */
+  private def afterCursor(keys: Seq[String], vals: Seq[Any]): Column =
+    keys.indices.map { i =>
+      ((0 until i).map(j => col(keys(j)) === lit(vals(j))) :+
+        (col(keys(i)) > lit(vals(i)))).reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** One page: the first `pageSize` rows in `keys` order strictly
+    * after `after` (None = from the start). */
+  def page(df: DataFrame, keys: Seq[String], after: Option[Seq[Any]],
+           pageSize: Int): DataFrame = {
+    val base = after.fold(df)(vals => df.filter(afterCursor(keys, vals)))
+    base.orderBy(keys.map(col): _*).limit(pageSize)
+  }
+
+  /** Drive the cursor loop to exhaustion and stitch the pages, each
+    * tagged with its `page_no` — the page-union ≡ full-scan proof
+    * harness (the oracle replays it as one row_number pass). Per
+    * iteration only the BOUNDARY key tuple is collected (one row, via
+    * max(struct(keys)) — struct ordering is lexicographic), never the
+    * page itself, so driver memory stays O(#keys) however many pages
+    * run. `maxPages` is a runaway guard, not a result cap. */
+  def stitched(df: DataFrame, keys: Seq[String], pageSize: Int,
+               maxPages: Int = 10000): DataFrame = {
+    val keyCols = keys.map(col)
+    var after: Option[Seq[Any]] = None
+    var pages = Vector.empty[DataFrame]
+    var n = 0
+    var done = false
+    while (!done && n < maxPages) {
+      val p = page(df, keys, after, pageSize)
+      val boundary = p.agg(max(struct(keyCols: _*)).as("__b")).head()
+      if (boundary.isNullAt(0)) done = true // empty page: cursor exhausted
+      else {
+        pages :+= p.withColumn("page_no", lit(n.toLong))
+        after = Some(boundary.getStruct(0).toSeq)
+        n += 1
+      }
+    }
+    if (pages.isEmpty) df.limit(0).withColumn("page_no", lit(0L))
+    else pages.reduce(_ unionByName _)
+  }
+}

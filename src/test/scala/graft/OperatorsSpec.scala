@@ -233,6 +233,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.ivfTopK(noVecs, noVecs, 5, 4, 2).count() === 0)
   }
 
+  test("keyset pagination: pages tile the scan exactly, multi-key cursors included") {
+    import spark.implicits._
+    import graft.operators.Pagination
+    // duplicate first keys force the lexicographic cursor through ties
+    val rows = (for { a <- 1 to 4; b <- 1 to 7 } yield (a.toLong, s"k$b", a * 10 + b))
+      .toDF("a", "b", "v")
+    val stitched = Pagination.stitched(rows, Seq("a", "b"), pageSize = 5)
+    assert(stitched.count() === 28)
+    assert(stitched.select("a", "b").distinct().count() === 28, "no page overlap")
+    // page assignment matches one global rank pass (exact boundaries,
+    // short last page included)
+    val want = rows.withColumn("page_no",
+      (org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("a"), col("b"))) - 1)
+        .cast("long") / lit(5L) cast "long")
+    assert(stitched.select("a", "b", "page_no").exceptAll(
+      want.select("a", "b", "page_no")).count() === 0)
+    // single page when the data fits; zero rows stay zero rows
+    assert(Pagination.stitched(rows, Seq("a", "b"), 100)
+      .agg(max(col("page_no"))).head.getLong(0) === 0L)
+    assert(Pagination.stitched(rows.filter(col("a") < 0), Seq("a", "b"), 5).count() === 0)
+    // maxPages is a runaway guard: truncates cleanly at the page boundary
+    assert(Pagination.stitched(rows, Seq("a", "b"), 5, maxPages = 2).count() === 10)
+  }
+
+  test("log search elects the latest stream and ranks recent matches") {
+    import spark.implicits._
+    import graft.operators.Logs
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val logs = Seq(
+      // group g1: stream 1 active early, stream 2 active latest
+      (1L, t(1), 1L, "g1", "keep a"), (2L, t(2), 1L, "g1", "keep b"),
+      (3L, t(10), 2L, "g1", "keep c"), (4L, t(11), 2L, "g1", "drop"),
+      (5L, t(12), 2L, "g1", "keep d"),
+      // group g2: single stream; one event outside the time bound
+      (6L, t(-500), 3L, "g2", "keep old"), (7L, t(5), 3L, "g2", "keep new"))
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+    val out = Logs.latestStreamEvents(logs, "event_type", "user_id", "ts",
+        "event_id", "props", from = lit(t(0)), pattern = "keep", limit = 2)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rn"),
+        r.getAs[Long]("event_id"))).toSet
+    // g1 → stream 2 (latest activity): matches at t12 (id 5) then t10 (id 3);
+    // the non-matching id 4 is skipped, stream 1's rows never rank.
+    // g2 → stream 3: only id 7 is inside the time bound.
+    assert(out === Set(("g1", 1L, 5L), ("g1", 2L, 3L), ("g2", 1L, 7L)))
+  }
+
   test("multimodal decode stub computes n_bytes and checksum") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaFromDocuments(docs)).cache()
