@@ -286,6 +286,19 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q41 with TRAINED centroids — two Lloyd iterations over the
+    * hash-rank seed. Oracle-able because training is bit-deterministic:
+    * per-cell sums run in exact long arithmetic over 1/2^20-quantized
+    * coordinates (order-free), and the DuckDB oracle replays both
+    * iterations integer-for-integer. The proof that "trained" no
+    * longer means "unreproducible". */
+  private val q91: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCentroids = 16, nProbe = 4, refineIters = 2)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Multimodal feature-extraction path: decode → 16-bin byte-histogram
     * embeddings → brute-force cosine self-similarity top-3 — the
     * image-dedup composite over the binary-column pipeline. */
@@ -1289,6 +1302,7 @@ object SparkEntry {
     "q88_simhash_wide" -> q88,
     "q89_log_search" -> q89,
     "q90_keyset_page" -> q90,
+    "q91_ann_ivf_trained" -> q91,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2396,6 +2410,12 @@ object SparkEntry {
     // the materialized-index probe (q87) is output-identical to the
     // inline q80 composite by construction — same replay oracle
     "q87_ivfpq_index" -> IvfPqReplaySql,
+    // trained IVF: the oracle replays BOTH Lloyd iterations —
+    // assignment argmax, integer-quantized per-cell sums, the exact
+    // sum/(n·scale) mean expression — then runs q41's probe replay
+    // against the trained centroids. Hash equality proves training
+    // itself is engine-reproducible, not just the probe.
+    "q91_ann_ivf_trained" -> lloydIvfOracle(iters = 2),
     "q89_log_search" ->
       """WITH streams AS (
            SELECT event_type, user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts
@@ -2480,6 +2500,77 @@ object SparkEntry {
          SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id,
            round(adc, 6) AS adc_dist
          FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  /** q41's replay with `iters` Lloyd iterations prepended. Each block
+    * replays one Similarity.refineCents pass integer-for-integer:
+    * nearest-cell argmax under the (−cos, cent_id) order, per-cell
+    * sums of floor(v[d]·2^20 + 0.5) in exact integer arithmetic
+    * (order-free on both engines), mean = CAST(sum AS DOUBLE) /
+    * (CAST(n AS DOUBLE) · 2^20) — the same two IEEE ops the Scala
+    * side performs — and the empty-cell / zero-norm seed fallback. */
+  private def lloydIvfOracle(iters: Int): String = {
+    val head =
+      """WITH prep AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cents0 AS (
+           SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)"""
+    val iterBlocks = (1 to iters).map { i =>
+      s""",
+         assign$i AS (
+           SELECT p.vec_id, p.v, c.cent_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY -(list_dot_product(p.v, c.cv)) / (p.nrm * c.cn), c.cent_id) AS rn
+           FROM prep p, cents${i - 1} c),
+         agg$i AS (
+           SELECT a.cent_id, u.d,
+             sum(CAST(floor(a.v[u.d] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+             count(*) AS n
+           FROM assign$i a, (SELECT unnest(range(1, 65)) AS d) u
+           WHERE a.rn = 1 GROUP BY a.cent_id, u.d),
+         mean$i AS (
+           SELECT cent_id,
+             list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) ORDER BY d) AS mv
+           FROM agg$i GROUP BY cent_id),
+         cents$i AS (
+           SELECT c.cent_id,
+             CASE WHEN m.mv IS NOT NULL AND sqrt(list_dot_product(m.mv, m.mv)) > 0
+                  THEN m.mv ELSE c.cv END AS cv,
+             CASE WHEN m.mv IS NOT NULL AND sqrt(list_dot_product(m.mv, m.mv)) > 0
+                  THEN sqrt(list_dot_product(m.mv, m.mv)) ELSE c.cn END AS cn
+           FROM cents${i - 1} c LEFT JOIN mean$i m USING (cent_id))"""
+    }.mkString
+    val probe =
+      s""",
+         corpus_cells AS (
+           SELECT p.vec_id, p.v, p.nrm, c.cent_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY -(list_dot_product(p.v, c.cv)) / (p.nrm * c.cn), c.cent_id) AS crn
+           FROM prep p, cents$iters c),
+         corpus AS (SELECT vec_id AS nbr_id, v AS cv2, nrm AS cn2, cent_id AS cell
+                    FROM corpus_cells WHERE crn = 1),
+         probe_cells AS (
+           SELECT p.vec_id, p.v, p.nrm, c.cent_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY -(list_dot_product(p.v, c.cv)) / (p.nrm * c.cn), c.cent_id) AS prn
+           FROM prep p, cents$iters c WHERE p.vec_id < 5),
+         probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, cent_id AS cell
+                    FROM probe_cells WHERE prn <= 4),
+         scored AS (
+           SELECT p.probe_id, c.nbr_id,
+             list_dot_product(c.cv2, p.pv) / (c.cn2 * p.pn) AS cos
+           FROM corpus c JOIN probes p ON c.cell = p.cell
+           WHERE p.probe_id <> c.nbr_id),
+         ranked AS (
+           SELECT probe_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+    head + iterBlocks + probe
+  }
 
   private def oracleSqlRest: Map[String, String] = Map(
     // KL replay: same count ratios, same p·ln(p/q) per term, Σ folded

@@ -116,21 +116,32 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
 
+  /** Quantization scale for training sums: coordinates are snapped to
+    * 1/2^20 grid BEFORE accumulation, so per-cell sums are exact long
+    * arithmetic — associative, commutative, hence BIT-IDENTICAL under
+    * any partition fold order. floor(x·S + 0.5) (not round()) because
+    * engines disagree on half-even vs half-away ties; floor is
+    * bit-defined everywhere, which is what lets the DuckDB oracle
+    * replay training exactly. */
+  private val TrainScale = 1048576.0 // 2^20
+
+  /** Elementwise quantize an array<double> column to array<long>. */
+  private def quantized(v: Column): Column =
+    transform(v, x => floor(x * lit(TrainScale) + lit(0.5)).cast("long"))
+
   /** Deterministic Lloyd (k-means) refinement of a centroid seed:
     * assign every corpus vector to its nearest current centroid (the
     * same map-only native argmax the query path uses), average per
-    * cell with the bounded [[graft.plans.VecSum]] aggregate (one
-    * dim-length buffer per cell, map-side combined), and keep the old
-    * centroid for any empty cell. Each iteration is one scan + one
-    * bounded aggregate + a ≤ nCentroids collect — the standard IVF
-    * training loop, deterministic because the seed is (hash-rank
-    * sampling has no RNG) and Lloyd is seed-determined. One caveat:
-    * the per-cell mean is a float sum whose partition merge order
-    * Spark does not fix, so training is deterministic only up to
-    * ~1-ulp fold-order differences (an assignment can flip for a
-    * near-exact centroid tie). This is why the ORACLED queries pin
-    * refineIters=0 and the recall spec asserts FLOORS, not hashes,
-    * on the trained path. */
+    * cell with the bounded [[graft.plans.VecSumLong]] aggregate over
+    * QUANTIZED coordinates (one dim-length long buffer per cell,
+    * map-side combined, order-free exact integer sums), and keep the
+    * old centroid for any empty cell. Each iteration is one scan +
+    * one bounded aggregate + a ≤ nCentroids collect — the standard
+    * IVF training loop, BIT-DETERMINISTIC end to end: the seed is
+    * hash-rank (no RNG), integer sums kill fold-order drift, and the
+    * mean is one fixed double expression sum/(n·scale) per
+    * coordinate. That is what lets q91 oracle a refineIters=2 path
+    * (the DuckDB replay computes the identical integers). */
   private def refineCents(corpus: DataFrame,
                           seed: Array[(Long, Seq[Double], Double)],
                           iters: Int): Array[(Long, Seq[Double], Double)] = {
@@ -139,13 +150,15 @@ object Similarity {
     for (_ <- 0 until iters) {
       val means = prepped(corpus, "vid", "v", "vn")
         .select(explode(graft.plans.NearestCells.nearestCells(
-          col("v"), col("vn"), cur.toSeq, 1)).as("cell"), col("v"))
+          col("v"), col("vn"), cur.toSeq, 1)).as("cell"), quantized(col("v")).as("q"))
         .groupBy(col("cell"))
-        .agg(graft.plans.VecSum.vecSum(col("v")).as("s"))
+        .agg(graft.plans.VecSumLong.vecSumLong(col("q")).as("s"))
         .select(col("cell"), col("s.n").as("n"), col("s.sum").as("sum"))
         .collect()
         .map { r =>
-          val mean = r.getSeq[Double](2).map(_ / r.getLong(1)).toIndexedSeq
+          val n = r.getLong(1)
+          val mean = r.getSeq[Long](2).map(_.toDouble / (n.toDouble * TrainScale))
+            .toIndexedSeq
           r.getLong(0) -> mean
         }.toMap
       cur = cur.map { case (id, v, nrm) =>
@@ -165,10 +178,12 @@ object Similarity {
     * block's sub-vectors independently. One pass per iteration:
     * encode with the current codebook (native [[graft.plans.PqCodes]]),
     * posexplode the code word to (block, code), slice the matching
-    * sub-vector, and VecSum per (block, code) — bounded at
-    * blocks × nCentroids buffers. Codebook entries stay full-length
-    * vectors (block b's slice = that block's centroid c), preserving
-    * the storage layout the untrained path uses. */
+    * sub-vector, and VecSumLong over QUANTIZED coordinates per
+    * (block, code) — bounded at blocks × nCentroids buffers, and
+    * bit-deterministic for the same reason as [[refineCents]].
+    * Codebook entries stay full-length vectors (block b's slice =
+    * that block's centroid c), preserving the storage layout the
+    * untrained path uses. */
   private def refinePqCodebook(corpus: DataFrame, seed: Seq[Seq[Double]],
                                blocks: Int, blockDim: Int, iters: Int): Seq[Seq[Double]] = {
     var cur = seed
@@ -179,14 +194,15 @@ object Similarity {
           col("v"), cur, blocks, blockDim)).as(Seq("b", "code")),
           col("v"))
         .select(col("b"), col("code"),
-          slice(col("v"), col("b") * blockDim + 1, lit(blockDim)).as("sub"))
+          quantized(slice(col("v"), col("b") * blockDim + 1, lit(blockDim))).as("sub"))
         .groupBy(col("b"), col("code"))
-        .agg(graft.plans.VecSum.vecSum(col("sub")).as("s"))
+        .agg(graft.plans.VecSumLong.vecSumLong(col("sub")).as("s"))
         .select(col("b"), col("code"), col("s.n").as("n"), col("s.sum").as("sum"))
         .collect()
         .map { r =>
+          val n = r.getLong(2)
           (r.getInt(0), r.getLong(1)) ->
-            r.getSeq[Double](3).map(_ / r.getLong(2)).toIndexedSeq
+            r.getSeq[Long](3).map(_.toDouble / (n.toDouble * TrainScale)).toIndexedSeq
         }.toMap
       cur = cur.zipWithIndex.map { case (entry, c) =>
         (0 until blocks).flatMap { b =>
