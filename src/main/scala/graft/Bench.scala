@@ -27,9 +27,12 @@ object Bench {
     }
     // noop sink: forces every projection to actually compute (count()
     // would let Catalyst prune unused result columns).
-    // min-of-2 runs per query: a transient environment stall (GC, noisy
+    // min-of-3 runs per query: a transient environment stall (GC, noisy
     // neighbor, page cache miss) inflates ONE run; the min is the
     // repeatable cost of the plan, which is what the bench measures.
+    // (Round-8 flagged q33/q59 "regressions" with unchanged code —
+    // min-of-2 still let one co-scheduled stall through; three samples
+    // bound that noise.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -41,12 +44,14 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val (t1, e1) = once()
-      val (t, err) = if (e1.isDefined) (t1, e1) else {
-        val (t2, e2) = once()
-        if (e2.isDefined) (t2, e2) else (math.min(t1, t2), None)
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var i = 0
+      while (i < 3 && err.isEmpty) {
+        val (t, e) = once()
+        best = math.min(best, t); err = e; i += 1
       }
-      (name, t, err)
+      (name, best, err)
     }
     // a failed query must never look fast: its time is the -1 sentinel
     val qs = results.map { case (k, v, err) => "\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }

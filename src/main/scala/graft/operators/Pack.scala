@@ -33,7 +33,18 @@ object Pack {
     * each `part`, ordered by (`ordId`, `tieCol`), computed via the
     * two-phase prefix sum above. `ordId` must be an integral column;
     * `bucketWidth` trades bucket count against bucket size (rows per
-    * bucket ≈ id density × width). */
+    * bucket ≈ id density × width).
+    *
+    * Memory contract: the base-offset frame has one row per
+    * (shard, OCCUPIED bucket) ≈ #shards × idRange / bucketWidth.
+    * That is "thousands" only while bucketWidth is sized to the id
+    * density — a sparse/wide id range (or tiny bucketWidth) pushes it
+    * toward one row per input row, where a FORCED broadcast would be
+    * an unbounded driver-memory hazard. So the join back carries no
+    * broadcast hint: AQE sees the aggregate's true runtime size and
+    * broadcasts exactly when it is small, falling back to a shuffle
+    * hash join on (shard, bucket) when it is not — same integers
+    * either way. */
   def shardedCumSum(df: DataFrame, part: String, ordId: String, tieCol: String,
                     valueCol: String, cumAs: String,
                     bucketWidth: Long = 1L << 16): DataFrame = {
@@ -54,7 +65,7 @@ object Pack {
       .agg(sum(col(valueCol)).as("__pk_btotal"))
       .withColumn("__pk_base", coalesce(sum(col("__pk_btotal")).over(wBase), lit(0L)))
       .select(col(part), col("__pk_bucket"), col("__pk_base"))
-    local.join(broadcast(bases), Seq(part, "__pk_bucket"))
+    local.join(bases, Seq(part, "__pk_bucket"))
       .withColumn(cumAs, col("__pk_base") + col("__pk_lcum"))
       .drop("__pk_bucket", "__pk_lcum", "__pk_base")
   }

@@ -79,14 +79,20 @@ object ScaleUp {
       .withColumn("event_id", shift("event_id", r))
       .withColumn("user_id", shift("user_id", r)))
 
-    // token-salt every token in replica r>0: "a b" -> "r1_a r1_b"
+    // token-salt every token in replica r>0: "a b" -> "r1_a r1_b".
+    // Replica 0 is passed through UNTOUCHED (including null text /
+    // null n_chars) so the scaled set's replica-0 slice stays
+    // byte-identical to the source; salted replicas recompute n_chars
+    // for their longer texts, preserving null via the text's own null.
     replicate("documents") { (df, r) =>
-      val salted = if (r == 0) col("text") else
-        concat(lit(s"r${r}_"),
-          regexp_replace(coalesce(col("text"), lit("")), " ", s" r${r}_"))
-      df.withColumn("doc_id", shift("doc_id", r))
-        .withColumn("text", salted)
-        .withColumn("n_chars", length(coalesce(col("text"), lit(""))).cast("long"))
+      if (r == 0) df else
+        df.withColumn("doc_id", shift("doc_id", r))
+          .withColumn("text",
+            // null text stays null (same null population every replica)
+            when(col("text").isNull, lit(null).cast("string"))
+              .otherwise(concat(lit(s"r${r}_"),
+                regexp_replace(col("text"), " ", s" r${r}_"))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
     }
 
     // per-replica orthogonal transform: v'_i = sign[i] * v[perm[i]]

@@ -308,4 +308,35 @@ class PropertySpec extends AnyFunSuite {
     assert(prefixWork * 100 <= naiveWork,
       s"prefix filtering should bound hot-shingle join work: $prefixWork vs $naiveWork")
   }
+
+  test("cluster dedup composite stays exact and skew-bounded over the prefix generator") {
+    import spark.implicits._
+    import graft.operators.{Cluster, Dedup}
+    // the q59/q67 composite under the same universal-boilerplate skew:
+    // canonicalize(connected components) over the pair set. The prefix
+    // generator is hash-proved pair-identical to the naive join, so the
+    // CLUSTER output must be identical too — and the composite's
+    // candidate work inherits the prefix bound (the previous test
+    // measures the ~100× gap on this corpus shape), which is what makes
+    // q59/q67 survive a hot shingle at corpus scale.
+    val boiler = "terms of service apply to all content on this site"
+    val docs = (0 until 400).map { i =>
+      val tail =
+        if (i % 50 == 0) "shared tail alpha beta gamma delta epsilon zeta eta theta"
+        else s"unique u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h"
+      (i.toLong, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    def canon(pairs: org.apache.spark.sql.DataFrame) =
+      Cluster.canonicalize(pairs, "d1", "d2")
+    val viaPrefix = canon(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", k = 3, threshold = 0.8))
+    val viaNaive = canon(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
+    assert(viaPrefix.exceptAll(viaNaive).count() === 0)
+    assert(viaNaive.exceptAll(viaPrefix).count() === 0)
+    // the planted shared-tail docs (every 50th) form one real cluster:
+    // 8 members, 7 non-canonical
+    assert(viaPrefix.count() === 8)
+    assert(viaPrefix.filter(!col("is_canonical")).count() === 7)
+  }
 }
