@@ -1211,6 +1211,30 @@ object SparkEntry {
       v1, base.unionByName(adds), "doc_id", "text")
   }
 
+  /** Subword (BPE-style) token counts against a DATA-TRAINED merge
+    * table: one global adjacent-char-pair frequency aggregate picks
+    * the top-8 merges (count desc, pair asc — deterministic), then a
+    * native one-loop expression applies them rank-major,
+    * leftmost-first (plans/BpeTokens.scala). Whitespace counts
+    * under-state LLM tokens; this is the honest SQL-replayable core
+    * of the BPE family, making q62/q68-style layout math
+    * representative. The oracle replays training AND application. */
+  private val q92: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = TF.tokens(coalesce(col("text"), lit("")))
+    val merges = docs.select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).limit(8)
+      .collect().map(_.getString(0)).toSeq
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        graft.plans.BpeTokenCount.bpeTokenCount(toks, merges).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1303,6 +1327,7 @@ object SparkEntry {
     "q89_log_search" -> q89,
     "q90_keyset_page" -> q90,
     "q91_ann_ivf_trained" -> q91,
+    "q92_bpe_tokens" -> q92,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2410,6 +2435,11 @@ object SparkEntry {
     // the materialized-index probe (q87) is output-identical to the
     // inline q80 composite by construction — same replay oracle
     "q87_ivfpq_index" -> IvfPqReplaySql,
+    // BPE replay: trains the same top-8 merge table (one pair-count
+    // aggregate) and unrolls rank-major leftmost-first application as
+    // 56 mask/count micro-steps per word (ranks 0..7 × positions 1..7
+    // — words are ≤ 8 bytes by the corpus contract)
+    "q92_bpe_tokens" -> bpeOracle,
     // trained IVF: the oracle replays BOTH Lloyd iterations —
     // assignment argmax, integer-quantized per-cell sums, the exact
     // sum/(n·scale) mean expression — then runs q41's probe replay
@@ -2570,6 +2600,50 @@ object SparkEntry {
          SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
     head + iterBlocks + probe
+  }
+
+  /** DuckDB replay of q92: train the top-8 adjacent-pair merge table,
+    * then apply it with the exact rank-major, leftmost-first,
+    * no-cascade semantics of plans/BpeTokens.scala — state is an
+    * 8-bit "char already merged" mask + merge count, folded through
+    * 56 generated micro-step CTE columns (bit test (mask div 2^i)
+    * mod 4 = 0 ≡ the Scala (mask >> i) & 3). */
+  private def bpeOracle: String = {
+    val mtCols = (0 until 8)
+      .map(r => s"max(CASE WHEN r = $r THEN p END) AS p$r").mkString(", ")
+    val steps = new StringBuilder
+    var prev = "wstate0"; var m = "0"; var c = "0"
+    var k = 0
+    for (r <- 0 until 8; pos <- 1 to 7) {
+      k += 1
+      val bit = 1 << (pos - 1)
+      val cond = s"p$r IS NOT NULL AND length(w) > $pos AND " +
+        s"substr(w, $pos, 2) = p$r AND (($m // $bit) % 4) = 0"
+      steps ++= s""",
+         s$k AS (SELECT *,
+           CASE WHEN $cond THEN $m + ${3 * bit} ELSE $m END AS m$k,
+           CASE WHEN $cond THEN $c + 1 ELSE $c END AS c$k FROM $prev)"""
+      prev = s"s$k"; m = s"m$k"; c = s"c$k"
+    }
+    s"""WITH words AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         wp AS (
+           SELECT substr(w, i, 2) AS p
+           FROM words, unnest(range(1, length(w))) AS u(i)
+           WHERE length(w) >= 2),
+         ranked AS (
+           SELECT p, row_number() OVER (ORDER BY count(*) DESC, p) - 1 AS r
+           FROM wp GROUP BY p),
+         mt AS (SELECT $mtCols FROM ranked),
+         wstate0 AS (SELECT * FROM words CROSS JOIN mt)$steps,
+         agg AS (
+           SELECT doc_id, count(*) AS nw, sum(length(w) - $c) AS nb
+           FROM $prev GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bpe_tokens
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id"""
   }
 
   private def oracleSqlRest: Map[String, String] = Map(

@@ -309,6 +309,32 @@ class PropertySpec extends AnyFunSuite {
       s"prefix filtering should bound hot-shingle join work: $prefixWork vs $naiveWork")
   }
 
+  test("BpeTokenCount applies merges rank-major, leftmost-first, no cascade") {
+    import spark.implicits._
+    def count(words: Seq[String], merges: Seq[String]): Long =
+      Seq(Tuple1(words)).toDF("toks")
+        .select(graft.plans.BpeTokenCount.bpeTokenCount(col("toks"), merges).as("n"))
+        .head.getLong(0)
+    // rank priority beats left-to-right: in "the", rank-0 "he" merges
+    // first and consumes the h, so rank-1 "th" cannot fire → t|he = 2
+    assert(count(Seq("the"), Seq("he", "th")) === 2L)
+    // swap the ranks and "th" wins → th|e = 2 (different segmentation,
+    // same count here) but in "hes" it shows: he|s vs h|e|s
+    assert(count(Seq("hes"), Seq("he", "th")) === 2L)
+    assert(count(Seq("hes"), Seq("th", "xx")) === 3L)
+    // leftmost-first non-overlap within a rank: "aaa" merges (0,1) only
+    assert(count(Seq("aaa"), Seq("aa")) === 2L)
+    assert(count(Seq("aaaa"), Seq("aa")) === 2L) // (0,1) and (2,3)
+    // no cascade: merged symbols are not re-merged ("abab" with "ab"
+    // twice → ab|ab, and no "abab" super-merge exists by construction)
+    assert(count(Seq("abab"), Seq("ab")) === 2L)
+    // chars in at most one merge: "abc" with "ab" rank-0 blocks "bc"
+    assert(count(Seq("abc"), Seq("ab", "bc")) === 2L)
+    // empty inputs and 1-char words pass through
+    assert(count(Seq.empty, Seq("ab")) === 0L)
+    assert(count(Seq("a", "b"), Seq("ab")) === 2L)
+  }
+
   test("cluster dedup composite stays exact and skew-bounded over the prefix generator") {
     import spark.implicits._
     import graft.operators.{Cluster, Dedup}
