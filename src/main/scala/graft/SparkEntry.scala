@@ -1235,6 +1235,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q90's scale composition: the same day of events drained through
+    * FOUR CONCURRENT shard cursors (leading-key modulo slices, one
+    * independent cursor loop per shard on its own driver thread) —
+    * wall-clock is pages-per-shard, not total pages, which is how a
+    * corpus-size drain actually runs (one cursor per client worker).
+    * The oracle's shard-partitioned row_number pass proves the
+    * shard × page grid tiles the full scan exactly. */
+  private val q93: Q = (s, d) =>
+    graft.operators.Pagination.shardedStitched(
+        Tables.events(s, d)
+          .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        keys = Seq("event_id"), pageSize = 250, shards = 4)
+      .orderBy(col("event_id"))
+
+  /** Deterministic stand-in for the reference's external title API
+    * (enrichment.py:69-80): directory detail = md5(key), with a
+    * DETERMINISTIC first-attempt failure for every third key — the
+    * retry loop must absorb it, and because retries are
+    * value-stable, the enriched output is oracle-able. */
+  private object Q94Directory extends graft.operators.Enrich.ExternalService {
+    override def fetch(key: String, attempt: Int): Option[String] =
+      if (attempt == 0 && key.toLong % 3 == 0) None // transient failure, retried
+      else {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+        Some(d.map(b => f"$b%02x").mkString)
+      }
+  }
+
+  /** Rate-limited external enrichment under the gate: per-user event
+    * counts enriched with a directory detail through
+    * [[graft.operators.Enrich.externalLookup]] — distinct-first (one
+    * call per user, never per event), bounded concurrency
+    * (parallelism=8 key partitions), retry absorbing the fake
+    * upstream's deterministic transient failures. */
+  private val q94: Q = (s, d) =>
+    graft.operators.Enrich.externalLookup(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        keyCol = "user_id", outCol = "detail", service = Q94Directory,
+        maxRetries = 2, backoffMs = 0, parallelism = 8)
+      .select(col("user_id"), col("detail"), col("n_events"))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1328,6 +1374,8 @@ object SparkEntry {
     "q90_keyset_page" -> q90,
     "q91_ann_ivf_trained" -> q91,
     "q92_bpe_tokens" -> q92,
+    "q93_sharded_page" -> q93,
+    "q94_external_enrich" -> q94,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2467,6 +2515,23 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
                  ORDER BY ts_us DESC, event_id DESC) AS rn FROM matched)
          WHERE rn <= 20 ORDER BY event_type, rn""",
+    // the retried external fetch is value-stable (detail = md5(key)),
+    // so the oracle computes it directly — hash equality proves the
+    // distinct-first + retry + join-back plumbing loses nothing
+    "q94_external_enrich" ->
+      """SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS detail,
+           count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // the shard×page grid replayed as one shard-partitioned
+    // row_number pass — concurrent shard cursors tile the scan
+    "q93_sharded_page" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS shard,
+           CAST((row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1) // 250 AS BIGINT) AS page_no,
+           event_id, user_id, event_type, value
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'
+         ORDER BY event_id""",
     // page assignment replayed as ONE row_number pass: hash equality
     // proves the driver-looped cursor pages tile the scan exactly
     "q90_keyset_page" ->

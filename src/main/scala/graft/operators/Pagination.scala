@@ -63,4 +63,31 @@ object Pagination {
     if (pages.isEmpty) df.limit(0).withColumn("page_no", lit(0L))
     else pages.reduce(_ unionByName _)
   }
+
+  /** Sharded cursor drain — how a whole corpus is actually paged at
+    * scale: the key space splits into `shards` disjoint slices
+    * (leading-key modulo — any stable predicate works), each slice
+    * runs its OWN independent cursor loop, and the loops run
+    * CONCURRENTLY (separate driver threads submitting Spark jobs —
+    * in production these are separate client workers). Wall-clock per
+    * drain is pages-per-shard, not total pages; the single-cursor
+    * [[stitched]] ratio in BENCH_SCALING divides by the shard count.
+    * Output adds (shard, page_no) per row; the oracle replays it as
+    * one shard-partitioned row_number pass, proving the shard×page
+    * grid tiles the full scan exactly. */
+  def shardedStitched(df: DataFrame, keys: Seq[String], pageSize: Int,
+                      shards: Int, maxPages: Int = 10000): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val lead = col(keys.head)
+    val parts = (0 until shards).map { s =>
+      Future {
+        stitched(df.filter(pmod(lead, lit(shards)) === s), keys, pageSize, maxPages)
+          .withColumn("shard", lit(s.toLong))
+      }
+    }
+    Await.result(Future.sequence(parts), Duration.Inf).reduce(_ unionByName _)
+  }
 }

@@ -6,12 +6,15 @@ import graft.sources.{Event, Tables}
 
 /** Runnable streaming demo: feeds the events table through the
   * Structured Streaming pipelines in micro-batches and prints one JSON
-  * summary line. Usage: StreamDemo [sfDir] [batchSize]
+  * summary line. Usage: StreamDemo [sfDir] [batchSize] [maxEvents]
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val batchSize = args.lift(1).map(_.toInt).getOrElse(250)
+    // the demo collects its feed to drive MemoryStream — cap it so
+    // pointing at a large sf stays a demo, not a driver-memory test
+    val maxEvents = args.lift(2).map(_.toInt).getOrElse(20000)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-stream-demo")
@@ -23,7 +26,8 @@ object StreamDemo {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val events = Tables.events(spark, sfDir).as[Event]
+      .orderBy("event_id").limit(maxEvents).collect().toSeq
     implicit val sqlCtx = spark.sqlContext
 
     def run(name: String, mk: MemoryStream[Event] => org.apache.spark.sql.DataFrame): Long = {

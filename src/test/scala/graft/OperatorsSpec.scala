@@ -6,6 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
+/** Flaky external-service fake for the Enrich spec. TOP-LEVEL object:
+  * Scala serializes top-level modules with readResolve back to the
+  * singleton, so local-mode tasks increment THIS counter — a
+  * method-local object would deserialize into per-task copies and
+  * the driver-side counts would stay zero. */
+object EnrichTestSvc extends graft.operators.Enrich.ExternalService {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def fetch(k: String, attempt: Int): Option[String] = {
+    calls.incrementAndGet()
+    if (k == "dead") None                          // never succeeds
+    else if (k.toInt % 2 == 0 && attempt < 2) None // flaky: 2 transient fails
+    else Some(s"v$k")
+  }
+}
+
 /** Semantics checks for the operator library at sf0.001. */
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -256,6 +271,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Pagination.stitched(rows.filter(col("a") < 0), Seq("a", "b"), 5).count() === 0)
     // maxPages is a runaway guard: truncates cleanly at the page boundary
     assert(Pagination.stitched(rows, Seq("a", "b"), 5, maxPages = 2).count() === 10)
+    // sharded drain: concurrent per-shard cursors tile the same scan
+    // (incl. shards whose slice is empty — here a > 4 never holds mod 8)
+    val sharded = Pagination.shardedStitched(rows, Seq("a", "b"), pageSize = 3, shards = 8)
+    assert(sharded.count() === 28)
+    assert(sharded.select("a", "b").distinct().count() === 28)
+    // within a shard, page assignment matches the per-shard rank pass
+    val wantSh = rows.withColumn("shard", pmod(col("a"), lit(8)).cast("long"))
+      .withColumn("page_no",
+        (org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+            .orderBy(col("a"), col("b"))) - 1)
+          .cast("long") / lit(3L) cast "long")
+    assert(sharded.select("shard", "a", "b", "page_no").exceptAll(
+      wantSh.select("shard", "a", "b", "page_no")).count() === 0)
+  }
+
+  test("external enrichment: distinct-first calls, retry absorption, fail-open") {
+    import spark.implicits._
+    import graft.operators.Enrich
+    val Svc = EnrichTestSvc
+    Svc.calls.set(0)
+    // duplicate keys + a null key: calls must count DISTINCT non-null keys
+    val df = Seq(Some(1), Some(2), Some(2), Some(3), Some(4), None)
+      .toDF("k")
+    val out = Enrich.externalLookup(df, "k", "detail", Svc,
+      maxRetries = 2, backoffMs = 0)
+    // ONE action: every action re-runs the lazy plan and re-calls the
+    // service (documented contract), so all row assertions read one
+    // collect
+    val rows = out.collect().map(r =>
+      Option(r.get(0)).map(_.toString).orNull -> r.getString(1))
+    assert(rows.length === 6, "duplicate rows all enriched via join-back")
+    assert(rows.toMap === Map("1" -> "v1", "2" -> "v2", "3" -> "v3", "4" -> "v4", null.asInstanceOf[String] -> null))
+    assert(rows.count(_._1 == "2") === 2)
+    // 4 distinct keys; evens (2,4) took 3 attempts, odds (1,3) took 1
+    assert(Svc.calls.get() === 4 + 2 * 2, s"calls = ${Svc.calls.get()}")
+    // fail-open: a key that exhausts its budget enriches as null
+    Svc.calls.set(0)
+    val dead = Enrich.externalLookup(Seq("dead").toDF("k"), "k", "detail", Svc,
+      maxRetries = 2, backoffMs = 0)
+    assert(dead.head.isNullAt(1))
+    assert(Svc.calls.get() === 3, "budget = 1 + maxRetries attempts")
+    // fail-closed: the same exhaustion fails the job instead
+    val ex = intercept[org.apache.spark.SparkException] {
+      Enrich.externalLookup(Seq("dead").toDF("k"), "k", "detail", Svc,
+        maxRetries = 1, backoffMs = 0, failOpen = false).collect()
+    }
+    assert(ex.getMessage.contains("external lookup failed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("external lookup failed")))
   }
 
   test("log search elects the latest stream and ranks recent matches") {
