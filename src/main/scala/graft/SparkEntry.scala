@@ -1281,6 +1281,18 @@ object SparkEntry {
       .select(col("user_id"), col("detail"), col("n_events"))
       .orderBy(col("user_id"))
 
+  /** q78 with a TRAINED PQ codebook (one per-block Lloyd iteration) —
+    * q91's twin for the product-quantization path: per-(block, code)
+    * sub-vector means run in integer-quantized VecSumLong arithmetic,
+    * so codebook training is bit-deterministic and the oracle replays
+    * encode → train → re-encode → ADC end to end. */
+  private val q95: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCentroids = 16, blockDim = 8, refineIters = 1)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1376,6 +1388,7 @@ object SparkEntry {
     "q92_bpe_tokens" -> q92,
     "q93_sharded_page" -> q93,
     "q94_external_enrich" -> q94,
+    "q95_pq_trained" -> q95,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2450,6 +2463,70 @@ object SparkEntry {
          pair AS (
            SELECT p.probe_id, c.vec_id AS nbr_id, c.b, p.d
            FROM codes c JOIN pd p ON p.b = c.b AND p.cidx = c.code
+           WHERE p.probe_id <> c.vec_id),
+         scored AS (
+           SELECT probe_id, nbr_id, list_sum(list(d ORDER BY b)) AS adc
+           FROM pair GROUP BY 1, 2),
+         ranked AS (
+           SELECT probe_id, nbr_id, adc,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adc, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id,
+           round(adc, 6) AS adc_dist
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // Trained-PQ replay: q78's chain with one per-block Lloyd round
+    // inserted — seed-encode (codes), per-(block, code, dim)
+    // integer-quantized means (the exact floor(x·2^20 + 0.5) /
+    // sum/(n·2^20) arithmetic of refinePqCodebook), empty-cell seed
+    // fallback, then RE-encode and ADC against the trained entries.
+    "q95_pq_trained" ->
+      """WITH prep AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (
+           SELECT vec_id, v,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         bd AS (
+           SELECT p.vec_id, b, cb.cidx,
+             list_sum([ (p.v[b*8 + i] - cb.v[b*8 + i]) * (p.v[b*8 + i] - cb.v[b*8 + i])
+                        FOR i IN range(1, 9) ]) AS d
+           FROM prep p, unnest(range(8)) AS u(b), cb),
+         codes AS (
+           SELECT vec_id, b, cidx AS code FROM (
+             SELECT vec_id, b, cidx,
+               row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cidx) AS rn
+             FROM bd) WHERE rn = 1),
+         agg_t AS (
+           SELECT c.b, c.code, u.i,
+             sum(CAST(floor(p.v[c.b*8 + u.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+             count(*) AS n
+           FROM codes c JOIN prep p USING (vec_id),
+                (SELECT unnest(range(1, 9)) AS i) u
+           GROUP BY c.b, c.code, u.i),
+         tmean AS (
+           SELECT b, code, i,
+             CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS m
+           FROM agg_t),
+         cb2v AS (
+           SELECT cb.cidx, dd.d, coalesce(t.m, cb.v[dd.d]) AS val
+           FROM cb CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+           LEFT JOIN tmean t ON t.b = (dd.d - 1) // 8 AND t.code = cb.cidx
+             AND t.i = ((dd.d - 1) % 8) + 1),
+         cb2 AS (SELECT cidx, list(val ORDER BY d) AS v FROM cb2v GROUP BY cidx),
+         bd2 AS (
+           SELECT p.vec_id, b, cb2.cidx,
+             list_sum([ (p.v[b*8 + i] - cb2.v[b*8 + i]) * (p.v[b*8 + i] - cb2.v[b*8 + i])
+                        FOR i IN range(1, 9) ]) AS d
+           FROM prep p, unnest(range(8)) AS u(b), cb2),
+         codes2 AS (
+           SELECT vec_id, b, cidx AS code FROM (
+             SELECT vec_id, b, cidx,
+               row_number() OVER (PARTITION BY vec_id, b ORDER BY d, cidx) AS rn
+             FROM bd2) WHERE rn = 1),
+         pd2 AS (SELECT vec_id AS probe_id, b, cidx, d FROM bd2 WHERE vec_id < 5),
+         pair AS (
+           SELECT p.probe_id, c.vec_id AS nbr_id, c.b, p.d
+           FROM codes2 c JOIN pd2 p ON p.b = c.b AND p.cidx = c.code
            WHERE p.probe_id <> c.vec_id),
          scored AS (
            SELECT probe_id, nbr_id, list_sum(list(d ORDER BY b)) AS adc

@@ -292,12 +292,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     // nested-loop join a map-only scalar attach, not a blowup.
     // q65 additionally ranks its 50-row top-k result with a bounded
     // broadcast self-join (≤2500 pairs) instead of a global window.
-    // q78 scans corpus codes × broadcast probes BY DESIGN (PQ without
-    // cell pruning — q80 is the pruned composite, which equi-joins)
+    // q78/q95 scan corpus codes × broadcast probes BY DESIGN (PQ
+    // without cell pruning — q80 is the pruned composite, which
+    // equi-joins)
     val intentionalCross =
       Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union",
         "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25",
-        "q78_pq_ann", "q81_source_kl")
+        "q78_pq_ann", "q95_pq_trained", "q81_source_kl")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!intentionalCross(name)) {
