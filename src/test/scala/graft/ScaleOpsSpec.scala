@@ -58,6 +58,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       "two-phase plan should partition the local window by range bucket")
   }
 
+  test("corpus-unbounded frames carry NO broadcast hints (AQE decides)") {
+    // The round-8 scale-killer: forced broadcast(sizes)/broadcast(bases)
+    // hints on frames with one row per document / per (shard, bucket) —
+    // unbounded at corpus scale, past the broadcast limit. The hints
+    // are gone; this pins that. Hints survive analysis as ResolvedHint
+    // nodes, so an empty collect proves no hint anywhere in the plan —
+    // AQE may still CHOOSE broadcast from runtime stats, which is the
+    // point. (Queries with deliberate bounded broadcasts — probe sets,
+    // ≤nCentroids literals, single-row scalars — are not checked here.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- Seq("q22_minhash_lsh", "q24_ngram_jaccard", "q59_cluster_dedup",
+        "q68_seq_pack")) {
+      val hints = SparkEntry.queries(name)(spark, TestSpark.sf)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$name still carries broadcast hints: $hints")
+    }
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
     import spark.implicits._
     // the declarative skew path that complements Skew.saltedJoin: when
