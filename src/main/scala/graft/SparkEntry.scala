@@ -1219,20 +1219,48 @@ object SparkEntry {
     * under-state LLM tokens; this is the honest SQL-replayable core
     * of the BPE family, making q62/q68-style layout math
     * representative. The oracle replays training AND application. */
-  private val q92: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val toks = TF.tokens(coalesce(col("text"), lit("")))
-    val merges = docs.select(explode(toks).as("w"))
+  /** Top-8 adjacent-char-pair merge table: one global frequency
+    * aggregate over the corpus words, count desc / pair asc — the
+    * deterministic training shared by q92 and q96. */
+  private def trainedMerges(docs: org.apache.spark.sql.DataFrame): Seq[String] =
+    docs.select(explode(TF.tokens(coalesce(col("text"), lit("")))).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("p")).limit(8)
       .collect().map(_.getString(0)).toSeq
+
+  private val q92: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = TF.tokens(coalesce(col("text"), lit("")))
+    val merges = trainedMerges(docs)
     docs.select(col("doc_id"),
         size(toks).cast("long").as("n_words"),
         graft.plans.BpeTokenCount.bpeTokenCount(toks, merges).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q68's sequence packing with the TRAINED subword counter — the
+    * layout math a real pre-training packer runs (whitespace counts
+    * under-fill sequences by the merge ratio). Same two-phase prefix
+    * sum, same 4096 boundary rule; only the token counter changed,
+    * and the oracle replays trainer + counter + layout end to end. */
+  private val q96: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = trainedMerges(docs)
+    graft.operators.Pack.shardedCumSum(
+      docs.select(col("source"), col("doc_id"),
+        graft.plans.BpeTokenCount.bpeTokenCount(
+          TF.tokens(coalesce(col("text"), lit(""))), merges).as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("__tie")),
+      part = "source", ordId = "doc_id", tieCol = "__tie",
+      valueCol = "n_tokens", cumAs = "__cum", bucketWidth = 4096L)
+      .withColumn("seq_id", expr("(__cum - n_tokens) DIV 4096"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
   }
 
   /** q90's scale composition: the same day of events drained through
@@ -1389,6 +1417,7 @@ object SparkEntry {
     "q93_sharded_page" -> q93,
     "q94_external_enrich" -> q94,
     "q95_pq_trained" -> q95,
+    "q96_bpe_pack" -> q96,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2565,6 +2594,9 @@ object SparkEntry {
     // 56 mask/count micro-steps per word (ranks 0..7 × positions 1..7
     // — words are ≤ 8 bytes by the corpus contract)
     "q92_bpe_tokens" -> bpeOracle,
+    // BPE counts composed into q68's packing layout — trainer +
+    // counter + running-total boundary rules all replayed
+    "q96_bpe_pack" -> bpePackOracle,
     // trained IVF: the oracle replays BOTH Lloyd iterations —
     // assignment argmax, integer-quantized per-cell sums, the exact
     // sum/(n·scale) mean expression — then runs q41's probe replay
@@ -2744,13 +2776,14 @@ object SparkEntry {
     head + iterBlocks + probe
   }
 
-  /** DuckDB replay of q92: train the top-8 adjacent-pair merge table,
-    * then apply it with the exact rank-major, leftmost-first,
-    * no-cascade semantics of plans/BpeTokens.scala — state is an
-    * 8-bit "char already merged" mask + merge count, folded through
-    * 56 generated micro-step CTE columns (bit test (mask div 2^i)
-    * mod 4 = 0 ≡ the Scala (mask >> i) & 3). */
-  private def bpeOracle: String = {
+  /** DuckDB replay of the BPE pipeline (q92/q96 shared prefix): train
+    * the top-8 adjacent-pair merge table, then apply it with the
+    * exact rank-major, leftmost-first, no-cascade semantics of
+    * plans/BpeTokens.scala — state is an 8-bit "char already merged"
+    * mask + merge count, folded through 56 generated micro-step CTE
+    * columns (bit test (mask div 2^i) mod 4 = 0 ≡ the Scala
+    * (mask >> i) & 3). Ends with CTE bpe_doc(doc_id, nw, nb). */
+  private def bpeCtes: String = {
     val mtCols = (0 until 8)
       .map(r => s"max(CASE WHEN r = $r THEN p END) AS p$r").mkString(", ")
     val steps = new StringBuilder
@@ -2779,14 +2812,37 @@ object SparkEntry {
            FROM wp GROUP BY p),
          mt AS (SELECT $mtCols FROM ranked),
          wstate0 AS (SELECT * FROM words CROSS JOIN mt)$steps,
-         agg AS (
+         bpe_doc AS (
            SELECT doc_id, count(*) AS nw, sum(length(w) - $c) AS nb
-           FROM $prev GROUP BY doc_id)
+           FROM $prev GROUP BY doc_id)"""
+  }
+
+  private def bpeOracle: String = bpeCtes +
+    """
          SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
            CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bpe_tokens
-         FROM documents d LEFT JOIN agg a USING (doc_id)
+         FROM documents d LEFT JOIN bpe_doc a USING (doc_id)
          ORDER BY d.doc_id"""
-  }
+
+  /** q68's packing replay over BPE counts: per-doc subword totals
+    * (shared bpe_doc chain) feed the identical running-total /
+    * 4096-boundary layout SQL. */
+  private def bpePackOracle: String = bpeCtes +
+    """,
+         t AS (
+           SELECT d.source, d.doc_id,
+             CAST(coalesce(b.nb, 0) AS BIGINT) AS n_tokens,
+             md5(coalesce(d.text, '')) AS tie
+           FROM documents d LEFT JOIN bpe_doc b USING (doc_id)),
+         c AS (
+           SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT source, CAST((cum - n_tokens) // 4096 AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY source, seq_id ORDER BY source, seq_id"""
 
   private def oracleSqlRest: Map[String, String] = Map(
     // KL replay: same count ratios, same p·ln(p/q) per term, Σ folded
