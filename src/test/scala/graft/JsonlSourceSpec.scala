@@ -111,6 +111,53 @@ class JsonlSourceSpec extends AnyFunSuite {
 
   // ---- micro-batch streaming (the checkpointable message-bus analog) ----
 
+  test("offset log: JSON round-trip and latestOffset monotonicity guards") {
+    import graft.sources.{JsonlMicroBatchStream, JsonlOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // deterministic JSON (sorted keys) and exact round-trip
+    val off = JsonlOffset(Map("/b.jsonl" -> 7L, "/a.jsonl" -> 3L))
+    assert(off.json() === """{"/a.jsonl":3,"/b.jsonl":7}""")
+    assert(JsonlOffset.fromJson(off.json()) === off)
+
+    val dir = Files.createTempDirectory("jsonl_off").toString
+    def stream(cap: Long) = new JsonlMicroBatchStream(schema, schema,
+      Array.empty, dir, splitBytes = 1 << 20, maxBytesPerTrigger = cap)
+    def files(o: org.apache.spark.sql.connector.read.streaming.Offset) =
+      o.asInstanceOf[JsonlOffset].files.map { case (k, v) =>
+        new java.io.File(k).getName -> v }
+    val a = Paths.get(dir, "a.jsonl")
+    Files.write(a, ("x" * 99 + "\n").getBytes("UTF-8")) // 100 bytes
+
+    // byte-capped admission advances in steps from the engine's start
+    val s0 = stream(cap = 40)
+    val o1 = s0.latestOffset(JsonlOffset(Map.empty), ReadLimit.allAvailable())
+    assert(files(o1) === Map("a.jsonl" -> 40L))
+    val o2 = s0.latestOffset(o1, ReadLimit.allAvailable())
+    assert(files(o2) === Map("a.jsonl" -> 80L))
+
+    // a SHRUNK file must never regress its position (re-serving bytes
+    // would duplicate lines) — the high-water mark holds
+    Files.write(a, ("y" * 49 + "\n").getBytes("UTF-8")) // now 50 bytes
+    val o3 = s0.latestOffset(o2, ReadLimit.allAvailable())
+    assert(files(o3) === Map("a.jsonl" -> 80L))
+
+    // a DELETED file keeps its last position (a recreated file would
+    // otherwise replay from zero); planInputPartitions skips it
+    Files.delete(a)
+    val o4 = s0.latestOffset(o3, ReadLimit.allAvailable())
+    assert(files(o4) === Map("a.jsonl" -> 80L))
+    assert(s0.planInputPartitions(o3, o4).isEmpty)
+
+    // restart safety: a fresh stream whose WAL start is AHEAD of its
+    // empty baseline must budget from the start, not from zero
+    Files.write(a, ("z" * 199 + "\n").getBytes("UTF-8")) // 200 bytes
+    val s1 = stream(cap = 40)
+    val r1 = s1.latestOffset(JsonlOffset(Map(a.toString -> 100L)),
+      ReadLimit.allAvailable())
+    assert(files(r1) === Map("a.jsonl" -> 140L),
+      "cap must extend the recovered start, not restart at zero")
+  }
+
   private def startStream(inDir: String, ckpt: String, sink: String,
                           cap: Long, trigger: Option[org.apache.spark.sql.streaming.Trigger] = None) = {
     val reader = spark.readStream.format("graft.sources.JsonlSource").schema(schema)
