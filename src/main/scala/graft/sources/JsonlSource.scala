@@ -53,6 +53,11 @@ class JsonlSource extends TableProvider {
                         properties: JMap[String, String]): Table =
     new JsonlTable(schema, properties.get("path"),
       Option(properties.get("split.bytes")).map(_.toLong).getOrElse(32L * 1024 * 1024))
+
+  // streaming options (read via newScanBuilder's options):
+  //  - maxBytesPerTrigger: per-micro-batch byte cap (backlog throttle)
+  //  - retire.deleted: drop DELETED files' entries from the offset —
+  //    see JsonlMicroBatchStream's scaladoc for the naming contract
 }
 
 object JsonlSource {
@@ -70,11 +75,13 @@ class JsonlTable(tableSchema: StructType, path: String, splitBytes: Long)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(tableSchema, path, splitBytes,
-      options.getLong("maxBytesPerTrigger", Long.MaxValue))
+      options.getLong("maxBytesPerTrigger", Long.MaxValue),
+      options.getBoolean("retire.deleted", false))
 }
 
 class JsonlScanBuilder(fullSchema: StructType, path: String, splitBytes: Long,
-                       maxBytesPerTrigger: Long = Long.MaxValue)
+                       maxBytesPerTrigger: Long = Long.MaxValue,
+                       retireDeleted: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -118,18 +125,20 @@ class JsonlScanBuilder(fullSchema: StructType, path: String, splitBytes: Long,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new JsonlScan(fullSchema, required, pushed, path, splitBytes, maxBytesPerTrigger)
+    new JsonlScan(fullSchema, required, pushed, path, splitBytes,
+      maxBytesPerTrigger, retireDeleted)
 }
 
 class JsonlScan(fullSchema: StructType, required: StructType, pushed: Array[Filter],
                 path: String, splitBytes: Long,
-                maxBytesPerTrigger: Long = Long.MaxValue) extends Scan with Batch {
+                maxBytesPerTrigger: Long = Long.MaxValue,
+                retireDeleted: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new JsonlMicroBatchStream(fullSchema, required, pushed, path, splitBytes,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, retireDeleted)
   override def description(): String =
     s"jsonl($path) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
@@ -330,10 +339,22 @@ object JsonlOffset {
   * `maxBytesPerTrigger` bounds each micro-batch (admission in stable
   * file-name order, cut at an exact byte position) — the backlog-drain
   * throttle a 100 TB replay needs so the first trigger doesn't plan
-  * the whole history as one batch. */
+  * the whole history as one batch.
+  *
+  * Offset-size bound: by default the log keeps an entry for EVERY file
+  * ever seen — deleted files hold their position so a recreated file
+  * with the same name cannot replay from zero. For a long-lived spool
+  * that is unbounded growth (~100 bytes × total files ever written).
+  * When the writer NEVER reuses names (SocketSpool's sessionId-seq
+  * naming, or any object-store landing with unique keys), set
+  * `retire.deleted=true`: entries for files no longer on disk retire
+  * from the offset, bounding it by the LIVE file count — pair with a
+  * spool retention sweep and both the directory listing and the
+  * offset stay O(retention window). */
 class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
                             pushed: Array[Filter], path: String, splitBytes: Long,
-                            maxBytesPerTrigger: Long)
+                            maxBytesPerTrigger: Long,
+                            retireDeleted: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -372,12 +393,17 @@ class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
       budget -= take
       out += fp -> (done + take)
     }
-    // files deleted after processing keep their last position: dropping
-    // them would make a recreated file replay from zero
-    prev.foreach { case (fp, n) =>
+    // files deleted after processing keep their last position unless
+    // the writer guarantees unique names (retire.deleted): dropping an
+    // entry otherwise would make a recreated file replay from zero
+    if (!retireDeleted) prev.foreach { case (fp, n) =>
       if (!new java.io.File(fp).exists()) out += fp -> n
     }
-    val next = mergeMax(prev, out.result())
+    val computed = out.result()
+    val next = if (retireDeleted) {
+      // retirement must still never REGRESS a live file's position
+      computed.map { case (fp, n) => fp -> math.max(n, prev.getOrElse(fp, 0L)) }
+    } else mergeMax(prev, computed)
     baseline = next
     JsonlOffset(next)
   }

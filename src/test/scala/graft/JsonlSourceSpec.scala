@@ -156,6 +156,18 @@ class JsonlSourceSpec extends AnyFunSuite {
       ReadLimit.allAvailable())
     assert(files(r1) === Map("a.jsonl" -> 140L),
       "cap must extend the recovered start, not restart at zero")
+
+    // retire.deleted (unique-name writer contract): a deleted file's
+    // entry retires from the offset, bounding the log by LIVE files
+    val s2 = new graft.sources.JsonlMicroBatchStream(schema, schema,
+      Array.empty, dir, splitBytes = 1 << 20, maxBytesPerTrigger = Long.MaxValue,
+      retireDeleted = true)
+    val t1 = s2.latestOffset(JsonlOffset(Map.empty), ReadLimit.allAvailable())
+    assert(files(t1) === Map("a.jsonl" -> 200L))
+    Files.delete(a)
+    val t2 = s2.latestOffset(t1, ReadLimit.allAvailable())
+    assert(files(t2) === Map.empty, "deleted file must retire from the offset")
+    assert(s2.planInputPartitions(t1, t2).isEmpty)
   }
 
   private def startStream(inDir: String, ckpt: String, sink: String,
