@@ -350,7 +350,14 @@ object JsonlOffset {
   * `retire.deleted=true`: entries for files no longer on disk retire
   * from the offset, bounding it by the LIVE file count — pair with a
   * spool retention sweep and both the directory listing and the
-  * offset stay O(retention window). */
+  * offset stay O(retention window).
+  *
+  * Pushdown caveat (engine behavior, spec-pinned): Spark's V2 filter/
+  * column pushdown does NOT run for streaming relations — the
+  * streaming scan parses the DECLARED schema and the engine filters
+  * post-scan (results identical; parse not narrowed). Declare only
+  * the fields you need in the readStream schema when parse cost
+  * matters; the batch path of this source does push down. */
 class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
                             pushed: Array[Filter], path: String, splitBytes: Long,
                             maxBytesPerTrigger: Long,

@@ -180,6 +180,35 @@ class JsonlSourceSpec extends AnyFunSuite {
     trigger.fold(w)(w.trigger).start()
   }
 
+  test("micro-batch stream: engine applies filters POST-scan (no V2 streaming pushdown)") {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    // Measured engine behavior, pinned: Spark's V2ScanRelationPushDown
+    // does NOT fire for streaming relations (same for Kafka et al.), so
+    // the streaming scan claims no filters and parses the declared
+    // schema; Spark filters/prunes post-scan — results stay correct,
+    // the parse just isn't narrowed. Keep the readStream schema narrow
+    // when parse cost matters (documented on JsonlMicroBatchStream).
+    // If a future Spark adds streaming pushdown, the PushedFilters
+    // assertion below flips and this test tells us to claim the win.
+    val q = spark.readStream.format("graft.sources.JsonlSource").schema(schema)
+      .option("path", dir).load()
+      .filter(col("event_type") === "purchase").select("event_id")
+      .writeStream.format("memory").queryName("jsonl_push").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val desc = plan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.MicroBatchScanExec =>
+          s.scan.description()
+      }.getOrElse(fail(s"no MicroBatchScanExec in:\n$plan"))
+      assert(desc.contains("PushedFilters: []"), desc)
+      // correctness holds regardless: the post-scan filter drops rows
+      assert(spark.table("jsonl_push").count() ===
+        read(1L << 30).filter(col("event_type") === "purchase").count())
+    } finally q.stop()
+  }
+
   test("micro-batch stream: byte-capped triggers cover every line exactly once") {
     val q = startStream(dir, Files.createTempDirectory("jsonl_ck1").toString,
       "jsonl_mb", cap = 20000)
