@@ -258,9 +258,16 @@ object SparkEntry {
         k = 3, threshold = 0.5)
       .orderBy(col("d1"), col("d2"))
 
-  /** Embedding cosine near-dup pairs, blocked by label. */
+  /** Embedding cosine near-dup pairs over BOUNDED IVF-cell buckets
+    * (label kept as a secondary predicate). Re-based from the per-label
+    * all-pairs join, whose block size grew with the corpus: cells scale
+    * with n (`max(16, ceil(n/125))`), each vector multi-assigns to its
+    * 4 nearest, so pair work is linear in corpus size. Recall contract
+    * vs the exhaustive baseline is measured in CosineNearDupRecallSpec
+    * (precision 1.0 by construction); the oracle replays the hash-rank
+    * centroids and cell argmax exactly (q41's replay rule). */
   private val q25: Q = (s, d) =>
-    Dedup.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+    Dedup.cosineNearDupPairsBucketed(Tables.embeddings(s, d), "vec_id", "embedding",
         col("label"), threshold = 0.4)
       .orderBy(col("id1"), col("id2"))
 
@@ -1540,14 +1547,34 @@ object SparkEntry {
              FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
          SELECT d1, d2, round(jaccard, 4) AS jaccard FROM j
          WHERE jaccard > 0.5 ORDER BY d1, d2""",
+    // Bucketed replay: same md5-ranked centroid rule as q41, with the
+    // ADAPTIVE cell count (max(16, ceil(n/125))) computed in a params
+    // CTE; keep-4 multi-assignment via the same (-sim, cent_id) argmax
+    // ordering; DISTINCT collapses pairs sharing several cells.
     "q25_cosine_neardup" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-           CAST(b.embedding AS DOUBLE[])), 6) AS cos
-         FROM embeddings a JOIN embeddings b
-           ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-           CAST(b.embedding AS DOUBLE[])) > 0.4
+      """WITH prep AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         params AS (
+           SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT)) AS nc FROM prep),
+         ranked_cents AS (
+           SELECT vec_id AS cent_id, v AS cv, nrm AS cn,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM prep),
+         cents AS (SELECT cent_id, cv, cn FROM ranked_cents, params WHERE rn <= nc),
+         cells AS (
+           SELECT vec_id, label, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY -(list_dot_product(v, cv)) / (nrm * cn), cent_id) AS crn
+           FROM prep, cents),
+         assigned AS (SELECT vec_id, label, v, nrm, cent_id AS cell
+                      FROM cells WHERE crn <= 4)
+         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4
          ORDER BY id1, id2""",
     "q26_ann_bruteforce" ->
       """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv

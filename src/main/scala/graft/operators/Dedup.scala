@@ -359,9 +359,12 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
-  /** Embedding cosine near-duplicate pairs, blocked by a coarse key to
-    * avoid the full cross product (here: LSH sign-bucket or any
-    * partition column the caller provides). */
+  /** Embedding cosine near-duplicate pairs, blocked by a caller-provided
+    * coarse key. NOT the registered scale path: a fixed-cardinality
+    * block column (e.g. a label) gives blocks that grow linearly with
+    * the corpus and pair work that grows quadratically — this stays as
+    * the exhaustive A/B baseline that [[cosineNearDupPairsBucketed]]'s
+    * recall spec measures against (the q24/q54 pairing pattern). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          blockCol: Column, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.{asDouble, cosinePre, dotD}
@@ -374,5 +377,73 @@ object Dedup {
       .withColumn("cos", cosinePre(col("v1"), col("v2"), col("n1"), col("n2")))
       .filter(col("cos") > threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding cosine near-duplicate pairs over BOUNDED candidate
+    * buckets — the registered scale path for q25 (reference
+    * preferences.py's taste-similarity pairing re-expressed at corpus
+    * scale). Candidates come from IVF-style cells (the q73 SemDeDup
+    * blocking shape): deterministic hash-rank centroids (q41's rule,
+    * md5(vec_id) order — no RNG, so the DuckDB oracle replays cell
+    * assignment exactly), every vector multi-assigned to its `keep`
+    * nearest cells, and pairs generated only inside a (cell, block)
+    * bucket with the caller's block column (label) kept as a secondary
+    * predicate. Exact cosine then scores each candidate once; a pair
+    * sharing several cells is deduplicated after rounding.
+    *
+    * Scale shape: the cell COUNT grows with the corpus —
+    * `nCells = max(16, ceil(n / cellTarget))` — so expected bucket
+    * payload stays ~cellTarget rows and total pair work is
+    * O(keep² · cellTarget · n): LINEAR in corpus size where a
+    * fixed-cardinality block key is quadratic. The ≤ maxCells collect
+    * bounds driver/broadcast memory; past maxCells · cellTarget rows
+    * the cells coarsen again, which is the point to compose a second
+    * centroid level (coarse-quantize, then this) rather than raise the
+    * cap.
+    *
+    * RECALL CONTRACT (the sanctioned q36-style re-base): candidate
+    * generation is approximate — a pair lands in no shared cell with
+    * probability that falls as its cosine rises. On the synthetic
+    * embeddings (noise-dominated: threshold pairs sit barely above
+    * ambient similarity, the hardest case for ANY sublinear scheme)
+    * measured recall vs the exhaustive baseline is 1.00 / 0.60 / 0.92
+    * at sf0.001 / sf0.01 / sf0.1 with the default (cellTarget=125,
+    * keep=4); precision is exactly 1.0 because reported pairs are
+    * scored with the same exact cosine. CosineNearDupRecallSpec pins
+    * the floors. Raise `keep` (recall ~ 1-(1-p)^keep per side) or
+    * cellTarget to buy recall with work. */
+  def cosineNearDupPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                                 blockCol: Column, threshold: Double,
+                                 cellTarget: Int = 125, keep: Int = 4,
+                                 maxCells: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, cosinePre, dotD}
+    val n = emb.count()
+    val nCells = math.min(maxCells.toLong,
+      math.max(16L, (n + cellTarget - 1) / cellTarget)).toInt
+    val prep = emb.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"), blockCol.as("blk"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    // hash-rank centroids: TakeOrderedAndProject + a ≤ nCells collect,
+    // inlined as native-expression data (the q41 centroid rule)
+    val cents = prep
+      .select(col("id").as("cent_id"), col("v").as("centv"), col("nrm").as("centn"))
+      .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
+      .limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    if (cents.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id1"), lit(0L).as("id2"), lit(0.0).as("cos")).limit(0)
+    def side(i: Int) = prep
+      .select(col("id").as(s"id$i"), col("v").as(s"v$i"), col("nrm").as(s"n$i"),
+        col("blk"),
+        explode(graft.plans.NearestCells.nearestCells(
+          col("v"), col("nrm"), cents.toSeq, keep)).as("cell"))
+    side(1).join(side(2), Seq("cell", "blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosinePre(col("v1"), col("v2"), col("n1"), col("n2")))
+      .filter(col("cos") > threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+      .distinct() // a pair sharing several cells reports once
   }
 }
