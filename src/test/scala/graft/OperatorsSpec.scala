@@ -287,6 +287,49 @@ class OperatorsSpec extends AnyFunSuite {
       wantSh.select("shard", "a", "b", "page_no")).count() === 0)
   }
 
+  test("pagination page budget caps the drain; exhaustion proof survives on real events") {
+    import spark.implicits._
+    import graft.operators.Pagination
+    val rows = (1 to 28).map(i => (i.toLong, i * 10)).toDF("a", "v")
+    // budget bites: exactly pages × pageSize rows, first pages only
+    val b = Pagination.stitched(rows, Seq("a"), pageSize = 5, pages = Some(2))
+    assert(b.count() === 10)
+    assert(b.agg(max(col("a"))).head.getLong(0) === 10L)
+    // budget beyond the data is harmless: identical to exhaustion
+    assert(Pagination.stitched(rows, Seq("a"), 5, pages = Some(100)).count() === 28)
+    // the to-exhaustion ≡ full-scan proof the benched q90 budget
+    // replaced — kept here on the same sf0.01 events day
+    val day = Tables.events(spark, TestSpark.sf)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"))
+    val drained = Pagination.stitched(day, Seq("event_id"), pageSize = 250)
+    assert(drained.count() === day.count())
+    assert(drained.select("event_id").exceptAll(day.select("event_id")).count() === 0)
+  }
+
+  test("sharded pagination: a poisoned shard fails fast, named by shard id") {
+    import spark.implicits._
+    import graft.operators.Pagination
+    // through parquet: a local Seq would be folded by
+    // ConvertToLocalRelation, evaluating the trap for every row at
+    // OPTIMIZATION time — before any shard filter exists
+    val dir = java.nio.file.Files.createTempDirectory("graft_poison").toString
+    (1 to 20).map(i => (i.toLong, 1L)).toDF("a", "v")
+      .write.mode("overwrite").parquet(dir)
+    // shard 1's boundary fetch hits an invalid array index at runtime;
+    // other shards stay healthy — the failure must carry the shard id
+    val poisoned = spark.read.parquet(dir).withColumn("trap",
+      element_at(array(col("v")),
+        when(pmod(col("a"), lit(4)) === 1, lit(2)).otherwise(lit(1))))
+    val e = intercept[RuntimeException] {
+      Pagination.shardedStitched(poisoned, Seq("a", "trap"), pageSize = 5,
+        shards = 4, timeoutSec = 120L)
+    }
+    assert(e.getMessage.contains("shard 1"),
+      s"expected shard id in failure, got: ${e.getMessage}")
+  }
+
   test("external enrichment: distinct-first calls, retry absorption, fail-open") {
     import spark.implicits._
     import graft.operators.Enrich
