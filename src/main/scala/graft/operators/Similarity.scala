@@ -343,6 +343,19 @@ object Similarity {
     *  - `cells/cell=N/` — (nbr_id, codes): the corpus, 8-byte codes
     *    per block, partitioned by cell directory
     */
+  /** Encoded (nbr_id, cell, codes) rows for `corpus` under FIXED index
+    * artifacts — the map-only pass both the full build and the
+    * incremental delta path share. */
+  private def encodedCells(corpus: DataFrame,
+                           cents: Array[(Long, Seq[Double], Double)],
+                           codebook: Seq[Seq[Double]],
+                           blocks: Int, blockDim: Int): DataFrame =
+    prepped(corpus, "nbr_id", "cv", "cn")
+      .select(col("nbr_id"),
+        explode(graft.plans.NearestCells.nearestCells(
+          col("cv"), col("cn"), cents.toSeq, 1)).as("cell"),
+        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
+
   def writeIvfPqIndex(corpus: DataFrame, path: String, nCentroids: Int = 16,
                       blockDim: Int = 8, refineIters: Int = 0): Unit = {
     val cents = refineCents(corpus, hashRankCents(corpus, nCentroids), refineIters)
@@ -360,12 +373,110 @@ object Similarity {
     Sinks.writeSnapshot(
       codebook.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toDF("c", "vec"),
       s"$path/codebook")
-    val cells = prepped(corpus, "nbr_id", "cv", "cn")
-      .select(col("nbr_id"),
-        explode(graft.plans.NearestCells.nearestCells(
-          col("cv"), col("cn"), cents.toSeq, 1)).as("cell"),
-        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
-    Sinks.writePartitioned(cells, s"$path/cells", Seq("cell"))
+    Sinks.writePartitioned(
+      encodedCells(corpus, cents, codebook, blocks, blockDim),
+      s"$path/cells", Seq("cell"))
+  }
+
+  /** The persisted artifacts of a [[writeIvfPqIndex]] index, plus the
+    * code-word geometry recorded in its data. */
+  private def loadArtifacts(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[(Long, Seq[Double], Double)], Seq[Seq[Double]], Int, Int) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id"), col("centv"), col("centn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val codebook = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("c")).collect().map(_.getSeq[Double](1)).toSeq
+    require(cents.nonEmpty && codebook.nonEmpty, s"no index at $path")
+    val dim = codebook.head.length
+    val blocks = spark.read.parquet(s"$path/cells").select(size(col("codes")))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
+    require(blocks > 0 && dim % blocks == 0,
+      s"$blocks-block codes do not divide dim $dim")
+    (cents, codebook, blocks, dim / blocks)
+  }
+
+  /** Re-encode `corpus` under the artifacts persisted at `indexPath`
+    * (no retraining) — the fresh-rebuild side of the incremental-
+    * maintenance equivalence proof, and the general "encode a new
+    * snapshot against a frozen codebook" primitive. */
+  def encodeWithIndexArtifacts(corpus: DataFrame, indexPath: String): DataFrame = {
+    val (cents, codebook, blocks, blockDim) =
+      loadArtifacts(corpus.sparkSession, indexPath)
+    encodedCells(corpus, cents, codebook, blocks, blockDim)
+  }
+
+  /** Incremental index maintenance — the daily operation of a real
+    * 100 TB vector pipeline: apply a [[Versioning.datasetDiff]]-shaped
+    * delta (`idCol`, `status` ∈ added/removed/changed) to a
+    * materialized index by re-encoding ONLY the touched cell
+    * directories, keeping the trained centroids/codebook frozen (real
+    * deployments retrain on drift schedules, not per delta).
+    *
+    * Scale shape — cost is O(delta + touched cells), never O(corpus):
+    *  - stale ids (removed/changed) find their OLD cells with one
+    *    broadcast semi-join against the code table (8-byte code words,
+    *    never raw vectors);
+    *  - fresh rows (added/changed) are the only vectors re-encoded
+    *    (broadcast semi-join prunes the corpus scan), assigning their
+    *    NEW cells;
+    *  - touched = old homes ∪ new homes, a ≤ nCells collect;
+    *  - each touched cell's survivors (partition-pruned read of just
+    *    those directories, anti-join against stale ids) union the
+    *    fresh rows are staged to `cells_staging/` and swapped in by
+    *    directory rename — dynamic partition overwrite of exactly the
+    *    touched `cell=N` dirs. Untouched directories are never read,
+    *    written, or moved (ScaleOpsSpec asserts their files are
+    *    byte-identical in place).
+    *
+    * Equivalence contract (spec-proved and oracled via q97): the
+    * updated cells table is row-identical to re-encoding the NEW
+    * corpus snapshot from scratch under the same frozen artifacts —
+    * unchanged rows encode identically (deterministic map-only
+    * encode), so only touched cells can differ, and those are rebuilt
+    * exactly. Idempotent: re-applying the same delta rewrites the same
+    * cells to the same content.
+    *
+    * Returns the touched cell ids (sorted). */
+  def applyIndexDelta(newCorpus: DataFrame, delta: DataFrame, idCol: String,
+                      path: String): Seq[Long] = {
+    val spark = newCorpus.sparkSession
+    val (cents, codebook, blocks, blockDim) = loadArtifacts(spark, path)
+    val cellsPath = s"$path/cells"
+    val stale = delta.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol).cast("long").as("nbr_id"))
+    val freshIds = delta.filter(col("status").isin("added", "changed"))
+      .select(col(idCol).cast("long").as("__fid"))
+    val freshRows = encodedCells(
+      newCorpus.join(broadcast(freshIds),
+        newCorpus(idCol) === col("__fid"), "left_semi"),
+      cents, codebook, blocks, blockDim)
+    val oldCells = spark.read.parquet(cellsPath)
+    val touched = oldCells.join(broadcast(stale), Seq("nbr_id"), "left_semi")
+      .select(col("cell"))
+      .unionByName(freshRows.select(col("cell")))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    // survivors of the touched partitions (pruned scan) + fresh rows;
+    // staged to a sibling dir — writing cells/ in place would overwrite
+    // a path the plan is reading
+    val rebuilt = oldCells.filter(col("cell").isin(touched: _*))
+      .join(broadcast(stale), Seq("nbr_id"), "left_anti")
+      .select(col("nbr_id"), col("cell"), col("codes"))
+      .unionByName(freshRows.select(col("nbr_id"), col("cell"), col("codes")))
+    val staging = s"$path/cells_staging"
+    Sinks.writePartitioned(rebuilt, staging, Seq("cell"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      val dst = new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c")
+      val src = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
+      fs.delete(dst, true)
+      // a cell can end empty (every row removed): delete, no rename
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    touched
   }
 
   /** Probe a [[writeIvfPqIndex]] index: assign each probe to its
@@ -378,22 +489,11 @@ object Similarity {
   def probeIvfPqIndex(probes: DataFrame, path: String, k: Int,
                       nProbe: Int = 4): DataFrame = {
     val spark = probes.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cent_id"), col("centv"), col("centn")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    val codebook = spark.read.parquet(s"$path/codebook")
-      .orderBy(col("c")).collect().map(_.getSeq[Double](1)).toSeq
-    require(cents.nonEmpty && codebook.nonEmpty,
-      s"probeIvfPqIndex: no index at $path")
-    val dim = codebook.head.length
     // block count is recorded in the data itself: every code word has
-    // one code per block
-    val blocks = spark.read.parquet(s"$path/cells").select(size(col("codes")))
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
-    require(blocks > 0 && dim % blocks == 0,
-      s"probeIvfPqIndex: $blocks-block codes do not divide dim $dim")
+    // one code per block (loadArtifacts reads it back)
+    val (cents, codebook, blocks, blockDim) = loadArtifacts(spark, path)
     val p = prepped(probes, "probe_id", "pv", "pn")
-      .select(col("probe_id"), adcTable(codebook, blocks, dim / blocks).as("tab"),
+      .select(col("probe_id"), adcTable(codebook, blocks, blockDim).as("tab"),
         explode(graft.plans.NearestCells.nearestCells(
           col("pv"), col("pn"), cents.toSeq, nProbe)).as("cell"))
     val scored = spark.read.parquet(s"$path/cells")

@@ -158,6 +158,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(partitionsRead < allCells, "probe scan read every cell directory")
   }
 
+  test("incremental index delta: only touched cell dirs rewritten, updated ≡ fresh re-encode, idempotent") {
+    import graft.operators.{Similarity, Versioning}
+    val v1 = Tables.embeddings(spark, TestSpark.sf)
+    val path = Files.createTempDirectory("graft_idxdelta").toString + "/idx"
+    Similarity.writeIvfPqIndex(v1, path, nCentroids = 16, blockDim = 8)
+    def cellFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$path/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map { d =>
+          d.getName -> d.listFiles().map(f => (f.getName, f.lastModified())).toSet
+        }.toMap
+    val before = cellFiles()
+    // a SMALL delta (2 removed, 2 changed of 500) so most cells stay
+    // untouched and the untouched-dir assertion has teeth
+    val v2 = v1.filter(col("vec_id") % 250 =!= 3)
+      .withColumn("embedding",
+        when(col("vec_id") % 250 === 7, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+    val content = concat_ws(",", col("embedding").cast("array<string>"))
+    val delta = Versioning.datasetDiff(
+      v1.withColumn("__c", content), v2.withColumn("__c", content), "vec_id", "__c")
+    val touched = Similarity.applyIndexDelta(v2, delta, "vec_id", path)
+    val after = cellFiles()
+    assert(touched.nonEmpty, "delta must touch at least one cell")
+    val untouched = before.keySet
+      .filter(d => !touched.contains(d.stripPrefix("cell=").toLong))
+    assert(untouched.nonEmpty,
+      s"delta touched every cell ($touched) — untouched-dir assertion is vacuous")
+    untouched.foreach { d =>
+      assert(after(d) == before(d), s"untouched cell dir $d was rewritten")
+    }
+    // equivalence: the updated cells table is row-identical to
+    // re-encoding the v2 snapshot from scratch under the same artifacts
+    val updated = spark.read.parquet(s"$path/cells")
+      .select(col("nbr_id"), col("cell").cast("long"), col("codes"))
+    val fresh = Similarity.encodeWithIndexArtifacts(v2, path)
+      .select(col("nbr_id"), col("cell").cast("long"), col("codes"))
+    assert(updated.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(updated).count() === 0)
+    // idempotence: re-applying the same delta leaves the content
+    // unchanged (it touches fewer cells — removed ids are already gone,
+    // so only the changed ids' current homes rewrite)
+    val touched2 = Similarity.applyIndexDelta(v2, delta, "vec_id", path)
+    assert(touched2.toSet.subsetOf(touched.toSet),
+      s"re-apply touched new cells: $touched2 vs $touched")
+    val again = spark.read.parquet(s"$path/cells")
+      .select(col("nbr_id"), col("cell").cast("long"), col("codes"))
+    assert(again.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(again).count() === 0)
+  }
+
   test("saltedJoin spreads a pathologically hot key and stays exact") {
     import spark.implicits._
     // 100k-row hot key + a long tail: the shape where an unsalted
