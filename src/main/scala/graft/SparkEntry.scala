@@ -1220,6 +1220,26 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** REAL multimodal decode under the correctness gate (the decode
+    * stub's replacement for the image path): deterministic PNG
+    * payloads are generated per document (a decodable image whose
+    * pixels are a closed form in (doc_id, pixel index) — standing in
+    * for enrichment.py:60-67's poster fetches), then decoded with
+    * `javax.imageio` inside batched mapPartitions, emitting decoded
+    * dimensions and exact channel means. PNG is lossless, so the
+    * oracle replays the stats from the generating closed form WITHOUT
+    * decoding — the hash match proves the real encode→binary-column→
+    * real decode round trip loses nothing. */
+  private val q98: Q = (s, d) => {
+    val m = graft.operators.Multimodal
+    m.decodeImageStats(m.pngFromDocuments(Tables.documents(s, d))).toDF()
+      .select(col("doc_id"), col("img_w"), col("img_h"),
+        round(col("r_mean"), 4).as("r_mean"),
+        round(col("g_mean"), 4).as("g_mean"),
+        round(col("b_mean"), 4).as("b_mean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Operational log search — the admin console's "show me this
     * lambda's latest logs" (admin_lambda.py:152-207): per log group
     * (event_type), elect the most recently active stream (user_id),
@@ -1478,6 +1498,7 @@ object SparkEntry {
     "q95_pq_trained" -> q95,
     "q96_bpe_pack" -> q96,
     "q97_index_delta" -> q97,
+    "q98_image_decode" -> q98,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2667,6 +2688,24 @@ object SparkEntry {
     // corpus cell) pairs only.
     "q80_ivfpq_ann" -> IvfPqReplaySql,
     "q97_index_delta" -> IndexDeltaReplaySql,
+    // decoded channel stats replayed from the pixel-generating closed
+    // form — never decoding a byte: PNG losslessness is what's proved
+    "q98_image_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + n_chars % 24 AS w, 8 + n_chars % 16 AS h
+           FROM documents),
+         px AS (
+           SELECT doc_id, w, h,
+             sum((doc_id*31 + i*7) % 256) AS rsum,
+             sum((doc_id*17 + i*11) % 256) AS gsum,
+             sum((doc_id*13 + i*5) % 256) AS bsum
+           FROM dims, UNNEST(range(0, CAST(w*h AS BIGINT))) AS t(i)
+           GROUP BY doc_id, w, h)
+         SELECT doc_id, CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+           round(CAST(rsum AS DOUBLE) / (w*h), 4) AS r_mean,
+           round(CAST(gsum AS DOUBLE) / (w*h), 4) AS g_mean,
+           round(CAST(bsum AS DOUBLE) / (w*h), 4) AS b_mean
+         FROM px ORDER BY doc_id""",
     // the materialized-index probe (q87) is output-identical to the
     // inline q80 composite by construction — same replay oracle
     "q87_ivfpq_index" -> IvfPqReplaySql,

@@ -100,4 +100,83 @@ object Multimodal {
       }
     }
   }
+
+  // ---- Real image decode (javax.imageio — no external dependency) ----
+
+  case class ImageRow(doc_id: Long, png: Array[Byte])
+  case class ImageStats(doc_id: Long, img_w: Int, img_h: Int,
+                        r_mean: Double, g_mean: Double, b_mean: Double)
+
+  /** Per-pixel channel values of the generated test images — shared by
+    * the PNG writer and the oracle contract: pixel i of doc `id` is
+    * (r, g, b) = ((id·31 + i·7) % 256, (id·17 + i·11) % 256,
+    * (id·13 + i·5) % 256). Closed-form in (id, i), so an independent
+    * engine replays the decoded channel statistics without decoding
+    * anything — which is what makes a REAL codec path oracle-able. */
+  @inline private def pixel(id: Long, i: Long): (Int, Int, Int) =
+    (((id * 31 + i * 7) % 256).toInt,
+     ((id * 17 + i * 11) % 256).toInt,
+     ((id * 13 + i * 5) % 256).toInt)
+
+  /** documents table → REAL PNG payloads: a decodable image per doc,
+    * dimensions from n_chars (w = 8 + n_chars%24, h = 8 + n_chars%16),
+    * pixels from [[pixel]]. PNG is lossless RGB, so the bytes
+    * round-trip exactly through any compliant decoder — the generated
+    * corpus stands in for enrichment.py:60-67's poster fetches with
+    * value-stable content. Encoding runs batched in mapPartitions like
+    * every other codec call here. */
+  def pngFromDocuments(docs: DataFrame): Dataset[ImageRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        (lit(8) + col("n_chars") % 24).cast("int").as("w"),
+        (lit(8) + col("n_chars") % 16).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0L
+          while (i < w.toLong * h) {
+            val (r, g, b) = pixel(id, i)
+            img.setRGB((i % w).toInt, (i / w).toInt, (r << 16) | (g << 8) | b)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageRow(id, bos.toByteArray)
+        })
+      }
+  }
+
+  /** REAL decode: `javax.imageio.ImageIO.read` over the binary column,
+    * batched in mapPartitions (fixed-size batches bound memory; codec
+    * setup amortizes per batch, the mapInPandas shape). Emits decoded
+    * dimensions and exact per-channel means — integer pixel sums in
+    * long arithmetic, one double division at the end, so the oracle's
+    * closed-form replay matches bit-for-bit. Decode failures surface
+    * with the doc id rather than as a silent skip. */
+  def decodeImageStats(images: Dataset[ImageRow]): Dataset[ImageStats] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.png))
+        require(img != null, s"decodeImageStats: doc ${m.doc_id} is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        ImageStats(m.doc_id, w, h, rs / n, gs / n, bs / n)
+      })
+    }
+  }
 }

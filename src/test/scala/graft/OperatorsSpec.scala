@@ -330,6 +330,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected shard id in failure, got: ${e.getMessage}")
   }
 
+  test("multimodal PNG path: real encode emits PNG bytes, real decode round-trips") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") < 5)
+    val pngs = Multimodal.pngFromDocuments(docs).collect()
+    assert(pngs.length === 5)
+    // every payload is a genuine PNG (magic bytes), not a stub blob
+    pngs.foreach { r =>
+      val sig = r.png.take(8).map(_ & 0xff)
+      assert(sig.sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)),
+        s"doc ${r.doc_id}: payload is not PNG")
+    }
+    // decoded dims equal the generator's (8 + n_chars%24, 8 + n_chars%16)
+    val stats = Multimodal.decodeImageStats(
+      Multimodal.pngFromDocuments(docs)).toDF()
+    val want = docs.select(col("doc_id"),
+      (lit(8) + col("n_chars") % 24).cast("int").as("img_w"),
+      (lit(8) + col("n_chars") % 16).cast("int").as("img_h"))
+    assert(stats.select("doc_id", "img_w", "img_h")
+      .exceptAll(want).count() === 0)
+    // channel means live in [0, 256)
+    val bad = stats.filter(col("r_mean") < 0 || col("r_mean") >= 256 ||
+      col("g_mean") < 0 || col("g_mean") >= 256 ||
+      col("b_mean") < 0 || col("b_mean") >= 256).count()
+    assert(bad === 0)
+  }
+
   test("external enrichment: distinct-first calls, retry absorption, fail-open") {
     import spark.implicits._
     import graft.operators.Enrich
