@@ -51,15 +51,24 @@ object Similarity {
     * is computed once — in a real deployment it would be materialized
     * alongside the embeddings (partitioned by cell) so queries prune at
     * the scan. */
+  /** The IVF training path alone — hash-rank seed + `refineIters`
+    * Lloyd rounds — exposed so callers can train once per
+    * (dataset, params) via [[Training.cached]] and pass the artifact
+    * back into [[ivfTopK]]'s `trained` parameter. */
+  def trainIvfCentroids(corpus: DataFrame, nCentroids: Int,
+                        refineIters: Int): Array[(Long, Seq[Double], Double)] =
+    refineCents(corpus, hashRankCents(corpus, nCentroids), refineIters)
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int, refineIters: Int = 0): DataFrame = {
+              nCentroids: Int, nProbe: Int, refineIters: Int = 0,
+              trained: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
     // deterministic centroids: first nCentroids corpus vectors by
     // md5(vec_id) order (hash-rank sample, engine-independent), then
     // optional Lloyd refinement. orderBy(...).limit(n) plans as
     // TakeOrderedAndProject: each task keeps n rows, the driver
     // merges — nothing like a global sort.
-    val centroids = refineCents(corpus,
-      hashRankCents(corpus, nCentroids), refineIters)
+    val centroids = trained.getOrElse(refineCents(corpus,
+      hashRankCents(corpus, nCentroids), refineIters))
     if (centroids.isEmpty)
       return probes.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
         col("vec_id").as("nbr_id"), lit(0.0).as("cos")).limit(0)
@@ -258,16 +267,30 @@ object Similarity {
         col("nbr_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** The PQ training path alone (hash-rank seed + `refineIters`
+    * per-block Lloyd rounds) — the [[trainIvfCentroids]] counterpart
+    * for [[pqTopK]]'s `trainedCodebook`. */
+  def trainPqCodebook(corpus: DataFrame, nCentroids: Int, blockDim: Int,
+                      refineIters: Int): Seq[Seq[Double]] = {
+    val seed = hashRankCents(corpus, nCentroids).map(_._2).toSeq
+    if (seed.isEmpty) return seed
+    val dim = seed.head.length
+    require(dim >= blockDim && dim % blockDim == 0,
+      s"trainPqCodebook: embedding dim $dim must be a positive multiple of blockDim $blockDim")
+    refinePqCodebook(corpus, seed, dim / blockDim, blockDim, refineIters)
+  }
+
   def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
              nCentroids: Int = 16, blockDim: Int = 8, refineIters: Int = 0,
-             rerank: Int = 0): DataFrame = {
-    val seed = hashRankCents(corpus, nCentroids).map(_._2).toSeq
-    if (seed.isEmpty) return emptyPqResult(probes)
-    val dim = seed.head.length
+             rerank: Int = 0,
+             trainedCodebook: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val codebook = trainedCodebook.getOrElse(
+      trainPqCodebook(corpus, nCentroids, blockDim, refineIters))
+    if (codebook.isEmpty) return emptyPqResult(probes)
+    val dim = codebook.head.length
     require(dim >= blockDim && dim % blockDim == 0,
       s"pqTopK: embedding dim $dim must be a positive multiple of blockDim $blockDim")
     val blocks = dim / blockDim
-    val codebook = refinePqCodebook(corpus, seed, blocks, blockDim, refineIters)
     val enc = prepped(corpus, "nbr_id", "cv", "cn")
       .select(col("nbr_id"),
         graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
