@@ -30,6 +30,28 @@ import graft.sources.Event
   *   .select(EventStreams.jsonLinesToEvents(col("value").cast("string")))
   * }}}
   * Downstream pipelines are unchanged — they never see the transport.
+  *
+  * ==Kafka/Kinesis binding checklist==
+  * The day `spark-sql-kafka` (or a Kinesis connector) resolves, the
+  * drop-in is verified by the generic source contract
+  * (`StreamSourceContract` in the test tree) — the same harness the
+  * jsonl binding passes (`JsonlSourceContractSpec`). Checklist:
+  *
+  *  1. implement `SourceContractFixture`: `append(n)` produces n
+  *     uniquely-id'd JSON records to a fresh test topic; `stream`
+  *     builds the readStream above (capped variant sets
+  *     `maxOffsetsPerTrigger` low enough that 1000 records take >3
+  *     micro-batches);
+  *  2. `class KafkaSourceContractSpec extends AnyFunSuite with
+  *     StreamSourceContract` — zero new test code; the contract pins
+  *     capped exactly-once coverage, exact mid-backlog checkpoint
+  *     resume, and idle-restart replay silence;
+  *  3. add the `EventSource` case mapping `value` through
+  *     [[jsonLinesToEvents]] (the consumer.py:38-52 analog);
+  *  4. keep offset-encoding edge cases (the analog of
+  *     JsonlSourceSpec's shrunk/deleted-file guards) in a
+  *     binding-specific spec — they depend on the connector's offset
+  *     type.
   */
 object EventStreams {
 
