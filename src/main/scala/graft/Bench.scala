@@ -33,7 +33,16 @@ object Bench {
     // (Round-8 flagged q33/q59 "regressions" with unchanged code —
     // min-of-2 still let one co-scheduled stall through; three samples
     // bound that noise.)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q34_x,q54_y benches a subset in the same
+    // harness — the bisect tool for "did a query slow down because of
+    // its plan, or because of its 97 JVM neighbors" (run-order, JIT
+    // code cache, GC pressure are all neighbor effects; an isolated
+    // run at full-bench speed means the plan itself regressed).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
