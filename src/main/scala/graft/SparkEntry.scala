@@ -1244,6 +1244,62 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order layout audit (operators/Layout.zorderStats) — the
+    * two-dimensional clustering a 100 TB writer uses when queries
+    * filter boxes over TWO attributes (the reference's genre+year
+    * style access, web_api.py filtering) and a single-key sort can
+    * only serve one: quantize (l_partkey, l_suppkey) to 16 integer
+    * bits each over their true min/max, bit-interleave into a Morton
+    * Z-value (composed codegen bit ops, no UDF), and report the ZONE
+    * MAP of the 256 Z-prefix buckets — per bucket the row count and
+    * the tight min/max rectangle that makes scan pruning work
+    * (each bucket covers exactly 1/16 × 1/16 of the quantized
+    * space). All-integer arithmetic (`div`, shifts, masks) so the
+    * oracle replays the exact layout; LayoutSpec proves the written
+    * layout actually skips files under 2-D box queries. */
+  private val q99: Q = (s, d) =>
+    graft.operators.Layout.zorderStats(
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", bits = 16, prefixBits = 4)
+
+  /** Index-served keyset pagination (operators/Pagination
+    * .buildPageIndex + pagedFromIndex) — q90's drain served from a
+    * zone-mapped page index instead of raw files: the day's events
+    * are ranked once by the two-phase offset+row_number shape (no
+    * one-reducer window), bucketed at fixed 1000-row occupancy,
+    * written partitioned by bucket with a (rows, key_min, key_max)
+    * manifest. Each page then reads ≤ 2 bucket directories
+    * (partition-pruned) instead of the whole not-yet-consumed
+    * suffix — per-page cost O(bucket), not O(data), which is the
+    * index-organized-table behavior the reference gets from DynamoDB
+    * for free. Output is IDENTICAL to q90's budgeted drain, so the
+    * oracle is q90's row_number SQL verbatim: index-served ≡
+    * protocol-served ≡ one prefix scan, all three hash-equal. */
+  private val q100IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q100: Q = (s, d) => {
+    val path = q100IndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q100_idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val idx = root.toString + "/idx"
+      graft.operators.Pagination.buildPageIndex(
+        Tables.events(s, d)
+          .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        key = "event_id", bucketRows = 1000L, path = idx)
+      idx
+    })
+    graft.operators.Pagination.pagedFromIndex(s, path, key = "event_id",
+        cols = Seq("event_id", "user_id", "event_type", "value"),
+        pageSize = 250, pages = 32)
+      .orderBy(col("event_id"))
+  }
+
   /** Operational log search — the admin console's "show me this
     * lambda's latest logs" (admin_lambda.py:152-207): per log group
     * (event_type), elect the most recently active stream (user_id),
@@ -1511,6 +1567,8 @@ object SparkEntry {
     "q96_bpe_pack" -> q96,
     "q97_index_delta" -> q97,
     "q98_image_decode" -> q98,
+    "q99_zorder_layout" -> q99,
+    "q100_page_index" -> q100,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2792,7 +2850,48 @@ object SparkEntry {
              AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00')
          WHERE rn <= 32 * 250
          ORDER BY event_id""",
+    // q100 serves the SAME budgeted drain from the page index, so its
+    // oracle IS q90's SQL: index-served ≡ protocol-served ≡ prefix scan.
+    "q100_page_index" ->
+      """SELECT CAST((rn - 1) // 250 AS BIGINT) AS page_no,
+           event_id, user_id, event_type, value
+         FROM (
+           SELECT row_number() OVER (ORDER BY event_id) AS rn,
+             event_id, user_id, event_type, value
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00')
+         WHERE rn <= 32 * 250
+         ORDER BY event_id""",
+    "q99_zorder_layout" -> ZOrderReplaySql,
   ) ++ oracleSqlRest
+
+  /** q99's replay: the same integer quantization (`//` integral
+    * division), the same 32-term bit interleave, the same 8-bit
+    * prefix bucketing — all DuckDB integer ops, so the zone map
+    * hash-matches exactly. */
+  private val ZOrderReplaySql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((qx >> $i) & 1) << ${2 * i})",
+        s"(((qy >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+    s"""WITH r AS (
+         SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+                min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+         FROM lineitem
+       ), q AS (
+         SELECT l_partkey, l_suppkey,
+           ((l_partkey - xlo) * 65536) // (xhi - xlo + 1) AS qx,
+           ((l_suppkey - ylo) * 65536) // (yhi - ylo + 1) AS qy
+         FROM lineitem, r
+       ), z AS (
+         SELECT l_partkey, l_suppkey, ($terms) AS zv FROM q
+       )
+       SELECT (zv >> 24) AS zbucket, CAST(count(*) AS BIGINT) AS cnt,
+         min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,
+         min(l_suppkey) AS l_suppkey_min, max(l_suppkey) AS l_suppkey_max
+       FROM z GROUP BY 1 ORDER BY 1"""
+  }
 
   /** q97's replay: the v2 snapshot re-encoded FROM SCRATCH under v1's
     * frozen artifacts (hash-rank centroids/codebook selected over the

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators — the part of a 100 TB pipeline that
+  * decides how bytes sit on disk so that QUERIES can skip them.
+  * Spark's scan-side pruning (partition pruning, parquet row-group
+  * min/max) only pays off when the write side clustered related rows
+  * together; these operators produce those clusterings:
+  *
+  *  - [[zValue]]/[[zorderStats]]: multi-dimensional clustering by
+  *    bit-interleaved Z-order (Morton order) — the standard answer
+  *    when queries filter boxes over TWO dimensions and a single-key
+  *    sort can only serve one of them (reference analog: the
+  *    two-attribute access patterns of web_api.py's
+  *    genre+year filtering, re-expressed as a layout problem);
+  *  - [[writeZBucketed]]: materialize the clustering as a
+  *    partitioned layout whose directories a 2-D box query prunes
+  *    (LayoutSpec proves the skipped files are never read).
+  *
+  * Everything is integer arithmetic on deterministic quantization —
+  * no RNG, no floats — so the DuckDB oracle replays the exact layout
+  * (q99) and the pruning proof needs no tolerance. */
+object Layout {
+
+  /** Quantize `v` into [0, 2^bits) by integer arithmetic over the
+    * CLOSED range [lo, hi]: ((v - lo) * 2^bits) div (hi - lo + 1) —
+    * INTEGRAL division (`div`, DuckDB `//`), not double `/`, so the
+    * oracle replay is exact with no float-rounding edge at integer
+    * quotients. Monotone, so range predicates on `v` translate to
+    * range predicates on the quantized value. */
+  def quantize(v: Column, lo: Column, hi: Column, bits: Int): Column =
+    call_function("div", (v - lo) * lit(1L << bits), hi - lo + lit(1L))
+
+  /** Bit-interleaved Z-value (Morton code) of two already-quantized
+    * non-negative coordinates: bit i of `x` lands at position 2i, bit
+    * i of `y` at 2i+1. Composed from codegen'd bit functions (stays
+    * inside whole-stage codegen; 2·bits OR-terms), NOT a UDF. */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order layout audit (q99): quantize two dimensions to `bits`
+    * bits each over their true min/max (one tiny aggregate,
+    * broadcast-joined back), compute the interleaved Z-value, and
+    * group rows into the 2^(2·prefixBits) Z-prefix buckets a
+    * partitioned writer would use. The output is the layout's ZONE
+    * MAP: per bucket, the row count and the tight min/max rectangle
+    * in the ORIGINAL coordinates — tight rectangles are the whole
+    * point, because scan pruning can only skip a file whose zone is
+    * disjoint from the query box. Each bucket covers exactly a
+    * 2^-prefixBits × 2^-prefixBits fraction of the quantized space,
+    * so rectangle tightness is a structural guarantee, not a data
+    * accident.
+    *
+    * Scale shape: one scan + one ≤ 4^prefixBits-group aggregate; the
+    * min/max prepass is a 1-row broadcast. The same expression
+    * ordered by the FULL z-value is the 100 TB writer's sort key
+    * (repartitionByRange(z) → files = contiguous z-runs). */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+                  bits: Int = 16, prefixBits: Int = 4): DataFrame = {
+    // one bounded 1-row collect, inlined as literals: keeps the main
+    // plan a pure scan → project → aggregate (no 1-row cross join for
+    // the plan-hygiene guard to squint at) and constant-folds the
+    // quantization denominators inside codegen
+    val r = df.agg(min(col(xCol)), max(col(xCol)),
+      min(col(yCol)), max(col(yCol))).head()
+    val (xlo, xhi, ylo, yhi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val z = zValue(
+      quantize(col(xCol), lit(xlo), lit(xhi), bits),
+      quantize(col(yCol), lit(ylo), lit(yhi), bits), bits)
+    df.withColumn("zbucket", shiftrightunsigned(z, 2 * (bits - prefixBits)))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(xCol)).as(s"${xCol}_min"), max(col(xCol)).as(s"${xCol}_max"),
+        min(col(yCol)).as(s"${yCol}_min"), max(col(yCol)).as(s"${yCol}_max"))
+      .orderBy(col("zbucket"))
+  }
+
+  /** Materialize the Z-clustering as a directory-partitioned layout:
+    * one `zbucket=N` directory per Z-prefix bucket. A 2-D box query
+    * computes its candidate buckets by enumerating the quantized
+    * prefix rectangle (≤ 2^2·prefixBits driver-side ints — the
+    * classic Z-range decomposition bounded to the prefix level) and
+    * prunes every other directory at the source listing. Returns the
+    * (xlo, xhi, ylo, yhi) range used, so callers quantize query
+    * boxes identically. */
+  def writeZBucketed(df: DataFrame, xCol: String, yCol: String, path: String,
+                     bits: Int = 16, prefixBits: Int = 4): (Long, Long, Long, Long) = {
+    val r = df.agg(min(col(xCol)), max(col(xCol)), min(col(yCol)), max(col(yCol)))
+      .head()
+    val (xlo, xhi, ylo, yhi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val z = zValue(
+      quantize(col(xCol), lit(xlo), lit(xhi), bits),
+      quantize(col(yCol), lit(ylo), lit(yhi), bits), bits)
+    df.withColumn("zbucket", shiftrightunsigned(z, 2 * (bits - prefixBits)))
+      .write.partitionBy("zbucket").mode("overwrite").parquet(path)
+    (xlo, xhi, ylo, yhi)
+  }
+
+  /** The candidate `zbucket` ids intersecting the box
+    * [qxlo, qxhi] × [qylo, qyhi] (original coordinates), for a layout
+    * written by [[writeZBucketed]] over ranges (xlo..xhi, ylo..yhi):
+    * quantize the box corners with the SAME integer rule, keep the
+    * top `prefixBits` of each, and enumerate the prefix rectangle.
+    * Driver-side, ≤ 4^prefixBits ints — bounded by construction. */
+  def zBucketsForBox(qxlo: Long, qxhi: Long, qylo: Long, qyhi: Long,
+                     xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+                     bits: Int = 16, prefixBits: Int = 4): Seq[Long] = {
+    def q(v: Long, lo: Long, hi: Long): Long =
+      ((v - lo) * (1L << bits)) / (hi - lo + 1L)
+    def prefix(v: Long): Long = v >>> (bits - prefixBits)
+    def interleave(x: Long, y: Long): Long =
+      (0 until prefixBits).map { i =>
+        (((x >>> i) & 1L) << (2 * i)) | (((y >>> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val (px0, px1) = (prefix(q(qxlo max xlo, xlo, xhi)), prefix(q(qxhi min xhi, xlo, xhi)))
+    val (py0, py1) = (prefix(q(qylo max ylo, ylo, yhi)), prefix(q(qyhi min yhi, ylo, yhi)))
+    for (px <- px0 to px1; py <- py0 to py1) yield interleave(px, py)
+  }
+
+  /** Small-file compaction — the most common daily layout operation
+    * of a 100 TB pipeline: streaming ingestion and fine-grained
+    * partition writes leave directories of kilobyte files whose
+    * per-file open/footer/seek overhead dominates scans (and whose
+    * name listing alone strains the driver). Compaction bin-packs
+    * them into ~`targetBytes` outputs AND re-clusters by `sortCol`,
+    * so the rewrite also buys zone pruning: each output file covers a
+    * tight, disjoint key range (parquet row-group min/max + file
+    * skipping), where the small files each spanned the whole key
+    * space.
+    *
+    * Plan shape: one read of the small files → repartitionByRange on
+    * the sort key (output file count = total bytes / targetBytes,
+    * computed from the REAL file sizes, not a guess) →
+    * sortWithinPartitions → write. One shuffle, no driver loops; at
+    * scale the same call runs per partition directory so rewrite
+    * scope stays bounded (compose with writePartitioned layouts).
+    * Returns (filesBefore, filesAfter, bytes). */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              inPath: String, outPath: String, sortCol: String,
+              targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hp = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hp).filter { s =>
+      s.isFile && !s.getPath.getName.startsWith("_")
+    }
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartitionByRange(n, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    (files.length, outFiles, bytes)
+  }
+}
