@@ -271,6 +271,17 @@ object SparkEntry {
         col("label"), threshold = 0.4)
       .orderBy(col("id1"), col("id2"))
 
+  /** q25's next scale tier: TWO-LEVEL cell blocking (coarse hash-rank
+    * centroids bounded at the driver, fine centroids elected per
+    * coarse cell as DATA — never collected), removing the flat
+    * scheme's maxCells·cellTarget corpus ceiling. The oracle replays
+    * both levels: md5 coarse rank → keep-2 assignment → per-cell md5
+    * fine election → exact-cosine fine rank → bucketed pairs. */
+  private val q101: Q = (s, d) =>
+    Dedup.cosineNearDupPairsTwoLevel(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("label"), threshold = 0.4)
+      .orderBy(col("id1"), col("id2"))
+
   /** Brute-force cosine top-k ANN baseline (probes broadcast). */
   private val q26: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -1569,6 +1580,7 @@ object SparkEntry {
     "q98_image_decode" -> q98,
     "q99_zorder_layout" -> q99,
     "q100_page_index" -> q100,
+    "q101_twolevel_neardup" -> q101,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2864,6 +2876,55 @@ object SparkEntry {
          WHERE rn <= 32 * 250
          ORDER BY event_id""",
     "q99_zorder_layout" -> ZOrderReplaySql,
+    // q101's replay mirrors the operator level for level: coarse md5
+    // rank (nc = n/(125·8) clamped to [4, 4096]) → keep-2 coarse
+    // assignment by exact-cosine rank → per-cell md5 fine election at
+    // ceil(csize/125) → keep-2 fine assignment → pairs inside a
+    // (coarse, fine, label) bucket. Float orders are the proven q25
+    // forms (-(dot)/(n·cn) and (dot·-1.0)/(n·fn)).
+    "q101_twolevel_neardup" ->
+      """WITH prep AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         params AS (
+           SELECT least(4096, greatest(4, CAST(ceil(count(*) / 1000.0) AS BIGINT))) AS nc
+           FROM prep),
+         ranked_cents AS (
+           SELECT vec_id AS cent_id, v AS cv, nrm AS cn,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM prep),
+         cents AS (SELECT cent_id, cv, cn FROM ranked_cents, params WHERE rn <= nc),
+         cassign AS (
+           SELECT vec_id, label, v, nrm, cent_id AS coarse,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY -(list_dot_product(v, cv)) / (nrm * cn), cent_id) AS crn
+           FROM prep, cents),
+         assigned AS (SELECT vec_id, label, v, nrm, coarse FROM cassign WHERE crn <= 2),
+         fine_ranked AS (
+           SELECT coarse, vec_id AS fine_id, v AS fv, nrm AS fn,
+             count(*) OVER (PARTITION BY coarse) AS csize,
+             row_number() OVER (PARTITION BY coarse
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS frn
+           FROM cassign WHERE crn = 1),
+         fine_cents AS (
+           SELECT coarse, fine_id, fv, fn FROM fine_ranked
+           WHERE frn <= greatest(1, CAST(ceil(csize / 125.0) AS BIGINT))),
+         fassign AS (
+           SELECT a.vec_id, a.label, a.v, a.nrm, a.coarse, f.fine_id,
+             row_number() OVER (PARTITION BY a.vec_id, a.coarse
+               ORDER BY (list_dot_product(a.v, f.fv) * -1.0) / (a.nrm * f.fn),
+                 f.fine_id) AS frk
+           FROM assigned a JOIN fine_cents f ON a.coarse = f.coarse),
+         fine AS (SELECT vec_id, label, v, nrm, coarse, fine_id
+                  FROM fassign WHERE frk <= 2)
+         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         FROM fine a JOIN fine b
+           ON a.coarse = b.coarse AND a.fine_id = b.fine_id
+           AND a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4
+         ORDER BY id1, id2""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -446,4 +446,100 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
       .distinct() // a pair sharing several cells reports once
   }
+
+  /** TWO-LEVEL cosine near-duplicate pairs — the composition
+    * [[cosineNearDupPairsBucketed]]'s scaladoc names for corpora past
+    * its maxCells·cellTarget ceiling (~512k rows at the defaults):
+    * a single flat centroid list must either exceed the bounded
+    * driver collect or let cell payloads grow with the corpus. The
+    * two-level shape removes the ceiling while keeping EVERY
+    * driver-side structure bounded:
+    *
+    *  - LEVEL 1 (driver-bounded): ≤ maxCoarse hash-rank coarse
+    *    centroids (the q41/q25 md5 rule — deterministic, replayable),
+    *    target occupancy cellTarget·fanout rows; each vector
+    *    multi-assigns to its keepCoarse nearest coarse cells via the
+    *    native NearestCells expression (nearest-FIRST, so ordinal 0
+    *    is the primary assignment).
+    *  - LEVEL 2 (fully distributed — this is the point): fine
+    *    centroids are DATA, never collected. Within each coarse
+    *    cell, its PRIMARY members elect ceil(cellSize/cellTarget)
+    *    fine centroids by the same md5 hash-rank (a per-cell window,
+    *    not a global sort); every (vector, coarse) copy then joins
+    *    the cell's fine centroids — a bucket join of ~cellTarget·
+    *    fanout members × ~fanout centroids per cell, bounded by
+    *    constants — and keeps its keepFine nearest by exact cosine
+    *    rank.
+    *  - Pairs generate only inside a (coarse, fine, block) bucket of
+    *    expected ~cellTarget rows; exact cosine scores once; distinct
+    *    after rounding.
+    *
+    * Total pair work stays O(keep² · cellTarget · n) — linear — and
+    * the driver never holds more than maxCoarse centroid vectors, at
+    * ANY corpus size: growth lands in nCoarse (until maxCoarse) and
+    * then in per-cell fine counts, which live in executors. Recall
+    * composes one more (1-p)^keep factor than the flat scheme
+    * (CosineNearDupRecallSpec pins measured floors alongside the
+    * flat path); precision is exactly 1.0 — candidates are scored by
+    * the same exact cosine they are thresholded on. Oracled as q101:
+    * every step (md5 ranks, per-cell windows, float rank orders) is
+    * engine-exact SQL. */
+  def cosineNearDupPairsTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                                 blockCol: Column, threshold: Double,
+                                 cellTarget: Int = 125, fanout: Int = 8,
+                                 keepCoarse: Int = 2, keepFine: Int = 2,
+                                 maxCoarse: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, cosinePre, dotD}
+    val n = emb.count()
+    val coarseTarget = cellTarget.toLong * fanout
+    val nCoarse = math.min(maxCoarse.toLong,
+      math.max(4L, (n + coarseTarget - 1) / coarseTarget)).toInt
+    val prep = emb.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"), blockCol.as("blk"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val cents = prep
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .orderBy(md5(col("cent_id").cast("string").cast("binary")), col("cent_id"))
+      .limit(nCoarse)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    if (cents.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id1"), lit(0L).as("id2"), lit(0.0).as("cos")).limit(0)
+    val assigned = prep.select(col("id"), col("v"), col("nrm"), col("blk"),
+      posexplode(graft.plans.NearestCells.nearestCells(
+        col("v"), col("nrm"), cents.toSeq, keepCoarse)))
+      .withColumnRenamed("pos", "cpos").withColumnRenamed("col", "coarse")
+    // fine centroid election among each coarse cell's PRIMARY members:
+    // per-cell windows (bounded partitions), never a global sort
+    val primary = assigned.filter(col("cpos") === 0)
+    val wSize = Window.partitionBy(col("coarse"))
+    val wRank = Window.partitionBy(col("coarse"))
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+    val fineCents = primary
+      .withColumn("csize", count(lit(1)).over(wSize))
+      .withColumn("frn", row_number().over(wRank))
+      .filter(col("frn") <=
+        greatest(lit(1L), ceil(col("csize") / lit(cellTarget.toDouble))))
+      .select(col("coarse"), col("id").as("fine_id"),
+        col("v").as("fv"), col("nrm").as("fn"))
+    // level-2 assignment: a bucket join per coarse cell, exact-cosine
+    // rank — the (negsim, id) order NearestCells uses, in SQL form
+    val wFine = Window.partitionBy(col("id"), col("coarse"))
+      .orderBy((dotD(col("v"), col("fv")) * lit(-1.0)) / (col("nrm") * col("fn")),
+        col("fine_id"))
+    val fine = assigned.join(fineCents, Seq("coarse"))
+      .withColumn("frk", row_number().over(wFine))
+      .filter(col("frk") <= keepFine)
+      .select(col("id"), col("v"), col("nrm"), col("blk"),
+        col("coarse"), col("fine_id"))
+    def side(i: Int) = fine.select(col("id").as(s"id$i"), col("v").as(s"v$i"),
+      col("nrm").as(s"n$i"), col("blk"), col("coarse"), col("fine_id"))
+    side(1).join(side(2), Seq("coarse", "fine_id", "blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosinePre(col("v1"), col("v2"), col("n1"), col("n2")))
+      .filter(col("cos") > threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
 }

@@ -50,6 +50,32 @@ class CosineNearDupRecallSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"bucketed recall $recall%.3f below floor 0.5")
   }
 
+  test("two-level pairs: precision 1.0, recall floor, subset discipline") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = pairs(Dedup.cosineNearDupPairs(
+      emb, "vec_id", "embedding", col("label"), threshold = 0.4))
+    val two = pairs(Dedup.cosineNearDupPairsTwoLevel(
+      emb, "vec_id", "embedding", col("label"), threshold = 0.4))
+    assert(two.subsetOf(exact), s"false positives: ${two.diff(exact).take(5)}")
+    val recall = two.count(exact).toDouble / math.max(1, exact.size)
+    info(f"sf0.01 two-level recall = ${two.count(exact)}/${exact.size} = $recall%.3f")
+    // one more (1-p)^keep factor than the flat scheme: floor sits lower
+    assert(recall >= 0.4, f"two-level recall $recall%.3f below floor 0.4")
+  }
+
+  test("two-level widening levers recover the flat scheme's recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = pairs(Dedup.cosineNearDupPairs(
+      emb, "vec_id", "embedding", col("label"), threshold = 0.4))
+    // tiny corpus: 4 coarse cells; probing all of them and keeping
+    // every fine cell makes candidate generation exhaustive-adjacent
+    val wide = pairs(Dedup.cosineNearDupPairsTwoLevel(
+      emb, "vec_id", "embedding", col("label"), threshold = 0.4,
+      keepCoarse = 4, keepFine = 16))
+    assert(wide == exact,
+      "probing every coarse cell with all fine cells must reproduce the exhaustive set")
+  }
+
   test("keep is a monotone recall lever: probing every cell is exhaustive-adjacent") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = pairs(Dedup.cosineNearDupPairs(
