@@ -1154,6 +1154,15 @@ object SparkEntry {
     graft.operators.Funnel.medianMad(Tables.events(s, d), "event_type",
       "value", "event_id")
 
+  /** q86's scale path: the same exact median+MAD selection WITHOUT
+    * the two full per-group sorts — histogram pass → target bucket →
+    * sort only that bucket's ~n/4096 rows (Funnel.medianMadBucketed).
+    * Output bit-identical to q86, so the oracle is q86's SQL
+    * verbatim: the hash match proves the selection shortcut exact. */
+  private val q102: Q = (s, d) =>
+    graft.operators.Funnel.medianMadBucketed(Tables.events(s, d), "event_type",
+      "value", "event_id")
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1581,6 +1590,7 @@ object SparkEntry {
     "q99_zorder_layout" -> q99,
     "q100_page_index" -> q100,
     "q101_twolevel_neardup" -> q101,
+    "q102_median_mad_bucketed" -> q102,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2925,6 +2935,33 @@ object SparkEntry {
            AND a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4
          ORDER BY id1, id2""",
+    // q102 is output-identical to q86 (bucketed selection returns the
+    // same rank-k rows) — its oracle is q86's SQL verbatim; the hash
+    // match proves the selection shortcut exact.
+    "q102_median_mad_bucketed" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         med AS (
+           SELECT event_type, CAST(n AS BIGINT) AS n, value AS median
+           FROM ranked WHERE rn = (n + 1) // 2),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.median) AS absdev, e.event_id
+           FROM events e JOIN med m ON e.event_type = m.event_type),
+         dranked AS (
+           SELECT event_type, absdev,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY absdev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev)
+         SELECT m.event_type, m.n, m.median, d.absdev AS mad
+         FROM med m JOIN (
+           SELECT event_type, absdev FROM dranked WHERE rn = (n + 1) // 2) d
+           ON m.event_type = d.event_type
+         ORDER BY m.event_type""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -158,6 +158,73 @@ object Funnel {
       .orderBy(col(groupCol))
   }
 
+  /** [[medianMad]]'s SCALE PATH — exact selection without the full
+    * per-group sort (the q24/q54 pairing pattern: same output, proved
+    * by the shared oracle; the baseline stays registered as the A/B
+    * reference). The baseline's two `row_number` windows sort EVERY
+    * row of every group twice — the ×4.7 line in BENCH_SCALING. A
+    * rank-k selection doesn't need a sort, it needs to FIND the row:
+    *
+    *  1. histogram pass — bucket each value by range-quantized
+    *     arithmetic (monotone in the value, so equal values share a
+    *     bucket and bucket order is value order; nulls → bucket -1,
+    *     matching the window's nulls-first default), count per
+    *     (group, bucket), and cumulate counts per group over the
+    *     ≤ `buckets` histogram rows (a bounded window, the Pack
+    *     base-offset shape — never over data rows);
+    *  2. the target bucket is the one whose cumulative range covers
+    *     rank k = (n+1) div 2; broadcast the ≤ #groups winners;
+    *  3. sort ONLY the target bucket's ~n/buckets rows (per-group
+    *     window over the semi-joined slice) and take row
+    *     k − cumBefore under the same (value, id) order.
+    *
+    * Two selections (median, then MAD over |x − median|) = two
+    * histogram scans + two slice sorts, O(n) + O(n/buckets ·
+    * log(n/buckets)) work per selection vs O(n log n) twice. The
+    * all-values-equal group degenerates to one bucket and reverts to
+    * the baseline's sort of that group — correct, just not faster.
+    * Output is bit-identical to [[medianMad]] (selection returns the
+    * ORIGINAL value; the bucketing arithmetic never reaches the
+    * output), so q102 registers under q86's oracle SQL verbatim. */
+  def medianMadBucketed(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def select1(in: DataFrame, v: String, as: String): DataFrame = {
+      val ranges = in.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"),
+        min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+      val kCol = call_function("div", col("__n") + 1, lit(2L))
+      val bucket = when(col(v).isNull, lit(-1L))
+        .when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(lit((buckets - 1).toLong), greatest(lit(0L),
+          floor(((col(v) - col("__lo")) / (col("__hi") - col("__lo")))
+            * lit(buckets.toDouble)).cast("long"))))
+      val withB = in.join(broadcast(ranges), groupCol).withColumn("__b", bucket)
+      val wHist = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val target = withB.groupBy(col(groupCol), col("__b"), col("__n"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__before", coalesce(sum(col("__c")).over(wHist), lit(0L)))
+        .filter(col("__before") < kCol && kCol <= col("__before") + col("__c"))
+        .select(col(groupCol), col("__b"), col("__before"), col("__n"))
+      val wIn = Window.partitionBy(col(groupCol)).orderBy(col(v), col(idCol))
+      withB.drop("__n")
+        .join(broadcast(target), Seq(groupCol, "__b"))
+        .withColumn("__rn", row_number().over(wIn))
+        .filter(col("__rn") === kCol - col("__before"))
+        .select(col(groupCol), col("__n").as("n"), col(v).as(as))
+    }
+    val med = select1(df.select(col(groupCol), col(valueCol), col(idCol)),
+      valueCol, "median")
+    val dev = df.join(broadcast(med.select(col(groupCol), col("median"))), groupCol)
+      .withColumn("__absdev", abs(col(valueCol) - col("median")))
+    select1(dev.select(col(groupCol), col("__absdev"), col(idCol)),
+      "__absdev", "mad")
+      .select(col(groupCol), col("mad"))
+      .join(med, groupCol)
+      .select(col(groupCol), col("n"), col("median"), col("mad"))
+      .orderBy(col(groupCol))
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * first event; each (cohort_week, week_offset) cell counts how
     * many came back `offset` weeks later. Weeks are integer

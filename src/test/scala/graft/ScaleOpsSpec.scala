@@ -58,6 +58,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       "two-phase plan should partition the local window by range bucket")
   }
 
+  test("medianMadBucketed equals the full-sort selection exactly") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    val r = new scala.util.Random(17)
+    // adversarial value distribution: negatives, exact ties (quantized
+    // to 1 decimal), a constant group (degenerate single bucket), a
+    // 1-row and a 2-row group (rank edge cases)
+    val rows =
+      (1 to 4000).map(i => ("g" + (i % 5), math.floor(r.nextGaussian() * 50) / 10.0, i.toLong)) ++
+      (1 to 40).map(i => ("const", 7.25, 100000L + i)) ++
+      Seq(("one", -3.5, 200001L), ("two", 1.0, 200002L), ("two", -1.0, 200003L))
+    val df = rows.toDF("g", "v", "id")
+    val base = Funnel.medianMad(df, "g", "v", "id").collect()
+    val fast = Funnel.medianMadBucketed(df, "g", "v", "id").collect()
+    assert(fast.toSeq === base.toSeq,
+      "bucketed selection must be bit-identical to the full sort")
+    // and with a bucket count small enough that collisions are certain
+    val coarse = Funnel.medianMadBucketed(df, "g", "v", "id", buckets = 3).collect()
+    assert(coarse.toSeq === base.toSeq, "bucket count must not affect the result")
+  }
+
   test("corpus-unbounded frames carry NO broadcast hints (AQE decides)") {
     // The round-8 scale-killer: forced broadcast(sizes)/broadcast(bases)
     // hints on frames with one row per document / per (shard, bucket) —
