@@ -38,14 +38,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read nanos as long (legacy conf) and truncate to
-    * microsecond timestamps — the same ns→us truncation DuckDB's
-    * `CAST(ts AS TIMESTAMP)` performs, keeping both engines aligned. */
+  /** `events.ts` has shipped as two physical parquet types across test
+    * dataset generations: TIMESTAMP(NANOS) (which Spark 4 refuses by
+    * default — read nanos as long via the legacy conf and truncate to
+    * micros, the same ns→us truncation DuckDB's `CAST(ts AS TIMESTAMP)`
+    * performs) and plain timestamp[us] with no timezone (which Spark
+    * reads as TIMESTAMP_NTZ). Normalize both to session-timezone
+    * TimestampType — sessions pin UTC, so the NTZ cast is value-exact
+    * and both generations hash identically against the DuckDB oracle. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
