@@ -1163,6 +1163,63 @@ object SparkEntry {
     graft.operators.Funnel.medianMadBucketed(Tables.events(s, d), "event_type",
       "value", "event_id")
 
+  /** Cluster-aware train/val/test split — q56's deterministic md5
+    * split keyed on q59's near-dup clusters
+    * ([[graft.operators.Sample.clusterAwareSplit]]): every member of
+    * a near-duplicate cluster lands in the SAME split, closing the
+    * leakage channel a per-doc split leaves open (a paraphrase of a
+    * training doc in the test set). Docs with no near-dup edge key on
+    * their own id and split exactly as q56 does. The pair generator
+    * is the skew-proof PPJoin prefix path (the q54/q59 machinery);
+    * the corpus itself shuffles zero times beyond it. Oracle replays
+    * the q59 recursive-CTE components + the q56 md5 bucket on the
+    * cluster key. */
+  private val q103: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = graft.operators.Cluster.canonicalize(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", k = 3, threshold = 0.5),
+      "d1", "d2")
+    graft.operators.Sample.clusterAwareSplit(docs, "doc_id", clusters,
+        "doc_id", "cluster_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Metadata-FILTERED ANN over the materialized index — q87's
+    * build-once/probe-many index with the `label` payload column
+    * stored IN the cell files (writeIvfPqIndex metaCols), probed with
+    * a candidate predicate (`label` even). The filter lands on the
+    * pruned cells scan as a parquet PushedFilter, before any code
+    * word is scored — so the probe still returns k SURVIVORS per
+    * probe, unlike post-filtering a top-k, and reads only
+    * nProbe/nCentroids of the index bytes. This is the
+    * filtered-search shape of production vector stores (predicate +
+    * vector in one query); the reference's preference-filtered
+    * queries (preferences.py get_preferences → web_api.py filtered
+    * title lookups) are this operation's row-store ancestor. Oracle:
+    * the q80/q87 ADC replay with the same predicate folded into its
+    * candidate set. */
+  private val q104IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q104: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val path = q104IndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q104_idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val idx = root.toString + "/idx"
+      Similarity.writeIvfPqIndex(emb, idx, nCentroids = 16, blockDim = 8,
+        metaCols = Seq("label"))
+      idx
+    })
+    Similarity.probeIvfPqIndex(emb.filter(col("vec_id") < 5), path, k = 10,
+        nProbe = 4, candidateFilter = Some(col("label") % 2 === 0))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1591,6 +1648,8 @@ object SparkEntry {
     "q100_page_index" -> q100,
     "q101_twolevel_neardup" -> q101,
     "q102_median_mad_bucketed" -> q102,
+    "q103_cluster_split" -> q103,
+    "q104_filtered_ann" -> q104,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2962,6 +3021,39 @@ object SparkEntry {
            SELECT event_type, absdev FROM dranked WHERE rn = (n + 1) // 2) d
            ON m.event_type = d.event_type
          ORDER BY m.event_type""",
+    // q59's recursive-CTE component replay + q56's md5 bucket, keyed
+    // on the cluster id (singletons fall back to their own doc_id).
+    "q103_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             FROM toks, UNNEST(range(1, len(w)-1)) AS t(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         edges AS (SELECT d1, d2
+             FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             WHERE inter*1.0/(s1.n + s2.n - inter) > 0.5),
+         sym AS (SELECT d1 AS u, d2 AS v FROM edges UNION SELECT d2, d1 FROM edges),
+         reach(u, v) AS (
+             SELECT u, v FROM sym
+             UNION
+             SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+         cmap AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u),
+         keyed AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN cmap c USING (doc_id)),
+         b AS (SELECT doc_id, cluster_id,
+             CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % 1000000 AS bucket
+             FROM keyed)
+         SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    "q104_filtered_ann" -> FilteredIvfPqReplaySql,
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral
@@ -3107,6 +3199,18 @@ object SparkEntry {
          SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id,
            round(adc, 6) AS adc_dist
          FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  /** q104's oracle: [[IvfPqReplaySql]] with the label predicate folded
+    * into its candidate set — same artifacts, same ADC scoring, filter
+    * BEFORE ranking (the filtered-search contract). */
+  private val FilteredIvfPqReplaySql: String = {
+    val target = "WHERE pc.probe_id <> cc.vec_id),"
+    require(IvfPqReplaySql.contains(target),
+      "IvfPqReplaySql changed shape; update FilteredIvfPqReplaySql")
+    IvfPqReplaySql.replace(target,
+      """WHERE pc.probe_id <> cc.vec_id
+             AND cc.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)),""")
+  }
 
   /** q41's replay with `iters` Lloyd iterations prepended. Each block
     * replays one Similarity.refineCents pass integer-for-integer:

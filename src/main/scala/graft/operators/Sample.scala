@@ -154,4 +154,40 @@ object Sample {
     }
     df.withColumn(splitCol, assign)
   }
+
+  /** Cluster-aware train/val/test split — [[hashSplit]] keyed on the
+    * near-dup CLUSTER id instead of the document id, so every member
+    * of a near-duplicate cluster lands in the SAME split. A per-doc
+    * split leaks: two near-identical documents can straddle train and
+    * test, and the model is then evaluated on (a paraphrase of) its
+    * own training data. Splitting by cluster representative is the
+    * standard guard (the reference dedups per key —
+    * consumer.py:57-92 — before its data ever reaches consumers; a
+    * training pipeline must extend that to near-dup groups).
+    *
+    * @param clusters (docCol, clusterCol) membership rows — e.g.
+    *                 [[graft.operators.Cluster.canonicalize]] output.
+    *                 Docs absent from it are singletons: their own id
+    *                 is their cluster, so they split exactly as
+    *                 [[hashSplit]] would.
+    *
+    * Scale shape: the cluster map holds only docs that have a near-dup
+    * edge — a small fraction of the corpus — so the left join is a
+    * hash join AQE sizes (broadcast when small), followed by the
+    * map-only bucket assignment. The corpus itself shuffles zero
+    * times. Determinism: cluster ids are the component-minimum doc id
+    * (engine-independent), and the md5 bucket is the shared
+    * [[hashSplit]] contract — so the assignment is stable across
+    * runs, engines and dataset versions. */
+  def clusterAwareSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                        docCol: String, clusterCol: String,
+                        splits: Seq[(String, Double)],
+                        splitCol: String = "split"): DataFrame = {
+    val cmap = clusters.select(col(docCol).cast("long").as("__ca_doc"),
+      col(clusterCol).cast("long").as("__ca_cluster"))
+    val keyed = df.join(cmap, df(idCol).cast("long") === col("__ca_doc"), "left")
+      .withColumn("cluster_id", coalesce(col("__ca_cluster"), col(idCol).cast("long")))
+      .drop("__ca_doc", "__ca_cluster")
+    hashSplit(keyed, "cluster_id", splits, splitCol)
+  }
 }

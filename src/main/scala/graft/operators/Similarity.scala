@@ -366,21 +366,34 @@ object Similarity {
     *  - `cells/cell=N/` — (nbr_id, codes): the corpus, 8-byte codes
     *    per block, partitioned by cell directory
     */
-  /** Encoded (nbr_id, cell, codes) rows for `corpus` under FIXED index
-    * artifacts — the map-only pass both the full build and the
-    * incremental delta path share. */
+  /** Encoded (nbr_id, cell, codes[, metaCols…]) rows for `corpus`
+    * under FIXED index artifacts — the map-only pass both the full
+    * build and the incremental delta path share. `metaCols` are
+    * attribute columns carried INTO the cell files so probes can
+    * filter candidates at the scan (the payload-metadata pattern of
+    * production vector stores): the filter prunes at the parquet
+    * reader, before any code word is scored. */
   private def encodedCells(corpus: DataFrame,
                            cents: Array[(Long, Seq[Double], Double)],
                            codebook: Seq[Seq[Double]],
-                           blocks: Int, blockDim: Int): DataFrame =
-    prepped(corpus, "nbr_id", "cv", "cn")
-      .select(col("nbr_id"),
+                           blocks: Int, blockDim: Int,
+                           metaCols: Seq[String] = Nil): DataFrame = {
+    val base = corpus.select(
+      col("vec_id").as("nbr_id") +:
+        VectorFunctions.asDouble(col("embedding")).as("cv") +:
+        metaCols.map(col): _*)
+      .withColumn("cn", sqrt(VectorFunctions.dotD(col("cv"), col("cv"))))
+    base.select(
+      col("nbr_id") +:
         explode(graft.plans.NearestCells.nearestCells(
-          col("cv"), col("cn"), cents.toSeq, 1)).as("cell"),
-        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes"))
+          col("cv"), col("cn"), cents.toSeq, 1)).as("cell") +:
+        graft.plans.PqCodes.pqCodes(col("cv"), codebook, blocks, blockDim).as("codes") +:
+        metaCols.map(col): _*)
+  }
 
   def writeIvfPqIndex(corpus: DataFrame, path: String, nCentroids: Int = 16,
-                      blockDim: Int = 8, refineIters: Int = 0): Unit = {
+                      blockDim: Int = 8, refineIters: Int = 0,
+                      metaCols: Seq[String] = Nil): Unit = {
     val cents = refineCents(corpus, hashRankCents(corpus, nCentroids), refineIters)
     require(cents.nonEmpty, "writeIvfPqIndex: empty corpus")
     val dim = cents.head._2.length
@@ -397,7 +410,7 @@ object Similarity {
       codebook.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toDF("c", "vec"),
       s"$path/codebook")
     Sinks.writePartitioned(
-      encodedCells(corpus, cents, codebook, blocks, blockDim),
+      encodedCells(corpus, cents, codebook, blocks, blockDim, metaCols),
       s"$path/cells", Seq("cell"))
   }
 
@@ -470,11 +483,16 @@ object Similarity {
       .select(col(idCol).cast("long").as("nbr_id"))
     val freshIds = delta.filter(col("status").isin("added", "changed"))
       .select(col(idCol).cast("long").as("__fid"))
+    val oldCells = spark.read.parquet(cellsPath)
+    // a metadata-bearing index ([[writeIvfPqIndex]] metaCols) declares
+    // its payload columns in the cells schema — re-encode fresh rows
+    // with the same ones so the delta preserves filterability
+    val metaCols = oldCells.columns.toSeq.filterNot(
+      Set("nbr_id", "cell", "codes"))
     val freshRows = encodedCells(
       newCorpus.join(broadcast(freshIds),
         newCorpus(idCol) === col("__fid"), "left_semi"),
-      cents, codebook, blocks, blockDim)
-    val oldCells = spark.read.parquet(cellsPath)
+      cents, codebook, blocks, blockDim, metaCols)
     val touched = oldCells.join(broadcast(stale), Seq("nbr_id"), "left_semi")
       .select(col("cell"))
       .unionByName(freshRows.select(col("cell")))
@@ -483,10 +501,11 @@ object Similarity {
     // survivors of the touched partitions (pruned scan) + fresh rows;
     // staged to a sibling dir — writing cells/ in place would overwrite
     // a path the plan is reading
+    val outCols = (Seq("nbr_id", "cell", "codes") ++ metaCols).map(col)
     val rebuilt = oldCells.filter(col("cell").isin(touched: _*))
       .join(broadcast(stale), Seq("nbr_id"), "left_anti")
-      .select(col("nbr_id"), col("cell"), col("codes"))
-      .unionByName(freshRows.select(col("nbr_id"), col("cell"), col("codes")))
+      .select(outCols: _*)
+      .unionByName(freshRows.select(outCols: _*))
     val staging = s"$path/cells_staging"
     Sinks.writePartitioned(rebuilt, staging, Seq("cell"))
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -510,7 +529,8 @@ object Similarity {
     * by input-file inspection in ScaleOpsSpec) — the 100 TB shape
     * where a query touches nProbe/nCentroids of the index bytes. */
   def probeIvfPqIndex(probes: DataFrame, path: String, k: Int,
-                      nProbe: Int = 4): DataFrame = {
+                      nProbe: Int = 4,
+                      candidateFilter: Option[Column] = None): DataFrame = {
     val spark = probes.sparkSession
     // block count is recorded in the data itself: every code word has
     // one code per block (loadArtifacts reads it back)
@@ -519,7 +539,13 @@ object Similarity {
       .select(col("probe_id"), adcTable(codebook, blocks, blockDim).as("tab"),
         explode(graft.plans.NearestCells.nearestCells(
           col("pv"), col("pn"), cents.toSeq, nProbe)).as("cell"))
-    val scored = spark.read.parquet(s"$path/cells")
+    // metadata filter lands directly on the cells scan (PushedFilters
+    // on the payload column), BEFORE cell pruning joins or ADC scoring
+    // — filtered search still returns k survivors per probe, unlike
+    // post-filtering a top-k
+    val cells = candidateFilter.foldLeft(
+      spark.read.parquet(s"$path/cells"))(_.filter(_))
+    val scored = cells
       .join(broadcast(p), Seq("cell"))
       .filter(col("probe_id") =!= col("nbr_id"))
       .withColumn("adc", graft.plans.PqCodes.pqAdc(col("codes"), col("tab")))

@@ -229,6 +229,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(fresh.exceptAll(again).count() === 0)
   }
 
+  test("filtered ANN: payload metadata filters candidates at the cells scan and survives deltas") {
+    import graft.operators.{Similarity, Versioning}
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val path = Files.createTempDirectory("graft_fann").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, path, nCentroids = 8, blockDim = 8,
+      metaCols = Seq("label"))
+    val probes = emb.filter(col("vec_id") < 3)
+    val out = Similarity.probeIvfPqIndex(probes, path, k = 5, nProbe = 2,
+      candidateFilter = Some(col("label") % 2 === 0))
+    out.collect()
+    // every survivor satisfies the predicate, ranks stay dense ≤ k
+    val labels = emb.select(col("vec_id").as("nbr_id"), col("label"))
+    assert(out.join(labels, "nbr_id").filter(col("label") % 2 =!= 0).count() === 0)
+    assert(out.groupBy("probe_id").count().filter(col("count") > 5).count() === 0)
+    // pushdown proof: the predicate reaches the cells parquet scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: QueryStageExec => findScans(q.plan)
+      case r: ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(findScans)
+    }
+    val cellScan = findScans(out.queryExecution.executedPlan)
+      .find(_.metadata("Location").contains("/cells"))
+      .getOrElse(fail("no file scan over cells/ in the filtered probe plan"))
+    assert(cellScan.metadata("PushedFilters").contains("label"),
+      s"label predicate not pushed: ${cellScan.metadata("PushedFilters")}")
+    // an incremental delta re-encodes fresh rows WITH their payload —
+    // filterability survives index maintenance
+    val v2 = emb.filter(col("vec_id") % 250 =!= 3)
+    val content = concat_ws(",", col("embedding").cast("array<string>"))
+    val delta = Versioning.datasetDiff(
+      emb.withColumn("__c", content), v2.withColumn("__c", content), "vec_id", "__c")
+    assert(Similarity.applyIndexDelta(v2, delta, "vec_id", path).nonEmpty)
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.columns.contains("label"))
+    val mismatched = cells.select(col("nbr_id"), col("label"))
+      .join(labels.withColumnRenamed("label", "l2"), "nbr_id")
+      .filter(col("label").isNull || col("label") =!= col("l2")).count()
+    assert(mismatched === 0, s"$mismatched cell rows lost/changed their payload")
+  }
+
   test("saltedJoin spreads a pathologically hot key and stays exact") {
     import spark.implicits._
     // 100k-row hot key + a long tail: the shape where an unsalted
@@ -486,6 +531,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       .join(out.select("doc_id", "split"), "doc_id")
       .filter(col("split") =!= col("s2")).count()
     assert(moved === 0)
+  }
+
+  test("clusterAwareSplit keeps every near-dup cluster inside one split") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val clusters = graft.operators.Cluster.canonicalize(
+      graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        k = 3, threshold = 0.5), "d1", "d2")
+    val out = graft.operators.Sample.clusterAwareSplit(docs, "doc_id",
+      clusters, "doc_id", "cluster_id", splits)
+    // exhaustive: one labeled row per doc
+    assert(out.count() === docs.count())
+    assert(out.filter(col("split").isNull).count() === 0)
+    // zero leakage: no cluster straddles two splits
+    val straddling = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling === 0, s"$straddling clusters span multiple splits")
+    // singletons (docs with no near-dup edge) split exactly as the
+    // per-doc hashSplit would — the two operators agree off-cluster
+    val perDoc = graft.operators.Sample.hashSplit(docs, "doc_id", splits)
+      .select(col("doc_id"), col("split").as("pd"))
+    val clustered = clusters.select(col("doc_id")).distinct()
+    val disagree = out.join(clustered, Seq("doc_id"), "left_anti")
+      .join(perDoc, "doc_id").filter(col("split") =!= col("pd")).count()
+    assert(disagree === 0)
   }
 
   test("bounded aggregates reject mistyped input structs at analysis time") {
