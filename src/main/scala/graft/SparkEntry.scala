@@ -1188,9 +1188,11 @@ object SparkEntry {
   /** Metadata-FILTERED ANN over the materialized index — q87's
     * build-once/probe-many index with the `label` payload column
     * stored IN the cell files (writeIvfPqIndex metaCols), probed with
-    * a candidate predicate (`label` even). The filter lands on the
-    * pruned cells scan as a parquet PushedFilter, before any code
-    * word is scored — so the probe still returns k SURVIVORS per
+    * a candidate predicate (`label` even, phrased as an IN-list so
+    * the parquet reader gets a pushable In filter — a bare `% 2`
+    * residual would evaluate after the scan). The filter lands on
+    * the pruned cells scan as a parquet PushedFilter, before any
+    * code word is scored — so the probe still returns k SURVIVORS per
     * probe, unlike post-filtering a top-k, and reads only
     * nProbe/nCentroids of the index bytes. This is the
     * filtered-search shape of production vector stores (predicate +
@@ -1216,7 +1218,7 @@ object SparkEntry {
       idx
     })
     Similarity.probeIvfPqIndex(emb.filter(col("vec_id") < 5), path, k = 10,
-        nProbe = 4, candidateFilter = Some(col("label") % 2 === 0))
+        nProbe = 4, candidateFilter = Some(col("label").isin(0, 2, 4, 6, 8)))
       .orderBy(col("probe_id"), col("rank"))
   }
 
@@ -3209,7 +3211,7 @@ object SparkEntry {
       "IvfPqReplaySql changed shape; update FilteredIvfPqReplaySql")
     IvfPqReplaySql.replace(target,
       """WHERE pc.probe_id <> cc.vec_id
-             AND cc.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)),""")
+             AND cc.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0,2,4,6,8))),""")
   }
 
   /** q41's replay with `iters` Lloyd iterations prepended. Each block

@@ -237,7 +237,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       metaCols = Seq("label"))
     val probes = emb.filter(col("vec_id") < 3)
     val out = Similarity.probeIvfPqIndex(probes, path, k = 5, nProbe = 2,
-      candidateFilter = Some(col("label") % 2 === 0))
+      candidateFilter = Some(col("label").isin(0, 2, 4, 6, 8)))
     out.collect()
     // every survivor satisfies the predicate, ranks stay dense ≤ k
     val labels = emb.select(col("vec_id").as("nbr_id"), col("label"))
@@ -257,8 +257,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     val cellScan = findScans(out.queryExecution.executedPlan)
       .find(_.metadata("Location").contains("/cells"))
       .getOrElse(fail("no file scan over cells/ in the filtered probe plan"))
-    assert(cellScan.metadata("PushedFilters").contains("label"),
-      s"label predicate not pushed: ${cellScan.metadata("PushedFilters")}")
+    assert(cellScan.metadata("PushedFilters").contains("In(label"),
+      s"label IN-list not pushed: ${cellScan.metadata("PushedFilters")}")
     // an incremental delta re-encodes fresh rows WITH their payload —
     // filterability survives index maintenance
     val v2 = emb.filter(col("vec_id") % 250 =!= 3)
