@@ -365,12 +365,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Token counting: whitespace + BPE-ish regex lexer. */
+  /** Token counting: whitespace + BPE-ish lexer, both counted by ONE
+    * native pass (plans/TextStats.LexTokenCount) — the
+    * size(regexp_extract_all(...)) formulation materialized every
+    * document's full token array through the regex engine just to
+    * take its length. The oracle still replays the regex in DuckDB;
+    * the hash match proves the char-class scan lexes identically. */
   private val q30: Q = (s, d) =>
     Tables.documents(s, d)
+      .withColumn("__tc", graft.plans.TextStats.lexTokenCount(col("text")))
       .select(col("doc_id"),
-        size(TF.tokens(col("text"))).cast("long").as("ws_tokens"),
-        size(TF.regexTokens(col("text"))).cast("long").as("rx_tokens"))
+        col("__tc.ws_tokens").as("ws_tokens"),
+        col("__tc.rx_tokens").as("rx_tokens"))
       .orderBy(col("doc_id"))
 
   /** Rolling-hash (Rabin–Karp) document fingerprint summary (native

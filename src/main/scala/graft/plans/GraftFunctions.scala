@@ -59,6 +59,7 @@ object GraftFunctions {
     "shingle_tokens" -> (es => ShingleTokens(es(0), asInt(es(1)))),
     "simhash_tokens" -> (es => SimHashTokens(es(0))),
     "text_stats" -> (es => TextStats(es(0), asStrings(es(1)))),
+    "lex_token_count" -> (es => LexTokenCount(es(0))),
     "rolling_fingerprint" -> (es => RollingFingerprint(es(0), asInt(es(1)))),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "repetition_stats" -> (es => RepetitionStats(es(0))),

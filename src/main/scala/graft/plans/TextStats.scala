@@ -120,6 +120,81 @@ case class RollingFingerprint(child: Expression, win: Int)
     copy(child = newChild)
 }
 
+/** Both q30 token counts in ONE native pass — no regex engine, no
+  * token-array materialization: `ws_tokens` (non-empty single-space
+  * segments, the `filter(split(text, ' '), _ != '')` semantics) and
+  * `rx_tokens` (the BPE-ish lexer `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`
+  * replayed as a char-class scan). Java's regex matches per CODE
+  * POINT, so the "other" class steps over surrogate pairs as one
+  * token; letter/digit/\s classes are ASCII-only, exactly as the
+  * pattern spells them. `size(regexp_extract_all(...))` builds the
+  * full token array per document just to take its length — at corpus
+  * scale that is allocation + regex-engine CPU for data nobody
+  * reads. */
+case class LexTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("rx_tokens", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    counts(input.asInstanceOf[UTF8String])
+
+  // Java regex \s (no UNICODE_CHARACTER_CLASS) = [ \t\n\x0B\f\r]
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+  private def isLetter(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Called from both interpreted eval and generated code. */
+  def counts(u: UTF8String): InternalRow = {
+    val s = u.toString
+    val len = s.length
+    var ws = 0L
+    var i = 0
+    while (i < len) {
+      if (s.charAt(i) != ' ') {
+        var j = i
+        while (j < len && s.charAt(j) != ' ') j += 1
+        ws += 1
+        i = j
+      } else i += 1
+    }
+    var rx = 0L
+    i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (isLetter(c)) {
+        var j = i + 1
+        while (j < len && isLetter(s.charAt(j))) j += 1
+        rx += 1
+        i = j
+      } else if (isDigit(c)) {
+        var j = i + 1
+        while (j < len && isDigit(s.charAt(j))) j += 1
+        rx += 1
+        i = j
+      } else if (isWs(c)) {
+        i += 1
+      } else {
+        rx += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < len &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+      }
+    }
+    InternalRow(ws, rx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lexTokenCount", this, classOf[LexTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.counts($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexTokenCount =
+    copy(child = newChild)
+}
+
 object TextStats {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -128,4 +203,7 @@ object TextStats {
 
   def rollingFingerprint(text: Column, win: Int): Column =
     Bridge.toColumn(RollingFingerprint(Bridge.toExpression(text), win))
+
+  def lexTokenCount(text: Column): Column =
+    Bridge.toColumn(LexTokenCount(Bridge.toExpression(text)))
 }

@@ -28,6 +28,42 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literals"), e.getMessage)
   }
 
+  test("lex_token_count matches the regex formulation on corpus text and edge cases") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    // corpus agreement: the char-class scan must lex exactly like the
+    // regex it replaces (the q30 contract, also proved by the oracle)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val mismatch = docs.select(
+        size(TF.tokens(col("text"))).cast("long").as("ws_ref"),
+        size(TF.regexTokens(col("text"))).cast("long").as("rx_ref"),
+        graft.plans.TextStats.lexTokenCount(col("text")).as("tc"))
+      .filter(col("tc.ws_tokens") =!= col("ws_ref") ||
+        col("tc.rx_tokens") =!= col("rx_ref")).count()
+    assert(mismatch === 0)
+    // edge cases: tabs/newlines are \s for the lexer but NOT the
+    // single-space ws split; punctuation runs lex per char; surrogate
+    // pairs count once (regex matches per code point); null → null
+    val edge = Seq("ab1 cd--2\tx\ny", "  ", "", "a😀b", null)
+      .toDF("t").select(
+        graft.plans.TextStats.lexTokenCount(col("t")).as("tc"),
+        size(TF.tokens(col("t"))).cast("long").as("ws_ref"),
+        size(TF.regexTokens(col("t"))).cast("long").as("rx_ref"))
+    edge.collect().foreach { r =>
+      if (r.isNullAt(0)) { assert(r.isNullAt(1) || r.getLong(1) === -1L) }
+      else {
+        assert(r.getStruct(0).getLong(0) === r.getLong(1), s"ws mismatch: $r")
+        assert(r.getStruct(0).getLong(1) === r.getLong(2), s"rx mismatch: $r")
+      }
+    }
+    // and it is callable from SQL
+    val sqlRow = spark.sql(
+      "SELECT lex_token_count('ab 12 c-d').ws_tokens AS w, " +
+        "lex_token_count('ab 12 c-d').rx_tokens AS r").head
+    assert(sqlRow.getLong(0) === 3L && sqlRow.getLong(1) === 5L)
+  }
+
   test("native ShingleTokens matches the higher-order-function reference") {
     import graft.functions.{TextFunctions => TF}
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
