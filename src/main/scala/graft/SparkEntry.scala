@@ -1035,12 +1035,15 @@ object SparkEntry {
     * FARTHEST from its cell centroid (min cosine, the paper's
     * diversity-preserving rule). Every vec comes back labeled
     * (cell, cluster, kept), so the same plan serves both "drop the
-    * dupes" and audit queries. Oracle replays centroid choice, argmax
-    * assignment, edges and the closure in DuckDB (q41 + q59 patterns
-    * composed). */
+    * dupes" and audit queries. Cell count ADAPTS to the corpus
+    * (clamp(ceil(n/125), 16, 4096) — the q25 rule): a fixed count
+    * makes within-cell pair work quadratic in n; the floor keeps
+    * small-SF output (and the oracle) unchanged. Oracle replays the
+    * adaptive count, centroid choice, argmax assignment, edges and
+    * the closure in DuckDB (q25 + q41 + q59 patterns composed). */
   private val q73: Q = (s, d) =>
-    graft.operators.SemDedup.semDedup(
-        Tables.embeddings(s, d), nCentroids = 16, threshold = 0.4)
+    graft.operators.SemDedup.semDedupAdaptive(
+        Tables.embeddings(s, d), threshold = 0.4)
       .orderBy(col("vec_id"))
 
   /** BM25 top-10 retrieval for three keyword queries — the ranking half
@@ -2585,9 +2588,14 @@ object SparkEntry {
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
            FROM embeddings),
-         cents AS (
-           SELECT vec_id AS cell, v AS cv, nrm AS cn
-           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         params AS (
+           SELECT least(4096, greatest(16,
+             CAST(ceil(count(*) / 125.0) AS BIGINT))) AS nc FROM prep),
+         ranked_cents AS (
+           SELECT vec_id AS cell, v AS cv, nrm AS cn,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crnk
+           FROM prep),
+         cents AS (SELECT cell, cv, cn FROM ranked_cents, params WHERE crnk <= nc),
          asgn AS (
            SELECT vec_id, v, nrm, cell, cv, cn,
              row_number() OVER (PARTITION BY vec_id

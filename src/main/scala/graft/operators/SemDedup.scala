@@ -31,6 +31,22 @@ import graft.functions.VectorFunctions
   */
 object SemDedup {
 
+  /** [[semDedup]] with the cell count scaled to the corpus —
+    * `nCells = clamp(ceil(n / cellTarget), 16, maxCells)` (the q25
+    * bucketed-near-dup rule). A FIXED cell count is a scale ceiling:
+    * cell population grows ∝ n, so within-cell pair work grows
+    * quadratically with the corpus. Targeting a constant per-cell
+    * population keeps pair work linear; the floor pins small-corpus
+    * outputs (and the oracle) stable, the cap bounds the driver-side
+    * centroid collect. */
+  def semDedupAdaptive(emb: DataFrame, threshold: Double,
+                       cellTarget: Int = 125, maxCells: Int = 4096): DataFrame = {
+    val n = emb.count()
+    val nCells = math.min(maxCells.toLong,
+      math.max(16L, (n + cellTarget - 1) / cellTarget)).toInt
+    semDedup(emb, nCells, threshold)
+  }
+
   /** Label every embedding with its cell, duplicate-cluster id, cosine
     * to its cell centroid, and whether it is the kept exemplar. */
   def semDedup(emb: DataFrame, nCentroids: Int, threshold: Double): DataFrame = {
