@@ -1231,6 +1231,25 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Token-budgeted mixture — fill HALF the corpus's token mass with
+    * sqrt-temperature source apportionment
+    * ([[graft.operators.Sample.tokenBudgetMixture]]): the step that
+    * turns "mix sources at weights w_s" into an exact token-budget
+    * selection (training runs are provisioned in tokens, not rows —
+    * q64's rate thinning hits a row target only in expectation).
+    * Composes the native one-pass token counter (q30), integer-
+    * quantized sqrt weights (q64's discipline), and the bucket-
+    * parallel prefix sum (q68's machinery). Oracle replays the
+    * counter, the DECIMAL(38,0) budget arithmetic and the md5-order
+    * running total. */
+  private val q105: Q = (s, d) =>
+    graft.operators.Sample.tokenBudgetMixture(
+        Tables.documents(s, d), "source", "doc_id",
+        graft.plans.TextStats.lexTokenCount(col("text")).getField("ws_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("budget"), col("kept"))
+      .orderBy(col("doc_id"))
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1661,6 +1680,7 @@ object SparkEntry {
     "q102_median_mad_bucketed" -> q102,
     "q103_cluster_split" -> q103,
     "q104_filtered_ann" -> q104,
+    "q105_token_budget" -> q105,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3070,6 +3090,33 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
     "q104_filtered_ann" -> FilteredIvfPqReplaySql,
+    // q30's split-token count, integer sqrt-weight budgets in HUGEINT
+    // (Spark side: DECIMAL(38,0)), md5-order running totals per source.
+    "q105_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)
+               AS BIGINT) AS n_tokens,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS UBIGINT) AS BIGINT) AS ord
+           FROM documents),
+         tot AS (
+           SELECT source, sum(n_tokens) AS ts,
+             CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+           FROM t GROUP BY source),
+         g AS (SELECT sum(ts) AS tts, sum(w) AS tw FROM tot),
+         b AS (SELECT source,
+             CAST((CAST(tts AS HUGEINT) // 2) * w // tw AS BIGINT) AS budget
+           FROM tot, g),
+         c AS (SELECT t.doc_id, t.source, t.n_tokens,
+             sum(t.n_tokens) OVER (PARTITION BY t.source
+               ORDER BY t.ord, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+             b.budget
+           FROM t JOIN b USING (source))
+         SELECT doc_id, source, n_tokens, cum_tokens, budget,
+           cum_tokens <= budget AS kept
+         FROM c ORDER BY doc_id""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -155,6 +155,60 @@ object Sample {
     df.withColumn(splitCol, assign)
   }
 
+  /** TOKEN-budgeted mixture sampling — the "fill a pre-training token
+    * budget" step: given per-source token masses, apportion a global
+    * token budget across sources by sqrt-temperature weights (the
+    * [[mixtureBySource]] α=0.5 rule at TOKEN granularity, flattening
+    * dominant sources), then within each source keep documents in
+    * deterministic md5 order while the running token total fits the
+    * source's budget. Rate-based thinning ([[mixtureBySource]]) hits a
+    * ROW target in expectation; training runs are provisioned in
+    * TOKENS, and this hits the token budget exactly (to one document).
+    *
+    * Engine-exact by construction: weights are integer-quantized
+    * floor(sqrt(tokens)·1e6) (one correctly-rounded IEEE sqrt each),
+    * budgets are exact integer arithmetic in DECIMAL(38,0) —
+    * (total div budgetDiv) · w div Σw — and the selection order is
+    * (md5-derived 60-bit int, id), so the oracle replays every step.
+    *
+    * Scale shape: per-source totals are one small aggregate
+    * (#sources rows, checkpointed, broadcast back); the running
+    * total is [[Pack.shardedCumSum]] — bucket-parallel two-phase
+    * prefix sums, never a one-reducer-per-source window over the
+    * corpus; the keep decision is map-only against the broadcast
+    * budget frame.
+    *
+    * @param tokensCol per-row token count (e.g.
+    *                  `lexTokenCount(text).ws_tokens`); nulls count 0
+    * @param budgetDiv global budget = total tokens div budgetDiv
+    * @return input rows + (n_tokens, cum_tokens, budget, kept) */
+  def tokenBudgetMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         tokensCol: Column, budgetDiv: Long = 2L): DataFrame = {
+    require(budgetDiv > 0, "budgetDiv must be positive")
+    val base = df
+      .withColumn("n_tokens", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__ord",
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    // one row per source — bounded; checkpoint so the grand total
+    // reads the tiny frame, not the corpus again
+    val totals = base.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("__ts"))
+      .withColumn("__w", floor(sqrt(col("__ts").cast("double")) * 1e6).cast("long"))
+      .localCheckpoint(true)
+    val budgets = totals
+      .crossJoin(broadcast(totals.agg(
+        sum(col("__ts")).as("__tts"), sum(col("__w")).as("__tw"))))
+      .withColumn("budget",
+        expr(s"(CAST(__tts div ${budgetDiv}L AS DECIMAL(38,0)) * __w) div __tw"))
+      .select(col(sourceCol), col("budget"))
+    val cum = Pack.shardedCumSum(
+      base.join(broadcast(budgets), sourceCol),
+      sourceCol, "__ord", idCol, "n_tokens", "cum_tokens")
+    cum.withColumn("kept", col("cum_tokens") <= col("budget"))
+      .drop("__ord")
+  }
+
   /** Cluster-aware train/val/test split — [[hashSplit]] keyed on the
     * near-dup CLUSTER id instead of the document id, so every member
     * of a near-duplicate cluster lands in the SAME split. A per-doc

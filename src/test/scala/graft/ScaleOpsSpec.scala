@@ -429,10 +429,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     // q78/q95 scan corpus codes × broadcast probes BY DESIGN (PQ
     // without cell pruning — q80 is the pruned composite, which
     // equi-joins)
+    // q105 attaches the same 1-row (total tokens, total weight)
+    // aggregate as q64's rate frame — scalar attach, not a blowup
     val intentionalCross =
       Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union",
         "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25",
-        "q78_pq_ann", "q95_pq_trained", "q81_source_kl")
+        "q78_pq_ann", "q95_pq_trained", "q81_source_kl", "q105_token_budget")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!intentionalCross(name)) {
@@ -557,6 +559,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     val disagree = out.join(clustered, Seq("doc_id"), "left_anti")
       .join(perDoc, "doc_id").filter(col("split") =!= col("pd")).count()
     assert(disagree === 0)
+  }
+
+  test("tokenBudgetMixture keeps a budget-respecting md5-order prefix per source") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = graft.operators.Sample.tokenBudgetMixture(docs, "source", "doc_id",
+      graft.plans.TextStats.lexTokenCount(col("text")).getField("ws_tokens"))
+    assert(out.count() === docs.count())
+    // kept token mass never exceeds the source's budget
+    val over = out.filter(col("kept")).groupBy(col("source"), col("budget"))
+      .agg(sum(col("n_tokens")).as("kt"))
+      .filter(col("kt") > col("budget")).count()
+    assert(over === 0)
+    // and some budget is actually consumed (guards a vacuous pass)
+    assert(out.filter(col("kept")).count() > 0)
+    // the kept set is a PREFIX of the md5 selection order: every kept
+    // row sorts before every dropped row within its source (this is
+    // what pins the shardedCumSum ordering wiring)
+    val ord = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+    val ranked = out.withColumn("__o", struct(ord, col("doc_id")))
+    val lastKept = ranked.filter(col("kept"))
+      .groupBy("source").agg(max(col("__o")).as("mk"))
+    val firstDrop = ranked.filter(!col("kept"))
+      .groupBy("source").agg(min(col("__o")).as("fd"))
+    val inversions = lastKept.join(firstDrop, "source")
+      .filter(col("mk") >= col("fd")).count()
+    assert(inversions === 0, "a kept doc sorts after a dropped doc")
   }
 
   test("bounded aggregates reject mistyped input structs at analysis time") {
