@@ -1250,6 +1250,40 @@ object SparkEntry {
         col("cum_tokens"), col("budget"), col("kept"))
       .orderBy(col("doc_id"))
 
+  /** INCREMENTAL near-dup dedup — each ingest batch dedups against
+    * all history from a materialized MinHash band store
+    * ([[graft.operators.Dedup.MinhashStore]]), at O(batch + matches)
+    * instead of re-running q22 over the full corpus: the q97
+    * incremental-maintenance pattern applied to the dedup family
+    * (the reference's per-record processed-keys check,
+    * consumer.py:57-92, when "seen" means near-duplicate). Corpus
+    * v1 = doc_id % 31 ≠ 0 (store, built+cached once per dataset);
+    * delta = doc_id % 31 = 0. Output ≡ q22 over the FULL corpus
+    * restricted to delta-touching pairs — the oracle is q22's
+    * generated XXH64 replay wrapped with exactly that predicate, so
+    * the hash match proves the store path loses nothing. */
+  private val q106StoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q106: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val path = q106StoreCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q106_store")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val store = root.toString + "/store"
+      Dedup.MinhashStore.build(docs.filter(col("doc_id") % 31 =!= 0),
+        "doc_id", "text", store, k = 3, bands = 16, rowsPerBand = 4)
+      store
+    })
+    Dedup.MinhashStore.incrementalPairs(docs.filter(col("doc_id") % 31 === 0),
+        "doc_id", "text", path, k = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1681,6 +1715,7 @@ object SparkEntry {
     "q103_cluster_split" -> q103,
     "q104_filtered_ann" -> q104,
     "q105_token_budget" -> q105,
+    "q106_incremental_dedup" -> q106,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3117,6 +3152,11 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens, cum_tokens, budget,
            cum_tokens <= budget AS kept
          FROM c ORDER BY doc_id""",
+    // q22's generated XXH64 replay over the FULL corpus, restricted to
+    // pairs that touch a delta doc — incremental == full-minus-history.
+    "q106_incremental_dedup" ->
+      (s"SELECT * FROM (${GeneratedOracles.q22})" +
+        " WHERE d1 % 31 = 0 OR d2 % 31 = 0 ORDER BY d1, d2"),
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -191,17 +191,23 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup candidates, verified by exact
     * Jaccard over shingles. bands × rowsPerBand = signature length. */
+  /** (doc_id, band, band_hash) LSH band keys — band b hashes the
+    * signature's b-th slice. The map-only projection both the inline
+    * pair join and the materialized band store build from. */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "band_hash")
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val sh = shingleHashTable(docs, idCol, textCol, k) // see ngramJaccardPairs re: no cache()
 
-    val sig = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
-    // band b → hash of the band's slice; bucket join on (band, bandHash)
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .toDF("doc_id", "band", "band_hash")
+    val banded = bandedSignatures(docs, idCol, textCol, k, bands, rowsPerBand)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -216,6 +222,101 @@ object Dedup {
       .join(sh.toDF("d2", "s"), Seq("d2", "s"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     withJaccard(inter, sizes, threshold)
+  }
+
+  /** Materialized MinHash dedup store — the incremental-ingest shape:
+    * a corpus's LSH band keys and shingle-hash posting lists persisted
+    * once, so each ingest batch dedups against ALL history at
+    * O(batch + matches), never O(corpus). The q97 pattern (build-once
+    * artifacts + delta application) applied to the dedup family; the
+    * reference dedups each consumed record against its processed-keys
+    * store (consumer.py:57-92) — this is that operation when "seen
+    * before" means near-duplicate, not key-equal.
+    *
+    * Layout under `path` (all batch-partitioned so [[appendBatch]] is
+    * an idempotent dynamic-partition overwrite of one batch dir):
+    *  - `bands/batch=N/`    — (doc_id, band, band_hash)
+    *  - `shingles/batch=N/` — (doc_id, s) 8-byte shingle hashes
+    *  - `sizes/batch=N/`    — (doc_id, n_shingles)
+    */
+  object MinhashStore {
+    def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+              k: Int, bands: Int, rowsPerBand: Int): Unit =
+      appendBatch(docs, idCol, textCol, path, k, bands, rowsPerBand, batch = 0L)
+
+    /** Add one ingest batch's keys to the store. Idempotent: re-running
+      * a batch id rewrites exactly its `batch=N` directories (dynamic
+      * partition overwrite), leaving every other batch byte-untouched.
+      * Removals/updates compose with [[graft.operators.Versioning
+      * .datasetDiff]] upstream: feed only added/changed docs, retire
+      * stale ids by rewriting their original batch. */
+    def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, k: Int, bands: Int, rowsPerBand: Int,
+                    batch: Long): Unit = {
+      val sp = docs.sparkSession
+      val saved = sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val sh = shingleHashTable(docs, idCol, textCol, k)
+        graft.sources.Sinks.writePartitioned(
+          bandedSignatures(docs, idCol, textCol, k, bands, rowsPerBand)
+            .withColumn("batch", lit(batch)),
+          s"$path/bands", Seq("batch"))
+        graft.sources.Sinks.writePartitioned(
+          sh.withColumn("batch", lit(batch)), s"$path/shingles", Seq("batch"))
+        graft.sources.Sinks.writePartitioned(
+          sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+            .withColumn("batch", lit(batch)),
+          s"$path/sizes", Seq("batch"))
+      } finally saved.fold(
+        sp.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+
+    /** Near-dup pairs of `delta` against the store AND within `delta`
+      * itself — the per-ingest-batch dedup query. Output is identical
+      * to running [[minhashLshPairs]] over (store corpus ∪ delta) and
+      * keeping the pairs that touch a delta doc (the spec proves it).
+      *
+      * Scale shape: the delta's band keys BROADCAST onto the store's
+      * band table — the store never shuffles (one map-side-join scan
+      * of 8-byte keys, not corpus text); candidate verification joins
+      * the posting lists against the (small) candidate frame — AQE
+      * broadcasts it, so the store's shingle scan never shuffles
+      * either; delta×delta is the tiny inline join. */
+    def incrementalPairs(delta: DataFrame, idCol: String, textCol: String,
+                         path: String, k: Int, bands: Int, rowsPerBand: Int,
+                         threshold: Double): DataFrame = {
+      val sp = delta.sparkSession
+      val storeBands = sp.read.parquet(s"$path/bands").drop("batch")
+      val storeSh = sp.read.parquet(s"$path/shingles").drop("batch")
+      val storeSizes = sp.read.parquet(s"$path/sizes").drop("batch")
+      val dBands = bandedSignatures(delta, idCol, textCol, k, bands, rowsPerBand)
+      val dSh = shingleHashTable(delta, idCol, textCol, k)
+      val dSizes = dSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      // old×new: store streams, delta broadcasts; orient ids so d1 < d2
+      val oldNew = storeBands.as("x").join(
+          broadcast(dBands.as("y")),
+          col("x.band") === col("y.band") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      // new×new: the in-batch pairs
+      val newNew = dBands.as("x").join(dBands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      val cand = oldNew.unionByName(newNew).distinct()
+      val sh = storeSh.unionByName(dSh)
+      val sizes = storeSizes.unionByName(dSizes)
+      val inter = cand
+        .join(sh.toDF("d1", "s"), "d1")
+        .join(sh.toDF("d2", "s"), Seq("d2", "s"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      withJaccard(inter, sizes, threshold)
+    }
   }
 
   /** SimHash fingerprints per doc (64-bit), plus 16-bit block keys for

@@ -561,6 +561,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(disagree === 0)
   }
 
+  test("incremental minhash dedup over the band store equals the full-corpus run") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val path = Files.createTempDirectory("graft_mhstore").toString + "/store"
+    val v1 = docs.filter(col("doc_id") % 31 =!= 0)
+    val delta = docs.filter(col("doc_id") % 31 === 0)
+    Dedup.MinhashStore.build(v1, "doc_id", "text", path, 3, 16, 4)
+    val inc = Dedup.MinhashStore.incrementalPairs(
+      delta, "doc_id", "text", path, 3, 16, 4, 0.5)
+    // the store path must find EXACTLY the full run's delta-touching
+    // pairs — incremental loses nothing, invents nothing
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .filter(col("d1") % 31 === 0 || col("d2") % 31 === 0)
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+    // appendBatch extends history idempotently: after absorbing the
+    // delta (twice — the rerun must be a no-op overwrite), the store
+    // is row-identical to a fresh build over the full corpus
+    Dedup.MinhashStore.appendBatch(delta, "doc_id", "text", path, 3, 16, 4, batch = 1L)
+    Dedup.MinhashStore.appendBatch(delta, "doc_id", "text", path, 3, 16, 4, batch = 1L)
+    val freshPath = Files.createTempDirectory("graft_mhfresh").toString + "/store"
+    Dedup.MinhashStore.build(docs, "doc_id", "text", freshPath, 3, 16, 4)
+    for (part <- Seq("bands", "shingles", "sizes")) {
+      val grown = spark.read.parquet(s"$path/$part").drop("batch")
+      val fresh = spark.read.parquet(s"$freshPath/$part").drop("batch")
+      assert(grown.exceptAll(fresh).count() === 0, s"$part: extra rows after append")
+      assert(fresh.exceptAll(grown).count() === 0, s"$part: missing rows after append")
+    }
+  }
+
   test("tokenBudgetMixture keeps a budget-respecting md5-order prefix per source") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val out = graft.operators.Sample.tokenBudgetMixture(docs, "source", "doc_id",
