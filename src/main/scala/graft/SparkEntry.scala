@@ -1284,6 +1284,83 @@ object SparkEntry {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** CO-LOCATED fact⋈fact join over bucketed tables
+    * ([[graft.sources.Bucketing.writeBucketed]]) — orders and lineitem
+    * written bucketed by order key with MATCHING bucket counts (once
+    * per dataset, cached like q87's index), then joined with a
+    * sort-merge hint: bucket i reads against bucket i with NO exchange
+    * on either side (ScaleOpsSpec pins the exchange-free plan). At
+    * 100 TB this removes the two largest shuffles of the workload —
+    * the write pays one clustering shuffle up front and every
+    * subsequent join on the key is map-side. The reference gets this
+    * layout for free from DynamoDB's key-clustered storage
+    * (consumer.py's keyed event store); bucketing is the warehouse
+    * equivalent. Oracle: the plain join+agg — layout must not change
+    * results. */
+  private val q107TableCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val q107: Q = (s, d) => {
+    val (ot, lt) = q107TableCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q107_bkt")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val sfx = d.toLowerCase.replaceAll("[^a-z0-9]", "_")
+      val ot = s"graft_orders_b$sfx"
+      val lt = s"graft_lineitem_b$sfx"
+      graft.sources.Bucketing.writeBucketed(Tables.orders(s, d), ot,
+        root.toString + "/orders_b", "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey"),
+        lt, root.toString + "/lineitem_b", "o_orderkey", 8)
+      (ot, lt)
+    })
+    s.table(ot).hint("merge").join(s.table(lt), "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Canonical-representative dedup — the step that turns near-dup
+    * PAIRS into the KEPT CORPUS: q22's MinHash/LSH verified edges →
+    * q59's large-star/small-star connected components → per cluster
+    * keep the member with the most tokens (integer-exact argmax with
+    * doc_id tie-break; "keep the longest member" is the standard
+    * retention heuristic when no quality model is trusted). Every doc
+    * is emitted with its cluster, token count, keep verdict and the
+    * winner replacing it — the manifest a 100 TB dedup job publishes
+    * downstream. Costs one band shuffle plus the CC rounds; document
+    * payloads shuffle zero times (token counts ride the 16-byte id
+    * rows). Oracle: q22's generated XXH64 replay as the edge set, the
+    * q59 recursive-CTE components, and the same integer argmax. */
+  private val q108: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val comps = graft.operators.Cluster.connectedComponents(edges, "d1", "d2")
+    val tok = docs.select(col("doc_id"),
+      graft.plans.TextStats.lexTokenCount(col("text"))
+        .getField("ws_tokens").as("n_tokens"))
+    val lab = tok
+      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .drop("component")
+    // integer argmax: max over (n_tokens, -doc_id) structs — ties
+    // break to the LOWEST doc_id, exactly as the oracle's row_number
+    val win = lab.groupBy("cluster_id")
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("__w"))
+      .select(col("cluster_id"), (-col("__w.neg_id")).as("replaced_by"))
+    lab.join(win, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        (col("doc_id") === col("replaced_by")).as("kept"), col("replaced_by"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1716,6 +1793,8 @@ object SparkEntry {
     "q104_filtered_ann" -> q104,
     "q105_token_budget" -> q105,
     "q106_incremental_dedup" -> q106,
+    "q107_colocated_join" -> q107,
+    "q108_canonical_keep" -> q108,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3157,6 +3236,40 @@ object SparkEntry {
     "q106_incremental_dedup" ->
       (s"SELECT * FROM (${GeneratedOracles.q22})" +
         " WHERE d1 % 31 = 0 OR d2 % 31 = 0 ORDER BY d1, d2"),
+    // layout must not change results: the plain join+agg, no bucketing
+    "q107_colocated_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         count(DISTINCT o_orderkey) AS n_orders,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q22's generated band replay as the edge set, the q59 recursive-
+    // CTE components, and the integer keep-longest argmax
+    "q108_canonical_keep" ->
+      (s"""WITH RECURSIVE edges AS (SELECT d1, d2 FROM (${GeneratedOracles.q22})),
+         sym AS (SELECT d1 AS u, d2 AS v FROM edges
+                 UNION SELECT d2, d1 FROM edges),
+         reach(u, v) AS (
+             SELECT u, v FROM sym
+             UNION
+             SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+         comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+                  FROM reach GROUP BY u),
+         tok AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+             FROM documents),
+         lab AS (SELECT t.doc_id, coalesce(c.cluster_id, t.doc_id) AS cluster_id,
+                        t.n_tokens
+                 FROM tok t LEFT JOIN comp c ON t.doc_id = c.doc_id),
+         win AS (SELECT cluster_id, doc_id AS replaced_by FROM
+             (SELECT cluster_id, doc_id,
+                row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY n_tokens DESC, doc_id) AS rn FROM lab)
+             WHERE rn = 1)
+         SELECT l.doc_id, l.cluster_id, l.n_tokens,
+           l.doc_id = w.replaced_by AS kept, w.replaced_by
+         FROM lab l JOIN win w ON l.cluster_id = w.cluster_id
+         ORDER BY l.doc_id"""),
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -414,6 +414,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q107's registered join subtree is exchange-free over bucketed scans") {
+    val df = SparkEntry.queries("q107_colocated_join")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // both sides must come off the bucketed layout...
+    assert("SelectedBucketsCount".r.findAllIn(plan).size === 2, plan)
+    // ...and nothing between the scans and the sort-merge join may
+    // shuffle: plan text prints root-first, so the join's SUBTREE is
+    // everything after its line — any Exchange there is a join-input
+    // shuffle (the 5-group aggregate's exchanges print above the join)
+    val joinAt = plan.indexOf("SortMergeJoin")
+    assert(joinAt >= 0, plan)
+    val exchangeBelow = plan.indexOf("Exchange", joinAt)
+    assert(exchangeBelow === -1,
+      s"exchange below the bucketed join:\n$plan")
+  }
+
   test("no accidental cartesian products in any query plan") {
     // brute-force ANN scans corpus × broadcast probes BY DESIGN (the
     // exact baseline the approximate operators are judged against);
