@@ -283,14 +283,27 @@ object Dedup {
       * of 8-byte keys, not corpus text); candidate verification joins
       * the posting lists against the (small) candidate frame — AQE
       * broadcasts it, so the store's shingle scan never shuffles
-      * either; delta×delta is the tiny inline join. */
+      * either; delta×delta is the tiny inline join.
+      *
+      * @param excludeBatch ignore this store batch id — REQUIRED when
+      *        re-running a batch whose [[appendBatch]] may already
+      *        have landed (a streaming replay after a crash):
+      *        otherwise the batch's own shingle rows appear on BOTH
+      *        sides of the union and inflate intersection counts.
+      *        The partition filter prunes the `batch=N` dirs at the
+      *        scan, so the guard costs nothing when N never landed. */
     def incrementalPairs(delta: DataFrame, idCol: String, textCol: String,
                          path: String, k: Int, bands: Int, rowsPerBand: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         excludeBatch: Option[Long] = None): DataFrame = {
       val sp = delta.sparkSession
-      val storeBands = sp.read.parquet(s"$path/bands").drop("batch")
-      val storeSh = sp.read.parquet(s"$path/shingles").drop("batch")
-      val storeSizes = sp.read.parquet(s"$path/sizes").drop("batch")
+      def part(sub: String): DataFrame = {
+        val raw = sp.read.parquet(s"$path/$sub")
+        excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= b)).drop("batch")
+      }
+      val storeBands = part("bands")
+      val storeSh = part("shingles")
+      val storeSizes = part("sizes")
       val dBands = bandedSignatures(delta, idCol, textCol, k, bands, rowsPerBand)
       val dSh = shingleHashTable(delta, idCol, textCol, k)
       val dSizes = dSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
