@@ -1361,6 +1361,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** HLL SET ALGEBRA — audience overlap between event segments
+    * without ever materializing a user set: q70's 256-byte register
+    * banks per segment, pairwise UNIONED by elementwise max (the
+    * associative merge that makes HLL the 100 TB distinct sketch),
+    * overlap by inclusion–exclusion est(A) + est(B) − est(A∪B). The
+    * reference's per-genre/per-source audience questions
+    * (web_api.py's segment reads) become one bank per segment + a
+    * #segments² sketch-only join — no re-scan of the events, no
+    * distinct shuffle of user ids. Every step is engine-exact (q70's
+    * integer register discipline; IEEE double add/sub replays
+    * bit-identically), so the approximate overlap still hash-matches
+    * its oracle. */
+  private val q109: Q = (s, d) => {
+    import graft.functions.Sketches
+    val hx = Sketches.hashHex(col("user_id"))
+    val banks = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+      .groupBy(col("event_type"))
+      .agg(graft.plans.HllRegisters.hllRegisters(
+        struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+    val a = banks.select(col("event_type").as("t1"), col("regs").as("r1"))
+    val b = banks.select(col("event_type").as("t2"), col("regs").as("r2"))
+    a.join(b, col("t1") < col("t2")) // #segments rows per side — tiny
+      .select(col("t1"), col("t2"),
+        Sketches.hllEstimate(col("r1")).as("est_t1"),
+        Sketches.hllEstimate(col("r2")).as("est_t2"),
+        Sketches.hllEstimate(
+          zip_with(col("r1"), col("r2"), (x, y) => greatest(x, y)))
+          .as("est_union"))
+      .withColumn("est_overlap",
+        round(col("est_t1") + col("est_t2") - col("est_union"), 4))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1795,6 +1831,7 @@ object SparkEntry {
     "q106_incremental_dedup" -> q106,
     "q107_colocated_join" -> q107,
     "q108_canonical_keep" -> q108,
+    "q109_hll_overlap" -> q109,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3270,6 +3307,78 @@ object SparkEntry {
            l.doc_id = w.replaced_by AS kept, w.replaced_by
          FROM lab l JOIN win w ON l.cluster_id = w.cluster_id
          ORDER BY l.doc_id"""),
+    // q70's register replay per segment, pair-union registers by max,
+    // the same estimate formula three ways, inclusion–exclusion last
+    "q109_hll_overlap" ->
+      """WITH h AS (
+           SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+           FROM events WHERE user_id IS NOT NULL),
+         d AS (
+           SELECT event_type,
+             CAST((strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+               + strpos('0123456789abcdef', substr(hx,2,1))-1 AS BIGINT) AS bucket,
+             length(regexp_extract(substr(hx,3,14), '^0*')) AS lz,
+             substr(substr(hx,3,14),
+               length(regexp_extract(substr(hx,3,14), '^0*'))+1, 1) AS fc
+           FROM h),
+         r0 AS (
+           SELECT event_type, bucket,
+             CASE WHEN lz = 14 THEN 57
+                  ELSE 4*lz + CASE WHEN fc = '1' THEN 3
+                                   WHEN fc IN ('2','3') THEN 2
+                                   WHEN fc IN ('4','5','6','7') THEN 1
+                                   ELSE 0 END + 1 END AS rho
+           FROM d),
+         r AS (SELECT event_type, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, count(*) AS nz,
+             sum(CAST(pow(2.0, 57 - rho) AS HUGEINT)) AS numer_nz
+           FROM r GROUP BY 1),
+         estt AS (
+           SELECT event_type,
+             round(CASE WHEN 256 - nz > 0 AND
+                 (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57))
+                   / CAST(numer_nz + CAST(256 - nz AS HUGEINT)
+                       * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE) <= 640.0
+               THEN 256.0 * ln(256.0 / (256 - nz))
+               ELSE (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57))
+                   / CAST(numer_nz + CAST(256 - nz AS HUGEINT)
+                       * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE)
+               END, 4) AS est
+           FROM g),
+         pairs AS (
+           SELECT a.event_type AS t1, b.event_type AS t2
+           FROM (SELECT DISTINCT event_type FROM h) a
+           JOIN (SELECT DISTINCT event_type FROM h) b
+             ON a.event_type < b.event_type),
+         ru AS (
+           SELECT p.t1, p.t2, r.bucket, max(r.rho) AS rho
+           FROM pairs p JOIN r
+             ON r.event_type = p.t1 OR r.event_type = p.t2
+           GROUP BY 1, 2, 3),
+         gu AS (
+           SELECT t1, t2, count(*) AS nz,
+             sum(CAST(pow(2.0, 57 - rho) AS HUGEINT)) AS numer_nz
+           FROM ru GROUP BY 1, 2),
+         estu AS (
+           SELECT t1, t2,
+             round(CASE WHEN 256 - nz > 0 AND
+                 (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57))
+                   / CAST(numer_nz + CAST(256 - nz AS HUGEINT)
+                       * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE) <= 640.0
+               THEN 256.0 * ln(256.0 / (256 - nz))
+               ELSE (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57))
+                   / CAST(numer_nz + CAST(256 - nz AS HUGEINT)
+                       * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE)
+               END, 4) AS est_union
+           FROM gu)
+         SELECT p.t1, p.t2, a.est AS est_t1, b.est AS est_t2, u.est_union,
+           round(a.est + b.est - u.est_union, 4) AS est_overlap
+         FROM pairs p
+         JOIN estt a ON a.event_type = p.t1
+         JOIN estt b ON b.event_type = p.t2
+         JOIN estu u ON u.t1 = p.t1 AND u.t2 = p.t2
+         ORDER BY p.t1, p.t2""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -447,10 +447,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     // equi-joins)
     // q105 attaches the same 1-row (total tokens, total weight)
     // aggregate as q64's rate frame — scalar attach, not a blowup
+    // q109 compares group-level HLL banks pairwise AFTER aggregation —
+    // cardinality is #event_types, not #rows (the q40 shape)
     val intentionalCross =
       Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union",
         "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25",
-        "q78_pq_ann", "q95_pq_trained", "q81_source_kl", "q105_token_budget")
+        "q78_pq_ann", "q95_pq_trained", "q81_source_kl", "q105_token_budget",
+        "q109_hll_overlap")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!intentionalCross(name)) {
