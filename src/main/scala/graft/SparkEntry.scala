@@ -1397,6 +1397,24 @@ object SparkEntry {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** Duplicate-substring REMOVAL — q75's dup-window signal turned into
+    * the corpus REWRITE substring dedup actually ships
+    * ([[graft.operators.Dedup.removeDuplicateSpans]]): keep the
+    * globally first occurrence of every duplicated 16-token window,
+    * cut the tokens of every other occurrence, emit the rewritten
+    * text. Lee et al. 2022's "deduplicating training data" span
+    * removal at window granularity; the reference never rewrites
+    * payloads, but a 100 TB pretraining pipeline runs exactly this
+    * between q75's diagnosis and training. Shuffles carry only
+    * (8-byte hash, doc_id, position); the rewrite is a map-only array
+    * filter. Oracle: window-text grouping (identical partitioning to
+    * the hash, the q75 precedent), first-occurrence election by
+    * row_number, and the same index-lambda token filter. */
+  private val q110: Q = (s, d) =>
+    Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        win = 16)
+      .orderBy(col("doc_id"))
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1832,6 +1850,7 @@ object SparkEntry {
     "q107_colocated_join" -> q107,
     "q108_canonical_keep" -> q108,
     "q109_hll_overlap" -> q109,
+    "q110_dup_span_removal" -> q110,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3379,6 +3398,40 @@ object SparkEntry {
          JOIN estt b ON b.event_type = p.t2
          JOIN estu u ON u.t1 = p.t1 AND u.t2 = p.t2
          ORDER BY p.t1, p.t2""",
+    // window-TEXT grouping (≡ the 8-byte hash partitioning, q75's
+    // precedent), first occurrence by row_number over (doc_id, i),
+    // token filter by 1-based index lambda (Spark's is 0-based —
+    // the m+1 ≤ j ≤ m+16 bounds translate the same coverage)
+    "q110_dup_span_removal" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, i, array_to_string(w[i+1:i+16], ' ') AS s
+           FROM toks, unnest(range(greatest(len(w) - 15, 0))) AS t(i)),
+         ann AS (
+           SELECT doc_id, i,
+             count(*) OVER (PARTITION BY s) AS occ,
+             row_number() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+           FROM sh),
+         rem AS (
+           SELECT doc_id, list(i) AS ms FROM ann
+           WHERE occ >= 2 AND rn > 1 GROUP BY doc_id),
+         j AS (
+           SELECT t.doc_id, t.w, coalesce(r.ms, []) AS ms
+           FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id),
+         o AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             list_filter(w, (x, j) ->
+               len(list_filter(ms, m -> m + 1 <= j AND j <= m + 16)) = 0) AS keep
+           FROM j)
+         SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(keep) AS BIGINT) AS n_removed,
+           -- duckdb's array_to_string([]) is NULL; spark's array_join
+           -- of an empty array is '' — the fully-removed doc case
+           coalesce(array_to_string(keep, ' '), '') AS new_text
+         FROM o ORDER BY doc_id""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -461,6 +461,53 @@ object Dedup {
         round(col("n_dup_windows") / col("n_windows"), 4).as("dup_frac"))
   }
 
+  /** Duplicate-substring REMOVAL — [[duplicateSpanStats]]' signal
+    * turned into the rewrite a substring-dedup pipeline actually ships
+    * (Lee et al. 2022 keep ONE occurrence of every duplicated span;
+    * this is that contract at window granularity, in token space):
+    *
+    *  1. every `win`-token window hashes to 8 bytes (equal hashes ≡
+    *     equal windows up to 2^-64, as in the stats pass);
+    *  2. each window text occurring ≥ 2× elects its globally FIRST
+    *     occurrence — min (doc_id, position) — as canonical via one
+    *     map-side-combined min-struct aggregate;
+    *  3. every NON-canonical occurrence marks its `win` tokens; a
+    *     token survives iff no mark covers it (overlapping marks
+    *     merge by construction);
+    *  4. the doc rewrites to its surviving tokens.
+    *
+    * Scale shape: shuffles carry (hash, doc_id, position) — never
+    * window text, never documents; the per-doc mark list is per-doc
+    * DATA (bounded by the doc's own window count), not driver state;
+    * the rewrite is a map-only array filter. A window repeated
+    * millions of times is one combined row in the election aggregate
+    * and an AQE-splittable hot key in the mark join-back.
+    *
+    * @return (doc_id, n_tokens, n_removed, new_text) for every doc */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           win: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("w"))
+    val sh = toks.select(col("doc_id"),
+        posexplode(TextFunctions.shingles(col("w"), win)).as(Seq("i", "s")))
+      .select(col("doc_id"), col("i"), xxhash64(col("s")).as("h"))
+    val dup = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("i"))).as("first"))
+      .filter(col("occ") >= 2)
+    val marks = sh.join(dup, "h")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("i") === col("first.i")))
+      .groupBy(col("doc_id")).agg(collect_list(col("i")).as("ms"))
+    toks.join(marks, Seq("doc_id"), "left")
+      .withColumn("ms", coalesce(col("ms"), array().cast("array<int>")))
+      .withColumn("keep", filter(col("w"),
+        (_, j) => !exists(col("ms"), m => j >= m && j <= m + lit(win - 1))))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("keep"))).cast("long").as("n_removed"),
+        array_join(col("keep"), " ").as("new_text"))
+  }
+
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          k: Int, minOverlap: Int): DataFrame = {

@@ -27,6 +27,24 @@ class OperatorsSpec extends AnyFunSuite {
   private def docs = Tables.documents(spark, TestSpark.sf)
   private def emb = Tables.embeddings(spark, TestSpark.sf)
 
+  test("removeDuplicateSpans keeps the first occurrence and cuts the rest") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"t$i").mkString(" ") // 20 shared tokens
+    val in = Seq(
+      (1L, base + " unique tail one"),
+      (2L, "prefix words here " + base)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(in, "doc_id", "text", win = 16)
+      .orderBy("doc_id").collect()
+    // doc 1 owns every duplicated window's first occurrence — untouched
+    assert(out(0).getAs[Long]("n_removed") === 0L)
+    assert(out(0).getAs[String]("new_text") === base + " unique tail one")
+    // doc 2's copy of the base is fully covered by its 5 non-canonical
+    // windows (offsets 3..7 over 23 tokens) — only the prefix survives
+    assert(out(1).getAs[Long]("n_tokens") === 23L)
+    assert(out(1).getAs[Long]("n_removed") === 20L)
+    assert(out(1).getAs[String]("new_text") === "prefix words here")
+  }
+
   test("exact dedup groups cover all docs") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
     val total = groups.agg(sum("n_copies")).head.getLong(0)
