@@ -1415,6 +1415,57 @@ object SparkEntry {
         win = 16)
       .orderBy(col("doc_id"))
 
+  /** INCREMENTAL page-index maintenance — q97's pattern applied to
+    * q100's pagination index
+    * ([[graft.operators.Pagination.appendToPageIndex]]): the index
+    * bootstraps on the first slice of the day's id-ordered log
+    * (cached, like q87/q100), the remainder APPENDS as a key-monotone
+    * batch — new rows rank on from the manifest's row count, the
+    * partial last bucket tops up in place, untouched bucket dirs stay
+    * byte-identical (ScaleOpsSpec pins all three plus idempotent
+    * replay). That is the daily operation of a log-backed pagination
+    * API: sequence-numbered arrivals extend the index at O(batch),
+    * never O(table). The drain then serves ACROSS the boot/append
+    * boundary and the oracle is q100's row_number SQL verbatim —
+    * appended ≡ built-fresh ≡ protocol ≡ prefix scan, all
+    * hash-equal. */
+  private val q111IndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q111: Q = (s, d) => {
+    val day = Tables.events(s, d)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // integer split at 5% of the day's id range: a small bootstrap
+    // slice, so the 32-page drain provably crosses into appended
+    // buckets (one bounded 1-row collect, the q99 min/max precedent)
+    val r = day.agg(min(col("event_id")), max(col("event_id"))).head()
+    require(!r.isNullAt(0), s"q111: no events on the index day in $d")
+    val split = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 20L
+    val path = q111IndexCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q111_idx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val idx = root.toString + "/idx"
+      graft.operators.Pagination.buildPageIndex(
+        day.filter(col("event_id") <= split), key = "event_id",
+        bucketRows = 1000L, path = idx)
+      idx
+    })
+    // real work on the first invocation; an already-applied batch is
+    // detected from the manifest and no-ops (idempotent replay)
+    graft.operators.Pagination.appendToPageIndex(
+      day.filter(col("event_id") > split), key = "event_id",
+      bucketRows = 1000L, path = path)
+    graft.operators.Pagination.pagedFromIndex(s, path, key = "event_id",
+        cols = Seq("event_id", "user_id", "event_type", "value"),
+        pageSize = 250, pages = 32)
+      .orderBy(col("event_id"))
+  }
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1851,6 +1902,7 @@ object SparkEntry {
     "q108_canonical_keep" -> q108,
     "q109_hll_overlap" -> q109,
     "q110_dup_span_removal" -> q110,
+    "q111_page_index_append" -> q111,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3140,6 +3192,19 @@ object SparkEntry {
     // q100 serves the SAME budgeted drain from the page index, so its
     // oracle IS q90's SQL: index-served ≡ protocol-served ≡ prefix scan.
     "q100_page_index" ->
+      """SELECT CAST((rn - 1) // 250 AS BIGINT) AS page_no,
+           event_id, user_id, event_type, value
+         FROM (
+           SELECT row_number() OVER (ORDER BY event_id) AS rn,
+             event_id, user_id, event_type, value
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06 00:00:00')
+         WHERE rn <= 32 * 250
+         ORDER BY event_id""",
+    // appended ≡ built-fresh ≡ protocol: q100's SQL verbatim — the
+    // boot/append split must be invisible to the served drain
+    "q111_page_index_append" ->
       """SELECT CAST((rn - 1) // 250 AS BIGINT) AS page_no,
            event_id, user_id, event_type, value
          FROM (

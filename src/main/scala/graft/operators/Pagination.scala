@@ -239,4 +239,111 @@ object Pagination {
       .withColumn("page_no", lit(0L))
     else acc.reduce(_ unionByName _)
   }
+
+  /** APPEND a key-monotone batch to a [[buildPageIndex]] layout —
+    * the rightmost-leaf insert of an index-organized table, at
+    * O(batch + one bucket) instead of a full rebuild (the q97
+    * incremental-maintenance pattern applied to the page index):
+    *
+    *  - CONTRACT: every new key must exceed the index's current
+    *    key_max (a log-structured source — sequence numbers, event
+    *    ids — satisfies this by construction; anything else needs the
+    *    rebuild). A batch whose keys are ALL ≤ key_max is treated as
+    *    already applied and the append no-ops, which makes replay
+    *    after a crash (or a re-run of the same batch) idempotent;
+    *  - new rows rank among themselves with the same two-phase
+    *    offset + row_number shape as the build, shifted by the
+    *    manifest's total row count — global ranks continue exactly
+    *    where the index left off;
+    *  - the PARTIAL last bucket tops up: its directory rewrites once
+    *    with old rows ∪ its share of new rows (dynamic partition
+    *    overwrite touches only bucket dirs the batch lands in —
+    *    LayoutSpec-style immutability for everything below);
+    *  - the manifest rewrites (≤ #buckets rows) with recomputed
+    *    stats for touched buckets only.
+    *
+    * [[pagedFromIndex]] over the appended index is row-identical to
+    * one built fresh over the union — q111's oracle proves it. */
+  def appendToPageIndex(df: DataFrame, key: String, bucketRows: Long,
+                        path: String, parts: Int = 32): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val manifest = spark.read.parquet(s"$path/manifest")
+      .collect()
+      .map(r => (r.getAs[Number]("pbucket").longValue(),
+        r.getAs[Number]("rows").longValue(),
+        r.getAs[Number]("key_max").longValue()))
+      .sortBy(_._1)
+    val totalRows = manifest.map(_._2).sum
+    val idxMax = manifest.map(_._3).max
+    val range = df.agg(min(col(key)), max(col(key))).head()
+    if (range.isNullAt(0)) return // empty batch
+    val (dMin, dMax) = (range.getLong(0), range.getLong(1))
+    if (dMax <= idxMax) return // already applied — idempotent replay
+    require(dMin > idxMax,
+      s"appendToPageIndex needs key-monotone batches: batch min $dMin " +
+        s"≤ index key_max $idxMax — rebuild instead")
+    // rank the batch with the build's two-phase shape, offset by the
+    // index's current row count (stage first: see buildPageIndex)
+    val stage = s"$path/stage_append"
+    df.repartitionByRange(parts, col(key)).sortWithinPartitions(col(key))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val counts = staged.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0L, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(key))
+    val ranked = staged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__rank", col("__off") + row_number().over(wLocal) +
+        lit(totalRows))
+      .withColumn("pbucket",
+        call_function("div", col("__rank") - 1, lit(bucketRows)))
+      .drop("__pid", "__off", "__rank")
+    // the straddled (partial) last bucket rewrites with its old rows
+    val lastBucket = (totalRows - 1) / bucketRows
+    val lastPartial = totalRows % bucketRows != 0
+    val oldTopUp =
+      if (lastPartial)
+        spark.read.parquet(s"$path/data")
+          .filter(col("pbucket") === lastBucket)
+          .withColumn("pbucket", lit(lastBucket))
+      else ranked.limit(0)
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try ranked.unionByName(oldTopUp)
+      .write.partitionBy("pbucket").mode("overwrite")
+      .parquet(s"$path/data")
+    finally saved.fold(
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    // manifest: untouched rows carry over, touched buckets recount
+    // from their (pruned) dirs. firstTouched = totalRows div
+    // bucketRows — the partial last bucket when one exists, else the
+    // first brand-new bucket. Staged to a tmp dir first (the new
+    // manifest READS the old one), then swapped in.
+    val firstTouched = totalRows / bucketRows
+    // pbucket comes off partition-dir inference (INT for small
+    // values) in BOTH reads — normalize to long on each side
+    val untouched = spark.read.parquet(s"$path/manifest")
+      .filter(col("pbucket") < firstTouched)
+      .withColumn("pbucket", col("pbucket").cast("long"))
+    val touched = spark.read.parquet(s"$path/data")
+      .filter(col("pbucket") >= firstTouched)
+      .groupBy(col("pbucket").cast("long").as("pbucket"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(key)).as("key_min"), max(col(key)).as("key_max"))
+    val tmp = s"$path/manifest_tmp"
+    untouched.unionByName(touched).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    fs.delete(mPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), mPath)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
 }
