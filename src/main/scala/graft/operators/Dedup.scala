@@ -476,10 +476,15 @@ object Dedup {
     *     merge by construction);
     *  4. the doc rewrites to its surviving tokens.
     *
-    * Scale shape: shuffles carry (hash, doc_id, position) — never
-    * window text, never documents; the per-doc mark list is per-doc
-    * DATA (bounded by the doc's own window count), not driver state;
-    * the rewrite is a map-only array filter. A window repeated
+    * Scale shape: the heavy shuffles (occurrence counting, canonical
+    * election, mark join-back) carry (8-byte hash, doc_id, position)
+    * — never window text; the per-doc mark list is per-doc DATA
+    * (bounded by the doc's own window count), not driver state. The
+    * FINAL join attaches mark lists to token arrays on doc_id — the
+    * one place the corpus payload shuffles (AQE broadcasts the mark
+    * side when it fits; a doc_id-bucketed corpus layout, q107's
+    * primitive, removes the exchange entirely) — and the rewrite
+    * itself is a map-only indexed array filter. A window repeated
     * millions of times is one combined row in the election aggregate
     * and an AQE-splittable hot key in the mark join-back.
     *
