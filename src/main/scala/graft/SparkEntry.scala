@@ -1466,6 +1466,46 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** The QUALITY GATE a pretraining pipeline actually applies —
+    * a Gopher/C4-style rule battery (Rae et al. 2021 §A1.1 shape) as
+    * ONE map-only pass: every signal comes from a native one-pass
+    * expression already under the gate (TextStats → q29,
+    * RepetitionStats → q61, CharStats → q79 — all in whole-stage
+    * codegen), each rule compares a threshold against the SAME
+    * rounded value its component oracle hash-matches, and the verdict
+    * is the three-valued conjunction. No shuffle, no join — at 100 TB
+    * this runs at parquet scan speed, which is why rule gates come
+    * before every model-based filter in a real pipeline. Thresholds
+    * are the battery's parameters, not tuned claims. */
+  private val q112: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("__st",
+        graft.plans.TextStats.textStats(col("text"), Seq("the", "a")))
+      .withColumn("__r", graft.plans.RepetitionStats.repetitionStats(
+        coalesce(col("text"), lit(""))))
+      .withColumn("__c", graft.plans.CharStats.charStats(col("text")))
+      .select(col("doc_id"),
+        col("__st.n_tokens").as("n_tokens"),
+        round(col("n_chars").cast("double") /
+          greatest(col("__st.n_tokens"), lit(1L)), 4).as("avg_tok_len"),
+        round(col("__st.n_stop").cast("double") /
+          greatest(col("__st.n_tokens"), lit(1L)), 4).as("stop_ratio"),
+        round(col("__r.top_bigram") /
+          greatest(col("__r.n_tokens") - 1, lit(1L)), 6).as("top_bigram_frac"),
+        when(col("__c.n") > 0,
+          round(log(col("__c.n").cast("double")) -
+            col("__c.sum_cln") / col("__c.n").cast("double"), 6))
+          .otherwise(lit(0.0)).as("entropy"))
+      .withColumn("r_len", col("n_tokens") >= 16)
+      .withColumn("r_tok",
+        col("avg_tok_len") >= 2.0 && col("avg_tok_len") <= 10.0)
+      .withColumn("r_stop", col("stop_ratio") >= 0.02)
+      .withColumn("r_rep", col("top_bigram_frac") <= 0.2)
+      .withColumn("r_ent", col("entropy") >= 1.5)
+      .withColumn("pass", col("r_len") && col("r_tok") && col("r_stop") &&
+        col("r_rep") && col("r_ent"))
+      .orderBy(col("doc_id"))
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1903,6 +1943,7 @@ object SparkEntry {
     "q109_hll_overlap" -> q109,
     "q110_dup_span_removal" -> q110,
     "q111_page_index_append" -> q111,
+    "q112_quality_gate" -> q112,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3497,6 +3538,57 @@ object SparkEntry {
            -- of an empty array is '' — the fully-removed doc case
            coalesce(array_to_string(keep, ' '), '') AS new_text
          FROM o ORDER BY doc_id""",
+    // the component replays verbatim (q29 token stats, q61 top-bigram
+    // on coalesced text, q79 ordered entropy fold with the no-chars
+    // CASE), then threshold compares on the SAME rounded values and a
+    // three-valued conjunction — SQL and Spark null logic agree
+    "q112_quality_gate" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+             FROM documents),
+         s1 AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             round(n_chars * 1.0 / greatest(len(w), 1), 4) AS avg_tok_len,
+             round(len(list_filter(w, x -> lower(x) IN ('the', 'a'))) * 1.0
+               / greatest(len(w), 1), 4) AS stop_ratio
+             FROM t),
+         tc AS (SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+             FROM documents),
+         bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+             FROM tc, UNNEST(range(1, len(w))) AS u(i)),
+         tbi AS (SELECT doc_id, max(c) AS top_bigram FROM
+             (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY doc_id),
+         s2 AS (SELECT tc.doc_id,
+             round(coalesce(tbi.top_bigram, 0) * 1.0
+               / greatest(len(tc.w) - 1, 1), 6) AS top_bigram_frac
+             FROM tc LEFT JOIN tbi ON tc.doc_id = tbi.doc_id),
+         ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         hist AS (SELECT doc_id, ch, count(*) AS c
+                  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         ag AS (SELECT doc_id, sum(c) AS n,
+                  list_sum(list(c * ln(c) ORDER BY ch)) AS s
+                FROM hist GROUP BY 1),
+         s3 AS (SELECT d.doc_id,
+             CASE WHEN ag.n > 0
+               THEN round(ln(CAST(ag.n AS DOUBLE)) - ag.s / CAST(ag.n AS DOUBLE), 6)
+               ELSE 0.0 END AS entropy
+             FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id),
+         sig AS (SELECT s1.doc_id, s1.n_tokens, s1.avg_tok_len, s1.stop_ratio,
+               s2.top_bigram_frac, s3.entropy
+             FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+             JOIN s3 ON s1.doc_id = s3.doc_id)
+         SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, top_bigram_frac,
+           entropy,
+           n_tokens >= 16 AS r_len,
+           (avg_tok_len >= 2.0 AND avg_tok_len <= 10.0) AS r_tok,
+           stop_ratio >= 0.02 AS r_stop,
+           top_bigram_frac <= 0.2 AS r_rep,
+           entropy >= 1.5 AS r_ent,
+           (n_tokens >= 16 AND (avg_tok_len >= 2.0 AND avg_tok_len <= 10.0)
+             AND stop_ratio >= 0.02 AND top_bigram_frac <= 0.2
+             AND entropy >= 1.5) AS pass
+         FROM sig ORDER BY doc_id""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral
