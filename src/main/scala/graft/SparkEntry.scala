@@ -1506,6 +1506,82 @@ object SparkEntry {
         col("r_rep") && col("r_ent"))
       .orderBy(col("doc_id"))
 
+  /** SCD2 history build ([[graft.operators.Versioning.scd2]]) — the
+    * slowly-changing-dimension TYPE 2 complement to q51's SCD1
+    * merge: a changelog (base snapshot at epoch + each order setting
+    * the customer's priority tier) becomes per-key validity
+    * intervals with no-op changes suppressed. The reference's
+    * enrichment overwrite (enrichment.py:83-131) keeps only the
+    * latest state; this is the history the warehouse keeps so
+    * q35/q55's as-of joins have versions to land on. One key
+    * shuffle; all three windows share one sort. */
+  private val q113: Q = (s, d) => {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey"), lit("0-BASE").as("state"),
+      lit("1990-01-01 00:00:00").cast("timestamp").as("eff_ts"),
+      lit(-1L).as("seq"))
+    val changes = Tables.orders(s, d).select(
+      col("o_custkey").as("c_custkey"),
+      col("o_orderpriority").as("state"),
+      col("o_orderdate").as("eff_ts"),
+      col("o_orderkey").as("seq"))
+    graft.operators.Versioning.scd2(base.unionByName(changes),
+      "c_custkey", "eff_ts", "seq", Seq("state"))
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
+  /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
+    * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
+    * (consumer.py's index put, web_api.py's per-preference Query)
+    * built as a LAYOUT: documents rewritten partitioned by
+    * (source, lang) once per dataset (cached like q107's buckets),
+    * probed with the stored preference keys. The probe's partition
+    * filters prune every non-matching directory at source listing
+    * (LayoutSpec asserts the read count), the residual n_chars filter
+    * pushes into the parquet scan. Output ≡ the plain filter over the
+    * base table — the layout must not change results, it only deletes
+    * the other 90+ directories from the scan. */
+  private val q114GsiCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q114: Q = (s, d) => {
+    val path = q114GsiCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q114_gsi")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val p = root.toString + "/documents_by_source_lang"
+      graft.operators.Layout.writeGsi(Tables.documents(s, d), p, "source", "lang")
+      p
+    })
+    s.read.parquet(path)
+      .filter(col("source").isin("src1", "src7", "src15") &&
+        col("lang").isin("en", "zh") && col("n_chars") >= 200)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Integer-deterministic PageRank over the part co-purchase graph
+    * ([[graft.operators.Graph.pageRankInt]]) — the link-analysis
+    * upgrade of the reference's scalar-rating recommender
+    * (web_api.py get_recommendations): parts co-occurring in an order
+    * are edges (both directions, deduplicated), 3 damped iterations
+    * in exact long arithmetic (ranks in millionths, integral-div
+    * shares, order-free long sums) so the oracle replays every
+    * iteration bit-for-bit. Per iteration: one edges⋈ranks shuffle +
+    * one partial-aggregated groupBy dst; rank state never leaves the
+    * cluster. */
+  private val q115: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3)
+      .select(col("vertex").as("part"), col("rank").as("pr"))
+      .orderBy(col("part"))
+  }
+
   /** The MATERIALIZED IVF+PQ index under the correctness gate:
     * build the cell-partitioned index
     * ([[graft.operators.Similarity.writeIvfPqIndex]] — (nbr_id,
@@ -1944,6 +2020,9 @@ object SparkEntry {
     "q110_dup_span_removal" -> q110,
     "q111_page_index_append" -> q111,
     "q112_quality_gate" -> q112,
+    "q113_scd2_history" -> q113,
+    "q114_gsi_probe" -> q114,
+    "q115_copurchase_pagerank" -> q115,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3589,6 +3668,69 @@ object SparkEntry {
              AND stop_ratio >= 0.02 AND top_bigram_frac <= 0.2
              AND entropy >= 1.5) AS pass
          FROM sig ORDER BY doc_id""",
+    // q113: the same changelog (base snapshot at epoch + per-order
+    // priority observations), the same (eff_ts, seq) order, lag
+    // change-suppression, lead interval close, row_number versioning.
+    "q113_scd2_history" ->
+      """WITH chg AS (
+           SELECT c_custkey, '0-BASE' AS state,
+             TIMESTAMP '1990-01-01' AS eff_ts, CAST(-1 AS BIGINT) AS seq
+           FROM customer
+           UNION ALL
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM orders),
+         lagged AS (
+           SELECT *,
+             lag(state) OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS prev,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS rn0
+           FROM chg),
+         kept AS (
+           SELECT * FROM lagged WHERE rn0 = 1 OR prev IS DISTINCT FROM state),
+         v AS (
+           SELECT c_custkey, state, eff_ts AS valid_from,
+             lead(eff_ts) OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS valid_to,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS version
+           FROM kept)
+         SELECT c_custkey, state, valid_from, valid_to, version,
+           valid_to IS NULL AS is_current
+         FROM v ORDER BY c_custkey, version""",
+    // q114: the layout must be invisible — the oracle is the plain
+    // predicate over the base table.
+    "q114_gsi_probe" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         WHERE source IN ('src1', 'src7', 'src15') AND lang IN ('en', 'zh')
+           AND n_chars >= 200
+         ORDER BY doc_id""",
+    // q115: replay of all three integer PageRank iterations — BIGINT
+    // `//` shares, exact sums (cast back from DuckDB's HUGEINT), the
+    // same 150000 floor and 85/100 damping.
+    "q115_copurchase_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_partkey <> b.l_partkey),
+         v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS r FROM v),
+         i1 AS (SELECT e.dst, CAST(sum(r0.r // deg.d) AS BIGINT) AS s
+                FROM e JOIN r0 ON e.src = r0.vertex
+                JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r1 AS (SELECT v.vertex,
+                  CAST(150000 + (85 * coalesce(i1.s, 0)) // 100 AS BIGINT) AS r
+                FROM v LEFT JOIN i1 ON v.vertex = i1.dst),
+         i2 AS (SELECT e.dst, CAST(sum(r1.r // deg.d) AS BIGINT) AS s
+                FROM e JOIN r1 ON e.src = r1.vertex
+                JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r2 AS (SELECT v.vertex,
+                  CAST(150000 + (85 * coalesce(i2.s, 0)) // 100 AS BIGINT) AS r
+                FROM v LEFT JOIN i2 ON v.vertex = i2.dst),
+         i3 AS (SELECT e.dst, CAST(sum(r2.r // deg.d) AS BIGINT) AS s
+                FROM e JOIN r2 ON e.src = r2.vertex
+                JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         r3 AS (SELECT v.vertex,
+                  CAST(150000 + (85 * coalesce(i3.s, 0)) // 100 AS BIGINT) AS r
+                FROM v LEFT JOIN i3 ON v.vertex = i3.dst)
+         SELECT vertex AS part, r AS pr FROM r3 ORDER BY part""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

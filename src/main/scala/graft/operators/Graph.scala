@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over edge lists — the link-analysis tier
+  * of the engine. The reference ranks titles by a scalar rating
+  * (web_api.py get_recommendations, user_rating > 7); PageRank is the
+  * structural upgrade a catalog-scale recommender runs over the
+  * co-engagement graph ("viewers of A also watched B") where no
+  * per-item score exists.
+  *
+  * The whole computation is INTEGER arithmetic (ranks in millionths,
+  * integral `div` for the per-edge share, exact long sums) so the
+  * result is bit-deterministic under any partitioning / AQE plan and
+  * an independent engine replays it exactly — the same trick as the
+  * Lloyd/PQ trainers ([[graft.plans.VecSumLong]]).
+  *
+  * Scale shape per iteration: ranks ⋈ out-degree (co-partitioned on
+  * the vertex), ranks ⋈ edges on src (the one big shuffle — edges
+  * partitioned by src), then a partial-aggregating groupBy dst. No
+  * driver-side state: the rank table never leaves the cluster, and
+  * iterations compose as plan stages (unrolled, AQE re-plans each
+  * exchange). Vertices with no in-edges keep the damping floor via
+  * the left join.
+  */
+object Graph {
+
+  /** `iterations` rounds of damped PageRank over the directed edge
+    * list `edges(srcCol, dstCol)` (pre-deduplicated; parallel edges
+    * count double). Rank unit: `scale` = 1.0. Update rule, all in
+    * long arithmetic:
+    *
+    *   share(u)  = rank(u) div outdeg(u)
+    *   rank'(v)  = (scale * (den-num)) div den
+    *             + (num * Σ_{(u,v)∈E} share(u)) div den
+    *
+    * with damping num/den (default 85/100). Returns (vertex, rank)
+    * for every vertex of the edge list. */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+                  scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val floor = (scale * (dampDen - dampNum)) / dampDen
+    var ranks = vertices.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      // fresh aliases each round: every frame below descends from `e`,
+      // so joins go through renamed columns, never same-lineage attrs
+      val shares = ranks
+        .join(outDeg, ranks("vertex") === outDeg("src"))
+        .select(col("vertex").as("share_src"), expr("rank div deg").as("share"))
+      val incoming = e.join(shares, col("src") === col("share_src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+        .select(col("dst").as("in_dst"), col("s"))
+      ranks = vertices
+        .join(incoming, col("vertex") === col("in_dst"), "left")
+        .select(col("vertex"),
+          (lit(floor) +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("rank"))
+    }
+    ranks
+  }
+}

@@ -125,6 +125,25 @@ object Layout {
     for (px <- px0 to px1; py <- py0 to py1) yield interleave(px, py)
   }
 
+  /** Materialize a GLOBAL SECONDARY INDEX layout: the table rewritten
+    * partitioned by the index key columns, one directory per key
+    * combination — the warehouse form of the reference's DynamoDB GSI
+    * (`source:<s>:genre:<g>` → title ids, consumer.py's inverted
+    * index; web_api.py's per-preference Query reads it key by key).
+    * A probe filtering on the index keys then prunes every other
+    * directory at source listing, reading O(matching keys) bytes of a
+    * 100 TB table, exactly as DynamoDB's Query reads one key's item
+    * collection. One clustering shuffle at write (repartition on the
+    * keys so each directory gets few, large files instead of one
+    * file per upstream task); probes are free of any shuffle.
+    *
+    * Key cardinality must be directory-sane (the GSI contract: probe
+    * keys, not unique ids — q100's page index is the layout for
+    * high-cardinality keyset access). */
+  def writeGsi(df: DataFrame, path: String, keys: String*): Unit =
+    df.repartition(keys.map(col): _*)
+      .write.partitionBy(keys: _*).mode("overwrite").parquet(path)
+
   /** Small-file compaction — the most common daily layout operation
     * of a 100 TB pipeline: streaming ingestion and fine-grained
     * partition writes leave directories of kilobyte files whose

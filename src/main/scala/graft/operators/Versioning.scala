@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-version diffing — the incremental-pipeline primitive: given
@@ -33,6 +34,46 @@ object Versioning {
       .filter(col("status") =!= "unchanged")
       .select(col(idCol), col("status"))
       .orderBy(col(idCol))
+  }
+
+  /** SCD2 history build — turn a changelog of state observations into
+    * validity intervals: per key, order observations by (ts, seq),
+    * SUPPRESS observations that do not change the state (the no-op
+    * updates every upstream emits), then close each surviving version
+    * with the next version's start. The reference's enrichment lambda
+    * overwrites in place (SCD1, [[upsert]] / enrichment.py:83-131);
+    * SCD2 is what the warehouse keeps instead so point-in-time queries
+    * ([[AsOfJoin]]) have history to land on.
+    *
+    * Scale shape: ONE hash shuffle on the key; the change-suppression
+    * lag, the closing lead, and the version row_number all share that
+    * (key, ts, seq) sort order, so Catalyst plans a single exchange +
+    * sort and the three window functions run in two passes over it —
+    * no per-key collect, no global window. (ts, seq) must be unique
+    * per key (seq is the tie-breaker, e.g. the change's sequence
+    * number); nulls in the value column are states, compared
+    * null-safely.
+    *
+    * Output: key, value cols, valid_from, valid_to (null = open),
+    * version (1-based per key), is_current.
+    */
+  def scd2(changelog: DataFrame, keyCol: String, tsCol: String,
+           seqCol: String, valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val state = struct(valueCols.map(col): _*)
+    val kept = changelog
+      .withColumn("__prev", lag(state, 1).over(w))
+      // first observation (__prev null from lag) always survives; a
+      // null STATE is distinguished via the not-null struct wrapper
+      .filter(col("__prev").isNull || !(col("__prev") <=> state))
+      .drop("__prev")
+    kept
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((Seq(keyCol) ++ valueCols ++
+        Seq("valid_from", "valid_to", "version", "is_current")).map(col): _*)
   }
 
   /** Diff summary: one row per status with counts, including the

@@ -143,6 +143,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(m0rows === 100L, "fixed-occupancy invariant broken")
   }
 
+  test("writeGsi probes read only the matching key directories") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_gsi").toString
+    Layout.writeGsi(docs, dir, "source", "lang")
+    val srcDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("source="))
+    val allLeaves = srcDirs.map(sd =>
+      sd.listFiles().count(_.getName.startsWith("lang="))).sum
+    assert(allLeaves > 10, s"need many key dirs for a pruning proof, got $allLeaves")
+    val probe = spark.read.parquet(dir)
+      .filter(col("source").isin("src1", "src3") && col("lang") === "en")
+    // the layout is invisible: probe ≡ the same predicate on the base
+    val base = docs.filter(col("source").isin("src1", "src3") && col("lang") === "en")
+    assert(probe.select("doc_id").exceptAll(base.select("doc_id")).count() === 0)
+    assert(probe.count() === base.count())
+    // ...and the scan touched only the ≤ 2 matching leaf directories
+    val scan = findScans(probe.queryExecution.executedPlan)
+      .headOption.getOrElse(fail("no file scan in GSI probe plan"))
+    probe.collect()
+    val partitionsRead = scan.metrics("numPartitions").value
+    info(s"GSI probe read $partitionsRead of $allLeaves key dirs")
+    assert(partitionsRead <= 2, s"probe read $partitionsRead dirs — GSI not pruning")
+  }
+
   test("compact bin-packs small files, preserves content, and buys file skipping") {
     val events = Tables.events(spark, TestSpark.sf)
       .select(col("event_id"), col("user_id"), col("value"))

@@ -45,6 +45,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("new_text") === "prefix words here")
   }
 
+  test("scd2 suppresses no-op changes and tiles validity intervals") {
+    import spark.implicits._
+    val chg = Seq(
+      // key A: x, x (no-op), y, null, null (no-op), y again (real change)
+      ("A", 1L, 1L, Option("x")), ("A", 2L, 2L, Option("x")),
+      ("A", 3L, 3L, Option("y")), ("A", 4L, 4L, Option.empty[String]),
+      ("A", 5L, 5L, Option.empty[String]), ("A", 6L, 6L, Option("y")),
+      // key B: a single observation
+      ("B", 1L, 1L, Option("z")))
+      .toDF("k", "ts", "seq", "v")
+    val out = graft.operators.Versioning.scd2(chg, "k", "ts", "seq", Seq("v"))
+      .orderBy("k", "version").collect()
+    val a = out.filter(_.getString(0) == "A")
+    assert(a.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(a.map(r => Option(r.getAs[String]("v"))).toSeq ===
+      Seq(Some("x"), Some("y"), None, Some("y")))
+    // intervals tile: each valid_to equals the next valid_from
+    assert(a.init.map(_.getAs[Long]("valid_to")).toSeq ===
+      a.tail.map(_.getAs[Long]("valid_from")).toSeq)
+    assert(a.init.forall(!_.getAs[Boolean]("is_current")))
+    assert(a.last.getAs[Boolean]("is_current") && a.last.get(a.last.fieldIndex("valid_to")) == null)
+    val b = out.filter(_.getString(0) == "B")
+    assert(b.length === 1 && b.head.getAs[Boolean]("is_current")
+      && b.head.getAs[Long]("version") === 1L)
+  }
+
+  test("pageRankInt matches the hand-computed integer iterates") {
+    import spark.implicits._
+    // 1→2, 2→1, 2→3, 3→1; scale 1e6, damping 85/100
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def ranks(n: Int): Map[Long, Long] =
+      graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: shares 1e6, 5e5, 1e6 → in(1)=15e5, in(2)=1e6, in(3)=5e5
+    assert(ranks(1) === Map(1L -> 1425000L, 2L -> 1000000L, 3L -> 575000L))
+    // r2: shares 1425000, 500000, 575000 → in(1)=1075000, in(2)=1425000, in(3)=500000
+    assert(ranks(2) === Map(1L -> 1063750L, 2L -> 1361250L, 3L -> 575000L))
+  }
+
   test("exact dedup groups cover all docs") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
     val total = groups.agg(sum("n_copies")).head.getLong(0)
