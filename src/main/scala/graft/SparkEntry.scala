@@ -1515,7 +1515,9 @@ object SparkEntry {
     * latest state; this is the history the warehouse keeps so
     * q35/q55's as-of joins have versions to land on. One key
     * shuffle; all three windows share one sort. */
-  private val q113: Q = (s, d) => {
+  /** The customer-state SCD2 history shared by q113 (the build) and
+    * q116 (the point-in-time consumer). */
+  private def custStateHistory(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(
       col("c_custkey"), lit("0-BASE").as("state"),
       lit("1990-01-01 00:00:00").cast("timestamp").as("eff_ts"),
@@ -1527,8 +1529,42 @@ object SparkEntry {
       col("o_orderkey").as("seq"))
     graft.operators.Versioning.scd2(base.unionByName(changes),
       "c_custkey", "eff_ts", "seq", Seq("state"))
-      .orderBy(col("c_custkey"), col("version"))
   }
+
+  private val q113: Q = (s, d) =>
+    custStateHistory(s, d).orderBy(col("c_custkey"), col("version"))
+
+  /** POINT-IN-TIME enrichment against the SCD2 history
+    * ([[graft.operators.Versioning.pointInTimeJoin]]): each order
+    * picks up the customer-state VERSION in effect at its own order
+    * date — the query every warehouse with q113's history serves
+    * ("what did we believe about this key when the fact happened"),
+    * and the temporal complement of q35/q55's as-of-over-raw-
+    * observations. Equi-join on the key with the interval condition
+    * as residual — co-partitioned, never a cross product; exactly one
+    * version matches per fact (intervals tile, same-ts empties match
+    * nothing). */
+  private val q116: Q = (s, d) => {
+    val hist = custStateHistory(s, d)
+    val facts = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.operators.Versioning.pointInTimeJoin(
+      facts, hist, "o_custkey", "c_custkey", "o_orderdate")
+      .select(col("o_orderkey"), col("o_custkey"), col("state"),
+        col("version"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ONE-PASS table profiling ([[graft.operators.Profile.profile]])
+    * — per-column completeness / cardinality / range of the orders
+    * table as one Aggregate over one scan (the admin table summary of
+    * admin_lambda.py:31-50 deepened to column statistics). Exact
+    * distinct counts here (the oracle-able contract; the k-fold
+    * Expand they cost is the documented price — `exact = false`
+    * switches every cardinality to HLL++ for the 100 TB profile,
+    * same schema). */
+  private val q117: Q = (s, d) =>
+    graft.operators.Profile.profile(Tables.orders(s, d))
 
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
@@ -2023,6 +2059,8 @@ object SparkEntry {
     "q113_scd2_history" -> q113,
     "q114_gsi_probe" -> q114,
     "q115_copurchase_pagerank" -> q115,
+    "q116_pointintime_join" -> q116,
+    "q117_table_profile" -> q117,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3731,6 +3769,70 @@ object SparkEntry {
                   CAST(150000 + (85 * coalesce(i3.s, 0)) // 100 AS BIGINT) AS r
                 FROM v LEFT JOIN i3 ON v.vertex = i3.dst)
          SELECT vertex AS part, r AS pr FROM r3 ORDER BY part""",
+    // q116: q113's interval CTEs + the containment join — exactly one
+    // version per order (intervals tile; same-ts empties excluded).
+    "q116_pointintime_join" ->
+      """WITH chg AS (
+           SELECT c_custkey, '0-BASE' AS state,
+             TIMESTAMP '1990-01-01' AS eff_ts, CAST(-1 AS BIGINT) AS seq
+           FROM customer
+           UNION ALL
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM orders),
+         lagged AS (
+           SELECT *,
+             lag(state) OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS prev,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS rn0
+           FROM chg),
+         kept AS (
+           SELECT * FROM lagged WHERE rn0 = 1 OR prev IS DISTINCT FROM state),
+         v AS (
+           SELECT c_custkey, state, eff_ts AS valid_from,
+             lead(eff_ts) OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS valid_to,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY eff_ts, seq) AS version
+           FROM kept)
+         SELECT o.o_orderkey, o.o_custkey, v.state, v.version
+         FROM orders o JOIN v ON o.o_custkey = v.c_custkey
+           AND o.o_orderdate >= v.valid_from
+           AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+         ORDER BY o.o_orderkey""",
+    // q117: one UNION ALL branch per column, the same metric set —
+    // timestamps range via epoch() to match Spark's cast-to-double.
+    "q117_table_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           NULL, NULL
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           min(o_totalprice), max(o_totalprice), NULL, NULL
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           epoch(min(o_orderdate)), epoch(max(o_orderdate)), NULL, NULL
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL,
+           min(o_orderpriority), max(o_orderpriority)
+         FROM orders
+         ORDER BY col_name""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -76,6 +76,29 @@ object Versioning {
         Seq("valid_from", "valid_to", "version", "is_current")).map(col): _*)
   }
 
+  /** POINT-IN-TIME join: enrich each fact with the history version in
+    * effect at the fact's own timestamp — the consumer of [[scd2]]'s
+    * intervals, and the temporal complement of [[AsOfJoin]] (as-of
+    * composes union+window when history is raw observations; this one
+    * joins PRE-BUILT intervals, the shape a warehouse stores). A fact
+    * at t matches the version with valid_from <= t < valid_to
+    * (open-ended current version included); [[scd2]]'s same-ts empty
+    * intervals [t, t) match nothing, so each fact lands on exactly
+    * one version.
+    *
+    * Scale shape: equi-join on the key (co-partitioned hash/sort-merge
+    * — the range condition rides along as a residual filter, never a
+    * cross product); per-key work is #facts_k × #versions_k, bounded
+    * because SCD2 version counts per key are small by construction
+    * (change-suppressed). */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      factKey: String, histKey: String,
+                      factTs: String): DataFrame =
+    facts.join(history,
+      facts(factKey) === history(histKey) &&
+        facts(factTs) >= history("valid_from") &&
+        (history("valid_to").isNull || facts(factTs) < history("valid_to")))
+
   /** Diff summary: one row per status with counts, including the
     * unchanged majority (counted, not emitted). */
   def diffSummary(oldDf: DataFrame, newDf: DataFrame,

@@ -71,6 +71,54 @@ class OperatorsSpec extends AnyFunSuite {
       && b.head.getAs[Long]("version") === 1L)
   }
 
+  test("pointInTimeJoin lands every fact on exactly one version") {
+    import spark.implicits._
+    val chg = Seq(
+      ("A", 1L, 1L, "x"), ("A", 5L, 2L, "y"),
+      // same-ts double change at t=5: the first creates an EMPTY
+      // interval [5,5) that must match nothing
+      ("A", 5L, 3L, "z"), ("B", 2L, 1L, "w"))
+      .toDF("k", "ts", "seq", "v")
+    val hist = graft.operators.Versioning.scd2(chg, "k", "ts", "seq", Seq("v"))
+    val facts = Seq(("A", 1L), ("A", 4L), ("A", 5L), ("A", 9L), ("B", 3L))
+      .toDF("fk", "fts")
+    val out = graft.operators.Versioning
+      .pointInTimeJoin(facts, hist, "fk", "k", "fts")
+      .select("fk", "fts", "v").orderBy("fk", "fts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      ("A", 1L, "x"), ("A", 4L, "x"), ("A", 5L, "z"), ("A", 9L, "z"),
+      ("B", 3L, "w")))
+  }
+
+  test("profile emits one exact row per column; approx keeps the schema") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("b"), Option(2.5)),
+      (2L, Option("a"), Option.empty[Double]),
+      (3L, Option.empty[String], Option(2.5)))
+      .toDF("id", "s", "x")
+    val p = graft.operators.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "s", "x"))
+    val id = p("id")
+    assert(id.getAs[Long]("n") === 3L && id.getAs[Long]("n_null") === 0L
+      && id.getAs[Long]("n_distinct") === 3L
+      && id.getAs[Double]("min_num") === 1.0 && id.getAs[Double]("max_num") === 3.0)
+    val s = p("s")
+    assert(s.getAs[Long]("n_null") === 1L && s.getAs[Long]("n_distinct") === 2L
+      && s.getAs[String]("min_str") === "a" && s.getAs[String]("max_str") === "b"
+      && s.isNullAt(s.fieldIndex("min_num")))
+    val x = p("x")
+    assert(x.getAs[Long]("n_null") === 1L && x.getAs[Long]("n_distinct") === 1L
+      && x.getAs[Double]("min_num") === 2.5)
+    // approx mode: same schema, same row set, cardinalities near-exact
+    val ap = graft.operators.Profile.profile(df, exact = false).collect()
+    assert(ap.map(_.getString(0)).toSet === Set("id", "s", "x"))
+    assert(ap.forall(r => math.abs(r.getAs[Long]("n_distinct")
+      - p(r.getString(0)).getAs[Long]("n_distinct")) <= 1))
+  }
+
   test("pageRankInt matches the hand-computed integer iterates") {
     import spark.implicits._
     // 1→2, 2→1, 2→3, 3→1; scale 1e6, damping 85/100
