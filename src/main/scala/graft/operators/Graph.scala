@@ -40,12 +40,25 @@ object Graph {
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
                   scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Materialize the loop-invariant frames ONCE. Without this the
+    // unrolled plan re-derives the edge list in every iteration's
+    // join AND both vertex branches (measured: 56 parquet scans / 28
+    // exchanges for 3 iterations before caching). Iterative-by-action
+    // is the right shape for a fixpoint operator: each round's ranks
+    // are persisted and counted, the previous round's cache dropped —
+    // lineage stays one round deep, like GraphX/Pregel loops.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    outDeg.count() // one action materializes e + outDeg
     val floor = (scale * (dampDen - dampNum)) / dampDen
     var ranks = vertices.withColumn("rank", lit(scale))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       // fresh aliases each round: every frame below descends from `e`,
       // so joins go through renamed columns, never same-lineage attrs
@@ -55,13 +68,23 @@ object Graph {
       val incoming = e.join(shares, col("src") === col("share_src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("s"))
         .select(col("dst").as("in_dst"), col("s"))
-      ranks = vertices
+      val next = vertices
         .join(incoming, col("vertex") === col("in_dst"), "left")
         .select(col("vertex"),
           (lit(floor) +
             expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
             .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      ranks = next
     }
+    // the returned frame is materialized in cache; the loop-invariant
+    // inputs can be released now (recompute path stays correct if the
+    // cache is ever evicted). Callers running many invocations should
+    // unpersist the result when done.
+    e.unpersist(false); vertices.unpersist(false); outDeg.unpersist(false)
     ranks
   }
 }
