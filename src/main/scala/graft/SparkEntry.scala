@@ -1566,6 +1566,45 @@ object SparkEntry {
   private val q117: Q = (s, d) =>
     graft.operators.Profile.profile(Tables.orders(s, d))
 
+  /** INCREMENTAL GSI maintenance under the correctness gate
+    * ([[graft.operators.Layout.upsertIntoGsi]]): build q114's layout
+    * from 80% of the corpus, then absorb the daily delta — the
+    * missing fifth as additions plus a re-send of every seventh row
+    * (the idempotent-replay path) — rewriting ONLY the touched key
+    * directories (dynamic partition overwrite; ScaleOpsSpec pins
+    * untouched-dir immutability + upserted ≡ fresh rebuild). The
+    * probe's oracle is the plain predicate over the FULL base table:
+    * hash equality proves the incrementally-maintained index serves
+    * exactly what a rebuild would. */
+  private val q118Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q118: Q = (s, d) => {
+    val path = q118Cache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q118_gsi")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val p = root.toString + "/documents_gsi"
+      val docs = Tables.documents(s, d)
+      graft.operators.Layout.writeGsi(
+        docs.filter(col("doc_id") % 5 =!= 0), p, "source", "lang")
+      graft.operators.Layout.upsertIntoGsi(
+        docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0),
+        p, "doc_id", "source", "lang")
+      p
+    })
+    // probe crosses both maintenance paths: src5's rows arrive ONLY
+    // via the upsert (at sf0.001 source ≡ f(doc_id mod 20), so every
+    // src5 id is a %5 addition), src2's mix base rows with resends
+    s.read.parquet(path)
+      .filter(col("source").isin("src2", "src5") &&
+        col("lang").isin("en", "fr") && col("n_chars") >= 150)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2061,6 +2100,7 @@ object SparkEntry {
     "q115_copurchase_pagerank" -> q115,
     "q116_pointintime_join" -> q116,
     "q117_table_profile" -> q117,
+    "q118_gsi_upsert" -> q118,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3833,6 +3873,14 @@ object SparkEntry {
            min(o_orderpriority), max(o_orderpriority)
          FROM orders
          ORDER BY col_name""",
+    // q118: the incrementally-maintained GSI must serve exactly what
+    // a rebuild from the full table would — the oracle is the plain
+    // predicate over documents, like q114's.
+    "q118_gsi_upsert" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         WHERE source IN ('src2', 'src5') AND lang IN ('en', 'fr')
+           AND n_chars >= 150
+         ORDER BY doc_id""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

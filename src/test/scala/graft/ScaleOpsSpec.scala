@@ -414,6 +414,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("GSI upsert: untouched key dirs byte-identical, upserted ≡ fresh rebuild, " +
+       "idempotent replay") {
+    import graft.operators.Layout
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val root = Files.createTempDirectory("graft_gsiup").toString
+    val p = s"$root/gsi"
+    Layout.writeGsi(docs.filter(col("doc_id") % 5 =!= 0), p, "source", "lang")
+    def leafFiles(path: String): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("source="))
+        .flatMap(sd => sd.listFiles().filter(_.getName.startsWith("lang=")).map { ld =>
+          s"${sd.getName}/${ld.getName}" ->
+            ld.listFiles().map(f => (f.getName, f.lastModified(), f.length())).toSet
+        }).toMap
+    // delta confined to four sources → every other source dir
+    // untouched. At this sf source ≡ f(doc_id mod 20), so the %5
+    // additions live ONLY in src0/src5-style dirs (created fresh by
+    // the upsert) while the %7 resends hit dirs with existing
+    // residents (the true in-directory merge path).
+    val delta = docs.filter(
+      (col("doc_id") % 5 === 0 && col("source").isin("src0", "src5")) ||
+        (col("doc_id") % 7 === 0 && col("source").isin("src1", "src2")))
+    assert(delta.count() > 0, "delta must be non-empty")
+    val touchedKeys = delta.select("source", "lang").distinct().collect()
+      .map(r => s"source=${r.getString(0)}/lang=${r.getString(1)}").toSet
+    val before = leafFiles(p)
+    Layout.upsertIntoGsi(delta, p, "doc_id", "source", "lang")
+    val after = leafFiles(p)
+    for ((d, files) <- before if !touchedKeys.contains(d))
+      assert(after(d) === files, s"untouched dir $d was rewritten")
+    // upserted layout ≡ fresh rebuild of the same corpus (resends
+    // overlap the base — dedupe by id, delta wins but rows are equal)
+    val expect = docs.filter(col("doc_id") % 5 =!= 0)
+      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(delta)
+    val got = spark.read.parquet(p).select(docs.columns.map(col): _*)
+    assert(got.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got).count() === 0)
+    // idempotent replay: same batch again → same content
+    Layout.upsertIntoGsi(delta, p, "doc_id", "source", "lang")
+    val got2 = spark.read.parquet(p).select(docs.columns.map(col): _*)
+    assert(got2.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got2).count() === 0)
+  }
+
   test("page-index append: untouched dirs byte-identical, appended ≡ fresh rebuild, " +
        "idempotent replay, served drain crosses the boundary") {
     import graft.operators.Pagination
