@@ -1605,6 +1605,77 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** HARD-NEGATIVE mining
+    * ([[graft.operators.Similarity.hardNegativesTopK]]): for each
+    * anchor vector, the top-10 most-similar corpus vectors of a
+    * DIFFERENT label — the nearest-wrong-class negatives a
+    * contrastive / metric-learning batch builder samples, mined
+    * through q41's IVF cell pruning with the label inequality riding
+    * the cell join as a residual predicate (never an all-pairs label
+    * cross join, never a post-filtered top-k). Oracle: the q41 IVF
+    * replay with labels carried and `nbr.label <> anchor.label`
+    * folded into the candidate set. */
+  private val q119: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 10, nCentroids = 16, nProbe = 4)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Merkle-style dataset MANIFEST compare
+    * ([[graft.operators.Versioning.manifest]]): both corpus versions
+    * (q84's mutation recipe) reduce to 64 (bucket, n_rows, checksum)
+    * rows — order-free 60-bit md5 digests summed exactly in
+    * DECIMAL(38,0) — and the bucket-level join classifies each bucket
+    * equal/differs without a row ever moving: the snapshot-equality
+    * audit of a 100 TB replication, and q84's cheap precursor (only
+    * `differs` buckets need the row-level diff). */
+  private val q120: Q = (s, d) => {
+    val v1 = Tables.documents(s, d)
+    val base = v1.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, upper(col("text"))).otherwise(col("text")))
+    val adds = v1.filter(col("doc_id") % 19 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val cols = Seq("text", "lang", "source", "n_chars")
+    graft.operators.Versioning.compareManifests(
+        graft.operators.Versioning.manifest(v1, "doc_id", cols, 64),
+        graft.operators.Versioning.manifest(base.unionByName(adds), "doc_id", cols, 64))
+      .orderBy(col("bucket"))
+  }
+
+  /** Embedding-distribution DRIFT monitor
+    * ([[graft.operators.Profile.embeddingDrift]]): per-dimension PSI
+    * over fixed 8-bin histograms between the corpus and a re-encoded
+    * snapshot — half the ids, with every third label's FIRST 16
+    * dimensions rescaled (×1.5 + 0.15): the "new encoder checkpoint
+    * moved a subspace" simulation. The monitor must flag exactly that
+    * subspace: dims 0-15 land drifted/watch (PSI ≈ 0.19-0.29), dims
+    * 16-63 stay stable (≈ 0.01). Two map-only explodes +
+    * constant-size (64 dims × 8 bins) group aggregates. */
+  private val q121: Q = (s, d) => {
+    val a = Tables.embeddings(s, d)
+    val b = a.filter(col("vec_id") % 2 === 0)
+      .withColumn("embedding",
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(col("label") % 3 === 0 && i < 16,
+            x * lit(1.5) + lit(0.15)).otherwise(x)))
+    graft.operators.Profile.embeddingDrift(a, b, "embedding")
+  }
+
+  /** DSIR importance weights ([[graft.operators.Terms.dsirLogWeights]],
+    * Xie et al. NeurIPS'23): per-doc hashed-unigram log-likelihood
+    * ratio of the English slice (target) vs the whole corpus (raw) —
+    * the distribution-matched data-selection score a pretraining
+    * mixture curator resamples by. Two 256-bucket aggregates + one
+    * broadcast ratio table; per-bucket LLR quantized once to integer
+    * millionths so per-doc scores are exact order-free integer sums
+    * (hash-reproducible, like q91's training sums). */
+  private val q122: Q = (s, d) =>
+    graft.operators.Terms.dsirLogWeights(Tables.documents(s, d),
+        "doc_id", "text", col("lang") === "en")
+      .orderBy(col("doc_id"))
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2101,6 +2172,10 @@ object SparkEntry {
     "q116_pointintime_join" -> q116,
     "q117_table_profile" -> q117,
     "q118_gsi_upsert" -> q118,
+    "q119_hard_negatives" -> q119,
+    "q120_dataset_manifest" -> q120,
+    "q121_embedding_drift" -> q121,
+    "q122_dsir_weights" -> q122,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3881,6 +3956,163 @@ object SparkEntry {
          WHERE source IN ('src2', 'src5') AND lang IN ('en', 'fr')
            AND n_chars >= 150
          ORDER BY doc_id""",
+    // q41's IVF replay with labels carried through both sides and the
+    // wrong-class inequality folded into the candidate set (not a
+    // post-filter of a top-k).
+    "q119_hard_negatives" ->
+      """WITH prep AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+         cents AS (
+           SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+           FROM prep ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         corpus_cells AS (
+           SELECT vec_id, label, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY -(list_dot_product(v, cv)) / (nrm * cn), cent_id) AS crn
+           FROM prep, cents),
+         corpus AS (SELECT vec_id AS nbr_id, label AS nlab, v AS cv2, nrm AS cn2, cent_id AS cell
+                    FROM corpus_cells WHERE crn = 1),
+         probe_cells AS (
+           SELECT vec_id, label, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY -(list_dot_product(v, cv)) / (nrm * cn), cent_id) AS prn
+           FROM prep, cents WHERE vec_id < 5),
+         probes AS (SELECT vec_id AS probe_id, label AS plab, v AS pv, nrm AS pn, cent_id AS cell
+                    FROM probe_cells WHERE prn <= 4),
+         scored AS (
+           SELECT p.probe_id, c.nbr_id, c.nlab,
+             list_dot_product(c.cv2, p.pv) / (c.cn2 * p.pn) AS cos
+           FROM corpus c JOIN probes p ON c.cell = p.cell
+           WHERE c.nlab <> p.plab),
+         ranked AS (
+           SELECT probe_id, nbr_id, nlab, cos,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS BIGINT) AS rank, nbr_id,
+                nlab AS nbr_label, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // Manifest replay: same md5-bucket (8 hex chars of the id hash),
+    // same 60-bit row digest (15 hex chars of the payload hash), same
+    // exact DECIMAL(38,0) sum folded mod 2^60. chr(1) field separator
+    // and chr(2) null sentinel match the Spark literals.
+    "q120_dataset_manifest" ->
+      """WITH v1 AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 19 = 0),
+         ha AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+             CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+               coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+               coalesce(lang, chr(2)), coalesce(source, chr(2)),
+               coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v1),
+         hb AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+             CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+               coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+               coalesce(lang, chr(2)), coalesce(source, chr(2)),
+               coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v2),
+         ma AS (
+           SELECT bucket, count(*) AS rows_a,
+             CAST(sum(h) % 1152921504606846976 AS BIGINT) AS check_a
+           FROM ha GROUP BY bucket),
+         mb AS (
+           SELECT bucket, count(*) AS rows_b,
+             CAST(sum(h) % 1152921504606846976 AS BIGINT) AS check_b
+           FROM hb GROUP BY bucket)
+         SELECT coalesce(ma.bucket, mb.bucket) AS bucket,
+           rows_a, check_a, rows_b, check_b,
+           CASE WHEN ma.bucket IS NULL THEN 'only_b'
+                WHEN mb.bucket IS NULL THEN 'only_a'
+                WHEN rows_a = rows_b AND check_a = check_b THEN 'equal'
+                ELSE 'differs' END AS status
+         FROM ma FULL OUTER JOIN mb ON ma.bucket = mb.bucket
+         ORDER BY bucket""",
+    // PSI replay: same fixed [-1,1) 8-bin clamped histogram, same
+    // Laplace smoothing (s=0.5/bin), same subspace re-encode (dims
+    // 0-15 of every third label on the even-id half ×1.5 + 0.15) —
+    // the mutation is applied per exploded (dim, x) so no indexed
+    // lambda is needed; pure IEEE double arithmetic plus ln(), so
+    // round-6 matches.
+    "q121_embedding_drift" ->
+      """WITH a AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ea AS (SELECT g.dim - 1 AS dim, v[g.dim] AS x
+                FROM a, generate_series(1, 64) AS g(dim)),
+         eb0 AS (SELECT g.dim - 1 AS dim, label, v[g.dim] AS x0
+                 FROM a, generate_series(1, 64) AS g(dim)
+                 WHERE vec_id % 2 = 0),
+         eb AS (SELECT dim,
+                  CASE WHEN label % 3 = 0 AND dim < 16
+                    THEN x0 * 1.5 + 0.15 ELSE x0 END AS x
+                FROM eb0),
+         ha AS (
+           SELECT dim, CAST(least(greatest(floor((x - (-1.0)) / 0.25), 0), 7) AS INT) AS bin,
+             count(*) AS ca, sum(x) AS sxa
+           FROM ea GROUP BY 1, 2),
+         hb AS (
+           SELECT dim, CAST(least(greatest(floor((x - (-1.0)) / 0.25), 0), 7) AS INT) AS bin,
+             count(*) AS cb, sum(x) AS sxb
+           FROM eb GROUP BY 1, 2),
+         j AS (
+           SELECT coalesce(ha.dim, hb.dim) AS dim, coalesce(ha.bin, hb.bin) AS bin,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+             coalesce(sxa, 0.0) AS sxa, coalesce(sxb, 0.0) AS sxb
+           FROM ha FULL OUTER JOIN hb ON ha.dim = hb.dim AND ha.bin = hb.bin),
+         t AS (
+           SELECT dim, ca, cb, sxa, sxb,
+             sum(ca) OVER (PARTITION BY dim) AS na,
+             sum(cb) OVER (PARTITION BY dim) AS nb
+           FROM j),
+         p AS (
+           SELECT dim, sxa, sxb, na, nb,
+             ((ca + 0.5) / (na + 4.0) - (cb + 0.5) / (nb + 4.0))
+               * ln(((ca + 0.5) / (na + 4.0)) / ((cb + 0.5) / (nb + 4.0))) AS term
+           FROM t),
+         f AS (
+           SELECT dim, round(sum(term), 6) AS psi,
+             round(sum(sxa) / max(na), 4) AS mean_a,
+             round(sum(sxb) / max(nb), 4) AS mean_b
+           FROM p GROUP BY dim)
+         SELECT CAST(dim AS BIGINT) AS dim, psi, mean_a, mean_b,
+           CASE WHEN psi > 0.2 THEN 'drifted'
+                WHEN psi > 0.1 THEN 'watch' ELSE 'stable' END AS status
+         FROM f ORDER BY dim""",
+    // DSIR replay: same md5 bucket (8 hex chars mod 256), same
+    // s=0.5/bucket smoothing, same floor(1e6·ln(ratio)) per-BUCKET
+    // quantization — per-doc sums are then exact integers in both
+    // engines.
+    "q122_dsir_weights" ->
+      """WITH tk AS (
+           SELECT doc_id, lang = 'en' AS is_target,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+                 FROM documents)),
+         raw AS (SELECT b, count(*) AS cr FROM tk GROUP BY b),
+         tgt AS (SELECT b, count(*) AS ct FROM tk WHERE is_target GROUP BY b),
+         tot AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+                        (SELECT sum(ct) FROM tgt) AS nt),
+         lr AS (
+           SELECT raw.b,
+             CAST(floor(1000000.0 * ln(
+               ((coalesce(ct, 0) + 0.5) / (nt + 128.0)) /
+               ((cr + 0.5) / (nr + 128.0)))) AS BIGINT) AS lr
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+         SELECT tk.doc_id, count(*) AS n_tokens,
+           CAST(sum(lr) AS BIGINT) AS logw_micro
+         FROM tk JOIN lr ON tk.b = lr.b
+         GROUP BY tk.doc_id ORDER BY tk.doc_id""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,5 +67,65 @@ object Profile {
         col(s"${f.name}__ms").as("min_str"),
         col(s"${f.name}__xs").as("max_str"))
     }: _*)).as("p")).select("p.*").orderBy("col_name")
+  }
+
+  /** Embedding DISTRIBUTION DRIFT between two corpus snapshots —
+    * per-dimension Population Stability Index over fixed histogram
+    * bins, the monitor a production embedding pipeline runs when the
+    * upstream model or corpus mix changes (a new encoder checkpoint,
+    * a re-weighted source mixture): PSI > 0.2 on any dimension means
+    * the ANN index / classifier downstream is consuming a different
+    * distribution than it was built for. Complements [[profile]]
+    * (per-column scalars) and q81's source-KL (token distributions)
+    * with the embedding-space check.
+    *
+    * PSI_d = Σ_bins (p_a − p_b) · ln(p_a / p_b), Laplace-smoothed
+    * (s = 0.5 per bin) so empty bins are defined. Bins are FIXED
+    * [lo, hi) intervals, clamped at the edges — data-independent, so
+    * two sites histogram without coordinating (no quantile pass).
+    *
+    * Scale shape: posexplode is map-only; each side's histogram is
+    * one partial-aggregated groupBy into (nDims × nBins) groups —
+    * the only shuffle is that constant-size group set per partition,
+    * the payload never moves. The PSI join and window run over
+    * nDims × nBins ≤ a few thousand rows — driver-scale. Means ride
+    * the same aggregate. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                     nBins: Int = 8, lo: Double = -1.0,
+                     hi: Double = 1.0): DataFrame = {
+    val width = (hi - lo) / nBins
+    def hist(df: DataFrame) = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        least(greatest(floor((col("x") - lit(lo)) / lit(width)), lit(0.0)),
+          lit(nBins - 1.0)).cast("int").as("bin"),
+        col("x"))
+      .groupBy(col("dim"), col("bin"))
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"))
+    val wDim = Window.partitionBy(col("dim"))
+    val ha = hist(a).select(col("dim"), col("bin"), col("c").as("ca"), col("sx").as("sxa"))
+    val hb = hist(b).select(col("dim"), col("bin"), col("c").as("cb"), col("sx").as("sxb"))
+    val joined = ha.join(hb, Seq("dim", "bin"), "full_outer")
+      .select(col("dim"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("sxa"), lit(0.0)).as("sxa"),
+        coalesce(col("sxb"), lit(0.0)).as("sxb"))
+      .withColumn("na", sum(col("ca")).over(wDim))
+      .withColumn("nb", sum(col("cb")).over(wDim))
+    val s = 0.5
+    val pa = (col("ca") + lit(s)) / (col("na") + lit(s * nBins))
+    val pb = (col("cb") + lit(s)) / (col("nb") + lit(s * nBins))
+    joined
+      .withColumn("term", (pa - pb) * log(pa / pb))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("term")), 6).as("psi"),
+        round(sum(col("sxa")) / max(col("na")), 4).as("mean_a"),
+        round(sum(col("sxb")) / max(col("nb")), 4).as("mean_b"))
+      .withColumn("status", when(col("psi") > 0.2, "drifted")
+        .when(col("psi") > 0.1, "watch").otherwise("stable"))
+      .select(col("dim").cast("long").as("dim"), col("psi"),
+        col("mean_a"), col("mean_b"), col("status"))
+      .orderBy(col("dim"))
   }
 }

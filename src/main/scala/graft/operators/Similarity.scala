@@ -98,6 +98,55 @@ object Similarity {
         col("nbr_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each anchor,
+    * the top-k most-similar corpus vectors whose `labelCol` DIFFERS
+    * from the anchor's — the nearest wrong-class examples a
+    * metric-learning / embedding-training batch builder wants
+    * (highest-loss negatives), mined through IVF cell pruning rather
+    * than an all-pairs label cross join. The embedding-space lift of
+    * the reference's negative preference feedback (web_api.py
+    * get_recommendations penalizes disliked genres when ranking).
+    *
+    * Scale shape: identical to [[ivfTopK]] — centroids are the
+    * deterministic hash-rank set, inlined as expression data; corpus
+    * cell assignment is map-only; the candidate join is an equi-join
+    * on cell id with the (small) anchor set broadcast. The label
+    * inequality rides that join as a residual predicate, so
+    * wrong-class filtering costs nothing beyond the cell join it
+    * already prunes — no per-label index, no second shuffle. Like
+    * q104's filtered probe (and unlike post-filtering a top-k), every
+    * anchor still gets k SURVIVING negatives. */
+  def hardNegativesTopK(corpus: DataFrame, anchors: DataFrame, k: Int,
+                        nCentroids: Int, nProbe: Int,
+                        labelCol: String = "label"): DataFrame = {
+    val centroids = hashRankCents(corpus, nCentroids)
+    if (centroids.isEmpty)
+      return anchors.select(col("vec_id").as("probe_id"), lit(0L).as("rank"),
+        col("vec_id").as("nbr_id"), col(labelCol).as("nbr_label"),
+        lit(0.0).as("cos")).limit(0)
+    def cells(vecAs: String, normAs: String, keep: Int) =
+      graft.plans.NearestCells.nearestCells(
+        col(vecAs), col(normAs), centroids.toSeq, keep)
+    def assign(df: DataFrame, idAs: String, vecAs: String, normAs: String,
+               labAs: String, keep: Int) =
+      df.select(col("vec_id").as(idAs),
+          VectorFunctions.asDouble(col("embedding")).as(vecAs),
+          col(labelCol).as(labAs))
+        .withColumn(normAs, sqrt(VectorFunctions.dotD(col(vecAs), col(vecAs))))
+        .select(col(idAs), col(vecAs), col(normAs), col(labAs),
+          explode(cells(vecAs, normAs, keep)).as("cell"))
+    val c = assign(corpus, "nbr_id", "cv", "cn", "nbr_label", 1)
+    val p = assign(anchors, "probe_id", "pv", "pn", "anchor_label", nProbe)
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("nbr_label") =!= col("anchor_label"))
+      .withColumn("cos", VectorFunctions.cosinePre(col("cv"), col("pv"), col("cn"), col("pn")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("nbr_label"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Product-quantization ANN (Jégou et al. TPAMI 2011): vectors are
     * split into `dim/blockDim` contiguous sub-vectors, each encoded as
     * the index of its nearest codebook entry, and probe↔corpus

@@ -83,4 +83,54 @@ object Terms {
           .as("kl"))
       .orderBy(col("source"))
   }
+
+  /** DSIR-style IMPORTANCE WEIGHTS (Xie et al., NeurIPS 2023:
+    * Data Selection via Importance Resampling): score every document
+    * by how much its hashed-unigram distribution looks like a TARGET
+    * slice versus the RAW corpus — the data-selection step that
+    * up-samples target-like documents when curating a pretraining
+    * mixture. log w(doc) = Σ over tokens of
+    * ln( p_target(bucket) / p_raw(bucket) ), features hashed into
+    * `nBuckets` md5 buckets (the fixed feature space that makes two
+    * engines — and two sites — agree without a shared vocabulary).
+    *
+    * Determinism: the per-BUCKET log-likelihood ratio is quantized
+    * ONCE to integer millionths (floor — bit-defined, engine-neutral),
+    * so per-doc scores are exact integer sums — associative,
+    * order-free, hash-reproducible (the VecSumLong discipline applied
+    * to importance weighting). Laplace smoothing s=0.5/bucket keeps
+    * empty buckets defined.
+    *
+    * Scale shape: two constant-size aggregates (nBuckets groups,
+    * map-side combined) build the ratio table; it joins back as a
+    * BROADCAST of nBuckets rows; the per-doc sum groups by doc_id —
+    * tokens of a doc are co-partitioned post-explode, so partial
+    * aggregation reduces each doc to one row per input partition.
+    * The corpus payload never shuffles. */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     targetPred: org.apache.spark.sql.Column,
+                     nBuckets: Int = 256): DataFrame = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % nBuckets).as("b"))
+      .localCheckpoint(true) // one explode feeds counts AND the scan
+    val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = tk.filter(col("is_target")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    val s = 0.5
+    val lr = raw.join(tgt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(1e6) * log(
+          ((coalesce(col("ct"), lit(0L)) + lit(s)) / (col("nt") + lit(s * nBuckets))) /
+            ((col("cr") + lit(s)) / (col("nr") + lit(s * nBuckets)))))
+          .cast("long").as("lr"))
+    tk.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("logw_micro"))
+  }
 }

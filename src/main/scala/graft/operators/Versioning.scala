@@ -99,6 +99,70 @@ object Versioning {
         facts(factTs) >= history("valid_from") &&
         (history("valid_to").isNull || facts(factTs) < history("valid_to")))
 
+  /** Merkle-style dataset MANIFEST: the whole table reduced to
+    * `nBuckets` rows of (bucket, n_rows, checksum) — an order-free
+    * certificate two sites exchange to prove snapshot equality (or
+    * localize inequality) WITHOUT moving a row. The integrity check a
+    * 100 TB replication / publish step runs instead of a row compare;
+    * the reference's consumer trusts its ingest blindly
+    * (consumer.py's put loop has no verification step) — this is the
+    * audit that replaces that trust at warehouse scale.
+    *
+    * Bucket = md5 of the ID (so a content change stays in its
+    * bucket and a diff LOCALIZES to the buckets holding changed ids);
+    * checksum = Σ over rows of a 60-bit md5 row digest, accumulated
+    * in DECIMAL(38,0) — exact, associative, commutative, hence
+    * identical under any partition/fold order — folded mod 2^60. A
+    * changed row flips its bucket's checksum unless a 60-bit
+    * collision conspires.
+    *
+    * Scale shape: one scan, map-side partial aggregation into
+    * `nBuckets` groups — the only shuffle is nBuckets × #partitions
+    * digest rows; the payload never moves. Comparing two snapshots
+    * costs two scans plus an nBuckets-row join
+    * ([[compareManifests]]); only differing buckets then need a
+    * row-level [[datasetDiff]] RESTRICTED to those buckets (the
+    * bucket predicate is the same map-only expression, so the
+    * drill-down scan prunes by a cheap filter, not a join). Size
+    * `nBuckets` so a bucket's row set is re-scannable (~1M buckets
+    * at 100 TB). */
+  def manifest(df: DataFrame, idCol: String, contentCols: Seq[String],
+               nBuckets: Int): DataFrame = {
+    // null ≠ empty string: absent values stamp a \u0002 sentinel into
+    // the payload (concat_ws would silently DROP nulls and collapse
+    // ("a", null, "b") with ("a", "b", null))
+    val payload = concat_ws("\u0001",
+      (idCol +: contentCols).map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val rowHash = conv(substring(md5(payload.cast("binary")), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val bucket = (conv(substring(
+        md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nBuckets)
+    df.select(bucket.as("bucket"), rowHash.as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h")) % lit(1152921504606846976L))
+          .cast("long").as("checksum"))
+  }
+
+  /** Join two [[manifest]]s and classify each bucket: `equal`,
+    * `differs` (count or checksum moved), `only_a` / `only_b` (bucket
+    * present on one side — only possible when the sides used
+    * different `nBuckets` or a side is empty). nBuckets-row join —
+    * driver-scale regardless of data size. */
+  def compareManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("n_rows").as("rows_a"), col("checksum").as("check_a"))
+      .join(b.select(col("bucket"), col("n_rows").as("rows_b"),
+          col("checksum").as("check_b")),
+        Seq("bucket"), "full_outer")
+      .withColumn("status",
+        when(col("rows_a").isNull, "only_b")
+          .when(col("rows_b").isNull, "only_a")
+          .when(col("rows_a") === col("rows_b") &&
+            col("check_a") === col("check_b"), "equal")
+          .otherwise("differs"))
+
   /** Diff summary: one row per status with counts, including the
     * unchanged majority (counted, not emitted). */
   def diffSummary(oldDf: DataFrame, newDf: DataFrame,

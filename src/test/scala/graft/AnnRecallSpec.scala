@@ -91,4 +91,33 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"ivfpq recall@10 (np8, bd=4, 2 iters, rr=100) = $rr%.3f")
     assert(rr >= 0.60, f"trained IVFPQ recall@10 $rr%.3f below floor")
   }
+
+  test("hard negatives: every mined negative is wrong-class; full probe ≡ filtered brute force") {
+    val mined = Similarity.hardNegativesTopK(emb, probes, k,
+      nCentroids = 16, nProbe = 16)
+    val anchorLabels = probes.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = mined.select(col("probe_id"), col("nbr_label")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) != anchorLabels(r.getLong(0)),
+        s"anchor ${r.getLong(0)} mined a SAME-class negative")
+    }
+    // probing every cell makes the mine exhaustive: identical to the
+    // brute-force top-k restricted to wrong-class candidates
+    val lab = emb.select(col("vec_id").as("nbr_id"), col("label").as("bl"))
+    val bruteAll = Similarity.bruteForceTopK(emb, probes,
+      k = emb.count().toInt) // full ranking, filter labels after
+    val bruteNeg = bruteAll.join(lab, "nbr_id")
+      .join(probes.select(col("vec_id").as("probe_id"), col("label").as("al")), "probe_id")
+      .filter(col("bl") =!= col("al"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    val bruteTop = bruteNeg.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val minedSets = topkSets(mined)
+    val bruteSets = topkSets(bruteTop)
+    assert(minedSets === bruteSets,
+      "exhaustive-probe hard negatives must equal label-filtered brute force")
+  }
 }

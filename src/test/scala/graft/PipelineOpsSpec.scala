@@ -193,4 +193,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     bySize.foreach(g => assert(g.values.toSet.size === 1,
       "same-size sources must share a rate"))
   }
+
+  test("DSIR weights separate target-like docs; degenerate target scores ~0") {
+    // synthetic corpus with DISJOINT vocabularies: target docs speak
+    // "alpha", raw-only docs speak "beta" — the importance weight must
+    // rank every alpha doc above every beta doc
+    val rows = (0L until 40L).map { i =>
+      val tgt = i % 2 == 0
+      val words = if (tgt) "alpha apple axiom" else "beta bottle basalt"
+      (i, s"$words $words tail$i", if (tgt) "en" else "fr")
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val w = Terms.dsirLogWeights(df, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (alpha, beta) = w.partition(_._1 % 2 == 0)
+    assert(alpha.values.min > beta.values.max,
+      "every target-vocab doc must outscore every raw-only doc")
+    // target == whole corpus → p_target == p_raw → every LLR ~0 (only
+    // the floor-quantization epsilon and smoothing remain)
+    val self = Terms.dsirLogWeights(df, "doc_id", "text", lit(true))
+      .collect().map(_.getLong(2))
+    assert(self.forall(v => math.abs(v) <= 10),
+      s"self-target weights must be ~0 micro, got ${self.max}")
+  }
 }

@@ -797,4 +797,54 @@ class ScaleOpsSpec extends AnyFunSuite {
     val ratio = time(256).toDouble / time(16).toDouble
     assert(ratio < 6.0, s"win=256 vs win=16 cost ratio $ratio — not rolling")
   }
+
+  test("manifest: identical snapshots all-equal; a one-row edit localizes to ONE bucket") {
+    import graft.operators.Versioning
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val nB = 32
+    val same = Versioning.compareManifests(
+      Versioning.manifest(docs, "doc_id", cols, nB),
+      Versioning.manifest(docs, "doc_id", cols, nB))
+    assert(same.filter(col("status") =!= "equal").count() === 0)
+    // flip one row's content: exactly one bucket differs, counts equal
+    val someId = docs.select(min("doc_id")).head().getLong(0)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === someId, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val diff = Versioning.compareManifests(
+        Versioning.manifest(docs, "doc_id", cols, nB),
+        Versioning.manifest(edited, "doc_id", cols, nB))
+      .filter(col("status") =!= "equal").collect()
+    assert(diff.length === 1, s"expected 1 differing bucket, got ${diff.length}")
+    val r = diff.head
+    assert(r.getAs[String]("status") === "differs")
+    assert(r.getAs[Long]("rows_a") === r.getAs[Long]("rows_b"),
+      "a content edit must not move bucket row counts")
+    // a DELETED row moves its bucket's count too
+    val del = Versioning.compareManifests(
+        Versioning.manifest(docs, "doc_id", cols, nB),
+        Versioning.manifest(docs.filter(col("doc_id") =!= someId), "doc_id", cols, nB))
+      .filter(col("status") =!= "equal").collect()
+    assert(del.length === 1 &&
+      del.head.getAs[Long]("rows_a") === del.head.getAs[Long]("rows_b") + 1)
+  }
+
+  test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
+    import graft.operators.Profile
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val self = Profile.embeddingDrift(emb, emb, "embedding").collect()
+    assert(self.length === 64)
+    assert(self.forall(_.getAs[String]("status") == "stable"))
+    assert(self.forall(r => math.abs(r.getAs[Double]("psi")) < 1e-9),
+      "identical snapshots must have PSI 0 (smoothing cancels exactly)")
+    // shift HALF the dims hard; the monitor must flag those and only those
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i < 32, x + lit(0.5)).otherwise(x)))
+    val drift = Profile.embeddingDrift(emb, shifted, "embedding").collect()
+    val flagged = drift.filter(_.getAs[String]("status") != "stable")
+      .map(_.getAs[Long]("dim")).toSet
+    assert(flagged === (0L until 32L).toSet,
+      s"expected exactly dims 0-31 flagged, got $flagged")
+  }
 }
