@@ -1676,6 +1676,75 @@ object SparkEntry {
         "doc_id", "text", col("lang") === "en")
       .orderBy(col("doc_id"))
 
+  /** Perceptual image fingerprints
+    * ([[graft.operators.Multimodal.dhash]]): 56-bit difference hash
+    * over the REAL PNG decode path — encode → ImageIO decode → fixed
+    * 8×8 nearest-neighbor luma grid → horizontal-gradient bits. The
+    * image-side sibling of q23's text SimHash (band the hashes with
+    * Dedup's machinery for the pair join); brightness-invariant by
+    * construction, spec-pinned. Oracle replays the closed-form pixel
+    * generator through the same integer grid/luma/bit math — PNG
+    * losslessness plus decoder fidelity is what hash equality
+    * proves. */
+  private val q123: Q = (s, d) => {
+    val m = graft.operators.Multimodal
+    m.dhash(m.pngFromDocuments(Tables.documents(s, d))).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shuffled SHARD EXPORT ([[graft.operators.Layout.writeShards]]):
+    * the corpus written as 8 equal-size shards in deterministic
+    * md5-of-id global order — the WebDataset-style layout a trainer
+    * streams round-robin, every shard an IID sample, sizes exact ±1
+    * (q56's hash split is IID but binomial-sized; a short shard
+    * starves a data-parallel rank). Global rank via the q100
+    * two-phase staged rank (never a single-reducer window); built
+    * once per dataset, probe reads the assignment back. Oracle: the
+    * md5-order row_number replay — layout ≡ the declared order. */
+  private val q124Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q124: Q = (s, d) => {
+    val path = q124Cache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q124_shards")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val p = root.toString + "/shards"
+      graft.operators.Layout.writeShards(
+        Tables.documents(s, d), "doc_id", p, nShards = 8)
+      p
+    })
+    s.read.parquet(path + "/data")
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental MANIFEST maintenance
+    * ([[graft.operators.Versioning.updateManifest]]): q120's
+    * bucket-checksum certificate kept current at O(delta) — the
+    * before-images of updates and deletes subtract their digests,
+    * after-images and inserts add theirs; the base snapshot is never
+    * re-read. The oracle computes the NEW snapshot's manifest from
+    * scratch, so hash equality IS the incrementally-maintained ≡
+    * fresh-rebuild proof (the q97/q111/q118 maintenance discipline
+    * applied to the integrity certificate itself). */
+  private val q125: Q = (s, d) => {
+    val v1 = Tables.documents(s, d)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val removed = v1.filter(col("doc_id") % 17 === 0)
+    val changedOld = v1.filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 13 === 0)
+    val changedNew = changedOld.withColumn("text", upper(col("text")))
+    val adds = v1.filter(col("doc_id") % 19 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    graft.operators.Versioning.updateManifest(
+        graft.operators.Versioning.manifest(v1, "doc_id", cols, 64),
+        removed.unionByName(changedOld), changedNew.unionByName(adds),
+        "doc_id", cols, 64)
+      .orderBy(col("bucket"))
+  }
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2176,6 +2245,9 @@ object SparkEntry {
     "q120_dataset_manifest" -> q120,
     "q121_embedding_drift" -> q121,
     "q122_dsir_weights" -> q122,
+    "q123_image_dhash" -> q123,
+    "q124_shard_export" -> q124,
+    "q125_manifest_delta" -> q125,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4113,6 +4185,67 @@ object SparkEntry {
            CAST(sum(lr) AS BIGINT) AS logw_micro
          FROM tk JOIN lr ON tk.b = lr.b
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+    // dHash replay from the closed-form pixel generator (q98's
+    // contract): same integer 8×8 grid sampling, same integer luma,
+    // same gradient-bit packing (bits 0..55 — never the sign bit).
+    // Hash equality proves the encode→decode→sample→hash path.
+    "q123_image_dhash" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + n_chars % 24 AS w, 8 + n_chars % 16 AS h
+           FROM documents),
+         grid AS (
+           SELECT doc_id, w, h, gy.i AS gy, gx.i AS gx,
+             (gy.i * h // 8) * w + (gx.i * w // 8) AS pi
+           FROM dims, range(0, 8) gy(i), range(0, 8) gx(i)),
+         lum AS (
+           SELECT doc_id, w, h, gy, gx,
+             (((doc_id*31 + pi*7) % 256) * 299
+              + ((doc_id*17 + pi*11) % 256) * 587
+              + ((doc_id*13 + pi*5) % 256) * 114) // 1000 AS l
+           FROM grid),
+         bits AS (
+           SELECT a.doc_id, a.w, a.h,
+             CASE WHEN b.l > a.l
+               THEN CAST(1 AS BIGINT) << (a.gy * 7 + a.gx)
+               ELSE 0 END AS v
+           FROM lum a JOIN lum b
+             ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+           WHERE a.gx < 7)
+         SELECT doc_id, CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+           CAST(sum(v) AS BIGINT) AS dhash
+         FROM bits GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // Shard replay: the layout must equal the DECLARED deterministic
+    // order — one md5-rank row_number, round-robin shard, integer pos.
+    "q124_shard_export" ->
+      """WITH r AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+           FROM documents)
+         SELECT doc_id, CAST(rk % 8 AS BIGINT) AS shard,
+           CAST(rk // 8 AS BIGINT) AS pos
+         FROM r ORDER BY doc_id""",
+    // Incremental-manifest oracle: the FRESH manifest of the mutated
+    // snapshot (q120's v2 + digest CTEs verbatim) — equality proves
+    // updateManifest's O(delta) maintenance ≡ full rebuild.
+    "q125_manifest_delta" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 19 = 0),
+         hb AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+             CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+               coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+               coalesce(lang, chr(2)), coalesce(source, chr(2)),
+               coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v2)
+         SELECT bucket, count(*) AS n_rows,
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum
+         FROM hb GROUP BY bucket ORDER BY bucket""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

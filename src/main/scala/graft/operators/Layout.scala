@@ -224,4 +224,54 @@ object Layout {
       .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     (files.length, outFiles, bytes)
   }
+
+  /** SHUFFLED SHARD EXPORT — the last step of a training-data
+    * pipeline: write the corpus as `nShards` equal-size shards in a
+    * DETERMINISTIC global random order (md5-of-id order — the
+    * engine-neutral shuffle), so the trainer streams shards
+    * round-robin and every shard is an IID sample of the corpus
+    * (WebDataset-style layout). q56's hash split gives IID groups of
+    * BINOMIAL size; training exports need exact sizes (a trailing
+    * short shard starves one data-parallel rank), so shards here are
+    * round-robin off a global md5 rank: sizes differ by at most 1 at
+    * ANY corpus size, and `pos` is the deterministic within-shard
+    * read order.
+    *
+    * Scale shape: the global rank is the q100 two-phase trick — rows
+    * stage range-partitioned by (md5, id) (files pin the boundary
+    * sample, so ranks cannot race a recompute), per-partition counts
+    * (≤ `parts` rows) collect to offsets, rank = offset + local
+    * row_number; never a single-reducer global window. One range
+    * shuffle + one partitioned write. */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+                  nShards: Int, parts: Int = 32): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val okey = md5(col(idCol).cast("string").cast("binary"))
+    val stage = s"$path/stage"
+    df.withColumn("__okey", okey)
+      .repartitionByRange(parts, col("__okey"), col(idCol))
+      .sortWithinPartitions(col("__okey"), col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val counts = staged.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0L, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("__okey"), col(idCol))
+    staged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__rank", col("__off") + row_number().over(wLocal) - 1)
+      .withColumn("shard", col("__rank") % nShards)
+      .withColumn("pos", call_function("div", col("__rank"), lit(nShards.toLong)))
+      .drop("__pid", "__off", "__rank", "__okey")
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$path/data")
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
 }

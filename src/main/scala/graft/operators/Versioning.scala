@@ -126,11 +126,15 @@ object Versioning {
     * drill-down scan prunes by a cheap filter, not a join). Size
     * `nBuckets` so a bucket's row set is re-scannable (~1M buckets
     * at 100 TB). */
-  def manifest(df: DataFrame, idCol: String, contentCols: Seq[String],
-               nBuckets: Int): DataFrame = {
-    // null ≠ empty string: absent values stamp a \u0002 sentinel into
-    // the payload (concat_ws would silently DROP nulls and collapse
-    // ("a", null, "b") with ("a", "b", null))
+  private val ChecksumMod = 1152921504606846976L // 2^60
+
+  /** (bucket, 60-bit row digest) per row — the digest contract shared
+    * by [[manifest]] and [[updateManifest]]. null is not empty
+    * string: absent values stamp a U+0002 sentinel into the payload
+    * (concat_ws would silently DROP nulls and collapse
+    * ("a", null, "b") with ("a", "b", null)). */
+  private def digested(df: DataFrame, idCol: String,
+                       contentCols: Seq[String], nBuckets: Int): DataFrame = {
     val payload = concat_ws("\u0001",
       (idCol +: contentCols).map(c =>
         coalesce(col(c).cast("string"), lit("\u0002"))): _*)
@@ -140,10 +144,49 @@ object Versioning {
         md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % nBuckets)
     df.select(bucket.as("bucket"), rowHash.as("__h"))
+  }
+
+  def manifest(df: DataFrame, idCol: String, contentCols: Seq[String],
+               nBuckets: Int): DataFrame =
+    digested(df, idCol, contentCols, nBuckets)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        (sum(col("__h")) % lit(1152921504606846976L))
+        (sum(col("__h")) % lit(ChecksumMod))
           .cast("long").as("checksum"))
+
+  /** INCREMENTALLY maintain a [[manifest]] — the O(delta) operation
+    * that replaces re-scanning 100 TB when a snapshot changes: the
+    * bucket checksum is an exact SUM mod 2^60, so a leaving row
+    * SUBTRACTS its digest and an entering row adds it. `removed`
+    * carries the OLD content of rows leaving the snapshot (deletes,
+    * and the before-image of updates); `added` carries rows entering
+    * it (the after-image of updates, and inserts). Only the delta is
+    * digested — the base data is never re-read — and the result is
+    * bucket-for-bucket EQUAL to a fresh [[manifest]] of the new
+    * snapshot, which is exactly what q125's oracle (the fresh-rebuild
+    * SQL) certifies. Buckets whose count drops to zero leave the
+    * manifest, matching the rebuild. The manifest sibling of q97's
+    * cell delta / q111's page append / q118's GSI upsert. */
+  def updateManifest(man: DataFrame, removed: DataFrame, added: DataFrame,
+                     idCol: String, contentCols: Seq[String],
+                     nBuckets: Int): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(df: DataFrame, sign: Int) =
+      digested(df, idCol, contentCols, nBuckets)
+        .select(col("bucket"), lit(sign.toLong).as("__dn"),
+          (col("__h") * lit(sign)).as("__dh"))
+    val delta = side(removed, -1).unionByName(side(added, 1))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dh")).as("__dh"))
+    man.join(delta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n_rows"),
+        pmod(coalesce(col("checksum").cast(dec38), lit(0L).cast(dec38))
+            + coalesce(col("__dh"), lit(0L).cast(dec38)),
+          lit(ChecksumMod))
+          .cast("long").as("checksum"))
+      .filter(col("n_rows") > 0)
   }
 
   /** Join two [[manifest]]s and classify each bucket: `equal`,

@@ -518,6 +518,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set(("g1", 1L, 5L), ("g1", 2L, 3L), ("g2", 1L, 7L)))
   }
 
+  test("dhash: brightness-invariant (the perceptual property), gradient-sensitive") {
+    def gray(id: Long, w: Int, h: Int)(f: (Int, Int) => Int): Multimodal.ImageRow = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.ImageRow(id, bos.toByteArray)
+    }
+    import spark.implicits._
+    val pat = (x: Int, y: Int) => (x * 7 + y * 11) % 200
+    val rows = Seq(
+      gray(1, 20, 12)(pat),
+      gray(2, 20, 12)((x, y) => pat(x, y) + 40), // +40 luma everywhere, no clip
+      gray(3, 20, 12)((x, y) => 200 - pat(x, y))) // reversed gradients
+    val hs = Multimodal.dhash(spark.createDataset(rows)).collect()
+      .map(r => r.doc_id -> r.dhash).toMap
+    assert(hs(1L) === hs(2L), "a constant brightness shift must not change the dhash")
+    assert(hs(1L) !== hs(3L), "reversed gradients must change the dhash")
+  }
+
   test("multimodal decode stub computes n_bytes and checksum") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaFromDocuments(docs)).cache()

@@ -552,11 +552,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     // aggregate as q64's rate frame — scalar attach, not a blowup
     // q109 compares group-level HLL banks pairwise AFTER aggregation —
     // cardinality is #event_types, not #rows (the q40 shape)
+    // q122 attaches the 1-row (N_target, N_raw) totals to the 256-row
+    // bucket table before quantizing the ratio — scalar attach on a
+    // CONSTANT-size frame, the corpus side joins the result by hash
     val intentionalCross =
       Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union",
         "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25",
         "q78_pq_ann", "q95_pq_trained", "q81_source_kl", "q105_token_budget",
-        "q109_hll_overlap")
+        "q109_hll_overlap", "q122_dsir_weights")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!intentionalCross(name)) {
@@ -827,6 +830,70 @@ class ScaleOpsSpec extends AnyFunSuite {
       .filter(col("status") =!= "equal").collect()
     assert(del.length === 1 &&
       del.head.getAs[Long]("rows_a") === del.head.getAs[Long]("rows_b") + 1)
+  }
+
+  test("shard export: sizes exact ±1, every shard an IID cross-section, deterministic rebuild") {
+    import graft.operators.Layout
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_shards_spec").toString
+    try {
+      Layout.writeShards(docs, "doc_id", s"$root/s", nShards = 8, parts = 4)
+      val back = spark.read.parquet(s"$root/s/data")
+      val sizes = back.groupBy(col("shard")).count()
+        .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+      assert(sizes.keySet === (0L until 8L).toSet)
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"round-robin shards must differ by at most 1 row, got $sizes")
+      assert(back.count() === docs.count())
+      assert(back.select("doc_id").distinct().count() === docs.count())
+      // every shard sees every major source — the IID cross-section a
+      // binomial hash split only gives in expectation
+      val srcs = docs.groupBy(col("source")).count()
+        .filter(col("count") >= 32).collect().map(_.getString(0))
+      val cover = back.groupBy(col("shard"))
+        .agg(countDistinct(col("source")).as("ns")).collect()
+      cover.foreach(r => assert(r.getLong(1) >= srcs.length,
+        s"shard ${r.get(0)} missing a major source"))
+      // rebuild into a second dir: identical assignment (determinism)
+      Layout.writeShards(docs, "doc_id", s"$root/t", nShards = 8, parts = 7)
+      val again = spark.read.parquet(s"$root/t/data")
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+      val first = back.select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+      assert(first.except(again).count() === 0 && again.except(first).count() === 0,
+        "shard assignment must be independent of staging partition count")
+    } finally {
+      val p = java.nio.file.Paths.get(root)
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  test("updateManifest ≡ fresh rebuild, including a bucket emptied by the delta") {
+    import graft.operators.Versioning
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "text", "lang")
+    val cols = Seq("text", "lang")
+    val nB = 16
+    // delta: remove every 5th row, rewrite every 7th, add 3 fresh rows
+    val removed = docs.filter(col("doc_id") % 5 === 0)
+    val chOld = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+    val chNew = chOld.withColumn("text", concat(col("text"), lit(" v2")))
+    val adds = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+    val v2 = docs.exceptAll(removed).exceptAll(chOld)
+      .unionByName(chNew).unionByName(adds)
+    val updated = Versioning.updateManifest(
+      Versioning.manifest(docs, "doc_id", cols, nB),
+      removed.unionByName(chOld), chNew.unionByName(adds), "doc_id", cols, nB)
+    val fresh = Versioning.manifest(v2, "doc_id", cols, nB)
+    assert(updated.except(fresh).count() === 0 && fresh.except(updated).count() === 0,
+      "incrementally maintained manifest must equal the fresh rebuild")
+    // empty the whole snapshot: every bucket vanishes, like the rebuild
+    val allGone = Versioning.updateManifest(
+      Versioning.manifest(docs, "doc_id", cols, nB),
+      docs, docs.limit(0), "doc_id", cols, nB)
+    assert(allGone.count() === 0)
   }
 
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
