@@ -92,19 +92,37 @@ object Profile {
     * the same aggregate. */
   def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
                      nBins: Int = 8, lo: Double = -1.0,
-                     hi: Double = 1.0): DataFrame = {
+                     hi: Double = 1.0): DataFrame =
+    psiFromHists(binnedHist(a, vecCol, nBins, lo, hi),
+      binnedHist(b, vecCol, nBins, lo, hi), nBins)
+
+  /** Fixed-bin per-dimension histogram: (dim, bin, c, sx) — the
+    * MERGEABLE form of the drift monitor's state (sum two histograms
+    * bin-wise and you have the histogram of the union), which is what
+    * lets [[graft.streaming.DriftIngest]] maintain it incrementally
+    * over a stream. Bins are clamped [lo, hi) intervals —
+    * data-independent, no quantile pass. */
+  def binnedHist(df: DataFrame, vecCol: String, nBins: Int = 8,
+                 lo: Double = -1.0, hi: Double = 1.0): DataFrame = {
     val width = (hi - lo) / nBins
-    def hist(df: DataFrame) = df
-      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
       .select(col("dim"),
         least(greatest(floor((col("x") - lit(lo)) / lit(width)), lit(0.0)),
           lit(nBins - 1.0)).cast("int").as("bin"),
         col("x"))
       .groupBy(col("dim"), col("bin"))
       .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"))
+  }
+
+  /** PSI + mean comparison of two [[binnedHist]] frames (a =
+    * reference, b = candidate). Output identical to
+    * [[embeddingDrift]], which is this over freshly-built
+    * histograms. */
+  def psiFromHists(ha0: DataFrame, hb0: DataFrame,
+                   nBins: Int = 8): DataFrame = {
     val wDim = Window.partitionBy(col("dim"))
-    val ha = hist(a).select(col("dim"), col("bin"), col("c").as("ca"), col("sx").as("sxa"))
-    val hb = hist(b).select(col("dim"), col("bin"), col("c").as("cb"), col("sx").as("sxb"))
+    val ha = ha0.select(col("dim"), col("bin"), col("c").as("ca"), col("sx").as("sxa"))
+    val hb = hb0.select(col("dim"), col("bin"), col("c").as("cb"), col("sx").as("sxb"))
     val joined = ha.join(hb, Seq("dim", "bin"), "full_outer")
       .select(col("dim"), col("bin"),
         coalesce(col("ca"), lit(0L)).as("ca"),

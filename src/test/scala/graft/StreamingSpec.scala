@@ -679,4 +679,58 @@ class StreamingSpec extends AnyFunSuite {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(storeBatches === Set(0L, 1L))
   }
+
+  test("DriftIngest: cumulative streamed PSI ≡ one-shot drift; replay exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_ingest")
+      .toFile.getAbsolutePath
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val ref = emb.filter(col("vec_id") % 2 === 1)
+    graft.streaming.DriftIngest.writeReference(ref, "embedding", s"$dir/ref")
+    val rows = emb.filter(col("vec_id") % 2 === 0)
+      .as[(Long, Seq[Double])].collect()
+    val (b0, b1) = rows.partition(_._1 % 4 == 0)
+    assert(b0.nonEmpty && b1.nonEmpty)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val snk = graft.streaming.DriftIngest.sink(s"$dir/ref", s"$dir/store", "embedding")
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(snk)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    mem.addData(b0.toSeq: _*); q.processAllAvailable()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    def finalPsi() = spark.read.parquet(s"$dir/store/psi")
+      .filter(col("batch") === 1)
+      .select("dim", "psi", "status", "mean_a", "mean_b").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val streamed = finalPsi()
+    // the monitor after the last batch must equal the ONE-SHOT drift
+    // of (reference, everything streamed): histogram merge is exact
+    // integer algebra, so psi/status match exactly; the mean rides
+    // fp-summed sx, compared with a rounding-slack tolerance
+    val oneShot = graft.operators.Profile.embeddingDrift(
+        ref, rows.toSeq.toDF("vec_id", "embedding"), "embedding")
+      .select("dim", "psi", "status", "mean_a", "mean_b").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(streamed.length === 64 && oneShot.length === 64)
+    streamed.zip(oneShot).foreach { case (s, o) =>
+      assert(s._1 === o._1)
+      assert(s._2 === o._2, s"psi mismatch at dim ${s._1}")
+      assert(s._3 === o._3, s"status mismatch at dim ${s._1}")
+      assert(math.abs(s._4 - o._4) <= 1e-3 && math.abs(s._5 - o._5) <= 1e-3)
+    }
+    // worst-point replay (hist + psi landed, checkpoint uncommitted):
+    // the sink must fold batch 1 exactly once and rewrite identical rows
+    snk(b1.toSeq.toDF("vec_id", "embedding"), 1L)
+    assert(finalPsi().toSeq === streamed.toSeq)
+    val histBatches = spark.read.parquet(s"$dir/store/hist")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(histBatches === Set(0L, 1L))
+  }
 }
