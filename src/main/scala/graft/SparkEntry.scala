@@ -1745,6 +1745,33 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Tokenizer FERTILITY by language — the tokenizer-evaluation
+    * metric (subword tokens per word, chars per subword token) that
+    * decides whether a tokenizer under-serves a language (high
+    * fertility = more tokens per word = that language pays more
+    * compute per sentence): q92's data-trained BPE counter aggregated
+    * per lang in exact integer sums, divided once at the end. One
+    * map-only pass over the corpus (the counter is a native
+    * expression), a #langs-size aggregate. Oracle: the shared 56-step
+    * BPE replay chain aggregated by lang. */
+  private val q126: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = TF.tokens(coalesce(col("text"), lit("")))
+    val merges = trainedMerges(d, docs)
+    docs.select(col("lang"),
+        size(toks).cast("long").as("nw"),
+        graft.plans.BpeTokenCount.bpeTokenCount(toks, merges).as("nb"),
+        aggregate(transform(toks, w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe_tokens"),
+        round(sum(col("nb")).cast("double") / sum(col("nw")), 6).as("fertility"),
+        round(sum(col("nc")).cast("double") / sum(col("nb")), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2248,6 +2275,7 @@ object SparkEntry {
     "q123_image_dhash" -> q123,
     "q124_shard_export" -> q124,
     "q125_manifest_delta" -> q125,
+    "q126_fertility" -> q126,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3468,6 +3496,9 @@ object SparkEntry {
     // 56 mask/count micro-steps per word (ranks 0..7 × positions 1..7
     // — words are ≤ 8 bytes by the corpus contract)
     "q92_bpe_tokens" -> bpeOracle,
+    // fertility: the shared BPE replay chain aggregated by lang —
+    // integer sums divided once at the end
+    "q126_fertility" -> fertilityOracle,
     // BPE counts composed into q68's packing layout — trainer +
     // counter + running-total boundary rules all replayed
     "q96_bpe_pack" -> bpePackOracle,
@@ -4512,7 +4543,8 @@ object SparkEntry {
          mt AS (SELECT $mtCols FROM ranked),
          wstate0 AS (SELECT * FROM words CROSS JOIN mt)$steps,
          bpe_doc AS (
-           SELECT doc_id, count(*) AS nw, sum(length(w) - $c) AS nb
+           SELECT doc_id, count(*) AS nw, sum(length(w) - $c) AS nb,
+             sum(length(w)) AS nc
            FROM $prev GROUP BY doc_id)"""
   }
 
@@ -4522,6 +4554,21 @@ object SparkEntry {
            CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bpe_tokens
          FROM documents d LEFT JOIN bpe_doc a USING (doc_id)
          ORDER BY d.doc_id"""
+
+  /** q126: the same chain, aggregated per language. */
+  private def fertilityOracle: String = bpeCtes +
+    """,
+         per AS (
+           SELECT d.lang, count(*) AS n_docs,
+             sum(coalesce(b.nw, 0)) AS nw, sum(coalesce(b.nb, 0)) AS nb,
+             sum(coalesce(b.nc, 0)) AS nc
+           FROM documents d LEFT JOIN bpe_doc b USING (doc_id)
+           GROUP BY d.lang)
+         SELECT lang, n_docs, CAST(nw AS BIGINT) AS n_words,
+           CAST(nb AS BIGINT) AS n_bpe_tokens,
+           round(nb * 1.0 / nw, 6) AS fertility,
+           round(nc * 1.0 / nb, 6) AS chars_per_token
+         FROM per ORDER BY lang"""
 
   /** q68's packing replay over BPE counts: per-doc subword totals
     * (shared bpe_doc chain) feed the identical running-total /
