@@ -4167,11 +4167,17 @@ object SparkEntry {
            SELECT dim, CAST(least(greatest(floor((x - (-1.0)) / 0.25), 0), 7) AS INT) AS bin,
              count(*) AS cb, sum(x) AS sxb
            FROM eb GROUP BY 1, 2),
+         grid AS (
+           SELECT d.dim, t.bin
+           FROM (SELECT DISTINCT dim FROM ha UNION SELECT DISTINCT dim FROM hb) d(dim),
+                range(0, 8) t(bin)),
          j AS (
-           SELECT coalesce(ha.dim, hb.dim) AS dim, coalesce(ha.bin, hb.bin) AS bin,
+           SELECT g.dim, g.bin,
              coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
              coalesce(sxa, 0.0) AS sxa, coalesce(sxb, 0.0) AS sxb
-           FROM ha FULL OUTER JOIN hb ON ha.dim = hb.dim AND ha.bin = hb.bin),
+           FROM grid g
+           LEFT JOIN ha ON g.dim = ha.dim AND g.bin = ha.bin
+           LEFT JOIN hb ON g.dim = hb.dim AND g.bin = hb.bin),
          t AS (
            SELECT dim, ca, cb, sxa, sxb,
              sum(ca) OVER (PARTITION BY dim) AS na,
@@ -4211,11 +4217,16 @@ object SparkEntry {
              CAST(floor(1000000.0 * ln(
                ((coalesce(ct, 0) + 0.5) / (nt + 128.0)) /
                ((cr + 0.5) / (nr + 128.0)))) AS BIGINT) AS lr
-           FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
-         SELECT tk.doc_id, count(*) AS n_tokens,
-           CAST(sum(lr) AS BIGINT) AS logw_micro
-         FROM tk JOIN lr ON tk.b = lr.b
-         GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+         agg AS (
+           SELECT tk.doc_id, count(*) AS n_tokens,
+             CAST(sum(lr) AS BIGINT) AS logw_micro
+           FROM tk JOIN lr ON tk.b = lr.b
+           GROUP BY tk.doc_id)
+         SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.logw_micro, 0) AS logw_micro
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
     // dHash replay from the closed-form pixel generator (q98's
     // contract): same integer 8×8 grid sampling, same integer luma,
     // same gradient-bit packing (bits 0..55 — never the sign bit).

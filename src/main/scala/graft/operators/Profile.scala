@@ -123,7 +123,18 @@ object Profile {
     val wDim = Window.partitionBy(col("dim"))
     val ha = ha0.select(col("dim"), col("bin"), col("c").as("ca"), col("sx").as("sxa"))
     val hb = hb0.select(col("dim"), col("bin"), col("c").as("cb"), col("sx").as("sxb"))
-    val joined = ha.join(hb, Seq("dim", "bin"), "full_outer")
+    // DENSIFY to the full dim × nBins grid before joining: smoothing
+    // defines a nonzero probability for EVERY bin, so a bin empty on
+    // both sides still contributes (sa−sb)·ln(sa/sb) ≠ 0 whenever the
+    // two sides' totals differ — joining only observed bins would
+    // silently understate PSI exactly when the reference and the
+    // candidate have different row counts (the streaming-monitor
+    // regime: large frozen reference vs small early stream).
+    val grid = ha.select(col("dim")).union(hb.select(col("dim"))).distinct()
+      .select(col("dim"), explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val joined = grid
+      .join(ha, Seq("dim", "bin"), "left_outer")
+      .join(hb, Seq("dim", "bin"), "left_outer")
       .select(col("dim"), col("bin"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"),

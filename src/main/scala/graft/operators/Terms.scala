@@ -129,8 +129,17 @@ object Terms {
           ((coalesce(col("ct"), lit(0L)) + lit(s)) / (col("nt") + lit(s * nBuckets))) /
             ((col("cr") + lit(s)) / (col("nr") + lit(s * nBuckets)))))
           .cast("long").as("lr"))
-    tk.join(broadcast(lr), "b")
+    val perDoc = tk.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("logw_micro"))
+    // "score EVERY document": a token-less doc (empty/whitespace text)
+    // never leaves the explode, so join the per-token sums back onto
+    // the full id set with an explicit zero weight — downstream
+    // resampling joins on doc_id and must not silently drop rows
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
   }
 }

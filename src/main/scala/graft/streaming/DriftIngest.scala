@@ -19,14 +19,22 @@ import graft.operators.Profile
   * O(batch + dims × bins) and the stream's history is never re-read.
   *
   * Layout under `storePath`: `hist/batch=N/` — batch N's OWN histogram
-  * (dim, bin, c, sx); `psi/batch=N/` — the monitor row per dimension
-  * after folding batch N in.
+  * (dim, bin, c, sx; the audit trail, never re-read by the sink);
+  * `cum/batch=N/` — the cumulative histogram AFTER folding batch N
+  * (immutable once N is past); `psi/batch=N/` — the monitor row per
+  * dimension after folding batch N in.
+  *
+  * Per-batch cost is O(batch + dims × bins), genuinely: the fold
+  * reads ONE prior `cum/batch=N-1` snapshot (a constant-size frame)
+  * and adds the batch's histogram — never the per-batch history, so
+  * a 100k-batch monitor pays the same per batch as a 3-batch one.
   *
   * Exactly-once from at-least-once: a replayed batch id overwrites
   * exactly its own `batch=N` directories (dynamic partition
-  * overwrite), and the cumulative fold reads the per-batch histograms
-  * EXCLUDING the replaying id before adding the recomputed one — so
-  * whatever the crash point, the replay writes the same bytes
+  * overwrite), and the fold reads the LATEST cum snapshot with
+  * batch < N — prior snapshots are immutable, so whatever the crash
+  * point (hist landed, cum landed, psi landed, checkpoint not
+  * committed) the replay recomputes and rewrites the same bytes
   * ([[DedupIngest]]'s discipline; the spec proves streamed ≡ one-shot
   * and worst-point replay stability).
   */
@@ -56,22 +64,37 @@ object DriftIngest {
       sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
         val bh = Profile.binnedHist(batch, vecCol, nBins, lo, hi)
-          .withColumn("batch", lit(batchId))
+          .localCheckpoint(true) // read by hist write + fold
         graft.sources.Sinks.writePartitioned(
-          bh, s"$storePath/hist", Seq("batch"))
-        // cumulative = Σ per-batch histograms; exclude the replaying
-        // id from the READ and add the recomputed frame instead, so a
-        // replay after a partial crash folds each batch exactly once
-        val histRoot = new Path(s"$storePath/hist")
-        val prior = sp.read.parquet(histRoot.toString)
-          .filter(col("batch") =!= batchId)
-          .select(col("dim"), col("bin"), col("c"), col("sx"))
-        val cum = prior
-          .unionByName(bh.select(col("dim"), col("bin"), col("c"), col("sx")))
-          .groupBy(col("dim"), col("bin"))
-          .agg(sum(col("c")).as("c"), sum(col("sx")).as("sx"))
+          bh.withColumn("batch", lit(batchId)), s"$storePath/hist", Seq("batch"))
+        // fold into the LATEST immutable cum snapshot with batch < N:
+        // one constant-size read per batch, and a replay (which may
+        // find its own cum/batch=N already landed) folds against the
+        // same prior snapshot and rewrites identical bytes
+        val cumRoot = new Path(s"$storePath/cum")
+        val fs = cumRoot.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val priorBatch: Option[Long] =
+          if (fs.exists(cumRoot))
+            fs.listStatus(cumRoot).toSeq.map(_.getPath.getName)
+              .filter(_.startsWith("batch="))
+              .map(_.stripPrefix("batch=").toLong)
+              .filter(_ < batchId)
+              .reduceOption(_ max _)
+          else None
+        val cum = priorBatch match {
+          case Some(pb) =>
+            sp.read.parquet(s"$storePath/cum/batch=$pb")
+              .select(col("dim"), col("bin"), col("c"), col("sx"))
+              .unionByName(bh)
+              .groupBy(col("dim"), col("bin"))
+              .agg(sum(col("c")).as("c"), sum(col("sx")).as("sx"))
+          case None => bh
+        }
+        val cumCk = cum.localCheckpoint(true) // read by cum write + psi
+        graft.sources.Sinks.writePartitioned(
+          cumCk.withColumn("batch", lit(batchId)), s"$storePath/cum", Seq("batch"))
         val ref = sp.read.parquet(refPath)
-        val psi = Profile.psiFromHists(ref, cum, nBins)
+        val psi = Profile.psiFromHists(ref, cumCk, nBins)
           .withColumn("batch", lit(batchId))
         graft.sources.Sinks.writePartitioned(
           psi, s"$storePath/psi", Seq("batch"))
