@@ -1772,6 +1772,51 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** TIME-TRAVEL reads over the transaction-log table format
+    * ([[graft.operators.TableLog]]): the corpus lands as version 0
+    * (four immutable file groups, one atomic commit), a delta commit
+    * REPLACES one group's files (drops every 20th id, uppercases
+    * every 8th) — and both versions stay readable forever. The query
+    * certifies each version's snapshot with the order/layout-free
+    * table checksum ([[graft.operators.Versioning.tableChecksum]]);
+    * the oracle replays both versions LOGICALLY from the base table,
+    * so hash equality proves the log-directed file union at each
+    * version reconstructs exactly the right row set — reproducible
+    * training pulls ("the corpus as of version N") from a store whose
+    * reference ancestor (DynamoDB in-place overwrite,
+    * enrichment.py:83-131) keeps only latest state. */
+  private val q127Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q127: Q = (s, d) => {
+    val root = q127Cache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q127_tablelog")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val p = tmp.toString + "/table"
+      val docs = Tables.documents(s, d)
+      val tl = graft.operators.TableLog
+      val groups = (0 until 4).map { g =>
+        tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
+      }
+      tl.commit(s, p, groups.flatten, Nil) // version 0
+      val g0v2 = docs
+        .filter(col("doc_id") % 4 === 0 && col("doc_id") % 20 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0, upper(col("text"))).otherwise(col("text")))
+      tl.commit(s, p, tl.stageWrite(g0v2, p, "g0v2"), groups.head) // version 1
+      p
+    })
+    val cols = Seq("text", "lang", "source", "n_chars")
+    Seq(0L, 1L).map { v =>
+      graft.operators.Versioning.tableChecksum(
+          graft.operators.TableLog.snapshot(s, root, Some(v)), "doc_id", cols)
+        .select(lit(v).as("version"), col("n_rows"), col("checksum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2276,6 +2321,7 @@ object SparkEntry {
     "q124_shard_export" -> q124,
     "q125_manifest_delta" -> q125,
     "q126_fertility" -> q126,
+    "q127_time_travel" -> q127,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4288,6 +4334,38 @@ object SparkEntry {
          SELECT bucket, count(*) AS n_rows,
            CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum
          FROM hb GROUP BY bucket ORDER BY bucket""",
+    // Time-travel oracle: both versions replayed LOGICALLY from the
+    // base table with q120's digest — equality proves the log's file
+    // union at each version reconstructs exactly the right rows.
+    "q127_time_travel" ->
+      """WITH v0 AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents),
+         v1 AS (
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 4 <> 0
+           UNION ALL
+           SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+           FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
+         h0 AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v0),
+         h1 AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v1)
+         SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum FROM h0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), count(*),
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h1
+         ORDER BY version""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

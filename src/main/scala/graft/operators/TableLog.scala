@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal TRANSACTION-LOG table format — versioned snapshots over
+  * immutable parquet files, the storage discipline every reproducible
+  * 100 TB training pipeline needs: "train on the corpus exactly as it
+  * was at version N" must stay answerable after daily deltas rewrite
+  * the table (plain directory-overwrite layouts destroy history; the
+  * reference's DynamoDB store keeps only latest state —
+  * enrichment.py's in-place overwrite — so reproducibility is exactly
+  * what it cannot give you).
+  *
+  * Design (the Delta/Iceberg core, reduced to its load-bearing
+  * minimum):
+  *  - data files are IMMUTABLE; a commit is a JSON entry
+  *    `_log/<version>.json` listing files ADDED and files REMOVED
+  *    (paths relative to the table root);
+  *  - the snapshot at version V = union of adds minus removes over
+  *    entries ≤ V — reading never lists the data directory, only the
+  *    log (O(#commits), not O(#files));
+  *  - commits are OPTIMISTIC: the entry is created with
+  *    create-if-absent; losing a race to the same version number
+  *    re-reads the log and retries at the next version. Writers never
+  *    block readers; readers of version V see V's exact file set
+  *    forever.
+  *
+  * Scale shape: the log is driver-side metadata (KBs per commit); all
+  * data movement is ordinary parquet writes of the delta. A daily
+  * pipeline appends or replaces only the files it touched — O(delta)
+  * I/O — while every historical version stays one `snapshot(asOf)`
+  * away. Pair with [[Versioning.tableChecksum]] to certify a
+  * time-travel read against a logical replay (q127's oracle), and
+  * with [[Versioning.manifest]] to diff two versions without reading
+  * rows.
+  */
+object TableLog {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(root: String) = s"$root/_log"
+
+  private def entryPath(root: String, v: Long) =
+    new Path(logDir(root), f"$v%020d.json")
+
+  /** Committed versions, ascending (empty for a fresh table). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(logDir(root))
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  /** Append a commit (adds/removes are table-root-relative file
+    * paths). Optimistic: claims max(version)+1 via create-if-absent;
+    * on a lost race, re-reads and retries. Returns the version
+    * written. */
+  def commit(spark: SparkSession, root: String,
+             add: Seq[String], remove: Seq[String]): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(logDir(root)))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    var attempt = 0
+    while (attempt < 64) {
+      val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
+      val body =
+        s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)}}"""
+      val p = entryPath(root, v)
+      // the claim must be ATOMIC create-if-absent. On HDFS/object
+      // stores, FileSystem.create(path, overwrite=false) is an
+      // exclusive namenode op; on the LOCAL fs it is a non-atomic
+      // exists()+create (TOCTOU — two racers both pass the check), so
+      // file:// paths claim via NIO createFile (O_CREAT|O_EXCL).
+      val uri = p.toUri
+      val claimed =
+        if (uri.getScheme == null || uri.getScheme == "file") {
+          val local = java.nio.file.Paths.get(uri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          try { java.nio.file.Files.createFile(local); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          try { f.create(p, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        }
+      if (claimed) {
+        val out = f.create(p, true) // we own the claimed entry
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        return v
+      }
+      attempt += 1 // lost the race; re-read the log and retry
+    }
+    sys.error(s"TableLog.commit: lost $attempt version races at $root")
+  }
+
+  private def readEntry(f: FileSystem, p: Path): (Long, Seq[String], Seq[String]) = {
+    val in = f.open(p)
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    def list(key: String): Seq[String] = {
+      val m = ("\"" + key + "\":\\[(.*?)\\]").r.findFirstMatchIn(body)
+      m.map(_.group(1)).filter(_.nonEmpty).toSeq
+        .flatMap(_.split(",").toSeq)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+    val v = "\"version\":(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"TableLog: corrupt entry $p"))
+    (v, list("add"), list("remove"))
+  }
+
+  /** The ACTIVE file set (root-relative) at `asOf` (default: latest). */
+  def activeFiles(spark: SparkSession, root: String,
+                  asOf: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
+    require(upTo.nonEmpty, s"TableLog: no committed version at $root asOf=$asOf")
+    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    upTo.foreach { v =>
+      val (_, add, remove) = readEntry(f, entryPath(root, v))
+      remove.foreach(active -= _)
+      add.foreach(active += _)
+    }
+    active.toSeq
+  }
+
+  /** TIME-TRAVEL read: the table exactly as of version `asOf`
+    * (default: latest). Reads only the log plus the active files —
+    * never a directory listing of the data dir, so stale files from
+    * in-flight or replaced writes are invisible. */
+  def snapshot(spark: SparkSession, root: String,
+               asOf: Option[Long] = None): DataFrame = {
+    val files = activeFiles(spark, root, asOf).map(rel => s"$root/$rel")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Write `df` as new immutable data files under `data/<name>/` and
+    * return their root-relative paths (NOT yet committed — compose
+    * with [[commit]], so a multi-part transaction becomes visible
+    * atomically with its removes). */
+  def stageWrite(df: DataFrame, root: String, name: String): Seq[String] = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(s"$root/data/$name")
+    val f = fs(spark, root)
+    f.listStatus(new Path(s"$root/data/$name")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .sorted
+      .map(n => s"data/$name/$n")
+  }
+
+  /** Delete data files no longer referenced by ANY version older than
+    * the retained horizon — the storage-reclaim step. Keeps every
+    * file referenced by versions ≥ `retainFrom` (so those snapshots
+    * stay readable) and deletes files only ever active before it.
+    * Returns the deleted root-relative paths. */
+  def vacuum(spark: SparkSession, root: String, retainFrom: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val keep = vs.filter(_ >= retainFrom)
+      .flatMap(v => activeFiles(spark, root, Some(v))).toSet
+    val everAdded = vs.flatMap { v =>
+      readEntry(f, entryPath(root, v))._2
+    }.toSet
+    val doomed = (everAdded -- keep).toSeq.sorted
+    doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
+    doomed
+  }
+}

@@ -154,6 +154,18 @@ object Versioning {
         (sum(col("__h")) % lit(ChecksumMod))
           .cast("long").as("checksum"))
 
+  /** Whole-table digest — [[manifest]] collapsed to ONE
+    * (n_rows, checksum) row: the content identity of a snapshot,
+    * order- and layout-free (same rows in any file arrangement →
+    * same checksum), which is what lets [[TableLog]]'s time-travel
+    * reads be certified against a logical replay. */
+  def tableChecksum(df: DataFrame, idCol: String,
+                    contentCols: Seq[String]): DataFrame =
+    digested(df, idCol, contentCols, nBuckets = 1)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h")) % lit(ChecksumMod))
+          .cast("long").as("checksum"))
+
   /** INCREMENTALLY maintain a [[manifest]] — the O(delta) operation
     * that replaces re-scanning 100 TB when a snapshot changes: the
     * bucket checksum is an exact SUM mod 2^60, so a leaving row

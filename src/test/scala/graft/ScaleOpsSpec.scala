@@ -896,6 +896,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(allGone.count() === 0)
   }
 
+  test("TableLog: time travel survives replace+vacuum; racing commits serialize") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+      .select("doc_id", "text", "lang")
+    val root = Files.createTempDirectory("graft_tablelog_spec").toString + "/t"
+    // version 0: two file groups, one atomic commit
+    val gA = TableLog.stageWrite(docs.filter(col("doc_id") % 2 === 0), root, "a")
+    val gB = TableLog.stageWrite(docs.filter(col("doc_id") % 2 === 1), root, "b")
+    assert(TableLog.commit(spark0, root, gA ++ gB, Nil) === 0L)
+    val v0Rows = TableLog.snapshot(spark0, root).count()
+    assert(v0Rows === docs.count())
+    // version 1: replace group A with a filtered rewrite
+    val gA2 = TableLog.stageWrite(
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0), root, "a2")
+    assert(TableLog.commit(spark0, root, gA2, gA) === 1L)
+    // both versions readable; v0 unchanged by the later commit
+    assert(TableLog.snapshot(spark0, root, Some(0L)).count() === v0Rows)
+    val v1 = TableLog.snapshot(spark0, root, Some(1L))
+    val expect1 = docs.filter(col("doc_id") % 2 === 1 ||
+      (col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0))
+    assert(v1.count() === expect1.count())
+    assert(v1.exceptAll(expect1).count() === 0)
+    // racing commits: every thread lands a DISTINCT consecutive version
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val versionsWon =
+      try (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            TableLog.commit(spark0, root, Seq(s"data/dummy$i.parquet"), Nil)
+        })
+      }.map(_.get()).toSet
+      finally pool.shutdown()
+    assert(versionsWon === Set(2L, 3L, 4L, 5L))
+    // vacuum retaining only the latest: gA's replaced files go, the
+    // latest snapshot is untouched
+    val deleted = TableLog.vacuum(spark0, root, retainFrom = 5L)
+    assert(gA.forall(deleted.contains), "replaced v0 files must be vacuumed")
+    assert(TableLog.activeFiles(spark0, root).forall(f =>
+      !deleted.contains(f)), "active files must survive vacuum")
+    assert(TableLog.snapshot(spark0, root, Some(1L)).count() === expect1.count())
+  }
+
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
     import graft.operators.Profile
     val emb = Tables.embeddings(spark, TestSpark.sf)
