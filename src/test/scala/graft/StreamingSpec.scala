@@ -733,4 +733,52 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(histBatches === Set(0L, 1L))
   }
+
+  test("PackIngest: id-ordered stream packs exactly like the one-shot batch; replay stable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_ingest")
+      .toFile.getAbsolutePath
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_tokens"),
+        md5(coalesce(col("text"), lit(""))).as("__tie"))
+    val rows = docs.as[(String, Long, Long, String)].collect().sortBy(_._2)
+    val n = rows.length
+    val batches = Seq(rows.take(n / 3), rows.slice(n / 3, 2 * n / 3), rows.drop(2 * n / 3))
+    val seqLen = 64L
+    val snk = graft.streaming.PackIngest.sink(s"$dir/store", seqLen)
+    val mem = MemoryStream[(String, Long, Long, String)]
+    val q = mem.toDF().toDF("source", "doc_id", "n_tokens", "__tie").writeStream
+      .foreachBatch(snk)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    batches.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+
+    def streamedAssign() = spark.read.parquet(s"$dir/store/assign")
+      .select("doc_id", "seq_id", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val streamed = streamedAssign()
+    // one-shot packing over the SAME order: two-phase prefix sum, same
+    // seq rule — the stream's tape must land every doc identically
+    val oneShot = graft.operators.Pack.shardedCumSum(
+        docs, "source", "doc_id", "__tie", "n_tokens", "cum")
+      .withColumn("seq_id", call_function("div", col("cum") - col("n_tokens"), lit(seqLen)))
+      .select("doc_id", "seq_id", "cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.size === n && oneShot.size === n)
+    assert(streamed === oneShot,
+      "continuous packing must equal the one-shot batch packing")
+    // sequences are final: a doc's seq_id never exceeds its cum bound
+    streamed.foreach { case (_, (sid, _)) => assert(sid >= 0L) }
+    // worst-point replay of the last batch (assign + base landed,
+    // checkpoint uncommitted): identical assignments, no double-fold
+    snk(batches.last.toSeq.toDF("source", "doc_id", "n_tokens", "__tie"), 2L)
+    assert(streamedAssign() === streamed)
+    val baseBatches = spark.read.parquet(s"$dir/store/base")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(baseBatches === Set(0L, 1L, 2L))
+  }
 }
