@@ -1817,6 +1817,45 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** ROW-LEVEL deletes via deletion sidecars
+    * ([[graft.operators.TableLog.commitDeletes]]): the GDPR/erasure
+    * and dedup-purge path of a versioned 100 TB table — doomed ids
+    * land as a tiny parquet sidecar and a commit references it, no
+    * data file is rewritten (O(#deleted) instead of O(file)); reads
+    * anti-join the sidecar union. Version 0 (pre-delete) stays
+    * readable — erasure of the CURRENT view and reproducibility of
+    * past versions are separate axes (vacuum retires old versions
+    * when retention says so). Oracle replays both versions
+    * logically; hash equality proves the sidecar anti-join serves
+    * exactly the undeleted rows. */
+  private val q128Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q128: Q = (s, d) => {
+    val root = q128Cache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q128_deletes")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val p = tmp.toString + "/table"
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p, tl.stageWrite(docs, p, "base"), Nil) // version 0
+      tl.commitDeletes(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
+        p, "purge9") // version 1 — no data file touched
+      p
+    })
+    val cols = Seq("text", "lang", "source", "n_chars")
+    Seq(0L, 1L).map { v =>
+      graft.operators.Versioning.tableChecksum(
+          graft.operators.TableLog.snapshot(s, root, Some(v), Some("doc_id")),
+          "doc_id", cols)
+        .select(lit(v).as("version"), col("n_rows"), col("checksum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2322,6 +2361,7 @@ object SparkEntry {
     "q125_manifest_delta" -> q125,
     "q126_fertility" -> q126,
     "q127_time_travel" -> q127,
+    "q128_row_deletes" -> q128,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4348,6 +4388,32 @@ object SparkEntry {
              CASE WHEN doc_id % 8 = 0 THEN upper(text) ELSE text END AS text,
              lang, source, n_chars
            FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
+         h0 AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v0),
+         h1 AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v1)
+         SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum FROM h0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), count(*),
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h1
+         ORDER BY version""",
+    // Sidecar-delete oracle: v1 is simply "rows whose id survived" —
+    // equality proves the anti-join read path.
+    "q128_row_deletes" ->
+      """WITH v0 AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents),
+         v1 AS (
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 9 <> 0),
          h0 AS (
            SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
              coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A minimal TRANSACTION-LOG table format — versioned snapshots over
   * immutable parquet files, the storage discipline every reproducible
@@ -56,11 +57,13 @@ object TableLog {
   }
 
   /** Append a commit (adds/removes are table-root-relative file
-    * paths). Optimistic: claims max(version)+1 via create-if-absent;
-    * on a lost race, re-reads and retries. Returns the version
-    * written. */
+    * paths; `deletes` are root-relative ID-LIST sidecar files — see
+    * [[commitDeletes]]). Optimistic: claims max(version)+1 via
+    * create-if-absent; on a lost race, re-reads and retries. Returns
+    * the version written. */
   def commit(spark: SparkSession, root: String,
-             add: Seq[String], remove: Seq[String]): Long = {
+             add: Seq[String], remove: Seq[String],
+             deletes: Seq[String] = Nil): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(logDir(root)))
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -69,7 +72,7 @@ object TableLog {
     while (attempt < 64) {
       val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
       val body =
-        s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)}}"""
+        s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)},"deletes":${arr(deletes)}}"""
       val p = entryPath(root, v)
       // the claim must be ATOMIC create-if-absent. On HDFS/object
       // stores, FileSystem.create(path, overwrite=false) is an
@@ -97,7 +100,8 @@ object TableLog {
     sys.error(s"TableLog.commit: lost $attempt version races at $root")
   }
 
-  private def readEntry(f: FileSystem, p: Path): (Long, Seq[String], Seq[String]) = {
+  private def readEntry(f: FileSystem, p: Path)
+      : (Long, Seq[String], Seq[String], Seq[String]) = {
     val in = f.open(p)
     val body = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -116,7 +120,7 @@ object TableLog {
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(body)
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"TableLog: corrupt entry $p"))
-    (v, list("add"), list("remove"))
+    (v, list("add"), list("remove"), list("deletes"))
   }
 
   /** The ACTIVE file set (root-relative) at `asOf` (default: latest). */
@@ -128,21 +132,60 @@ object TableLog {
     require(upTo.nonEmpty, s"TableLog: no committed version at $root asOf=$asOf")
     val active = scala.collection.mutable.LinkedHashSet.empty[String]
     upTo.foreach { v =>
-      val (_, add, remove) = readEntry(f, entryPath(root, v))
+      val (_, add, remove, _) = readEntry(f, entryPath(root, v))
       remove.foreach(active -= _)
       add.foreach(active += _)
     }
     active.toSeq
   }
 
+  /** The delete-sidecar files (root-relative) in force at `asOf` —
+    * cumulative: a row delete, once committed, applies to every later
+    * version until the row's file is rewritten without it. */
+  def activeDeletes(spark: SparkSession, root: String,
+                    asOf: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
+    upTo.flatMap(v => readEntry(f, entryPath(root, v))._4)
+  }
+
+  /** ROW-LEVEL delete without rewriting a single data file — the
+    * deletion-vector idea at id granularity: the doomed ids land as a
+    * tiny parquet SIDECAR and a commit references it; snapshots
+    * anti-join the sidecar union at read time. O(#deleted) I/O
+    * instead of O(file) rewrites — the GDPR/erasure and
+    * dedup-purge path of a 100 TB table (compact later, delete now).
+    * `ids` must be a single-column frame of `idCol` values. */
+  def commitDeletes(ids: DataFrame, root: String, name: String): Long = {
+    val spark = ids.sparkSession
+    val files = stageWrite(ids, root, s"deletes/$name")
+    commit(spark, root, add = Nil, remove = Nil, deletes = files)
+  }
+
   /** TIME-TRAVEL read: the table exactly as of version `asOf`
     * (default: latest). Reads only the log plus the active files —
     * never a directory listing of the data dir, so stale files from
-    * in-flight or replaced writes are invisible. */
+    * in-flight or replaced writes are invisible. Pass `idCol` to
+    * apply delete sidecars ([[commitDeletes]]) — a left-anti join
+    * against the (small) deleted-id union; without it, sidecar
+    * deletes are NOT applied (and the call refuses rather than
+    * silently over-reading). */
   def snapshot(spark: SparkSession, root: String,
-               asOf: Option[Long] = None): DataFrame = {
+               asOf: Option[Long] = None,
+               idCol: Option[String] = None): DataFrame = {
     val files = activeFiles(spark, root, asOf).map(rel => s"$root/$rel")
-    spark.read.parquet(files: _*)
+    val base = spark.read.parquet(files: _*)
+    val dels = activeDeletes(spark, root, asOf)
+    if (dels.isEmpty) base
+    else idCol match {
+      case None => sys.error(
+        s"TableLog.snapshot: $root has delete sidecars; pass idCol to apply them")
+      case Some(id) =>
+        val doomed = spark.read.parquet(dels.map(rel => s"$root/$rel"): _*)
+        base.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
+          Seq(id), "left_anti")
+    }
   }
 
   /** Write `df` as new immutable data files under `data/<name>/` and

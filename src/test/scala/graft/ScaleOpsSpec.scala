@@ -919,24 +919,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       (col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0))
     assert(v1.count() === expect1.count())
     assert(v1.exceptAll(expect1).count() === 0)
-    // racing commits: every thread lands a DISTINCT consecutive version
+    // racing commits (separate table so phantom files never pollute
+    // reads): every thread lands a DISTINCT consecutive version
+    val root2 = root + "2"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val versionsWon =
       try (0 until 4).map { i =>
         pool.submit(new java.util.concurrent.Callable[Long] {
           def call(): Long =
-            TableLog.commit(spark0, root, Seq(s"data/dummy$i.parquet"), Nil)
+            TableLog.commit(spark0, root2, Seq(s"data/dummy$i.parquet"), Nil)
         })
       }.map(_.get()).toSet
       finally pool.shutdown()
-    assert(versionsWon === Set(2L, 3L, 4L, 5L))
+    assert(versionsWon === Set(0L, 1L, 2L, 3L))
     // vacuum retaining only the latest: gA's replaced files go, the
     // latest snapshot is untouched
-    val deleted = TableLog.vacuum(spark0, root, retainFrom = 5L)
+    val deleted = TableLog.vacuum(spark0, root, retainFrom = 1L)
     assert(gA.forall(deleted.contains), "replaced v0 files must be vacuumed")
     assert(TableLog.activeFiles(spark0, root).forall(f =>
       !deleted.contains(f)), "active files must survive vacuum")
     assert(TableLog.snapshot(spark0, root, Some(1L)).count() === expect1.count())
+    // ---- sidecar row deletes ----
+    val doomedIds = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0)
+      .select("doc_id")
+    val vDel = TableLog.commitDeletes(doomedIds, root, "purge")
+    // pre-delete versions are untouched; reading without idCol refuses
+    assert(TableLog.snapshot(spark0, root, Some(1L)).count() === expect1.count())
+    intercept[RuntimeException] {
+      TableLog.snapshot(spark0, root, Some(vDel)).count()
+    }
+    val afterDel = TableLog.snapshot(spark0, root, Some(vDel), Some("doc_id"))
+    assert(afterDel.count() === expect1.count() - doomedIds.count())
+    assert(afterDel.join(doomedIds, "doc_id").count() === 0)
+    // deletes persist across a LATER file commit and survive vacuum
+    val extra = TableLog.stageWrite(docs.filter(col("doc_id") === -1), root, "empty")
+    TableLog.commit(spark0, root, extra, Nil)
+    val afterMore = TableLog.snapshot(spark0, root, None, Some("doc_id"))
+    assert(afterMore.join(doomedIds, "doc_id").count() === 0)
+    TableLog.vacuum(spark0, root, retainFrom = vDel)
+    assert(TableLog.snapshot(spark0, root, None, Some("doc_id"))
+      .join(doomedIds, "doc_id").count() === 0)
   }
 
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
