@@ -1856,6 +1856,48 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** CHANGE DATA FEED over the transaction log
+    * ([[graft.operators.TableLog.changes]]): per-version row-level
+    * (added/removed/changed) between commits — version 1 is q127's
+    * file replace, version 2 a sidecar delete — the "what do I
+    * reprocess since the version my index was built at" question
+    * every incremental consumer (q97's index delta, q118's GSI
+    * upsert, q125's manifest delta) starts from. Derived by diffing
+    * consecutive log-directed snapshots (md5 digests, payload never
+    * shuffles); oracle replays all three versions logically and
+    * diffs them in SQL. */
+  private val q129Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q129: Q = (s, d) => {
+    val root = q129Cache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q129_cdf")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }))
+      val p = tmp.toString + "/table"
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      val groups = (0 until 4).map { g =>
+        tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
+      }
+      tl.commit(s, p, groups.flatten, Nil) // version 0
+      val g0v2 = docs
+        .filter(col("doc_id") % 4 === 0 && col("doc_id") % 20 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0, upper(col("text"))).otherwise(col("text")))
+      tl.commit(s, p, tl.stageWrite(g0v2, p, "g0v2"), groups.head) // version 1
+      tl.commitDeletes(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
+        p, "purge9") // version 2
+      p
+    })
+    graft.operators.TableLog.changes(s, root, fromV = 0L, toV = 2L,
+        "doc_id", "text")
+      .orderBy(col("version"), col("doc_id"))
+  }
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2362,6 +2404,7 @@ object SparkEntry {
     "q126_fertility" -> q126,
     "q127_time_travel" -> q127,
     "q128_row_deletes" -> q128,
+    "q129_change_feed" -> q129,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4432,6 +4475,38 @@ object SparkEntry {
          SELECT CAST(1 AS BIGINT), count(*),
            CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h1
          ORDER BY version""",
+    // CDF oracle: replay all three versions logically and diff them
+    // in SQL — string equality of the content column ≡ datasetDiff's
+    // md5 compare.
+    "q129_change_feed" ->
+      """WITH v0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         v1 AS (
+           SELECT doc_id, coalesce(text, '') AS t
+           FROM documents WHERE doc_id % 4 <> 0
+           UNION ALL
+           SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN upper(coalesce(text, ''))
+                  ELSE coalesce(text, '') END AS t
+           FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
+         v2 AS (SELECT * FROM v1 WHERE doc_id % 9 <> 0),
+         s1 AS (
+           SELECT CAST(1 AS BIGINT) AS version,
+             coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.t <> b.t THEN 'changed' ELSE 'same' END AS status
+           FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id),
+         s2 AS (
+           SELECT CAST(2 AS BIGINT) AS version,
+             coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.t <> b.t THEN 'changed' ELSE 'same' END AS status
+           FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT version, doc_id, status
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         WHERE status <> 'same'
+         ORDER BY version, doc_id""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

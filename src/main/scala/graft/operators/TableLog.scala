@@ -203,6 +203,31 @@ object TableLog {
       .map(n => s"data/$name/$n")
   }
 
+  /** CHANGE DATA FEED: per-version row-level changes between
+    * `fromV` (exclusive) and `toV` (inclusive) — (version, id,
+    * status ∈ added/removed/changed) — derived by diffing consecutive
+    * snapshots with [[Versioning.datasetDiff]], the downstream-sync
+    * primitive (" what do I reprocess since the version my index was
+    * built at?", composing with the q97/q118/q125 delta appliers).
+    * File-level logs carry no row lineage, so each step reads its two
+    * snapshots — O(#steps × table) worst case, O(changed files) when
+    * commits replace few files; a pipeline that needs O(delta) feeds
+    * stores the diff at commit time (the [[Versioning.manifest]]
+    * bucket drill-down bounds that cost). */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
+              idCol: String, contentCol: String): DataFrame = {
+    val vs = versions(spark, root).filter(v => v > fromV && v <= toV)
+    require(vs.nonEmpty, s"TableLog.changes: no versions in ($fromV, $toV]")
+    vs.map { v =>
+      Versioning.datasetDiff(
+          snapshot(spark, root, Some(v - 1), Some(idCol)),
+          snapshot(spark, root, Some(v), Some(idCol)),
+          idCol, contentCol)
+        .withColumn("version", org.apache.spark.sql.functions.lit(v))
+        .select(col("version"), col(idCol), col("status"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Delete data files no longer referenced by ANY version older than
     * the retained horizon — the storage-reclaim step. Keeps every
     * file referenced by versions ≥ `retainFrom` (so those snapshots
