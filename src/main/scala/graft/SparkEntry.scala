@@ -1898,6 +1898,21 @@ object SparkEntry {
       .orderBy(col("version"), col("doc_id"))
   }
 
+  /** REAL audio decode
+    * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
+    * mono PCM WAV through javax.sound's own writer, decode through
+    * `AudioSystem.getAudioInputStream`, emit integer per-clip stats
+    * (sample count, peak, exact energy sum, zero crossings) — the
+    * audio half of the multimodal column family beside q98's image
+    * path; the oracle replays the closed-form sample generator, so
+    * hash equality proves codec fidelity end to end (PCM WAV is
+    * lossless). Map-only, batched mapPartitions. */
+  private val q130: Q = (s, d) => {
+    val m = graft.operators.Multimodal
+    m.decodeAudioStats(m.wavFromDocuments(Tables.documents(s, d))).toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** GSI-SERVED preference probe ([[graft.operators.Layout.writeGsi]])
     * — the reference's `source:<s>:genre:<g>` DynamoDB inverted index
     * (consumer.py's index put, web_api.py's per-preference Query)
@@ -2405,6 +2420,7 @@ object SparkEntry {
     "q127_time_travel" -> q127,
     "q128_row_deletes" -> q128,
     "q129_change_feed" -> q129,
+    "q130_audio_decode" -> q130,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4507,6 +4523,26 @@ object SparkEntry {
          FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
          WHERE status <> 'same'
          ORDER BY version, doc_id""",
+    // audio stats replayed from the sample-generating closed form —
+    // never decoding a byte: PCM WAV losslessness is what's proved
+    "q130_audio_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, 256 + n_chars % 512 AS n FROM documents),
+         samp AS (
+           SELECT doc_id, n, i,
+             (doc_id*7919 + i*104729) % 65536 - 32768 AS s
+           FROM dims, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)),
+         zc AS (
+           SELECT doc_id, n, s,
+             CASE WHEN lag(s) OVER w IS NOT NULL
+                   AND ((lag(s) OVER w < 0) <> (s < 0))
+                  THEN 1 ELSE 0 END AS z
+           FROM samp WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(max(CASE WHEN s < 0 THEN -s ELSE s END) AS INTEGER) AS peak,
+           CAST(sum(s*s) AS BIGINT) AS sum_sq,
+           CAST(sum(z) AS BIGINT) AS zero_crossings
+         FROM zc GROUP BY doc_id ORDER BY doc_id""",
   ) ++ oracleSqlRest
 
   /** q99's replay: the same integer quantization (`//` integral

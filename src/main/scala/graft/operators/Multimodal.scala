@@ -180,6 +180,98 @@ object Multimodal {
     }
   }
 
+  // ---- Real audio decode (javax.sound.sampled — no external dep) ----
+
+  case class AudioRow(doc_id: Long, wav: Array[Byte])
+  case class AudioStats(doc_id: Long, n_samples: Long, peak: Int,
+                        sum_sq: Long, zero_crossings: Long)
+
+  /** Sample i of doc `id` — the closed form shared by the WAV writer
+    * and the oracle contract (the audio analog of [[pixel]]):
+    * a signed 16-bit value ((id·7919 + i·104729) mod 65536) − 32768.
+    * PCM WAV is lossless, so the bytes round-trip exactly through any
+    * compliant decoder — which is what makes a REAL audio codec path
+    * oracle-able. */
+  @inline private def pcmSample(id: Long, i: Long): Int =
+    ((id * 7919 + i * 104729) % 65536).toInt - 32768
+
+  /** documents table → REAL 16-bit mono PCM WAV payloads (8 kHz,
+    * little-endian), n = 256 + n_chars%512 samples from [[pcmSample]].
+    * Encoded through javax.sound's own WAVE writer, batched in
+    * mapPartitions like every codec call here — the audio half of the
+    * reference's media columns (enrichment.py:60-67 fetches media
+    * URLs; this generates value-stable stand-ins). */
+  def wavFromDocuments(docs: DataFrame): Dataset[AudioRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        (lit(256) + col("n_chars") % 512).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { case (id, n) =>
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = pcmSample(id, i)
+            data(2 * i) = (s & 0xff).toByte
+            data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true /*signed*/, false /*littleEndian*/)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          AudioRow(id, bos.toByteArray)
+        })
+      }
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` over the binary
+    * column — sample count, peak amplitude, energy (exact integer
+    * sum of squares) and zero crossings, all integer stats so the
+    * oracle's closed-form replay matches bit-for-bit. Decode failures
+    * surface with the doc id. */
+  def decodeAudioStats(audio: Dataset[AudioRow]): Dataset[AudioStats] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"decodeAudioStats: doc ${m.doc_id} is not 16-bit mono PCM")
+        val bytes = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var r = ais.read(buf)
+          while (r >= 0) { bos.write(buf, 0, r); r = ais.read(buf) }
+          bos.toByteArray
+        } finally ais.close()
+        val n = bytes.length / 2
+        var (sumSq, zc) = (0L, 0L)
+        var peak = 0
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val s =
+            if (fmt.isBigEndian)
+              (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+            else
+              (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          val a = if (s < 0) -s else s
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          if (i > 0 && ((prev < 0) != (s < 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        AudioStats(m.doc_id, n.toLong, peak, sumSq, zc)
+      })
+    }
+  }
+
   case class ImageHash(doc_id: Long, img_w: Int, img_h: Int, dhash: Long)
 
   /** Perceptual DIFFERENCE HASH (dHash) over the REAL decode path —

@@ -542,6 +542,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hs(1L) !== hs(3L), "reversed gradients must change the dhash")
   }
 
+  test("audio decode: a hand-built clip round-trips through the WAV codec exactly") {
+    import spark.implicits._
+    // clip with KNOWN stats: samples [100, -200, 300, 0, -1]
+    // peak 300; sum_sq 10000+40000+90000+0+1 = 140001
+    // crossings: +100→-200 (1), -200→+300 (2), 300→0 stays >=0, 0→-1 (3)
+    val samples = Seq(100, -200, 300, 0, -1)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte; data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.decodeAudioStats(
+      spark.createDataset(Seq(Multimodal.AudioRow(7L, bos.toByteArray)))).head()
+    assert(out.n_samples === 5L)
+    assert(out.peak === 300)
+    assert(out.sum_sq === 140001L)
+    assert(out.zero_crossings === 3L)
+  }
+
   test("multimodal decode stub computes n_bytes and checksum") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.mediaFromDocuments(docs)).cache()
