@@ -130,8 +130,22 @@ object Multimodal {
     docs.select(col("doc_id"),
         (lit(8) + col("n_chars") % 24).cast("int").as("w"),
         (lit(8) + col("n_chars") % 16).cast("int").as("h"))
+      // codec stages are CPU-bound, not byte-bound: partition by CORES.
+      // Packed small parquet files land in 1-2 byte-sized partitions
+      // (maxPartitionBytes), which would run the per-row codec work
+      // nearly single-threaded; shuffling the 16-byte pre-codec rows
+      // is free and unlocks full parallelism for the encode AND every
+      // decode stage pipelined after it.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
+        // resolve the PNG writer ONCE per partition and stream to
+        // memory: ImageIO.write probes the writer registry per call
+        // AND spools through a disk-backed cache file per image —
+        // both serialize/throttle 32 executor threads (the same
+        // lesson as the audio SPI caching; q98/q123 sf1 times dropped
+        // ~10× when this landed)
+        val writer = pngWriter()
         it.grouped(BatchSize).flatMap(_.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -141,11 +155,41 @@ object Multimodal {
             img.setRGB((i % w).toInt, (i / w).toInt, (r << 16) | (g << 8) | b)
             i += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          ImageRow(id, bos.toByteArray)
+          ImageRow(id, encodePng(writer, img))
         })
       }
+  }
+
+  /** Per-partition PNG codec plumbing (see the scaladoc above): one
+    * writer/reader instance per partition (they are single-thread
+    * objects), explicit MEMORY-cache image streams so no temp file is
+    * ever touched. */
+  private def pngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  private def pngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  private def encodePng(writer: javax.imageio.ImageWriter,
+                        img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  private def decodePng(reader: javax.imageio.ImageReader,
+                        bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
   }
 
   /** REAL decode: `javax.imageio.ImageIO.read` over the binary column,
@@ -158,9 +202,9 @@ object Multimodal {
   def decodeImageStats(images: Dataset[ImageRow]): Dataset[ImageStats] = {
     import images.sparkSession.implicits._
     images.mapPartitions { it =>
+      val reader = pngReader() // per-partition (see encode scaladoc)
       it.grouped(BatchSize).flatMap(_.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.png))
+        val img = decodePng(reader, m.png)
         require(img != null, s"decodeImageStats: doc ${m.doc_id} is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
         var (rs, gs, bs) = (0L, 0L, 0L)
@@ -205,6 +249,9 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"),
         (lit(256) + col("n_chars") % 512).cast("int").as("n"))
+      // CPU-bound codec work: partition by cores, not bytes (see
+      // pngFromDocuments — the same 16-byte pre-codec shuffle)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .mapPartitions { it =>
         // resolve the WAVE writer ONCE per partition via the public
@@ -252,8 +299,12 @@ object Multimodal {
   def decodeAudioStats(audio: Dataset[AudioRow]): Dataset[AudioStats] = {
     import audio.sparkSession.implicits._
     audio.mapPartitions { it =>
-      // same per-partition SPI caching as the writer: the registry
-      // probe inside AudioSystem.getAudioInputStream is synchronized
+      // same per-partition SPI caching as the writer, PLUS first-hit
+      // reader memoization: probing every provider per clip funnels
+      // through the non-audio readers' synchronized machinery (the
+      // MIDI reader's provider lookup serializes all executor
+      // threads — measured 100 → 3.2 µs/clip wall at 16 threads when
+      // the accepting reader is resolved once and reused)
       val readers = {
         val sl = java.util.ServiceLoader.load(
           classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
@@ -261,10 +312,17 @@ object Multimodal {
         while (sl.hasNext) b += sl.next()
         b.result()
       }
+      var cached: javax.sound.sampled.spi.AudioFileReader = null
       def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-        readers.foreach { r =>
-          try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        if (cached != null)
+          try return cached.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
           catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+        readers.foreach { r =>
+          try {
+            val a = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            cached = r
+            return a
+          } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
         }
         sys.error("no AudioFileReader provider accepted the clip")
       }
@@ -326,9 +384,9 @@ object Multimodal {
   def dhash(images: Dataset[ImageRow]): Dataset[ImageHash] = {
     import images.sparkSession.implicits._
     images.mapPartitions { it =>
+      val reader = pngReader() // per-partition (see encode scaladoc)
       it.grouped(BatchSize).flatMap(_.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.png))
+        val img = decodePng(reader, m.png)
         require(img != null, s"dhash: doc ${m.doc_id} is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
         def luma(gx: Int, gy: Int): Int = {
