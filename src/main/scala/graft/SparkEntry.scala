@@ -1701,21 +1701,49 @@ object SparkEntry {
     * two-phase staged rank (never a single-reducer window); built
     * once per dataset, probe reads the assignment back. Oracle: the
     * md5-order row_number replay — layout ≡ the declared order. */
-  private val q124Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q124: Q = (s, d) => {
-    val path = q124Cache.computeIfAbsent(d, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q124_shards")
+  /** Build-once-per-dataset temp artifact: the cache + tempdir +
+    * shutdown-hook-cleanup discipline shared by every layout-building
+    * query (q87's pattern), factored so the recipe lives once. */
+  private def cachedTmpArtifact(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      d: String, prefix: String)(build: String => Unit): String =
+    cache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val walk = java.nio.file.Files.walk(root)
+        val walk = java.nio.file.Files.walk(tmp)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
         finally walk.close()
       }))
-      val p = root.toString + "/shards"
-      graft.operators.Layout.writeShards(
-        Tables.documents(s, d), "doc_id", p, nShards = 8)
+      val p = tmp.toString + "/t"
+      build(p)
       p
     })
+
+  /** q127/q129's SHARED v0+v1 recipe (one builder, two consumers —
+    * and both oracles replay exactly this): the corpus lands as four
+    * immutable file groups in one atomic commit, then a delta commit
+    * replaces group 0 with a filtered rewrite (drop every 20th id,
+    * uppercase every 8th). */
+  private def buildReplaceTable(s: SparkSession, d: String, p: String): Unit = {
+    val tl = graft.operators.TableLog
+    val docs = Tables.documents(s, d)
+    val groups = (0 until 4).map { g =>
+      tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
+    }
+    tl.commit(s, p, groups.flatten, Nil) // version 0
+    val g0v2 = docs
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") % 20 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 8 === 0, upper(col("text"))).otherwise(col("text")))
+    tl.commit(s, p, tl.stageWrite(g0v2, p, "g0v2"), groups.head) // version 1
+  }
+
+  private val q124Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q124: Q = (s, d) => {
+    val path = cachedTmpArtifact(q124Cache, d, "graft_q124_shards")(p =>
+      graft.operators.Layout.writeShards(
+        Tables.documents(s, d), "doc_id", p, nShards = 8))
     s.read.parquet(path + "/data")
       .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
       .orderBy(col("doc_id"))
@@ -1787,28 +1815,8 @@ object SparkEntry {
     * enrichment.py:83-131) keeps only latest state. */
   private val q127Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q127: Q = (s, d) => {
-    val root = q127Cache.computeIfAbsent(d, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q127_tablelog")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }))
-      val p = tmp.toString + "/table"
-      val docs = Tables.documents(s, d)
-      val tl = graft.operators.TableLog
-      val groups = (0 until 4).map { g =>
-        tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
-      }
-      tl.commit(s, p, groups.flatten, Nil) // version 0
-      val g0v2 = docs
-        .filter(col("doc_id") % 4 === 0 && col("doc_id") % 20 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 8 === 0, upper(col("text"))).otherwise(col("text")))
-      tl.commit(s, p, tl.stageWrite(g0v2, p, "g0v2"), groups.head) // version 1
-      p
-    })
+    val root = cachedTmpArtifact(q127Cache, d, "graft_q127_tablelog")(
+      buildReplaceTable(s, d, _))
     val cols = Seq("text", "lang", "source", "n_chars")
     Seq(0L, 1L).map { v =>
       graft.operators.Versioning.tableChecksum(
@@ -1830,23 +1838,14 @@ object SparkEntry {
     * exactly the undeleted rows. */
   private val q128Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q128: Q = (s, d) => {
-    val root = q128Cache.computeIfAbsent(d, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q128_deletes")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }))
-      val p = tmp.toString + "/table"
+    val root = cachedTmpArtifact(q128Cache, d, "graft_q128_deletes") { p =>
       val tl = graft.operators.TableLog
       val docs = Tables.documents(s, d)
       tl.commit(s, p, tl.stageWrite(docs, p, "base"), Nil) // version 0
       tl.commitDeletes(
         docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
         p, "purge9") // version 1 — no data file touched
-      p
-    })
+    }
     val cols = Seq("text", "lang", "source", "n_chars")
     Seq(0L, 1L).map { v =>
       graft.operators.Versioning.tableChecksum(
@@ -1868,31 +1867,13 @@ object SparkEntry {
     * diffs them in SQL. */
   private val q129Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q129: Q = (s, d) => {
-    val root = q129Cache.computeIfAbsent(d, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q129_cdf")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }))
-      val p = tmp.toString + "/table"
-      val tl = graft.operators.TableLog
-      val docs = Tables.documents(s, d)
-      val groups = (0 until 4).map { g =>
-        tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
-      }
-      tl.commit(s, p, groups.flatten, Nil) // version 0
-      val g0v2 = docs
-        .filter(col("doc_id") % 4 === 0 && col("doc_id") % 20 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 8 === 0, upper(col("text"))).otherwise(col("text")))
-      tl.commit(s, p, tl.stageWrite(g0v2, p, "g0v2"), groups.head) // version 1
-      tl.commitDeletes(
-        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
+    val root = cachedTmpArtifact(q129Cache, d, "graft_q129_cdf") { p =>
+      buildReplaceTable(s, d, p)
+      graft.operators.TableLog.commitDeletes(
+        Tables.documents(s, d).filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id")),
         p, "purge9") // version 2
-      p
-    })
+    }
     graft.operators.TableLog.changes(s, root, fromV = 0L, toV = 2L,
         "doc_id", "text")
       .orderBy(col("version"), col("doc_id"))

@@ -253,24 +253,17 @@ object Dedup {
     def appendBatch(docs: DataFrame, idCol: String, textCol: String,
                     path: String, k: Int, bands: Int, rowsPerBand: Int,
                     batch: Long): Unit = {
-      val sp = docs.sparkSession
-      val saved = sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        val sh = shingleHashTable(docs, idCol, textCol, k)
-        graft.sources.Sinks.writePartitioned(
-          bandedSignatures(docs, idCol, textCol, k, bands, rowsPerBand)
-            .withColumn("batch", lit(batch)),
-          s"$path/bands", Seq("batch"))
-        graft.sources.Sinks.writePartitioned(
-          sh.withColumn("batch", lit(batch)), s"$path/shingles", Seq("batch"))
-        graft.sources.Sinks.writePartitioned(
-          sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-            .withColumn("batch", lit(batch)),
-          s"$path/sizes", Seq("batch"))
-      } finally saved.fold(
-        sp.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      val sh = shingleHashTable(docs, idCol, textCol, k)
+      graft.sources.Sinks.writePartitionedDynamic(
+        bandedSignatures(docs, idCol, textCol, k, bands, rowsPerBand)
+          .withColumn("batch", lit(batch)),
+        s"$path/bands", Seq("batch"))
+      graft.sources.Sinks.writePartitionedDynamic(
+        sh.withColumn("batch", lit(batch)), s"$path/shingles", Seq("batch"))
+      graft.sources.Sinks.writePartitionedDynamic(
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+          .withColumn("batch", lit(batch)),
+        s"$path/sizes", Seq("batch"))
     }
 
     /** Near-dup pairs of `delta` against the store AND within `delta`

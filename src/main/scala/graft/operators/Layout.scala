@@ -178,13 +178,11 @@ object Layout {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("__pri").desc)))
       .filter(col("__rn") === 1).drop("__pri", "__rn")
-    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.repartition(keys.map(col): _*)
-      .write.partitionBy(keys: _*).mode("overwrite").parquet(path)
-    finally saved.fold(
-      spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    // dynamic overwrite scoped to THIS write via the per-writer
+    // option — never a session-conf mutation (racy under concurrency)
+    merged.repartition(keys.map(col): _*)
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(keys: _*).mode("overwrite").parquet(path)
   }
 
   /** Small-file compaction — the most common daily layout operation

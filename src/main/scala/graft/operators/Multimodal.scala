@@ -182,13 +182,21 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decode one PNG, attaching the document identity to any codec
+    * failure (ImageReader.read throws rather than returning null, so
+    * without this the "which doc is bad" diagnostic would be lost in
+    * a bare IIOException). */
   private def decodePng(reader: javax.imageio.ImageReader,
-                        bytes: Array[Byte]): java.awt.image.BufferedImage = {
+                        bytes: Array[Byte],
+                        docId: Long): java.awt.image.BufferedImage = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis, true, true)
       reader.read(0)
+    } catch {
+      case e: Exception =>
+        throw new java.io.IOException(s"doc $docId is not a decodable image", e)
     } finally iis.close()
   }
 
@@ -204,8 +212,7 @@ object Multimodal {
     images.mapPartitions { it =>
       val reader = pngReader() // per-partition (see encode scaladoc)
       it.grouped(BatchSize).flatMap(_.map { m =>
-        val img = decodePng(reader, m.png)
-        require(img != null, s"decodeImageStats: doc ${m.doc_id} is not a decodable image")
+        val img = decodePng(reader, m.png, m.doc_id)
         val (w, h) = (img.getWidth, img.getHeight)
         var (rs, gs, bs) = (0L, 0L, 0L)
         var y = 0
@@ -386,8 +393,7 @@ object Multimodal {
     images.mapPartitions { it =>
       val reader = pngReader() // per-partition (see encode scaladoc)
       it.grouped(BatchSize).flatMap(_.map { m =>
-        val img = decodePng(reader, m.png)
-        require(img != null, s"dhash: doc ${m.doc_id} is not a decodable image")
+        val img = decodePng(reader, m.png, m.doc_id)
         val (w, h) = (img.getWidth, img.getHeight)
         def luma(gx: Int, gy: Int): Int = {
           val p = img.getRGB(gx * w / 8, gy * h / 8)

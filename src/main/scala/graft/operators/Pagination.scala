@@ -312,14 +312,11 @@ object Pagination {
           .filter(col("pbucket") === lastBucket)
           .withColumn("pbucket", lit(lastBucket))
       else ranked.limit(0)
-    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try ranked.unionByName(oldTopUp)
-      .write.partitionBy("pbucket").mode("overwrite")
+    // per-writer dynamic overwrite (see Sinks.writePartitionedDynamic)
+    ranked.unionByName(oldTopUp)
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").mode("overwrite")
       .parquet(s"$path/data")
-    finally saved.fold(
-      spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
     // manifest: untouched rows carry over, touched buckets recount
     // from their (pruned) dirs. firstTouched = totalRows div
     // bucketRows — the partial last bucket when one exists, else the

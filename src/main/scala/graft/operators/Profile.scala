@@ -121,8 +121,15 @@ object Profile {
   def psiFromHists(ha0: DataFrame, hb0: DataFrame,
                    nBins: Int = 8): DataFrame = {
     val wDim = Window.partitionBy(col("dim"))
+    // materialize both histograms once (dims × bins rows — tiny): the
+    // densify grid below references each side a second time, and
+    // without the checkpoint that re-runs the whole upstream subplan
+    // (for embeddingDrift, a second full posexplode+aggregate scan of
+    // the embedding table per side)
     val ha = ha0.select(col("dim"), col("bin"), col("c").as("ca"), col("sx").as("sxa"))
+      .localCheckpoint(true)
     val hb = hb0.select(col("dim"), col("bin"), col("c").as("cb"), col("sx").as("sxb"))
+      .localCheckpoint(true)
     // DENSIFY to the full dim × nBins grid before joining: smoothing
     // defines a nonzero probability for EVERY bin, so a bin empty on
     // both sides still contributes (sa−sb)·ln(sa/sb) ≠ 0 whenever the

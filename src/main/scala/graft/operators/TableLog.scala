@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions.col
   * minimum):
   *  - data files are IMMUTABLE; a commit is a JSON entry
   *    `_log/<version>.json` listing files ADDED and files REMOVED
-  *    (paths relative to the table root);
+  *    (paths relative to the table root), plus optional delete
+  *    SIDECARS ([[commitDeletes]]) and a deletes-reset marker
+  *    ([[compactTable]]);
   *  - the snapshot at version V = union of adds minus removes over
   *    entries ≤ V — reading never lists the data directory, only the
   *    log (O(#commits), not O(#files));
-  *  - commits are OPTIMISTIC: the entry is created with
-  *    create-if-absent; losing a race to the same version number
-  *    re-reads the log and retries at the next version. Writers never
-  *    block readers; readers of version V see V's exact file set
-  *    forever.
+  *  - commits are OPTIMISTIC and ATOMIC: the entry body is written to
+  *    a temp file and published with an exclusive create-if-absent
+  *    (a hard link on file:// — the POSIX claim-with-content
+  *    primitive — so a reader can never observe a half-written
+  *    entry); losing a race to a version number re-reads the log and
+  *    retries at the next one. Writers never block readers; readers
+  *    of version V see V's exact file set forever. (On HDFS the
+  *    publish is create(overwrite=false)+write+close, whose content
+  *    becomes visible at close — the documented caveat of running
+  *    this format off POSIX semantics.)
   *
   * Scale shape: the log is driver-side metadata (KBs per commit); all
   * data movement is ordinary parquet writes of the delta. A daily
@@ -51,57 +58,74 @@ object TableLog {
     val dir = new Path(logDir(root))
     val f = fs(spark, root)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).sorted
+    else f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json") && s.getLen > 0)
+      .map(_.getPath.getName.stripSuffix(".json").toLong).sorted
   }
+
+  /** Log paths must stay parseable by the line-oriented entry format:
+    * no commas, quotes, brackets or whitespace — enforced at commit
+    * time rather than silently garbled at read time. */
+  private def validatePaths(paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      require(p.matches("[A-Za-z0-9._/=-]+"),
+        s"TableLog: path '$p' contains characters outside [A-Za-z0-9._/=-]")
+    }
 
   /** Append a commit (adds/removes are table-root-relative file
     * paths; `deletes` are root-relative ID-LIST sidecar files — see
-    * [[commitDeletes]]). Optimistic: claims max(version)+1 via
-    * create-if-absent; on a lost race, re-reads and retries. Returns
-    * the version written. */
+    * [[commitDeletes]]; `resetDeletes` marks that sidecars committed
+    * BEFORE this version no longer apply — see [[compactTable]]).
+    * Optimistic: claims max(version)+1 atomically; on a lost race,
+    * re-reads and retries. Returns the version written. */
   def commit(spark: SparkSession, root: String,
              add: Seq[String], remove: Seq[String],
-             deletes: Seq[String] = Nil): Long = {
+             deletes: Seq[String] = Nil,
+             resetDeletes: Boolean = false): Long = {
+    validatePaths(add); validatePaths(remove); validatePaths(deletes)
     val f = fs(spark, root)
     f.mkdirs(new Path(logDir(root)))
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     var attempt = 0
     while (attempt < 64) {
       val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
-      val body =
-        s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)},"deletes":${arr(deletes)}}"""
+      val reset = if (resetDeletes) 1 else 0
+      val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
+        s""""remove":${arr(remove)},"deletes":${arr(deletes)}}"""
       val p = entryPath(root, v)
-      // the claim must be ATOMIC create-if-absent. On HDFS/object
-      // stores, FileSystem.create(path, overwrite=false) is an
-      // exclusive namenode op; on the LOCAL fs it is a non-atomic
-      // exists()+create (TOCTOU — two racers both pass the check), so
-      // file:// paths claim via NIO createFile (O_CREAT|O_EXCL).
       val uri = p.toUri
       val claimed =
         if (uri.getScheme == null || uri.getScheme == "file") {
-          val local = java.nio.file.Paths.get(uri.getPath)
-          java.nio.file.Files.createDirectories(local.getParent)
-          try { java.nio.file.Files.createFile(local); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          // POSIX: write the FULL body to a temp file, publish with a
+          // hard link — atomic create-if-absent WITH content, so the
+          // entry is either absent or complete, never half-written
+          val dst = java.nio.file.Paths.get(uri.getPath)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          val tmp = dst.getParent.resolve(
+            s".tmp-${java.util.UUID.randomUUID()}")
+          java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+          try {
+            try { java.nio.file.Files.createLink(dst, tmp); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          } finally java.nio.file.Files.deleteIfExists(tmp)
         } else {
-          try { f.create(p, false).close(); true }
-          catch { case _: java.io.IOException => false }
+          // HDFS: create(overwrite=false) is an exclusive namenode op;
+          // content is visible at close (documented caveat above)
+          try {
+            val out = f.create(p, false)
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
         }
-      if (claimed) {
-        val out = f.create(p, true) // we own the claimed entry
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        return v
-      }
+      if (claimed) return v
       attempt += 1 // lost the race; re-read the log and retry
     }
     sys.error(s"TableLog.commit: lost $attempt version races at $root")
   }
 
+  /** (version, reset, add, remove, deletes) of one entry. */
   private def readEntry(f: FileSystem, p: Path)
-      : (Long, Seq[String], Seq[String], Seq[String]) = {
+      : (Long, Boolean, Seq[String], Seq[String], Seq[String]) = {
     val in = f.open(p)
     val body = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -110,17 +134,19 @@ object TableLog {
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
+    // paths are commit-time validated to [A-Za-z0-9._/=-]+, so the
+    // line format below is unambiguous
     def list(key: String): Seq[String] = {
       val m = ("\"" + key + "\":\\[(.*?)\\]").r.findFirstMatchIn(body)
       m.map(_.group(1)).filter(_.nonEmpty).toSeq
         .flatMap(_.split(",").toSeq)
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
     }
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(body)
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"TableLog: corrupt entry $p"))
-    (v, list("add"), list("remove"), list("deletes"))
+    val reset = "\"reset\":1".r.findFirstIn(body).isDefined
+    (v, reset, list("add"), list("remove"), list("deletes"))
   }
 
   /** The ACTIVE file set (root-relative) at `asOf` (default: latest). */
@@ -132,7 +158,7 @@ object TableLog {
     require(upTo.nonEmpty, s"TableLog: no committed version at $root asOf=$asOf")
     val active = scala.collection.mutable.LinkedHashSet.empty[String]
     upTo.foreach { v =>
-      val (_, add, remove, _) = readEntry(f, entryPath(root, v))
+      val (_, _, add, remove, _) = readEntry(f, entryPath(root, v))
       remove.foreach(active -= _)
       add.foreach(active += _)
     }
@@ -140,14 +166,17 @@ object TableLog {
   }
 
   /** The delete-sidecar files (root-relative) in force at `asOf` —
-    * cumulative: a row delete, once committed, applies to every later
-    * version until the row's file is rewritten without it. */
+    * cumulative since the last deletes-RESET at or before `asOf`
+    * ([[compactTable]] emits the reset after materializing the
+    * survivors, which is what makes sidecars reclaimable). */
   def activeDeletes(spark: SparkSession, root: String,
                     asOf: Option[Long] = None): Seq[String] = {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
-    upTo.flatMap(v => readEntry(f, entryPath(root, v))._4)
+    val entries = upTo.map(v => readEntry(f, entryPath(root, v)))
+    val lastReset = entries.filter(_._2).map(_._1).sorted.lastOption
+    entries.filter(e => lastReset.forall(e._1 >= _)).flatMap(_._5)
   }
 
   /** ROW-LEVEL delete without rewriting a single data file — the
@@ -163,6 +192,21 @@ object TableLog {
     commit(spark, root, add = Nil, remove = Nil, deletes = files)
   }
 
+  /** COMPACT the current version: materialize the snapshot (sidecar
+    * deletes applied) as fresh files and commit them with a
+    * deletes-RESET — after this, reads at or past the new version
+    * anti-join nothing, and [[vacuum]] can reclaim the old data files
+    * AND the pre-reset sidecars once retention passes them. The
+    * periodic maintenance step that bounds the read-path cost of
+    * [[commitDeletes]]. Returns the new version. */
+  def compactTable(spark: SparkSession, root: String, idCol: String,
+                   name: String): Long = {
+    val current = snapshot(spark, root, None, Some(idCol))
+    val fresh = stageWrite(current, root, name)
+    commit(spark, root, add = fresh,
+      remove = activeFiles(spark, root), resetDeletes = true)
+  }
+
   /** TIME-TRAVEL read: the table exactly as of version `asOf`
     * (default: latest). Reads only the log plus the active files —
     * never a directory listing of the data dir, so stale files from
@@ -170,12 +214,27 @@ object TableLog {
     * apply delete sidecars ([[commitDeletes]]) — a left-anti join
     * against the (small) deleted-id union; without it, sidecar
     * deletes are NOT applied (and the call refuses rather than
-    * silently over-reading). */
+    * silently over-reading). A version whose commits removed every
+    * file reads as an EMPTY frame with the schema of the last
+    * non-empty version. */
   def snapshot(spark: SparkSession, root: String,
                asOf: Option[Long] = None,
                idCol: Option[String] = None): DataFrame = {
     val files = activeFiles(spark, root, asOf).map(rel => s"$root/$rel")
-    val base = spark.read.parquet(files: _*)
+    val base =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else {
+        // legal state (a full-purge commit): serve the empty frame
+        // with the schema of the most recent non-empty version
+        val vs = versions(spark, root)
+        val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
+        val lastNonEmpty = upTo.reverse
+          .map(v => activeFiles(spark, root, Some(v)))
+          .find(_.nonEmpty)
+          .getOrElse(sys.error(
+            s"TableLog: $root has no non-empty version at or before $asOf"))
+        spark.read.parquet(s"$root/${lastNonEmpty.head}").limit(0)
+      }
     val dels = activeDeletes(spark, root, asOf)
     if (dels.isEmpty) base
     else idCol match {
@@ -207,7 +266,7 @@ object TableLog {
     * `fromV` (exclusive) and `toV` (inclusive) — (version, id,
     * status ∈ added/removed/changed) — derived by diffing consecutive
     * snapshots with [[Versioning.datasetDiff]], the downstream-sync
-    * primitive (" what do I reprocess since the version my index was
+    * primitive ("what do I reprocess since the version my index was
     * built at?", composing with the q97/q118/q125 delta appliers).
     * File-level logs carry no row lineage, so each step reads its two
     * snapshots — O(#steps × table) worst case, O(changed files) when
@@ -228,20 +287,24 @@ object TableLog {
     }.reduce(_.unionByName(_))
   }
 
-  /** Delete data files no longer referenced by ANY version older than
-    * the retained horizon — the storage-reclaim step. Keeps every
-    * file referenced by versions ≥ `retainFrom` (so those snapshots
-    * stay readable) and deletes files only ever active before it.
-    * Returns the deleted root-relative paths. */
+  /** Delete files no longer referenced by ANY retained version — the
+    * storage-reclaim step. Keeps every data file AND delete sidecar
+    * some version ≥ `retainFrom` still reads (so those snapshots stay
+    * fully servable) and deletes the rest: files replaced before the
+    * horizon, and sidecars retired by a [[compactTable]] reset the
+    * horizon has passed. Returns the deleted root-relative paths. */
   def vacuum(spark: SparkSession, root: String, retainFrom: Long): Seq[String] = {
     val f = fs(spark, root)
     val vs = versions(spark, root)
-    val keep = vs.filter(_ >= retainFrom)
-      .flatMap(v => activeFiles(spark, root, Some(v))).toSet
-    val everAdded = vs.flatMap { v =>
-      readEntry(f, entryPath(root, v))._2
+    val retained = vs.filter(_ >= retainFrom)
+    val keep = retained.flatMap(v =>
+      activeFiles(spark, root, Some(v)) ++
+        activeDeletes(spark, root, Some(v))).toSet
+    val everRef = vs.flatMap { v =>
+      val (_, _, add, _, dels) = readEntry(f, entryPath(root, v))
+      add ++ dels
     }.toSet
-    val doomed = (everAdded -- keep).toSeq.sorted
+    val doomed = (everRef -- keep).toSeq.sorted
     doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
     doomed
   }

@@ -18,6 +18,21 @@ object Sinks {
     df.repartition(partitionCols.map(col): _*)
       .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** [[writePartitioned]] with DYNAMIC partition overwrite scoped to
+    * THIS write via the per-writer option — never by mutating the
+    * session conf (a save/set/restore of
+    * `spark.sql.sources.partitionOverwriteMode` races any concurrent
+    * stream/job on the same session and can leave `dynamic` set
+    * globally, silently changing unrelated overwrite semantics). The
+    * idempotent `batch=N`-overwrite discipline of the streaming
+    * ingest sinks rides on this. */
+  def writePartitionedDynamic(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Plain columnar snapshot (dims, small results). */
   def writeSnapshot(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.coalesce(1).write.mode(mode).parquet(path)

@@ -70,14 +70,8 @@ object DedupIngest {
             else // first batch ever: history is empty, in-batch only
               Dedup.minhashLshPairs(b, idCol, textCol, k, bands,
                 rowsPerBand, threshold)
-          val saved =
-            sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-          sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try graft.sources.Sinks.writePartitioned(
+          graft.sources.Sinks.writePartitionedDynamic(
             pairs.withColumn("batch", lit(batchId)), pairsPath, Seq("batch"))
-          finally saved.fold(
-            sp.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", _))
           Dedup.MinhashStore.appendBatch(b, idCol, textCol, storePath,
             k, bands, rowsPerBand, batch = batchId)
         } finally b.unpersist()

@@ -59,13 +59,10 @@ object DriftIngest {
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val sp = batch.sparkSession
     if (!batch.isEmpty) {
-      val saved =
-        sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
+      {
         val bh = Profile.binnedHist(batch, vecCol, nBins, lo, hi)
           .localCheckpoint(true) // read by hist write + fold
-        graft.sources.Sinks.writePartitioned(
+        graft.sources.Sinks.writePartitionedDynamic(
           bh.withColumn("batch", lit(batchId)), s"$storePath/hist", Seq("batch"))
         // fold into the LATEST immutable cum snapshot with batch < N:
         // one constant-size read per batch, and a replay (which may
@@ -91,16 +88,14 @@ object DriftIngest {
           case None => bh
         }
         val cumCk = cum.localCheckpoint(true) // read by cum write + psi
-        graft.sources.Sinks.writePartitioned(
+        graft.sources.Sinks.writePartitionedDynamic(
           cumCk.withColumn("batch", lit(batchId)), s"$storePath/cum", Seq("batch"))
         val ref = sp.read.parquet(refPath)
         val psi = Profile.psiFromHists(ref, cumCk, nBins)
           .withColumn("batch", lit(batchId))
-        graft.sources.Sinks.writePartitioned(
+        graft.sources.Sinks.writePartitionedDynamic(
           psi, s"$storePath/psi", Seq("batch"))
-      } finally saved.fold(
-        sp.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
     }
   }
 }

@@ -45,10 +45,7 @@ object PackIngest {
     (batch, batchId) =>
       val sp = batch.sparkSession
       if (!batch.isEmpty) {
-        val saved =
-          sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
+        {
           val b = batch.localCheckpoint(true)
           val baseRoot = new Path(s"$storePath/base")
           val fs = baseRoot.getFileSystem(sp.sparkContext.hadoopConfiguration)
@@ -79,7 +76,7 @@ object PackIngest {
             .select(col(sourceCol), col(idCol), col(tokCol),
               col("seq_id"), col("cum"))
             .localCheckpoint(true) // read by assign write + totals
-          graft.sources.Sinks.writePartitioned(
+          graft.sources.Sinks.writePartitionedDynamic(
             assigned.withColumn("batch", lit(batchId)),
             s"$storePath/assign", Seq("batch"))
           val batchTotals = assigned.groupBy(col(sourceCol))
@@ -92,12 +89,10 @@ object PackIngest {
             case None => batchTotals
               .select(col(sourceCol), col("__bt").as("base_tokens"))
           }
-          graft.sources.Sinks.writePartitioned(
+          graft.sources.Sinks.writePartitionedDynamic(
             newBase.withColumn("batch", lit(batchId)),
             s"$storePath/base", Seq("batch"))
-        } finally saved.fold(
-          sp.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-          sp.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        }
       }
   }
 }

@@ -850,9 +850,13 @@ class ScaleOpsSpec extends AnyFunSuite {
       // binomial hash split only gives in expectation
       val srcs = docs.groupBy(col("source")).count()
         .filter(col("count") >= 32).collect().map(_.getString(0))
+      // count distinct MAJOR sources only — an all-sources count
+      // could mask a missing major behind present minors
       val cover = back.groupBy(col("shard"))
-        .agg(countDistinct(col("source")).as("ns")).collect()
-      cover.foreach(r => assert(r.getLong(1) >= srcs.length,
+        .agg(countDistinct(
+          when(col("source").isin(srcs.toSeq: _*), col("source"))).as("ns"))
+        .collect()
+      cover.foreach(r => assert(r.getLong(1) === srcs.length.toLong,
         s"shard ${r.get(0)} missing a major source"))
       // rebuild into a second dir: identical assignment (determinism)
       Layout.writeShards(docs, "doc_id", s"$root/t", nShards = 8, parts = 7)
@@ -959,6 +963,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     TableLog.vacuum(spark0, root, retainFrom = vDel)
     assert(TableLog.snapshot(spark0, root, None, Some("doc_id"))
       .join(doomedIds, "doc_id").count() === 0)
+    // compaction materializes the survivors, RESETS deletes, and lets
+    // vacuum reclaim the sidecars once retention passes the reset
+    val sidecars = TableLog.activeDeletes(spark0, root)
+    assert(sidecars.nonEmpty)
+    val vc = TableLog.compactTable(spark0, root, "doc_id", "compacted")
+    assert(TableLog.activeDeletes(spark0, root).isEmpty,
+      "post-compaction reads must anti-join nothing")
+    val nCompact = TableLog.snapshot(spark0, root, None, Some("doc_id")).count()
+    assert(nCompact === afterMore.count())
+    val vacd = TableLog.vacuum(spark0, root, retainFrom = vc)
+    assert(sidecars.forall(vacd.contains),
+      "pre-reset sidecars must be reclaimable after the compaction horizon")
+    assert(TableLog.snapshot(spark0, root, None, Some("doc_id")).count() === nCompact)
+    // a full-purge commit is a LEGAL state: reads serve an empty
+    // frame with the last non-empty version's schema
+    TableLog.commit(spark0, root, Nil, TableLog.activeFiles(spark0, root))
+    val empty = TableLog.snapshot(spark0, root, None, Some("doc_id"))
+    assert(empty.count() === 0)
+    assert(empty.columns.toSet === Set("doc_id", "text", "lang"))
+    // commit-time path validation refuses log-breaking names
+    intercept[IllegalArgumentException] {
+      TableLog.commit(spark0, root, Seq("data/bad,name.parquet"), Nil)
+    }
   }
 
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
