@@ -365,4 +365,43 @@ class PropertySpec extends AnyFunSuite {
     assert(viaPrefix.count() === 8)
     assert(viaPrefix.filter(!col("is_canonical")).count() === 7)
   }
+
+  /** random (id, content) tables + random mutation sets */
+  private val manifestGen: Gen[(List[(Long, String)], Set[Long], Set[Long])] =
+    for {
+      n <- Gen.chooseNum(5, 80)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 200L)
+        s <- Gen.oneOf("x", "yy", "zzz", "", "abc def")
+      } yield (id, s))
+      distinct = rows.toMap.toList // unique ids
+      rm <- Gen.someOf(distinct.map(_._1))
+      ch <- Gen.someOf(distinct.map(_._1))
+    } yield (distinct, rm.toSet, ch.toSet -- rm.toSet)
+
+  test("manifest delta algebra ≡ fresh rebuild on random tables and random deltas") {
+    import spark.implicits._
+    import graft.operators.Versioning
+    val cols = Seq("content")
+    forSamples(manifestGen, n = 8) { case (rows, removedIds, changedIds) =>
+      if (rows.nonEmpty) {
+        val base = rows.toDF("id", "content")
+        val removed = base.filter(col("id").isin(removedIds.toSeq: _*))
+        val chOld = base.filter(col("id").isin(changedIds.toSeq: _*))
+        val chNew = chOld.withColumn("content", concat(col("content"), lit("!")))
+        val adds = base.limit(3)
+          .withColumn("id", col("id") + lit(100000L))
+        val v2 = base
+          .filter(!col("id").isin((removedIds ++ changedIds).toSeq: _*))
+          .unionByName(chNew).unionByName(adds)
+        val updated = Versioning.updateManifest(
+          Versioning.manifest(base, "id", cols, 8),
+          removed.unionByName(chOld), chNew.unionByName(adds), "id", cols, 8)
+        val fresh = Versioning.manifest(v2, "id", cols, 8)
+        assert(updated.exceptAll(fresh).count() === 0 &&
+          fresh.exceptAll(updated).count() === 0,
+          s"delta ≠ rebuild for ${rows.size} rows, rm=${removedIds.size}, ch=${changedIds.size}")
+      }
+    }
+  }
 }
