@@ -801,6 +801,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ratio < 6.0, s"win=256 vs win=16 cost ratio $ratio — not rolling")
   }
 
+  test("codec stages partition by cores, not bytes (the q98/q123/q130 10x fix)") {
+    // packed small parquet inputs collapse into 1-2 byte-sized scan
+    // partitions; the pre-codec round-robin repartition is what keeps
+    // the per-row codec work parallel — pin it so a refactor cannot
+    // silently drop it and quietly serialize the codec family again
+    val img = graft.operators.Multimodal.pngFromDocuments(
+      Tables.documents(spark, TestSpark.sf))
+    val wav = graft.operators.Multimodal.wavFromDocuments(
+      Tables.documents(spark, TestSpark.sf))
+    Seq(img.queryExecution.executedPlan, wav.queryExecution.executedPlan)
+      .foreach { plan =>
+        assert(plan.toString.toLowerCase.contains("roundrobinpartitioning"),
+          "codec pipeline lost its core-count repartition")
+      }
+  }
+
   test("manifest: identical snapshots all-equal; a one-row edit localizes to ONE bucket") {
     import graft.operators.Versioning
     val docs = Tables.documents(spark, TestSpark.sf)
