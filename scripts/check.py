@@ -5,8 +5,15 @@ Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
 
 Loads each <out>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the sfdir tables,
-and compares: column name sets, row counts, and values (exact for
-non-floats; floats must agree to 1e-9 rel — flagged if not bit-equal).
+and compares: column name sets, row counts, dtype kinds, and values
+(exact for non-floats; floats must agree to 1e-9 rel — flagged if not
+bit-equal).
+
+Dtype strictness matches the driver: the driver hashes values
+type-sensitively, so a DuckDB HUGEINT (pandas float64/object) against
+a Spark BIGINT (int64) is a driver FAIL even when the numbers agree.
+check.py therefore flags any dtype-kind mismatch as DTYPE_MISMATCH
+instead of silently coercing to float (the round-10 q105 miss).
 """
 import duckdb, json, sys, glob, math
 
@@ -44,6 +51,13 @@ def main(sfdir, outdir):
         exact = True
         for c in scols:
             a, b = sdf[c], ddf[c]
+            if a.dtype.kind != b.dtype.kind:
+                # The driver's hash is type-sensitive: int64 vs float64
+                # (e.g. an uncast HUGEINT window sum) hashes differently
+                # even with identical numeric values. Fail loudly.
+                bad = (f"DTYPE_MISMATCH col={c} "
+                       f"spark={a.dtype} duck={b.dtype}")
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 af = a.astype(float); bf = b.astype(float)
                 if not (af.equals(bf)):

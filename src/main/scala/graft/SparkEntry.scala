@@ -3846,9 +3846,10 @@ object SparkEntry {
              CAST((CAST(tts AS HUGEINT) // 2) * w // tw AS BIGINT) AS budget
            FROM tot, g),
          c AS (SELECT t.doc_id, t.source, t.n_tokens,
-             sum(t.n_tokens) OVER (PARTITION BY t.source
+             CAST(sum(t.n_tokens) OVER (PARTITION BY t.source
                ORDER BY t.ord, t.doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
              b.budget
            FROM t JOIN b USING (source))
          SELECT doc_id, source, n_tokens, cum_tokens, budget,
