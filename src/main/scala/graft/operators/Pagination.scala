@@ -189,20 +189,19 @@ object Pagination {
     * the zone map needs to GUARANTEE pageSize rows past the cursor
     * (≤ 1 + ceil(pageSize/bucketRows) dirs per page, independent of
     * table size — partition pruning does the skipping, LayoutSpec
-    * asserts the per-page file reads). The manifest collect is one
-    * ≤ #buckets read, cached across the drain. */
+    * asserts the per-page file reads). The manifest collect is
+    * BOUNDED BY THE DRAIN, not the table: the drain serves the first
+    * pages×pageSize rows, which by fixed occupancy live in the first
+    * ~(pages×pageSize)/bucketRows buckets — so the manifest scan is
+    * filtered to that pbucket prefix (a pushed parquet filter) BEFORE
+    * collecting. Driver state is O(pages), never O(table/bucketRows):
+    * at 10^11 rows a full-manifest collect would be ~10^8 rows on the
+    * driver; this one stays at the ≤ (pages × buckets-per-page)
+    * entries the drain will actually touch. */
   def pagedFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      key: String, cols: Seq[String], pageSize: Int,
                      pages: Int): DataFrame = {
-    val manifest = spark.read.parquet(s"$path/manifest")
-      .collect()
-      // pbucket comes back via partition-directory type inference
-      // (INT for small values) — widen through Number, don't assume
-      .map(r => (r.getAs[Number]("pbucket").longValue(),
-        r.getAs[Number]("rows").longValue(),
-        r.getAs[Number]("key_min").longValue(),
-        r.getAs[Number]("key_max").longValue()))
-      .sortBy(_._1)
+    val manifest = boundedManifest(spark, path, pages.toLong * pageSize)
     val data = spark.read.parquet(s"$path/data")
     var after: Option[Long] = None
     var acc = Vector.empty[DataFrame]
@@ -240,6 +239,35 @@ object Pagination {
     else acc.reduce(_ unionByName _)
   }
 
+  /** The manifest prefix a drain of `needRows` rows (from the start of
+    * the index) can possibly touch, collected with the pbucket bound
+    * pushed into the parquet scan. bucketRows is read off the
+    * manifest's own bucket 0 (fixed occupancy: every bucket except the
+    * last holds exactly bucketRows rows, so bucket 0's count IS the
+    * build parameter whenever a second bucket exists; when it doesn't,
+    * the whole manifest is one row and any bound covers it). The +2
+    * covers the ceil and the one bucket a page's cursor may straddle.
+    * Exposed (package-visible) so LayoutSpec can assert the bound. */
+  private[graft] def boundedManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      needRows: Long): Array[(Long, Long, Long, Long)] = {
+    val mf = spark.read.parquet(s"$path/manifest")
+    val b0 = mf.filter(col("pbucket") === 0).select(col("rows")).collect()
+    val bucketRows =
+      if (b0.isEmpty) 1L
+      else math.max(1L, b0.head.getAs[Number]("rows").longValue())
+    val maxBucket = needRows / bucketRows + 2
+    mf.filter(col("pbucket") <= maxBucket)
+      .collect()
+      // pbucket comes back via partition-directory type inference
+      // (INT for small values) — widen through Number, don't assume
+      .map(r => (r.getAs[Number]("pbucket").longValue(),
+        r.getAs[Number]("rows").longValue(),
+        r.getAs[Number]("key_min").longValue(),
+        r.getAs[Number]("key_max").longValue()))
+      .sortBy(_._1)
+  }
+
   /** APPEND a key-monotone batch to a [[buildPageIndex]] layout —
     * the rightmost-leaf insert of an index-organized table, at
     * O(batch + one bucket) instead of a full rebuild (the q97
@@ -268,14 +296,17 @@ object Pagination {
                         path: String, parts: Int = 32): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val manifest = spark.read.parquet(s"$path/manifest")
-      .collect()
-      .map(r => (r.getAs[Number]("pbucket").longValue(),
-        r.getAs[Number]("rows").longValue(),
-        r.getAs[Number]("key_max").longValue()))
-      .sortBy(_._1)
-    val totalRows = manifest.map(_._2).sum
-    val idxMax = manifest.map(_._3).max
+    // The append needs exactly TWO scalars off the index — the running
+    // row total and the current key_max — so it reads them as a 1-row
+    // aggregate (partial-agg over the manifest scan), never collecting
+    // the manifest itself: driver state is O(1) at any table size.
+    val mAgg = spark.read.parquet(s"$path/manifest")
+      .agg(sum(col("rows")).cast("long").as("total"),
+        max(col("key_max")).cast("long").as("kmax")).head()
+    require(!mAgg.isNullAt(0),
+      s"appendToPageIndex: empty manifest at $path — build the index first")
+    val totalRows = mAgg.getLong(0)
+    val idxMax = mAgg.getLong(1)
     val range = df.agg(min(col(key)), max(col(key))).head()
     if (range.isNullAt(0)) return // empty batch
     val (dMin, dMax) = (range.getLong(0), range.getLong(1))

@@ -143,6 +143,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(m0rows === 100L, "fixed-occupancy invariant broken")
   }
 
+  test("pagedFromIndex collects only the manifest prefix the drain can touch") {
+    import spark.implicits._
+    // 5000 rows / bucketRows=50 → 100 bucket dirs: a manifest big
+    // enough that an unbounded collect would be visibly larger than
+    // the drain's needs
+    val frame = (1L to 5000L).toDF("k").withColumn("v", col("k") + 1)
+    val dir = Files.createTempDirectory("graft_pageidx3").toString
+    Pagination.buildPageIndex(frame, "k", bucketRows = 50L, path = dir)
+    val nBuckets = new java.io.File(s"$dir/data").listFiles()
+      .count(_.getName.startsWith("pbucket="))
+    assert(nBuckets === 100, s"expected 100 buckets, got $nBuckets")
+    // a 2-page × 40-row drain needs rows 1..80 → buckets 0 and 1;
+    // the bounded collect must stay O(pages), not O(#buckets)
+    val m = Pagination.boundedManifest(spark, dir, needRows = 80L)
+    assert(m.length <= 4,
+      s"manifest collect not bounded by the drain: ${m.length} of $nBuckets rows")
+    assert(m.map(_._1).toSeq === m.map(_._1).toSeq.sorted, "manifest prefix unsorted")
+    // and the drain the bound feeds is still exact
+    val out = Pagination.pagedFromIndex(spark, dir, "k", Seq("k", "v"),
+      pageSize = 40, pages = 2)
+    assert(out.count() === 80L)
+    assert(out.agg(max(col("k"))).head().getLong(0) === 80L)
+    assert(out.filter(col("v") =!= col("k") + 1).count() === 0L)
+  }
+
   test("writeGsi probes read only the matching key directories") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val dir = Files.createTempDirectory("graft_gsi").toString
