@@ -1879,6 +1879,47 @@ object SparkEntry {
       .orderBy(col("version"), col("doc_id"))
   }
 
+  /** COMMIT-TIME change feed ([[graft.operators.TableLog.commitWithFeed]]
+    * / [[TableLog.commitDeletesWithFeed]]): the same three-version
+    * history as q129, but every post-base commit stages a ROW-LINEAGE
+    * sidecar recording its own (id, status) delta, so
+    * [[graft.operators.TableLog.changes]] serves each step by READING
+    * THE SIDECAR — O(delta) per step, no snapshot is re-read
+    * (ScaleOpsSpec proves the plan's input files are sidecars only).
+    * This is the DynamoDB-Streams shape the reference's enrichment
+    * trigger consumes (consumer.py's stream → enrichment.py's
+    * handler): the writer that knows its delta publishes it at commit
+    * time instead of making every consumer re-derive it. Same oracle
+    * as q129 — the sidecar feed must equal the logical snapshot
+    * diff exactly. */
+  private val q131Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q131: Q = (s, d) => {
+    val root = cachedTmpArtifact(q131Cache, d, "graft_q131_cdf") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      val groups = (0 until 4).map { g =>
+        tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
+      }
+      tl.commit(s, p, groups.flatten, Nil) // version 0
+      val before = docs.filter(col("doc_id") % 4 === 0)
+      val after = before.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      tl.commitWithFeed(s, p, tl.stageWrite(after, p, "g0v2"),
+        groups.head, before, after, "doc_id", "text", "r1") // version 1
+      // the deleter records its EXACT victims (ids present at v1) —
+      // the feed contract — unlike q129's over-approximate id list
+      // that the snapshot diff reconciles
+      val doomed = tl.snapshot(s, p, Some(1L))
+        .filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+      tl.commitDeletesWithFeed(doomed, p, "purge9") // version 2
+    }
+    graft.operators.TableLog.changes(s, root, fromV = 0L, toV = 2L,
+        "doc_id", "text")
+      .orderBy(col("version"), col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2402,6 +2443,7 @@ object SparkEntry {
     "q128_row_deletes" -> q128,
     "q129_change_feed" -> q129,
     "q130_audio_decode" -> q130,
+    "q131_change_feed_cdf" -> q131,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4475,36 +4517,10 @@ object SparkEntry {
          ORDER BY version""",
     // CDF oracle: replay all three versions logically and diff them
     // in SQL — string equality of the content column ≡ datasetDiff's
-    // md5 compare.
-    "q129_change_feed" ->
-      """WITH v0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-         v1 AS (
-           SELECT doc_id, coalesce(text, '') AS t
-           FROM documents WHERE doc_id % 4 <> 0
-           UNION ALL
-           SELECT doc_id,
-             CASE WHEN doc_id % 8 = 0 THEN upper(coalesce(text, ''))
-                  ELSE coalesce(text, '') END AS t
-           FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
-         v2 AS (SELECT * FROM v1 WHERE doc_id % 9 <> 0),
-         s1 AS (
-           SELECT CAST(1 AS BIGINT) AS version,
-             coalesce(a.doc_id, b.doc_id) AS doc_id,
-             CASE WHEN a.doc_id IS NULL THEN 'added'
-                  WHEN b.doc_id IS NULL THEN 'removed'
-                  WHEN a.t <> b.t THEN 'changed' ELSE 'same' END AS status
-           FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id),
-         s2 AS (
-           SELECT CAST(2 AS BIGINT) AS version,
-             coalesce(a.doc_id, b.doc_id) AS doc_id,
-             CASE WHEN a.doc_id IS NULL THEN 'added'
-                  WHEN b.doc_id IS NULL THEN 'removed'
-                  WHEN a.t <> b.t THEN 'changed' ELSE 'same' END AS status
-           FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
-         SELECT version, doc_id, status
-         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
-         WHERE status <> 'same'
-         ORDER BY version, doc_id""",
+    // md5 compare. Shared by q129 (snapshot-diff derivation) and q131
+    // (commit-time sidecar): both must produce the same logical feed.
+    "q129_change_feed" -> ChangeFeedReplaySql,
+    "q131_change_feed_cdf" -> ChangeFeedReplaySql,
     // audio stats replayed from the sample-generating closed form —
     // never decoding a byte: PCM WAV losslessness is what's proved
     "q130_audio_decode" ->
@@ -4674,6 +4690,41 @@ object SparkEntry {
   /** q104's oracle: [[IvfPqReplaySql]] with the label predicate folded
     * into its candidate set — same artifacts, same ADC scoring, filter
     * BEFORE ranking (the filtered-search contract). */
+  /** Logical replay of the q127/q129/q131 three-version table (base,
+    * g0 replace, %9 purge) with per-step full-outer diffs — string
+    * equality of the content column ≡ datasetDiff's md5 compare.
+    * Shared by q129 (feed derived by snapshot diffing) and q131 (feed
+    * read from commit-time sidecars): one oracle, two derivations. */
+  private val ChangeFeedReplaySql: String =
+    """WITH v0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         v1 AS (
+           SELECT doc_id, coalesce(text, '') AS t
+           FROM documents WHERE doc_id % 4 <> 0
+           UNION ALL
+           SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN upper(coalesce(text, ''))
+                  ELSE coalesce(text, '') END AS t
+           FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
+         v2 AS (SELECT * FROM v1 WHERE doc_id % 9 <> 0),
+         s1 AS (
+           SELECT CAST(1 AS BIGINT) AS version,
+             coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.t <> b.t THEN 'changed' ELSE 'same' END AS status
+           FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id),
+         s2 AS (
+           SELECT CAST(2 AS BIGINT) AS version,
+             coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.t <> b.t THEN 'changed' ELSE 'same' END AS status
+           FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT version, doc_id, status
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         WHERE status <> 'same'
+         ORDER BY version, doc_id"""
+
   private val FilteredIvfPqReplaySql: String = {
     val target = "WHERE pc.probe_id <> cc.vec_id),"
     require(IvfPqReplaySql.contains(target),

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions.col
   *  - data files are IMMUTABLE; a commit is a JSON entry
   *    `_log/<version>.json` listing files ADDED and files REMOVED
   *    (paths relative to the table root), plus optional delete
-  *    SIDECARS ([[commitDeletes]]) and a deletes-reset marker
-  *    ([[compactTable]]);
+  *    SIDECARS ([[commitDeletes]]), a deletes-reset marker
+  *    ([[compactTable]]), and optional row-lineage CHANGE-FEED
+  *    sidecars ([[commitWithFeed]]) that make [[changes]] O(delta);
   *  - the snapshot at version V = union of adds minus removes over
   *    entries ≤ V — reading never lists the data directory, only the
   *    log (O(#commits), not O(#files));
@@ -75,14 +76,18 @@ object TableLog {
   /** Append a commit (adds/removes are table-root-relative file
     * paths; `deletes` are root-relative ID-LIST sidecar files — see
     * [[commitDeletes]]; `resetDeletes` marks that sidecars committed
-    * BEFORE this version no longer apply — see [[compactTable]]).
+    * BEFORE this version no longer apply — see [[compactTable]];
+    * `cdf` are root-relative ROW-LINEAGE sidecar files recording this
+    * commit's own (id, status) changes — see [[commitWithFeed]]).
     * Optimistic: claims max(version)+1 atomically; on a lost race,
     * re-reads and retries. Returns the version written. */
   def commit(spark: SparkSession, root: String,
              add: Seq[String], remove: Seq[String],
              deletes: Seq[String] = Nil,
-             resetDeletes: Boolean = false): Long = {
+             resetDeletes: Boolean = false,
+             cdf: Seq[String] = Nil): Long = {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
+    validatePaths(cdf)
     val f = fs(spark, root)
     f.mkdirs(new Path(logDir(root)))
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -91,7 +96,8 @@ object TableLog {
       val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
       val reset = if (resetDeletes) 1 else 0
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
-        s""""remove":${arr(remove)},"deletes":${arr(deletes)}}"""
+        s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
+        s""""cdf":${arr(cdf)}}"""
       val p = entryPath(root, v)
       val uri = p.toUri
       val claimed =
@@ -110,12 +116,28 @@ object TableLog {
           } finally java.nio.file.Files.deleteIfExists(tmp)
         } else {
           // HDFS: create(overwrite=false) is an exclusive namenode op;
-          // content is visible at close (documented caveat above)
-          try {
-            val out = f.create(p, false)
-            try out.write(body.getBytes("UTF-8")) finally out.close()
-            true
-          } catch { case _: java.io.IOException => false }
+          // content is visible at close (documented caveat above).
+          // Only the CREATE doubles as the race signal — a failure
+          // AFTER it is a write failure that would leave a partial
+          // entry (zero-length: every later commit livelocks retrying
+          // this version; non-empty: every reader fails on it), so it
+          // is best-effort deleted and surfaced, never retried as if
+          // the version race were lost.
+          val created =
+            try Some(f.create(p, false))
+            catch { case _: java.io.IOException => None } // lost the race
+          created match {
+            case None => false
+            case Some(out) =>
+              try { out.write(body.getBytes("UTF-8")); out.close(); true }
+              catch { case e: java.io.IOException =>
+                try out.close() catch { case _: Throwable => () }
+                try f.delete(p, false) catch { case _: Throwable => () }
+                throw new java.io.IOException(
+                  s"TableLog.commit: entry write failed after exclusive " +
+                    s"create of $p (partial entry removed)", e)
+              }
+          }
         }
       if (claimed) return v
       attempt += 1 // lost the race; re-read the log and retry
@@ -123,9 +145,9 @@ object TableLog {
     sys.error(s"TableLog.commit: lost $attempt version races at $root")
   }
 
-  /** (version, reset, add, remove, deletes) of one entry. */
+  /** (version, reset, add, remove, deletes, cdf) of one entry. */
   private def readEntry(f: FileSystem, p: Path)
-      : (Long, Boolean, Seq[String], Seq[String], Seq[String]) = {
+      : (Long, Boolean, Seq[String], Seq[String], Seq[String], Seq[String]) = {
     val in = f.open(p)
     val body = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -146,7 +168,9 @@ object TableLog {
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"TableLog: corrupt entry $p"))
     val reset = "\"reset\":1".r.findFirstIn(body).isDefined
-    (v, reset, list("add"), list("remove"), list("deletes"))
+    // "cdf" absent in pre-feed entries → empty list (format upgrade
+    // stays readable both ways)
+    (v, reset, list("add"), list("remove"), list("deletes"), list("cdf"))
   }
 
   /** The ACTIVE file set (root-relative) at `asOf` (default: latest). */
@@ -158,7 +182,7 @@ object TableLog {
     require(upTo.nonEmpty, s"TableLog: no committed version at $root asOf=$asOf")
     val active = scala.collection.mutable.LinkedHashSet.empty[String]
     upTo.foreach { v =>
-      val (_, _, add, remove, _) = readEntry(f, entryPath(root, v))
+      val (_, _, add, remove, _, _) = readEntry(f, entryPath(root, v))
       remove.foreach(active -= _)
       add.foreach(active += _)
     }
@@ -247,42 +271,114 @@ object TableLog {
     }
   }
 
-  /** Write `df` as new immutable data files under `data/<name>/` and
-    * return their root-relative paths (NOT yet committed — compose
-    * with [[commit]], so a multi-part transaction becomes visible
-    * atomically with its removes). */
-  def stageWrite(df: DataFrame, root: String, name: String): Seq[String] = {
+  /** Write `df` as new immutable data files under a FRESH
+    * `data/<name>-<uuid>/` directory and return their root-relative
+    * paths (NOT yet committed — compose with [[commit]], so a
+    * multi-part transaction becomes visible atomically with its
+    * removes). The uuid suffix makes every stage target unique:
+    * reusing a stage name (a second compaction, a replayed job) can
+    * never overwrite immutable files still referenced by committed
+    * versions — stale staged dirs that never commit are invisible to
+    * readers (snapshots read the log, not the directory) and cost
+    * only storage until manually cleaned. */
+  def stageWrite(df: DataFrame, root: String, name: String): Seq[String] =
+    stageUnder(df, root, "data", name)
+
+  private def stageUnder(df: DataFrame, root: String, sub: String,
+                         name: String): Seq[String] = {
     val spark = df.sparkSession
-    df.write.mode("overwrite").parquet(s"$root/data/$name")
+    val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$root/$sub/$dir")
     val f = fs(spark, root)
-    f.listStatus(new Path(s"$root/data/$name")).toSeq
+    f.listStatus(new Path(s"$root/$sub/$dir")).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .sorted
-      .map(n => s"data/$name/$n")
+      .map(n => s"$sub/$dir/$n")
+  }
+
+  /** Stage a ROW-LINEAGE change-feed sidecar — a frame of
+    * (idCol, status ∈ added/removed/changed) describing exactly the
+    * rows a commit touches — under `cdf/<name>-<uuid>/`, returning
+    * root-relative paths for [[commit]]'s `cdf` parameter. With the
+    * sidecar present, [[changes]] serves that version's feed by
+    * READING THE SIDECAR — O(delta) — instead of diffing two
+    * snapshots (O(table) per step). The committer knows its
+    * adds/removes at commit time, so the sidecar costs one pass over
+    * the delta it already holds (the DynamoDB-Streams shape: the
+    * reference's enrichment trigger consumes exactly such a
+    * commit-time feed). */
+  def stageFeed(diff: DataFrame, root: String, name: String): Seq[String] = {
+    require(diff.columns.length == 2 && diff.columns.contains("status"),
+      s"stageFeed needs (idCol, status), got ${diff.columns.mkString(",")}")
+    stageUnder(diff, root, "cdf", name)
+  }
+
+  /** Commit a file-level add/remove WITH its row-lineage sidecar,
+    * computed at commit time from the rows going out (`before` — the
+    * content of the removed files) and in (`after` — the content of
+    * the added files). Restricting the diff to the touched files is
+    * exact: rows living in untouched files appear in neither frame,
+    * and a row rewritten identically diffs to `same` and is dropped —
+    * so the sidecar is the full-snapshot diff at O(delta) cost. */
+  def commitWithFeed(spark: SparkSession, root: String,
+                     add: Seq[String], remove: Seq[String],
+                     before: DataFrame, after: DataFrame,
+                     idCol: String, contentCol: String,
+                     name: String): Long = {
+    val diff = Versioning.datasetDiff(before, after, idCol, contentCol)
+    commit(spark, root, add, remove, cdf = stageFeed(diff, root, name))
+  }
+
+  /** [[commitDeletes]] WITH a row-lineage sidecar: `ids` must be
+    * exactly the ids PRESENT in the current snapshot (the deleter
+    * knows its victims — an over-approximate id list would record
+    * removals that never happened; use [[commitDeletes]] +
+    * snapshot-diff [[changes]] when exactness is unknowable). */
+  def commitDeletesWithFeed(ids: DataFrame, root: String,
+                            name: String): Long = {
+    val spark = ids.sparkSession
+    val idCol = ids.columns.head
+    val feed = ids.select(col(idCol),
+      org.apache.spark.sql.functions.lit("removed").as("status"))
+    commit(spark, root, add = Nil, remove = Nil,
+      deletes = stageUnder(ids, root, "data", s"deletes/$name"),
+      cdf = stageFeed(feed, root, name))
   }
 
   /** CHANGE DATA FEED: per-version row-level changes between
     * `fromV` (exclusive) and `toV` (inclusive) — (version, id,
-    * status ∈ added/removed/changed) — derived by diffing consecutive
-    * snapshots with [[Versioning.datasetDiff]], the downstream-sync
-    * primitive ("what do I reprocess since the version my index was
-    * built at?", composing with the q97/q118/q125 delta appliers).
-    * File-level logs carry no row lineage, so each step reads its two
-    * snapshots — O(#steps × table) worst case, O(changed files) when
-    * commits replace few files; a pipeline that needs O(delta) feeds
-    * stores the diff at commit time (the [[Versioning.manifest]]
-    * bucket drill-down bounds that cost). */
+    * status ∈ added/removed/changed) — the downstream-sync primitive
+    * ("what do I reprocess since the version my index was built at?",
+    * composing with the q97/q118/q125 delta appliers).
+    *
+    * Versions committed WITH a row-lineage sidecar
+    * ([[commitWithFeed]] / [[commitDeletesWithFeed]]) serve their
+    * step by reading the sidecar — O(delta) per step, the table is
+    * never re-read (ScaleOpsSpec asserts the plan's input files are
+    * sidecars only). Versions without one fall back to diffing the
+    * two adjacent snapshots with [[Versioning.datasetDiff]] —
+    * O(#steps × table) worst case, O(changed files) when commits
+    * replace few files — so pre-feed tables stay fully queryable. */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
               idCol: String, contentCol: String): DataFrame = {
+    val f = fs(spark, root)
     val vs = versions(spark, root).filter(v => v > fromV && v <= toV)
     require(vs.nonEmpty, s"TableLog.changes: no versions in ($fromV, $toV]")
     vs.map { v =>
-      Versioning.datasetDiff(
+      val (_, _, _, _, _, cdf) = readEntry(f, entryPath(root, v))
+      val step =
+        if (cdf.nonEmpty) {
+          val sidecar = spark.read.parquet(cdf.map(rel => s"$root/$rel"): _*)
+          require(sidecar.columns.contains(idCol),
+            s"TableLog.changes: cdf sidecar of v$v lacks id column " +
+              s"'$idCol' (has ${sidecar.columns.mkString(",")})")
+          sidecar
+        } else Versioning.datasetDiff(
           snapshot(spark, root, Some(v - 1), Some(idCol)),
           snapshot(spark, root, Some(v), Some(idCol)),
           idCol, contentCol)
-        .withColumn("version", org.apache.spark.sql.functions.lit(v))
+      step.withColumn("version", org.apache.spark.sql.functions.lit(v))
         .select(col("version"), col(idCol), col("status"))
     }.reduce(_.unionByName(_))
   }
@@ -297,12 +393,23 @@ object TableLog {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     val retained = vs.filter(_ >= retainFrom)
-    val keep = retained.flatMap(v =>
+    // an empty horizon would compute an empty keep set and delete
+    // every file the CURRENT snapshot reads — refuse instead
+    require(retained.nonEmpty,
+      s"TableLog.vacuum: no committed version >= $retainFrom at $root " +
+        s"(latest: ${vs.lastOption.getOrElse(-1L)}) — nothing would be " +
+        "retained and the live snapshot would be destroyed")
+    // change-feed sidecars belong to their own commit: retained
+    // versions keep theirs (so changes() over the retained range stays
+    // servable); pre-horizon feeds reclaim with their data files
+    val keep = retained.flatMap { v =>
       activeFiles(spark, root, Some(v)) ++
-        activeDeletes(spark, root, Some(v))).toSet
+        activeDeletes(spark, root, Some(v)) ++
+        readEntry(f, entryPath(root, v))._6
+    }.toSet
     val everRef = vs.flatMap { v =>
-      val (_, _, add, _, dels) = readEntry(f, entryPath(root, v))
-      add ++ dels
+      val (_, _, add, _, dels, cdf) = readEntry(f, entryPath(root, v))
+      add ++ dels ++ cdf
     }.toSet
     val doomed = (everRef -- keep).toSeq.sorted
     doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))

@@ -1004,6 +1004,76 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TableLog: commit-time change feed is O(delta); staging and vacuum are safe") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+      .select("doc_id", "text", "lang")
+    val root = Files.createTempDirectory("graft_tablelog_cdf").toString + "/t"
+    // v0: base files, no feed (pre-feed commits stay queryable)
+    val g0 = TableLog.stageWrite(docs.filter(col("doc_id") % 3 === 0), root, "g0")
+    val gRest = TableLog.stageWrite(docs.filter(col("doc_id") % 3 =!= 0), root, "rest")
+    TableLog.commit(spark0, root, g0 ++ gRest, Nil)
+    // v1: replace g0 (drop %12, uppercase %6) WITH a commit-time feed
+    val before = docs.filter(col("doc_id") % 3 === 0)
+    val after = before.filter(col("doc_id") % 12 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 6 === 0, upper(col("text"))).otherwise(col("text")))
+    val g0v2 = TableLog.stageWrite(after, root, "g0v2")
+    TableLog.commitWithFeed(spark0, root, g0v2, g0,
+      before, after, "doc_id", "text", "r1")
+    // v2: sidecar delete of exact present ids, with feed
+    val doomed = TableLog.snapshot(spark0, root, None, Some("doc_id"))
+      .filter(col("doc_id") % 7 === 0).select("doc_id")
+    TableLog.commitDeletesWithFeed(doomed, root, "purge7")
+    // the feed equals the snapshot-diff ground truth for every step
+    val feed = TableLog.changes(spark0, root, fromV = 0L, toV = 2L,
+      "doc_id", "text")
+    val truth = Seq(1L, 2L).map { v =>
+      graft.operators.Versioning.datasetDiff(
+          TableLog.snapshot(spark0, root, Some(v - 1), Some("doc_id")),
+          TableLog.snapshot(spark0, root, Some(v), Some("doc_id")),
+          "doc_id", "text")
+        .withColumn("version", lit(v))
+        .select(col("version"), col("doc_id"), col("status"))
+    }.reduce(_.unionByName(_))
+    assert(feed.count() > 0)
+    assert(feed.exceptAll(truth).count() === 0)
+    assert(truth.exceptAll(feed).count() === 0)
+    // O(delta) proof: with sidecars on every step, the feed's plan
+    // reads ONLY cdf files — never a data file of any snapshot
+    val inputs = feed.inputFiles
+    assert(inputs.nonEmpty)
+    assert(inputs.forall(_.contains("/cdf/")),
+      s"changes() read beyond the sidecars: ${inputs.filterNot(_.contains("/cdf/")).take(3).mkString(",")}")
+    // staging the SAME name twice lands in distinct dirs: committed
+    // immutable files cannot be clobbered by a name reuse
+    val again = TableLog.stageWrite(docs.limit(5), root, "g0v2")
+    assert(again.toSet.intersect(g0v2.toSet).isEmpty)
+    val fsys = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark0.sparkContext.hadoopConfiguration)
+    g0v2.foreach(rel => assert(
+      fsys.exists(new org.apache.hadoop.fs.Path(s"$root/$rel")),
+      s"committed file $rel destroyed by a stage-name reuse"))
+    // vacuum refuses a horizon with nothing retained (it would delete
+    // the live snapshot's files)
+    intercept[IllegalArgumentException] {
+      TableLog.vacuum(spark0, root, retainFrom = 99L)
+    }
+    // vacuum keeps retained-range feeds, reclaims pre-horizon ones:
+    // v3 compacts (resets deletes), then vacuum from v3
+    val v3 = TableLog.compactTable(spark0, root, "doc_id", "compacted")
+    val preFeedFiles = Seq(1L, 2L).flatMap(v =>
+      TableLog.changes(spark0, root, v - 1, v, "doc_id", "text").inputFiles)
+    val removedByVacuum = TableLog.vacuum(spark0, root, retainFrom = v3)
+    assert(preFeedFiles.nonEmpty)
+    preFeedFiles.foreach(fp => assert(
+      removedByVacuum.exists(rel => fp.endsWith(rel)),
+      s"pre-horizon cdf sidecar $fp must be reclaimed"))
+    assert(TableLog.snapshot(spark0, root, Some(v3), Some("doc_id")).count() ===
+      docs.filter(col("doc_id") % 12 =!= 0).filter(col("doc_id") % 7 =!= 0).count())
+  }
+
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
     import graft.operators.Profile
     val emb = Tables.embeddings(spark, TestSpark.sf)
