@@ -48,7 +48,14 @@ object Graph {
     // is the right shape for a fixpoint operator: each round's ranks
     // are persisted and counted, the previous round's cache dropped —
     // lineage stays one round deep, like GraphX/Pregel loops.
+    // The edge list is the BIG side of every iteration's join, and the
+    // join key never changes — so cache it already hash-partitioned on
+    // src. The cached partitioning satisfies each round's distribution
+    // requirement and the per-iteration Exchange of the full edge list
+    // disappears (GraphSpec pins the plan): iterations shuffle only
+    // the ranks (O(V)) and the per-edge shares into groupBy(dst).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()

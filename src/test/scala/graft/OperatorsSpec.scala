@@ -132,6 +132,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ranks(2) === Map(1L -> 1063750L, 2L -> 1361250L, 3L -> 575000L))
   }
 
+  test("pageRankInt never re-exchanges the cached edge list inside the loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val e = Seq.tabulate(2000)(i => ((i % 97).toLong, ((i * 31) % 97).toLong))
+      .toDF("src", "dst")
+    // force shuffle joins so the plan shape matches the at-scale form
+    // (AQE would broadcast a graph this small and mask the property)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ranks =
+      try graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 2)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    ranks.count()
+    // walk a physical plan treating nested caches as BOUNDARIES (their
+    // data comes from the materialized cache, not their plan) — the
+    // boundary scan node itself is still visited
+    def shallow(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec   => shallow(a.executedPlan)
+      case q: QueryStageExec          => shallow(q.plan)
+      case r: ReusedExchangeExec      => shallow(r.child)
+      case _: InMemoryTableScanExec   => Seq.empty
+      case other                      => other.children.flatMap(shallow)
+    }) :+ p
+    def caches(p: SparkPlan): Seq[SparkPlan] = shallow(p).collect {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }
+    // the iterate frames are themselves cached, so the loop-body plans
+    // live inside InMemoryRelations — collect every nested cachedPlan
+    var plans = Vector(ranks.queryExecution.executedPlan)
+    var frontier = caches(plans.head)
+    while (frontier.nonEmpty) {
+      plans ++= frontier
+      frontier = frontier.flatMap(caches)
+        .filterNot(f => plans.exists(_ eq f))
+    }
+    def isEdgeScan(p: SparkPlan): Boolean = p match {
+      case s: InMemoryTableScanExec =>
+        val names = s.output.map(_.name).toSet
+        names == Set("src", "dst")
+      case _ => false
+    }
+    // the edge cache must feed some loop-body plan, and no shuffle may
+    // move RAW edge rows — joins/aggregates are boundaries past which
+    // data is derived (the O(V) ranks and partial-agg shares that ARE
+    // supposed to shuffle). The cached repartition(src) is the only
+    // exchange the edge list ever pays.
+    def rawEdgeBelow(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => rawEdgeBelow(a.executedPlan)
+      case q: QueryStageExec        => rawEdgeBelow(q.plan)
+      case r: ReusedExchangeExec    => rawEdgeBelow(r.child)
+      case s: InMemoryTableScanExec => isEdgeScan(s)
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case other => other.children.exists(rawEdgeBelow)
+    }
+    assert(plans.exists(p => shallow(p).exists(isEdgeScan)),
+      "edge cache scan missing from every loop-body plan")
+    val offenders = plans.flatMap(p => shallow(p).collect {
+      case ex: ShuffleExchangeLike if rawEdgeBelow(ex) => ex
+    })
+    assert(offenders.isEmpty,
+      s"edge list re-exchanged inside the loop:\n${offenders.headOption.fold("")(_.toString)}")
+  }
+
   test("exact dedup groups cover all docs") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
     val total = groups.agg(sum("n_copies")).head.getLong(0)
