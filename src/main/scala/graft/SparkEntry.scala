@@ -1920,6 +1920,20 @@ object SparkEntry {
       .orderBy(col("version"), col("doc_id"))
   }
 
+  /** SKETCH table profiler ([[graft.operators.Profile.profile]] with
+    * `exact = false`) — q117's exact profile is the oracled baseline
+    * whose k count(DISTINCT) aggregates Expand the scan k-fold; this
+    * is its 100 TB form: every cardinality becomes a q70-style HLL
+    * register bank (m=256, md5-derived buckets — NOT Spark's opaque
+    * HLL++, so the estimate is engine-exact and the oracle replays
+    * the register max + harmonic estimate per column), one unexpanded
+    * pass, k×256 bytes of aggregate state, SAME output schema. The
+    * q86/q102 pairing discipline applied to the profiler: the exact
+    * and sketch forms are benched side by side so the near-flat
+    * scaling of the sketch is measured, not asserted. */
+  private val q132: Q = (s, d) =>
+    graft.operators.Profile.profile(Tables.orders(s, d), exact = false)
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2444,6 +2458,7 @@ object SparkEntry {
     "q129_change_feed" -> q129,
     "q130_audio_decode" -> q130,
     "q131_change_feed_cdf" -> q131,
+    "q132_profile_sketch" -> q132,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4521,6 +4536,9 @@ object SparkEntry {
     // (commit-time sidecar): both must produce the same logical feed.
     "q129_change_feed" -> ChangeFeedReplaySql,
     "q131_change_feed_cdf" -> ChangeFeedReplaySql,
+    // q117's profile with every count(DISTINCT) swapped for the q70
+    // register replay — the sketch estimates are engine-exact
+    "q132_profile_sketch" -> ProfileSketchSql,
     // audio stats replayed from the sample-generating closed form —
     // never decoding a byte: PCM WAV losslessness is what's proved
     "q130_audio_decode" ->
@@ -4690,6 +4708,67 @@ object SparkEntry {
   /** q104's oracle: [[IvfPqReplaySql]] with the label predicate folded
     * into its candidate set — same artifacts, same ADC scoring, filter
     * BEFORE ranking (the filtered-search contract). */
+  /** q132's oracle: q117's UNION-ALL-per-column profile with each
+    * count(DISTINCT c) replaced by a scalar subquery replaying the
+    * q70 HLL register math (md5 bucket/rho → per-bucket max → exact
+    * HUGEINT harmonic numerator → linear-counting branch) over that
+    * column's canonical string — generated per column so the register
+    * SQL is written once. */
+  private def hllNdSql(e: String): String = {
+    val s14 = "substr(hx,3,14)"
+    val lz = s"length(regexp_extract($s14, '^0*'))"
+    val fc = s"substr($s14, $lz + 1, 1)"
+    s"""(SELECT CAST(round(round(CASE WHEN 256 - nz > 0 AND raw_est <= 640.0
+             THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw_est END, 4), 0) AS BIGINT)
+         FROM (SELECT nz,
+             (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57)) /
+               CAST(coalesce(numer_nz, CAST(0 AS HUGEINT))
+                 + CAST(256 - nz AS HUGEINT) * CAST(pow(2.0, 57) AS HUGEINT)
+                 AS DOUBLE) AS raw_est
+           FROM (SELECT count(*) AS nz,
+               sum(CAST(pow(2.0, 57 - rho) AS HUGEINT)) AS numer_nz
+             FROM (SELECT bucket, max(rho) AS rho
+               FROM (SELECT
+                   CAST((strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(hx,2,1))-1 AS BIGINT) AS bucket,
+                   CASE WHEN $lz = 14 THEN 57
+                        ELSE 4*$lz + CASE WHEN $fc = '1' THEN 3
+                                          WHEN $fc IN ('2','3') THEN 2
+                                          WHEN $fc IN ('4','5','6','7') THEN 1
+                                          ELSE 0 END + 1 END AS rho
+                 FROM (SELECT md5(CAST($e AS VARCHAR)) AS hx
+                   FROM orders WHERE $e IS NOT NULL))
+               GROUP BY bucket))))"""
+  }
+
+  private val ProfileSketchSql: String = {
+    // (col_name, hash input, range kind) — range kind picks which
+    // min/max branch matches Profile.profile's typed output
+    val cols = Seq(
+      ("o_orderkey", "o_orderkey", "num"),
+      ("o_custkey", "o_custkey", "num"),
+      ("o_orderstatus", "o_orderstatus", "str"),
+      ("o_totalprice", "o_totalprice", "num"),
+      ("o_orderdate", "epoch_us(o_orderdate)", "ts"),
+      ("o_orderpriority", "o_orderpriority", "str"))
+    val branches = cols.map { case (name, e, kind) =>
+      val (mn, mx, ms, xs) = kind match {
+        case "num" => (s"CAST(min($name) AS DOUBLE)", s"CAST(max($name) AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" => (s"epoch(min($name))", s"epoch(max($name))",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"min($name)", s"max($name)")
+      }
+      s"""SELECT '$name' AS col_name, count(*) AS n,
+           count(*) - count($name) AS n_null,
+           ${hllNdSql(e)} AS n_distinct,
+           $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+         FROM orders"""
+    }
+    branches.mkString("", "\n UNION ALL\n ", "\n ORDER BY col_name")
+  }
+
   /** Logical replay of the q127/q129/q131 three-version table (base,
     * g0 replace, %9 purge) with per-step full-outer diffs — string
     * equality of the content column ≡ datasetDiff's md5 compare.

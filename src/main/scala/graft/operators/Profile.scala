@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,9 +20,12 @@ import org.apache.spark.sql.types._
   * The one caveat is exact distinct counts: k exact count(DISTINCT)
   * aggregates make Catalyst Expand the scan k-fold before the
   * shuffle. That is the price of exactness; at 100 TB pass
-  * `exact = false` and every cardinality becomes
-  * approx_count_distinct (HLL++, one unexpanded pass, ~2% error) —
-  * same plan otherwise, same output schema.
+  * `exact = false` and every cardinality becomes an HLL register-bank
+  * estimate ([[graft.plans.HllRegisters]], m=256 — the q70 sketch,
+  * NOT Spark's internal HLL++, so an independent engine replays the
+  * estimate bit-for-bit): one unexpanded pass, k×256 bytes of
+  * aggregate state, same plan otherwise, same output schema
+  * (n_distinct rounds the estimate to a long).
   */
 object Profile {
 
@@ -32,9 +35,42 @@ object Profile {
     * in min_num/max_num (timestamps as epoch seconds, the
     * engine-neutral form), string ranges in min_str/max_str. */
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    import graft.functions.Sketches
     val fields = df.schema.fields.toSeq
+    // sketch-mode hash input: a canonical cross-engine string.
+    // Timestamps hop through exact integer epoch micros (their string
+    // rendering differs between engines); everything else casts
+    // directly (int/date/string renderings agree, and doubles agree on
+    // shortest-round-trip within non-scientific range).
+    def canon(f: StructField): Column = f.dataType match {
+      case _: TimestampType | _: TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp")).cast("string")
+      case _ => col(f.name).cast("string")
+    }
+    // Sketch mode pre-projects every column's (bucket, rho) BEFORE the
+    // aggregate: a TypedImperativeAggregate evaluates its child with
+    // interpreted expression eval per row, so leaving the md5/hex
+    // trees inside the aggregate runs them outside codegen (measured
+    // ~10× slower); as plain Project columns they stay whole-stage
+    // codegen'd and the aggregate's child is two column refs (the q70
+    // shape).
+    val pre =
+      if (exact) df
+      else {
+        val extra = fields.flatMap { f =>
+          val hx = md5(canon(f))
+          Seq(Sketches.hllBucket(hx).as(s"${f.name}__hb"),
+            Sketches.hllRho(hx).as(s"${f.name}__hr"))
+        }
+        df.select(col("*") +: extra: _*)
+      }
     def nd(f: StructField) =
-      if (exact) countDistinct(col(f.name)) else approx_count_distinct(col(f.name))
+      if (exact) countDistinct(col(f.name))
+      else graft.plans.HllRegisters.hllRegisters(
+        struct(col(s"${f.name}__hb"), col(s"${f.name}__hr")), Sketches.M)
+    def ndOut(name: String) =
+      if (exact) col(s"${name}__nd")
+      else round(Sketches.hllEstimate(col(s"${name}__nd"))).cast("long")
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       val (mn, mx) = f.dataType match {
@@ -55,13 +91,13 @@ object Profile {
         mn.as(s"${f.name}__mn"), mx.as(s"${f.name}__mx"),
         ms.as(s"${f.name}__ms"), xs.as(s"${f.name}__xs"))
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val row = pre.agg(count(lit(1)).as("__n"), aggs: _*)
     row.select(explode(array(fields.map { f =>
       struct(
         lit(f.name).as("col_name"),
         col("__n").as("n"),
         (col("__n") - col(s"${f.name}__cnt")).as("n_null"),
-        col(s"${f.name}__nd").as("n_distinct"),
+        ndOut(f.name).as("n_distinct"),
         col(s"${f.name}__mn").as("min_num"),
         col(s"${f.name}__mx").as("max_num"),
         col(s"${f.name}__ms").as("min_str"),

@@ -117,6 +117,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ap.map(_.getString(0)).toSet === Set("id", "s", "x"))
     assert(ap.forall(r => math.abs(r.getAs[Long]("n_distinct")
       - p(r.getString(0)).getAs[Long]("n_distinct")) <= 1))
+    // plan shape: exact pays the k-fold Expand for its k
+    // count(DISTINCT)s; the sketch profile must run ONE unexpanded
+    // pass (that is its whole reason to exist at 100 TB)
+    def hasExpand(frame: org.apache.spark.sql.DataFrame): Boolean =
+      frame.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Expand => true
+        case _ => false
+      }
+    assert(hasExpand(graft.operators.Profile.profile(df)),
+      "exact profile no longer expands — update this pin")
+    assert(!hasExpand(graft.operators.Profile.profile(df, exact = false)),
+      "sketch profile must not Expand the scan")
   }
 
   test("pageRankInt matches the hand-computed integer iterates") {
