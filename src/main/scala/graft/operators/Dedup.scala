@@ -257,13 +257,13 @@ object Dedup {
       graft.sources.Sinks.writePartitionedDynamic(
         bandedSignatures(docs, idCol, textCol, k, bands, rowsPerBand)
           .withColumn("batch", lit(batch)),
-        s"$path/bands", Seq("batch"))
+        s"$path/bands", Seq("batch"), constantPartitions = true)
       graft.sources.Sinks.writePartitionedDynamic(
-        sh.withColumn("batch", lit(batch)), s"$path/shingles", Seq("batch"))
+        sh.withColumn("batch", lit(batch)), s"$path/shingles", Seq("batch"), constantPartitions = true)
       graft.sources.Sinks.writePartitionedDynamic(
         sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
           .withColumn("batch", lit(batch)),
-        s"$path/sizes", Seq("batch"))
+        s"$path/sizes", Seq("batch"), constantPartitions = true)
     }
 
     /** Near-dup pairs of `delta` against the store AND within `delta`

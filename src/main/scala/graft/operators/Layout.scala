@@ -166,11 +166,19 @@ object Layout {
     val spark = delta.sparkSession
     val touched = delta.select(keys.map(col): _*).distinct().collect()
     if (touched.isEmpty) return
-    val touchedPred = touched.map { r =>
-      keys.zipWithIndex.map { case (k, i) => col(k) <=> lit(r.get(i)) }
-        .reduce(_ && _)
-    }.reduce(_ || _)
-    val existing = spark.read.parquet(path).filter(touchedPred)
+    // Read back ONLY the touched directories, with a plan that stays
+    // small however many key combinations the batch carries:
+    //  - static partition pruning via per-COLUMN value sets — one
+    //    In/InSet node per key column (O(distinct values per column)),
+    //    never the OR-of-ANDs combination tree a thousand-combo delta
+    //    would explode into (optimizer blowup long before memory);
+    //  - the per-column product may over-select directories whose
+    //    exact combination the batch does NOT touch — those rows must
+    //    not enter the rewrite (dynamic overwrite would rewrite their
+    //    dirs and break untouched-dir immutability), so a broadcast
+    //    left-semi join on the touched-keys frame (null-safe, O(1)
+    //    plan size) restores exact combo membership.
+    val existing = touchedReadBack(spark, path, touched, delta, keys)
       .select(delta.columns.map(col): _*) // partition cols reorder on read
     val merged = existing.withColumn("__pri", lit(0))
       .unionByName(delta.withColumn("__pri", lit(1)))
@@ -183,6 +191,25 @@ object Layout {
     merged.repartition(keys.map(col): _*)
       .write.option("partitionOverwriteMode", "dynamic")
       .partitionBy(keys: _*).mode("overwrite").parquet(path)
+  }
+
+  /** The touched-directory read-back of [[upsertIntoGsi]], exposed
+    * package-visibly so the plan-size contract is spec-testable. */
+  private[graft] def touchedReadBack(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      touched: Array[org.apache.spark.sql.Row], delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val perColPrune = keys.zipWithIndex.map { case (k, i) =>
+      val vals = touched.map(_.get(i)).distinct.toSeq
+      val nonNull = vals.filter(_ != null)
+      val in = if (nonNull.isEmpty) lit(false) else col(k).isin(nonNull: _*)
+      if (vals.contains(null)) col(k).isNull || in else in
+    }.reduce(_ && _)
+    val touchedKeys = delta.select(
+      keys.map(k => col(k).as(s"__tk_$k")): _*).distinct()
+    val combo = keys.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+    spark.read.parquet(path).filter(perColPrune)
+      .join(broadcast(touchedKeys), combo, "left_semi")
   }
 
   /** Small-file compaction — the most common daily layout operation

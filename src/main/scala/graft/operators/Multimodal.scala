@@ -3,18 +3,27 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal (image/audio/video) column plumbing.
+/** Multimodal (image/audio/video) column plumbing AND real codec
+  * paths.
   *
-  * Media travel as opaque `binary` payload columns plus typed metadata —
-  * the Spark-side schema, partitioning and batch shape are real; the
-  * codec call itself is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries). Swap `decodeStub` for a real
-  * codec (JNI / spawned worker) without touching the plumbing.
+  * Media travel as opaque `binary` payload columns plus typed
+  * metadata. Two tiers live here:
+  *  - REAL codecs through the JDK's own libraries: PNG encode/decode
+  *    via javax.imageio ([[decodeImageStats]], [[dhash]]) and 16-bit
+  *    PCM WAV via javax.sound ([[decodeAudioStats]]) — byte-true
+  *    decode paths whose oracles replay the closed-form pixel/sample
+  *    generators, proving codec fidelity end to end;
+  *  - a deterministic `decodeStub` tier for formats whose codecs this
+  *    container lacks (JPEG/video): schema, partitioning and batch
+  *    shape are real; swap the stub body for the codec (JNI / spawned
+  *    worker) without touching the plumbing.
   *
   * Scale: decode runs inside `mapPartitions` in fixed-size batches —
-  * the distributed analogue of a vectorized `mapInPandas` — so per-batch
-  * codec setup cost is amortized and memory stays bounded regardless of
-  * partition size.
+  * the distributed analogue of a vectorized `mapInPandas` — so
+  * per-batch codec setup cost is amortized and memory stays bounded
+  * regardless of partition size; SPI caching is per-partition and the
+  * input repartitions to core count before the decode stage (the
+  * q130 24× fix).
   */
 object Multimodal {
 

@@ -119,15 +119,26 @@ object Terms {
       .localCheckpoint(true) // one explode feeds counts AND the scan
     val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = tk.filter(col("is_target")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // A target predicate matching no tokens would make every ratio
+    // null and the final coalesce would report logw_micro = 0 for all
+    // docs — plausible-looking, meaningless weights from a misspelled
+    // target slice. The totals are two constant-size aggregates over
+    // the checkpointed token frame, so evaluating them here is cheap;
+    // fail fast instead.
     val totals = raw.agg(sum(col("cr")).as("nr"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt"))).head()
+    require(!totals.isNullAt(0) && totals.getLong(0) > 0L,
+      "dsirLogWeights: corpus has no tokens")
+    require(!totals.isNullAt(1) && totals.getLong(1) > 0L,
+      "dsirLogWeights: target predicate matched no tokens — refusing to " +
+        "emit all-zero weights for a (likely misspelled) empty target slice")
+    val (nr, nt) = (totals.getLong(0), totals.getLong(1))
     val s = 0.5
     val lr = raw.join(tgt, Seq("b"), "left_outer")
-      .crossJoin(broadcast(totals))
       .select(col("b"),
         floor(lit(1e6) * log(
-          ((coalesce(col("ct"), lit(0L)) + lit(s)) / (col("nt") + lit(s * nBuckets))) /
-            ((col("cr") + lit(s)) / (col("nr") + lit(s * nBuckets)))))
+          ((coalesce(col("ct"), lit(0L)) + lit(s)) / (lit(nt) + lit(s * nBuckets))) /
+            ((col("cr") + lit(s)) / (lit(nr) + lit(s * nBuckets)))))
           .cast("long").as("lr"))
     val perDoc = tk.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))

@@ -71,7 +71,7 @@ object DedupIngest {
               Dedup.minhashLshPairs(b, idCol, textCol, k, bands,
                 rowsPerBand, threshold)
           graft.sources.Sinks.writePartitionedDynamic(
-            pairs.withColumn("batch", lit(batchId)), pairsPath, Seq("batch"))
+            pairs.withColumn("batch", lit(batchId)), pairsPath, Seq("batch"), constantPartitions = true)
           Dedup.MinhashStore.appendBatch(b, idCol, textCol, storePath,
             k, bands, rowsPerBand, batch = batchId)
         } finally b.unpersist()

@@ -63,7 +63,7 @@ object DriftIngest {
         val bh = Profile.binnedHist(batch, vecCol, nBins, lo, hi)
           .localCheckpoint(true) // read by hist write + fold
         graft.sources.Sinks.writePartitionedDynamic(
-          bh.withColumn("batch", lit(batchId)), s"$storePath/hist", Seq("batch"))
+          bh.withColumn("batch", lit(batchId)), s"$storePath/hist", Seq("batch"), constantPartitions = true)
         // fold into the LATEST immutable cum snapshot with batch < N:
         // one constant-size read per batch, and a replay (which may
         // find its own cum/batch=N already landed) folds against the
@@ -89,12 +89,12 @@ object DriftIngest {
         }
         val cumCk = cum.localCheckpoint(true) // read by cum write + psi
         graft.sources.Sinks.writePartitionedDynamic(
-          cumCk.withColumn("batch", lit(batchId)), s"$storePath/cum", Seq("batch"))
+          cumCk.withColumn("batch", lit(batchId)), s"$storePath/cum", Seq("batch"), constantPartitions = true)
         val ref = sp.read.parquet(refPath)
         val psi = Profile.psiFromHists(ref, cumCk, nBins)
           .withColumn("batch", lit(batchId))
         graft.sources.Sinks.writePartitionedDynamic(
-          psi, s"$storePath/psi", Seq("batch"))
+          psi, s"$storePath/psi", Seq("batch"), constantPartitions = true)
       }
     }
   }

@@ -78,7 +78,7 @@ object PackIngest {
             .localCheckpoint(true) // read by assign write + totals
           graft.sources.Sinks.writePartitionedDynamic(
             assigned.withColumn("batch", lit(batchId)),
-            s"$storePath/assign", Seq("batch"))
+            s"$storePath/assign", Seq("batch"), constantPartitions = true)
           val batchTotals = assigned.groupBy(col(sourceCol))
             .agg(sum(col(tokCol)).as("__bt"))
           val newBase = prior match {
@@ -91,7 +91,7 @@ object PackIngest {
           }
           graft.sources.Sinks.writePartitionedDynamic(
             newBase.withColumn("batch", lit(batchId)),
-            s"$storePath/base", Seq("batch"))
+            s"$storePath/base", Seq("batch"), constantPartitions = true)
         }
       }
   }

@@ -459,6 +459,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(expect.exceptAll(got2).count() === 0)
   }
 
+  test("GSI upsert read-back plan stays small under a many-combo delta") {
+    import graft.operators.Layout
+    import spark.implicits._
+    // 400 key combinations: the old OR-of-ANDs read-back predicate
+    // built ~5 Catalyst nodes per combo (2000+); the per-column
+    // InSet + broadcast semi-join must stay O(values-per-column)
+    val rows = for { a <- 0 until 20; b <- 0 until 20 }
+      yield (a.toLong * 20 + b, s"a$a", s"b$b")
+    val df = rows.toDF("id", "ka", "kb")
+    val root = Files.createTempDirectory("graft_gsibig").toString
+    val p = s"$root/gsi"
+    Layout.writeGsi(df, p, "ka", "kb")
+    val delta = df.withColumn("id", col("id") + 10000L)
+    val touched = delta.select(col("ka"), col("kb")).distinct().collect()
+    assert(touched.length === 400)
+    val frame = Layout.touchedReadBack(spark, p, touched, delta, Seq("ka", "kb"))
+    val nExpr = frame.queryExecution.optimizedPlan.collect { case n => n }
+      .map(_.expressions.map(e => e.collect { case x => x }.size).sum).sum
+    info(s"read-back plan expression nodes: $nExpr for ${touched.length} combos")
+    assert(nExpr < 600,
+      s"read-back plan has $nExpr expression nodes for 400 combos — " +
+        "the combination tree is back")
+    // and the read-back is still EXACT: every base row's combo is
+    // touched here, so it returns the whole base
+    assert(frame.count() === 400L)
+    // over-selection is filtered: a delta touching only the diagonal
+    // must read back only diagonal rows even though the per-column
+    // product covers the full grid
+    val diag = df.filter(col("ka").substr(2, 5) === col("kb").substr(2, 5))
+    val dTouched = diag.select(col("ka"), col("kb")).distinct().collect()
+    val dFrame = Layout.touchedReadBack(spark, p, dTouched, diag, Seq("ka", "kb"))
+    assert(dFrame.count() === 20L,
+      "semi-join must restrict the per-column product to exact combos")
+  }
+
   test("page-index append: untouched dirs byte-identical, appended ≡ fresh rebuild, " +
        "idempotent replay, served drain crosses the boundary") {
     import graft.operators.Pagination
