@@ -46,6 +46,16 @@ import org.apache.spark.sql.functions.col
   */
 object TableLog {
 
+  /** One parsed log entry. `tag` is an optional idempotence token —
+    * a committer that might re-run (a streaming micro-batch replayed
+    * after a crash) writes its batch identity here and checks
+    * [[committedTags]] first, making re-delivery a no-op instead of a
+    * duplicate commit. */
+  final case class LogEntry(version: Long, reset: Boolean,
+                            add: Seq[String], remove: Seq[String],
+                            deletes: Seq[String], cdf: Seq[String],
+                            tag: Option[String])
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -85,9 +95,10 @@ object TableLog {
              add: Seq[String], remove: Seq[String],
              deletes: Seq[String] = Nil,
              resetDeletes: Boolean = false,
-             cdf: Seq[String] = Nil): Long = {
+             cdf: Seq[String] = Nil,
+             tag: Option[String] = None): Long = {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
-    validatePaths(cdf)
+    validatePaths(cdf); tag.foreach(t => validatePaths(Seq(t)))
     val f = fs(spark, root)
     f.mkdirs(new Path(logDir(root)))
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -95,9 +106,10 @@ object TableLog {
     while (attempt < 64) {
       val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
       val reset = if (resetDeletes) 1 else 0
+      val tagPart = tag.fold("")(t => s""","tag":"$t"""")
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
         s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
-        s""""cdf":${arr(cdf)}}"""
+        s""""cdf":${arr(cdf)}$tagPart}"""
       val p = entryPath(root, v)
       val uri = p.toUri
       val claimed =
@@ -145,9 +157,7 @@ object TableLog {
     sys.error(s"TableLog.commit: lost $attempt version races at $root")
   }
 
-  /** (version, reset, add, remove, deletes, cdf) of one entry. */
-  private def readEntry(f: FileSystem, p: Path)
-      : (Long, Boolean, Seq[String], Seq[String], Seq[String], Seq[String]) = {
+  private def readEntry(f: FileSystem, p: Path): LogEntry = {
     val in = f.open(p)
     val body = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -168,9 +178,22 @@ object TableLog {
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"TableLog: corrupt entry $p"))
     val reset = "\"reset\":1".r.findFirstIn(body).isDefined
-    // "cdf" absent in pre-feed entries → empty list (format upgrade
-    // stays readable both ways)
-    (v, reset, list("add"), list("remove"), list("deletes"), list("cdf"))
+    val tag = "\"tag\":\"([A-Za-z0-9._/=-]+)\"".r.findFirstMatchIn(body)
+      .map(_.group(1))
+    // "cdf"/"tag" absent in older entries → empty/None (format
+    // upgrades stay readable both ways)
+    LogEntry(v, reset, list("add"), list("remove"), list("deletes"),
+      list("cdf"), tag)
+  }
+
+  /** The idempotence tags of every committed entry — a replay-prone
+    * committer ([[graft.streaming.TableIngest]]) checks membership
+    * before committing its batch. O(#commits) log reads, driver-side
+    * metadata like every other log operation. */
+  def committedTags(spark: SparkSession, root: String): Set[String] = {
+    val f = fs(spark, root)
+    versions(spark, root)
+      .flatMap(v => readEntry(f, entryPath(root, v)).tag).toSet
   }
 
   /** The ACTIVE file set (root-relative) at `asOf` (default: latest). */
@@ -182,9 +205,9 @@ object TableLog {
     require(upTo.nonEmpty, s"TableLog: no committed version at $root asOf=$asOf")
     val active = scala.collection.mutable.LinkedHashSet.empty[String]
     upTo.foreach { v =>
-      val (_, _, add, remove, _, _) = readEntry(f, entryPath(root, v))
-      remove.foreach(active -= _)
-      add.foreach(active += _)
+      val e = readEntry(f, entryPath(root, v))
+      e.remove.foreach(active -= _)
+      e.add.foreach(active += _)
     }
     active.toSeq
   }
@@ -199,8 +222,8 @@ object TableLog {
     val vs = versions(spark, root)
     val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
     val entries = upTo.map(v => readEntry(f, entryPath(root, v)))
-    val lastReset = entries.filter(_._2).map(_._1).sorted.lastOption
-    entries.filter(e => lastReset.forall(e._1 >= _)).flatMap(_._5)
+    val lastReset = entries.filter(_.reset).map(_.version).sorted.lastOption
+    entries.filter(e => lastReset.forall(e.version >= _)).flatMap(_.deletes)
   }
 
   /** ROW-LEVEL delete without rewriting a single data file — the
@@ -366,7 +389,7 @@ object TableLog {
     val vs = versions(spark, root).filter(v => v > fromV && v <= toV)
     require(vs.nonEmpty, s"TableLog.changes: no versions in ($fromV, $toV]")
     vs.map { v =>
-      val (_, _, _, _, _, cdf) = readEntry(f, entryPath(root, v))
+      val cdf = readEntry(f, entryPath(root, v)).cdf
       val step =
         if (cdf.nonEmpty) {
           val sidecar = spark.read.parquet(cdf.map(rel => s"$root/$rel"): _*)
@@ -405,11 +428,11 @@ object TableLog {
     val keep = retained.flatMap { v =>
       activeFiles(spark, root, Some(v)) ++
         activeDeletes(spark, root, Some(v)) ++
-        readEntry(f, entryPath(root, v))._6
+        readEntry(f, entryPath(root, v)).cdf
     }.toSet
     val everRef = vs.flatMap { v =>
-      val (_, _, add, _, dels, cdf) = readEntry(f, entryPath(root, v))
-      add ++ dels ++ cdf
+      val e = readEntry(f, entryPath(root, v))
+      e.add ++ e.deletes ++ e.cdf
     }.toSet
     val doomed = (everRef -- keep).toSeq.sorted
     doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))

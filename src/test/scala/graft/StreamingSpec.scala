@@ -680,6 +680,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(storeBatches === Set(0L, 1L))
   }
 
+  test("TableIngest: one atomic commit per batch, O(delta) feed, replay exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_table_ingest")
+      .toFile.getAbsolutePath
+    val root = s"$dir/table"
+    val batch0 = Seq((1L, "aa"), (2L, "bb"))
+    val batch1 = Seq((3L, "cc"), (4L, "dd"))
+    val mem = MemoryStream[(Long, String)]
+    val snk = graft.streaming.TableIngest.sink(root, "doc_id")
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(snk)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    mem.addData(batch0: _*); q.processAllAvailable()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    q.stop()
+    // one commit per micro-batch; the table time-travels per batch
+    // boundary and the latest snapshot is the streamed union
+    assert(TableLog.versions(spark, root) === Seq(0L, 1L))
+    assert(TableLog.snapshot(spark, root, Some(0L)).count() === 2L)
+    val full = TableLog.snapshot(spark, root)
+    assert(full.select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L))
+    // the change feed attributes every row to its batch's version and
+    // serves from commit-time sidecars ONLY (O(delta), never the table)
+    val feed = TableLog.changes(spark, root, fromV = -1L, toV = 1L,
+      "doc_id", "text")
+    assert(feed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+      Set((0L, 1L, "added"), (0L, 2L, "added"),
+        (1L, 3L, "added"), (1L, 4L, "added")))
+    assert(feed.inputFiles.nonEmpty)
+    assert(feed.inputFiles.forall(_.contains("/cdf/")),
+      "ingest feed must read sidecars, not snapshots")
+    // replay of an already-committed batch (the worst crash point:
+    // commit landed, checkpoint didn't) must be a no-op — the
+    // idempotence tag, not luck, prevents the duplicate commit
+    snk(batch1.toDF("doc_id", "text"), 1L)
+    assert(TableLog.versions(spark, root) === Seq(0L, 1L))
+    assert(TableLog.snapshot(spark, root).count() === 4L)
+    // a crash BEFORE commit leaves only an unreferenced staged dir:
+    // simulate by staging without committing, then replaying batch 2
+    TableLog.stageWrite(Seq((5L, "ee")).toDF("doc_id", "text"), root,
+      "ingest/b2")
+    snk(Seq((5L, "ee")).toDF("doc_id", "text"), 2L)
+    assert(TableLog.versions(spark, root) === Seq(0L, 1L, 2L))
+    assert(TableLog.snapshot(spark, root).count() === 5L)
+    assert(TableLog.changes(spark, root, 1L, 2L, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+      Set((2L, 5L, "added")))
+  }
+
   test("DriftIngest: cumulative streamed PSI ≡ one-shot drift; replay exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
