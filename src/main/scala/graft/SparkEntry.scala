@@ -1725,18 +1725,30 @@ object SparkEntry {
     * immutable file groups in one atomic commit, then a delta commit
     * replaces group 0 with a filtered rewrite (drop every 20th id,
     * uppercase every 8th). */
-  private def buildReplaceTable(s: SparkSession, d: String, p: String): Unit = {
+  /** The shared q127/q129/q131 table history (v0 = 4 file groups,
+    * v1 = g0 replaced with %20 dropped / %8 uppercased) — ONE recipe
+    * for every query that ChangeFeedReplaySql / the q127 checksum
+    * oracle replays, so the mutation constants cannot drift between
+    * siblings. `withFeed` makes v1 a [[graft.operators.TableLog
+    * .commitWithFeed]] carrying its row-lineage sidecar (q131's
+    * derivation) instead of a plain commit (q127/q129's). */
+  private def buildReplaceTable(s: SparkSession, d: String, p: String,
+                                withFeed: Boolean = false): Unit = {
     val tl = graft.operators.TableLog
     val docs = Tables.documents(s, d)
     val groups = (0 until 4).map { g =>
       tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
     }
     tl.commit(s, p, groups.flatten, Nil) // version 0
-    val g0v2 = docs
-      .filter(col("doc_id") % 4 === 0 && col("doc_id") % 20 =!= 0)
+    val before = docs.filter(col("doc_id") % 4 === 0)
+    val after = before.filter(col("doc_id") % 20 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 8 === 0, upper(col("text"))).otherwise(col("text")))
-    tl.commit(s, p, tl.stageWrite(g0v2, p, "g0v2"), groups.head) // version 1
+    val adds = tl.stageWrite(after, p, "g0v2")
+    if (withFeed) // version 1
+      tl.commitWithFeed(s, p, adds, groups.head, before, after,
+        "doc_id", "text", "r1")
+    else tl.commit(s, p, adds, groups.head)
   }
 
   private val q124Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1895,22 +1907,11 @@ object SparkEntry {
   private val q131Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q131: Q = (s, d) => {
     val root = cachedTmpArtifact(q131Cache, d, "graft_q131_cdf") { p =>
-      val tl = graft.operators.TableLog
-      val docs = Tables.documents(s, d)
-      val groups = (0 until 4).map { g =>
-        tl.stageWrite(docs.filter(col("doc_id") % 4 === g), p, s"g$g")
-      }
-      tl.commit(s, p, groups.flatten, Nil) // version 0
-      val before = docs.filter(col("doc_id") % 4 === 0)
-      val after = before.filter(col("doc_id") % 20 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 8 === 0, upper(col("text")))
-            .otherwise(col("text")))
-      tl.commitWithFeed(s, p, tl.stageWrite(after, p, "g0v2"),
-        groups.head, before, after, "doc_id", "text", "r1") // version 1
+      buildReplaceTable(s, d, p, withFeed = true) // versions 0, 1
       // the deleter records its EXACT victims (ids present at v1) —
       // the feed contract — unlike q129's over-approximate id list
       // that the snapshot diff reconciles
+      val tl = graft.operators.TableLog
       val doomed = tl.snapshot(s, p, Some(1L))
         .filter(col("doc_id") % 9 === 0).select(col("doc_id"))
       tl.commitDeletesWithFeed(doomed, p, "purge9") // version 2

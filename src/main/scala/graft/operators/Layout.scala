@@ -205,8 +205,17 @@ object Layout {
       val in = if (nonNull.isEmpty) lit(false) else col(k).isin(nonNull: _*)
       if (vals.contains(null)) col(k).isNull || in else in
     }.reduce(_ && _)
-    val touchedKeys = delta.select(
-      keys.map(k => col(k).as(s"__tk_$k")): _*).distinct()
+    // the semi-join's build side is the ALREADY-COLLECTED combo set —
+    // re-deriving it from delta would run the (possibly expensive)
+    // delta lineage a second time, and a non-deterministic delta could
+    // diverge from the prune predicate built above (rows surviving the
+    // join in dirs the prune excluded → dynamic overwrite dropping
+    // their neighbors). One collected array, one truth.
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => delta.schema(k)))
+    val touchedKeys = spark.createDataFrame(
+      java.util.Arrays.asList(touched: _*), keySchema)
+      .toDF(keys.map(k => s"__tk_$k"): _*)
     val combo = keys.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
     spark.read.parquet(path).filter(perColPrune)
       .join(broadcast(touchedKeys), combo, "left_semi")

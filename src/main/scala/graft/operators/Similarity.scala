@@ -522,10 +522,25 @@ object Similarity {
     * exactly. Idempotent: re-applying the same delta rewrites the same
     * cells to the same content.
     *
+    * CRASH SAFETY: the staging dir is a write-ahead artifact. The new
+    * content of every touched cell (plus a `_touched` cell-id list
+    * covering cells that end EMPTY) is written to a tmp dir and
+    * atomically renamed to `cells_staging/` BEFORE the first
+    * destructive operation; only then are touched dirs swapped. A
+    * crash mid-swap leaves `cells_staging/` complete on disk, and the
+    * next apply (or an explicit [[recoverIndex]]) ROLLS IT FORWARD
+    * before doing anything else — so a replayed batch never reads a
+    * half-swapped index and no survivor row is ever lost. A leftover
+    * tmp dir (crash mid-write) is simply discarded. Single-maintainer
+    * discipline: concurrent applies to one index are not supported
+    * (serialize them upstream, e.g. one streaming query via
+    * [[graft.streaming.IndexIngest]]).
+    *
     * Returns the touched cell ids (sorted). */
   def applyIndexDelta(newCorpus: DataFrame, delta: DataFrame, idCol: String,
                       path: String): Seq[Long] = {
     val spark = newCorpus.sparkSession
+    recoverIndex(spark, path) // roll forward a crashed swap first
     val (cents, codebook, blocks, blockDim) = loadArtifacts(spark, path)
     val cellsPath = s"$path/cells"
     val stale = delta.filter(col("status").isin("removed", "changed"))
@@ -555,19 +570,80 @@ object Similarity {
       .join(broadcast(stale), Seq("nbr_id"), "left_anti")
       .select(outCols: _*)
       .unionByName(freshRows.select(outCols: _*))
-    val staging = s"$path/cells_staging"
-    Sinks.writePartitioned(rebuilt, staging, Seq("cell"))
+    // write-ahead staging: full new content lands in a TMP dir, the
+    // touched-cell list beside it, then ONE atomic dir rename
+    // publishes it as cells_staging — only after that does anything
+    // destructive happen (see the crash-safety scaladoc)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach { c =>
-      val dst = new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c")
+    val stagingTmp = s"$path/cells_staging_tmp"
+    val staging = s"$path/cells_staging"
+    Sinks.writePartitioned(rebuilt, stagingTmp, Seq("cell"))
+    // each line: "<cell>,1" = staged content to rename in, "<cell>,0" =
+    // the cell ends EMPTY (delete only). The flag is what makes the
+    // swap re-runnable: without it, "staged dir absent" is ambiguous
+    // between already-swapped and ends-empty.
+    val lines = touched.map { c =>
+      val has = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$stagingTmp/cell=$c"))
+      s"$c,${if (has) 1 else 0}"
+    }
+    val tl = fs.create(
+      new org.apache.hadoop.fs.Path(s"$stagingTmp/_touched"), true)
+    try tl.write(lines.mkString("\n").getBytes("UTF-8")) finally tl.close()
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(stagingTmp),
+      new org.apache.hadoop.fs.Path(staging)),
+      s"applyIndexDelta: failed publishing staging at $staging")
+    swapStagedCells(fs, path)
+    touched
+  }
+
+  /** Swap a PUBLISHED `cells_staging/` into `cells/` per its
+    * `_touched` list, then retire the staging dir. Staging content is
+    * complete by construction (it was renamed in atomically), so this
+    * is safe to re-run from any crash point: each touched cell's dir
+    * is deleted then renamed in; a cell already swapped (staging dir
+    * gone) just keeps its new content. */
+  private def swapStagedCells(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String): Unit = {
+    val staging = s"$path/cells_staging"
+    val touchedFile = new org.apache.hadoop.fs.Path(s"$staging/_touched")
+    val in = fs.open(touchedFile)
+    val entries = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map { l =>
+        val Array(c, has) = l.split(",")
+        (c.toLong, has == "1")
+      }.toSeq
+    finally in.close()
+    entries.foreach { case (c, hasContent) =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c")
       val src = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
-      fs.delete(dst, true)
-      // a cell can end empty (every row removed): delete, no rename
-      if (fs.exists(src)) fs.rename(src, dst)
+      if (hasContent) {
+        // staged dir absent here means a previous (crashed) pass
+        // already renamed it in — dst holds the NEW content, keep it
+        if (fs.exists(src)) { fs.delete(dst, true); fs.rename(src, dst) }
+      } else {
+        // the cell ends EMPTY under the new content (idempotent)
+        fs.delete(dst, true)
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    touched
+  }
+
+  /** Roll forward the crash-recovery protocol of [[applyIndexDelta]]:
+    * a leftover tmp dir (crash mid-write) is discarded; a leftover
+    * PUBLISHED staging dir (crash mid-swap) is swapped to completion.
+    * Called automatically at the start of every apply; call directly
+    * to repair an index for reading after a maintainer crash. */
+  def recoverIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/cells_staging_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // unpublished → discard
+    val staging = new org.apache.hadoop.fs.Path(s"$path/cells_staging")
+    if (fs.exists(staging)) swapStagedCells(fs, path)
   }
 
   /** Probe a [[writeIvfPqIndex]] index: assign each probe to its

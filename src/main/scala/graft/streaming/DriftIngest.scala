@@ -62,8 +62,13 @@ object DriftIngest {
       {
         val bh = Profile.binnedHist(batch, vecCol, nBins, lo, hi)
           .localCheckpoint(true) // read by hist write + fold
+        // hist/cum/psi are CONSTANT-SIZE frames (dims×bins rows) that
+        // later batches re-read in full — one file each, not one per
+        // upstream shuffle partition (coalesce, not repartition: no
+        // extra shuffle)
         graft.sources.Sinks.writePartitionedDynamic(
-          bh.withColumn("batch", lit(batchId)), s"$storePath/hist", Seq("batch"), constantPartitions = true)
+          bh.coalesce(1).withColumn("batch", lit(batchId)),
+          s"$storePath/hist", Seq("batch"), constantPartitions = true)
         // fold into the LATEST immutable cum snapshot with batch < N:
         // one constant-size read per batch, and a replay (which may
         // find its own cum/batch=N already landed) folds against the
@@ -89,12 +94,14 @@ object DriftIngest {
         }
         val cumCk = cum.localCheckpoint(true) // read by cum write + psi
         graft.sources.Sinks.writePartitionedDynamic(
-          cumCk.withColumn("batch", lit(batchId)), s"$storePath/cum", Seq("batch"), constantPartitions = true)
+          cumCk.coalesce(1).withColumn("batch", lit(batchId)),
+          s"$storePath/cum", Seq("batch"), constantPartitions = true)
         val ref = sp.read.parquet(refPath)
         val psi = Profile.psiFromHists(ref, cumCk, nBins)
           .withColumn("batch", lit(batchId))
         graft.sources.Sinks.writePartitionedDynamic(
-          psi, s"$storePath/psi", Seq("batch"), constantPartitions = true)
+          psi.coalesce(1), s"$storePath/psi", Seq("batch"),
+          constantPartitions = true)
       }
     }
   }

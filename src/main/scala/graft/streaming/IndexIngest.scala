@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * Exactly-once from at-least-once, WITHOUT a commit log: every batch
   * id is applied as status `changed` — remove-if-present, then
   * re-encode — so the apply is a pure UPSERT and a replayed batch
-  * rewrites its touched cells with byte-identical content whatever
-  * the crash point (the DedupIngest idempotence discipline; the spec
-  * replays the worst point and asserts content stability).
+  * rewrites its touched cells with byte-identical content (the
+  * DedupIngest idempotence discipline; the spec replays the worst
+  * point and asserts content stability). A crash INSIDE the
+  * directory swap is covered by applyIndexDelta's write-ahead
+  * staging: the next apply rolls the published staging forward before
+  * touching anything, so no survivor row is lost at any crash point
+  * (ScaleOpsSpec fabricates the mid-swap state and proves recovery).
   *
   * At 100 TB: per batch, one broadcast of the batch ids against the
   * cells scan (touched-cell selection is partition-pruned), one

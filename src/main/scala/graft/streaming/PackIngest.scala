@@ -89,8 +89,10 @@ object PackIngest {
             case None => batchTotals
               .select(col(sourceCol), col("__bt").as("base_tokens"))
           }
+          // the base snapshot is #sources rows, re-read every batch —
+          // one file (coalesce: no extra shuffle)
           graft.sources.Sinks.writePartitionedDynamic(
-            newBase.withColumn("batch", lit(batchId)),
+            newBase.coalesce(1).withColumn("batch", lit(batchId)),
             s"$storePath/base", Seq("batch"), constantPartitions = true)
         }
       }

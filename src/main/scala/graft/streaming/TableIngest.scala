@@ -44,25 +44,46 @@ object TableIngest {
   /** The foreachBatch sink (append-only ingest; id'd rows):
     * {{{
     * docs.writeStream
-    *   .foreachBatch(TableIngest.sink(root, "doc_id"))
+    *   .foreachBatch(TableIngest.sink(root, "doc_id", streamId = "docs-v1"))
     *   .option("checkpointLocation", ckpt).start()
     * }}}
     * Every batch row is recorded in the feed as `added` — the
     * ingest's contract is append (dedup/upsert belong to downstream
-    * consumers of the feed, or to [[DedupIngest]] upstream). */
-  def sink(root: String, idCol: String): (DataFrame, Long) => Unit = {
+    * consumers of the feed, or to [[DedupIngest]] upstream).
+    *
+    * `streamId` scopes the idempotence tags: batch ids are only
+    * unique PER CHECKPOINT, so a reset checkpoint (or a second query
+    * writing the same table) restarts at batch 0 and would silently
+    * no-op against the old tags. Give every (query, checkpoint
+    * generation) its own streamId — and a NEW streamId when you
+    * deliberately reset the checkpoint; tag collisions across
+    * distinct streamIds are impossible.
+    *
+    * The committed-tag set is read from the log ONCE per sink
+    * instance and maintained in the closure afterwards — per-batch
+    * cost stays O(1) log reads over the stream's whole life, not
+    * O(#commits) per batch. (A restart re-reads once; concurrent
+    * committers with OTHER streamIds never collide, so the cache
+    * cannot go stale for this stream's own tags.) */
+  def sink(root: String, idCol: String,
+           streamId: String = "ingest"): (DataFrame, Long) => Unit = {
+    var seen: scala.collection.mutable.Set[String] = null
     (batch, batchId) =>
       val sp = batch.sparkSession
       if (!batch.isEmpty) {
-        val tag = s"ingest-b$batchId"
-        if (!TableLog.committedTags(sp, root).contains(tag)) {
+        if (seen == null)
+          seen = scala.collection.mutable.Set(
+            TableLog.committedTags(sp, root).toSeq: _*)
+        val tag = s"$streamId-b$batchId"
+        if (!seen.contains(tag)) {
           val b = batch.persist() // staged data + feed read it
           try {
-            val files = TableLog.stageWrite(b, root, s"ingest/b$batchId")
+            val files = TableLog.stageWrite(b, root, s"$streamId/b$batchId")
             val feed = b.select(col(idCol), lit("added").as("status"))
             TableLog.commit(sp, root, files, Nil,
-              cdf = TableLog.stageFeed(feed, root, s"ingest/b$batchId"),
+              cdf = TableLog.stageFeed(feed, root, s"$streamId/b$batchId"),
               tag = Some(tag))
+            seen += tag
           } finally b.unpersist()
         }
       }

@@ -229,6 +229,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(fresh.exceptAll(again).count() === 0)
   }
 
+  test("applyIndexDelta crash recovery: published staging rolls forward, tmp discards") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val path = Files.createTempDirectory("graft_idxcrash").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, path, nCentroids = 8, blockDim = 8)
+    val before = spark.read.parquet(s"$path/cells")
+      .select("nbr_id", "codes").collect().map(_.toString).toSet
+    // fabricate the worst crash point of a swap: a PUBLISHED staging
+    // dir holding a touched cell's complete new content, with the live
+    // cell dir already deleted (crash between delete and rename)
+    val cellsDir = new java.io.File(s"$path/cells")
+    val victim = cellsDir.listFiles().filter(_.getName.startsWith("cell="))
+      .maxBy(_.listFiles().length)
+    val c = victim.getName.stripPrefix("cell=").toLong
+    val staging = new java.io.File(s"$path/cells_staging")
+    assert(staging.mkdirs())
+    val staged = new java.io.File(staging, victim.getName)
+    assert(victim.renameTo(staged), "test setup: move cell into staging")
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, "_touched").toPath, s"$c,1")
+    // the index is now unreadable-complete (the cell is missing);
+    // recovery must restore it byte-for-byte and retire the staging
+    Similarity.recoverIndex(spark, path)
+    val after = spark.read.parquet(s"$path/cells")
+      .select("nbr_id", "codes").collect().map(_.toString).toSet
+    assert(after === before, "rolled-forward index lost or changed rows")
+    assert(!staging.exists(), "staging must be retired after roll-forward")
+    // an UNPUBLISHED tmp dir (crash mid-write) is discarded, not applied
+    val tmp = new java.io.File(s"$path/cells_staging_tmp")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "garbage").toPath, "partial")
+    Similarity.recoverIndex(spark, path)
+    assert(!tmp.exists(), "unpublished tmp staging must be discarded")
+    assert(spark.read.parquet(s"$path/cells")
+      .select("nbr_id", "codes").collect().map(_.toString).toSet === before)
+  }
+
   test("filtered ANN: payload metadata filters candidates at the cells scan and survives deltas") {
     import graft.operators.{Similarity, Versioning}
     val emb = Tables.embeddings(spark, TestSpark.sf)
