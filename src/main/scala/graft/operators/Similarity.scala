@@ -583,11 +583,11 @@ object Similarity {
     // the cell ends EMPTY (delete only). The flag is what makes the
     // swap re-runnable: without it, "staged dir absent" is ambiguous
     // between already-swapped and ends-empty.
-    val lines = touched.map { c =>
-      val has = fs.exists(
-        new org.apache.hadoop.fs.Path(s"$stagingTmp/cell=$c"))
-      s"$c,${if (has) 1 else 0}"
-    }
+    val stagedCells = fs.listStatus(
+        new org.apache.hadoop.fs.Path(stagingTmp))
+      .map(_.getPath.getName).filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toLong).toSet
+    val lines = touched.map(c => s"$c,${if (stagedCells(c)) 1 else 0}")
     val tl = fs.create(
       new org.apache.hadoop.fs.Path(s"$stagingTmp/_touched"), true)
     try tl.write(lines.mkString("\n").getBytes("UTF-8")) finally tl.close()
