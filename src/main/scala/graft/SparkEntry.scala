@@ -1935,6 +1935,78 @@ object SparkEntry {
   private val q132: Q = (s, d) =>
     graft.operators.Profile.profile(Tables.orders(s, d), exact = false)
 
+  /** BUCKET-PRUNED MERGE ([[graft.operators.TableLog.mergeInto]]) —
+    * the Delta-Lake MERGE INTO shape: the corpus lands once,
+    * [[graft.operators.TableLog.stageBucketed]] over 16 md5
+    * id-buckets (the SAME bucket function as q120's manifest, so one
+    * layout serves both merge pruning and manifest diff
+    * localization); then q125's exact delta recipe — updates
+    * (doc_id%13 uppercased), inserts (%19, shifted ids), deletes
+    * (%17) — merges in ONE atomic commit that rewrites ONLY the
+    * buckets the delta's ids hash into, while untouched buckets keep
+    * their exact physical files (ScaleOpsSpec asserts path identity
+    * across the versions). The 100 TB story of the reference's
+    * per-item upsert (enrichment.py:83-131) batched: a 1%-of-keys
+    * delta rewrites ~1% of the table. Oracle replays both versions
+    * logically — hash equality proves the pruned rewrite produced
+    * exactly full-merge semantics. */
+  private val q133Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q133: Q = (s, d) => {
+    val root = cachedTmpArtifact(q133Cache, d, "graft_q133_merge") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p,
+        tl.stageBucketed(docs, p, "base", "doc_id", nBuckets = 16), Nil)
+      val upserts = docs
+        .filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 13 === 0)
+        .withColumn("text", upper(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      tl.mergeInto(s, p, "doc_id", upserts,
+        docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")),
+        nBuckets = 16, name = "merge1")
+    }
+    val cols = Seq("text", "lang", "source", "n_chars")
+    Seq(0L, 1L).map { v =>
+      graft.operators.Versioning.tableChecksum(
+          graft.operators.TableLog.snapshot(s, root, Some(v)), "doc_id", cols)
+        .select(lit(v).as("version"), col("n_rows"), col("checksum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** COMPACTION invariance ([[graft.operators.TableLog.compactTable]])
+    * — q128's sidecar-deleted table (v0 base, v1 = %9 purge with NO
+    * file rewritten) compacted at v2: the snapshot materializes with
+    * deletes applied, commits under a deletes-RESET, and from then on
+    * reads anti-join NOTHING (ScaleOpsSpec asserts the v2 plan reads
+    * no sidecar and survives a vacuum that reclaims v0's files). The
+    * maintenance step that bounds [[graft.operators.TableLog
+    * .commitDeletes]]'s read-path cost — erase now at O(#deleted),
+    * pay the rewrite once, on schedule, not per read. The query
+    * certifies v1 (sidecar view) and v2 (compacted) with the same
+    * order/layout-free checksum; the oracle replays the surviving
+    * rows once for each — equal checksums ARE the
+    * compaction-preserves-content proof. */
+  private val q134Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q134: Q = (s, d) => {
+    val root = cachedTmpArtifact(q134Cache, d, "graft_q134_compact") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p, tl.stageWrite(docs, p, "base"), Nil) // v0
+      tl.commitDeletes(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
+        p, "purge9") // v1 — sidecar only
+      tl.compactTable(s, p, "doc_id", "compact1") // v2 — reset
+    }
+    val cols = Seq("text", "lang", "source", "n_chars")
+    Seq(1L, 2L).map { v =>
+      graft.operators.Versioning.tableChecksum(
+          graft.operators.TableLog.snapshot(s, root, Some(v), Some("doc_id")),
+          "doc_id", cols)
+        .select(lit(v).as("version"), col("n_rows"), col("checksum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2460,6 +2532,8 @@ object SparkEntry {
     "q130_audio_decode" -> q130,
     "q131_change_feed_cdf" -> q131,
     "q132_profile_sketch" -> q132,
+    "q133_table_merge" -> q133,
+    "q134_compact_table" -> q134,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4540,6 +4614,57 @@ object SparkEntry {
     // q117's profile with every count(DISTINCT) swapped for the q70
     // register replay — the sketch estimates are engine-exact
     "q132_profile_sketch" -> ProfileSketchSql,
+    // Bucket-pruned MERGE oracle: v1 replayed logically with q125's
+    // delta recipe — equality proves the touched-bucket rewrite
+    // produced exactly full-merge semantics.
+    "q133_table_merge" ->
+      """WITH v0 AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents),
+         v1 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 19 = 0),
+         h0 AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v0),
+         h1 AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v1)
+         SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum FROM h0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), count(*),
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h1
+         ORDER BY version""",
+    // Compaction oracle: v1 (sidecar view) and v2 (compacted) both
+    // replay to the surviving rows — equal checksums ARE the
+    // content-preservation proof.
+    "q134_compact_table" ->
+      """WITH surv AS (
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 9 <> 0),
+         h AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM surv)
+         SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum FROM h
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), count(*),
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h
+         ORDER BY version""",
     // audio stats replayed from the sample-generating closed form —
     // never decoding a byte: PCM WAV losslessness is what's proved
     "q130_audio_decode" ->

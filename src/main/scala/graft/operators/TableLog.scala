@@ -320,6 +320,95 @@ object TableLog {
       .map(n => s"$sub/$dir/$n")
   }
 
+  /** The id→bucket layout function shared by [[stageBucketed]] and
+    * [[mergeInto]] — deliberately the SAME md5 bucket as
+    * [[Versioning.manifest]], so a table laid out for merge pruning
+    * localizes manifest diffs to the identical buckets (one layout
+    * answers both "which files must a merge rewrite" and "which
+    * buckets did a version change"). */
+  def idBucket(idCol: String, nBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long") % nBuckets
+  }
+
+  private val BucketDir = "_gb=(\\d+)/".r
+
+  /** Bucket a staged path back to its bucket id (None for files staged
+    * by the un-bucketed [[stageWrite]]). */
+  private def bucketOf(rel: String): Option[Int] =
+    BucketDir.findFirstMatchIn(rel).map(_.group(1).toInt)
+
+  /** Stage `df` BUCKETED by [[idBucket]] — one parquet write
+    * partitioned on the bucket, so every staged file path carries its
+    * bucket (`data/<name>-<uuid>/_gb=K/part-…`) and [[mergeInto]] can
+    * later prune untouched buckets from a rewrite by PATH alone, no
+    * file is opened. The bucket column is partition metadata, not
+    * data: files read back with the table's own schema. */
+  def stageBucketed(df: DataFrame, root: String, name: String,
+                    idCol: String, nBuckets: Int): Seq[String] = {
+    val spark = df.sparkSession
+    val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn("_gb", idBucket(idCol, nBuckets))
+      .write.mode("errorifexists").partitionBy("_gb")
+      .parquet(s"$root/data/$dir")
+    val f = fs(spark, root)
+    f.listStatus(new Path(s"$root/data/$dir")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_gb="))
+      .flatMap { d =>
+        f.listStatus(d.getPath).toSeq.map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .map(n => s"data/$dir/${d.getPath.getName}/$n")
+      }.sorted
+  }
+
+  /** MERGE a delta into the current snapshot at O(touched buckets) —
+    * the Delta-Lake MERGE INTO shape on a [[stageBucketed]] layout:
+    * `upserts` (update-or-insert rows, keyed by `idCol`) and
+    * `deleteIds` (ids to drop) resolve to the set of buckets they
+    * touch; ONLY those buckets' files are read, rewritten (anti-join
+    * the touched ids, union the upserts) and swapped in ONE atomic
+    * commit — untouched buckets keep their exact physical files
+    * across the version, so a 1%-of-keys delta against a 100 TB table
+    * rewrites ~1% of it, not all of it. The touched-bucket set is a
+    * ≤ nBuckets collect (layout metadata, not data).
+    *
+    * Requires every active file bucket-tagged (build the table with
+    * [[stageBucketed]]) and no outstanding delete sidecars
+    * ([[compactTable]] first) — merge semantics over an un-bucketed
+    * or sidecar-filtered base would silently rewrite everything,
+    * which is the failure mode this operator exists to prevent.
+    * Returns the new version. */
+  def mergeInto(spark: SparkSession, root: String, idCol: String,
+                upserts: DataFrame, deleteIds: DataFrame,
+                nBuckets: Int, name: String): Long = {
+    import org.apache.spark.sql.functions._
+    require(activeDeletes(spark, root).isEmpty,
+      s"TableLog.mergeInto: $root has delete sidecars in force — " +
+        "compactTable first so merge reads files, not filtered views")
+    val active = activeFiles(spark, root)
+    val untagged = active.filterNot(bucketOf(_).isDefined)
+    require(untagged.isEmpty,
+      s"TableLog.mergeInto: un-bucketed active files at $root " +
+        s"(e.g. ${untagged.headOption.getOrElse("")}) — stage the " +
+        "table with stageBucketed for bucket-pruned merges")
+    val touched = upserts.select(idBucket(idCol, nBuckets).as("b"))
+      .unionByName(deleteIds.select(
+        idBucket(deleteIds.columns.head, nBuckets).as("b")))
+      .distinct().collect().map(_.getLong(0).toInt).toSet
+    val (oldTouched, _) = active.partition(p => bucketOf(p).exists(touched))
+    val doomedIds = upserts.select(col(idCol))
+      .unionByName(deleteIds.select(col(deleteIds.columns.head).as(idCol)))
+      .distinct()
+    val base =
+      if (oldTouched.isEmpty) upserts.limit(0)
+      else spark.read.parquet(oldTouched.map(rel => s"$root/$rel"): _*)
+    val merged = base.join(doomedIds, Seq(idCol), "left_anti")
+      .unionByName(upserts)
+    val adds = stageBucketed(merged, root, name, idCol, nBuckets)
+    commit(spark, root, add = adds, remove = oldTouched)
+  }
+
   /** Stage a ROW-LINEAGE change-feed sidecar — a frame of
     * (idCol, status ∈ added/removed/changed) describing exactly the
     * rows a commit touches — under `cdf/<name>-<uuid>/`, returning

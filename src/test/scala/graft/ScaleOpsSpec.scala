@@ -1147,6 +1147,80 @@ class ScaleOpsSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 12 =!= 0).filter(col("doc_id") % 7 =!= 0).count())
   }
 
+  test("TableLog.mergeInto rewrites ONLY touched buckets; compaction retires the sidecar read path") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val nB = 16
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_merge").toString + "/t"
+    TableLog.commit(spark0, root,
+      TableLog.stageBucketed(docs, root, "base", "doc_id", nB), Nil)
+    // a NARROW delta (few ids → few buckets) so bucket pruning has
+    // something to prune even at the test's tiny scale factor; the
+    // oracled q133 runs the full q125 recipe on the same operator
+    val upserts = docs.filter(col("doc_id") % 37 === 0)
+      .withColumn("text", upper(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 41 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val deleteIds = docs.filter(col("doc_id") % 43 === 0).select("doc_id")
+    val v1 = TableLog.mergeInto(spark0, root, "doc_id", upserts, deleteIds,
+      nB, "merge1")
+    assert(v1 === 1L)
+    // semantics: the pruned rewrite equals the full un-pruned merge
+    // (a global anti-join + union that never looks at buckets)
+    val expected = docs
+      .filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 43 =!= 0)
+      .unionByName(upserts)
+    val got = TableLog.snapshot(spark0, root, Some(1L))
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+    // physical: every file of an UNTOUCHED bucket survives v1 with its
+    // exact path (no rewrite), and every touched-bucket file is gone
+    def bucketFromPath(rel: String): Int =
+      "_gb=(\\d+)/".r.findFirstMatchIn(rel).get.group(1).toInt
+    val touched = upserts.select(TableLog.idBucket("doc_id", nB).as("b"))
+      .unionByName(deleteIds.select(TableLog.idBucket("doc_id", nB).as("b")))
+      .distinct().collect().map(_.getLong(0).toInt).toSet
+    val f0 = TableLog.activeFiles(spark0, root, Some(0L))
+    val f1 = TableLog.activeFiles(spark0, root, Some(1L)).toSet
+    val (f0Touched, f0Untouched) =
+      f0.partition(p => touched(bucketFromPath(p)))
+    assert(f0Untouched.nonEmpty && f0Touched.nonEmpty,
+      s"delta must touch a strict subset of buckets (touched=$touched)")
+    f0Untouched.foreach(p => assert(f1(p),
+      s"untouched-bucket file $p was rewritten by the merge"))
+    f0Touched.foreach(p => assert(!f1(p),
+      s"touched-bucket file $p still active after the merge"))
+    // guards: un-bucketed layouts and outstanding sidecars refuse
+    val plainRoot = Files.createTempDirectory("graft_merge_plain").toString + "/t"
+    TableLog.commit(spark0, plainRoot,
+      TableLog.stageWrite(docs.limit(20), plainRoot, "plain"), Nil)
+    intercept[IllegalArgumentException] {
+      TableLog.mergeInto(spark0, plainRoot, "doc_id",
+        docs.limit(1), docs.limit(0).select("doc_id"), nB, "m")
+    }
+    TableLog.commitDeletes(
+      docs.limit(3).select("doc_id"), root, "sidecar")
+    intercept[IllegalArgumentException] {
+      TableLog.mergeInto(spark0, root, "doc_id",
+        docs.limit(1), docs.limit(0).select("doc_id"), nB, "m2")
+    }
+    // compaction: materializes the sidecar view, resets deletes — the
+    // post-compaction snapshot plan reads NO sidecar, and a vacuum
+    // from it reclaims the old generation while reads stay exact
+    val expectAfterDel = TableLog.snapshot(spark0, root, None, Some("doc_id"))
+      .count()
+    val vc = TableLog.compactTable(spark0, root, "doc_id", "compact1")
+    val compacted = TableLog.snapshot(spark0, root, Some(vc), Some("doc_id"))
+    assert(compacted.count() === expectAfterDel)
+    assert(compacted.inputFiles.nonEmpty)
+    assert(compacted.inputFiles.forall(!_.contains("/deletes/")),
+      "post-compaction snapshot must not read delete sidecars")
+    TableLog.vacuum(spark0, root, retainFrom = vc)
+    assert(TableLog.snapshot(spark0, root, Some(vc), Some("doc_id")).count()
+      === expectAfterDel)
+  }
+
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
     import graft.operators.Profile
     val emb = Tables.embeddings(spark, TestSpark.sf)
