@@ -2007,6 +2007,53 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** CDC REPLICATION across tables ([[graft.operators.TableLog
+    * .changes]] → [[graft.operators.TableLog.mergeInto]]) — the
+    * complete downstream-consumer loop the reference's architecture
+    * is built around (DynamoDB Streams → enrichment.py applying each
+    * record to its own store): table A commits q131's three-version
+    * history with commit-time feeds; replica B seeds as a bucketed
+    * copy of A@v0 and then applies EACH version's O(delta) feed
+    * through one bucket-pruned merge — upsert rows fetched from A's
+    * snapshot by semi-join on the feed's added/changed ids, removed
+    * ids passed as merge deletes. Per step, work is O(feed +
+    * touched buckets): A's table is never re-scanned (the feed is
+    * sidecar-served) and B never rewrites untouched buckets. The
+    * query certifies replica ≡ source with the order/layout-free
+    * checksum; the oracle replays the final content logically once
+    * for each side. */
+  private val q135Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q135: Q = (s, d) => {
+    val root = cachedTmpArtifact(q135Cache, d, "graft_q135_repl") { p =>
+      val tl = graft.operators.TableLog
+      val a = s"$p/a"; val b = s"$p/b"
+      buildReplaceTable(s, d, a, withFeed = true) // A: v0, v1
+      val doomed = tl.snapshot(s, a, Some(1L))
+        .filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+      tl.commitDeletesWithFeed(doomed, a, "purge9") // A: v2
+      tl.commit(s, b,
+        tl.stageBucketed(tl.snapshot(s, a, Some(0L)), b, "seed",
+          "doc_id", nBuckets = 16), Nil) // B seeds at A@v0
+      (1L to 2L).foreach { v =>
+        val feed = tl.changes(s, a, v - 1, v, "doc_id", "text")
+        val upserts = tl.snapshot(s, a, Some(v), Some("doc_id"))
+          .join(feed.filter(col("status") =!= "removed").select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+        tl.mergeInto(s, b, "doc_id", upserts,
+          feed.filter(col("status") === "removed").select(col("doc_id")),
+          nBuckets = 16, name = s"apply$v")
+      }
+    }
+    val tl = graft.operators.TableLog
+    val cols = Seq("text", "lang", "source", "n_chars")
+    Seq("replica" -> tl.snapshot(s, s"$root/b", None),
+        "source_" -> tl.snapshot(s, s"$root/a", None, Some("doc_id")))
+      .map { case (side, df) =>
+        graft.operators.Versioning.tableChecksum(df, "doc_id", cols)
+          .select(lit(side).as("side"), col("n_rows"), col("checksum"))
+      }.reduce(_.unionByName(_)).orderBy(col("side"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2534,6 +2581,7 @@ object SparkEntry {
     "q132_profile_sketch" -> q132,
     "q133_table_merge" -> q133,
     "q134_compact_table" -> q134,
+    "q135_cdc_replicate" -> q135,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4665,6 +4713,30 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT), count(*),
            CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h
          ORDER BY version""",
+    // CDC replication oracle: both sides replay to q131's final
+    // (v2) content — feed-driven merge apply ≡ the source itself.
+    "q135_cdc_replicate" ->
+      """WITH v1 AS (
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 4 <> 0
+           UNION ALL
+           SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+           FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
+         v2 AS (SELECT * FROM v1 WHERE doc_id % 9 <> 0),
+         h AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v2)
+         SELECT 'replica' AS side, count(*) AS n_rows,
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum FROM h
+         UNION ALL
+         SELECT 'source_', count(*),
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h
+         ORDER BY side""",
     // audio stats replayed from the sample-generating closed form —
     // never decoding a byte: PCM WAV losslessness is what's proved
     "q130_audio_decode" ->

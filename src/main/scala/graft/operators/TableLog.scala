@@ -378,10 +378,13 @@ object TableLog {
     * ([[compactTable]] first) — merge semantics over an un-bucketed
     * or sidecar-filtered base would silently rewrite everything,
     * which is the failure mode this operator exists to prevent.
-    * Returns the new version. */
+    * `tag` is the [[commit]] idempotence token — a replayed streaming
+    * batch ([[graft.streaming.MergeIngest]]) checks [[committedTags]]
+    * and no-ops instead of re-merging. Returns the new version. */
   def mergeInto(spark: SparkSession, root: String, idCol: String,
                 upserts: DataFrame, deleteIds: DataFrame,
-                nBuckets: Int, name: String): Long = {
+                nBuckets: Int, name: String,
+                tag: Option[String] = None): Long = {
     import org.apache.spark.sql.functions._
     require(activeDeletes(spark, root).isEmpty,
       s"TableLog.mergeInto: $root has delete sidecars in force — " +
@@ -406,7 +409,7 @@ object TableLog {
     val merged = base.join(doomedIds, Seq(idCol), "left_anti")
       .unionByName(upserts)
     val adds = stageBucketed(merged, root, name, idCol, nBuckets)
-    commit(spark, root, add = adds, remove = oldTouched)
+    commit(spark, root, add = adds, remove = oldTouched, tag = tag)
   }
 
   /** Stage a ROW-LINEAGE change-feed sidecar — a frame of

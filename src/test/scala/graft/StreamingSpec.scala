@@ -733,6 +733,58 @@ class StreamingSpec extends AnyFunSuite {
       Set((2L, 5L, "added")))
   }
 
+  test("MergeIngest: CDC batches apply as bucket-pruned merges, exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_ingest")
+      .toFile.getAbsolutePath
+    val root = s"$dir/table"
+    val nB = 8
+    // replica bootstrap: the table exists, bucketed, before the stream
+    val seed = (1L to 8L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    TableLog.commit(spark, root,
+      TableLog.stageBucketed(seed, root, "seed", "doc_id", nB), Nil)
+    val batch0 = Seq((2L, "T2", "changed"), (9L, "t9", "added"),
+      (1L, "", "removed"))
+    val batch1 = Seq((9L, "T9", "changed"), (4L, "", "removed"))
+    val mem = MemoryStream[(Long, String, String)]
+    val snk = graft.streaming.MergeIngest.sink(root, "doc_id", nB)
+    val q = mem.toDF().toDF("doc_id", "text", "status").writeStream
+      .foreachBatch(snk)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    mem.addData(batch0: _*); q.processAllAvailable()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    q.stop()
+    // one merge commit per batch; final content = seed with the CDC
+    // stream applied in order
+    assert(TableLog.versions(spark, root) === Seq(0L, 1L, 2L))
+    val expect = Set(2L -> "T2", 3L -> "t3", 5L -> "t5", 6L -> "t6",
+      7L -> "t7", 8L -> "t8", 9L -> "T9")
+    def content() = TableLog.snapshot(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(content() === expect)
+    // each batch's merge is PRUNED: at least one seed file untouched
+    // by both batches must survive to the final version by exact path
+    val f0 = TableLog.activeFiles(spark, root, Some(0L)).toSet
+    val fLast = TableLog.activeFiles(spark, root).toSet
+    assert((f0 & fLast).nonEmpty,
+      "every seed file was rewritten — the merge did not prune buckets")
+    // replay of a committed batch no-ops — same sink instance (the
+    // cached tag set) AND a fresh instance (tags re-read from the log,
+    // the restart path)
+    snk(batch1.toDF("doc_id", "text", "status"), 1L)
+    assert(TableLog.versions(spark, root) === Seq(0L, 1L, 2L))
+    graft.streaming.MergeIngest.sink(root, "doc_id", nB)(
+      batch1.toDF("doc_id", "text", "status"), 1L)
+    assert(TableLog.versions(spark, root) === Seq(0L, 1L, 2L))
+    assert(content() === expect)
+    // the replica stays time-travelable per batch boundary
+    assert(TableLog.snapshot(spark, root, Some(0L))
+      .as[(Long, String)].collect().toSet ===
+      seed.as[(Long, String)].collect().toSet)
+  }
+
   test("IndexIngest: streamed upserts ≡ fresh re-encode; probes serve; replay stable") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
