@@ -344,12 +344,21 @@ object TableLog {
     * bucket (`data/<name>-<uuid>/_gb=K/part-…`) and [[mergeInto]] can
     * later prune untouched buckets from a rewrite by PATH alone, no
     * file is opened. The bucket column is partition metadata, not
-    * data: files read back with the table's own schema. */
+    * data: files read back with the table's own schema.
+    *
+    * Rows are co-located by bucket before the write (one exchange on
+    * the 8-byte bucket key), so each bucket lands as ONE file per
+    * stage instead of one-per-task-per-bucket — without it a
+    * 200-task write over 64 buckets sprays 12 800 files. The
+    * corollary: size `nBuckets` so one bucket's rows fit a healthy
+    * parquet file at your scale (more buckets = finer merge pruning
+    * AND smaller files — the same knob). */
   def stageBucketed(df: DataFrame, root: String, name: String,
                     idCol: String, nBuckets: Int): Seq[String] = {
     val spark = df.sparkSession
     val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
     df.withColumn("_gb", idBucket(idCol, nBuckets))
+      .repartition(col("_gb"))
       .write.mode("errorifexists").partitionBy("_gb")
       .parquet(s"$root/data/$dir")
     val f = fs(spark, root)
