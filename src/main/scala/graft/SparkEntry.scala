@@ -2054,6 +2054,31 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy(col("side"))
   }
 
+  /** ZONE-MAP FILE SKIPPING ([[graft.operators.TableLog
+    * .stageWithZoneMap]] → [[graft.operators.TableLog.snapshotRange]])
+    * — the stats-based data-skipping layer of the table format (the
+    * Delta/Iceberg per-file min/max story): the corpus lands
+    * range-clustered on doc_id with a (file, lo, hi, n_rows) sidecar
+    * committed in the log entry's `zmap` list, and a range read
+    * consults the O(#files) zone map to open ONLY the files whose key
+    * interval intersects the predicate — at 100 TB a 0.1%-selective
+    * range touches ~0.1% of the files, by metadata, before any scan
+    * (ScaleOpsSpec asserts the pruned inputFiles set and the
+    * conservative fallback for files committed without stats). The
+    * residual filter still applies (pruning is file-granular) and
+    * Catalyst pushes it into the surviving files' row groups. */
+  private val q136Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q136: Q = (s, d) => {
+    val root = cachedTmpArtifact(q136Cache, d, "graft_q136_zmap") { p =>
+      val tl = graft.operators.TableLog
+      val (files, zmaps) = tl.stageWithZoneMap(
+        Tables.documents(s, d), p, "base", "doc_id", parts = 16)
+      tl.commit(s, p, files, Nil, zmap = zmaps)
+    }
+    graft.operators.TableLog.snapshotRange(s, root, "doc_id", 100L, 299L)
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2582,6 +2607,7 @@ object SparkEntry {
     "q133_table_merge" -> q133,
     "q134_compact_table" -> q134,
     "q135_cdc_replicate" -> q135,
+    "q136_zone_skip" -> q136,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4713,6 +4739,11 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT), count(*),
            CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h
          ORDER BY version""",
+    // Zone-map skipping must not change results: the plain range
+    // filter over the base table IS the oracle.
+    "q136_zone_skip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id BETWEEN 100 AND 299 ORDER BY doc_id""",
     // CDC replication oracle: both sides replay to q131's final
     // (v2) content — feed-driven merge apply ≡ the source itself.
     "q135_cdc_replicate" ->

@@ -54,7 +54,8 @@ object TableLog {
   final case class LogEntry(version: Long, reset: Boolean,
                             add: Seq[String], remove: Seq[String],
                             deletes: Seq[String], cdf: Seq[String],
-                            tag: Option[String])
+                            tag: Option[String],
+                            zmap: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,9 +97,11 @@ object TableLog {
              deletes: Seq[String] = Nil,
              resetDeletes: Boolean = false,
              cdf: Seq[String] = Nil,
-             tag: Option[String] = None): Long = {
+             tag: Option[String] = None,
+             zmap: Seq[String] = Nil): Long = {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
     validatePaths(cdf); tag.foreach(t => validatePaths(Seq(t)))
+    validatePaths(zmap)
     val f = fs(spark, root)
     f.mkdirs(new Path(logDir(root)))
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -109,7 +112,7 @@ object TableLog {
       val tagPart = tag.fold("")(t => s""","tag":"$t"""")
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
         s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
-        s""""cdf":${arr(cdf)}$tagPart}"""
+        s""""cdf":${arr(cdf)},"zmap":${arr(zmap)}$tagPart}"""
       val p = entryPath(root, v)
       val uri = p.toUri
       val claimed =
@@ -180,10 +183,10 @@ object TableLog {
     val reset = "\"reset\":1".r.findFirstIn(body).isDefined
     val tag = "\"tag\":\"([A-Za-z0-9._/=-]+)\"".r.findFirstMatchIn(body)
       .map(_.group(1))
-    // "cdf"/"tag" absent in older entries → empty/None (format
+    // "cdf"/"tag"/"zmap" absent in older entries → empty/None (format
     // upgrades stay readable both ways)
     LogEntry(v, reset, list("add"), list("remove"), list("deletes"),
-      list("cdf"), tag)
+      list("cdf"), tag, list("zmap"))
   }
 
   /** The idempotence tags of every committed entry — a replay-prone
@@ -421,6 +424,98 @@ object TableLog {
     commit(spark, root, add = adds, remove = oldTouched, tag = tag)
   }
 
+  /** Stage `df` RANGE-CLUSTERED on `keyCol` WITH a ZONE-MAP sidecar —
+    * the stats-based FILE-SKIPPING layout (the Delta/Iceberg
+    * per-file min/max story): rows land range-partitioned and sorted
+    * on the key, so each staged file owns a narrow key interval, and
+    * a sidecar parquet of (file, lo, hi, n_rows) — one row per file,
+    * built from one columnar pass over the staged key — lets
+    * [[snapshotRange]] drop every file whose interval misses a range
+    * predicate WITHOUT opening it. At 100 TB the zone map is
+    * O(#files) metadata serving O(selectivity) reads; clustering is
+    * what makes it bite (un-sorted files all span the full key range
+    * and nothing prunes). Returns (data paths, zone-map paths) for
+    * [[commit]]'s `add`/`zmap`. */
+  def stageWithZoneMap(df: DataFrame, root: String, name: String,
+                       keyCol: String, parts: Int): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("errorifexists").parquet(s"$root/data/$dir")
+    val f = fs(spark, root)
+    val files = f.listStatus(new Path(s"$root/data/$dir")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .sorted
+      .map(n => s"data/$dir/$n")
+    // one pass over the staged KEY COLUMN only → per-file bounds;
+    // paths stored root-relative so the map survives a table move
+    val zm = spark.read.parquet(s"$root/data/$dir")
+      // staged layout is exactly data/<dir>/<file>: anchor on the LAST
+      // two segments so a table rooted under a path containing "data/"
+      // still records root-relative names that match the active set
+      .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
+        .as("file"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+        count(lit(1)).as("n_rows"))
+    (files, stageUnder(zm, root, "zmap", name))
+  }
+
+  /** RANGE read with ZONE-MAP file skipping: the snapshot at `asOf`
+    * restricted to `lo <= keyCol <= hi`, reading ONLY the files whose
+    * zone-map interval intersects [lo, hi] — files committed with a
+    * [[stageWithZoneMap]] sidecar prune by metadata; files committed
+    * without one are conservatively read (correctness never depends
+    * on stats coverage). The zone-map join is O(#files) driver
+    * metadata — the same order as the active-file list itself. Pass
+    * `idCol` to apply delete sidecars exactly as [[snapshot]] does.
+    * The in-range residual filter is still applied (zone pruning is
+    * file-granular); Catalyst additionally pushes it into each
+    * surviving file's row groups. */
+  def snapshotRange(spark: SparkSession, root: String, keyCol: String,
+                    lo: Long, hi: Long, asOf: Option[Long] = None,
+                    idCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, root)
+    val active = activeFiles(spark, root, asOf)
+    val vs = asOf.fold(versions(spark, root))(v =>
+      versions(spark, root).filter(_ <= v))
+    val zmaps = vs.flatMap(v => readEntry(f, entryPath(root, v)).zmap)
+      // vacuum reclaims maps whose data files are all gone; a missing
+      // map degrades to the conservative unpruned read below
+      .filter(rel => f.exists(new Path(s"$root/$rel")))
+    val (described, surviving) =
+      if (zmaps.isEmpty) (Set.empty[String], Seq.empty[String])
+      else {
+        val zm = spark.read.parquet(zmaps.map(rel => s"$root/$rel"): _*)
+          .select(col("file"), col("lo").cast("long"), col("hi").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val activeSet = active.toSet
+        val desc = zm.map(_._1).toSet
+        // stale zone rows (for removed files) drop via the active set
+        (desc, zm.filter { case (p, l, h) =>
+          activeSet(p) && h >= lo && l <= hi }.map(_._1).toSeq)
+      }
+    val undescribed = active.filterNot(described)
+    val files = (surviving ++ undescribed).sorted
+    val base =
+      if (files.isEmpty) snapshot(spark, root, asOf, idCol).limit(0)
+      else spark.read.parquet(files.map(rel => s"$root/$rel"): _*)
+    val ranged = base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    val dels = activeDeletes(spark, root, asOf)
+    if (dels.isEmpty) ranged
+    else idCol match {
+      case None => sys.error(
+        s"TableLog.snapshotRange: $root has delete sidecars; pass idCol")
+      case Some(id) =>
+        val doomed = spark.read.parquet(dels.map(rel => s"$root/$rel"): _*)
+        ranged.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
+          Seq(id), "left_anti")
+    }
+  }
+
   /** Stage a ROW-LINEAGE change-feed sidecar — a frame of
     * (idCol, status ∈ added/removed/changed) describing exactly the
     * rows a commit touches — under `cdf/<name>-<uuid>/`, returning
@@ -527,13 +622,18 @@ object TableLog {
     // versions keep theirs (so changes() over the retained range stays
     // servable); pre-horizon feeds reclaim with their data files
     val keep = retained.flatMap { v =>
+      val e = readEntry(f, entryPath(root, v))
       activeFiles(spark, root, Some(v)) ++
-        activeDeletes(spark, root, Some(v)) ++
-        readEntry(f, entryPath(root, v)).cdf
+        activeDeletes(spark, root, Some(v)) ++ e.cdf ++ e.zmap
     }.toSet
+    // a zone map follows its DATA files: doomed only when every file
+    // its commit added is gone from all retained versions (readers
+    // existence-filter zmap paths, so a reclaimed map degrades to a
+    // conservative unpruned read, never an error)
     val everRef = vs.flatMap { v =>
       val e = readEntry(f, entryPath(root, v))
-      e.add ++ e.deletes ++ e.cdf
+      val zm = if (e.add.exists(keep)) Nil else e.zmap
+      e.add ++ e.deletes ++ e.cdf ++ zm
     }.toSet
     val doomed = (everRef -- keep).toSeq.sorted
     doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))

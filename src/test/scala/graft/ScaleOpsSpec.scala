@@ -1221,6 +1221,65 @@ class ScaleOpsSpec extends AnyFunSuite {
       === expectAfterDel)
   }
 
+  test("TableLog zone maps prune range reads by file; coverage gaps read conservatively") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_zmap").toString + "/t"
+    val (files, zmaps) = TableLog.stageWithZoneMap(
+      docs, root, "base", "doc_id", parts = 16)
+    assert(files.size > 1, "need multiple files for pruning to mean anything")
+    assert(zmaps.nonEmpty)
+    TableLog.commit(spark0, root, files, Nil, zmap = zmaps)
+    // the range read equals the filtered snapshot AND opens strictly
+    // fewer files than the table has
+    val lo = 100L; val hi = 150L
+    val ranged = TableLog.snapshotRange(spark0, root, "doc_id", lo, hi)
+    val expect = TableLog.snapshot(spark0, root)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    // materialize NOW: later commits + vacuum retire the files this
+    // lazy frame points at
+    val expectCount = expect.count()
+    assert(ranged.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(ranged).count() === 0)
+    val opened = ranged.inputFiles.filter(_.contains("/data/")).toSet
+    assert(opened.nonEmpty && opened.size < files.size,
+      s"zone map opened ${opened.size} of ${files.size} files — no pruning")
+    // a later commit WITHOUT stats: its rows must still be served
+    // (conservative read of undescribed files), pruning keeps biting
+    // on the described generation
+    import spark0.implicits._
+    val extraRows = Seq((10000L + lo, "x", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(extraRows, root, "nostats"), Nil)
+    val widened = TableLog.snapshotRange(spark0, root, "doc_id", lo, 10000L + lo)
+    assert(widened.filter(col("doc_id") === 10000L + lo).count() === 1L)
+    val narrow = TableLog.snapshotRange(spark0, root, "doc_id", lo, hi)
+    assert(narrow.count() === expectCount)
+    assert(narrow.inputFiles.filter(_.contains("/data/")).toSet.size
+      < files.size + 1)
+    // delete sidecars compose: an in-range victim disappears
+    TableLog.commitDeletes(docs.filter(col("doc_id") === lo)
+      .select("doc_id"), root, "purge1")
+    val afterDel = TableLog.snapshotRange(spark0, root, "doc_id", lo, hi,
+      idCol = Some("doc_id"))
+    assert(afterDel.filter(col("doc_id") === lo).count() === 0L)
+    assert(afterDel.count() === expectCount - 1)
+    // vacuum reclaims a zone map only once ALL its data files are
+    // replaced; the read then degrades to conservative, never errors
+    val vc = TableLog.compactTable(spark0, root, "doc_id", "compacted")
+    TableLog.vacuum(spark0, root, retainFrom = vc)
+    val fsys = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark0.sparkContext.hadoopConfiguration)
+    zmaps.foreach(rel => assert(
+      !fsys.exists(new org.apache.hadoop.fs.Path(s"$root/$rel")),
+      s"zone map $rel outlived every data file it describes"))
+    val postVac = TableLog.snapshotRange(spark0, root, "doc_id", lo, hi,
+      idCol = Some("doc_id"))
+    assert(postVac.count() === expectCount - 1)
+  }
+
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
     import graft.operators.Profile
     val emb = Tables.embeddings(spark, TestSpark.sf)
