@@ -2079,6 +2079,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** LOG CHECKPOINT + EXPIRY ([[graft.operators.TableLog
+    * .writeCheckpoint]] / [[graft.operators.TableLog.expireLog]]) —
+    * what caps the table format's one unbounded axis: every read
+    * replays the log (O(#commits) driver file reads — thousands after
+    * a month of streaming commits), so the log folds into ONE
+    * checkpoint file (active files, in-force delete sidecars, zone
+    * maps, idempotence tags) and entries below it expire. The query
+    * builds q135's three-version history, vacuums, checkpoints at the
+    * head and EXPIRES every earlier entry — then certifies the
+    * snapshot checksum. The entries that produced the state are GONE
+    * (the spec asserts it), so a matching checksum proves the fold is
+    * the state: the reader-side O(1) + O(entries-since) path, the
+    * same trade Delta's checkpoint/log-retention pair makes. Reads
+    * below the horizon error loudly rather than under-read. */
+  private val q137Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q137: Q = (s, d) => {
+    val root = cachedTmpArtifact(q137Cache, d, "graft_q137_ckpt") { p =>
+      val tl = graft.operators.TableLog
+      buildReplaceTable(s, d, p) // v0, v1
+      val doomed = tl.snapshot(s, p, Some(1L))
+        .filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+      tl.commitDeletes(doomed, p, "purge9") // v2
+      tl.vacuum(s, p, retainFrom = 2L)
+      tl.expireLog(s, p, tl.writeCheckpoint(s, p))
+    }
+    graft.operators.Versioning.tableChecksum(
+      graft.operators.TableLog.snapshot(s, root, None, Some("doc_id")),
+      "doc_id", Seq("text", "lang", "source", "n_chars"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2608,6 +2638,7 @@ object SparkEntry {
     "q134_compact_table" -> q134,
     "q135_cdc_replicate" -> q135,
     "q136_zone_skip" -> q136,
+    "q137_log_checkpoint" -> q137,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4739,6 +4770,27 @@ object SparkEntry {
          SELECT CAST(2 AS BIGINT), count(*),
            CAST(sum(h) % 1152921504606846976 AS BIGINT) FROM h
          ORDER BY version""",
+    // Checkpoint+expiry oracle: the final content replayed logically
+    // (q135's v2) — the entries that built it are deleted, so a
+    // matching checksum proves the fold IS the state.
+    "q137_log_checkpoint" ->
+      """WITH v1 AS (
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id % 4 <> 0
+           UNION ALL
+           SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+           FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0),
+         v2 AS (SELECT * FROM v1 WHERE doc_id % 9 <> 0),
+         h AS (
+           SELECT CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)), coalesce(text, chr(2)),
+             coalesce(lang, chr(2)), coalesce(source, chr(2)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)) AS UBIGINT) AS DECIMAL(38,0)) AS h
+           FROM v2)
+         SELECT count(*) AS n_rows,
+           CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum FROM h""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

@@ -65,15 +65,11 @@ object TableLog {
   private def entryPath(root: String, v: Long) =
     new Path(logDir(root), f"$v%020d.json")
 
-  /** Committed versions, ascending (empty for a fresh table). */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val dir = new Path(logDir(root))
-    val f = fs(spark, root)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .filter(s => s.getPath.getName.endsWith(".json") && s.getLen > 0)
-      .map(_.getPath.getName.stripSuffix(".json").toLong).sorted
-  }
+  /** Committed versions with a live log entry, ascending (empty for
+    * a fresh table; [[expireLog]] removes entries below a checkpoint,
+    * so after expiry this starts at the retention horizon). */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    versionsIn(fs(spark, root), root)
 
   /** Log paths must stay parseable by the line-oriented entry format:
     * no commas, quotes, brackets or whitespace — enforced at commit
@@ -192,22 +188,142 @@ object TableLog {
   /** The idempotence tags of every committed entry — a replay-prone
     * committer ([[graft.streaming.TableIngest]]) checks membership
     * before committing its batch. O(#commits) log reads, driver-side
-    * metadata like every other log operation. */
+    * metadata like every other log operation. Tags of entries expired
+    * below a checkpoint survive IN the checkpoint, so the
+    * exactly-once guarantee outlives log truncation. */
   def committedTags(spark: SparkSession, root: String): Set[String] = {
     val f = fs(spark, root)
-    versions(spark, root)
-      .flatMap(v => readEntry(f, entryPath(root, v)).tag).toSet
+    val cpTags = checkpoints(f, root)
+      .flatMap(v => readCheckpoint(f, root, v).tags)
+    (cpTags ++ versions(spark, root)
+      .flatMap(v => readEntry(f, entryPath(root, v)).tag)).toSet
+  }
+
+  /** Folded log state at one version — what a reader needs to serve
+    * reads from that version onward without replaying older entries. */
+  final case class Checkpoint(version: Long, files: Seq[String],
+                              deletes: Seq[String], zmap: Seq[String],
+                              tags: Seq[String])
+
+  private def checkpointPath(root: String, v: Long) =
+    new Path(s"${logDir(root)}/$v.ckpt")
+
+  /** Checkpoint versions present, ascending. */
+  def checkpoints(f: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(logDir(root))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".ckpt") && s.getLen > 0)
+      .map(_.getPath.getName.stripSuffix(".ckpt").toLong).sorted
+  }
+
+  private def readCheckpoint(f: FileSystem, root: String,
+                             v: Long): Checkpoint = {
+    val e = readEntry(f, checkpointPath(root, v)) // same line format
+    Checkpoint(e.version, e.add, e.deletes, e.zmap, e.cdf)
+  }
+
+  /** FOLD the whole log into one checkpoint file `_log/<V>.ckpt` at
+    * the latest version V — the O(1) read entry point that caps the
+    * per-read cost of a long-lived table: without it every
+    * [[snapshot]] replays all entries (O(#commits) driver file reads
+    * — thousands after a month of streaming commits); with it,
+    * readers load the fold and apply only entries AFTER it. The
+    * checkpoint carries active files, in-force delete sidecars (net
+    * of resets), zone-map paths, and all idempotence tags, so every
+    * read path and the exactly-once ingest contract survive a
+    * subsequent [[expireLog]]. Idempotent: checkpointing an
+    * already-checkpointed version is a no-op. Returns V. */
+  def writeCheckpoint(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"TableLog.writeCheckpoint: empty log at $root")
+    val v = vs.last
+    val p = checkpointPath(root, v)
+    if (f.exists(p)) return v
+    val files = activeFiles(spark, root, Some(v))
+    val dels = activeDeletes(spark, root, Some(v))
+    val entries = vs.map(x => readEntry(f, entryPath(root, x)))
+    val zmaps = (checkpoints(f, root).flatMap(c =>
+        readCheckpoint(f, root, c).zmap) ++ entries.flatMap(_.zmap))
+      .distinct.filter(rel => f.exists(new Path(s"$root/$rel")))
+    val tags = committedTags(spark, root).toSeq.sorted
+    tags.foreach(t => validatePaths(Seq(t)))
+    // serialize through the ENTRY line format (add=files, cdf=tags)
+    // so one parser serves both artifact kinds
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val body = s"""{"version":$v,"reset":0,"add":${arr(files)},""" +
+      s""""remove":[],"deletes":${arr(dels)},""" +
+      s""""cdf":${arr(tags)},"zmap":${arr(zmaps)}}"""
+    val tmp = new Path(s"${logDir(root)}/.ckpt-tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try { out.write(body.getBytes("UTF-8")) } finally out.close()
+    // losing a race to another checkpointer is fine: same version,
+    // same folded content
+    if (!f.rename(tmp, p)) f.delete(tmp, false)
+    v
+  }
+
+  /** TRUNCATE the log: delete entry files STRICTLY BELOW checkpoint
+    * version `cpV` (the checkpoint must exist — it is what keeps
+    * reads at versions >= cpV exact). After this, time travel BELOW
+    * cpV is gone — that is the retention decision, the same trade
+    * Delta's log retention makes. Data files are untouched: run
+    * [[vacuum]] (with retainFrom <= cpV) BEFORE expiring, because
+    * vacuum discovers garbage by reading the very entries this
+    * deletes. Returns the expired versions. */
+  def expireLog(spark: SparkSession, root: String, cpV: Long): Seq[Long] = {
+    val f = fs(spark, root)
+    require(f.exists(checkpointPath(root, cpV)),
+      s"TableLog.expireLog: no checkpoint at version $cpV in $root — " +
+        "writeCheckpoint first; it is what keeps later reads exact")
+    val doomed = versions(spark, root).filter(_ < cpV)
+    doomed.foreach(v => f.delete(entryPath(root, v), false))
+    doomed
   }
 
   /** The ACTIVE file set (root-relative) at `asOf` (default: latest). */
+  /** The replay plan for a read at `asOf`: the largest checkpoint at
+    * or below it (if any) plus the CONTIGUOUS entry versions after it
+    * up to `asOf`. Fails loudly when [[expireLog]] removed entries
+    * the read would need — an expired version must error, never
+    * silently under-read. */
+  private def replayPlan(f: FileSystem, root: String,
+                         asOf: Option[Long]): (Option[Long], Seq[Long]) = {
+    val vs = versionsIn(f, root)
+    val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
+    val cp = checkpoints(f, root).filter(cv => asOf.forall(cv <= _))
+      .lastOption
+    // the largest EXISTING entry ≤ asOf (a checkpoint's own entry is
+    // kept by expireLog, so cp ∈ upTo whenever cp exists)
+    val target = upTo.lastOption.orElse(cp)
+    require(target.nonEmpty,
+      s"TableLog: no committed version at $root asOf=$asOf")
+    val from = cp.fold(0L)(_ + 1L)
+    val needed = (from to target.get)
+    val have = upTo.filter(_ >= from).toSet
+    require(needed.forall(have), s"TableLog: read at version ${target.get} " +
+      s"of $root needs entries ${needed.filterNot(have).mkString(",")} " +
+      "which were expired below a later checkpoint (log retention has " +
+      "passed this version)")
+    (cp, needed)
+  }
+
+  private def versionsIn(f: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(logDir(root))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json") && s.getLen > 0)
+      .map(_.getPath.getName.stripSuffix(".json").toLong).sorted
+  }
+
   def activeFiles(spark: SparkSession, root: String,
                   asOf: Option[Long] = None): Seq[String] = {
     val f = fs(spark, root)
-    val vs = versions(spark, root)
-    val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
-    require(upTo.nonEmpty, s"TableLog: no committed version at $root asOf=$asOf")
+    val (cp, replay) = replayPlan(f, root, asOf)
     val active = scala.collection.mutable.LinkedHashSet.empty[String]
-    upTo.foreach { v =>
+    cp.foreach(cv => readCheckpoint(f, root, cv).files.foreach(active += _))
+    replay.foreach { v =>
       val e = readEntry(f, entryPath(root, v))
       e.remove.foreach(active -= _)
       e.add.foreach(active += _)
@@ -218,15 +334,23 @@ object TableLog {
   /** The delete-sidecar files (root-relative) in force at `asOf` —
     * cumulative since the last deletes-RESET at or before `asOf`
     * ([[compactTable]] emits the reset after materializing the
-    * survivors, which is what makes sidecars reclaimable). */
+    * survivors, which is what makes sidecars reclaimable). A
+    * checkpoint's delete list is already net of resets at its
+    * version; a reset AFTER the checkpoint drops it. */
   def activeDeletes(spark: SparkSession, root: String,
                     asOf: Option[Long] = None): Seq[String] = {
     val f = fs(spark, root)
-    val vs = versions(spark, root)
-    val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
-    val entries = upTo.map(v => readEntry(f, entryPath(root, v)))
-    val lastReset = entries.filter(_.reset).map(_.version).sorted.lastOption
-    entries.filter(e => lastReset.forall(e.version >= _)).flatMap(_.deletes)
+    if (versions(spark, root).isEmpty && checkpoints(f, root).isEmpty)
+      return Seq.empty
+    val (cp, replay) = replayPlan(f, root, asOf)
+    val later = replay.map(v => readEntry(f, entryPath(root, v)))
+    val lastReset = later.filter(_.reset).map(_.version).sorted.lastOption
+    lastReset match {
+      case Some(r) => later.filter(_.version >= r).flatMap(_.deletes)
+      case None =>
+        cp.toSeq.flatMap(cv => readCheckpoint(f, root, cv).deletes) ++
+          later.flatMap(_.deletes)
+    }
   }
 
   /** ROW-LEVEL delete without rewriting a single data file — the
@@ -480,9 +604,10 @@ object TableLog {
     import org.apache.spark.sql.functions._
     val f = fs(spark, root)
     val active = activeFiles(spark, root, asOf)
-    val vs = asOf.fold(versions(spark, root))(v =>
-      versions(spark, root).filter(_ <= v))
-    val zmaps = vs.flatMap(v => readEntry(f, entryPath(root, v)).zmap)
+    val (cp, replay) = replayPlan(f, root, asOf)
+    val zmaps = (cp.toSeq.flatMap(cv => readCheckpoint(f, root, cv).zmap) ++
+        replay.flatMap(v => readEntry(f, entryPath(root, v)).zmap))
+      .distinct
       // vacuum reclaims maps whose data files are all gone; a missing
       // map degrades to the conservative unpruned read below
       .filter(rel => f.exists(new Path(s"$root/$rel")))
@@ -630,11 +755,19 @@ object TableLog {
     // its commit added is gone from all retained versions (readers
     // existence-filter zmap paths, so a reclaimed map degrades to a
     // conservative unpruned read, never an error)
-    val everRef = vs.flatMap { v =>
+    // checkpoints stand in for their expired entries: a file added
+    // pre-horizon but removed later is referenced by NO surviving
+    // entry's add list — only the checkpoint knows it, and without
+    // this it would leak on disk forever
+    val cpRef = checkpoints(f, root).flatMap { cv =>
+      val c = readCheckpoint(f, root, cv)
+      c.files ++ c.deletes ++ c.zmap
+    }
+    val everRef = (vs.flatMap { v =>
       val e = readEntry(f, entryPath(root, v))
       val zm = if (e.add.exists(keep)) Nil else e.zmap
       e.add ++ e.deletes ++ e.cdf ++ zm
-    }.toSet
+    } ++ cpRef).toSet
     val doomed = (everRef -- keep).toSeq.sorted
     doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
     doomed

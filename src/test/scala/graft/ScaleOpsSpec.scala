@@ -1280,6 +1280,74 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(postVac.count() === expectCount - 1)
   }
 
+  test("TableLog checkpoint folds the log; expiry keeps later reads exact and earlier ones loud") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+      .select("doc_id", "text", "lang")
+    val root = Files.createTempDirectory("graft_tablelog_ckpt").toString + "/t"
+    // v0: two groups; v1: replace g0; v2: sidecar delete; v3: tagged append
+    val g0 = TableLog.stageWrite(docs.filter(col("doc_id") % 2 === 0), root, "g0")
+    val g1 = TableLog.stageWrite(docs.filter(col("doc_id") % 2 === 1), root, "g1")
+    TableLog.commit(spark0, root, g0 ++ g1, Nil)
+    val g0v2 = TableLog.stageWrite(
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 0), root, "g0v2")
+    TableLog.commit(spark0, root, g0v2, g0, tag = Some("ing-b1"))
+    TableLog.commitDeletes(
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"), root, "purge7")
+    val extra = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + lit(500000L))
+    TableLog.commit(spark0, root, TableLog.stageWrite(extra, root, "late"),
+      Nil, tag = Some("ing-b3"))
+    val expectIds = TableLog.snapshot(spark0, root, None, Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val preFiles = TableLog.activeFiles(spark0, root).toSet
+    val preDeletes = TableLog.activeDeletes(spark0, root).toSet
+    // runbook order: vacuum (reads the entries), checkpoint, expire
+    TableLog.vacuum(spark0, root, retainFrom = 3L)
+    val cp = TableLog.writeCheckpoint(spark0, root)
+    assert(cp === 3L)
+    assert(TableLog.writeCheckpoint(spark0, root) === 3L) // idempotent
+    // checkpoint-served reads ≡ replay-served reads (entries intact)
+    assert(TableLog.activeFiles(spark0, root).toSet === preFiles)
+    assert(TableLog.activeDeletes(spark0, root).toSet === preDeletes)
+    val expired = TableLog.expireLog(spark0, root, cp)
+    assert(expired === Seq(0L, 1L, 2L))
+    assert(TableLog.versions(spark0, root) === Seq(3L))
+    // the read at the horizon is exact — served by the FOLD, the
+    // replayed entries are gone (that is the proof it was used)
+    assert(TableLog.snapshot(spark0, root, None, Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === expectIds)
+    // the pre-horizon sidecar delete stays in force via the fold
+    assert(TableLog.snapshot(spark0, root, None, Some("doc_id"))
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") < 500000L).count() === 0L)
+    // time travel below the horizon errors loudly, never under-reads
+    intercept[IllegalArgumentException] {
+      TableLog.snapshot(spark0, root, Some(1L)).count()
+    }
+    // exactly-once outlives expiry: the EXPIRED commit's tag survives
+    // in the checkpoint, alongside the live entry's
+    assert(TableLog.committedTags(spark0, root) === Set("ing-b1", "ing-b3"))
+    // the log keeps moving: a post-expiry commit lands at version 4
+    val more = TableLog.stageWrite(extra.withColumn("doc_id",
+      col("doc_id") + lit(1L)), root, "more")
+    assert(TableLog.commit(spark0, root, more, Nil) === 4L)
+    assert(TableLog.snapshot(spark0, root, None, Some("doc_id")).count()
+      === expectIds.size + extra.count())
+    // a file added PRE-horizon (its entry expired) then removed
+    // post-expiry is referenced by no surviving entry — vacuum must
+    // still find it through the checkpoint, or it leaks forever
+    val g1Replaced = TableLog.activeFiles(spark0, root)
+      .filter(_.contains("/g1-"))
+    assert(g1Replaced.nonEmpty)
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(docs.filter(col("doc_id") % 2 === 1), root, "g1v2"),
+      g1Replaced)
+    val reclaimed = TableLog.vacuum(spark0, root, retainFrom = 5L)
+    g1Replaced.foreach(p => assert(reclaimed.contains(p),
+      s"pre-horizon file $p removed post-expiry leaked past vacuum"))
+  }
+
   test("embeddingDrift: self-compare is uniformly stable; a shifted subspace is flagged") {
     import graft.operators.Profile
     val emb = Tables.embeddings(spark, TestSpark.sf)
