@@ -209,7 +209,10 @@ object TableLog {
     new Path(s"${logDir(root)}/$v.ckpt")
 
   /** Checkpoint versions present, ascending. */
-  def checkpoints(f: FileSystem, root: String): Seq[Long] = {
+  def checkpointVersions(spark: SparkSession, root: String): Seq[Long] =
+    checkpoints(fs(spark, root), root)
+
+  private def checkpoints(f: FileSystem, root: String): Seq[Long] = {
     val dir = new Path(logDir(root))
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
