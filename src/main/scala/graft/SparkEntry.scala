@@ -2109,6 +2109,31 @@ object SparkEntry {
       "doc_id", Seq("text", "lang", "source", "n_chars"))
   }
 
+  /** OPTIMIZE ([[graft.operators.TableLog.optimizeTable]] =
+    * compaction ∘ range-clustering ∘ zone maps, one atomic commit) —
+    * the OPTIMIZE … ZORDER BY shape of the table format: a table that
+    * accumulated sidecar deletes over an UNSORTED base rewrites once
+    * into a doc_id-clustered, zone-mapped generation; after it, reads
+    * anti-join nothing AND range reads prune files by metadata
+    * (ScaleOpsSpec pins both on physical inputFiles). The query
+    * answers a range probe THROUGH the optimized layout; the oracle
+    * is the plain range+deletes filter over the base table — the
+    * rewrite must buy cost, never answers. */
+  private val q138Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q138: Q = (s, d) => {
+    val root = cachedTmpArtifact(q138Cache, d, "graft_q138_opt") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p, tl.stageWrite(docs, p, "base"), Nil) // v0 unsorted
+      tl.commitDeletes(
+        docs.filter(col("doc_id") % 9 === 0).select(col("doc_id")),
+        p, "purge9") // v1 — sidecar only
+      tl.optimizeTable(s, p, "doc_id", "doc_id", "opt1", parts = 16) // v2
+    }
+    graft.operators.TableLog.snapshotRange(s, root, "doc_id", 100L, 299L)
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2639,6 +2664,7 @@ object SparkEntry {
     "q135_cdc_replicate" -> q135,
     "q136_zone_skip" -> q136,
     "q137_log_checkpoint" -> q137,
+    "q138_optimize_table" -> q138,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4791,6 +4817,12 @@ object SparkEntry {
            FROM v2)
          SELECT count(*) AS n_rows,
            CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum FROM h""",
+    // OPTIMIZE must not change results: the plain range+deletes
+    // filter over the base table IS the oracle.
+    "q138_optimize_table" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id BETWEEN 100 AND 299 AND doc_id % 9 <> 0
+         ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

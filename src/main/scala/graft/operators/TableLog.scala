@@ -384,6 +384,23 @@ object TableLog {
       remove = activeFiles(spark, root), resetDeletes = true)
   }
 
+  /** OPTIMIZE: [[compactTable]] that lands the survivors
+    * RANGE-CLUSTERED on `keyCol` with a zone-map sidecar
+    * ([[stageWithZoneMap]]) — the maintenance step that buys BOTH
+    * bounded read-path cost (sidecar deletes fold in, reads anti-join
+    * nothing afterwards) and stats-based file skipping
+    * ([[snapshotRange]] prunes by the fresh map) in one atomic
+    * commit. The OPTIMIZE ... ZORDER BY shape of this format: pay
+    * the rewrite once, on schedule, and every range read after it is
+    * O(selectivity). Returns the new version. */
+  def optimizeTable(spark: SparkSession, root: String, idCol: String,
+                    keyCol: String, name: String, parts: Int): Long = {
+    val current = snapshot(spark, root, None, Some(idCol))
+    val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts)
+    commit(spark, root, add = files,
+      remove = activeFiles(spark, root), resetDeletes = true, zmap = zm)
+  }
+
   /** TIME-TRAVEL read: the table exactly as of version `asOf`
     * (default: latest). Reads only the log plus the active files —
     * never a directory listing of the data dir, so stale files from

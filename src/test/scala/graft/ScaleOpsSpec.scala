@@ -1280,6 +1280,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(postVac.count() === expectCount - 1)
   }
 
+  test("TableLog.optimizeTable folds deletes AND restores file skipping in one commit") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_opt").toString + "/t"
+    // unsorted base (no stats), then sidecar deletes pile up
+    TableLog.commit(spark0, root, TableLog.stageWrite(docs, root, "base"), Nil)
+    TableLog.commitDeletes(
+      docs.filter(col("doc_id") % 9 === 0).select("doc_id"), root, "purge9")
+    val expectCount = docs
+      .filter(col("doc_id") >= 100 && col("doc_id") <= 150 &&
+        col("doc_id") % 9 =!= 0).count()
+    // pre-optimize: a range read cannot prune (no stats) and must
+    // anti-join the sidecar
+    val before = TableLog.snapshotRange(spark0, root, "doc_id", 100L, 150L,
+      idCol = Some("doc_id"))
+    assert(before.count() === expectCount)
+    val vOpt = TableLog.optimizeTable(spark0, root, "doc_id", "doc_id",
+      "opt1", parts = 16)
+    assert(TableLog.activeDeletes(spark0, root).isEmpty,
+      "optimize must fold sidecar deletes (deletes-reset)")
+    val total = TableLog.activeFiles(spark0, root).size
+    assert(total > 1)
+    // post-optimize: same rows, NO sidecar in the plan, pruned scan
+    val after = TableLog.snapshotRange(spark0, root, "doc_id", 100L, 150L)
+    assert(after.count() === expectCount)
+    val opened = after.inputFiles
+    assert(opened.nonEmpty && opened.forall(!_.contains("/deletes/")))
+    assert(opened.count(_.contains("/data/")) < total,
+      "optimized layout must let the range read skip files")
+    // the pre-optimize generation vacuums away; reads stay exact
+    TableLog.vacuum(spark0, root, retainFrom = vOpt)
+    assert(TableLog.snapshotRange(spark0, root, "doc_id", 100L, 150L)
+      .count() === expectCount)
+  }
+
   test("TableLog checkpoint folds the log; expiry keeps later reads exact and earlier ones loud") {
     import graft.operators.TableLog
     val spark0 = spark
