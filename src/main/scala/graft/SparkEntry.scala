@@ -2134,6 +2134,102 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SCHEMA EVOLUTION ([[graft.operators.TableLog.evolveAppend]]):
+    * the schema lives IN THE LOG (a JSON sidecar referenced by the
+    * commit entry — the Delta/Iceberg design), so a 100 TB read
+    * applies the declared schema without opening one file for
+    * discovery (parquet mergeSchema is an O(#files) footer scan). The
+    * table starts two-column; an append commits rows carrying two NEW
+    * columns plus the widened schema in one atomic step — every read
+    * at or past it null-fills the new columns for pre-evolution
+    * files, and time travel below it serves the old shape exactly
+    * (ScaleOpsSpec pins both, plus refusal of type changes and
+    * survival across checkpoint + log expiry + vacuum). */
+  private val q139Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q139: Q = (s, d) => {
+    val root = cachedTmpArtifact(q139Cache, d, "graft_q139_evo") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p, tl.stageWrite(docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text"), p, "base"), Nil) // v0: two columns
+      tl.evolveAppend(docs.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text", "n_chars", "lang"), p, "widen") // v1
+    }
+    graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
+  /** REPLACE WHERE ([[graft.operators.TableLog.replaceWhere]] — the
+    * Delta `replaceWhere` shape, the idempotent-backfill primitive):
+    * atomically overwrite exactly the key range [200, 399] of a
+    * zone-mapped table with recomputed rows (uppercased, every 10th
+    * dropped — replacement is NOT update; rows may disappear). Only
+    * files whose zone interval intersects the range are read and
+    * rewritten — at 100 TB a one-range backfill rewrites
+    * O(selectivity) of the table (ScaleOpsSpec pins untouched-file
+    * path identity and post-replace zone pruning). The oracle
+    * replays the overwrite logically over the base table. */
+  private val q140Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q140: Q = (s, d) => {
+    val root = cachedTmpArtifact(q140Cache, d, "graft_q140_rw") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      val (files, zm) = tl.stageWithZoneMap(docs, p, "base", "doc_id", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+      val repl = docs
+        .filter(col("doc_id") >= 200 && col("doc_id") <= 399 &&
+          col("doc_id") % 10 =!= 0)
+        .withColumn("text", upper(col("text")))
+      tl.replaceWhere(s, p, "doc_id", 200L, 399L, repl, "backfill", 4)
+    }
+    graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
+  /** WRITE-SERIALIZABLE conflict detection, load-bearing end-to-end
+    * ([[graft.operators.TableLog.commit]]'s `expectActive` /
+    * `expectDeletes` — Delta's conflict-and-retry contract): a
+    * bucketed table takes writer A's merge (uppercase every 40th id,
+    * delete a disjoint 97th slice); a STALE maintenance writer
+    * prepared BEFORE the merge then tries to commit a full rewrite of
+    * the pre-merge file set — the guard throws
+    * ConcurrentModificationException (its read set is no longer
+    * active), the writer re-reads and re-runs compaction against the
+    * merged state, and the final snapshot carries A's merge through
+    * the compaction. If the stale commit were accepted instead of
+    * thrown, the table would silently REVERT to pre-merge content and
+    * the oracle would mismatch — the conflict check is what the
+    * oracle certifies. */
+  private val q141Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q141: Q = (s, d) => {
+    val root = cachedTmpArtifact(q141Cache, d, "graft_q141_ww") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p, tl.stageBucketed(docs, p, "base", "doc_id", 16), Nil)
+      // the stale writer reads and STAGES its rewrite at v0...
+      val files0 = tl.activeFiles(s, p)
+      val stale = tl.stageWrite(tl.snapshot(s, p), p, "staleCompact")
+      // ...writer A's merge lands first
+      val upserts = docs.filter(col("doc_id") % 40 === 0)
+        .withColumn("text", upper(col("text")))
+      val deletes = docs
+        .filter(col("doc_id") % 97 === 1 && col("doc_id") % 40 =!= 0)
+        .select(col("doc_id"))
+      tl.mergeInto(s, p, "doc_id", upserts, deletes, 16, "mA")
+      // ...the stale commit MUST conflict (else the merge is reverted)
+      val conflicted =
+        try {
+          tl.commit(s, p, add = stale, remove = files0,
+            resetDeletes = true, expectActive = files0,
+            expectDeletes = Some(Nil))
+          false
+        } catch { case _: java.util.ConcurrentModificationException => true }
+      require(conflicted,
+        "q141: stale rewrite committed without conflict — merge lost")
+      // the writer re-reads and re-derives: compaction of MERGED state
+      tl.compactTable(s, p, "doc_id", "retryCompact")
+    }
+    graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2665,6 +2761,9 @@ object SparkEntry {
     "q136_zone_skip" -> q136,
     "q137_log_checkpoint" -> q137,
     "q138_optimize_table" -> q138,
+    "q139_schema_evolution" -> q139,
+    "q140_replace_where" -> q140,
+    "q141_conflict_retry" -> q141,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4822,6 +4921,34 @@ object SparkEntry {
     "q138_optimize_table" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 299 AND doc_id % 9 <> 0
+         ORDER BY doc_id""",
+    // Schema evolution: pre-evolution rows null-fill the new columns,
+    // post-evolution rows carry them — replayed as a CASE split.
+    "q139_schema_evolution" ->
+      """SELECT doc_id, text,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars END AS n_chars,
+           CASE WHEN doc_id % 3 = 0 THEN lang END AS lang
+         FROM documents ORDER BY doc_id""",
+    // replaceWhere replayed logically: outside the range untouched,
+    // inside = the recomputed replacement only (every 10th dropped).
+    "q140_replace_where" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id BETWEEN 200 AND 399 THEN upper(text)
+                ELSE text END AS text,
+           lang, source, n_chars
+         FROM documents
+         WHERE NOT (doc_id BETWEEN 200 AND 399 AND doc_id % 10 = 0)
+         ORDER BY doc_id""",
+    // Conflict-and-retry replayed logically: writer A's merge (the
+    // stale rewrite MUST have been rejected, the retry compaction
+    // preserves content) — upserts win where the slices overlap,
+    // exactly mergeInto's doomed-then-union semantics.
+    "q141_conflict_retry" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 40 = 0 THEN upper(text) ELSE text END AS text,
+           lang, source, n_chars
+         FROM documents
+         WHERE NOT (doc_id % 97 = 1 AND doc_id % 40 <> 0)
          ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.

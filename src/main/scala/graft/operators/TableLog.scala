@@ -55,7 +55,8 @@ object TableLog {
                             add: Seq[String], remove: Seq[String],
                             deletes: Seq[String], cdf: Seq[String],
                             tag: Option[String],
-                            zmap: Seq[String] = Nil)
+                            zmap: Seq[String] = Nil,
+                            schema: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,28 +88,75 @@ object TableLog {
     * `cdf` are root-relative ROW-LINEAGE sidecar files recording this
     * commit's own (id, status) changes — see [[commitWithFeed]]).
     * Optimistic: claims max(version)+1 atomically; on a lost race,
-    * re-reads and retries. Returns the version written. */
+    * re-reads and retries. Returns the version written.
+    *
+    * WRITE-SERIALIZABLE conflict detection: a REWRITING commit (one
+    * whose adds were derived by reading files it now removes) passes
+    * its read set as `expectActive` — every such file must STILL be
+    * active when the version is claimed, else a concurrent writer
+    * replaced it and blindly retrying would LOSE that writer's update
+    * (the read-modify-write race optimistic versioning alone cannot
+    * see). `expectDeletes` pins the delete-sidecar set the rewrite
+    * read through: a sidecar that appeared since (rewrite would
+    * resurrect its rows — or a reset would CANCEL it) or vanished
+    * since conflicts too. On conflict the commit throws
+    * [[java.util.ConcurrentModificationException]] — the caller
+    * re-reads the NEW state and re-derives (re-run the merge /
+    * replace / compact), exactly Delta's conflict-and-retry contract.
+    * The check-then-claim is linearizable: validation and the claim
+    * happen against the same log head, and a successful claim of
+    * version v proves no other commit landed in between (it would
+    * have taken v). Blind appends (expectActive empty) never
+    * conflict — append-vs-append needs no serialization beyond the
+    * version order itself. */
   def commit(spark: SparkSession, root: String,
              add: Seq[String], remove: Seq[String],
              deletes: Seq[String] = Nil,
              resetDeletes: Boolean = false,
              cdf: Seq[String] = Nil,
              tag: Option[String] = None,
-             zmap: Seq[String] = Nil): Long = {
+             zmap: Seq[String] = Nil,
+             schema: Seq[String] = Nil,
+             expectActive: Seq[String] = Nil,
+             expectDeletes: Option[Seq[String]] = None): Long = {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
     validatePaths(cdf); tag.foreach(t => validatePaths(Seq(t)))
-    validatePaths(zmap)
+    validatePaths(zmap); validatePaths(schema)
+    require(schema.size <= 1,
+      s"TableLog.commit: at most one schema ref per commit, got $schema")
     val f = fs(spark, root)
     f.mkdirs(new Path(logDir(root)))
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     var attempt = 0
     while (attempt < 64) {
       val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
+      if (expectActive.nonEmpty || expectDeletes.isDefined) {
+        val nowActive =
+          if (v == 0L) Set.empty[String]
+          else activeFiles(spark, root).toSet
+        val gone = expectActive.filterNot(nowActive)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"TableLog.commit: conflict at $root — files read by this " +
+            s"rewrite were replaced by a concurrent commit (e.g. " +
+            s"${gone.head}); re-read the table and re-derive")
+        expectDeletes.foreach { expected =>
+          val now =
+            if (v == 0L) Seq.empty[String]
+            else activeDeletes(spark, root)
+          if (now.toSet != expected.toSet)
+            throw new java.util.ConcurrentModificationException(
+              s"TableLog.commit: conflict at $root — the delete-sidecar " +
+                s"set changed since this rewrite's read (read through " +
+                s"${expected.size}, now ${now.size}); committing it " +
+                "would resurrect or cancel deletes. Re-read and re-derive")
+        }
+      }
       val reset = if (resetDeletes) 1 else 0
       val tagPart = tag.fold("")(t => s""","tag":"$t"""")
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
         s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
-        s""""cdf":${arr(cdf)},"zmap":${arr(zmap)}$tagPart}"""
+        s""""cdf":${arr(cdf)},"zmap":${arr(zmap)},""" +
+        s""""schema":${arr(schema)}$tagPart}"""
       val p = entryPath(root, v)
       val uri = p.toUri
       val claimed =
@@ -179,10 +227,10 @@ object TableLog {
     val reset = "\"reset\":1".r.findFirstIn(body).isDefined
     val tag = "\"tag\":\"([A-Za-z0-9._/=-]+)\"".r.findFirstMatchIn(body)
       .map(_.group(1))
-    // "cdf"/"tag"/"zmap" absent in older entries → empty/None (format
-    // upgrades stay readable both ways)
+    // "cdf"/"tag"/"zmap"/"schema" absent in older entries → empty/None
+    // (format upgrades stay readable both ways)
     LogEntry(v, reset, list("add"), list("remove"), list("deletes"),
-      list("cdf"), tag, list("zmap"))
+      list("cdf"), tag, list("zmap"), list("schema"))
   }
 
   /** The idempotence tags of every committed entry — a replay-prone
@@ -203,7 +251,8 @@ object TableLog {
     * reads from that version onward without replaying older entries. */
   final case class Checkpoint(version: Long, files: Seq[String],
                               deletes: Seq[String], zmap: Seq[String],
-                              tags: Seq[String])
+                              tags: Seq[String],
+                              schema: Option[String])
 
   private def checkpointPath(root: String, v: Long) =
     new Path(s"${logDir(root)}/$v.ckpt")
@@ -223,7 +272,8 @@ object TableLog {
   private def readCheckpoint(f: FileSystem, root: String,
                              v: Long): Checkpoint = {
     val e = readEntry(f, checkpointPath(root, v)) // same line format
-    Checkpoint(e.version, e.add, e.deletes, e.zmap, e.cdf)
+    Checkpoint(e.version, e.add, e.deletes, e.zmap, e.cdf,
+      e.schema.headOption)
   }
 
   /** FOLD the whole log into one checkpoint file `_log/<V>.ckpt` at
@@ -252,12 +302,13 @@ object TableLog {
       .distinct.filter(rel => f.exists(new Path(s"$root/$rel")))
     val tags = committedTags(spark, root).toSeq.sorted
     tags.foreach(t => validatePaths(Seq(t)))
+    val sch = activeSchemaRef(spark, root, Some(v)).toSeq
     // serialize through the ENTRY line format (add=files, cdf=tags)
     // so one parser serves both artifact kinds
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val body = s"""{"version":$v,"reset":0,"add":${arr(files)},""" +
       s""""remove":[],"deletes":${arr(dels)},""" +
-      s""""cdf":${arr(tags)},"zmap":${arr(zmaps)}}"""
+      s""""cdf":${arr(tags)},"zmap":${arr(zmaps)},"schema":${arr(sch)}}"""
     val tmp = new Path(s"${logDir(root)}/.ckpt-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try { out.write(body.getBytes("UTF-8")) } finally out.close()
@@ -378,10 +429,19 @@ object TableLog {
     * [[commitDeletes]]. Returns the new version. */
   def compactTable(spark: SparkSession, root: String, idCol: String,
                    name: String): Long = {
-    val current = snapshot(spark, root, None, Some(idCol))
+    // pin the read to ONE version: the staged rewrite, the remove
+    // list, and the conflict expectation must all describe the same
+    // log state, or a commit racing between two un-pinned reads
+    // slips through the guard
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.compactTable: empty log at $root"))
+    val readFiles = activeFiles(spark, root, Some(readV))
+    val readDels = activeDeletes(spark, root, Some(readV))
+    val current = snapshot(spark, root, Some(readV), Some(idCol))
     val fresh = stageWrite(current, root, name)
     commit(spark, root, add = fresh,
-      remove = activeFiles(spark, root), resetDeletes = true)
+      remove = readFiles, resetDeletes = true,
+      expectActive = readFiles, expectDeletes = Some(readDels))
   }
 
   /** OPTIMIZE: [[compactTable]] that lands the survivors
@@ -395,10 +455,108 @@ object TableLog {
     * O(selectivity). Returns the new version. */
   def optimizeTable(spark: SparkSession, root: String, idCol: String,
                     keyCol: String, name: String, parts: Int): Long = {
-    val current = snapshot(spark, root, None, Some(idCol))
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.optimizeTable: empty log at $root"))
+    val readFiles = activeFiles(spark, root, Some(readV))
+    val readDels = activeDeletes(spark, root, Some(readV))
+    val current = snapshot(spark, root, Some(readV), Some(idCol))
     val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts)
     commit(spark, root, add = files,
-      remove = activeFiles(spark, root), resetDeletes = true, zmap = zm)
+      remove = readFiles, resetDeletes = true, zmap = zm,
+      expectActive = readFiles, expectDeletes = Some(readDels))
+  }
+
+  /** SCHEMA EVOLUTION: the table's schema lives IN THE LOG (a tiny
+    * JSON sidecar under `schema/`, referenced by the commit entry),
+    * never in parquet footers — so a 100 TB read applies the declared
+    * schema without opening a single file for discovery (parquet
+    * `mergeSchema` is an O(#files) footer scan; the log ref is O(1)
+    * driver metadata, the Delta/Iceberg design). Snapshots at or past
+    * an evolution commit read EVERY file — old and new generation —
+    * with the in-force schema: files written before a column existed
+    * null-fill it; time travel BELOW the evolution commit serves the
+    * old schema exactly (the schema is versioned like the data).
+    * Write the sidecar with [[stageSchema]] and attach it via
+    * [[commit]]'s `schema` parameter, or use [[evolveAppend]] for the
+    * common add-columns-and-append step. */
+  def stageSchema(spark: SparkSession, root: String, name: String,
+                  schema: org.apache.spark.sql.types.StructType): String = {
+    val rel = s"schema/$name-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/schema"))
+    val out = f.create(new Path(s"$root/$rel"), false)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    rel
+  }
+
+  /** The schema ref in force at `asOf`: the LAST schema-carrying
+    * commit at or before it (checkpoints fold the in-force ref, so
+    * evolution survives log expiry). None = pre-evolution table
+    * (readers take the files' own uniform schema). */
+  def activeSchemaRef(spark: SparkSession, root: String,
+                      asOf: Option[Long] = None): Option[String] = {
+    val f = fs(spark, root)
+    if (versionsIn(f, root).isEmpty && checkpoints(f, root).isEmpty)
+      return None
+    val (cp, replay) = replayPlan(f, root, asOf)
+    val later = replay
+      .flatMap(v => readEntry(f, entryPath(root, v)).schema.headOption)
+    later.lastOption.orElse(
+      cp.flatMap(cv => readCheckpoint(f, root, cv).schema))
+  }
+
+  private def readSchemaFile(f: FileSystem, root: String,
+                             rel: String): org.apache.spark.sql.types.StructType = {
+    val in = f.open(new Path(s"$root/$rel"))
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    org.apache.spark.sql.types.DataType.fromJson(body)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** The schema in force at `asOf`, or None for a pre-evolution
+    * table. */
+  def logSchema(spark: SparkSession, root: String,
+                asOf: Option[Long] = None
+               ): Option[org.apache.spark.sql.types.StructType] =
+    activeSchemaRef(spark, root, asOf)
+      .map(rel => readSchemaFile(fs(spark, root), root, rel))
+
+  /** ADD-COLUMNS-AND-APPEND in one atomic commit: `df` may carry
+    * columns the table has never seen; the committed schema becomes
+    * table-schema ∪ df-schema (overlapping names must type-match —
+    * widening is refused loudly, the one evolution this format does
+    * not do), the new rows land as ordinary immutable files, and
+    * every read at or past the commit null-fills the new columns for
+    * pre-evolution files. Returns the new version. */
+  def evolveAppend(df: DataFrame, root: String, name: String): Long = {
+    val spark = df.sparkSession
+    val cur = logSchema(spark, root).getOrElse {
+      val files = activeFiles(spark, root)
+      require(files.nonEmpty,
+        s"TableLog.evolveAppend: $root has no active files to evolve from")
+      spark.read.parquet(files.map(rel => s"$root/$rel"): _*).schema
+    }
+    val byName = cur.map(fld => fld.name -> fld).toMap
+    df.schema.foreach { fld =>
+      byName.get(fld.name).foreach { old =>
+        require(old.dataType == fld.dataType,
+          s"TableLog.evolveAppend: column '${fld.name}' is " +
+            s"${old.dataType} in the table but ${fld.dataType} in the " +
+            "append — type changes are not schema ADDITION; rewrite " +
+            "the table instead")
+      }
+    }
+    val merged = org.apache.spark.sql.types.StructType(
+      cur ++ df.schema.filterNot(fld => byName.contains(fld.name)))
+    val files = stageWrite(df, root, name)
+    commit(spark, root, add = files, remove = Nil,
+      schema = Seq(stageSchema(spark, root, name, merged)))
   }
 
   /** TIME-TRAVEL read: the table exactly as of version `asOf`
@@ -410,13 +568,17 @@ object TableLog {
     * deletes are NOT applied (and the call refuses rather than
     * silently over-reading). A version whose commits removed every
     * file reads as an EMPTY frame with the schema of the last
-    * non-empty version. */
+    * non-empty version. When a schema ref is in force
+    * ([[evolveAppend]]), all files are read WITH it — older files
+    * null-fill columns they predate. */
   def snapshot(spark: SparkSession, root: String,
                asOf: Option[Long] = None,
                idCol: Option[String] = None): DataFrame = {
     val files = activeFiles(spark, root, asOf).map(rel => s"$root/$rel")
+    val declared = logSchema(spark, root, asOf)
+    val reader = declared.fold(spark.read)(st => spark.read.schema(st))
     val base =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
+      if (files.nonEmpty) reader.parquet(files: _*)
       else {
         // legal state (a full-purge commit): serve the empty frame
         // with the schema of the most recent non-empty version
@@ -427,7 +589,7 @@ object TableLog {
           .find(_.nonEmpty)
           .getOrElse(sys.error(
             s"TableLog: $root has no non-empty version at or before $asOf"))
-        spark.read.parquet(s"$root/${lastNonEmpty.head}").limit(0)
+        reader.parquet(s"$root/${lastNonEmpty.head}").limit(0)
       }
     val dels = activeDeletes(spark, root, asOf)
     if (dels.isEmpty) base
@@ -536,7 +698,13 @@ object TableLog {
     * which is the failure mode this operator exists to prevent.
     * `tag` is the [[commit]] idempotence token — a replayed streaming
     * batch ([[graft.streaming.MergeIngest]]) checks [[committedTags]]
-    * and no-ops instead of re-merging. Returns the new version. */
+    * and no-ops instead of re-merging. WRITE-SERIALIZABLE: the commit
+    * carries the touched files as its conflict expectation, so a
+    * concurrent merge on an OVERLAPPING bucket set throws
+    * [[java.util.ConcurrentModificationException]] (re-read and
+    * re-merge) instead of silently losing the other writer's update;
+    * disjoint-bucket merges commit concurrently without conflict.
+    * Returns the new version. */
   def mergeInto(spark: SparkSession, root: String, idCol: String,
                 upserts: DataFrame, deleteIds: DataFrame,
                 nBuckets: Int, name: String,
@@ -545,7 +713,9 @@ object TableLog {
     require(activeDeletes(spark, root).isEmpty,
       s"TableLog.mergeInto: $root has delete sidecars in force — " +
         "compactTable first so merge reads files, not filtered views")
-    val active = activeFiles(spark, root)
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.mergeInto: empty log at $root"))
+    val active = activeFiles(spark, root, Some(readV))
     val untagged = active.filterNot(bucketOf(_).isDefined)
     require(untagged.isEmpty,
       s"TableLog.mergeInto: un-bucketed active files at $root " +
@@ -565,7 +735,12 @@ object TableLog {
     val merged = base.join(doomedIds, Seq(idCol), "left_anti")
       .unionByName(upserts)
     val adds = stageBucketed(merged, root, name, idCol, nBuckets)
-    commit(spark, root, add = adds, remove = oldTouched, tag = tag)
+    // conflict guard: the touched buckets' files this merge read and
+    // rewrote must still be active at commit — a concurrent merge on
+    // an OVERLAPPING bucket set would otherwise be silently lost;
+    // disjoint-bucket merges pass (their read sets stay active)
+    commit(spark, root, add = adds, remove = oldTouched, tag = tag,
+      expectActive = oldTouched, expectDeletes = Some(Nil))
   }
 
   /** Stage `df` RANGE-CLUSTERED on `keyCol` WITH a ZONE-MAP sidecar —
@@ -618,10 +793,15 @@ object TableLog {
     * The in-range residual filter is still applied (zone pruning is
     * file-granular); Catalyst additionally pushes it into each
     * surviving file's row groups. */
-  def snapshotRange(spark: SparkSession, root: String, keyCol: String,
-                    lo: Long, hi: Long, asOf: Option[Long] = None,
-                    idCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** The active files a range predicate [lo, hi] on `keyCol` may
+    * touch at `asOf`: zone-described files whose interval intersects,
+    * plus every active file WITHOUT zone coverage (conservative —
+    * correctness never depends on stats coverage). The shared pruning
+    * core of [[snapshotRange]] (reads) and [[replaceWhere]]
+    * (predicate-scoped rewrites). O(#files) driver metadata. */
+  private def rangeTouchedFiles(spark: SparkSession, root: String,
+                                keyCol: String, lo: Long, hi: Long,
+                                asOf: Option[Long]): Seq[String] = {
     val f = fs(spark, root)
     val active = activeFiles(spark, root, asOf)
     val (cp, replay) = replayPlan(f, root, asOf)
@@ -643,11 +823,19 @@ object TableLog {
         (desc, zm.filter { case (p, l, h) =>
           activeSet(p) && h >= lo && l <= hi }.map(_._1).toSeq)
       }
-    val undescribed = active.filterNot(described)
-    val files = (surviving ++ undescribed).sorted
+    (surviving ++ active.filterNot(described)).sorted
+  }
+
+  def snapshotRange(spark: SparkSession, root: String, keyCol: String,
+                    lo: Long, hi: Long, asOf: Option[Long] = None,
+                    idCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = rangeTouchedFiles(spark, root, keyCol, lo, hi, asOf)
+    val reader = logSchema(spark, root, asOf)
+      .fold(spark.read)(st => spark.read.schema(st))
     val base =
       if (files.isEmpty) snapshot(spark, root, asOf, idCol).limit(0)
-      else spark.read.parquet(files.map(rel => s"$root/$rel"): _*)
+      else reader.parquet(files.map(rel => s"$root/$rel"): _*)
     val ranged = base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
     val dels = activeDeletes(spark, root, asOf)
     if (dels.isEmpty) ranged
@@ -659,6 +847,46 @@ object TableLog {
         ranged.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
           Seq(id), "left_anti")
     }
+  }
+
+  /** REPLACE WHERE — atomically overwrite exactly the rows with
+    * `lo <= keyCol <= hi` (the Delta `replaceWhere` shape, the
+    * idempotent-backfill primitive: "recompute this day/key-range and
+    * swap it in"): only files whose zone interval intersects the
+    * range are read ([[rangeTouchedFiles]] — at 100 TB a backfill of
+    * one key range rewrites O(selectivity) of the table, not all of
+    * it); their OUT-of-range rows survive into a fresh
+    * range-clustered, zone-mapped stage together with the
+    * replacement, and one atomic commit swaps the touched files out.
+    * Untouched files — and their zone maps — are never rewritten.
+    * Refuses replacement rows OUTSIDE the range (they would silently
+    * widen the overwrite — the classic replaceWhere footgun) and
+    * outstanding delete sidecars (rewriting files while sidecars are
+    * in force would resurrect deleted rows; [[compactTable]] first).
+    * Returns the new version. */
+  def replaceWhere(spark: SparkSession, root: String, keyCol: String,
+                   lo: Long, hi: Long, replacement: DataFrame,
+                   name: String, parts: Int): Long = {
+    import org.apache.spark.sql.functions._
+    require(activeDeletes(spark, root).isEmpty,
+      s"TableLog.replaceWhere: $root has delete sidecars in force — " +
+        "compactTable first so the rewrite cannot resurrect deleted rows")
+    require(replacement.filter(col(keyCol) < lo || col(keyCol) > hi).isEmpty,
+      s"TableLog.replaceWhere: replacement rows outside [$lo, $hi] on " +
+        s"'$keyCol' — they would widen the overwrite beyond the predicate")
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.replaceWhere: empty log at $root"))
+    val touched = rangeTouchedFiles(spark, root, keyCol, lo, hi, Some(readV))
+    val reader = logSchema(spark, root, Some(readV))
+      .fold(spark.read)(st => spark.read.schema(st))
+    val survivors =
+      if (touched.isEmpty) replacement.limit(0)
+      else reader.parquet(touched.map(rel => s"$root/$rel"): _*)
+        .filter(col(keyCol) < lo || col(keyCol) > hi)
+    val (files, zm) = stageWithZoneMap(
+      survivors.unionByName(replacement), root, name, keyCol, parts)
+    commit(spark, root, add = files, remove = touched, zmap = zm,
+      expectActive = touched, expectDeletes = Some(Nil))
   }
 
   /** Stage a ROW-LINEAGE change-feed sidecar — a frame of
@@ -768,8 +996,11 @@ object TableLog {
     // servable); pre-horizon feeds reclaim with their data files
     val keep = retained.flatMap { v =>
       val e = readEntry(f, entryPath(root, v))
+      // the schema IN FORCE at v may live in a pre-horizon commit —
+      // keep it as long as any retained version reads through it
       activeFiles(spark, root, Some(v)) ++
-        activeDeletes(spark, root, Some(v)) ++ e.cdf ++ e.zmap
+        activeDeletes(spark, root, Some(v)) ++ e.cdf ++ e.zmap ++
+        activeSchemaRef(spark, root, Some(v))
     }.toSet
     // a zone map follows its DATA files: doomed only when every file
     // its commit added is gone from all retained versions (readers
@@ -781,12 +1012,12 @@ object TableLog {
     // this it would leak on disk forever
     val cpRef = checkpoints(f, root).flatMap { cv =>
       val c = readCheckpoint(f, root, cv)
-      c.files ++ c.deletes ++ c.zmap
+      c.files ++ c.deletes ++ c.zmap ++ c.schema
     }
     val everRef = (vs.flatMap { v =>
       val e = readEntry(f, entryPath(root, v))
       val zm = if (e.add.exists(keep)) Nil else e.zmap
-      e.add ++ e.deletes ++ e.cdf ++ zm
+      e.add ++ e.deletes ++ e.cdf ++ zm ++ e.schema
     } ++ cpRef).toSet
     val doomed = (everRef -- keep).toSeq.sorted
     doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))

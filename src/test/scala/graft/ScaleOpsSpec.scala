@@ -1402,4 +1402,152 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(flagged === (0L until 32L).toSet,
       s"expected exactly dims 0-31 flagged, got $flagged")
   }
+
+  test("TableLog schema evolution: log-declared schema null-fills old files; history keeps the old shape") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_evo").toString + "/t"
+    // v0: two columns only
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text"), root, "base"), Nil)
+    // v1: append rows that CARRY two new columns
+    val v1 = TableLog.evolveAppend(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text", "n_chars", "lang"), root, "widen")
+    val latest = TableLog.snapshot(spark0, root)
+    assert(latest.columns.toSeq ===
+      Seq("doc_id", "text", "n_chars", "lang"))
+    assert(latest.count() === docs.count())
+    // pre-evolution rows null-fill the new columns; new rows carry them
+    assert(latest.filter(col("doc_id") % 3 =!= 0 &&
+      col("n_chars").isNotNull).count() === 0)
+    assert(latest.filter(col("doc_id") % 3 === 0 &&
+      (col("n_chars").isNull || col("lang").isNull)).count() === 0)
+    // time travel BELOW the evolution serves the old schema exactly
+    assert(TableLog.snapshot(spark0, root, Some(0L)).columns.toSeq ===
+      Seq("doc_id", "text"))
+    // type change is refused loudly, not silently coerced
+    val boom = intercept[IllegalArgumentException] {
+      TableLog.evolveAppend(
+        docs.limit(1).select(col("doc_id"), col("n_chars").as("text")),
+        root, "bad")
+    }
+    assert(boom.getMessage.contains("type changes"))
+    // the declared schema survives checkpoint + log expiry
+    val cpV = TableLog.writeCheckpoint(spark0, root)
+    TableLog.expireLog(spark0, root, cpV)
+    val afterExpiry = TableLog.snapshot(spark0, root)
+    assert(afterExpiry.columns.toSeq ===
+      Seq("doc_id", "text", "n_chars", "lang"))
+    assert(afterExpiry.count() === docs.count())
+    // vacuum at the horizon keeps the in-force schema sidecar
+    TableLog.vacuum(spark0, root, retainFrom = v1)
+    assert(TableLog.snapshot(spark0, root).columns.length === 4)
+  }
+
+  test("TableLog.replaceWhere rewrites only zone-touched files and refuses out-of-range rows") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_rw").toString + "/t"
+    val (files, zm) = TableLog.stageWithZoneMap(docs, root, "base",
+      "doc_id", parts = 16)
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    val before = TableLog.activeFiles(spark0, root)
+    // replacement: in-range rows transformed, every 10th dropped
+    val repl = docs.filter(col("doc_id") >= 200 && col("doc_id") <= 399 &&
+        col("doc_id") % 10 =!= 0)
+      .withColumn("text", upper(col("text")))
+    TableLog.replaceWhere(spark0, root, "doc_id", 200L, 399L, repl,
+      "backfill", parts = 4)
+    val after = TableLog.activeFiles(spark0, root)
+    // the rewrite is predicate-scoped: untouched files keep their
+    // exact physical paths across the version
+    val kept = before.toSet.intersect(after.toSet)
+    assert(kept.nonEmpty, "some out-of-range files must survive untouched")
+    assert(before.toSet -- after.toSet !== Set.empty,
+      "in-range files must have been swapped out")
+    // content: outside the range untouched, inside = replacement only
+    val snap = TableLog.snapshot(spark0, root)
+    val expected = docs
+      .filter(!(col("doc_id") >= 200 && col("doc_id") <= 399))
+      .unionByName(repl)
+    assert(snap.count() === expected.count())
+    assert(snap.except(expected).isEmpty && expected.except(snap).isEmpty)
+    // the fresh generation is zone-mapped: a post-replace range read
+    // still prunes files
+    val probe = TableLog.snapshotRange(spark0, root, "doc_id", 250L, 260L)
+    assert(probe.inputFiles.length < after.length,
+      "post-replace range reads must still skip files by zone map")
+    // rows outside the predicate are refused, not silently written
+    val boom = intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark0, root, "doc_id", 200L, 299L,
+        docs.filter(col("doc_id") === 450), "bad", parts = 2)
+    }
+    assert(boom.getMessage.contains("outside"))
+    // outstanding delete sidecars are refused
+    TableLog.commitDeletes(
+      docs.filter(col("doc_id") === 7).select("doc_id"), root, "d7")
+    val boom2 = intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark0, root, "doc_id", 200L, 299L,
+        repl.filter(col("doc_id") <= 299), "bad2", parts = 2)
+    }
+    assert(boom2.getMessage.contains("sidecars"))
+  }
+
+  test("TableLog conflict detection: overlapping rewrites throw, disjoint ones commit, appends never conflict") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_ww").toString + "/t"
+    TableLog.commit(spark0, root,
+      TableLog.stageBucketed(docs, root, "base", "doc_id", 8), Nil)
+    val files0 = TableLog.activeFiles(spark0, root)
+    // writer A merges (replaces the buckets its ids hash into)
+    val upA = docs.filter(col("doc_id") % 40 === 0)
+      .withColumn("text", upper(col("text")))
+    TableLog.mergeInto(spark0, root, "doc_id", upA,
+      upA.select("doc_id").limit(0), nBuckets = 8, name = "mA")
+    val replacedByA = files0.toSet -- TableLog.activeFiles(spark0, root).toSet
+    assert(replacedByA.nonEmpty)
+    // STALE writer B prepared at v0 whose read set overlaps A's:
+    // the guarded commit must throw, not silently lose A's merge
+    val staleAdd = TableLog.stageWrite(docs.limit(1), root, "staleB")
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(spark0, root, add = staleAdd,
+        remove = files0, expectActive = files0)
+    }
+    // STALE writer C whose read set is DISJOINT from A's rewrite:
+    // commits cleanly at the next version (no false conflict)
+    val untouched = files0.filter(f => !replacedByA.contains(f))
+    assert(untouched.nonEmpty)
+    val addC = TableLog.stageWrite(docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 1000000L), root, "okC")
+    val vC = TableLog.commit(spark0, root, add = addC, remove = Nil,
+      expectActive = untouched)
+    assert(vC === 2L)
+    // delete-set pin: a rewrite that read through ZERO sidecars
+    // conflicts once a concurrent delete lands (its rewrite would
+    // resurrect the deleted rows)
+    TableLog.commitDeletes(
+      docs.filter(col("doc_id") === 3).select("doc_id"), root, "d3")
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(spark0, root,
+        add = TableLog.stageWrite(docs.limit(1), root, "staleD"),
+        remove = Nil, expectActive = untouched,
+        expectDeletes = Some(Nil))
+    }
+    // a compact that READ the sidecar commits fine — and a stale
+    // compact prepared before it would conflict on the changed set
+    val vCompact = TableLog.compactTable(spark0, root, "doc_id", "c1")
+    assert(TableLog.activeDeletes(spark0, root).isEmpty)
+    // blind appends never conflict regardless of interleaving
+    val vApp = TableLog.commit(spark0, root,
+      add = TableLog.stageWrite(docs.limit(1)
+        .withColumn("doc_id", col("doc_id") + 2000000L), root, "app"),
+      remove = Nil)
+    assert(vApp === vCompact + 1)
+  }
 }
