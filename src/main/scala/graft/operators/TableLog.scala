@@ -951,9 +951,15 @@ object TableLog {
     * sidecars only). Versions without one fall back to diffing the
     * two adjacent snapshots with [[Versioning.datasetDiff]] —
     * O(#steps × table) worst case, O(changed files) when commits
-    * replace few files — so pre-feed tables stay fully queryable. */
+    * replace few files — so pre-feed tables stay fully queryable.
+    * `requireFeed = true` makes a feed-less version an ERROR instead:
+    * the contract of a continuous consumer
+    * ([[graft.streaming.TableChangesSource]]) is O(delta) per step,
+    * and a silent O(table) diff inside a streaming trigger is the
+    * failure mode it exists to prevent. */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
-              idCol: String, contentCol: String): DataFrame = {
+              idCol: String, contentCol: String,
+              requireFeed: Boolean = false): DataFrame = {
     val f = fs(spark, root)
     val vs = versions(spark, root).filter(v => v > fromV && v <= toV)
     require(vs.nonEmpty, s"TableLog.changes: no versions in ($fromV, $toV]")
@@ -966,7 +972,12 @@ object TableLog {
             s"TableLog.changes: cdf sidecar of v$v lacks id column " +
               s"'$idCol' (has ${sidecar.columns.mkString(",")})")
           sidecar
-        } else Versioning.datasetDiff(
+        } else if (requireFeed) sys.error(
+          s"TableLog.changes: version $v of $root has no change-feed " +
+            "sidecar and requireFeed is set — commit through " +
+            "commitWithFeed/commitDeletesWithFeed, or read with " +
+            "requireFeed=false to accept an O(table) snapshot diff")
+        else Versioning.datasetDiff(
           snapshot(spark, root, Some(v - 1), Some(idCol)),
           snapshot(spark, root, Some(v), Some(idCol)),
           idCol, contentCol)

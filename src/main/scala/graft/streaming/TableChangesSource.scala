@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.TableLog
+
+/** The TABLE AS A STREAM SOURCE — `readStream` over a
+  * [[graft.operators.TableLog]] table's commit-time change feed (the
+  * "Delta table as a streaming source" shape, and the complete
+  * DynamoDB-Streams analog of the reference's enrichment trigger:
+  * consumer.py reacts to each committed change, here each commit's
+  * row-lineage sidecar becomes one micro-batch):
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.streaming.TableChangesSourceProvider")
+  *   .option("path", tableRoot)     // required
+  *   .option("idCol", "doc_id")     // default doc_id (LongType)
+  *   .option("startingVersion", 1)  // first version SERVED (default 1
+  *                                  //  — v0 is the base load; seed
+  *                                  //  consumers from snapshot(v0))
+  *   .load()                        // (version long, <idCol> long,
+  *                                  //  status string)
+  * }}}
+  *
+  * Scale/exactness shape:
+  *  - **Offsets are table versions** — monotone by construction (the
+  *    log only grows), a single long in the checkpoint WAL. A batch
+  *    (start, end] is served by [[TableLog.changes]] with
+  *    `requireFeed = true`: each version's O(delta) sidecar parquet,
+  *    NEVER a snapshot diff — a feed-less commit fails the stream
+  *    loudly instead of silently re-reading the table inside a
+  *    trigger (`fallback.diff=true` opts into the diff for
+  *    pre-feed history, with `contentCol` naming the diffed column).
+  *  - **Exactly-once replay**: sidecar files are immutable and the
+  *    batch for a (start, end] pair is deterministic, so a crashed
+  *    batch re-planned from the WAL re-reads identical rows; with an
+  *    idempotent/transactional sink that is end-to-end exactly-once —
+  *    the same contract as [[graft.sources.JsonlSource]]'s byte
+  *    offsets, at version granularity.
+  *  - **Retention composes**: [[TableLog.vacuum]] keeps the feed
+  *    sidecars of retained versions, so a consumer inside the
+  *    retention horizon always drains; one that lags past it (or past
+  *    [[TableLog.expireLog]]'s horizon) errors loudly rather than
+  *    under-reading — the Delta log-retention trade, stated.
+  *
+  * V1 `Source` rather than DSv2 deliberately: `getBatch` returns a
+  * DataFrame, so each batch IS `spark.read.parquet` over the sidecar
+  * files — Spark's own vectorized parquet reader, column pruning and
+  * all — instead of a hand-rolled row reader; the one non-public API
+  * this costs is isolated in [[org.apache.spark.sql.graft.StreamingFrame]]
+  * (the Delta-source pattern). */
+class TableChangesSource(sqlContext: SQLContext, root: String,
+                         idCol: String, contentCol: String,
+                         startingVersion: Long, fallbackDiff: Boolean)
+  extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    TableChangesSource.schemaFor(idCol)
+
+  /** The latest committed table version, as a stream offset; None
+    * until the table has a version at or past `startingVersion`. The
+    * engine triggers a batch whenever this differs from the last
+    * processed offset — versions only grow, so offsets are monotone. */
+  override def getOffset: Option[OffsetV1] = {
+    val latest = TableLog.versions(spark, root).lastOption
+    latest.filter(_ >= startingVersion).map(VersionOffset(_))
+  }
+
+  /** Changes in versions (start, end] — start None = the epoch start,
+    * i.e. serve from `startingVersion`. Deterministic for a given
+    * pair (sidecars are immutable), which is what makes WAL replay
+    * exactly-once. */
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val fromV = start.map(VersionOffset.versionOf)
+      .getOrElse(startingVersion - 1L)
+    val toV = VersionOffset.versionOf(end)
+    val batch =
+      if (toV <= fromV ||
+          TableLog.versions(spark, root).forall(v => v <= fromV || v > toV))
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else TableLog.changes(spark, root, fromV, toV, idCol, contentCol,
+        requireFeed = !fallbackDiff)
+    val aligned = batch.select(
+      schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+    org.apache.spark.sql.graft.StreamingFrame.create(
+      spark, aligned.queryExecution.toRdd, schema)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"TableChangesSource[$root, from=$startingVersion]"
+}
+
+object TableChangesSource {
+  def schemaFor(idCol: String): StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField(idCol, LongType),
+    StructField("status", StringType)))
+}
+
+/** A table version as a stream offset. Serialized as the bare
+  * number, so the WAL is human-readable and `versionOf` can parse
+  * either a live instance or the engine's replayed SerializedOffset. */
+case class VersionOffset(v: Long) extends OffsetV1 {
+  override def json(): String = v.toString
+}
+
+object VersionOffset {
+  /** On restart the engine replays WAL offsets as SerializedOffset
+    * (raw json), not as the source's own class — the classic V1
+    * gotcha; parse both. */
+  def versionOf(o: OffsetV1): Long = o match {
+    case VersionOffset(v) => v
+    case other => other.json().trim.toLong
+  }
+}
+
+/** `format("graft.streaming.TableChangesSourceProvider")` — resolved
+  * by class name, no registry file needed. Options: `path` (table
+  * root, required), `idCol` (default `doc_id`), `startingVersion`
+  * (default 1), `fallback.diff` (default false — see
+  * [[TableChangesSource]]), `contentCol` (default `text`, diff mode
+  * only). */
+class TableChangesSourceProvider extends StreamSourceProvider {
+  private def idColOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("idCol", "doc_id")
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val derived = TableChangesSource.schemaFor(idColOf(parameters))
+    schema.foreach(s => require(s == derived,
+      s"tablechanges serves a fixed schema $derived; drop .schema(...) " +
+        s"or pass it exactly (got $s)"))
+    ("tablechanges", derived)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val root = parameters.getOrElse("path",
+      sys.error("tablechanges source requires option 'path' (the table root)"))
+    new TableChangesSource(sqlContext, root,
+      idCol = idColOf(parameters),
+      contentCol = parameters.getOrElse("contentCol", "text"),
+      startingVersion = parameters.getOrElse("startingVersion", "1").toLong,
+      fallbackDiff = parameters.getOrElse("fallback.diff", "false").toBoolean)
+  }
+}

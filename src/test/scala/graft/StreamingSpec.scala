@@ -943,4 +943,118 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(baseBatches === Set(0L, 1L, 2L))
   }
+
+  test("tablechanges source: commit feeds stream as micro-batches, restart resumes from the WAL, feed-less commits fail loudly") {
+    import graft.operators.TableLog
+    import graft.sources.Tables
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_tcs").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tcs_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_tcs_out").toString
+    def slice(k: Int) =
+      docs.filter(col("doc_id") % 50 === k).select("doc_id")
+    def ids(k: Int) = slice(k).collect().map(_.getLong(0)).toSet
+    // v0 = base load (below startingVersion: never served); v1 = feed
+    TableLog.commit(spark0, root, TableLog.stageWrite(docs, root, "base"), Nil)
+    TableLog.commitDeletesWithFeed(slice(0), root, "p0")
+    def start() = spark0.readStream
+      .format("graft.streaming.TableChangesSourceProvider")
+      .option("path", root).option("idCol", "doc_id")
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start(); q1.processAllAvailable()
+    TableLog.commitDeletesWithFeed(slice(1), root, "p1") // v2, while live
+    q1.processAllAvailable(); q1.stop()
+    val got1 = spark0.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("version"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+    assert(got1.map(_._1).toSet === Set(1L, 2L), "v0 must not be served")
+    assert(got1.filter(_._1 == 1L).map(_._2).toSet === ids(0))
+    assert(got1.filter(_._1 == 2L).map(_._2).toSet === ids(1))
+    assert(got1.length === got1.distinct.length &&
+      got1.forall(_._3 == "removed"))
+    // offline commit; restart resumes from the WAL — v3 exactly once
+    TableLog.commitDeletesWithFeed(slice(2), root, "p2") // v3
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got2 = spark0.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("version"), r.getAs[Long]("doc_id")))
+    assert(got2.length === got1.length + ids(2).size,
+      "restart must serve exactly the missed version, no replays")
+    assert(got2.filter(_._1 == 3L).map(_._2).toSet === ids(2))
+    // a FEED-LESS commit fails the stream loudly (requireFeed is the
+    // streaming contract: O(delta) per trigger, never a snapshot diff)
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(docs.limit(5), root, "plain"), Nil) // v4
+    val q3 = start()
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(boom).exists(_.contains("no change-feed")))
+  }
+
+  test("live CDC replication: tablechanges stream → bucket-pruned merges keep a replica identical") {
+    import graft.operators.{TableLog, Versioning}
+    import graft.sources.Tables
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_tcs_cdc").toString
+    val a = s"$base/a"; val b = s"$base/b"
+    val ckpt = s"$base/ck"
+    // source table A: v0 base; replica B seeds at A@v0 (bucketed)
+    TableLog.commit(spark0, a, TableLog.stageWrite(docs, a, "base"), Nil)
+    TableLog.commit(spark0, b,
+      TableLog.stageBucketed(TableLog.snapshot(spark0, a, Some(0L)), b,
+        "seed", "doc_id", nBuckets = 16), Nil)
+    // the replication loop: each micro-batch = one-or-more versions'
+    // feeds; group by version and apply IN ORDER as pruned merges
+    // (upsert rows fetched from A's snapshot by semi-join on the feed)
+    val q = spark0.readStream
+      .format("graft.streaming.TableChangesSourceProvider")
+      .option("path", a).option("idCol", "doc_id")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val vs = batch.select("version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        vs.foreach { v =>
+          val feed = batch.filter(col("version") === v)
+          val upserts = TableLog.snapshot(spark0, a, Some(v), Some("doc_id"))
+            .join(feed.filter(col("status") =!= "removed").select("doc_id"),
+              Seq("doc_id"), "left_semi")
+          TableLog.mergeInto(spark0, b, "doc_id", upserts,
+            feed.filter(col("status") === "removed").select("doc_id"),
+            nBuckets = 16, name = s"apply$v", tag = Some(s"cdc-v$v"))
+        }
+      }.start()
+    // A takes two feed commits while the stream is live: a rewrite
+    // whose feed is the computed diff (only %8 rows are 'changed'),
+    // then a feed-carrying delete
+    val v0 = TableLog.snapshot(spark0, a, Some(0L))
+    val rewritten = v0.withColumn("text",
+      when(col("doc_id") % 8 === 0, upper(col("text")))
+        .otherwise(col("text")))
+    TableLog.commitWithFeed(spark0, a,
+      add = TableLog.stageWrite(rewritten, a, "up8"),
+      remove = TableLog.activeFiles(spark0, a), before = v0,
+      after = rewritten, idCol = "doc_id", contentCol = "text",
+      name = "up8")
+    q.processAllAvailable()
+    TableLog.commitDeletesWithFeed(
+      TableLog.snapshot(spark0, a, None, Some("doc_id"))
+        .filter(col("doc_id") % 31 === 5).select("doc_id"), a, "purge31")
+    q.processAllAvailable(); q.stop()
+    // replica ≡ source, content-wise (order/layout-free checksum)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    def sum(root: String, idc: Option[String]) =
+      Versioning.tableChecksum(
+        TableLog.snapshot(spark0, root, None, idc), "doc_id", cols)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(sum(b, None) === sum(a, Some("doc_id")))
+  }
 }
