@@ -99,7 +99,20 @@ object TableLog {
     * see). `expectDeletes` pins the delete-sidecar set the rewrite
     * read through: a sidecar that appeared since (rewrite would
     * resurrect its rows — or a reset would CANCEL it) or vanished
-    * since conflicts too. On conflict the commit throws
+    * since conflicts too. `expectSchema` pins the schema ref a
+    * schema-deriving writer read through ([[evolveAppend]] — two
+    * concurrent evolutions would otherwise each widen the SAME base
+    * and the last one would silently hide the other's columns).
+    * `expectNoConflictingAdds = (readV, conflicts)` refuses when any
+    * version after `readV` ADDED a file the `conflicts`
+    * path-predicate claims — a blind append landing rows inside a
+    * rewrite's key range or bucket scope breaks the rewrite's
+    * contract (it never saw those rows); bucketed merges pass a
+    * bucket-precise predicate, full rewrites conflict with ANY
+    * concurrent add (the Serializable rung of Delta's isolation
+    * ladder, chosen for rewrites because this format's adds carry no
+    * row statistics to prove disjointness). On conflict the commit
+    * throws
     * [[java.util.ConcurrentModificationException]] — the caller
     * re-reads the NEW state and re-derives (re-run the merge /
     * replace / compact), exactly Delta's conflict-and-retry contract.
@@ -118,7 +131,9 @@ object TableLog {
              zmap: Seq[String] = Nil,
              schema: Seq[String] = Nil,
              expectActive: Seq[String] = Nil,
-             expectDeletes: Option[Seq[String]] = None): Long = {
+             expectDeletes: Option[Seq[String]] = None,
+             expectSchema: Option[Option[String]] = None,
+             expectNoConflictingAdds: Option[(Long, String => Boolean)] = None): Long = {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
     validatePaths(cdf); tag.foreach(t => validatePaths(Seq(t)))
     validatePaths(zmap); validatePaths(schema)
@@ -130,7 +145,8 @@ object TableLog {
     var attempt = 0
     while (attempt < 64) {
       val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
-      if (expectActive.nonEmpty || expectDeletes.isDefined) {
+      if (expectActive.nonEmpty || expectDeletes.isDefined ||
+          expectSchema.isDefined || expectNoConflictingAdds.isDefined) {
         val nowActive =
           if (v == 0L) Set.empty[String]
           else activeFiles(spark, root).toSet
@@ -149,6 +165,27 @@ object TableLog {
                 s"set changed since this rewrite's read (read through " +
                 s"${expected.size}, now ${now.size}); committing it " +
                 "would resurrect or cancel deletes. Re-read and re-derive")
+        }
+        expectSchema.foreach { expected =>
+          val now =
+            if (v == 0L) None else activeSchemaRef(spark, root)
+          if (now != expected)
+            throw new java.util.ConcurrentModificationException(
+              s"TableLog.commit: conflict at $root — the table schema " +
+                s"changed since this writer's read ($expected -> $now); " +
+                "a schema derived from the stale shape would silently " +
+                "hide the other evolution's columns. Re-read and re-derive")
+        }
+        expectNoConflictingAdds.foreach { case (readV, conflicts) =>
+          val added = versions(spark, root).filter(_ > readV)
+            .flatMap(x => readEntry(f, entryPath(root, x)).add)
+          val clash = added.filter(conflicts)
+          if (clash.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"TableLog.commit: conflict at $root — a concurrent commit " +
+                s"added files inside this rewrite's scope (e.g. " +
+                s"${clash.head}); committing would leave rows the rewrite " +
+                "never saw beside its output. Re-read and re-derive")
         }
       }
       val reset = if (resetDeletes) 1 else 0
@@ -204,15 +241,19 @@ object TableLog {
     sys.error(s"TableLog.commit: lost $attempt version races at $root")
   }
 
-  private def readEntry(f: FileSystem, p: Path): LogEntry = {
+  private def readFully(f: FileSystem, p: Path): String = {
     val in = f.open(p)
-    val body = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
+  }
+
+  private def readEntry(f: FileSystem, p: Path): LogEntry = {
+    val body = readFully(f, p)
     // paths are commit-time validated to [A-Za-z0-9._/=-]+, so the
     // line format below is unambiguous
     def list(key: String): Seq[String] = {
@@ -441,7 +482,8 @@ object TableLog {
     val fresh = stageWrite(current, root, name)
     commit(spark, root, add = fresh,
       remove = readFiles, resetDeletes = true,
-      expectActive = readFiles, expectDeletes = Some(readDels))
+      expectActive = readFiles, expectDeletes = Some(readDels),
+      expectNoConflictingAdds = Some((readV, _ => true)))
   }
 
   /** OPTIMIZE: [[compactTable]] that lands the survivors
@@ -463,7 +505,8 @@ object TableLog {
     val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts)
     commit(spark, root, add = files,
       remove = readFiles, resetDeletes = true, zmap = zm,
-      expectActive = readFiles, expectDeletes = Some(readDels))
+      expectActive = readFiles, expectDeletes = Some(readDels),
+      expectNoConflictingAdds = Some((readV, _ => true)))
   }
 
   /** SCHEMA EVOLUTION: the table's schema lives IN THE LOG (a tiny
@@ -496,6 +539,11 @@ object TableLog {
   def activeSchemaRef(spark: SparkSession, root: String,
                       asOf: Option[Long] = None): Option[String] = {
     val f = fs(spark, root)
+    // never-evolved fast path: every snapshot consults the schema, so
+    // a table without a schema/ dir must answer in ONE exists() call,
+    // not an O(#commits) log replay (stageSchema creates the dir
+    // before any entry can reference a ref, so absent dir ⇒ no ref)
+    if (!f.exists(new Path(s"$root/schema"))) return None
     if (versionsIn(f, root).isEmpty && checkpoints(f, root).isEmpty)
       return None
     val (cp, replay) = replayPlan(f, root, asOf)
@@ -506,18 +554,10 @@ object TableLog {
   }
 
   private def readSchemaFile(f: FileSystem, root: String,
-                             rel: String): org.apache.spark.sql.types.StructType = {
-    val in = f.open(new Path(s"$root/$rel"))
-    val body = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, "UTF-8")
-    } finally in.close()
-    org.apache.spark.sql.types.DataType.fromJson(body)
+                             rel: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(readFully(f, new Path(s"$root/$rel")))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-  }
 
   /** The schema in force at `asOf`, or None for a pre-evolution
     * table. */
@@ -536,12 +576,19 @@ object TableLog {
     * pre-evolution files. Returns the new version. */
   def evolveAppend(df: DataFrame, root: String, name: String): Long = {
     val spark = df.sparkSession
-    val cur = logSchema(spark, root).getOrElse {
-      val files = activeFiles(spark, root)
-      require(files.nonEmpty,
-        s"TableLog.evolveAppend: $root has no active files to evolve from")
-      spark.read.parquet(files.map(rel => s"$root/$rel"): _*).schema
-    }
+    // pin the schema ref this widening derives from: two concurrent
+    // evolutions would otherwise each widen the SAME base and the
+    // later commit would silently hide the earlier one's columns —
+    // the commit conflicts (expectSchema) instead
+    val refAtRead = activeSchemaRef(spark, root)
+    val cur = refAtRead
+      .map(rel => readSchemaFile(fs(spark, root), root, rel))
+      .getOrElse {
+        val files = activeFiles(spark, root)
+        require(files.nonEmpty,
+          s"TableLog.evolveAppend: $root has no active files to evolve from")
+        spark.read.parquet(files.map(rel => s"$root/$rel"): _*).schema
+      }
     val byName = cur.map(fld => fld.name -> fld).toMap
     df.schema.foreach { fld =>
       byName.get(fld.name).foreach { old =>
@@ -556,7 +603,8 @@ object TableLog {
       cur ++ df.schema.filterNot(fld => byName.contains(fld.name)))
     val files = stageWrite(df, root, name)
     commit(spark, root, add = files, remove = Nil,
-      schema = Seq(stageSchema(spark, root, name, merged)))
+      schema = Seq(stageSchema(spark, root, name, merged)),
+      expectSchema = Some(refAtRead))
   }
 
   /** TIME-TRAVEL read: the table exactly as of version `asOf`
@@ -735,12 +783,18 @@ object TableLog {
     val merged = base.join(doomedIds, Seq(idCol), "left_anti")
       .unionByName(upserts)
     val adds = stageBucketed(merged, root, name, idCol, nBuckets)
-    // conflict guard: the touched buckets' files this merge read and
-    // rewrote must still be active at commit — a concurrent merge on
-    // an OVERLAPPING bucket set would otherwise be silently lost;
-    // disjoint-bucket merges pass (their read sets stay active)
+    // conflict guards: (1) the touched buckets' files this merge read
+    // and rewrote must still be active at commit — a concurrent merge
+    // on an OVERLAPPING bucket set would otherwise be silently lost;
+    // (2) no concurrent commit may have ADDED a file tagged with one
+    // of this merge's buckets (rows with this merge's ids it never
+    // saw — duplicate ids beside its output). Disjoint-bucket merges
+    // pass both: their read sets stay active and their added paths
+    // carry other buckets.
     commit(spark, root, add = adds, remove = oldTouched, tag = tag,
-      expectActive = oldTouched, expectDeletes = Some(Nil))
+      expectActive = oldTouched, expectDeletes = Some(Nil),
+      expectNoConflictingAdds =
+        Some((readV, p => bucketOf(p).forall(touched))))
   }
 
   /** Stage `df` RANGE-CLUSTERED on `keyCol` WITH a ZONE-MAP sidecar —
@@ -816,7 +870,11 @@ object TableLog {
       else {
         val zm = spark.read.parquet(zmaps.map(rel => s"$root/$rel"): _*)
           .select(col("file"), col("lo").cast("long"), col("hi").cast("long"))
-          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .collect()
+          // a file of ALL-null keys has null min/max — no interval to
+          // prune on; leave it undescribed (read conservatively)
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         val activeSet = active.toSet
         val desc = zm.map(_._1).toSet
         // stale zone rows (for removed files) drop via the active set
@@ -871,9 +929,15 @@ object TableLog {
     require(activeDeletes(spark, root).isEmpty,
       s"TableLog.replaceWhere: $root has delete sidecars in force — " +
         "compactTable first so the rewrite cannot resurrect deleted rows")
-    require(replacement.filter(col(keyCol) < lo || col(keyCol) > hi).isEmpty,
+    // NULL keys are outside every range: as replacement rows they are
+    // refused (they cannot satisfy the predicate), and in touched
+    // files they SURVIVE (isNull below) — a silent drop of null-key
+    // rows is the classic three-valued-logic rewrite bug
+    require(replacement.filter(col(keyCol).isNull ||
+        col(keyCol) < lo || col(keyCol) > hi).isEmpty,
       s"TableLog.replaceWhere: replacement rows outside [$lo, $hi] on " +
-        s"'$keyCol' — they would widen the overwrite beyond the predicate")
+        s"'$keyCol' (or with NULL key) — they would widen the " +
+        "overwrite beyond the predicate")
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.replaceWhere: empty log at $root"))
     val touched = rangeTouchedFiles(spark, root, keyCol, lo, hi, Some(readV))
@@ -882,11 +946,16 @@ object TableLog {
     val survivors =
       if (touched.isEmpty) replacement.limit(0)
       else reader.parquet(touched.map(rel => s"$root/$rel"): _*)
-        .filter(col(keyCol) < lo || col(keyCol) > hi)
+        .filter(col(keyCol).isNull || col(keyCol) < lo || col(keyCol) > hi)
     val (files, zm) = stageWithZoneMap(
       survivors.unionByName(replacement), root, name, keyCol, parts)
+    // a concurrent blind append could land rows inside [lo, hi] that
+    // this rewrite never saw — any add since the read conflicts (the
+    // zone-described-disjoint relaxation would need the added file's
+    // stats read inside the claim; conservative is correct)
     commit(spark, root, add = files, remove = touched, zmap = zm,
-      expectActive = touched, expectDeletes = Some(Nil))
+      expectActive = touched, expectDeletes = Some(Nil),
+      expectNoConflictingAdds = Some((readV, _ => true)))
   }
 
   /** Stage a ROW-LINEAGE change-feed sidecar — a frame of
@@ -961,8 +1030,22 @@ object TableLog {
               idCol: String, contentCol: String,
               requireFeed: Boolean = false): DataFrame = {
     val f = fs(spark, root)
-    val vs = versions(spark, root).filter(v => v > fromV && v <= toV)
+    val committed = versions(spark, root)
+    val vs = committed.filter(v => v > fromV && v <= toV)
     require(vs.nonEmpty, s"TableLog.changes: no versions in ($fromV, $toV]")
+    // CONTINUITY: versions are claimed consecutively, so a hole in
+    // (fromV, toV] below the latest committed version means
+    // [[expireLog]] removed entries this range needs — a consumer
+    // that lagged past log retention must ERROR, never silently skip
+    // the expired versions' changes (the replica would diverge with
+    // no signal)
+    val ceiling = math.min(toV, committed.last)
+    val missing = ((fromV + 1) to ceiling).filterNot(vs.contains)
+    require(missing.isEmpty,
+      s"TableLog.changes: versions ${missing.mkString(",")} of $root " +
+        s"were expired below a checkpoint (log retention has passed " +
+        "them) — this consumer lagged past the retention horizon and " +
+        "must re-seed from a snapshot, not skip changes")
     vs.map { v =>
       val cdf = readEntry(f, entryPath(root, v)).cdf
       val step =

@@ -81,9 +81,13 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
     val fromV = start.map(VersionOffset.versionOf)
       .getOrElse(startingVersion - 1L)
     val toV = VersionOffset.versionOf(end)
+    // toV <= fromV only on engine replay quirks (an already-served
+    // range) — empty is correct there. Anything else goes through
+    // changes(), whose continuity check makes a range that log expiry
+    // punched a hole in ERROR instead of under-reading (a consumer
+    // past the retention horizon must re-seed, not silently skip).
     val batch =
-      if (toV <= fromV ||
-          TableLog.versions(spark, root).forall(v => v <= fromV || v > toV))
+      if (toV <= fromV)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else TableLog.changes(spark, root, fromV, toV, idCol, contentCol,

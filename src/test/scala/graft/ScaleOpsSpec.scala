@@ -1549,5 +1549,100 @@ class ScaleOpsSpec extends AnyFunSuite {
         .withColumn("doc_id", col("doc_id") + 2000000L), root, "app"),
       remove = Nil)
     assert(vApp === vCompact + 1)
+    // a blind append INSIDE a rewrite's scope conflicts via the
+    // added-files guard (the rewrite never saw those rows) — a stale
+    // full rewrite prepared at vApp-1 must refuse after vApp's add
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(spark0, root,
+        add = TableLog.stageWrite(docs.limit(1), root, "staleE"),
+        remove = Nil,
+        expectNoConflictingAdds = Some((vApp - 1, (_: String) => true)))
+    }
+    // ...but an add the path-predicate disclaims (disjoint bucket /
+    // key range) does not conflict
+    val vOk = TableLog.commit(spark0, root,
+      add = TableLog.stageWrite(docs.limit(1)
+        .withColumn("doc_id", col("doc_id") + 3000000L), root, "okE"),
+      remove = Nil,
+      expectNoConflictingAdds = Some((vApp - 1, (_: String) => false)))
+    assert(vOk === vApp + 1)
+  }
+
+  test("TableLog.changes errors on ranges with expired versions instead of under-reading") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_chex").toString + "/t"
+    TableLog.commit(spark0, root, TableLog.stageWrite(docs, root, "base"), Nil)
+    (0 to 2).foreach(k => TableLog.commitDeletesWithFeed(
+      docs.filter(col("doc_id") % 50 === k).select("doc_id"), root, s"p$k"))
+    val cpV = TableLog.writeCheckpoint(spark0, root) // v3
+    TableLog.expireLog(spark0, root, cpV)            // v0-v2 entries gone
+    // the surviving step still serves
+    assert(TableLog.changes(spark0, root, 2L, 3L, "doc_id", "text")
+      .count() > 0)
+    // a range needing expired versions must ERROR (a consumer past
+    // retention must re-seed, not silently skip v1/v2's changes)
+    val boom = intercept[IllegalArgumentException] {
+      TableLog.changes(spark0, root, 0L, 3L, "doc_id", "text")
+    }
+    assert(boom.getMessage.contains("expired"))
+  }
+
+  test("TableLog concurrent schema evolutions conflict instead of hiding columns") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_evo2").toString + "/t"
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(docs.select("doc_id", "text"), root, "base"), Nil)
+    // writer A evolves; a STALE writer B that derived its widened
+    // schema from the pre-A ref must conflict, not silently commit a
+    // schema that lacks A's column
+    TableLog.evolveAppend(docs.limit(1)
+      .select("doc_id", "text", "n_chars"), root, "wA")
+    val staleSchema = TableLog.stageSchema(spark0, root, "wB",
+      org.apache.spark.sql.types.StructType(
+        docs.select("doc_id", "text", "lang").schema))
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(spark0, root,
+        add = TableLog.stageWrite(docs.limit(1)
+          .select("doc_id", "text", "lang"), root, "wB"),
+        remove = Nil, schema = Seq(staleSchema),
+        expectSchema = Some(None)) // B read BEFORE any evolution
+    }
+    // the retry path (re-read, re-derive) lands BOTH columns
+    TableLog.evolveAppend(docs.limit(1)
+      .select("doc_id", "text", "lang"), root, "wB2")
+    assert(TableLog.snapshot(spark0, root).columns.toSet ===
+      Set("doc_id", "text", "n_chars", "lang"))
+  }
+
+  test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_rwnull").toString + "/t"
+    // every 97th key is NULL — outside every range by definition
+    val withNulls = docs.withColumn("doc_id",
+      when(col("doc_id") % 97 === 3, lit(null: java.lang.Long))
+        .otherwise(col("doc_id")))
+    val nNull = withNulls.filter(col("doc_id").isNull).count()
+    assert(nNull > 0)
+    val (files, zm) = TableLog.stageWithZoneMap(withNulls, root, "base",
+      "doc_id", parts = 8)
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    TableLog.replaceWhere(spark0, root, "doc_id", 100L, 199L,
+      withNulls.filter(col("doc_id") >= 100 && col("doc_id") <= 199)
+        .withColumn("text", upper(col("text"))), "bf", parts = 2)
+    val snap = TableLog.snapshot(spark0, root)
+    assert(snap.filter(col("doc_id").isNull).count() === nNull,
+      "null-key rows must survive a range overwrite untouched")
+    assert(snap.count() === withNulls.count())
+    // null-key replacement rows cannot satisfy the predicate
+    intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark0, root, "doc_id", 100L, 199L,
+        withNulls.filter(col("doc_id").isNull).limit(1), "bad", parts = 1)
+    }
   }
 }
