@@ -2230,6 +2230,33 @@ object SparkEntry {
     graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
   }
 
+  /** RESTORE ([[graft.operators.TableLog.restoreTable]] — the Delta
+    * RESTORE shape, the operational UNDO): a legit delete commit (v1,
+    * every 7th id) is followed by an ACCIDENTAL over-deletion (v2,
+    * every 2nd id); restore-to-v1 rolls the table back as a NEW
+    * commit — zero data I/O, the restore entry re-activates v1's file
+    * set and re-references v1's delete sidecars under a deletes-RESET
+    * so the sidecar state is exactly v1's (the accident's sidecar
+    * drops out, history stays intact for audit). The oracle replays
+    * v1's content logically: if the restore failed to drop the
+    * accidental sidecar — or dropped the legit one — the checksum
+    * mismatches. */
+  private val q142Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q142: Q = (s, d) => {
+    val root = cachedTmpArtifact(q142Cache, d, "graft_q142_restore") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p, tl.stageWrite(docs, p, "base"), Nil) // v0
+      tl.commitDeletesWithFeed(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")), p, "legit7") // v1
+      tl.commitDeletes(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id")), p, "oops2") // v2 — the accident
+      tl.restoreTable(s, p, toV = 1L) // v3 — the undo
+    }
+    graft.operators.TableLog.snapshot(s, root, None, Some("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2764,6 +2791,7 @@ object SparkEntry {
     "q139_schema_evolution" -> q139,
     "q140_replace_where" -> q140,
     "q141_conflict_retry" -> q141,
+    "q142_restore" -> q142,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4950,6 +4978,11 @@ object SparkEntry {
          FROM documents
          WHERE NOT (doc_id % 97 = 1 AND doc_id % 40 <> 0)
          ORDER BY doc_id""",
+    // RESTORE replayed logically: exactly v1's content — the legit %7
+    // deletes apply, the accidental %2 deletes are rolled back.
+    "q142_restore" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

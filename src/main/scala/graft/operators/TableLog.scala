@@ -607,6 +607,56 @@ object TableLog {
       expectSchema = Some(refAtRead))
   }
 
+  /** RESTORE: roll the table BACK to the content of version `toV` as
+    * a NEW commit (the Delta RESTORE shape) — the operational undo
+    * for a bad merge/backfill/delete that keeps history intact:
+    * nothing is rewritten or deleted, the restore commit simply
+    * re-activates `toV`'s file set (removing the current one),
+    * re-references `toV`'s delete sidecars under a deletes-RESET so
+    * the sidecar state is exactly `toV`'s, and re-declares `toV`'s
+    * schema ref so an evolution after `toV` rolls back with the data.
+    * O(log) metadata, zero data I/O. Requires every file of `toV` to
+    * still exist — [[vacuum]] past `toV` makes it unrestorable, and
+    * the call refuses loudly rather than committing a snapshot with
+    * holes. Conflict-guarded like every rewrite (the current file set
+    * is its read set). Returns the new version. */
+  def restoreTable(spark: SparkSession, root: String, toV: Long,
+                   tag: Option[String] = None): Long = {
+    val f = fs(spark, root)
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.restoreTable: empty log at $root"))
+    require(toV <= readV,
+      s"TableLog.restoreTable: version $toV is not committed (latest $readV)")
+    val target = activeFiles(spark, root, Some(toV))
+    val targetDels = activeDeletes(spark, root, Some(toV))
+    val missing = (target ++ targetDels)
+      .filterNot(rel => f.exists(new Path(s"$root/$rel")))
+    require(missing.isEmpty,
+      s"TableLog.restoreTable: version $toV is not restorable — vacuum " +
+        s"reclaimed ${missing.size} of its files (e.g. ${missing.head})")
+    val current = activeFiles(spark, root, Some(readV))
+    val currentDels = activeDeletes(spark, root, Some(readV))
+    val schemaSeq = activeSchemaRef(spark, root, Some(toV)) match {
+      case Some(ref) => Seq(ref) // re-declare toV's ref (last one wins)
+      case None if activeSchemaRef(spark, root, Some(readV)).isDefined =>
+        // rolling back PAST an evolution: the format has no schema
+        // tombstone, so re-declare toV's file schema explicitly or the
+        // post-toV evolution's ref would stay in force and the
+        // restored rows would null-fill columns toV never had
+        val st = spark.read.parquet(target.map(rel => s"$root/$rel"): _*)
+          .schema
+        Seq(stageSchema(spark, root, s"restore$toV", st))
+      case None => Nil
+    }
+    commit(spark, root,
+      add = target.filterNot(current.toSet),
+      remove = current.filterNot(target.toSet),
+      deletes = targetDels, resetDeletes = true,
+      tag = tag, schema = schemaSeq,
+      expectActive = current, expectDeletes = Some(currentDels),
+      expectNoConflictingAdds = Some((readV, _ => true)))
+  }
+
   /** TIME-TRAVEL read: the table exactly as of version `asOf`
     * (default: latest). Reads only the log plus the active files —
     * never a directory listing of the data dir, so stale files from

@@ -1618,6 +1618,50 @@ class ScaleOpsSpec extends AnyFunSuite {
       Set("doc_id", "text", "n_chars", "lang"))
   }
 
+  test("TableLog.restoreTable rolls back files, sidecars, and schema as one new commit") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_restore").toString + "/t"
+    val (files, zm) = TableLog.stageWithZoneMap(docs, root, "base",
+      "doc_id", parts = 8)
+    TableLog.commit(spark0, root, files, Nil, zmap = zm) // v0
+    // a BAD backfill garbles a range (v1); restore undoes it (v2)
+    TableLog.replaceWhere(spark0, root, "doc_id", 100L, 299L,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") <= 299)
+        .withColumn("text", reverse(col("text"))), "badbf", parts = 4)
+    val vRestore = TableLog.restoreTable(spark0, root, toV = 0L)
+    val snap = TableLog.snapshot(spark0, root)
+    assert(snap.count() === docs.count())
+    assert(snap.except(docs).isEmpty && docs.except(snap).isEmpty,
+      "restore must reinstate v0's exact content")
+    // v0's zone maps still prune post-restore (its entry is intact)
+    val probe = TableLog.snapshotRange(spark0, root, "doc_id", 10L, 20L)
+    assert(probe.inputFiles.length <
+      TableLog.activeFiles(spark0, root).size)
+    // history intact: the bad version stays readable for audit
+    assert(TableLog.snapshot(spark0, root, Some(1L))
+      .filter(col("doc_id") === 150).select("text").head().getString(0)
+      !== docs.filter(col("doc_id") === 150).select("text").head().getString(0))
+    // restoring past an evolution rolls the schema back too
+    TableLog.evolveAppend(docs.limit(1)
+      .select(col("doc_id"), col("text"), col("n_chars").as("extra")),
+      root, "evo")
+    assert(TableLog.snapshot(spark0, root).columns.contains("extra"))
+    TableLog.restoreTable(spark0, root, toV = vRestore)
+    assert(!TableLog.snapshot(spark0, root).columns.contains("extra"),
+      "restore must roll back the schema with the data")
+    // a vacuumed target refuses loudly
+    val latest = TableLog.versions(spark0, root).last
+    TableLog.vacuum(spark0, root, retainFrom = latest)
+    val boom = intercept[IllegalArgumentException] {
+      TableLog.restoreTable(spark0, root, toV = 1L)
+    }
+    assert(boom.getMessage.contains("not restorable"))
+    // ...and the surviving snapshot still reads exactly
+    assert(TableLog.snapshot(spark0, root).count() === docs.count())
+  }
+
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
     import graft.operators.TableLog
     val spark0 = spark
