@@ -2257,6 +2257,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SHALLOW CLONE ([[graft.operators.TableLog.cloneTable]] — the
+    * Delta CLONE shape, the zero-copy sandbox over a 100 TB table):
+    * the source commits a zone-mapped base (v0) and a %7 delete
+    * sidecar (v1); the CLONE borrows v1's files and sidecar IN PLACE
+    * (absolute refs, zero data I/O, O(log) metadata). Then both sides
+    * DIVERGE: the source over-deletes %3 (invisible to the clone —
+    * its refs pin v1's exact files) and the clone deletes %5 (its own
+    * log only). The query reads the CLONE: the %7 borrowed sidecar
+    * and the clone's own %5 delete apply, the source's later %3 must
+    * NOT — a clone that tracked the source past the clone point, or
+    * failed to borrow the in-force sidecar, mismatches. */
+  private val q143Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q143: Q = (s, d) => {
+    val root = cachedTmpArtifact(q143Cache, d, "graft_q143_clone") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      val (files, zm) = tl.stageWithZoneMap(docs, p, "base", "doc_id", 8)
+      tl.commit(s, p, files, Nil, zmap = zm) // src v0
+      tl.commitDeletes(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")), p, "del7") // src v1
+      tl.cloneTable(s, p, s"${p}_clone") // clone of v1 — zero data I/O
+      tl.commitDeletes(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")), p, "del3") // src v2 — not the clone's
+      tl.commitDeletes(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")), s"${p}_clone", "del5") // clone v1
+    }
+    graft.operators.TableLog.snapshot(s, s"${root}_clone", None,
+      Some("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2792,6 +2822,7 @@ object SparkEntry {
     "q140_replace_where" -> q140,
     "q141_conflict_retry" -> q141,
     "q142_restore" -> q142,
+    "q143_clone" -> q143,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4983,6 +5014,12 @@ object SparkEntry {
     "q142_restore" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
+    // The CLONE's state replayed logically: the borrowed %7 sidecar
+    // and the clone's own %5 delete apply; the source's post-clone
+    // %3 delete must NOT leak in.
+    "q143_clone" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0 ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

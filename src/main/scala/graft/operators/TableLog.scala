@@ -63,6 +63,16 @@ object TableLog {
 
   private def logDir(root: String) = s"$root/_log"
 
+  /** Resolve a log file ref against the table root. Refs are normally
+    * ROOT-RELATIVE (`data/<dir>/<file>` — the table survives a move);
+    * a ref beginning with '/' is ABSOLUTE, written only by
+    * [[cloneTable]], whose zero-copy commit references the SOURCE
+    * table's immutable files in place. Every read path resolves refs
+    * through here so borrowed and owned files mix freely in one
+    * active set. */
+  private def resolve(root: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$root/$rel"
+
   private def entryPath(root: String, v: Long) =
     new Path(logDir(root), f"$v%020d.json")
 
@@ -340,7 +350,7 @@ object TableLog {
     val entries = vs.map(x => readEntry(f, entryPath(root, x)))
     val zmaps = (checkpoints(f, root).flatMap(c =>
         readCheckpoint(f, root, c).zmap) ++ entries.flatMap(_.zmap))
-      .distinct.filter(rel => f.exists(new Path(s"$root/$rel")))
+      .distinct.filter(rel => f.exists(new Path(resolve(root, rel))))
     val tags = committedTags(spark, root).toSeq.sorted
     tags.foreach(t => validatePaths(Seq(t)))
     val sch = activeSchemaRef(spark, root, Some(v)).toSeq
@@ -556,7 +566,7 @@ object TableLog {
   private def readSchemaFile(f: FileSystem, root: String,
                              rel: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType
-      .fromJson(readFully(f, new Path(s"$root/$rel")))
+      .fromJson(readFully(f, new Path(resolve(root, rel))))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** The schema in force at `asOf`, or None for a pre-evolution
@@ -587,7 +597,7 @@ object TableLog {
         val files = activeFiles(spark, root)
         require(files.nonEmpty,
           s"TableLog.evolveAppend: $root has no active files to evolve from")
-        spark.read.parquet(files.map(rel => s"$root/$rel"): _*).schema
+        spark.read.parquet(files.map(resolve(root, _)): _*).schema
       }
     val byName = cur.map(fld => fld.name -> fld).toMap
     df.schema.foreach { fld =>
@@ -630,7 +640,7 @@ object TableLog {
     val target = activeFiles(spark, root, Some(toV))
     val targetDels = activeDeletes(spark, root, Some(toV))
     val missing = (target ++ targetDels)
-      .filterNot(rel => f.exists(new Path(s"$root/$rel")))
+      .filterNot(rel => f.exists(new Path(resolve(root, rel))))
     require(missing.isEmpty,
       s"TableLog.restoreTable: version $toV is not restorable — vacuum " +
         s"reclaimed ${missing.size} of its files (e.g. ${missing.head})")
@@ -643,7 +653,7 @@ object TableLog {
         // tombstone, so re-declare toV's file schema explicitly or the
         // post-toV evolution's ref would stay in force and the
         // restored rows would null-fill columns toV never had
-        val st = spark.read.parquet(target.map(rel => s"$root/$rel"): _*)
+        val st = spark.read.parquet(target.map(resolve(root, _)): _*)
           .schema
         Seq(stageSchema(spark, root, s"restore$toV", st))
       case None => Nil
@@ -672,7 +682,7 @@ object TableLog {
   def snapshot(spark: SparkSession, root: String,
                asOf: Option[Long] = None,
                idCol: Option[String] = None): DataFrame = {
-    val files = activeFiles(spark, root, asOf).map(rel => s"$root/$rel")
+    val files = activeFiles(spark, root, asOf).map(resolve(root, _))
     val declared = logSchema(spark, root, asOf)
     val reader = declared.fold(spark.read)(st => spark.read.schema(st))
     val base =
@@ -687,7 +697,7 @@ object TableLog {
           .find(_.nonEmpty)
           .getOrElse(sys.error(
             s"TableLog: $root has no non-empty version at or before $asOf"))
-        reader.parquet(s"$root/${lastNonEmpty.head}").limit(0)
+        reader.parquet(resolve(root, lastNonEmpty.head)).limit(0)
       }
     val dels = activeDeletes(spark, root, asOf)
     if (dels.isEmpty) base
@@ -695,7 +705,7 @@ object TableLog {
       case None => sys.error(
         s"TableLog.snapshot: $root has delete sidecars; pass idCol to apply them")
       case Some(id) =>
-        val doomed = spark.read.parquet(dels.map(rel => s"$root/$rel"): _*)
+        val doomed = spark.read.parquet(dels.map(resolve(root, _)): _*)
         base.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
           Seq(id), "left_anti")
     }
@@ -829,7 +839,7 @@ object TableLog {
       .distinct()
     val base =
       if (oldTouched.isEmpty) upserts.limit(0)
-      else spark.read.parquet(oldTouched.map(rel => s"$root/$rel"): _*)
+      else spark.read.parquet(oldTouched.map(resolve(root, _)): _*)
     val merged = base.join(doomedIds, Seq(idCol), "left_anti")
       .unionByName(upserts)
     val adds = stageBucketed(merged, root, name, idCol, nBuckets)
@@ -897,6 +907,20 @@ object TableLog {
     * The in-range residual filter is still applied (zone pruning is
     * file-granular); Catalyst additionally pushes it into each
     * surviving file's row groups. */
+  /** The zone-map sidecar refs readable at `asOf` — every zmap ref a
+    * surviving entry or checkpoint carries, existence-filtered
+    * ([[vacuum]] reclaims maps whose data files are all gone; a
+    * missing map degrades to a conservative unpruned read, never an
+    * error). Shared by [[rangeTouchedFiles]] and [[cloneTable]]. */
+  private def inForceZmaps(f: FileSystem, root: String,
+                           asOf: Option[Long]): Seq[String] = {
+    val (cp, replay) = replayPlan(f, root, asOf)
+    (cp.toSeq.flatMap(cv => readCheckpoint(f, root, cv).zmap) ++
+        replay.flatMap(v => readEntry(f, entryPath(root, v)).zmap))
+      .distinct
+      .filter(rel => f.exists(new Path(resolve(root, rel))))
+  }
+
   /** The active files a range predicate [lo, hi] on `keyCol` may
     * touch at `asOf`: zone-described files whose interval intersects,
     * plus every active file WITHOUT zone coverage (conservative —
@@ -908,17 +932,11 @@ object TableLog {
                                 asOf: Option[Long]): Seq[String] = {
     val f = fs(spark, root)
     val active = activeFiles(spark, root, asOf)
-    val (cp, replay) = replayPlan(f, root, asOf)
-    val zmaps = (cp.toSeq.flatMap(cv => readCheckpoint(f, root, cv).zmap) ++
-        replay.flatMap(v => readEntry(f, entryPath(root, v)).zmap))
-      .distinct
-      // vacuum reclaims maps whose data files are all gone; a missing
-      // map degrades to the conservative unpruned read below
-      .filter(rel => f.exists(new Path(s"$root/$rel")))
+    val zmaps = inForceZmaps(f, root, asOf)
     val (described, surviving) =
       if (zmaps.isEmpty) (Set.empty[String], Seq.empty[String])
       else {
-        val zm = spark.read.parquet(zmaps.map(rel => s"$root/$rel"): _*)
+        val zm = spark.read.parquet(zmaps.map(resolve(root, _)): _*)
           .select(col("file"), col("lo").cast("long"), col("hi").cast("long"))
           .collect()
           // a file of ALL-null keys has null min/max — no interval to
@@ -943,7 +961,7 @@ object TableLog {
       .fold(spark.read)(st => spark.read.schema(st))
     val base =
       if (files.isEmpty) snapshot(spark, root, asOf, idCol).limit(0)
-      else reader.parquet(files.map(rel => s"$root/$rel"): _*)
+      else reader.parquet(files.map(resolve(root, _)): _*)
     val ranged = base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
     val dels = activeDeletes(spark, root, asOf)
     if (dels.isEmpty) ranged
@@ -951,7 +969,7 @@ object TableLog {
       case None => sys.error(
         s"TableLog.snapshotRange: $root has delete sidecars; pass idCol")
       case Some(id) =>
-        val doomed = spark.read.parquet(dels.map(rel => s"$root/$rel"): _*)
+        val doomed = spark.read.parquet(dels.map(resolve(root, _)): _*)
         ranged.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
           Seq(id), "left_anti")
     }
@@ -995,7 +1013,7 @@ object TableLog {
       .fold(spark.read)(st => spark.read.schema(st))
     val survivors =
       if (touched.isEmpty) replacement.limit(0)
-      else reader.parquet(touched.map(rel => s"$root/$rel"): _*)
+      else reader.parquet(touched.map(resolve(root, _)): _*)
         .filter(col(keyCol).isNull || col(keyCol) < lo || col(keyCol) > hi)
     val (files, zm) = stageWithZoneMap(
       survivors.unionByName(replacement), root, name, keyCol, parts)
@@ -1100,7 +1118,7 @@ object TableLog {
       val cdf = readEntry(f, entryPath(root, v)).cdf
       val step =
         if (cdf.nonEmpty) {
-          val sidecar = spark.read.parquet(cdf.map(rel => s"$root/$rel"): _*)
+          val sidecar = spark.read.parquet(cdf.map(resolve(root, _)): _*)
           require(sidecar.columns.contains(idCol),
             s"TableLog.changes: cdf sidecar of v$v lacks id column " +
               s"'$idCol' (has ${sidecar.columns.mkString(",")})")
@@ -1163,8 +1181,79 @@ object TableLog {
       val zm = if (e.add.exists(keep)) Nil else e.zmap
       e.add ++ e.deletes ++ e.cdf ++ zm ++ e.schema
     } ++ cpRef).toSet
-    val doomed = (everRef -- keep).toSeq.sorted
-    doomed.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
+    // ABSOLUTE refs are files BORROWED from a clone's source table
+    // ([[cloneTable]]) — this table never owns them, so its vacuum
+    // must never reclaim them (the source's own vacuum does, under
+    // the source's retention; see cloneTable's caveat)
+    val doomed = (everRef -- keep).filterNot(_.startsWith("/")).toSeq.sorted
+    doomed.foreach(rel => f.delete(new Path(resolve(root, rel)), false))
     doomed
+  }
+
+  /** SHALLOW CLONE (the Delta `CLONE` shape): materialize `dstRoot`
+    * as an independent table whose first commit REFERENCES the source
+    * table's active files at `asOf` IN PLACE — zero data I/O, O(log)
+    * metadata — the zero-cost dev/test sandbox over a 100 TB table:
+    * experiment with merges, deletes, compactions, schema evolution
+    * on the clone while the source stays untouched, then drop the
+    * clone root. Borrowed refs are written ABSOLUTE (resolved by
+    * [[resolve]]); every write the clone makes afterwards stages
+    * normal root-relative files, so the two kinds mix in one active
+    * set and a [[compactTable]]/[[optimizeTable]] on the clone
+    * rewrites it into fully-owned files (the "un-clone"). The
+    * source's in-force ZONE MAPS are carried (re-keyed to the
+    * borrowed refs — one tiny metadata parquet), so range reads prune
+    * on the clone from the first query; the in-force SCHEMA is
+    * re-staged into the clone (the JSON is bytes, not data). Delete
+    * sidecars in force at `asOf` are borrowed like data files.
+    *
+    * Divergence is free in both directions: the clone's commits touch
+    * only its own log, and source commits after the clone point are
+    * invisible to it (its refs pin the exact files). CAVEAT (same as
+    * Delta's): the clone's vacuum never touches borrowed files, but
+    * the SOURCE's vacuum does not know about clones — vacuuming the
+    * source past the cloned version reclaims files the clone still
+    * reads (the clone's snapshot then fails loudly on the missing
+    * file). Retain the source or compact the clone first. Same-
+    * filesystem only (refs carry no URI scheme). Returns the clone's
+    * version 0. */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+                 asOf: Option[Long] = None,
+                 tag: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
+    val fDst = fs(spark, dstRoot)
+    require(versionsIn(fDst, dstRoot).isEmpty &&
+        checkpoints(fDst, dstRoot).isEmpty,
+      s"TableLog.cloneTable: $dstRoot already has a log — clone only " +
+        "into a fresh root (the clone's history starts at its v0)")
+    val fSrc = fs(spark, srcRoot)
+    val srcV = asOf.getOrElse(versions(spark, srcRoot).lastOption
+      .getOrElse(sys.error(s"TableLog.cloneTable: empty log at $srcRoot")))
+    // absolutize the source root once so borrowed refs resolve from
+    // the clone's root regardless of the working directory
+    val srcAbs = fSrc.makeQualified(new Path(srcRoot)).toUri.getPath
+    def borrow(rel: String): String =
+      if (rel.startsWith("/")) rel else s"$srcAbs/$rel" // clone-of-clone passes through
+    val files = activeFiles(spark, srcRoot, Some(srcV)).map(borrow)
+    val dels = activeDeletes(spark, srcRoot, Some(srcV)).map(borrow)
+    // the schema JSON is copied (bytes, not data): the clone must not
+    // dangle on a source-side vacuum of a superseded schema ref
+    val schemaSeq = logSchema(spark, srcRoot, Some(srcV))
+      .map(st => stageSchema(spark, dstRoot, "clone", st)).toSeq
+    // zone maps name their files ROOT-RELATIVE to the source; re-key
+    // them to the borrowed absolute refs so snapshotRange prunes on
+    // the clone from the first read (O(#files) metadata rewrite)
+    val zmRefs = inForceZmaps(fSrc, srcRoot, Some(srcV))
+    val zmapSeq =
+      if (zmRefs.isEmpty) Nil
+      else {
+        val zm = spark.read.parquet(zmRefs.map(resolve(srcRoot, _)): _*)
+          .withColumn("file",
+            when(col("file").startsWith("/"), col("file"))
+              .otherwise(concat(lit(s"$srcAbs/"), col("file"))))
+        stageUnder(zm, dstRoot, "zmap", "clone")
+      }
+    commit(spark, dstRoot, add = files, remove = Nil, deletes = dels,
+      tag = tag, zmap = zmapSeq, schema = schemaSeq)
   }
 }

@@ -1662,6 +1662,66 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(TableLog.snapshot(spark0, root).count() === docs.count())
   }
 
+  test("TableLog.cloneTable is zero-copy, carries pruning, diverges both ways, and un-clones") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val tmp = Files.createTempDirectory("graft_tablelog_clone").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/clone"
+    val (files, zm) = TableLog.stageWithZoneMap(docs, src, "base",
+      "doc_id", parts = 8)
+    TableLog.commit(spark0, src, files, Nil, zmap = zm) // src v0
+    TableLog.commitDeletes(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), src, "del7") // src v1
+    TableLog.cloneTable(spark0, src, dst)
+    // ZERO data I/O: the clone root holds no data files at all
+    val fsDst = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark0.sparkContext.hadoopConfiguration)
+    assert(!fsDst.exists(new org.apache.hadoop.fs.Path(s"$dst/data")),
+      "clone must not copy data files")
+    // content ≡ source at the clone point (borrowed sidecar applies)
+    val expected = docs.filter(col("doc_id") % 7 =!= 0)
+    val got = TableLog.snapshot(spark0, dst, None, Some("doc_id"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // the carried zone maps prune range reads on the CLONE
+    val probe = TableLog.snapshotRange(spark0, dst, "doc_id", 10L, 20L,
+      idCol = Some("doc_id"))
+    assert(probe.inputFiles.length < TableLog.activeFiles(spark0, dst).size,
+      "clone range read must prune via the re-keyed zone maps")
+    // divergence: source commits after the clone point are invisible
+    // to the clone, and clone commits never touch the source log
+    TableLog.commitDeletes(docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")), src, "del3")
+    TableLog.commitDeletes(docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")), dst, "del5")
+    assert(TableLog.snapshot(spark0, dst, None, Some("doc_id"))
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 0 &&
+        col("doc_id") % 5 =!= 0).count() > 0,
+      "source's post-clone delete must not leak into the clone")
+    assert(TableLog.snapshot(spark0, src, None, Some("doc_id"))
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 0 &&
+        col("doc_id") % 7 =!= 0).count() > 0,
+      "clone's delete must not leak into the source")
+    // UN-CLONE: compacting the clone materializes owned files; its
+    // vacuum reclaims only clone-owned paths, never borrowed ones
+    TableLog.compactTable(spark0, dst, "doc_id", "unclone")
+    assert(TableLog.activeFiles(spark0, dst).forall(!_.startsWith("/")),
+      "compaction must leave only clone-owned (relative) refs")
+    val reclaimed = TableLog.vacuum(spark0, dst,
+      retainFrom = TableLog.versions(spark0, dst).last)
+    assert(reclaimed.forall(!_.startsWith("/")),
+      "clone vacuum must never delete borrowed source files")
+    val srcSnap = TableLog.snapshot(spark0, src, None, Some("doc_id"))
+    assert(srcSnap.count() ===
+      docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 3 =!= 0).count(),
+      "source must stay fully readable after clone vacuum")
+    // a non-fresh destination refuses
+    val boom = intercept[IllegalArgumentException] {
+      TableLog.cloneTable(spark0, src, dst)
+    }
+    assert(boom.getMessage.contains("already has a log"))
+  }
+
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
     import graft.operators.TableLog
     val spark0 = spark
