@@ -2287,6 +2287,39 @@ object SparkEntry {
       Some("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** CHECK CONSTRAINTS ([[graft.operators.TableLog.addCheckConstraint]]
+    * / [[graft.operators.TableLog.checkedAppend]] — the Delta
+    * `ADD CONSTRAINT CHECK` shape, the commit-time quality gate): the
+    * table declares `text IS NOT NULL AND n_chars >= 0` after its
+    * base commit (existing rows validated once — the only full scan);
+    * a batch carrying NULL texts is REFUSED whole (one O(batch)
+    * aggregate pass, per-constraint violation counts), a conforming
+    * batch lands. The oracle replays the surviving content: if the
+    * violating batch slipped through — or the conforming one was
+    * wrongly refused — the row set mismatches. */
+  private val q144Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q144: Q = (s, d) => {
+    val root = cachedTmpArtifact(q144Cache, d, "graft_q144_constraints") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p,
+        tl.stageWrite(docs.filter(col("doc_id") % 2 === 0), p, "base"), Nil)
+      tl.addCheckConstraint(s, p, "text_present",
+        "text IS NOT NULL AND n_chars >= 0")
+      val bad = docs
+        .filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0)
+        .withColumn("text", lit(null).cast("string"))
+      val refused =
+        try { tl.checkedAppend(bad, p, "badBatch"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "q144: violating append must be refused")
+      tl.checkedAppend(docs
+        .filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 =!= 0),
+        p, "goodBatch")
+    }
+    graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2823,6 +2856,7 @@ object SparkEntry {
     "q141_conflict_retry" -> q141,
     "q142_restore" -> q142,
     "q143_clone" -> q143,
+    "q144_constraints" -> q144,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5020,6 +5054,12 @@ object SparkEntry {
     "q143_clone" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0 ORDER BY doc_id""",
+    // Constraint enforcement replayed logically: evens (the base) plus
+    // the odd conforming batch; the refused NULL-text batch (odd %5)
+    // must be absent.
+    "q144_constraints" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0 OR doc_id % 5 <> 0 ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

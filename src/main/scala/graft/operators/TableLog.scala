@@ -56,7 +56,8 @@ object TableLog {
                             deletes: Seq[String], cdf: Seq[String],
                             tag: Option[String],
                             zmap: Seq[String] = Nil,
-                            schema: Seq[String] = Nil)
+                            schema: Seq[String] = Nil,
+                            checks: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -140,13 +141,14 @@ object TableLog {
              tag: Option[String] = None,
              zmap: Seq[String] = Nil,
              schema: Seq[String] = Nil,
+             checks: Seq[String] = Nil,
              expectActive: Seq[String] = Nil,
              expectDeletes: Option[Seq[String]] = None,
              expectSchema: Option[Option[String]] = None,
              expectNoConflictingAdds: Option[(Long, String => Boolean)] = None): Long = {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
     validatePaths(cdf); tag.foreach(t => validatePaths(Seq(t)))
-    validatePaths(zmap); validatePaths(schema)
+    validatePaths(zmap); validatePaths(schema); validatePaths(checks)
     require(schema.size <= 1,
       s"TableLog.commit: at most one schema ref per commit, got $schema")
     val f = fs(spark, root)
@@ -203,7 +205,7 @@ object TableLog {
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
         s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
         s""""cdf":${arr(cdf)},"zmap":${arr(zmap)},""" +
-        s""""schema":${arr(schema)}$tagPart}"""
+        s""""schema":${arr(schema)},"checks":${arr(checks)}$tagPart}"""
       val p = entryPath(root, v)
       val uri = p.toUri
       val claimed =
@@ -281,7 +283,7 @@ object TableLog {
     // "cdf"/"tag"/"zmap"/"schema" absent in older entries → empty/None
     // (format upgrades stay readable both ways)
     LogEntry(v, reset, list("add"), list("remove"), list("deletes"),
-      list("cdf"), tag, list("zmap"), list("schema"))
+      list("cdf"), tag, list("zmap"), list("schema"), list("checks"))
   }
 
   /** The idempotence tags of every committed entry — a replay-prone
@@ -303,7 +305,8 @@ object TableLog {
   final case class Checkpoint(version: Long, files: Seq[String],
                               deletes: Seq[String], zmap: Seq[String],
                               tags: Seq[String],
-                              schema: Option[String])
+                              schema: Option[String],
+                              checks: Seq[String])
 
   private def checkpointPath(root: String, v: Long) =
     new Path(s"${logDir(root)}/$v.ckpt")
@@ -324,7 +327,7 @@ object TableLog {
                              v: Long): Checkpoint = {
     val e = readEntry(f, checkpointPath(root, v)) // same line format
     Checkpoint(e.version, e.add, e.deletes, e.zmap, e.cdf,
-      e.schema.headOption)
+      e.schema.headOption, e.checks)
   }
 
   /** FOLD the whole log into one checkpoint file `_log/<V>.ckpt` at
@@ -354,12 +357,18 @@ object TableLog {
     val tags = committedTags(spark, root).toSeq.sorted
     tags.foreach(t => validatePaths(Seq(t)))
     val sch = activeSchemaRef(spark, root, Some(v)).toSeq
+    // constraint refs fold IN VERSION ORDER (their semantics are
+    // last-wins by name, so the fold is the concatenation)
+    val cks = checkpoints(f, root).lastOption.toSeq
+      .flatMap(c => readCheckpoint(f, root, c).checks) ++
+      entries.flatMap(_.checks)
     // serialize through the ENTRY line format (add=files, cdf=tags)
     // so one parser serves both artifact kinds
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val body = s"""{"version":$v,"reset":0,"add":${arr(files)},""" +
       s""""remove":[],"deletes":${arr(dels)},""" +
-      s""""cdf":${arr(tags)},"zmap":${arr(zmaps)},"schema":${arr(sch)}}"""
+      s""""cdf":${arr(tags)},"zmap":${arr(zmaps)},"schema":${arr(sch)},""" +
+      s""""checks":${arr(cks)}}"""
     val tmp = new Path(s"${logDir(root)}/.ckpt-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try { out.write(body.getBytes("UTF-8")) } finally out.close()
@@ -576,6 +585,125 @@ object TableLog {
                ): Option[org.apache.spark.sql.types.StructType] =
     activeSchemaRef(spark, root, asOf)
       .map(rel => readSchemaFile(fs(spark, root), root, rel))
+
+  /** CHECK CONSTRAINTS (the Delta `ALTER TABLE ADD CONSTRAINT CHECK`
+    * shape): a named boolean SQL expression every row of every
+    * CHECKED write must satisfy — the quality gate that moves "no
+    * NULL texts, no negative counts" from pipeline convention into
+    * the table's own metadata. Each constraint change is a tiny JSON
+    * sidecar under `constraints/` referenced by its commit's `checks`
+    * key; the in-force set folds the refs in version order with
+    * LAST-WINS by name (a drop marker retires a name). Enforcement is
+    * writer-side like Delta's: [[checkedAppend]] validates the DELTA
+    * in one pass — O(batch), never O(table) — and [[addCheckConstraint]]
+    * validates EXISTING data once at add time (the only full scan,
+    * paid when the rule is declared, with a conflict guard so rows
+    * appended concurrently with the validation can't slip in
+    * unvalidated). Raw [[commit]] does not re-validate (the protocol
+    * trusts checked writers — same as Delta); constraints are
+    * table-level metadata, so [[restoreTable]] leaves them in force
+    * (a restore undoes DATA, not the rules guarding future writes). */
+  def activeConstraints(spark: SparkSession, root: String,
+                        asOf: Option[Long] = None): Map[String, String] = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(s"$root/constraints"))) return Map.empty
+    if (versionsIn(f, root).isEmpty && checkpoints(f, root).isEmpty)
+      return Map.empty
+    val (cp, replay) = replayPlan(f, root, asOf)
+    val refs = cp.toSeq.flatMap(cv => readCheckpoint(f, root, cv).checks) ++
+      replay.flatMap(v => readEntry(f, entryPath(root, v)).checks)
+    refs.foldLeft(Map.empty[String, String]) { (acc, rel) =>
+      val body = readFully(f, new Path(resolve(root, rel)))
+      val name = "\"cname\":\"(.*?)\"".r.findFirstMatchIn(body)
+        .map(_.group(1))
+        .getOrElse(sys.error(s"TableLog: corrupt constraint sidecar $rel"))
+      if (body.contains("\"drop\":true")) acc - name
+      else acc + (name -> "\"expr\":\"(.*?)\"".r.findFirstMatchIn(body)
+        .map(_.group(1))
+        .getOrElse(sys.error(s"TableLog: constraint $rel lacks expr")))
+    }
+  }
+
+  private def stageConstraint(f: FileSystem, root: String,
+                              body: String): String = {
+    val rel =
+      s"constraints/c-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    f.mkdirs(new Path(s"$root/constraints"))
+    val out = f.create(new Path(s"$root/$rel"), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    rel
+  }
+
+  /** Declare constraint `cname` := `expr` (a boolean Spark SQL
+    * expression over the table's columns; no double quotes — the
+    * sidecar format is line-JSON like the log's). EXISTING rows are
+    * validated once here — a constraint the current data already
+    * violates is refused, not silently in force (Delta's add-time
+    * scan); pass `idCol` if delete sidecars are outstanding. The
+    * commit conflicts with any concurrent add since the validating
+    * read, so no row lands unvalidated between scan and claim.
+    * Returns the new version. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         cname: String, expr: String,
+                         idCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{expr => sqlExpr, not}
+    validatePaths(Seq(cname))
+    require(!expr.contains("\""),
+      s"TableLog.addCheckConstraint: no double quotes in expr ($expr) — " +
+        "use SQL single quotes for string literals")
+    val f = fs(spark, root)
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.addCheckConstraint: empty log at $root"))
+    val bad = snapshot(spark, root, Some(readV), idCol)
+      .filter(not(sqlExpr(expr))).limit(1).collect()
+    require(bad.isEmpty,
+      s"TableLog.addCheckConstraint: existing rows violate '$cname' " +
+        s"($expr) — e.g. ${bad.headOption.getOrElse("")}")
+    val rel = stageConstraint(f, root,
+      s"""{"cname":"$cname","expr":"$expr"}""")
+    commit(spark, root, add = Nil, remove = Nil, checks = Seq(rel),
+      expectNoConflictingAdds = Some((readV, _ => true)))
+  }
+
+  /** Retire constraint `cname` (future checked writes stop enforcing
+    * it; history is untouched). Returns the new version. */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+                          cname: String): Long = {
+    validatePaths(Seq(cname))
+    require(activeConstraints(spark, root).contains(cname),
+      s"TableLog.dropCheckConstraint: no constraint '$cname' at $root")
+    val rel = stageConstraint(fs(spark, root), root,
+      s"""{"cname":"$cname","drop":true}""")
+    commit(spark, root, add = Nil, remove = Nil, checks = Seq(rel))
+  }
+
+  /** Append `df` ENFORCING the in-force constraints — ONE aggregate
+    * pass over the batch counts every constraint's violations
+    * together (O(batch), map-only, never O(table)); any violation
+    * refuses the whole batch with per-constraint counts, else the
+    * rows stage and commit as a blind append. Returns the new
+    * version. */
+  def checkedAppend(df: DataFrame, root: String, name: String): Long = {
+    import org.apache.spark.sql.functions.{expr => sqlExpr, not, when, lit, sum, coalesce}
+    val spark = df.sparkSession
+    val cs = activeConstraints(spark, root).toSeq.sortBy(_._1)
+    if (cs.nonEmpty) {
+      val counts = df.select(cs.map { case (n, e) =>
+        // NULL check results are violations too (three-valued logic:
+        // a constraint that evaluates to NULL is NOT satisfied)
+        sum(when(coalesce(sqlExpr(e).cast("boolean"), lit(false)),
+          0L).otherwise(1L)).as(n)
+      }: _*).collect().headOption
+      val violated = cs.flatMap { case (n, e) =>
+        val c = counts.map(r => if (r.isNullAt(r.fieldIndex(n))) 0L
+          else r.getLong(r.fieldIndex(n))).getOrElse(0L)
+        if (c > 0) Some(s"'$n' ($e): $c rows") else None
+      }
+      require(violated.isEmpty,
+        s"TableLog.checkedAppend: batch violates ${violated.mkString("; ")}")
+    }
+    commit(spark, root, add = stageWrite(df, root, name), remove = Nil)
+  }
 
   /** ADD-COLUMNS-AND-APPEND in one atomic commit: `df` may carry
     * columns the table has never seen; the committed schema becomes
@@ -1176,6 +1304,10 @@ object TableLog {
       val c = readCheckpoint(f, root, cv)
       c.files ++ c.deletes ++ c.zmap ++ c.schema
     }
+    // constraint sidecars (entry `checks` refs) are deliberately NOT
+    // reclaimable: the in-force fold may read through pre-horizon
+    // refs, and they are O(#constraint-changes) bytes — metadata, not
+    // data
     val everRef = (vs.flatMap { v =>
       val e = readEntry(f, entryPath(root, v))
       val zm = if (e.add.exists(keep)) Nil else e.zmap
@@ -1253,7 +1385,13 @@ object TableLog {
               .otherwise(concat(lit(s"$srcAbs/"), col("file"))))
         stageUnder(zm, dstRoot, "zmap", "clone")
       }
+    // constraints carry like the schema: re-stage the FOLDED in-force
+    // set as the clone's own sidecars (bytes, not data)
+    val checkSeq = activeConstraints(spark, srcRoot, Some(srcV)).toSeq
+      .sortBy(_._1).map { case (n, e) =>
+        stageConstraint(fDst, dstRoot, s"""{"cname":"$n","expr":"$e"}""")
+      }
     commit(spark, dstRoot, add = files, remove = Nil, deletes = dels,
-      tag = tag, zmap = zmapSeq, schema = schemaSeq)
+      tag = tag, zmap = zmapSeq, schema = schemaSeq, checks = checkSeq)
   }
 }

@@ -1722,6 +1722,63 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("already has a log"))
   }
 
+  test("TableLog check constraints: add-time scan, batch refusal, drop, checkpoint fold, clone carry") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val tmp = Files.createTempDirectory("graft_tablelog_checks").toString
+    val root = s"$tmp/t"
+    TableLog.commit(spark0, root, TableLog.stageWrite(docs, root, "base"), Nil)
+    // a constraint EXISTING data violates is refused at add time
+    val badAdd = intercept[IllegalArgumentException] {
+      TableLog.addCheckConstraint(spark0, root, "impossible", "n_chars < 0")
+    }
+    assert(badAdd.getMessage.contains("existing rows violate"))
+    assert(TableLog.activeConstraints(spark0, root).isEmpty)
+    TableLog.addCheckConstraint(spark0, root, "text_present",
+      "text IS NOT NULL")
+    TableLog.addCheckConstraint(spark0, root, "chars_sane",
+      "n_chars >= 0")
+    assert(TableLog.activeConstraints(spark0, root).keySet ===
+      Set("text_present", "chars_sane"))
+    // a violating batch refuses WHOLE with per-constraint counts; a
+    // NULL evaluation counts as a violation (three-valued logic)
+    val bad = docs.limit(10).withColumn("text", lit(null).cast("string"))
+    val boom = intercept[IllegalArgumentException] {
+      TableLog.checkedAppend(bad, root, "badBatch")
+    }
+    assert(boom.getMessage.contains("text_present") &&
+      boom.getMessage.contains("10 rows"))
+    val before = TableLog.snapshot(spark0, root).count()
+    assert(before === docs.count(), "refused batch must not land")
+    // a conforming batch lands
+    TableLog.checkedAppend(
+      docs.limit(5).withColumn("doc_id", col("doc_id") + 1000000L),
+      root, "goodBatch")
+    assert(TableLog.snapshot(spark0, root).count() === before + 5)
+    // the fold survives checkpoint + log expiry
+    val cp = TableLog.writeCheckpoint(spark0, root)
+    TableLog.expireLog(spark0, root, cp)
+    assert(TableLog.activeConstraints(spark0, root).keySet ===
+      Set("text_present", "chars_sane"),
+      "constraints must survive log truncation via the checkpoint fold")
+    // drop retires a name for future writes only
+    TableLog.dropCheckConstraint(spark0, root, "text_present")
+    assert(TableLog.activeConstraints(spark0, root).keySet ===
+      Set("chars_sane"))
+    TableLog.checkedAppend(bad.withColumn("doc_id",
+      col("doc_id") + 2000000L), root, "nowFine")
+    // a clone inherits the in-force (post-drop) set
+    TableLog.cloneTable(spark0, root, s"$tmp/clone")
+    assert(TableLog.activeConstraints(spark0, s"$tmp/clone").keySet ===
+      Set("chars_sane"))
+    val cloneBoom = intercept[IllegalArgumentException] {
+      TableLog.checkedAppend(docs.limit(3)
+        .withColumn("n_chars", lit(-1)), s"$tmp/clone", "badClone")
+    }
+    assert(cloneBoom.getMessage.contains("chars_sane"))
+  }
+
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
     import graft.operators.TableLog
     val spark0 = spark
