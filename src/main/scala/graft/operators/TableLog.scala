@@ -145,6 +145,7 @@ object TableLog {
              expectActive: Seq[String] = Nil,
              expectDeletes: Option[Seq[String]] = None,
              expectSchema: Option[Option[String]] = None,
+             expectChecks: Option[Seq[String]] = None,
              expectNoConflictingAdds: Option[(Long, String => Boolean)] = None): Long = {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
     validatePaths(cdf); tag.foreach(t => validatePaths(Seq(t)))
@@ -158,7 +159,8 @@ object TableLog {
     while (attempt < 64) {
       val v = versions(spark, root).lastOption.getOrElse(-1L) + 1L
       if (expectActive.nonEmpty || expectDeletes.isDefined ||
-          expectSchema.isDefined || expectNoConflictingAdds.isDefined) {
+          expectSchema.isDefined || expectChecks.isDefined ||
+          expectNoConflictingAdds.isDefined) {
         val nowActive =
           if (v == 0L) Set.empty[String]
           else activeFiles(spark, root).toSet
@@ -187,6 +189,20 @@ object TableLog {
                 s"changed since this writer's read ($expected -> $now); " +
                 "a schema derived from the stale shape would silently " +
                 "hide the other evolution's columns. Re-read and re-derive")
+        }
+        expectChecks.foreach { expected =>
+          // a checked writer validated its batch against the
+          // constraint set it read; a constraint added or dropped
+          // since would let the batch land un(re)validated
+          val now =
+            if (v == 0L) Seq.empty[String]
+            else activeCheckRefs(f, root, None)
+          if (now.toSet != expected.toSet)
+            throw new java.util.ConcurrentModificationException(
+              s"TableLog.commit: conflict at $root — the constraint set " +
+                s"changed since this writer's validation (read through " +
+                s"${expected.size} refs, now ${now.size}); the batch " +
+                "must re-validate. Re-read and re-derive")
         }
         expectNoConflictingAdds.foreach { case (readV, conflicts) =>
           val added = versions(spark, root).filter(_ > readV)
@@ -358,10 +374,14 @@ object TableLog {
     tags.foreach(t => validatePaths(Seq(t)))
     val sch = activeSchemaRef(spark, root, Some(v)).toSeq
     // constraint refs fold IN VERSION ORDER (their semantics are
-    // last-wins by name, so the fold is the concatenation)
-    val cks = checkpoints(f, root).lastOption.toSeq
+    // last-wins by name, so the fold is the concatenation); entries
+    // AT or BELOW the previous checkpoint are already inside its
+    // fold — re-appending them would double the list per checkpoint
+    // cycle (exponential growth when expireLog lags)
+    val prevCp = checkpoints(f, root).lastOption
+    val cks = prevCp.toSeq
       .flatMap(c => readCheckpoint(f, root, c).checks) ++
-      entries.flatMap(_.checks)
+      entries.filter(e => prevCp.forall(e.version > _)).flatMap(_.checks)
     // serialize through the ENTRY line format (add=files, cdf=tags)
     // so one parser serves both artifact kinds
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -542,14 +562,8 @@ object TableLog {
     * [[commit]]'s `schema` parameter, or use [[evolveAppend]] for the
     * common add-columns-and-append step. */
   def stageSchema(spark: SparkSession, root: String, name: String,
-                  schema: org.apache.spark.sql.types.StructType): String = {
-    val rel = s"schema/$name-${java.util.UUID.randomUUID().toString.take(8)}.json"
-    val f = fs(spark, root)
-    f.mkdirs(new Path(s"$root/schema"))
-    val out = f.create(new Path(s"$root/$rel"), false)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    rel
-  }
+                  schema: org.apache.spark.sql.types.StructType): String =
+    stageJsonSidecar(fs(spark, root), root, "schema", name, schema.json)
 
   /** The schema ref in force at `asOf`: the LAST schema-carrying
     * commit at or before it (checkpoints fold the in-force ref, so
@@ -603,36 +617,51 @@ object TableLog {
     * trusts checked writers — same as Delta); constraints are
     * table-level metadata, so [[restoreTable]] leaves them in force
     * (a restore undoes DATA, not the rules guarding future writes). */
+  /** The constraint-change refs readable at `asOf`, in version order
+    * (the fold input of [[activeConstraints]], and the read-set a
+    * [[checkedAppend]] pins via [[commit]]'s `expectChecks`). */
+  private def activeCheckRefs(f: FileSystem, root: String,
+                              asOf: Option[Long]): Seq[String] = {
+    if (!f.exists(new Path(s"$root/constraints"))) return Seq.empty
+    if (versionsIn(f, root).isEmpty && checkpoints(f, root).isEmpty)
+      return Seq.empty
+    val (cp, replay) = replayPlan(f, root, asOf)
+    cp.toSeq.flatMap(cv => readCheckpoint(f, root, cv).checks) ++
+      replay.flatMap(v => readEntry(f, entryPath(root, v)).checks)
+  }
+
   def activeConstraints(spark: SparkSession, root: String,
                         asOf: Option[Long] = None): Map[String, String] = {
     val f = fs(spark, root)
-    if (!f.exists(new Path(s"$root/constraints"))) return Map.empty
-    if (versionsIn(f, root).isEmpty && checkpoints(f, root).isEmpty)
-      return Map.empty
-    val (cp, replay) = replayPlan(f, root, asOf)
-    val refs = cp.toSeq.flatMap(cv => readCheckpoint(f, root, cv).checks) ++
-      replay.flatMap(v => readEntry(f, entryPath(root, v)).checks)
-    refs.foldLeft(Map.empty[String, String]) { (acc, rel) =>
-      val body = readFully(f, new Path(resolve(root, rel)))
-      val name = "\"cname\":\"(.*?)\"".r.findFirstMatchIn(body)
-        .map(_.group(1))
-        .getOrElse(sys.error(s"TableLog: corrupt constraint sidecar $rel"))
-      if (body.contains("\"drop\":true")) acc - name
-      else acc + (name -> "\"expr\":\"(.*?)\"".r.findFirstMatchIn(body)
-        .map(_.group(1))
-        .getOrElse(sys.error(s"TableLog: constraint $rel lacks expr")))
-    }
+    activeCheckRefs(f, root, asOf)
+      .foldLeft(Map.empty[String, String]) { (acc, rel) =>
+        val body = readFully(f, new Path(resolve(root, rel)))
+        val name = "\"cname\":\"(.*?)\"".r.findFirstMatchIn(body)
+          .map(_.group(1))
+          .getOrElse(sys.error(s"TableLog: corrupt constraint sidecar $rel"))
+        if (body.contains("\"drop\":true")) acc - name
+        else acc + (name -> "\"expr\":\"(.*?)\"".r.findFirstMatchIn(body)
+          .map(_.group(1))
+          .getOrElse(sys.error(s"TableLog: constraint $rel lacks expr")))
+      }
   }
 
-  private def stageConstraint(f: FileSystem, root: String,
-                              body: String): String = {
+  /** Stage a tiny JSON sidecar under `<sub>/` with a uuid-unique name
+    * and exclusive create — the shared discipline of [[stageSchema]]
+    * and the constraint sidecars. */
+  private def stageJsonSidecar(f: FileSystem, root: String, sub: String,
+                               name: String, body: String): String = {
     val rel =
-      s"constraints/c-${java.util.UUID.randomUUID().toString.take(8)}.json"
-    f.mkdirs(new Path(s"$root/constraints"))
+      s"$sub/$name-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    f.mkdirs(new Path(s"$root/$sub"))
     val out = f.create(new Path(s"$root/$rel"), false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     rel
   }
+
+  private def stageConstraint(f: FileSystem, root: String,
+                              body: String): String =
+    stageJsonSidecar(f, root, "constraints", "c", body)
 
   /** Declare constraint `cname` := `expr` (a boolean Spark SQL
     * expression over the table's columns; no double quotes — the
@@ -646,7 +675,7 @@ object TableLog {
   def addCheckConstraint(spark: SparkSession, root: String,
                          cname: String, expr: String,
                          idCol: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{expr => sqlExpr, not}
+    import org.apache.spark.sql.functions.{expr => sqlExpr, not, coalesce, lit}
     validatePaths(Seq(cname))
     require(!expr.contains("\""),
       s"TableLog.addCheckConstraint: no double quotes in expr ($expr) — " +
@@ -654,14 +683,24 @@ object TableLog {
     val f = fs(spark, root)
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.addCheckConstraint: empty log at $root"))
+    // the SAME three-valued rule as checkedAppend: a NULL evaluation
+    // is NOT satisfied, so existing NULL-evaluating rows refuse the
+    // declaration (else the table would sit committed in a state its
+    // own checked writes are refused for)
     val bad = snapshot(spark, root, Some(readV), idCol)
-      .filter(not(sqlExpr(expr))).limit(1).collect()
+      .filter(not(coalesce(sqlExpr(expr).cast("boolean"), lit(false))))
+      .limit(1).collect()
     require(bad.isEmpty,
       s"TableLog.addCheckConstraint: existing rows violate '$cname' " +
         s"($expr) — e.g. ${bad.headOption.getOrElse("")}")
     val rel = stageConstraint(f, root,
       s"""{"cname":"$cname","expr":"$expr"}""")
+    // conflict guards: no concurrent ADD may land rows the validating
+    // scan never saw, and no concurrent delete-state change (a
+    // restore's deletes-RESET resurrects rows the scan excluded) may
+    // slip past it either
     commit(spark, root, add = Nil, remove = Nil, checks = Seq(rel),
+      expectDeletes = Some(activeDeletes(spark, root, Some(readV))),
       expectNoConflictingAdds = Some((readV, _ => true)))
   }
 
@@ -686,6 +725,11 @@ object TableLog {
   def checkedAppend(df: DataFrame, root: String, name: String): Long = {
     import org.apache.spark.sql.functions.{expr => sqlExpr, not, when, lit, sum, coalesce}
     val spark = df.sparkSession
+    // pin the constraint refs this validation reads through: a
+    // constraint added between the validation and the claim would let
+    // the batch land unvalidated (the TOCTOU the expectChecks guard
+    // closes — the commit conflicts and the caller re-validates)
+    val readRefs = activeCheckRefs(fs(spark, root), root, None)
     val cs = activeConstraints(spark, root).toSeq.sortBy(_._1)
     if (cs.nonEmpty) {
       val counts = df.select(cs.map { case (n, e) =>
@@ -702,7 +746,8 @@ object TableLog {
       require(violated.isEmpty,
         s"TableLog.checkedAppend: batch violates ${violated.mkString("; ")}")
     }
-    commit(spark, root, add = stageWrite(df, root, name), remove = Nil)
+    commit(spark, root, add = stageWrite(df, root, name), remove = Nil,
+      expectChecks = Some(readRefs))
   }
 
   /** ADD-COLUMNS-AND-APPEND in one atomic commit: `df` may carry
@@ -767,21 +812,36 @@ object TableLog {
       s"TableLog.restoreTable: version $toV is not committed (latest $readV)")
     val target = activeFiles(spark, root, Some(toV))
     val targetDels = activeDeletes(spark, root, Some(toV))
-    val missing = (target ++ targetDels)
+    // the restored head must be FULLY servable: data files, delete
+    // sidecars, AND the schema ref it re-declares — vacuum keeps only
+    // the refs retained versions read, so any of the three can be
+    // gone (a superseded schema ref included)
+    val targetSchema = activeSchemaRef(spark, root, Some(toV))
+    val missing = (target ++ targetDels ++ targetSchema)
       .filterNot(rel => f.exists(new Path(resolve(root, rel))))
     require(missing.isEmpty,
       s"TableLog.restoreTable: version $toV is not restorable — vacuum " +
         s"reclaimed ${missing.size} of its files (e.g. ${missing.head})")
     val current = activeFiles(spark, root, Some(readV))
     val currentDels = activeDeletes(spark, root, Some(readV))
-    val schemaSeq = activeSchemaRef(spark, root, Some(toV)) match {
+    val schemaSeq = targetSchema match {
       case Some(ref) => Seq(ref) // re-declare toV's ref (last one wins)
       case None if activeSchemaRef(spark, root, Some(readV)).isDefined =>
         // rolling back PAST an evolution: the format has no schema
         // tombstone, so re-declare toV's file schema explicitly or the
         // post-toV evolution's ref would stay in force and the
-        // restored rows would null-fill columns toV never had
-        val st = spark.read.parquet(target.map(resolve(root, _)): _*)
+        // restored rows would null-fill columns toV never had. A
+        // full-purge toV has no files to read — derive from the last
+        // non-empty version at or before it (snapshot's own fallback)
+        val srcFiles =
+          if (target.nonEmpty) target
+          else versions(spark, root).filter(_ <= toV).reverse
+            .map(v => activeFiles(spark, root, Some(v)))
+            .find(_.nonEmpty)
+            .getOrElse(sys.error(
+              s"TableLog.restoreTable: no non-empty version at or " +
+                s"before $toV to derive the pre-evolution schema from"))
+        val st = spark.read.parquet(srcFiles.map(resolve(root, _)): _*)
           .schema
         Seq(stageSchema(spark, root, s"restore$toV", st))
       case None => Nil

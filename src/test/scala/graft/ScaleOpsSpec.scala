@@ -1779,6 +1779,70 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(cloneBoom.getMessage.contains("chars_sane"))
   }
 
+  test("TableLog constraints: NULL rows refuse declaration, stale validation conflicts, restore refuses a vacuumed schema ref") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val tmp = Files.createTempDirectory("graft_tablelog_checks2").toString
+    val root = s"$tmp/t"
+    // one NULL-text row in the base: declaring text IS NOT NULL must
+    // refuse under the SAME three-valued rule checkedAppend enforces
+    // (NULL evaluation = not satisfied) — else committed data would
+    // sit in a state its own checked writes are refused for
+    TableLog.commit(spark0, root, TableLog.stageWrite(
+      docs.limit(50).unionByName(docs.limit(1)
+        .withColumn("doc_id", lit(9999999L))
+        .withColumn("text", lit(null).cast("string"))), root, "base"), Nil)
+    val nullRefuse = intercept[IllegalArgumentException] {
+      TableLog.addCheckConstraint(spark0, root, "text_present",
+        "text IS NOT NULL")
+    }
+    assert(nullRefuse.getMessage.contains("existing rows violate"))
+    // a constraint change between a writer's validation and its claim
+    // conflicts (the expectChecks guard): a commit pinned to the
+    // pre-add constraint state must throw, not land unvalidated
+    TableLog.addCheckConstraint(spark0, root, "chars_sane", "n_chars >= 0")
+    val staged = TableLog.stageWrite(docs.limit(3), root, "stale")
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(spark0, root, staged, Nil,
+        expectChecks = Some(Nil)) // validated when NO constraints were in force
+    }
+    // checkpoint folding must not duplicate constraint refs across
+    // cycles (the exponential-growth hazard): two checkpoints without
+    // expiry keep exactly one occurrence of the ref
+    val cp1 = TableLog.writeCheckpoint(spark0, root)
+    TableLog.commit(spark0, root, TableLog.stageWrite(
+      docs.limit(2).withColumn("doc_id", col("doc_id") + 5000000L),
+      root, "extra"), Nil)
+    TableLog.writeCheckpoint(spark0, root)
+    val ckptBody = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_log/${TableLog.versions(spark0, root).last}.ckpt")))
+    assert("constraints/".r.findAllIn(ckptBody).size === 1,
+      s"checkpoint must fold each constraint ref once (cp1=$cp1): $ckptBody")
+    assert(TableLog.activeConstraints(spark0, root).keySet ===
+      Set("chars_sane"))
+    // RESTORE refuses when vacuum reclaimed the superseded schema ref
+    // the target version would re-declare
+    val root2 = s"$tmp/t2"
+    TableLog.commit(spark0, root2,
+      TableLog.stageWrite(docs.limit(20), root2, "base"), Nil) // v0
+    TableLog.evolveAppend(docs.limit(1)
+      .select(col("doc_id"), col("text"), col("n_chars").as("e1")),
+      root2, "evo1") // v1, schema S1
+    TableLog.evolveAppend(docs.limit(1)
+      .select(col("doc_id"), col("text"), col("n_chars").as("e2")),
+      root2, "evo2") // v2, schema S2
+    TableLog.vacuum(spark0, root2,
+      retainFrom = TableLog.versions(spark0, root2).last) // reclaims S1
+    val schemaGone = intercept[IllegalArgumentException] {
+      TableLog.restoreTable(spark0, root2, toV = 1L)
+    }
+    assert(schemaGone.getMessage.contains("not restorable"),
+      "restore must refuse a target whose schema ref vacuum reclaimed")
+    // the surviving head still reads exactly
+    assert(TableLog.snapshot(spark0, root2).count() === 22)
+  }
+
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
     import graft.operators.TableLog
     val spark0 = spark
