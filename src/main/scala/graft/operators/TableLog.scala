@@ -1382,6 +1382,79 @@ object TableLog {
     doomed
   }
 
+  /** Reclaim ORPHANED staged directories — stage dirs whose commit
+    * never happened (a crashed writer between [[stageWrite]] and
+    * [[commit]], a conflict-refused rewrite that was not retried).
+    * [[vacuum]] cannot see them: it reads the log, and an orphan is
+    * by definition in NO entry — the one storage leak the log cannot
+    * account for (the stageWrite scaladoc's "cost only storage until
+    * manually cleaned"; Delta's VACUUM walks the directory for the
+    * same reason). This is the ONE operation that lists the data
+    * directories — O(#files) listing, run it on the maintenance
+    * schedule, never on the read path. A stage dir is orphaned when
+    * NONE of its files appear in any log entry or checkpoint
+    * (add/remove/deletes/cdf/zmap — removed files are still
+    * referenced history until vacuum reclaims them) AND its
+    * modification time is older than `olderThanMs` — the age guard
+    * keeps an in-flight stage→commit race out of the doomed set (pick
+    * an horizon comfortably above your longest commit latency).
+    * Un-referenced schema/constraint sidecar FILES (a crashed
+    * [[evolveAppend]]) reclaim the same way. Returns the deleted
+    * root-relative paths. */
+  def gcOrphans(spark: SparkSession, root: String,
+                olderThanMs: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val referenced: Set[String] = (versions(spark, root).flatMap { v =>
+      val e = readEntry(f, entryPath(root, v))
+      e.add ++ e.remove ++ e.deletes ++ e.cdf ++ e.zmap ++ e.schema ++ e.checks
+    } ++ checkpoints(f, root).flatMap { cv =>
+      val c = readCheckpoint(f, root, cv)
+      c.files ++ c.deletes ++ c.zmap ++ c.schema ++ c.checks
+    }).toSet
+    // listStatus returns SCHEME-QUALIFIED paths (file:/...); compare
+    // in scheme-free URI-path space or nothing matches the log's
+    // root-relative refs and every committed dir looks orphaned
+    val rootAbs = f.makeQualified(new Path(root)).toUri.getPath
+    def rel(p: Path): String =
+      p.toUri.getPath.stripPrefix(rootAbs).stripPrefix("/")
+    // stage DIRS under data/ zmap/ cdf/: the unit of staging (and so
+    // of orphanhood) is a `<name>-<uuid>` dir; container dirs that
+    // are not themselves stages (data/deletes/) recurse so each
+    // nested stage reclaims independently. A stage dir is orphaned
+    // only when NO file in it is referenced.
+    val StageDir = ".*-[0-9a-f]{8}".r
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
+    def candidates(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        if (StageDir.pattern.matcher(st.getPath.getName).matches()) Seq(st)
+        else candidates(st.getPath)
+      }
+    val dirOrphans = Seq("data", "zmap", "cdf").flatMap { sub =>
+      val d = new Path(s"$root/$sub")
+      if (!f.exists(d)) Nil
+      else candidates(d).flatMap { st =>
+        val anyRef = walk(st.getPath).exists(p => referenced(rel(p)))
+        if (!anyRef && st.getModificationTime < cutoff) Seq(st.getPath)
+        else Nil
+      }
+    }
+    // sidecar FILES under schema/ constraints/
+    val fileOrphans = Seq("schema", "constraints").flatMap { sub =>
+      val d = new Path(s"$root/$sub")
+      if (!f.exists(d)) Nil
+      else f.listStatus(d).toSeq.filter(s => s.isFile &&
+        !referenced(rel(s.getPath)) && s.getModificationTime < cutoff)
+        .map(_.getPath)
+    }
+    val doomed = (dirOrphans ++ fileOrphans).map(rel).sorted
+    dirOrphans.foreach(p => f.delete(p, true))
+    fileOrphans.foreach(p => f.delete(p, false))
+    doomed
+  }
+
   /** SHALLOW CLONE (the Delta `CLONE` shape): materialize `dstRoot`
     * as an independent table whose first commit REFERENCES the source
     * table's active files at `asOf` IN PLACE — zero data I/O, O(log)

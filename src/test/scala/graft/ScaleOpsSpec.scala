@@ -1843,6 +1843,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(TableLog.snapshot(spark0, root2).count() === 22)
   }
 
+  test("TableLog.gcOrphans reclaims never-committed stage dirs and nothing else") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_gc").toString + "/t"
+    // one committed write, one ORPHANED stage (crashed writer), one
+    // orphaned delete-sidecar stage nested under data/deletes/
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(docs.limit(30), root, "base"), Nil)
+    TableLog.stageWrite(docs.limit(10), root, "crashed")
+    TableLog.stageWrite(docs.limit(3).select(col("doc_id")), root,
+      "deletes/crashedDel")
+    val before = TableLog.snapshot(spark0, root).count()
+    // a generous age guard spares EVERYTHING (the in-flight-stage race)
+    assert(TableLog.gcOrphans(spark0, root, olderThanMs = 3600000L).isEmpty)
+    // age 0: exactly the two orphans reclaim; the committed files stay
+    val doomed = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(doomed.size === 2 && doomed.exists(_.contains("crashed-")) &&
+      doomed.exists(_.contains("crashedDel-")), s"got $doomed")
+    assert(TableLog.snapshot(spark0, root).count() === before,
+      "gc must never touch committed data")
+    // REMOVED-but-unvacuumed history survives gc (still referenced):
+    // compact rewrites the table; the old generation is in remove
+    // lists, not orphaned
+    TableLog.compactTable(spark0, root, "doc_id", "compact")
+    assert(TableLog.gcOrphans(spark0, root, olderThanMs = -1000L).isEmpty,
+      "replaced-generation files are log history for vacuum, not orphans")
+    assert(TableLog.snapshot(spark0, root, Some(0L)).count() === before,
+      "time travel below the compaction must still serve after gc")
+  }
+
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
     import graft.operators.TableLog
     val spark0 = spark
