@@ -630,6 +630,15 @@ object TableLog {
       replay.flatMap(v => readEntry(f, entryPath(root, v)).checks)
   }
 
+  /** The constraint-change refs in force (public form of the fold
+    * input): the read-set an external checked writer — e.g.
+    * [[graft.streaming.CheckedIngest]] — pins via [[commit]]'s
+    * `expectChecks` so its validation can't go stale between split
+    * and claim. */
+  def constraintRefs(spark: SparkSession, root: String,
+                     asOf: Option[Long] = None): Seq[String] =
+    activeCheckRefs(fs(spark, root), root, asOf)
+
   def activeConstraints(spark: SparkSession, root: String,
                         asOf: Option[Long] = None): Map[String, String] = {
     val f = fs(spark, root)

@@ -733,6 +733,68 @@ class StreamingSpec extends AnyFunSuite {
       Set((2L, 5L, "added")))
   }
 
+  test("CheckedIngest: constraints gate the stream, violations dead-letter, replay exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_checked_ingest")
+      .toFile.getAbsolutePath
+    val root = s"$dir/table"; val dead = s"$dir/dead"
+    TableLog.commit(spark, root,
+      TableLog.stageWrite(Seq((1L, "aa")).toDF("doc_id", "text"), root,
+        "base"), Nil)
+    TableLog.addCheckConstraint(spark, root, "text_present",
+      "text IS NOT NULL")
+    TableLog.addCheckConstraint(spark, root, "text_short",
+      "length(text) <= 4")
+    val mem = MemoryStream[(Long, String)]
+    val snk = graft.streaming.CheckedIngest.sink(root, dead, "doc_id")
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(snk)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    mem.addData((2L, "bb"), (3L, "cc")) // all conforming
+    q.processAllAvailable()
+    mem.addData((4L, null), (5L, "toolong"), (6L, "dd")) // 2 violations
+    q.processAllAvailable()
+    q.stop()
+    // main table: base + the conforming rows only
+    val main = TableLog.snapshot(spark, root)
+    assert(main.select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 6L))
+    // dead letter: exactly the violations, each naming its refuser
+    val dl = TableLog.snapshot(spark, dead)
+    val byId = dl.collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+      r.getString(r.fieldIndex("_violated"))).toMap
+    // NULL text fails BOTH rules (length(NULL) is NULL = unsatisfied
+    // under the format's three-valued contract) — the _violated list
+    // names every refuser
+    assert(byId === Map(4L -> "text_present,text_short",
+      5L -> "text_short"))
+    assert(dl.columns.contains("_batch_id"))
+    // the change feed carries ONLY the conforming rows
+    val feed = TableLog.changes(spark, root,
+      fromV = 2L, toV = TableLog.versions(spark, root).last,
+      "doc_id", "text")
+    assert(feed.select("doc_id").as[Long].collect().toSet ===
+      Set(2L, 3L, 6L))
+    // replay of the mixed batch: both halves no-op on their tags
+    val vMain = TableLog.versions(spark, root)
+    val vDead = TableLog.versions(spark, dead)
+    snk(Seq((4L, null.asInstanceOf[String]), (5L, "toolong"), (6L, "dd"))
+      .toDF("doc_id", "text"), 1L)
+    assert(TableLog.versions(spark, root) === vMain)
+    assert(TableLog.versions(spark, dead) === vDead)
+    // a batch whose rows ALL violate still claims its main tag (empty
+    // commit), so ITS replay is a no-op too
+    snk(Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"), 2L)
+    val vMain2 = TableLog.versions(spark, root)
+    snk(Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"), 2L)
+    assert(TableLog.versions(spark, root) === vMain2)
+    assert(TableLog.snapshot(spark, dead)
+      .filter(col("doc_id") === 7L).count() === 1L)
+    assert(TableLog.snapshot(spark, root).count() === 4L)
+  }
+
   test("MergeIngest: CDC batches apply as bucket-pruned merges, exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
