@@ -639,20 +639,42 @@ object TableLog {
                      asOf: Option[Long] = None): Seq[String] =
     activeCheckRefs(fs(spark, root), root, asOf)
 
-  def activeConstraints(spark: SparkSession, root: String,
-                        asOf: Option[Long] = None): Map[String, String] = {
+  /** Fold an explicit ref list into the in-force name→expr map — the
+    * refs-first form lets a checked writer read the log ONCE (refs
+    * for the `expectChecks` pin, the fold from those same refs), so
+    * the validated set and the pinned set can never diverge. */
+  def constraintsFor(spark: SparkSession, root: String,
+                     refs: Seq[String]): Map[String, String] = {
     val f = fs(spark, root)
-    activeCheckRefs(f, root, asOf)
-      .foldLeft(Map.empty[String, String]) { (acc, rel) =>
-        val body = readFully(f, new Path(resolve(root, rel)))
-        val name = "\"cname\":\"(.*?)\"".r.findFirstMatchIn(body)
-          .map(_.group(1))
-          .getOrElse(sys.error(s"TableLog: corrupt constraint sidecar $rel"))
-        if (body.contains("\"drop\":true")) acc - name
-        else acc + (name -> "\"expr\":\"(.*?)\"".r.findFirstMatchIn(body)
-          .map(_.group(1))
-          .getOrElse(sys.error(s"TableLog: constraint $rel lacks expr")))
-      }
+    refs.foldLeft(Map.empty[String, String]) { (acc, rel) =>
+      val body = readFully(f, new Path(resolve(root, rel)))
+      val name = "\"cname\":\"(.*?)\"".r.findFirstMatchIn(body)
+        .map(_.group(1))
+        .getOrElse(sys.error(s"TableLog: corrupt constraint sidecar $rel"))
+      if (body.contains("\"drop\":true")) acc - name
+      else acc + (name -> "\"expr\":\"(.*?)\"".r.findFirstMatchIn(body)
+        .map(_.group(1))
+        .getOrElse(sys.error(s"TableLog: constraint $rel lacks expr")))
+    }
+  }
+
+  def activeConstraints(spark: SparkSession, root: String,
+                        asOf: Option[Long] = None): Map[String, String] =
+    constraintsFor(spark, root,
+      activeCheckRefs(fs(spark, root), root, asOf))
+
+  /** The version whose entry carries idempotence tag `tag`, if its
+    * entry is still live (expired entries' tags survive only in the
+    * checkpoint fold, version-less). A replaying committer uses this
+    * to recover the STATE ITS FIRST DELIVERY COMMITTED UNDER —
+    * [[graft.streaming.CheckedIngest]] re-judges a crash-split batch
+    * with the constraints asOf this version, not today's. O(#entries)
+    * driver reads; replay-path only. */
+  def versionOfTag(spark: SparkSession, root: String,
+                   tag: String): Option[Long] = {
+    val f = fs(spark, root)
+    versions(spark, root)
+      .find(v => readEntry(f, entryPath(root, v)).tag.contains(tag))
   }
 
   /** Stage a tiny JSON sidecar under `<sub>/` with a uuid-unique name
@@ -734,12 +756,12 @@ object TableLog {
   def checkedAppend(df: DataFrame, root: String, name: String): Long = {
     import org.apache.spark.sql.functions.{expr => sqlExpr, not, when, lit, sum, coalesce}
     val spark = df.sparkSession
-    // pin the constraint refs this validation reads through: a
-    // constraint added between the validation and the claim would let
-    // the batch land unvalidated (the TOCTOU the expectChecks guard
-    // closes — the commit conflicts and the caller re-validates)
+    // ONE log read: the refs are both the fold input (what the batch
+    // is validated against) and the `expectChecks` pin (what the
+    // commit requires unchanged) — reading them twice could validate
+    // against a newer set than the pin and conflict spuriously
     val readRefs = activeCheckRefs(fs(spark, root), root, None)
-    val cs = activeConstraints(spark, root).toSeq.sortBy(_._1)
+    val cs = constraintsFor(spark, root, readRefs).toSeq.sortBy(_._1)
     if (cs.nonEmpty) {
       val counts = df.select(cs.map { case (n, e) =>
         // NULL check results are violations too (three-valued logic:
@@ -841,15 +863,22 @@ object TableLog {
         // post-toV evolution's ref would stay in force and the
         // restored rows would null-fill columns toV never had. A
         // full-purge toV has no files to read — derive from the last
-        // non-empty version at or before it (snapshot's own fallback)
-        val srcFiles =
+        // non-empty version at or before it (snapshot's own fallback).
+        // Those earlier files are NOT in the restorability check
+        // (they are not part of toV's state), so existence-filter and
+        // refuse loudly when vacuum took them all — never surface a
+        // raw path error from inside the commit
+        val srcFiles = (
           if (target.nonEmpty) target
-          else versions(spark, root).filter(_ <= toV).reverse
-            .map(v => activeFiles(spark, root, Some(v)))
-            .find(_.nonEmpty)
-            .getOrElse(sys.error(
+          else lastNonEmptyFiles(spark, root, Some(toV)).getOrElse(
+            sys.error(
               s"TableLog.restoreTable: no non-empty version at or " +
                 s"before $toV to derive the pre-evolution schema from"))
+        ).filter(rel => f.exists(new Path(resolve(root, rel))))
+        require(srcFiles.nonEmpty,
+          s"TableLog.restoreTable: version $toV is not restorable — " +
+            "vacuum reclaimed every file its pre-evolution schema " +
+            "could be derived from")
         val st = spark.read.parquet(srcFiles.map(resolve(root, _)): _*)
           .schema
         Seq(stageSchema(spark, root, s"restore$toV", st))
@@ -862,6 +891,17 @@ object TableLog {
       tag = tag, schema = schemaSeq,
       expectActive = current, expectDeletes = Some(currentDels),
       expectNoConflictingAdds = Some((readV, _ => true)))
+  }
+
+  /** The active file set of the most recent non-empty version at or
+    * before `upTo` — the empty-snapshot schema fallback shared by
+    * [[snapshot]] and [[restoreTable]]. */
+  private def lastNonEmptyFiles(spark: SparkSession, root: String,
+                                upTo: Option[Long]): Option[Seq[String]] = {
+    val vs = versions(spark, root)
+    upTo.fold(vs)(v => vs.filter(_ <= v)).reverse
+      .map(v => activeFiles(spark, root, Some(v)))
+      .find(_.nonEmpty)
   }
 
   /** TIME-TRAVEL read: the table exactly as of version `asOf`
@@ -887,11 +927,7 @@ object TableLog {
       else {
         // legal state (a full-purge commit): serve the empty frame
         // with the schema of the most recent non-empty version
-        val vs = versions(spark, root)
-        val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
-        val lastNonEmpty = upTo.reverse
-          .map(v => activeFiles(spark, root, Some(v)))
-          .find(_.nonEmpty)
+        val lastNonEmpty = lastNonEmptyFiles(spark, root, asOf)
           .getOrElse(sys.error(
             s"TableLog: $root has no non-empty version at or before $asOf"))
         reader.parquet(resolve(root, lastNonEmpty.head)).limit(0)
@@ -1450,11 +1486,16 @@ object TableLog {
         else Nil
       }
     }
-    // sidecar FILES under schema/ constraints/
+    // sidecar FILES under schema/ constraints/ — recursive, because
+    // slash-bearing stage names (evolveAppend(df, root, "stream/b5"))
+    // nest them in subdirectories
+    def walkStatus(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walkStatus(s.getPath) else Seq(s))
     val fileOrphans = Seq("schema", "constraints").flatMap { sub =>
       val d = new Path(s"$root/$sub")
       if (!f.exists(d)) Nil
-      else f.listStatus(d).toSeq.filter(s => s.isFile &&
+      else walkStatus(d).filter(s =>
         !referenced(rel(s.getPath)) && s.getModificationTime < cutoff)
         .map(_.getPath)
     }

@@ -26,20 +26,47 @@ import graft.operators.TableLog
   *
   * Exactly-once on BOTH sides: the two commits carry separate
   * idempotence tags (`<streamId>-b<id>` / `<streamId>-dead-b<id>`),
-  * so a crash between them replays only the missing half. The main
-  * commit pins the constraint refs the split was computed under
-  * ([[TableLog.constraintRefs]] → `expectChecks`): a constraint
-  * added or dropped mid-batch by a concurrent writer CONFLICTS, and
-  * the batch re-reads and re-splits instead of landing rows
-  * validated against a stale rule set. (A crash-replay likewise
-  * re-splits under the constraints THEN in force — the correct
-  * semantics: the gate is the table's current rules, not the rules
-  * of first delivery.)
+  * so a crash between them replays only the missing half. The split
+  * is judged under ONE constraint set per batch, forever: the main
+  * commit pins the refs the split read ([[TableLog.constraintRefs]]
+  * → `expectChecks`), so a constraint changed mid-batch CONFLICTS
+  * and the batch re-splits before first delivery — and a crash-replay
+  * that finds the main half committed re-derives the SAME split by
+  * reading the constraints as of the main commit's own version
+  * ([[TableLog.versionOfTag]]), never today's rules. Without that, a
+  * constraint dropped between crash and replay would re-classify the
+  * dead rows as good and skip both commits — rows in NEITHER table.
   *
   * At 100 TB: the validation adds zero extra passes (the verdict
   * columns ride the same scan that stages the batch) and the
   * dead-letter write is O(violations). */
 object CheckedIngest {
+
+  private def split(batch: DataFrame, cs: Seq[(String, String)],
+                    batchId: Long): (DataFrame, DataFrame) = {
+    val verdicts = cs.map { case (n, e) =>
+      coalesce(expr(e).cast("boolean"), lit(false)).as(s"_ok_$n")
+    }
+    val okCols = cs.map(c => s"_ok_${c._1}")
+    val flagged = batch.select(col("*") +: verdicts: _*)
+    val okAll = okCols.map(col).foldLeft(lit(true))(_ && _)
+    val good = flagged.filter(okAll).drop(okCols: _*)
+    val bad = flagged.filter(!okAll)
+      .withColumn("_violated", concat_ws(",",
+        cs.map(c => when(!col(s"_ok_${c._1}"), lit(c._1))): _*))
+      .drop(okCols: _*)
+      .withColumn("_batch_id", lit(batchId))
+    (good, bad)
+  }
+
+  private def commitDead(bad: DataFrame, deadRoot: String,
+                         streamId: String, batchId: Long,
+                         deadTag: String): Unit =
+    if (!bad.isEmpty)
+      TableLog.commit(bad.sparkSession, deadRoot,
+        add = TableLog.stageWrite(bad, deadRoot,
+          s"$streamId/dead-b$batchId"),
+        remove = Nil, tag = Some(deadTag))
 
   /** The foreachBatch sink. `root` must already have its base commit
     * (constraints attach to a committed log); `deadRoot` is created
@@ -58,59 +85,62 @@ object CheckedIngest {
               TableLog.committedTags(sp, deadRoot)).toSeq: _*)
         val tag = s"$streamId-b$batchId"
         val deadTag = s"$streamId-dead-b$batchId"
-        var attempt = 0
-        var done = seen.contains(tag) && seen.contains(deadTag)
-        while (!done && attempt < 8) {
-          val refs = TableLog.constraintRefs(sp, root)
-          val cs = TableLog.activeConstraints(sp, root).toSeq.sortBy(_._1)
-          val verdicts = cs.map { case (n, e) =>
-            coalesce(expr(e).cast("boolean"), lit(false)).as(s"_ok_$n")
+        if (seen.contains(tag)) {
+          // main half already landed (crash between the two commits,
+          // or a replay after both): finish the DEAD half under the
+          // constraints the main commit was pinned to — its own
+          // version's rules — so the split is identical to first
+          // delivery even if constraints changed since
+          if (!seen.contains(deadTag)) {
+            val v = TableLog.versionOfTag(sp, root, tag).getOrElse(
+              sys.error(s"CheckedIngest: tag $tag committed but its " +
+                s"entry expired — log retention passed a batch whose " +
+                "dead-letter half never landed; re-seed the stream"))
+            val cs = TableLog.activeConstraints(sp, root, Some(v))
+              .toSeq.sortBy(_._1)
+            val (_, bad) = split(batch, cs, batchId)
+            commitDead(bad, deadRoot, streamId, batchId, deadTag)
+            seen += deadTag
           }
-          val okCols = cs.map(c => s"_ok_${c._1}")
-          val flagged = batch.select(col("*") +: verdicts: _*).persist()
-          try {
-            val okAll = okCols.map(col).foldLeft(lit(true))(_ && _)
-            val good = flagged.filter(okAll).drop(okCols: _*)
-            val bad = flagged.filter(!okAll)
-              .withColumn("_violated", concat_ws(",",
-                cs.map(c => when(!col(s"_ok_${c._1}"), lit(c._1))): _*))
-              .drop(okCols: _*)
-              .withColumn("_batch_id", lit(batchId))
+        } else {
+          var attempt = 0
+          var done = false
+          while (!done && attempt < 8) {
+            // ONE log read per attempt: the refs are both the fold
+            // input and the expectChecks pin (reading twice could
+            // validate against a newer set than the pin and conflict
+            // spuriously on every batch)
+            val refs = TableLog.constraintRefs(sp, root)
+            val cs = TableLog.constraintsFor(sp, root, refs)
+              .toSeq.sortBy(_._1)
+            val (good, bad) = split(batch, cs, batchId)
+            val flagged = good.persist()
             try {
-              if (!seen.contains(tag)) {
-                // commit even when good is EMPTY: the tag must land
-                // so a crash-replay cannot re-split and re-judge this
-                // batch under later rules
+              try {
+                // commit even when good is EMPTY: the tag must land so
+                // a crash-replay re-judges under THIS version's rules
                 TableLog.commit(sp, root,
-                  add = TableLog.stageWrite(good, root,
+                  add = TableLog.stageWrite(flagged, root,
                     s"$streamId/b$batchId"),
                   remove = Nil,
                   cdf = TableLog.stageFeed(
-                    good.select(col(idCol), lit("added").as("status")),
+                    flagged.select(col(idCol), lit("added").as("status")),
                     root, s"$streamId/b$batchId"),
                   tag = Some(tag),
                   expectChecks = Some(refs))
                 seen += tag
-              }
-              if (!seen.contains(deadTag)) {
-                if (!bad.isEmpty)
-                  TableLog.commit(sp, deadRoot,
-                    add = TableLog.stageWrite(bad, deadRoot,
-                      s"$streamId/dead-b$batchId"),
-                    remove = Nil, tag = Some(deadTag))
-                // zero violations: nothing to commit, nothing a
-                // replay could duplicate — the in-memory mark suffices
+                commitDead(bad, deadRoot, streamId, batchId, deadTag)
                 seen += deadTag
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  attempt += 1 // constraint set changed mid-split: redo
               }
-              done = true
-            } catch {
-              case _: java.util.ConcurrentModificationException =>
-                attempt += 1 // constraint set changed mid-split: redo
-            }
-          } finally flagged.unpersist()
+            } finally flagged.unpersist()
+          }
+          require(done,
+            s"CheckedIngest: batch $batchId lost $attempt constraint races")
         }
-        require(done,
-          s"CheckedIngest: batch $batchId lost $attempt constraint races")
       }
   }
 }

@@ -793,6 +793,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(TableLog.snapshot(spark, dead)
       .filter(col("doc_id") === 7L).count() === 1L)
     assert(TableLog.snapshot(spark, root).count() === 4L)
+    // the WORST crash window: main half committed, dead half not, and
+    // a constraint DROPPED before the replay — the replay must judge
+    // under the rules the main commit landed with (versionOfTag), so
+    // the violator still dead-letters instead of vanishing from BOTH
+    // tables (re-split under post-drop rules would call it "good",
+    // then skip it because the main tag is already claimed)
+    val b3 = Seq((8L, "ee"), (9L, "waytoolong")).toDF("doc_id", "text")
+    val goodHalf = b3.filter(length(col("text")) <= 4)
+    TableLog.commit(spark, root,
+      TableLog.stageWrite(goodHalf, root, "checked/b3"), Nil,
+      cdf = TableLog.stageFeed(
+        goodHalf.select(col("doc_id"), lit("added").as("status")),
+        root, "checked/b3"),
+      tag = Some("checked-b3"))
+    TableLog.dropCheckConstraint(spark, root, "text_short")
+    val snk2 = graft.streaming.CheckedIngest.sink(root, dead, "doc_id")
+    snk2(b3, 3L)
+    assert(TableLog.snapshot(spark, dead)
+      .filter(col("doc_id") === 9L).select("_violated")
+      .head().getString(0) === "text_short",
+      "the dead half must be judged under the main commit's rules")
+    assert(TableLog.snapshot(spark, root)
+      .filter(col("doc_id") === 9L).count() === 0L)
+    assert(TableLog.snapshot(spark, root)
+      .filter(col("doc_id") === 8L).count() === 1L)
   }
 
   test("MergeIngest: CDC batches apply as bucket-pruned merges, exactly-once") {
