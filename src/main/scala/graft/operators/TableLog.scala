@@ -788,7 +788,9 @@ object TableLog {
     * not do), the new rows land as ordinary immutable files, and
     * every read at or past the commit null-fills the new columns for
     * pre-evolution files. Returns the new version. */
-  def evolveAppend(df: DataFrame, root: String, name: String): Long = {
+  def evolveAppend(df: DataFrame, root: String, name: String,
+                   tag: Option[String] = None,
+                   cdf: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     // pin the schema ref this widening derives from: two concurrent
     // evolutions would otherwise each widen the SAME base and the
@@ -815,9 +817,16 @@ object TableLog {
     }
     val merged = org.apache.spark.sql.types.StructType(
       cur ++ df.schema.filterNot(fld => byName.contains(fld.name)))
+    // no new columns → no schema re-declare: a plain append must not
+    // spray redundant schema sidecars (a drift-tolerant streaming
+    // sink calls this every batch) nor flip a never-evolved table
+    // into declared-schema mode
+    val schemaSeq =
+      if (merged == cur) Nil
+      else Seq(stageSchema(spark, root, name, merged))
     val files = stageWrite(df, root, name)
     commit(spark, root, add = files, remove = Nil,
-      schema = Seq(stageSchema(spark, root, name, merged)),
+      cdf = cdf, tag = tag, schema = schemaSeq,
       expectSchema = Some(refAtRead))
   }
 

@@ -820,6 +820,50 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("doc_id") === 8L).count() === 1L)
   }
 
+  test("EvolvingIngest: schema drift widens atomically, reverts append cleanly, types refuse, replay exactly-once") {
+    import spark.implicits._
+    import graft.operators.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolving_ingest")
+      .toFile.getAbsolutePath
+    val root = s"$dir/table"
+    TableLog.commit(spark, root,
+      TableLog.stageWrite(Seq((1L, "aa")).toDF("doc_id", "text"), root,
+        "base"), Nil)
+    val snk = graft.streaming.EvolvingIngest.sink(root, "doc_id")
+    // drift: batch 0 carries a NEW column — rows + widened schema in
+    // one commit; the base row null-fills it
+    snk(Seq((2L, "bb", "en")).toDF("doc_id", "text", "lang"), 0L)
+    val snap = TableLog.snapshot(spark, root)
+    assert(snap.columns.toSet === Set("doc_id", "text", "lang"))
+    assert(snap.filter(col("doc_id") === 1L).select("lang")
+      .head().isNullAt(0), "pre-drift rows must null-fill the new column")
+    // a REVERTED producer (old shape) appends without disturbing the
+    // declared schema — and without spraying a redundant schema ref
+    val refsBefore = TableLog.versions(spark, root)
+    snk(Seq((3L, "cc")).toDF("doc_id", "text"), 1L)
+    assert(TableLog.snapshot(spark, root).columns.toSet ===
+      Set("doc_id", "text", "lang"))
+    assert(TableLog.snapshot(spark, root)
+      .filter(col("doc_id") === 3L).select("lang").head().isNullAt(0))
+    // replay: both batches no-op on their tags
+    val vs = TableLog.versions(spark, root)
+    snk(Seq((2L, "bb", "en")).toDF("doc_id", "text", "lang"), 0L)
+    snk(Seq((3L, "cc")).toDF("doc_id", "text"), 1L)
+    assert(TableLog.versions(spark, root) === vs)
+    // a TYPE change is poison, not drift: the stream fails loudly
+    intercept[IllegalArgumentException] {
+      snk(Seq((4L, 99L)).toDF("doc_id", "text"), 2L)
+    }
+    assert(TableLog.snapshot(spark, root).count() === 3L)
+    // the change feed stayed O(delta) through the drift
+    val feed = TableLog.changes(spark, root,
+      fromV = refsBefore.head, toV = TableLog.versions(spark, root).last,
+      "doc_id", "text")
+    assert(feed.select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
+    assert(feed.inputFiles.forall(_.contains("/cdf/")),
+      "drift ingest must keep serving the feed from sidecars")
+  }
+
   test("MergeIngest: CDC batches apply as bucket-pruned merges, exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
