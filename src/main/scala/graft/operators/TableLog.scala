@@ -1478,9 +1478,9 @@ object TableLog {
     // nested stage reclaims independently. A stage dir is orphaned
     // only when NO file in it is referenced.
     val StageDir = ".*-[0-9a-f]{8}".r
-    def walk(p: Path): Seq[Path] =
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.flatMap(s =>
-        if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
+        if (s.isDirectory) walk(s.getPath) else Seq(s))
     def candidates(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
         if (StageDir.pattern.matcher(st.getPath.getName).matches()) Seq(st)
@@ -1490,7 +1490,7 @@ object TableLog {
       val d = new Path(s"$root/$sub")
       if (!f.exists(d)) Nil
       else candidates(d).flatMap { st =>
-        val anyRef = walk(st.getPath).exists(p => referenced(rel(p)))
+        val anyRef = walk(st.getPath).exists(s => referenced(rel(s.getPath)))
         if (!anyRef && st.getModificationTime < cutoff) Seq(st.getPath)
         else Nil
       }
@@ -1498,19 +1498,34 @@ object TableLog {
     // sidecar FILES under schema/ constraints/ — recursive, because
     // slash-bearing stage names (evolveAppend(df, root, "stream/b5"))
     // nest them in subdirectories
-    def walkStatus(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      f.listStatus(p).toSeq.flatMap(s =>
-        if (s.isDirectory) walkStatus(s.getPath) else Seq(s))
     val fileOrphans = Seq("schema", "constraints").flatMap { sub =>
       val d = new Path(s"$root/$sub")
       if (!f.exists(d)) Nil
-      else walkStatus(d).filter(s =>
+      else walk(d).filter(s =>
         !referenced(rel(s.getPath)) && s.getModificationTime < cutoff)
         .map(_.getPath)
     }
     val doomed = (dirOrphans ++ fileOrphans).map(rel).sorted
     dirOrphans.foreach(p => f.delete(p, true))
     fileOrphans.foreach(p => f.delete(p, false))
+    // reclaim now-EMPTY sidecar subdirectories (this pass's deletions
+    // included): a long-lived evolving stream whose conflict-refused
+    // attempts orphan schema/<stream>/… sidecars would otherwise
+    // accumulate empty dirs no path ever removes, inflating every
+    // future listing. No age gate — an empty dir holds no data, and a
+    // concurrent stage re-creates parents on write (FS create mkdirs).
+    def pruneEmpty(p: Path): Boolean = {
+      val live = f.listStatus(p).toSeq.count { s =>
+        if (s.isDirectory) !pruneEmpty(s.getPath) else true
+      }
+      live == 0 && f.delete(p, false)
+    }
+    Seq("schema", "constraints").foreach { sub =>
+      val d = new Path(s"$root/$sub")
+      if (f.exists(d))
+        f.listStatus(d).toSeq.filter(_.isDirectory)
+          .foreach(s => pruneEmpty(s.getPath))
+    }
     doomed
   }
 

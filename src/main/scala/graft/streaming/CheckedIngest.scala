@@ -17,16 +17,24 @@ import graft.operators.TableLog
   *
   * Per batch, ONE O(batch) map-only pass computes every constraint's
   * verdict per row (NULL evaluation = violation — [[TableLog
-  * .checkedAppend]]'s three-valued rule); conforming rows commit to
-  * the main table with a commit-time change feed, violating rows
-  * commit to the dead-letter table widened with `_violated`
-  * (comma-joined refusing constraint names) and `_batch_id`. BOTH
-  * tables are TableLog tables — the dead letter is time-travelable
-  * evidence, and re-ingesting repaired rows is a snapshot query away.
+  * .checkedAppend]]'s three-valued rule); the verdict frame is
+  * persisted so BOTH halves split from the SAME evaluation — a
+  * nondeterministically recomputed source could otherwise judge a row
+  * good at main-commit time and bad at dead-commit time, landing it
+  * in neither table. Conforming rows commit to the main table with a
+  * commit-time change feed, violating rows commit to the dead-letter
+  * table widened with `_violated` (comma-joined refusing constraint
+  * names) and `_batch_id`. BOTH tables are TableLog tables — the dead
+  * letter is time-travelable evidence, and re-ingesting repaired rows
+  * is a snapshot query away.
   *
   * Exactly-once on BOTH sides: the two commits carry separate
   * idempotence tags (`<streamId>-b<id>` / `<streamId>-dead-b<id>`),
-  * so a crash between them replays only the missing half. The split
+  * and the dead tag is claimed EVEN WHEN the batch had no violations
+  * (an empty commit) — the dead tag is the batch's COMPLETION marker,
+  * so a replay after log retention expired the main entry can tell
+  * "nothing was lost" from "the dead half never landed". A crash
+  * between the two commits replays only the missing half. The split
   * is judged under ONE constraint set per batch, forever: the main
   * commit pins the refs the split read ([[TableLog.constraintRefs]]
   * → `expectChecks`), so a constraint changed mid-batch CONFLICTS
@@ -42,104 +50,109 @@ import graft.operators.TableLog
   * dead-letter write is O(violations). */
 object CheckedIngest {
 
-  private def split(batch: DataFrame, cs: Seq[(String, String)],
-                    batchId: Long): (DataFrame, DataFrame) = {
+  private def okName(n: String) = s"_ok_$n"
+  // constraint names may legally contain '.' (TableLog.validatePaths
+  // admits [A-Za-z0-9._/=-]) — backtick-quote so col() never
+  // dot-parses them as nested-field access
+  private def okCol(n: String) = col(s"`${okName(n)}`")
+
+  /** ONE map-only pass: every constraint's verdict per row, as
+    * boolean columns riding the batch. */
+  private def flag(batch: DataFrame, cs: Seq[(String, String)]): DataFrame = {
     val verdicts = cs.map { case (n, e) =>
-      coalesce(expr(e).cast("boolean"), lit(false)).as(s"_ok_$n")
+      coalesce(expr(e).cast("boolean"), lit(false)).as(okName(n))
     }
-    val okCols = cs.map(c => s"_ok_${c._1}")
-    val flagged = batch.select(col("*") +: verdicts: _*)
-    val okAll = okCols.map(col).foldLeft(lit(true))(_ && _)
-    val good = flagged.filter(okAll).drop(okCols: _*)
-    val bad = flagged.filter(!okAll)
-      .withColumn("_violated", concat_ws(",",
-        cs.map(c => when(!col(s"_ok_${c._1}"), lit(c._1))): _*))
-      .drop(okCols: _*)
-      .withColumn("_batch_id", lit(batchId))
-    (good, bad)
+    batch.select(col("*") +: verdicts: _*)
   }
 
+  private def okAll(cs: Seq[(String, String)]) =
+    cs.map(c => okCol(c._1)).foldLeft(lit(true))(_ && _)
+
+  private def goodOf(flagged: DataFrame, cs: Seq[(String, String)]) =
+    flagged.filter(okAll(cs)).drop(cs.map(c => okName(c._1)): _*)
+
+  private def badOf(flagged: DataFrame, cs: Seq[(String, String)],
+                    batchId: Long) =
+    flagged.filter(!okAll(cs))
+      .withColumn("_violated", concat_ws(",",
+        cs.map(c => when(!okCol(c._1), lit(c._1))): _*))
+      .drop(cs.map(c => okName(c._1)): _*)
+      .withColumn("_batch_id", lit(batchId))
+
+  /** Claims `deadTag` unconditionally: with violations the dead rows
+    * land; without, an EMPTY tagged commit records that the batch
+    * completed clean (see the completion-marker contract above). */
   private def commitDead(bad: DataFrame, deadRoot: String,
                          streamId: String, batchId: Long,
                          deadTag: String): Unit =
-    if (!bad.isEmpty)
-      TableLog.commit(bad.sparkSession, deadRoot,
-        add = TableLog.stageWrite(bad, deadRoot,
-          s"$streamId/dead-b$batchId"),
-        remove = Nil, tag = Some(deadTag))
+    TableLog.commit(bad.sparkSession, deadRoot,
+      add = if (bad.isEmpty) Nil
+            else TableLog.stageWrite(bad, deadRoot,
+              s"$streamId/dead-b$batchId"),
+      remove = Nil, tag = Some(deadTag))
 
   /** The foreachBatch sink. `root` must already have its base commit
     * (constraints attach to a committed log); `deadRoot` is created
-    * on the first violation. A batch whose rows ALL violate still
-    * claims its main-table tag with an empty commit, so replays stay
-    * no-ops. */
+    * on the first batch (its empty completion commits are KB-sized
+    * log entries, no data files). A batch whose rows ALL violate
+    * still claims its main-table tag with an empty commit, so replays
+    * stay no-ops. */
   def sink(root: String, deadRoot: String, idCol: String,
            streamId: String = "checked"): (DataFrame, Long) => Unit = {
-    var seen: scala.collection.mutable.Set[String] = null
+    val tags = new Ingest.TagCache(root, deadRoot)
     (batch, batchId) =>
       val sp = batch.sparkSession
       if (!batch.isEmpty) {
-        if (seen == null)
-          seen = scala.collection.mutable.Set(
-            (TableLog.committedTags(sp, root) ++
-              TableLog.committedTags(sp, deadRoot)).toSeq: _*)
         val tag = s"$streamId-b$batchId"
         val deadTag = s"$streamId-dead-b$batchId"
-        if (seen.contains(tag)) {
+        if (tags.known(sp, tag)) {
           // main half already landed (crash between the two commits,
           // or a replay after both): finish the DEAD half under the
           // constraints the main commit was pinned to — its own
           // version's rules — so the split is identical to first
           // delivery even if constraints changed since
-          if (!seen.contains(deadTag)) {
+          if (!tags.known(sp, deadTag)) {
             val v = TableLog.versionOfTag(sp, root, tag).getOrElse(
               sys.error(s"CheckedIngest: tag $tag committed but its " +
                 s"entry expired — log retention passed a batch whose " +
                 "dead-letter half never landed; re-seed the stream"))
             val cs = TableLog.activeConstraints(sp, root, Some(v))
               .toSeq.sortBy(_._1)
-            val (_, bad) = split(batch, cs, batchId)
-            commitDead(bad, deadRoot, streamId, batchId, deadTag)
-            seen += deadTag
+            val flagged = flag(batch, cs).persist()
+            try commitDead(badOf(flagged, cs, batchId), deadRoot,
+              streamId, batchId, deadTag)
+            finally flagged.unpersist()
+            tags.mark(deadTag)
           }
-        } else {
-          var attempt = 0
-          var done = false
-          while (!done && attempt < 8) {
-            // ONE log read per attempt: the refs are both the fold
-            // input and the expectChecks pin (reading twice could
-            // validate against a newer set than the pin and conflict
-            // spuriously on every batch)
-            val refs = TableLog.constraintRefs(sp, root)
-            val cs = TableLog.constraintsFor(sp, root, refs)
-              .toSeq.sortBy(_._1)
-            val (good, bad) = split(batch, cs, batchId)
-            val flagged = good.persist()
-            try {
-              try {
-                // commit even when good is EMPTY: the tag must land so
-                // a crash-replay re-judges under THIS version's rules
-                TableLog.commit(sp, root,
-                  add = TableLog.stageWrite(flagged, root,
-                    s"$streamId/b$batchId"),
-                  remove = Nil,
-                  cdf = TableLog.stageFeed(
-                    flagged.select(col(idCol), lit("added").as("status")),
-                    root, s"$streamId/b$batchId"),
-                  tag = Some(tag),
-                  expectChecks = Some(refs))
-                seen += tag
-                commitDead(bad, deadRoot, streamId, batchId, deadTag)
-                seen += deadTag
-                done = true
-              } catch {
-                case _: java.util.ConcurrentModificationException =>
-                  attempt += 1 // constraint set changed mid-split: redo
-              }
-            } finally flagged.unpersist()
-          }
-          require(done,
-            s"CheckedIngest: batch $batchId lost $attempt constraint races")
+        } else Ingest.retryRaces("CheckedIngest", batchId) {
+          // ONE log read per attempt: the refs are both the fold
+          // input and the expectChecks pin (reading twice could
+          // validate against a newer set than the pin and conflict
+          // spuriously on every batch)
+          val refs = TableLog.constraintRefs(sp, root)
+          val cs = TableLog.constraintsFor(sp, root, refs)
+            .toSeq.sortBy(_._1)
+          // persist the VERDICT frame: good and bad must split from
+          // one evaluation, and both commits (plus the feed) read it
+          val flagged = flag(batch, cs).persist()
+          try {
+            val good = goodOf(flagged, cs)
+            // commit even when good is EMPTY: the tag must land so
+            // a crash-replay re-judges under THIS version's rules
+            TableLog.commit(sp, root,
+              add = TableLog.stageWrite(good, root,
+                s"$streamId/b$batchId"),
+              remove = Nil,
+              cdf = TableLog.stageFeed(
+                good.select(col(idCol), lit("added").as("status")),
+                root, s"$streamId/b$batchId"),
+              tag = Some(tag),
+              expectChecks = Some(refs))
+            tags.mark(tag)
+            commitDead(badOf(flagged, cs, batchId), deadRoot,
+              streamId, batchId, deadTag)
+            tags.mark(deadTag)
+          } finally flagged.unpersist()
         }
       }
   }

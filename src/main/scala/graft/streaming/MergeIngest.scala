@@ -44,15 +44,12 @@ object MergeIngest {
     * so give every (query, checkpoint generation) its own streamId. */
   def sink(root: String, idCol: String, nBuckets: Int,
            streamId: String = "merge"): (DataFrame, Long) => Unit = {
-    var seen: scala.collection.mutable.Set[String] = null
+    val tags = new Ingest.TagCache(root)
     (batch, batchId) =>
       val sp = batch.sparkSession
       if (!batch.isEmpty) {
-        if (seen == null)
-          seen = scala.collection.mutable.Set(
-            TableLog.committedTags(sp, root).toSeq: _*)
         val tag = s"$streamId-b$batchId"
-        if (!seen.contains(tag)) {
+        if (!tags.known(sp, tag)) {
           val b = batch.persist() // the merge reads it twice
           try {
             TableLog.mergeInto(sp, root, idCol,
@@ -61,7 +58,7 @@ object MergeIngest {
                 .select(col(idCol)),
               nBuckets = nBuckets, name = s"$streamId/b$batchId",
               tag = Some(tag))
-            seen += tag
+            tags.mark(tag)
           } finally b.unpersist()
         }
       }

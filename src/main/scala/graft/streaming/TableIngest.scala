@@ -67,15 +67,12 @@ object TableIngest {
     * cannot go stale for this stream's own tags.) */
   def sink(root: String, idCol: String,
            streamId: String = "ingest"): (DataFrame, Long) => Unit = {
-    var seen: scala.collection.mutable.Set[String] = null
+    val tags = new Ingest.TagCache(root)
     (batch, batchId) =>
       val sp = batch.sparkSession
       if (!batch.isEmpty) {
-        if (seen == null)
-          seen = scala.collection.mutable.Set(
-            TableLog.committedTags(sp, root).toSeq: _*)
         val tag = s"$streamId-b$batchId"
-        if (!seen.contains(tag)) {
+        if (!tags.known(sp, tag)) {
           val b = batch.persist() // staged data + feed read it
           try {
             val files = TableLog.stageWrite(b, root, s"$streamId/b$batchId")
@@ -83,7 +80,7 @@ object TableIngest {
             TableLog.commit(sp, root, files, Nil,
               cdf = TableLog.stageFeed(feed, root, s"$streamId/b$batchId"),
               tag = Some(tag))
-            seen += tag
+            tags.mark(tag)
           } finally b.unpersist()
         }
       }

@@ -1872,6 +1872,17 @@ class ScaleOpsSpec extends AnyFunSuite {
       "replaced-generation files are log history for vacuum, not orphans")
     assert(TableLog.snapshot(spark0, root, Some(0L)).count() === before,
       "time travel below the compaction must still serve after gc")
+    // an orphaned NESTED schema sidecar (a conflict-refused evolving
+    // batch) reclaims, and its now-empty subdirectory prunes with it —
+    // a long-lived stream must not accumulate empty dirs forever
+    val schemaSub = java.nio.file.Paths.get(root, "schema", "evolving")
+    java.nio.file.Files.createDirectories(schemaSub)
+    java.nio.file.Files.write(schemaSub.resolve("b7-deadbeef.json"),
+      "{}".getBytes("UTF-8"))
+    val doomed2 = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(doomed2 === Seq("schema/evolving/b7-deadbeef.json"), s"got $doomed2")
+    assert(!java.nio.file.Files.exists(schemaSub),
+      "the emptied sidecar subdirectory must prune with its orphan")
   }
 
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {

@@ -820,6 +820,41 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("doc_id") === 8L).count() === 1L)
   }
 
+  test("CheckedIngest: dot-named constraints split cleanly; clean batches claim the dead completion tag") {
+    import spark.implicits._
+    import graft.operators.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_checked_dots")
+      .toFile.getAbsolutePath
+    val root = s"$dir/table"; val dead = s"$dir/dead"
+    TableLog.commit(spark, root,
+      TableLog.stageWrite(Seq((1L, "aa")).toDF("doc_id", "text"), root,
+        "base"), Nil)
+    // '.' is legal in a constraint name (validatePaths charset) — the
+    // sink's verdict columns must not dot-parse as nested-field access
+    TableLog.addCheckConstraint(spark, root, "text.v2",
+      "length(text) <= 4")
+    val snk = graft.streaming.CheckedIngest.sink(root, dead, "doc_id")
+    snk(Seq((2L, "bb"), (3L, "toolong")).toDF("doc_id", "text"), 0L)
+    assert(TableLog.snapshot(spark, root)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    val dl = TableLog.snapshot(spark, dead)
+    assert(dl.select("doc_id").as[Long].collect().toSet === Set(3L))
+    assert(dl.select("_violated").head().getString(0) === "text.v2")
+    // an ALL-GOOD batch still claims the dead COMPLETION tag (an empty
+    // commit): a replay after log retention expired the main entry can
+    // prove nothing was lost instead of refusing the stream
+    snk(Seq((4L, "dd")).toDF("doc_id", "text"), 1L)
+    assert(TableLog.committedTags(spark, dead).contains("checked-dead-b1"))
+    // a FRESH sink replaying the clean batch no-ops on the tag pair
+    // alone — no versionOfTag lookup, so entry expiry cannot hurt it
+    val vM = TableLog.versions(spark, root)
+    val vD = TableLog.versions(spark, dead)
+    val snk2 = graft.streaming.CheckedIngest.sink(root, dead, "doc_id")
+    snk2(Seq((4L, "dd")).toDF("doc_id", "text"), 1L)
+    assert(TableLog.versions(spark, root) === vM)
+    assert(TableLog.versions(spark, dead) === vD)
+  }
+
   test("EvolvingIngest: schema drift widens atomically, reverts append cleanly, types refuse, replay exactly-once") {
     import spark.implicits._
     import graft.operators.TableLog
@@ -862,6 +897,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(feed.select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
     assert(feed.inputFiles.forall(_.contains("/cdf/")),
       "drift ingest must keep serving the feed from sidecars")
+    // post-drift, a batch carrying the WIDENED shape rides the
+    // zero-schema-read fast path (all its columns are proven present)
+    snk(Seq((5L, "ee", "fr")).toDF("doc_id", "text", "lang"), 3L)
+    val snap2 = TableLog.snapshot(spark, root)
+    assert(snap2.filter(col("doc_id") === 5L).select("lang")
+      .head().getString(0) === "fr")
+    assert(snap2.count() === 4L)
   }
 
   test("MergeIngest: CDC batches apply as bucket-pruned merges, exactly-once") {
