@@ -2320,6 +2320,30 @@ object SparkEntry {
     graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
   }
 
+  /** DELETE WHERE ([[graft.operators.TableLog.deleteWhere]] — the
+    * Delta `DELETE WHERE` shape; the TTL / retention / compliance
+    * purge every corpus store needs): remove exactly
+    * `200 <= doc_id <= 399` from a range-clustered, zone-mapped
+    * table. Files whose zone interval lies fully inside the window
+    * (with a known-zero null-key count) drop by PURE METADATA — zero
+    * I/O — while boundary files rewrite survivors only; at 100 TB a
+    * retention window costs O(two boundary files), not O(window)
+    * (ScaleOpsSpec proves the covered file is never opened by
+    * corrupting its bytes first). The oracle replays the purge
+    * logically: anything inside the window surviving — or anything
+    * outside it lost — mismatches. */
+  private val q145Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q145: Q = (s, d) => {
+    val root = cachedTmpArtifact(q145Cache, d, "graft_q145_delwhere") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      val (files, zm) = tl.stageWithZoneMap(docs, p, "base", "doc_id", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+      tl.deleteWhere(s, p, "doc_id", 200L, 399L, "purge", 4)
+    }
+    graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2857,6 +2881,7 @@ object SparkEntry {
     "q142_restore" -> q142,
     "q143_clone" -> q143,
     "q144_constraints" -> q144,
+    "q145_delete_where" -> q145,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5060,6 +5085,11 @@ object SparkEntry {
     "q144_constraints" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id % 2 = 0 OR doc_id % 5 <> 0 ORDER BY doc_id""",
+    // deleteWhere replayed logically: the purge window gone whole,
+    // everything outside it untouched.
+    "q145_delete_where" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE NOT (doc_id BETWEEN 200 AND 399) ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

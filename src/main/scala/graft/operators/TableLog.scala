@@ -1133,8 +1133,14 @@ object TableLog {
       // still records root-relative names that match the active set
       .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
         .as("file"))
+      // n_nulls: min/max skip NULL keys, so the interval alone cannot
+      // prove "every row is in range" — deleteWhere's metadata-only
+      // file drop needs the null count too (zero = interval covers
+      // every row). Older maps without the column read as null →
+      // unknown → conservative rewrite, never a wrong drop.
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_nulls"))
     (files, stageUnder(zm, root, "zmap", name))
   }
 
@@ -1266,6 +1272,78 @@ object TableLog {
     commit(spark, root, add = files, remove = touched, zmap = zm,
       expectActive = touched, expectDeletes = Some(Nil),
       expectNoConflictingAdds = Some((readV, _ => true)))
+  }
+
+  /** DELETE WHERE — atomically remove exactly the rows with
+    * `lo <= keyCol <= hi` (the Delta `DELETE WHERE` shape; the TTL /
+    * retention / compliance purge): files whose zone interval lies
+    * FULLY inside the range AND carry no NULL keys drop by PURE
+    * METADATA — zero I/O, the log entry just de-references them —
+    * while straddling (or stats-less) files rewrite their survivors
+    * only. At 100 TB, purging a retention window over a
+    * range-clustered table costs O(two boundary files), not O(window):
+    * every interior file is a metadata drop. NULL-key rows always
+    * survive (NULL is outside every range — [[replaceWhere]]'s
+    * three-valued contract), which is exactly why the interval alone
+    * cannot prove a file droppable: min/max skip NULLs, so the drop
+    * additionally requires the zone map's `n_nulls = 0` (maps written
+    * before that stat — or by [[cloneTable]] from such — read as
+    * unknown and rewrite conservatively; correctness never depends on
+    * stats coverage). Refuses outstanding delete sidecars like
+    * replaceWhere (rewriting files under in-force sidecars would
+    * resurrect their rows; [[compactTable]] first). Conflict-guarded
+    * on its read set. Returns the new version, or the current one
+    * untouched when no active file intersects the range. */
+  def deleteWhere(spark: SparkSession, root: String, keyCol: String,
+                  lo: Long, hi: Long, name: String, parts: Int): Long = {
+    import org.apache.spark.sql.functions._
+    require(activeDeletes(spark, root).isEmpty,
+      s"TableLog.deleteWhere: $root has delete sidecars in force — " +
+        "compactTable first so the rewrite cannot resurrect deleted rows")
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.deleteWhere: empty log at $root"))
+    val f = fs(spark, root)
+    val touched = rangeTouchedFiles(spark, root, keyCol, lo, hi, Some(readV))
+    if (touched.isEmpty) readV // zone maps prove nothing is in range
+    else {
+      // provably-all-in-range files: interval inside [lo, hi] and a
+      // KNOWN-zero null count (mergeSchema unions old/new map shapes;
+      // a null n_nulls is "unknown", never "zero")
+      val zmaps = inForceZmaps(f, root, Some(readV))
+      val droppable: Set[String] =
+        if (zmaps.isEmpty) Set.empty
+        else {
+          val zm = spark.read.option("mergeSchema", "true")
+            .parquet(zmaps.map(resolve(root, _)): _*)
+          if (!zm.columns.contains("n_nulls")) Set.empty
+          else zm.select(col("file"), col("lo").cast("long"),
+              col("hi").cast("long"), col("n_nulls").cast("long"))
+            .collect()
+            .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+              !r.isNullAt(3) && r.getLong(3) == 0L &&
+              r.getLong(1) >= lo && r.getLong(2) <= hi)
+            .map(_.getString(0)).toSet
+        }
+      val rewrite = touched.filterNot(droppable)
+      val (files, zm) =
+        if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[String])
+        else {
+          val reader = logSchema(spark, root, Some(readV))
+            .fold(spark.read)(st => spark.read.schema(st))
+          val survivors = reader
+            .parquet(rewrite.map(resolve(root, _)): _*)
+            .filter(col(keyCol).isNull || col(keyCol) < lo ||
+              col(keyCol) > hi)
+          // a straddler-by-stats file can still be all-in-range in
+          // fact (stats-less, or interval-covered with unknown nulls
+          // that turn out absent): nothing survives → pure drop
+          if (survivors.isEmpty) (Seq.empty[String], Seq.empty[String])
+          else stageWithZoneMap(survivors, root, name, keyCol, parts)
+        }
+      commit(spark, root, add = files, remove = touched, zmap = zm,
+        expectActive = touched, expectDeletes = Some(Nil),
+        expectNoConflictingAdds = Some((readV, _ => true)))
+    }
   }
 
   /** Stage a ROW-LINEAGE change-feed sidecar — a frame of

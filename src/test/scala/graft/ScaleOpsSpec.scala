@@ -1912,4 +1912,72 @@ class ScaleOpsSpec extends AnyFunSuite {
         withNulls.filter(col("doc_id").isNull).limit(1), "bad", parts = 1)
     }
   }
+
+  test("TableLog.deleteWhere drops fully-covered files as pure metadata; boundary files rewrite survivors only") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_delw").toString + "/t"
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // three range-clustered commits with KNOWN intervals, plus one
+    // all-NULL-key commit (its zone row has no interval — stats-less)
+    val (fA, zA) = TableLog.stageWithZoneMap(rows(0L until 200L),
+      root, "a", "doc_id", 2)
+    TableLog.commit(spark0, root, fA, Nil, zmap = zA)
+    val (fB, zB) = TableLog.stageWithZoneMap(rows(200L until 400L),
+      root, "b", "doc_id", 2)
+    TableLog.commit(spark0, root, fB, Nil, zmap = zB)
+    val (fC, zC) = TableLog.stageWithZoneMap(rows(400L until 600L),
+      root, "c", "doc_id", 2)
+    TableLog.commit(spark0, root, fC, Nil, zmap = zC)
+    // while every active file is zone-described: a window no interval
+    // intersects is a NO-OP, not a commit (once the stats-less D
+    // commit lands below, ANY window conservatively touches it)
+    val vAbc = TableLog.versions(spark0, root).last
+    assert(TableLog.deleteWhere(spark0, root, "doc_id",
+      5000L, 6000L, "noop", 2) === vAbc)
+    assert(TableLog.versions(spark0, root).last === vAbc)
+    val nulls = Seq[(java.lang.Long, String)]((null, "n1"), (null, "n2"))
+      .toDF("doc_id", "text")
+    val (fD, zD) = TableLog.stageWithZoneMap(nulls, root, "d", "doc_id", 1)
+    TableLog.commit(spark0, root, fD, Nil, zmap = zD)
+    // CORRUPT the covered commit's bytes: the purge window [150, 420]
+    // contains B's interval [200, 399] entirely, so deleteWhere must
+    // drop B's files WITHOUT EVER OPENING THEM — if the metadata-drop
+    // classification regressed to a rewrite, the garbage bytes crash
+    // the parquet read and this test fails loudly
+    fB.foreach { rel =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root + "/" + rel),
+        "not parquet".getBytes("UTF-8"))
+    }
+    val before = TableLog.versions(spark0, root).last
+    val v = TableLog.deleteWhere(spark0, root, "doc_id",
+      150L, 420L, "purge", 2)
+    assert(v === before + 1)
+    val snap = TableLog.snapshot(spark0, root).collect()
+      .map(r => (if (r.isNullAt(0)) null
+                 else java.lang.Long.valueOf(r.getLong(0)), r.getString(1)))
+    val kept = snap.filter(_._1 != null).map(_._1.longValue()).sorted
+    assert(kept.toSeq === ((0L until 150L) ++ (421L until 600L)),
+      "exactly the window must vanish; everything outside survives")
+    assert(snap.count(_._1 == null) === 2,
+      "NULL keys are outside every range — they must survive the purge")
+    // B dropped by METADATA: de-referenced but physically untouched
+    // (history for vacuum), A/C boundary files replaced as usual
+    val active = TableLog.activeFiles(spark0, root).toSet
+    assert(fB.forall(p => !active(p)))
+    assert(fB.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root + "/" + p))),
+      "a metadata drop must leave the bytes for time travel/vacuum")
+    // post-purge range reads still prune through the fresh zone maps
+    assert(TableLog.snapshotRange(spark0, root, "doc_id", 0L, 10L)
+      .count() === 11L)
+    // in-force delete sidecars refuse the rewrite (resurrection risk)
+    TableLog.commitDeletes(Seq(0L).toDF("doc_id"), root, "sc")
+    intercept[IllegalArgumentException] {
+      TableLog.deleteWhere(spark0, root, "doc_id", 0L, 10L, "x", 2)
+    }
+  }
 }
