@@ -1169,36 +1169,59 @@ object TableLog {
       .filter(rel => f.exists(new Path(resolve(root, rel))))
   }
 
+  /** One collected read of the in-force zone-map sidecars at `asOf`:
+    * (file, lo, hi, n_nulls), bounds None where stats are absent (a
+    * file of ALL-null keys has null min/max; maps written before the
+    * n_nulls stat read it as None = unknown). mergeSchema unions old
+    * and new map shapes. O(#files) driver metadata — shared by
+    * [[rangeTouchedFiles]] and [[deleteWhere]] so one purge plans
+    * from ONE sidecar read. */
+  private def collectZoneRows(spark: SparkSession, root: String,
+      asOf: Option[Long]
+      ): Array[(String, Option[Long], Option[Long], Option[Long])] = {
+    val zmaps = inForceZmaps(fs(spark, root), root, asOf)
+    if (zmaps.isEmpty) Array.empty
+    else {
+      val zm = spark.read.option("mergeSchema", "true")
+        .parquet(zmaps.map(resolve(root, _)): _*)
+      val hasN = zm.columns.contains("n_nulls")
+      val cols = Seq(col("file"), col("lo").cast("long"),
+        col("hi").cast("long")) ++
+        (if (hasN) Seq(col("n_nulls").cast("long")) else Nil)
+      zm.select(cols: _*).collect().map { r =>
+        (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (hasN && !r.isNullAt(3)) Some(r.getLong(3)) else None)
+      }
+    }
+  }
+
   /** The active files a range predicate [lo, hi] on `keyCol` may
-    * touch at `asOf`: zone-described files whose interval intersects,
-    * plus every active file WITHOUT zone coverage (conservative —
-    * correctness never depends on stats coverage). The shared pruning
-    * core of [[snapshotRange]] (reads) and [[replaceWhere]]
-    * (predicate-scoped rewrites). O(#files) driver metadata. */
+    * touch, given `active` and pre-collected `zones`: zone-described
+    * files whose interval intersects, plus every active file WITHOUT
+    * an interval (conservative — correctness never depends on stats
+    * coverage). The shared pruning core of [[snapshotRange]] (reads),
+    * [[replaceWhere]] and [[deleteWhere]] (predicate-scoped
+    * rewrites). */
+  private def touchedFrom(active: Seq[String],
+      zones: Array[(String, Option[Long], Option[Long], Option[Long])],
+      lo: Long, hi: Long): Seq[String] = {
+    val described = zones.collect {
+      case (p, Some(l), Some(h), _) => (p, l, h) }
+    val descSet = described.map(_._1).toSet
+    val activeSet = active.toSet
+    // stale zone rows (for removed files) drop via the active set
+    val surviving = described.collect {
+      case (p, l, h) if activeSet(p) && h >= lo && l <= hi => p }
+    (surviving ++ active.filterNot(descSet)).sorted
+  }
+
   private def rangeTouchedFiles(spark: SparkSession, root: String,
                                 keyCol: String, lo: Long, hi: Long,
-                                asOf: Option[Long]): Seq[String] = {
-    val f = fs(spark, root)
-    val active = activeFiles(spark, root, asOf)
-    val zmaps = inForceZmaps(f, root, asOf)
-    val (described, surviving) =
-      if (zmaps.isEmpty) (Set.empty[String], Seq.empty[String])
-      else {
-        val zm = spark.read.parquet(zmaps.map(resolve(root, _)): _*)
-          .select(col("file"), col("lo").cast("long"), col("hi").cast("long"))
-          .collect()
-          // a file of ALL-null keys has null min/max — no interval to
-          // prune on; leave it undescribed (read conservatively)
-          .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        val activeSet = active.toSet
-        val desc = zm.map(_._1).toSet
-        // stale zone rows (for removed files) drop via the active set
-        (desc, zm.filter { case (p, l, h) =>
-          activeSet(p) && h >= lo && l <= hi }.map(_._1).toSeq)
-      }
-    (surviving ++ active.filterNot(described)).sorted
-  }
+                                asOf: Option[Long]): Seq[String] =
+    touchedFrom(activeFiles(spark, root, asOf),
+      collectZoneRows(spark, root, asOf), lo, hi)
 
   def snapshotRange(spark: SparkSession, root: String, keyCol: String,
                     lo: Long, hi: Long, asOf: Option[Long] = None,
@@ -1297,33 +1320,28 @@ object TableLog {
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
                   lo: Long, hi: Long, name: String, parts: Int): Long = {
     import org.apache.spark.sql.functions._
-    require(activeDeletes(spark, root).isEmpty,
-      s"TableLog.deleteWhere: $root has delete sidecars in force — " +
-        "compactTable first so the rewrite cannot resurrect deleted rows")
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.deleteWhere: empty log at $root"))
-    val f = fs(spark, root)
-    val touched = rangeTouchedFiles(spark, root, keyCol, lo, hi, Some(readV))
-    if (touched.isEmpty) readV // zone maps prove nothing is in range
+    // ONE zone-sidecar read plans the whole purge (touched set AND
+    // the droppable classification)
+    val zones = collectZoneRows(spark, root, Some(readV))
+    val touched =
+      if (lo > hi) Seq.empty[String] // an empty window deletes nothing
+      else touchedFrom(activeFiles(spark, root, Some(readV)), zones, lo, hi)
+    if (touched.isEmpty) readV // provably nothing in range: NO-OP
     else {
+      // the rewrite below would resurrect sidecar-deleted rows; the
+      // guard sits AFTER the no-op return so a non-intersecting
+      // window stays side-effect-free even with sidecars in force
+      require(activeDeletes(spark, root).isEmpty,
+        s"TableLog.deleteWhere: $root has delete sidecars in force — " +
+          "compactTable first so the rewrite cannot resurrect deleted rows")
       // provably-all-in-range files: interval inside [lo, hi] and a
-      // KNOWN-zero null count (mergeSchema unions old/new map shapes;
-      // a null n_nulls is "unknown", never "zero")
-      val zmaps = inForceZmaps(f, root, Some(readV))
-      val droppable: Set[String] =
-        if (zmaps.isEmpty) Set.empty
-        else {
-          val zm = spark.read.option("mergeSchema", "true")
-            .parquet(zmaps.map(resolve(root, _)): _*)
-          if (!zm.columns.contains("n_nulls")) Set.empty
-          else zm.select(col("file"), col("lo").cast("long"),
-              col("hi").cast("long"), col("n_nulls").cast("long"))
-            .collect()
-            .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-              !r.isNullAt(3) && r.getLong(3) == 0L &&
-              r.getLong(1) >= lo && r.getLong(2) <= hi)
-            .map(_.getString(0)).toSet
-        }
+      // KNOWN-zero null count (a None n_nulls — an older map — is
+      // "unknown", never "zero")
+      val droppable: Set[String] = zones.collect {
+        case (p, Some(l), Some(h), Some(0L))
+          if l >= lo && h <= hi => p }.toSet
       val rewrite = touched.filterNot(droppable)
       val (files, zm) =
         if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[String])

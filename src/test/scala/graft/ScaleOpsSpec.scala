@@ -1979,5 +1979,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TableLog.deleteWhere(spark0, root, "doc_id", 0L, 10L, "x", 2)
     }
+    // an inverted (empty) window deletes nothing and stays
+    // side-effect-free even with sidecars in force
+    val vNow = TableLog.versions(spark0, root).last
+    assert(TableLog.deleteWhere(spark0, root, "doc_id",
+      10L, 0L, "inv", 2) === vNow)
+    assert(TableLog.versions(spark0, root).last === vNow)
   }
 }
