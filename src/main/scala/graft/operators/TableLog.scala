@@ -1316,9 +1316,20 @@ object TableLog {
     * replaceWhere (rewriting files under in-force sidecars would
     * resurrect their rows; [[compactTable]] first). Conflict-guarded
     * on its read set. Returns the new version, or the current one
-    * untouched when no active file intersects the range. */
+    * untouched when no active file intersects the range.
+    *
+    * `feedIdCol`: when set, the purge commit carries a CHANGE-FEED
+    * sidecar of the removed ids (status `removed`), so downstream
+    * [[changes]] consumers and a [[graft.streaming.TableChangesSource]]
+    * replica survive the purge O(delta) instead of failing feed-less.
+    * A feed requires knowing WHICH ids vanish, so it costs one
+    * column-pruned read of the window's touched files (O(window) on
+    * two columns) — the DATA path still drops covered files by
+    * metadata; pass None (the default) for the pure zero-I/O purge
+    * when nothing tails the table. */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
-                  lo: Long, hi: Long, name: String, parts: Int): Long = {
+                  lo: Long, hi: Long, name: String, parts: Int,
+                  feedIdCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions._
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.deleteWhere: empty log at $root"))
@@ -1343,11 +1354,11 @@ object TableLog {
         case (p, Some(l), Some(h), Some(0L))
           if l >= lo && h <= hi => p }.toSet
       val rewrite = touched.filterNot(droppable)
+      val reader = logSchema(spark, root, Some(readV))
+        .fold(spark.read)(st => spark.read.schema(st))
       val (files, zm) =
         if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[String])
         else {
-          val reader = logSchema(spark, root, Some(readV))
-            .fold(spark.read)(st => spark.read.schema(st))
           val survivors = reader
             .parquet(rewrite.map(resolve(root, _)): _*)
             .filter(col(keyCol).isNull || col(keyCol) < lo ||
@@ -1358,7 +1369,18 @@ object TableLog {
           if (survivors.isEmpty) (Seq.empty[String], Seq.empty[String])
           else stageWithZoneMap(survivors, root, name, keyCol, parts)
         }
+      val cdfSeq = feedIdCol.fold(Seq.empty[String]) { idc =>
+        // the feed's one honest cost: a column-pruned scan of the
+        // touched files for the vanishing ids (droppable files
+        // included — the DATA path still never rewrites them)
+        val removed = reader
+          .parquet(touched.map(resolve(root, _)): _*)
+          .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+          .select(col(idc), lit("removed").as("status"))
+        stageFeed(removed, root, name)
+      }
       commit(spark, root, add = files, remove = touched, zmap = zm,
+        cdf = cdfSeq,
         expectActive = touched, expectDeletes = Some(Nil),
         expectNoConflictingAdds = Some((readV, _ => true)))
     }

@@ -1985,5 +1985,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(TableLog.deleteWhere(spark0, root, "doc_id",
       10L, 0L, "inv", 2) === vNow)
     assert(TableLog.versions(spark0, root).last === vNow)
+    // --- feedIdCol: the purge publishes its removed ids as a
+    // change-feed sidecar, so a downstream changes()/TableChangesSource
+    // consumer survives the purge O(delta) instead of failing feed-less
+    val root2 = Files.createTempDirectory("graft_tablelog_delwf")
+      .toString + "/t"
+    val (g1, z1) = TableLog.stageWithZoneMap(rows(0L until 100L),
+      root2, "a", "doc_id", 2)
+    TableLog.commit(spark0, root2, g1, Nil, zmap = z1)
+    val (g2, z2) = TableLog.stageWithZoneMap(rows(100L until 200L),
+      root2, "b", "doc_id", 2)
+    TableLog.commit(spark0, root2, g2, Nil, zmap = z2)
+    val v2 = TableLog.deleteWhere(spark0, root2, "doc_id",
+      100L, 199L, "purge", 2, feedIdCol = Some("doc_id"))
+    val feed = TableLog.changes(spark0, root2, fromV = v2 - 1, toV = v2,
+      "doc_id", "text", requireFeed = true)
+    val fr = feed.collect().map(r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("status"))))
+    assert(fr.map(_._1).sorted.toSeq === (100L until 200L),
+      "the feed must name exactly the purged ids")
+    assert(fr.forall(_._2 == "removed"))
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/cdf/")),
+      "the purge feed must serve from its sidecar, never a snapshot diff")
+    assert(TableLog.snapshot(spark0, root2).count() === 100L)
   }
 }
