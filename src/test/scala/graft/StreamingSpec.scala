@@ -1218,6 +1218,11 @@ class StreamingSpec extends AnyFunSuite {
       after = rewritten, idCol = "doc_id", contentCol = "text",
       name = "up8")
     q.processAllAvailable()
+    // a TTL purge with feedIdCol: the replica must survive a
+    // deleteWhere commit and apply its removed-ids feed like any other
+    TableLog.deleteWhere(spark0, a, "doc_id", 40L, 80L, "ttl", 4,
+      feedIdCol = Some("doc_id"))
+    q.processAllAvailable()
     TableLog.commitDeletesWithFeed(
       TableLog.snapshot(spark0, a, None, Some("doc_id"))
         .filter(col("doc_id") % 31 === 5).select("doc_id"), a, "purge31")
