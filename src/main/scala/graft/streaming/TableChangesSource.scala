@@ -56,7 +56,9 @@ import graft.operators.TableLog
   * (the Delta-source pattern). */
 class TableChangesSource(sqlContext: SQLContext, root: String,
                          idCol: String, contentCol: String,
-                         startingVersion: Long, fallbackDiff: Boolean)
+                         startingVersion: Long, fallbackDiff: Boolean,
+                         maxVersionsPerTrigger: Option[Long] = None,
+                         metadataPath: String = "")
   extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -64,13 +66,85 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
   override val schema: StructType =
     TableChangesSource.schemaFor(idCol)
 
-  /** The latest committed table version, as a stream offset; None
-    * until the table has a version at or past `startingVersion`. The
-    * engine triggers a batch whenever this differs from the last
-    * processed offset — versions only grow, so offsets are monotone. */
+  // ---- per-trigger ADMISSION CONTROL (maxVersionsPerTrigger — the
+  // Delta maxFilesPerTrigger analog): a consumer starting against a
+  // table with thousands of commits must drain the backlog in bounded
+  // micro-batches, not one giant first batch. The V1 Source API's
+  // only rate lever is getOffset, and the engine never tells the
+  // source its committed position before calling it — so the source
+  // persists its own HIGH WATER of offsets it has EXPOSED under the
+  // checkpoint's source-metadata dir (the FileStreamSource pattern).
+  // The marker is written BEFORE an offset is returned: the cap base
+  // can LAG reality (over-admitting at most one window after a lost
+  // marker — the rename fallback below), but can never sit below an
+  // offset the engine logged, so a capped offset never regresses
+  // below the committed one (which would re-serve versions). ----
+  private lazy val metaFs =
+    new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def servedPath =
+    new org.apache.hadoop.fs.Path(metadataPath, "servedHighWater")
+  private var servedHi: Option[Long] = None
+
+  private def loadServed(): Option[Long] =
+    if (metadataPath.isEmpty || !metaFs.exists(servedPath)) None
+    else {
+      val len = metaFs.getFileStatus(servedPath).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = metaFs.open(servedPath)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8").trim.toLong)
+    }
+
+  private def record(v: Long): Unit =
+    if (servedHi.forall(_ < v)) {
+      if (metadataPath.nonEmpty && maxVersionsPerTrigger.isDefined) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          metadataPath, ".servedHighWater.tmp")
+        val out = metaFs.create(tmp, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        // delete+rename (not atomic everywhere): a crash between the
+        // two loses the marker, which the restart treats as a
+        // pre-existing checkpoint — one uncapped trigger, never a
+        // regression
+        if (metaFs.exists(servedPath)) metaFs.delete(servedPath, false)
+        metaFs.rename(tmp, servedPath)
+      }
+      servedHi = Some(v)
+    }
+
+  private lazy val restoredServed: Option[Long] = loadServed()
+  // no high water on disk: a FRESH checkpoint caps from the epoch; a
+  // PRE-EXISTING one (option enabled mid-life, or marker lost) serves
+  // ONE uncapped trigger rather than risk capping below its unknown
+  // committed offset
+  private lazy val freshCheckpoint: Boolean =
+    metadataPath.isEmpty || {
+      val offsets = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(metadataPath).getParent.getParent,
+        "offsets")
+      !metaFs.exists(offsets) || metaFs.listStatus(offsets).isEmpty
+    }
+
+  /** The latest committed table version, as a stream offset — capped
+    * at `servedHighWater + maxVersionsPerTrigger` when admission
+    * control is on; None until the table has a version at or past
+    * `startingVersion`. The engine triggers a batch whenever this
+    * differs from the last processed offset — versions only grow, so
+    * offsets are monotone. */
   override def getOffset: Option[OffsetV1] = {
     val latest = TableLog.versions(spark, root).lastOption
-    latest.filter(_ >= startingVersion).map(VersionOffset(_))
+    latest.filter(_ >= startingVersion).map { l =>
+      val capped = maxVersionsPerTrigger match {
+        case None => l
+        case Some(k) =>
+          servedHi.orElse(restoredServed)
+            .orElse(if (freshCheckpoint) Some(startingVersion - 1L) else None)
+            .fold(l)(base => math.min(l, base + k))
+      }
+      record(capped)
+      VersionOffset(capped)
+    }
   }
 
   /** Changes in versions (start, end] — start None = the epoch start,
@@ -81,6 +155,7 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
     val fromV = start.map(VersionOffset.versionOf)
       .getOrElse(startingVersion - 1L)
     val toV = VersionOffset.versionOf(end)
+    record(toV) // WAL-recovery replay seeds the admission high water
     // toV <= fromV only on engine replay quirks (an already-served
     // range) — empty is correct there. Anything else goes through
     // changes(), whose continuity check makes a range that log expiry
@@ -133,7 +208,9 @@ object VersionOffset {
   * root, required), `idCol` (default `doc_id`), `startingVersion`
   * (default 1), `fallback.diff` (default false — see
   * [[TableChangesSource]]), `contentCol` (default `text`, diff mode
-  * only). */
+  * only), `maxVersionsPerTrigger` (optional, ≥ 1 — bound each
+  * micro-batch to that many table versions; a deep backlog drains in
+  * bounded steps instead of one giant first batch). */
 class TableChangesSourceProvider extends StreamSourceProvider {
   private def idColOf(parameters: Map[String, String]): String =
     parameters.getOrElse("idCol", "doc_id")
@@ -154,10 +231,15 @@ class TableChangesSourceProvider extends StreamSourceProvider {
                             parameters: Map[String, String]): Source = {
     val root = parameters.getOrElse("path",
       sys.error("tablechanges source requires option 'path' (the table root)"))
+    val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxV.foreach(k => require(k >= 1L,
+      s"maxVersionsPerTrigger must be >= 1, got $k"))
     new TableChangesSource(sqlContext, root,
       idCol = idColOf(parameters),
       contentCol = parameters.getOrElse("contentCol", "text"),
       startingVersion = parameters.getOrElse("startingVersion", "1").toLong,
-      fallbackDiff = parameters.getOrElse("fallback.diff", "false").toBoolean)
+      fallbackDiff = parameters.getOrElse("fallback.diff", "false").toBoolean,
+      maxVersionsPerTrigger = maxV,
+      metadataPath = metadataPath)
   }
 }
