@@ -1354,7 +1354,9 @@ object TableLog {
         case (p, Some(l), Some(h), Some(0L))
           if l >= lo && h <= hi => p }.toSet
       val rewrite = touched.filterNot(droppable)
-      val reader = logSchema(spark, root, Some(readV))
+      // lazy: an all-droppable purge without a feed must stay pure
+      // metadata — not even the schema-ref replay runs
+      lazy val reader = logSchema(spark, root, Some(readV))
         .fold(spark.read)(st => spark.read.schema(st))
       val (files, zm) =
         if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[String])

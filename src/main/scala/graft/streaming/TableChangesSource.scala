@@ -98,7 +98,15 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
 
   private def record(v: Long): Unit =
     if (servedHi.forall(_ < v)) {
-      if (metadataPath.nonEmpty && maxVersionsPerTrigger.isDefined) {
+      // persist even when THIS run is uncapped, so the on-disk marker
+      // always tells the truth about exposed offsets. Correctness does
+      // not hinge on it: on every restart with a committed batch the
+      // engine's recovery getBatch (populateStartOffsets re-serves the
+      // last committed range to V1 sources) seeds servedHi to the
+      // committed offset BEFORE the first getOffset, so a stale marker
+      // can never cap below committed — the cap-toggle scenario is
+      // spec-pinned in TableChangesContractSpec
+      if (metadataPath.nonEmpty) {
         val tmp = new org.apache.hadoop.fs.Path(
           metadataPath, ".servedHighWater.tmp")
         val out = metaFs.create(tmp, true)

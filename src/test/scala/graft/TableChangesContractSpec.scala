@@ -54,4 +54,41 @@ class TableChangesContractSpec extends AnyFunSuite with StreamSourceContract {
       val outDir: String = base.resolve("out").toString
     }
   }
+
+  private def drain(env: SourceContractEnv, capped: Boolean,
+                    once: Boolean): Unit = {
+    val w = env.stream(capped).writeStream.format("parquet")
+      .option("path", env.outDir)
+      .option("checkpointLocation", env.ckptDir)
+      .outputMode("append")
+    val q = if (once)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    else w.start()
+    if (once) q.awaitTermination(120000)
+    else { q.processAllAvailable(); q.stop() }
+  }
+
+  test("TableChangesSource: re-enabling maxVersionsPerTrigger after an uncapped run never re-serves") {
+    val env = fixture.newEnv()
+    env.append(1000) // 10 versions of 100 rows
+    drain(env, capped = true, once = true) // marker at v2, 200 rows
+    drain(env, capped = false, once = false) // uncapped: commits to v10
+    def rows() = spark.read.parquet(env.outDir).count()
+    def ids() = spark.read.parquet(env.outDir)
+      .select("doc_id").distinct().count()
+    assert(rows() === 1000 && ids() === 1000)
+    env.append(200) // v11, v12
+    // the cap comes BACK ON: its base must be the committed offset
+    // (v10 — seeded by the restart's recovery getBatch and by the
+    // uncapped run's persisted marker), never a stale capped-era
+    // value (v2). The single Once trigger must serve exactly the two
+    // new versions — no re-walk of the committed range, no re-serve.
+    drain(env, capped = true, once = true)
+    assert(rows() === 1200,
+      s"first capped trigger after re-enable must serve the new versions, got ${rows()}")
+    // and however it resumes, the drain must never duplicate
+    drain(env, capped = true, once = false)
+    assert(rows() === 1200, s"re-served rows after cap re-enable: ${rows()}")
+    assert(ids() === 1200)
+  }
 }
