@@ -1504,8 +1504,13 @@ object TableLog {
     * some version ≥ `retainFrom` still reads (so those snapshots stay
     * fully servable) and deletes the rest: files replaced before the
     * horizon, and sidecars retired by a [[compactTable]] reset the
-    * horizon has passed. Returns the deleted root-relative paths. */
-  def vacuum(spark: SparkSession, root: String, retainFrom: Long): Seq[String] = {
+    * horizon has passed. Returns the deleted root-relative paths.
+    * `dryRun = true` (the Delta `VACUUM ... DRY RUN` shape) returns
+    * the SAME doomed list while deleting nothing — audit what a
+    * retention horizon costs (which versions become unrestorable,
+    * how many files go) before committing to it. */
+  def vacuum(spark: SparkSession, root: String, retainFrom: Long,
+             dryRun: Boolean = false): Seq[String] = {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     val retained = vs.filter(_ >= retainFrom)
@@ -1552,7 +1557,8 @@ object TableLog {
     // must never reclaim them (the source's own vacuum does, under
     // the source's retention; see cloneTable's caveat)
     val doomed = (everRef -- keep).filterNot(_.startsWith("/")).toSeq.sorted
-    doomed.foreach(rel => f.delete(new Path(resolve(root, rel)), false))
+    if (!dryRun)
+      doomed.foreach(rel => f.delete(new Path(resolve(root, rel)), false))
     doomed
   }
 

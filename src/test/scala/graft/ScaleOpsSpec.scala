@@ -1025,9 +1025,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       }.map(_.get()).toSet
       finally pool.shutdown()
     assert(versionsWon === Set(0L, 1L, 2L, 3L))
+    // DRY RUN first: the same doomed list, nothing deleted, the
+    // pre-horizon snapshot still fully servable — the audit a
+    // retention decision runs before committing to it
+    val wouldGo = TableLog.vacuum(spark0, root, retainFrom = 1L,
+      dryRun = true)
+    assert(wouldGo.forall(rel => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root + "/" + rel))),
+      "dry run must delete nothing")
+    assert(TableLog.snapshot(spark0, root, Some(0L)).count() === v0Rows,
+      "dry run must leave every version servable")
     // vacuum retaining only the latest: gA's replaced files go, the
     // latest snapshot is untouched
     val deleted = TableLog.vacuum(spark0, root, retainFrom = 1L)
+    assert(deleted === wouldGo,
+      "the dry run must predict the real reclaim exactly")
     assert(gA.forall(deleted.contains), "replaced v0 files must be vacuumed")
     assert(TableLog.activeFiles(spark0, root).forall(f =>
       !deleted.contains(f)), "active files must survive vacuum")
