@@ -1580,9 +1580,11 @@ object TableLog {
     * an horizon comfortably above your longest commit latency).
     * Un-referenced schema/constraint sidecar FILES (a crashed
     * [[evolveAppend]]) reclaim the same way. Returns the deleted
-    * root-relative paths. */
+    * root-relative paths; `dryRun = true` returns the same list
+    * deleting nothing (and skips the empty-dir prune) — the same
+    * audit mode as [[vacuum]]'s. */
   def gcOrphans(spark: SparkSession, root: String,
-                olderThanMs: Long): Seq[String] = {
+                olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
     val f = fs(spark, root)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val referenced: Set[String] = (versions(spark, root).flatMap { v =>
@@ -1632,6 +1634,7 @@ object TableLog {
         .map(_.getPath)
     }
     val doomed = (dirOrphans ++ fileOrphans).map(rel).sorted
+    if (dryRun) return doomed // audit only: nothing reclaimed
     dirOrphans.foreach(p => f.delete(p, true))
     fileOrphans.foreach(p => f.delete(p, false))
     // reclaim now-EMPTY sidecar subdirectories (this pass's deletions

@@ -1870,8 +1870,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val before = TableLog.snapshot(spark0, root).count()
     // a generous age guard spares EVERYTHING (the in-flight-stage race)
     assert(TableLog.gcOrphans(spark0, root, olderThanMs = 3600000L).isEmpty)
+    // DRY RUN: names the orphans, reclaims nothing (vacuum's audit mode)
+    val wouldGc = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L,
+      dryRun = true)
+    assert(wouldGc.size === 2 && wouldGc.forall(rel =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root + "/" + rel))),
+      s"dry run must delete nothing, got $wouldGc")
     // age 0: exactly the two orphans reclaim; the committed files stay
     val doomed = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(doomed === wouldGc, "the dry run must predict the reclaim exactly")
     assert(doomed.size === 2 && doomed.exists(_.contains("crashed-")) &&
       doomed.exists(_.contains("crashedDel-")), s"got $doomed")
     assert(TableLog.snapshot(spark0, root).count() === before,
