@@ -2344,6 +2344,63 @@ object SparkEntry {
     graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
   }
 
+  /** STRING-PREFIX zone-skip read ([[graft.operators.TableLog
+    * .snapshotPrefix]] over [[graft.operators.TableLog
+    * .stageWithZoneMap]]'s TYPED sidecar) — the reference's own read
+    * shape: its range keys are STRINGS and its hot query is
+    * `begins_with` (web_api.py:50-76 queries the `source:<s>:genre:
+    * <g>` composite with Key(...).begins_with). The table lands
+    * range-clustered on the composite string key with typed per-file
+    * (scol, kind, lo, hi) stats, and the prefix probe reads only the
+    * files whose string interval intersects [prefix,
+    * successor(prefix)) — O(selectivity) at 100 TB, where the
+    * pre-typed cast-to-long sidecar could not serve string keys at
+    * all. The prefix 'src1:' also proves prefix SEMANTICS: 'src10'..
+    * 'src19' rows share the 'src1' run but not the delimited prefix,
+    * and must not leak in. Oracle: the plain source filter. */
+  private val q146Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q146: Q = (s, d) => {
+    val root = cachedTmpArtifact(q146Cache, d, "graft_q146_prefix") { p =>
+      val tl = graft.operators.TableLog
+      val keyed = Tables.documents(s, d).withColumn("skey",
+        concat(col("source"), lit(":"), col("lang"), lit(":"),
+          lpad(col("doc_id").cast("string"), 9, "0")))
+      val (files, zm) = tl.stageWithZoneMap(keyed, p, "base", "skey", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLog.snapshotPrefix(s, root, "skey", "src1:")
+      .select(col("skey"), col("doc_id"), col("text"), col("lang"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DATE-KEYED TTL PURGE ([[graft.operators.TableLog
+    * .deleteWhereTyped]]) — the most common DELETE WHERE in
+    * existence: "purge this date window" over a date-clustered table
+    * (the reference's DynamoDB rows carry exactly such ingest dates;
+    * consumer.py writes them per item). Typed per-file date stats
+    * classify every interior file as a PURE-METADATA drop (zero I/O —
+    * ScaleOpsSpec corrupts a covered file's bytes to prove it is
+    * never opened) while boundary files rewrite survivors only; NULL
+    * dates are outside every range and survive. Before typed stats a
+    * date key needed a synthetic epoch-long column. Oracle: the
+    * logical NOT-BETWEEN filter. */
+  private val q147Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q147: Q = (s, d) => {
+    val root = cachedTmpArtifact(q147Cache, d, "graft_q147_ttl") { p =>
+      val tl = graft.operators.TableLog
+      val dated = Tables.documents(s, d).withColumn("day",
+        date_add(to_date(lit("2020-01-01")),
+          (col("doc_id") % 365).cast("int")))
+      val (files, zm) = tl.stageWithZoneMap(dated, p, "base", "day", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+      tl.deleteWhereTyped(s, p, "day",
+        java.time.LocalDate.of(2020, 3, 1),
+        java.time.LocalDate.of(2020, 6, 30), "ttl", 4)
+    }
+    graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2882,6 +2939,8 @@ object SparkEntry {
     "q143_clone" -> q143,
     "q144_constraints" -> q144,
     "q145_delete_where" -> q145,
+    "q146_prefix_scan" -> q146,
+    "q147_ttl_purge" -> q147,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5090,6 +5149,18 @@ object SparkEntry {
     "q145_delete_where" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE NOT (doc_id BETWEEN 200 AND 399) ORDER BY doc_id""",
+    "q146_prefix_scan" ->
+      """SELECT source || ':' || lang || ':' ||
+           lpad(CAST(doc_id AS VARCHAR), 9, '0') AS skey,
+           doc_id, text, lang, n_chars
+         FROM documents WHERE source = 'src1' ORDER BY doc_id""",
+    "q147_ttl_purge" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+           DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER) AS day
+         FROM documents
+         WHERE NOT (DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER)
+                    BETWEEN DATE '2020-03-01' AND DATE '2020-06-30')
+         ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

@@ -90,6 +90,14 @@ object TableLog {
     paths.foreach { p =>
       require(p.matches("[A-Za-z0-9._/=-]+"),
         s"TableLog: path '$p' contains characters outside [A-Za-z0-9._/=-]")
+      // '..' (or '.') segments would make a ref resolve() OUTSIDE the
+      // table root — vacuum/gcOrphans would then delete files outside
+      // the table on a buggy or hostile writer's behalf. Absolute
+      // refs (leading '/') stay legal: they are cloneTable's borrowed
+      // files, and both reclaim paths already refuse to delete them.
+      require(!p.split("/").exists(s => s == ".." || s == "."),
+        s"TableLog: path '$p' contains a '.' or '..' segment — refs " +
+          "must resolve inside the table root")
     }
 
   /** Append a commit (adds/removes are table-root-relative file
@@ -428,11 +436,24 @@ object TableLog {
     val upTo = asOf.fold(vs)(v => vs.filter(_ <= v))
     val cp = checkpoints(f, root).filter(cv => asOf.forall(cv <= _))
       .lastOption
-    // the largest EXISTING entry ≤ asOf (a checkpoint's own entry is
-    // kept by expireLog, so cp ∈ upTo whenever cp exists)
-    val target = upTo.lastOption.orElse(cp)
+    // the largest EXISTING entry ≤ asOf. When no entry survives, a
+    // checkpoint may stand in ONLY for its own exact version: a later
+    // expireLog deletes an earlier checkpoint's entry too, so for an
+    // asOf strictly INSIDE the expired gap between two checkpoints
+    // (ckpt@5 and ckpt@10 on disk, asOf=7 after expireLog(10)) the
+    // old orElse(cp) fallback would silently serve v5's state — the
+    // expired-version-must-error contract requires the loud failure
+    // below instead
+    val target = upTo.lastOption
+      .orElse(cp.filter(cv => asOf.contains(cv)))
     require(target.nonEmpty,
-      s"TableLog: no committed version at $root asOf=$asOf")
+      if (cp.nonEmpty)
+        s"TableLog: read at $root asOf=$asOf falls in an EXPIRED gap — " +
+          s"the entries between checkpoint ${cp.get} and the next " +
+          "checkpoint were removed by expireLog (log retention has " +
+          "passed this version); serving the older checkpoint would " +
+          "silently under-read"
+      else s"TableLog: no committed version at $root asOf=$asOf")
     val from = cp.fold(0L)(_ + 1L)
     val needed = (from to target.get)
     val have = upTo.filter(_ >= from).toSet
@@ -1099,20 +1120,110 @@ object TableLog {
         Some((readV, p => bucketOf(p).forall(touched))))
   }
 
-  /** Stage `df` RANGE-CLUSTERED on `keyCol` WITH a ZONE-MAP sidecar —
-    * the stats-based FILE-SKIPPING layout (the Delta/Iceberg
-    * per-file min/max story): rows land range-partitioned and sorted
-    * on the key, so each staged file owns a narrow key interval, and
-    * a sidecar parquet of (file, lo, hi, n_rows) — one row per file,
-    * built from one columnar pass over the staged key — lets
-    * [[snapshotRange]] drop every file whose interval misses a range
-    * predicate WITHOUT opening it. At 100 TB the zone map is
-    * O(#files) metadata serving O(selectivity) reads; clustering is
-    * what makes it bite (un-sorted files all span the full key range
-    * and nothing prunes). Returns (data paths, zone-map paths) for
-    * [[commit]]'s `add`/`zmap`. */
+  /** The TYPED-stats kind tag for a column, or None when the type has
+    * no order-preserving string serialization (such a column simply
+    * gets NO stats rows → conservative reads; correctness never
+    * depends on stats coverage). Kinds: `long` (all integral types),
+    * `date` (epoch days), `timestamp` (epoch micros — TimestampType
+    * only; NTZ would need a timezone convention and is excluded
+    * rather than guessed), `string` (raw, ordered like Spark's own
+    * min/max — UTF8 binary), `double`. */
+  private def zkindFor(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case DateType => Some("date")
+      case TimestampType => Some("timestamp")
+      case StringType => Some("string")
+      case FloatType | DoubleType => Some("double")
+      case _ => None
+    }
+  }
+
+  /** Order-preserving STRING serialization of a stats value of
+    * `kind` (what the typed sidecar stores in lo_s/hi_s). */
+  private def zser(kind: String, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    kind match {
+      case "long" => c.cast("long").cast("string")
+      case "date" => // epoch days, exact
+        datediff(c, lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").cast("string")
+      case "timestamp" => unix_micros(c).cast("string")
+      case "string" => c
+      case "double" => c.cast("double").cast("string")
+    }
+  }
+
+  /** Compare two serialized stats values IN THE KIND'S DOMAIN.
+    * Strings compare as UTF8 binary — exactly how Spark's min/max
+    * ordered them when the sidecar was written. */
+  private def zcmp(kind: String, a: String, b: String): Int = kind match {
+    case "string" =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => java.lang.Long.compare(a.toLong, b.toLong)
+  }
+
+  /** Normalize a TYPED predicate bound to (kind, serialized repr) —
+    * the driver-side twin of [[zser]]. Accepts the natural Scala/Java
+    * types a caller holds: integral → long, String → string,
+    * LocalDate / sql.Date → date, Instant / sql.Timestamp →
+    * timestamp, Float/Double → double. */
+  private def zbound(v: Any): (String, String) = v match {
+    case l: Long => ("long", l.toString)
+    case i: Int => ("long", i.toString)
+    case s: Short => ("long", s.toString)
+    case b: Byte => ("long", b.toString)
+    case s: String => ("string", s)
+    case d: java.time.LocalDate => ("date", d.toEpochDay.toString)
+    case d: java.sql.Date => ("date", d.toLocalDate.toEpochDay.toString)
+    case t: java.time.Instant =>
+      ("timestamp", java.time.temporal.ChronoUnit.MICROS
+        .between(java.time.Instant.EPOCH, t).toString)
+    case t: java.sql.Timestamp =>
+      ("timestamp", java.time.temporal.ChronoUnit.MICROS
+        .between(java.time.Instant.EPOCH, t.toInstant).toString)
+    case d: Double => ("double", d.toString)
+    case f: Float => ("double", f.toDouble.toString)
+    case other => sys.error(
+      s"TableLog: unsupported zone-predicate bound $other " +
+        s"(${other.getClass.getName}) — use Long/Int/String/LocalDate/" +
+        "sql.Date/Instant/sql.Timestamp/Double")
+  }
+
+  /** A DataFrame literal for a typed bound (the residual filter's
+    * side of [[zbound]]). */
+  private def zlit(v: Any): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(v)
+
+  /** Stage `df` RANGE-CLUSTERED on `keyCol` WITH a TYPED ZONE-MAP
+    * sidecar — the stats-based FILE-SKIPPING layout (the
+    * Delta/Iceberg per-file min/max story): rows land
+    * range-partitioned and sorted on the key, so each staged file
+    * owns a narrow key interval, and a sidecar parquet — one row per
+    * (file, stats column): (file, scol, kind, lo_s, hi_s, n_rows,
+    * n_nulls), bounds serialized order-preserving per [[zkindFor]]
+    * kind — lets [[snapshotRange]] / [[snapshotWhere]] /
+    * [[snapshotPrefix]] drop every file whose interval misses a
+    * predicate WITHOUT opening it. Keys may be LONG, STRING, DATE,
+    * TIMESTAMP or DOUBLE (the reference's own range keys are strings
+    * — web_api.py:50-76 `begins_with` prefix scans — and the most
+    * common DELETE WHERE in existence is over a date); `statsCols`
+    * adds per-file stats for FURTHER columns beyond the cluster key,
+    * so any of them can prune reads too (the Delta
+    * min/max-every-column posture at declared-column cost).
+    * Unsupported column types are skipped — conservative reads, never
+    * an error. At 100 TB the zone map is O(#files × #statsCols)
+    * metadata serving O(selectivity) reads; clustering on the key is
+    * what makes the KEY's stats bite (un-sorted files all span the
+    * full range and nothing prunes). Returns (data paths, zone-map
+    * paths) for [[commit]]'s `add`/`zmap`. */
   def stageWithZoneMap(df: DataFrame, root: String, name: String,
-                       keyCol: String, parts: Int): (Seq[String], Seq[String]) = {
+                       keyCol: String, parts: Int,
+                       statsCols: Seq[String] = Nil): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1125,23 +1236,48 @@ object TableLog {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
       .sorted
       .map(n => s"data/$dir/$n")
-    // one pass over the staged KEY COLUMN only → per-file bounds;
-    // paths stored root-relative so the map survives a table move
-    val zm = spark.read.parquet(s"$root/data/$dir")
-      // staged layout is exactly data/<dir>/<file>: anchor on the LAST
-      // two segments so a table rooted under a path containing "data/"
-      // still records root-relative names that match the active set
+    val staged = spark.read.parquet(s"$root/data/$dir")
+    val byName = staged.schema.map(fld => fld.name -> fld.dataType).toMap
+    val covered = (keyCol +: statsCols).distinct.flatMap { c =>
+      zkindFor(byName.getOrElse(c,
+        sys.error(s"TableLog.stageWithZoneMap: no column '$c' in the " +
+          s"staged frame (has ${staged.columns.mkString(",")})")))
+        .map(k => (c, k))
+    }
+    // no coverable column (e.g. a decimal cluster key): the data
+    // still lands clustered, but there is no sidecar to write —
+    // reads stay conservative, never wrong
+    if (covered.isEmpty) return (files, Nil)
+    // ONE columnar pass over the staged stats columns → per-file
+    // bounds for every covered column, melted to one sidecar row per
+    // (file, column). Paths stored root-relative so the map survives
+    // a table move; the regexp anchors on the LAST two segments so a
+    // table rooted under a path containing "data/" still records
+    // names that match the active set.
+    // n_nulls: min/max skip NULL keys, so the interval alone cannot
+    // prove "every row is in range" — deleteWhere's metadata-only
+    // file drop needs the null count too (zero = interval covers
+    // every row). Maps without the stat read as unknown →
+    // conservative rewrite, never a wrong drop.
+    val aggs = covered.flatMap { case (c, k) =>
+      Seq(zser(k, min(col(c))).as(s"__lo__$c"),
+        zser(k, max(col(c))).as(s"__hi__$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n__$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val perFile = staged
       .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
         .as("file"))
-      // n_nulls: min/max skip NULL keys, so the interval alone cannot
-      // prove "every row is in range" — deleteWhere's metadata-only
-      // file drop needs the null count too (zero = interval covers
-      // every row). Older maps without the column read as null →
-      // unknown → conservative rewrite, never a wrong drop.
-      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
-        count(lit(1)).as("n_rows"),
-        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_nulls"))
-    (files, stageUnder(zm, root, "zmap", name))
+      .agg(aggs.head, aggs.tail: _*)
+    val melted = perFile.select(col("file"), col("n_rows"),
+      explode(array(covered.map { case (c, k) =>
+        struct(lit(c).as("scol"), lit(k).as("kind"),
+          col(s"__lo__$c").as("lo_s"), col(s"__hi__$c").as("hi_s"),
+          col(s"__n__$c").as("n_nulls"))
+      }: _*)).as("z"))
+      .select(col("file"), col("z.scol").as("scol"), col("z.kind").as("kind"),
+        col("z.lo_s").as("lo_s"), col("z.hi_s").as("hi_s"),
+        col("n_rows"), col("z.n_nulls").as("n_nulls"))
+    (files, stageUnder(melted, root, "zmap", name))
   }
 
   /** RANGE read with ZONE-MAP file skipping: the snapshot at `asOf`
@@ -1169,81 +1305,191 @@ object TableLog {
       .filter(rel => f.exists(new Path(resolve(root, rel))))
   }
 
-  /** One collected read of the in-force zone-map sidecars at `asOf`:
-    * (file, lo, hi, n_nulls), bounds None where stats are absent (a
-    * file of ALL-null keys has null min/max; maps written before the
-    * n_nulls stat read it as None = unknown). mergeSchema unions old
-    * and new map shapes. O(#files) driver metadata — shared by
-    * [[rangeTouchedFiles]] and [[deleteWhere]] so one purge plans
-    * from ONE sidecar read. */
+  /** One parsed zone-stats row: which file, which column (None for
+    * the PRE-TYPED sidecar format, which recorded no column name —
+    * the caller's key discipline was its contract), the value kind,
+    * serialized bounds (None where stats are absent: a file of
+    * ALL-null keys has null min/max), and the null count (None =
+    * unknown, written before the stat existed). */
+  private final case class ZStat(file: String, scol: Option[String],
+                                 kind: String, lo: Option[String],
+                                 hi: Option[String], nNulls: Option[Long])
+
+  /** One collected read of the in-force zone-map sidecars at `asOf`,
+    * both formats (mergeSchema unions their disjoint column sets:
+    * legacy rows carry long lo/hi, typed rows carry scol/kind +
+    * string lo_s/hi_s). O(#files × #statsCols) driver metadata —
+    * shared by [[rangeTouchedFiles]] and [[deleteWhere]] so one purge
+    * plans from ONE sidecar read. */
   private def collectZoneRows(spark: SparkSession, root: String,
-      asOf: Option[Long]
-      ): Array[(String, Option[Long], Option[Long], Option[Long])] = {
+                              asOf: Option[Long]): Array[ZStat] = {
     val zmaps = inForceZmaps(fs(spark, root), root, asOf)
     if (zmaps.isEmpty) Array.empty
     else {
       val zm = spark.read.option("mergeSchema", "true")
         .parquet(zmaps.map(resolve(root, _)): _*)
-      val hasN = zm.columns.contains("n_nulls")
-      val cols = Seq(col("file"), col("lo").cast("long"),
-        col("hi").cast("long")) ++
-        (if (hasN) Seq(col("n_nulls").cast("long")) else Nil)
-      zm.select(cols: _*).collect().map { r =>
-        (r.getString(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          if (hasN && !r.isNullAt(3)) Some(r.getLong(3)) else None)
-      }
+      val have = zm.columns.toSet
+      def opt(n: String, cast: String) =
+        if (have(n)) col(n).cast(cast)
+        else org.apache.spark.sql.functions.lit(null).cast(cast)
+      zm.select(col("file"), opt("scol", "string"), opt("kind", "string"),
+          opt("lo_s", "string"), opt("hi_s", "string"),
+          opt("lo", "long").cast("string"), opt("hi", "long").cast("string"),
+          opt("n_nulls", "long"))
+        .collect().map { r =>
+          def s(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+          if (!r.isNullAt(2)) // typed row
+            ZStat(r.getString(0), s(1), r.getString(2), s(3), s(4),
+              if (r.isNullAt(7)) None else Some(r.getLong(7)))
+          else // legacy long row
+            ZStat(r.getString(0), None, "long", s(5), s(6),
+              if (r.isNullAt(7)) None else Some(r.getLong(7)))
+        }
     }
   }
 
-  /** The active files a range predicate [lo, hi] on `keyCol` may
-    * touch, given `active` and pre-collected `zones`: zone-described
-    * files whose interval intersects, plus every active file WITHOUT
-    * an interval (conservative — correctness never depends on stats
-    * coverage). The shared pruning core of [[snapshotRange]] (reads),
-    * [[replaceWhere]] and [[deleteWhere]] (predicate-scoped
-    * rewrites). */
-  private def touchedFrom(active: Seq[String],
-      zones: Array[(String, Option[Long], Option[Long], Option[Long])],
-      lo: Long, hi: Long): Seq[String] = {
-    val described = zones.collect {
-      case (p, Some(l), Some(h), _) => (p, l, h) }
-    val descSet = described.map(_._1).toSet
+  /** The active files a typed range predicate [qlo, qhi] on `scol`
+    * may touch, given `active` and pre-collected `zones`:
+    * zone-described files whose interval intersects, plus every
+    * active file WITHOUT a matching interval (conservative —
+    * correctness never depends on stats coverage). A stats row
+    * matches when its (scol, kind) equal the query's —
+    * `trustLegacy` additionally lets column-less legacy long rows
+    * match a long query (ONLY the legacy long entry points set it;
+    * the typed API never prunes by stats that don't name their
+    * column). `qhi = None` means an unbounded upper end (prefix scans
+    * whose successor overflows). */
+  private def touchedFrom(active: Seq[String], zones: Array[ZStat],
+                          scol: String, kind: String,
+                          qlo: String, qhi: Option[String],
+                          trustLegacy: Boolean = false): Seq[String] = {
+    val matching = zones.filter(z => z.kind == kind &&
+      (z.scol.contains(scol) || (z.scol.isEmpty && trustLegacy)))
     val activeSet = active.toSet
-    // stale zone rows (for removed files) drop via the active set
-    val surviving = described.collect {
-      case (p, l, h) if activeSet(p) && h >= lo && l <= hi => p }
-    (surviving ++ active.filterNot(descSet)).sorted
+    // a file prunes only when EVERY matching bounded row proves its
+    // interval misses (rows are facts; absent/unbounded rows prove
+    // nothing). Stale rows for removed files drop via the active set.
+    val byFile = matching.filter(z => activeSet(z.file)).groupBy(_.file)
+    val pruned = byFile.collect { case (p, zs)
+      if zs.forall(z => (z.lo, z.hi) match {
+        case (Some(l), Some(h)) =>
+          zcmp(kind, h, qlo) < 0 || qhi.exists(q => zcmp(kind, l, q) > 0)
+        case _ => false
+      }) && zs.exists(z => z.lo.isDefined && z.hi.isDefined) => p
+    }.toSet
+    active.filterNot(pruned).sorted
   }
+
+  /** Files PROVABLY all-inside [qlo, qhi] on `scol`: some matching
+    * stats row has its whole interval inside the range AND a
+    * KNOWN-zero null count (min/max skip NULLs, so the interval alone
+    * cannot speak for null-key rows — NULL is outside every range).
+    * [[deleteWhere]]'s metadata-only drop set. */
+  private def droppableFrom(zones: Array[ZStat], scol: String,
+                            kind: String, qlo: String, qhi: String,
+                            trustLegacy: Boolean): Set[String] =
+    zones.filter(z => z.kind == kind &&
+        (z.scol.contains(scol) || (z.scol.isEmpty && trustLegacy)))
+      .collect { case ZStat(p, _, _, Some(l), Some(h), Some(0L))
+        if zcmp(kind, l, qlo) >= 0 && zcmp(kind, h, qhi) <= 0 => p }
+      .toSet
 
   private def rangeTouchedFiles(spark: SparkSession, root: String,
                                 keyCol: String, lo: Long, hi: Long,
                                 asOf: Option[Long]): Seq[String] =
     touchedFrom(activeFiles(spark, root, asOf),
-      collectZoneRows(spark, root, asOf), lo, hi)
+      collectZoneRows(spark, root, asOf), keyCol, "long",
+      lo.toString, Some(hi.toString), trustLegacy = true)
 
-  def snapshotRange(spark: SparkSession, root: String, keyCol: String,
-                    lo: Long, hi: Long, asOf: Option[Long] = None,
-                    idCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val files = rangeTouchedFiles(spark, root, keyCol, lo, hi, asOf)
+  /** Read a PRUNED file subset of the snapshot at `asOf` with a
+    * residual filter — the shared tail of every zone-pruned read
+    * face. Delete sidecars apply exactly as in [[snapshot]]. */
+  private def readPruned(spark: SparkSession, root: String,
+                         files: Seq[String], residual: org.apache.spark.sql.Column,
+                         asOf: Option[Long], idCol: Option[String],
+                         face: String): DataFrame = {
     val reader = logSchema(spark, root, asOf)
       .fold(spark.read)(st => spark.read.schema(st))
     val base =
       if (files.isEmpty) snapshot(spark, root, asOf, idCol).limit(0)
       else reader.parquet(files.map(resolve(root, _)): _*)
-    val ranged = base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    val ranged = base.filter(residual)
     val dels = activeDeletes(spark, root, asOf)
     if (dels.isEmpty) ranged
     else idCol match {
       case None => sys.error(
-        s"TableLog.snapshotRange: $root has delete sidecars; pass idCol")
+        s"TableLog.$face: $root has delete sidecars; pass idCol")
       case Some(id) =>
         val doomed = spark.read.parquet(dels.map(resolve(root, _)): _*)
         ranged.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
           Seq(id), "left_anti")
     }
+  }
+
+  def snapshotRange(spark: SparkSession, root: String, keyCol: String,
+                    lo: Long, hi: Long, asOf: Option[Long] = None,
+                    idCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readPruned(spark, root,
+      rangeTouchedFiles(spark, root, keyCol, lo, hi, asOf),
+      col(keyCol) >= lo && col(keyCol) <= hi, asOf, idCol, "snapshotRange")
+  }
+
+  /** TYPED range read with zone-map file skipping: the snapshot at
+    * `asOf` restricted to `lo <= keyCol <= hi` where the bounds are
+    * any [[zbound]]-supported type (String, LocalDate/sql.Date,
+    * Instant/sql.Timestamp, integral, Double) — the generalization
+    * [[snapshotRange]]'s cast-to-long contract couldn't serve (the
+    * reference's own keys are strings, web_api.py:50-76). Pruning
+    * consults ONLY stats rows that name this column with this kind
+    * ([[stageWithZoneMap]]'s typed sidecar; its `statsCols` make
+    * NON-cluster columns prunable too); files without matching stats
+    * read conservatively. */
+  def snapshotWhere(spark: SparkSession, root: String, keyCol: String,
+                    lo: Any, hi: Any, asOf: Option[Long] = None,
+                    idCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (kind, qlo) = zbound(lo)
+    val (kindHi, qhi) = zbound(hi)
+    require(kind == kindHi,
+      s"TableLog.snapshotWhere: bound kinds differ ($kind vs $kindHi)")
+    val files = touchedFrom(activeFiles(spark, root, asOf),
+      collectZoneRows(spark, root, asOf), keyCol, kind, qlo, Some(qhi))
+    readPruned(spark, root, files,
+      col(keyCol) >= zlit(lo) && col(keyCol) <= zlit(hi),
+      asOf, idCol, "snapshotWhere")
+  }
+
+  /** The smallest string STRICTLY greater than every string with
+    * prefix `p`, if one is expressible: increment the last
+    * incrementable char. Restricted to ASCII tails (the keys this
+    * format serves are `source:<s>:genre:<g>`-style composites) —
+    * a non-ASCII last char yields None = no upper bound, so the scan
+    * stays conservative rather than risking UTF-8-vs-UTF-16 order
+    * disagreements at the boundary. */
+  private def prefixSucc(p: String): Option[String] = {
+    val i = p.lastIndexWhere(c => c < 0x7f)
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  /** PREFIX scan with zone-map file skipping — the `begins_with` key
+    * read of the reference's web API (web_api.py:50-76 queries
+    * DynamoDB with `Key(...).begins_with(prefix)`): the snapshot at
+    * `asOf` restricted to `startswith(keyCol, prefix)`, reading only
+    * files whose string zone interval intersects
+    * [prefix, successor(prefix)). On a table range-clustered on the
+    * string key this is an O(selectivity) read — the get_ref_data
+    * shape at 100 TB. */
+  def snapshotPrefix(spark: SparkSession, root: String, keyCol: String,
+                     prefix: String, asOf: Option[Long] = None,
+                     idCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = touchedFrom(activeFiles(spark, root, asOf),
+      collectZoneRows(spark, root, asOf), keyCol, "string",
+      prefix, prefixSucc(prefix))
+    readPruned(spark, root, files,
+      col(keyCol).startsWith(prefix), asOf, idCol, "snapshotPrefix")
   }
 
   /** REPLACE WHERE — atomically overwrite exactly the rows with
@@ -1263,7 +1509,34 @@ object TableLog {
     * Returns the new version. */
   def replaceWhere(spark: SparkSession, root: String, keyCol: String,
                    lo: Long, hi: Long, replacement: DataFrame,
-                   name: String, parts: Int): Long = {
+                   name: String, parts: Int): Long =
+    replaceWhereCore(spark, root, keyCol, "long", lo.toString, hi.toString,
+      org.apache.spark.sql.functions.lit(lo),
+      org.apache.spark.sql.functions.lit(hi),
+      replacement, name, parts, trustLegacy = true)
+
+  /** TYPED [[replaceWhere]]: bounds of any [[zbound]]-supported type
+    * — the date-keyed "recompute this day and swap it in" backfill,
+    * or a string-key-range overwrite, with the same atomicity,
+    * pruning and conflict contract as the long form. */
+  def replaceWhereTyped(spark: SparkSession, root: String, keyCol: String,
+                        lo: Any, hi: Any, replacement: DataFrame,
+                        name: String, parts: Int): Long = {
+    val (kind, qlo) = zbound(lo)
+    val (kindHi, qhi) = zbound(hi)
+    require(kind == kindHi,
+      s"TableLog.replaceWhereTyped: bound kinds differ ($kind vs $kindHi)")
+    replaceWhereCore(spark, root, keyCol, kind, qlo, qhi,
+      zlit(lo), zlit(hi), replacement, name, parts, trustLegacy = false)
+  }
+
+  private def replaceWhereCore(spark: SparkSession, root: String,
+                               keyCol: String, kind: String,
+                               qlo: String, qhi: String,
+                               loLit: org.apache.spark.sql.Column,
+                               hiLit: org.apache.spark.sql.Column,
+                               replacement: DataFrame, name: String,
+                               parts: Int, trustLegacy: Boolean): Long = {
     import org.apache.spark.sql.functions._
     require(activeDeletes(spark, root).isEmpty,
       s"TableLog.replaceWhere: $root has delete sidecars in force — " +
@@ -1273,19 +1546,22 @@ object TableLog {
     // files they SURVIVE (isNull below) — a silent drop of null-key
     // rows is the classic three-valued-logic rewrite bug
     require(replacement.filter(col(keyCol).isNull ||
-        col(keyCol) < lo || col(keyCol) > hi).isEmpty,
-      s"TableLog.replaceWhere: replacement rows outside [$lo, $hi] on " +
+        col(keyCol) < loLit || col(keyCol) > hiLit).isEmpty,
+      s"TableLog.replaceWhere: replacement rows outside [$qlo, $qhi] on " +
         s"'$keyCol' (or with NULL key) — they would widen the " +
         "overwrite beyond the predicate")
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.replaceWhere: empty log at $root"))
-    val touched = rangeTouchedFiles(spark, root, keyCol, lo, hi, Some(readV))
+    val touched = touchedFrom(activeFiles(spark, root, Some(readV)),
+      collectZoneRows(spark, root, Some(readV)), keyCol, kind,
+      qlo, Some(qhi), trustLegacy)
     val reader = logSchema(spark, root, Some(readV))
       .fold(spark.read)(st => spark.read.schema(st))
     val survivors =
       if (touched.isEmpty) replacement.limit(0)
       else reader.parquet(touched.map(resolve(root, _)): _*)
-        .filter(col(keyCol).isNull || col(keyCol) < lo || col(keyCol) > hi)
+        .filter(col(keyCol).isNull || col(keyCol) < loLit ||
+          col(keyCol) > hiLit)
     val (files, zm) = stageWithZoneMap(
       survivors.unionByName(replacement), root, name, keyCol, parts)
     // a concurrent blind append could land rows inside [lo, hi] that
@@ -1329,7 +1605,40 @@ object TableLog {
     * when nothing tails the table. */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
                   lo: Long, hi: Long, name: String, parts: Int,
-                  feedIdCol: Option[String] = None): Long = {
+                  feedIdCol: Option[String] = None): Long =
+    deleteWhereCore(spark, root, keyCol, "long", lo.toString, hi.toString,
+      org.apache.spark.sql.functions.lit(lo),
+      org.apache.spark.sql.functions.lit(hi),
+      name, parts, feedIdCol, trustLegacy = true,
+      emptyWindow = lo > hi)
+
+  /** TYPED [[deleteWhere]]: bounds of any [[zbound]]-supported type —
+    * the retention purge every real table runs is DATE-keyed
+    * (`deleteWhereTyped(..., LocalDate.of(2020,1,1),
+    * LocalDate.of(2020,12,31), ...)`), and string key ranges purge
+    * the same way. Same metadata-only interior-file drop, same
+    * conflict contract. */
+  def deleteWhereTyped(spark: SparkSession, root: String, keyCol: String,
+                       lo: Any, hi: Any, name: String, parts: Int,
+                       feedIdCol: Option[String] = None): Long = {
+    val (kind, qlo) = zbound(lo)
+    val (kindHi, qhi) = zbound(hi)
+    require(kind == kindHi,
+      s"TableLog.deleteWhereTyped: bound kinds differ ($kind vs $kindHi)")
+    deleteWhereCore(spark, root, keyCol, kind, qlo, qhi,
+      zlit(lo), zlit(hi), name, parts, feedIdCol, trustLegacy = false,
+      emptyWindow = zcmp(kind, qlo, qhi) > 0)
+  }
+
+  private def deleteWhereCore(spark: SparkSession, root: String,
+                              keyCol: String, kind: String,
+                              qlo: String, qhi: String,
+                              loLit: org.apache.spark.sql.Column,
+                              hiLit: org.apache.spark.sql.Column,
+                              name: String, parts: Int,
+                              feedIdCol: Option[String],
+                              trustLegacy: Boolean,
+                              emptyWindow: Boolean): Long = {
     import org.apache.spark.sql.functions._
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.deleteWhere: empty log at $root"))
@@ -1337,8 +1646,9 @@ object TableLog {
     // the droppable classification)
     val zones = collectZoneRows(spark, root, Some(readV))
     val touched =
-      if (lo > hi) Seq.empty[String] // an empty window deletes nothing
-      else touchedFrom(activeFiles(spark, root, Some(readV)), zones, lo, hi)
+      if (emptyWindow) Seq.empty[String] // an empty window deletes nothing
+      else touchedFrom(activeFiles(spark, root, Some(readV)), zones,
+        keyCol, kind, qlo, Some(qhi), trustLegacy)
     if (touched.isEmpty) readV // provably nothing in range: NO-OP
     else {
       // the rewrite below would resurrect sidecar-deleted rows; the
@@ -1347,12 +1657,11 @@ object TableLog {
       require(activeDeletes(spark, root).isEmpty,
         s"TableLog.deleteWhere: $root has delete sidecars in force — " +
           "compactTable first so the rewrite cannot resurrect deleted rows")
-      // provably-all-in-range files: interval inside [lo, hi] and a
+      // provably-all-in-range files: interval inside [qlo, qhi] and a
       // KNOWN-zero null count (a None n_nulls — an older map — is
       // "unknown", never "zero")
-      val droppable: Set[String] = zones.collect {
-        case (p, Some(l), Some(h), Some(0L))
-          if l >= lo && h <= hi => p }.toSet
+      val droppable: Set[String] =
+        droppableFrom(zones, keyCol, kind, qlo, qhi, trustLegacy)
       val rewrite = touched.filterNot(droppable)
       // lazy: an all-droppable purge without a feed must stay pure
       // metadata — not even the schema-ref replay runs
@@ -1363,8 +1672,8 @@ object TableLog {
         else {
           val survivors = reader
             .parquet(rewrite.map(resolve(root, _)): _*)
-            .filter(col(keyCol).isNull || col(keyCol) < lo ||
-              col(keyCol) > hi)
+            .filter(col(keyCol).isNull || col(keyCol) < loLit ||
+              col(keyCol) > hiLit)
           // a straddler-by-stats file can still be all-in-range in
           // fact (stats-less, or interval-covered with unknown nulls
           // that turn out absent): nothing survives → pure drop
@@ -1377,7 +1686,7 @@ object TableLog {
         // included — the DATA path still never rewrites them)
         val removed = reader
           .parquet(touched.map(resolve(root, _)): _*)
-          .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+          .filter(col(keyCol) >= loLit && col(keyCol) <= hiLit)
           .select(col(idc), lit("removed").as("status"))
         stageFeed(removed, root, name)
       }
@@ -1541,7 +1850,16 @@ object TableLog {
     // this it would leak on disk forever
     val cpRef = checkpoints(f, root).flatMap { cv =>
       val c = readCheckpoint(f, root, cv)
-      c.files ++ c.deletes ++ c.zmap ++ c.schema
+      // a zone map follows its data files HERE too: a checkpoint-
+      // folded zmap ref (its adding entry is expired, so the
+      // entry-level guard above can't see it) becomes a reclaim
+      // candidate only when NONE of the checkpoint's files is
+      // retained — else a pre-horizon commit's map whose data files
+      // are still active would be reclaimed and every later range
+      // read / deleteWhere would silently degrade to a conservative
+      // full scan
+      val zm = if (c.files.exists(keep)) Nil else c.zmap
+      c.files ++ c.deletes ++ zm ++ c.schema
     }
     // constraint sidecars (entry `checks` refs) are deliberately NOT
     // reclaimable: the in-force fold may read through pre-horizon

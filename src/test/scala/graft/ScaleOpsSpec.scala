@@ -2029,4 +2029,191 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the purge feed must serve from its sidecar, never a snapshot diff")
     assert(TableLog.snapshot(spark0, root2).count() === 100L)
   }
+
+  test("TableLog: time travel into an expired inter-checkpoint gap errors; the checkpoint's own version still serves") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_gap").toString + "/t"
+    def rows(ids: Seq[Long]) = ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(rows(0L until 10L), root, "a"), Nil) // v0
+    assert(TableLog.writeCheckpoint(spark0, root) === 0L) // ckpt@0
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(rows(10L until 20L), root, "b"), Nil) // v1
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(rows(20L until 30L), root, "c"), Nil) // v2
+    assert(TableLog.writeCheckpoint(spark0, root) === 2L) // ckpt@2
+    // the second expiry deletes ckpt@0's OWN entry too (it is < 2)
+    TableLog.expireLog(spark0, root, 2L)
+    assert(TableLog.versions(spark0, root) === Seq(2L))
+    // v1 falls in the expired gap BETWEEN the two checkpoints: before
+    // the fix, replayPlan fell back to ckpt@0's fold and silently
+    // served v0's 10 rows as "v1" — it must error instead
+    val e = intercept[IllegalArgumentException] {
+      TableLog.snapshot(spark0, root, Some(1L)).count()
+    }
+    assert(e.getMessage.contains("EXPIRED gap"))
+    // the checkpoint's own version is exactly its fold: still servable
+    assert(TableLog.snapshot(spark0, root, Some(0L)).count() === 10L)
+    assert(TableLog.snapshot(spark0, root, Some(2L)).count() === 30L)
+    assert(TableLog.snapshot(spark0, root).count() === 30L)
+  }
+
+  test("TableLog.vacuum keeps checkpoint-folded zone maps whose data files are still active") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_cpzm").toString + "/t"
+    def rows(ids: Seq[Long]) = ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val (fA, zA) = TableLog.stageWithZoneMap(rows(0L until 400L),
+      root, "a", "doc_id", 4)
+    TableLog.commit(spark0, root, fA, Nil, zmap = zA) // v0
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(rows(400L until 410L).coalesce(1), root, "b"),
+      Nil) // v1: ONE stats-less file (conservatively read by any range)
+    TableLog.writeCheckpoint(spark0, root) // folds zA
+    TableLog.expireLog(spark0, root, 1L) // v0's entry (zA's committer) gone
+    // v0's data files are ACTIVE at every retained version; before the
+    // fix the checkpoint-folded zA refs had no keep-side counterpart
+    // and vacuum reclaimed them, silently degrading every later range
+    // read to a conservative full scan
+    val doomed = TableLog.vacuum(spark0, root, retainFrom = 1L)
+    assert(doomed.forall(p => !zA.contains(p)),
+      s"vacuum reclaimed live zone maps: ${doomed.filter(zA.contains)}")
+    zA.foreach(p => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root + "/" + p)), s"zmap $p deleted"))
+    // and they still prune: a narrow range read opens ~1 of A's 4
+    // clustered files (plus the stats-less B commit, conservatively)
+    val pruned = TableLog.snapshotRange(spark0, root, "doc_id", 0L, 50L)
+    assert(pruned.inputFiles.length < fA.length + 1,
+      s"range read stopped pruning: ${pruned.inputFiles.length} files")
+    assert(pruned.count() === 51L)
+  }
+
+  test("TableLog.commit refuses refs with '..' segments (root-escape)") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val root = Files.createTempDirectory("graft_tablelog_dots").toString + "/t"
+    for (bad <- Seq("data/../../evil.parquet", "../evil.parquet",
+        "data/./x.parquet")) {
+      val e = intercept[IllegalArgumentException] {
+        TableLog.commit(spark0, root, Seq(bad), Nil)
+      }
+      assert(e.getMessage.contains("segment"), s"$bad accepted")
+    }
+  }
+
+  test("typed zone maps: string-prefix scan prunes files; typed stats never borrow legacy column-less rows") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_tzm").toString + "/t"
+    // composite string keys, the reference's own shape: source:<s>:id
+    val df = (0L until 400L).map { i =>
+      val src = s"s${i / 100}" // s0..s3, contiguous under clustering
+      (s"$src:id${"%04d".format(i)}", i, s"t$i")
+    }.toDF("skey", "doc_id", "text")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "skey", 8,
+      statsCols = Seq("doc_id"))
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    // prefix scan: correct AND pruned (s1: 100 of 400 rows, ~2 of 8 files)
+    val got = TableLog.snapshotPrefix(spark0, root, "skey", "s1:")
+    assert(got.count() === 100L)
+    assert(got.inputFiles.length < files.length,
+      s"prefix scan read all ${files.length} files")
+    assert(got.select("skey").collect().forall(_.getString(0).startsWith("s1:")))
+    // an out-of-domain prefix reads NOTHING
+    assert(TableLog.snapshotPrefix(spark0, root, "skey", "zz").count() === 0L)
+    // secondary-column stats (statsCols): doc_id correlates with the
+    // cluster key here, so a typed long range on the NON-cluster
+    // column prunes too
+    val sec = TableLog.snapshotWhere(spark0, root, "doc_id", 0L, 40L)
+    assert(sec.count() === 41L)
+    assert(sec.inputFiles.length < files.length,
+      "statsCols stats did not prune the secondary-column read")
+    // legacy column-less rows must NOT serve the typed API: a FRESH
+    // table whose ONLY stats are a handcrafted pre-typed sidecar
+    // (file, lo, hi, n_nulls — no scol) claiming an absurdly narrow
+    // interval for every file. The legacy face trusts it (the old
+    // contract: the caller's key discipline named the column) and
+    // prunes everything; the typed face must ignore rows that name no
+    // column and read conservatively.
+    val root2 = Files.createTempDirectory("graft_tablelog_leg").toString + "/t"
+    val f2 = TableLog.stageWrite(
+      (0L until 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .coalesce(1), root2, "base")
+    val legacy = f2.map(p => (p, 1000000L, 1000001L, 0L))
+      .toDF("file", "lo", "hi", "n_nulls")
+    val legDir = s"zmap/leg-deadbeef"
+    legacy.coalesce(1).write.parquet(s"$root2/$legDir")
+    val legRefs = new java.io.File(s"$root2/$legDir").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => s"$legDir/${f.getName}").toSeq
+    TableLog.commit(spark0, root2, f2, Nil, zmap = legRefs)
+    // legacy face believes the legacy rows (doc_id 0..40 "misses" the
+    // claimed [1000000, 1000001] interval): prunes the file
+    assert(TableLog.snapshotRange(spark0, root2, "doc_id", 0L, 40L)
+      .count() === 0L)
+    // typed face ignores column-less rows → conservative full read
+    assert(TableLog.snapshotWhere(spark0, root2, "doc_id", 0L, 40L)
+      .count() === 41L)
+  }
+
+  test("typed zone maps: date-keyed deleteWhere drops interior files by metadata; null dates survive") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_ddel").toString + "/t"
+    val base = java.time.LocalDate.of(2020, 1, 1)
+    def rows(days: Seq[Int]) = days
+      .map(d => (java.sql.Date.valueOf(base.plusDays(d)), d.toLong, s"t$d"))
+      .toDF("day", "doc_id", "text")
+    // three date-clustered commits with known day intervals + nulls
+    val (fA, zA) = TableLog.stageWithZoneMap(rows(0 until 100), root, "a", "day", 2)
+    TableLog.commit(spark0, root, fA, Nil, zmap = zA)
+    val (fB, zB) = TableLog.stageWithZoneMap(rows(100 until 200), root, "b", "day", 2)
+    TableLog.commit(spark0, root, fB, Nil, zmap = zB)
+    val (fC, zC) = TableLog.stageWithZoneMap(rows(200 until 300), root, "c", "day", 2)
+    TableLog.commit(spark0, root, fC, Nil, zmap = zC)
+    val nulls = Seq[(java.sql.Date, java.lang.Long, String)](
+      (null, 9001L, "n1"), (null, 9002L, "n2")).toDF("day", "doc_id", "text")
+    val (fD, zD) = TableLog.stageWithZoneMap(nulls, root, "d", "day", 1)
+    TableLog.commit(spark0, root, fD, Nil, zmap = zD)
+    // corrupt B: the TTL window [day 80, day 220] covers B's whole
+    // interval, so the purge must de-reference B without opening it
+    fB.foreach { rel =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(root + "/" + rel),
+        "not parquet".getBytes("UTF-8"))
+    }
+    val before = TableLog.versions(spark0, root).last
+    val v = TableLog.deleteWhereTyped(spark0, root, "day",
+      base.plusDays(80), base.plusDays(220), "ttl", 2)
+    assert(v === before + 1)
+    val snap = TableLog.snapshot(spark0, root).collect()
+    val keptDays = snap.filter(!_.isNullAt(0))
+      .map(_.getDate(0).toLocalDate.toEpochDay - base.toEpochDay).sorted
+    assert(keptDays.toSeq === ((0L until 80L) ++ (221L until 300L)),
+      "exactly the date window must vanish")
+    assert(snap.count(_.isNullAt(0)) === 2,
+      "NULL dates are outside every range — they must survive the purge")
+    val active = TableLog.activeFiles(spark0, root).toSet
+    assert(fB.forall(p => !active(p)))
+    assert(fB.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root + "/" + p))),
+      "interior files must drop by pure metadata")
+    // post-purge typed range reads prune through the fresh maps
+    val rr = TableLog.snapshotWhere(spark0, root, "day",
+      base.plusDays(0), base.plusDays(10))
+    assert(rr.count() === 11L)
+    assert(rr.inputFiles.length < TableLog.activeFiles(spark0, root).length)
+    // typed replaceWhere round-trip on the same table: recompute a day
+    // range, swap it in, nothing outside moves
+    val repl = rows(230 until 240).withColumn("text", upper(col("text")))
+    TableLog.replaceWhereTyped(spark0, root, "day",
+      base.plusDays(230), base.plusDays(239), repl, "backfill", 2)
+    val after = TableLog.snapshot(spark0, root)
+    assert(after.filter(col("text").rlike("^T2[34]")).count() === 10L)
+    assert(after.count() === (80L + 79L + 2L))
+  }
 }
