@@ -210,6 +210,41 @@ object EventPipeline {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[clickToPurchase]]
+    * with the watermark-bounded outer semantics: every click emits
+    * EXACTLY once; matched clicks emit (possibly several rows) as
+    * purchases arrive, and a click that never matched inside its
+    * window emits one row with NULL purchase columns when the
+    * watermark closes the interval (Spark holds the unmatched row in
+    * join state until click_ts + window is provably past on BOTH
+    * sides, then releases it — bounded state, no early false
+    * negatives). This is the streaming form of the reference's
+    * fail-open enrichment (enrichment.py:69-80 keeps the title row
+    * when details never resolve, rather than dropping it): downstream
+    * sees the full click stream, match-or-not.
+    *
+    * State/scale contract is the inner join's: both sides
+    * watermarked, the time-range conjunct bounds retention to the
+    * window, and the join key (user_id) partitions state. */
+  def clickToPurchaseOuter(events: DataFrame, windowSeconds: Long,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   // ------------------------------------------------------- custom state
 
   case class SessionState(sessNo: Int, lastTsMicros: Long, n: Long, total: Double)

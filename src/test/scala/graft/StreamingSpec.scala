@@ -186,6 +186,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("click_id") === 0 && col("purchase_id") === 1).count() === 2)
   }
 
+  test("clickToPurchaseOuter emits unmatched clicks with nulls exactly once at watermark expiry") {
+    // the sentinels must survive BOTH sides' event_type filters (a
+    // filtered row never reaches its watermark node), and stay below
+    // their own interval expiry so they don't add null rows themselves
+    def sentinels(t1: String, t2: String) = Seq(
+      Event(90, ts(t1), 999, "click", 0.0, "{}"),
+      Event(91, ts(t2), 998, "purchase", 0.0, "{}"))
+    val out = runBatches(m => EventPipeline.clickToPurchaseOuter(m.toDF(), 3600), "cpo",
+      Seq(sample,
+        sentinels("2024-01-02 12:00:00", "2024-01-02 12:00:00"),
+        sentinels("2024-01-02 12:30:00", "2024-01-02 12:30:00")))
+    // matched: click 0 (user 1, 00:01) × the duplicated purchase id 1 —
+    // matched rows emit as usual, and matched clicks never get a null row
+    assert(out.filter(col("click_id") === 0).count() === 2)
+    assert(out.filter(col("click_id") === 0 && col("purchase_id").isNull)
+      .count() === 0)
+    // unmatched: click 4 (user 2, 02:30, no purchase in its 1h window)
+    // emits EXACTLY ONCE with null purchase columns — the fail-open row
+    val un = out.filter(col("click_id") === 4)
+    assert(un.count() === 1)
+    assert(un.filter(col("purchase_id").isNull && col("purchase_ts").isNull &&
+      col("value").isNull).count() === 1)
+    assert(out.count() === 3)
+  }
+
+  test("clickToPurchaseOuter checkpoint-resume preserves matched and unmatched emissions") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cpo_ckpt").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    def startQuery() = EventPipeline.clickToPurchaseOuter(
+        spark.readStream.schema(schema).parquet(inDir), 3600)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // phase 1: the sample — matched rows emit, the unmatched click's
+    // interval is still open (watermark hasn't passed 02:30 + 1h)
+    sample.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val phase1 = spark.read.parquet(outDir)
+    assert(phase1.filter(col("click_id") === 0).count() === 2)
+    assert(phase1.filter(col("purchase_id").isNull).count() === 0,
+      "no null row may emit before the watermark closes the interval")
+    // phase 2: RESTART from the checkpoint; watermark-advancing files
+    // flush the unmatched click exactly once — the null emission
+    // survives the restart through recovered join state
+    def sentinels(t: String) = Seq(
+      Event(90, ts(t), 999, "click", 0.0, "{}"),
+      Event(91, ts(t), 998, "purchase", 0.0, "{}"))
+    sentinels("2024-01-02 12:00:00").toDF().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    sentinels("2024-01-02 12:30:00").toDF().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2b = startQuery(); q2b.processAllAvailable(); q2b.stop()
+    val phase2 = spark.read.parquet(outDir)
+    assert(phase2.filter(col("click_id") === 4 &&
+      col("purchase_id").isNull).count() === 1)
+    assert(phase2.count() === 3)
+    // phase 3: restart again with nothing new — no duplicates
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(outDir).count() === 3)
+  }
+
   test("file-source stream with checkpoint resumes exactly-once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
