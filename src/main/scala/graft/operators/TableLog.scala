@@ -705,6 +705,7 @@ object TableLog {
                                name: String, body: String): String = {
     val rel =
       s"$sub/$name-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    stageMarker(f, root, rel)
     f.mkdirs(new Path(s"$root/$sub"))
     val out = f.create(new Path(s"$root/$rel"), false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -987,12 +988,28 @@ object TableLog {
   def stageWrite(df: DataFrame, root: String, name: String): Seq[String] =
     stageUnder(df, root, "data", name)
 
+  /** Record an intended stage target in the `_log/_stages/` manifest
+    * BEFORE its data is written — one tiny marker file whose content
+    * is the target's root-relative path. [[gcOrphans]] sweeps FROM
+    * this manifest instead of walking the whole data tree: the sweep
+    * cost becomes O(#outstanding stages), not O(#files in the table).
+    * Written before the write so a crash mid-stage leaves a marker
+    * pointing at the partial dir (the one leak the log cannot see). */
+  private def stageMarker(f: FileSystem, root: String, target: String): Unit = {
+    val dir = new Path(s"${logDir(root)}/_stages")
+    f.mkdirs(dir)
+    val out = f.create(
+      new Path(dir, java.util.UUID.randomUUID().toString.take(16)), false)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+  }
+
   private def stageUnder(df: DataFrame, root: String, sub: String,
                          name: String): Seq[String] = {
     val spark = df.sparkSession
-    val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(s"$root/$sub/$dir")
     val f = fs(spark, root)
+    val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    stageMarker(f, root, s"$sub/$dir")
+    df.write.mode("errorifexists").parquet(s"$root/$sub/$dir")
     f.listStatus(new Path(s"$root/$sub/$dir")).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
@@ -1037,6 +1054,7 @@ object TableLog {
                     idCol: String, nBuckets: Int): Seq[String] = {
     val spark = df.sparkSession
     val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    stageMarker(fs(spark, root), root, s"data/$dir")
     df.withColumn("_gb", idBucket(idCol, nBuckets))
       .repartition(col("_gb"))
       .write.mode("errorifexists").partitionBy("_gb")
@@ -1199,6 +1217,117 @@ object TableLog {
   private def zlit(v: Any): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.lit(v)
 
+  /** One WHEN MATCHED clause of [[mergeIntoConditional]]. `cond` is a
+    * boolean Spark-SQL expression over `t.*` (the target row) and
+    * `s.*` (the source row); None = unconditional. Clauses evaluate
+    * in list order; the FIRST one whose condition holds (NULL = not
+    * held, three-valued logic) applies — Delta's clause semantics. */
+  sealed trait MergeClause { def cond: Option[String] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col → expr (exprs over
+    * the t and s aliases); unset columns keep the target's value. */
+  final case class MatchedUpdate(cond: Option[String],
+                                 set: Map[String, String]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MatchedDelete(cond: Option[String]) extends MergeClause
+
+  /** CONDITIONAL MERGE — the full Delta MERGE INTO clause surface
+    * over the [[stageBucketed]] layout: `WHEN MATCHED AND <cond> THEN
+    * UPDATE SET ... / DELETE` (first matching clause wins; a matched
+    * row no clause claims keeps its TARGET version untouched) and
+    * `WHEN NOT MATCHED [AND <cond>] THEN INSERT` (source rows failing
+    * the insert condition are dropped). The reference's enrichment
+    * upsert is conditional in exactly this way — enrichment.py:83-131
+    * only overwrites when the fetched details resolve; the fail-open
+    * branch keeps the old row — which [[mergeInto]]'s unconditional
+    * upsert-or-delete could not express.
+    *
+    * Same scale/conflict contract as [[mergeInto]]: only the buckets
+    * the source's ids hash into are read and rewritten (O(touched
+    * buckets), untouched buckets keep their exact physical files),
+    * the commit pins the touched files (`expectActive`), the empty
+    * sidecar set, and refuses concurrent adds into its buckets —
+    * disjoint-bucket merges commit concurrently. `insertSet` maps
+    * table columns to insert-value exprs (default `s.<col>`); update
+    * and insert values are cast to the table column's type. `source`
+    * must carry `idCol` plus every column the defaulted inserts need;
+    * ids must be unique in `source` (two source rows matching one
+    * target row would apply an arbitrary one — the same restriction
+    * Delta enforces). Returns the new version. */
+  def mergeIntoConditional(spark: SparkSession, root: String, idCol: String,
+                           source: DataFrame, nBuckets: Int, name: String,
+                           matched: Seq[MergeClause],
+                           insertWhen: Option[String],
+                           insertSet: Map[String, String] = Map.empty,
+                           tag: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(activeDeletes(spark, root).isEmpty,
+      s"TableLog.mergeIntoConditional: $root has delete sidecars in force — " +
+        "compactTable first so merge reads files, not filtered views")
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.mergeIntoConditional: empty log at $root"))
+    val active = activeFiles(spark, root, Some(readV))
+    val untagged = active.filterNot(bucketOf(_).isDefined)
+    require(untagged.isEmpty,
+      s"TableLog.mergeIntoConditional: un-bucketed active files at $root " +
+        s"(e.g. ${untagged.headOption.getOrElse("")}) — stage the " +
+        "table with stageBucketed for bucket-pruned merges")
+    // the touched-bucket set covers updates, deletes AND inserts —
+    // an inserted id's bucket is rewritten so its rows land beside
+    // that bucket's files (≤ nBuckets collect, layout metadata)
+    val touched = source.select(idBucket(idCol, nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0).toInt).toSet
+    val (oldTouched, _) = active.partition(p => bucketOf(p).exists(touched))
+    val base =
+      if (oldTouched.isEmpty)
+        snapshot(spark, root, Some(readV)).limit(0)
+      else spark.read.parquet(oldTouched.map(resolve(root, _)): _*)
+    val cols = base.columns.toSeq
+    (matched.collect { case MatchedUpdate(_, set) => set.keys }.flatten ++
+      insertSet.keys).foreach(c => require(cols.contains(c),
+        s"TableLog.mergeIntoConditional: SET column '$c' is not a table " +
+          s"column (table has ${cols.mkString(",")})"))
+    val joined = base.as("t")
+      .join(source.as("s"), col(s"t.$idCol") === col(s"s.$idCol"), "full_outer")
+    def held(c: Option[String]) =
+      c.map(x => coalesce(expr(x).cast("boolean"), lit(false)))
+        .getOrElse(lit(true))
+    // first-matching-clause resolution, encoded as a when-chain over
+    // a tiny action tag — evaluated once per joined row, map-only
+    val matchedChain = matched.zipWithIndex.reverse
+      .foldLeft(lit("keep")) { case (els, (cl, i)) =>
+        val act = cl match {
+          case _: MatchedDelete => "del"
+          case _: MatchedUpdate => s"upd$i"
+        }
+        when(held(cl.cond), lit(act)).otherwise(els)
+      }
+    val action =
+      when(col(s"s.$idCol").isNull, lit("keep"))          // target-only
+        .when(col(s"t.$idCol").isNull,                     // source-only
+          when(held(insertWhen), lit("ins")).otherwise(lit("drop")))
+        .otherwise(matchedChain)                           // matched
+    val outCols = cols.map { c =>
+      val dt = base.schema(c).dataType
+      val start =
+        when(col("__action") === "keep", col(s"t.$c"))
+          .when(col("__action") === "ins",
+            insertSet.get(c).map(expr).getOrElse(col(s"s.$c")).cast(dt))
+      matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) =>
+        (s"upd$i", set.get(c).map(expr).getOrElse(col(s"t.$c")).cast(dt))
+      }.foldLeft(start) { case (acc, (tagI, e)) =>
+        acc.when(col("__action") === tagI, e)
+      }.as(c)
+    }
+    val merged = joined.withColumn("__action", action)
+      .filter(col("__action") =!= "del" && col("__action") =!= "drop")
+      .select(outCols: _*)
+    val adds = stageBucketed(merged, root, name, idCol, nBuckets)
+    commit(spark, root, add = adds, remove = oldTouched, tag = tag,
+      expectActive = oldTouched, expectDeletes = Some(Nil),
+      expectNoConflictingAdds =
+        Some((readV, p => bucketOf(p).forall(touched))))
+  }
+
   /** Stage `df` RANGE-CLUSTERED on `keyCol` WITH a TYPED ZONE-MAP
     * sidecar — the stats-based FILE-SKIPPING layout (the
     * Delta/Iceberg per-file min/max story): rows land
@@ -1226,11 +1355,12 @@ object TableLog {
                        statsCols: Seq[String] = Nil): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
+    val f = fs(spark, root)
     val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    stageMarker(f, root, s"data/$dir")
     df.repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(col(keyCol))
       .write.mode("errorifexists").parquet(s"$root/data/$dir")
-    val f = fs(spark, root)
     val files = f.listStatus(new Path(s"$root/data/$dir")).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
@@ -1361,7 +1491,7 @@ object TableLog {
     * whose successor overflows). */
   private def touchedFrom(active: Seq[String], zones: Array[ZStat],
                           scol: String, kind: String,
-                          qlo: String, qhi: Option[String],
+                          qlo: Option[String], qhi: Option[String],
                           trustLegacy: Boolean = false): Seq[String] = {
     val matching = zones.filter(z => z.kind == kind &&
       (z.scol.contains(scol) || (z.scol.isEmpty && trustLegacy)))
@@ -1373,12 +1503,34 @@ object TableLog {
     val pruned = byFile.collect { case (p, zs)
       if zs.forall(z => (z.lo, z.hi) match {
         case (Some(l), Some(h)) =>
-          zcmp(kind, h, qlo) < 0 || qhi.exists(q => zcmp(kind, l, q) > 0)
+          qlo.exists(q => zcmp(kind, h, q) < 0) ||
+            qhi.exists(q => zcmp(kind, l, q) > 0)
         case _ => false
       }) && zs.exists(z => z.lo.isDefined && z.hi.isDefined) => p
     }.toSet
     active.filterNot(pruned).sorted
   }
+
+  /** Driver-side pruning hook for [[TableLogFileIndex]]: the active
+    * files at `asOf` that a CONJUNCTION of typed column ranges may
+    * touch — each range (col, kind, lo?, hi?) prunes independently
+    * ([[touchedFrom]]'s rules: only stats rows naming the column, all
+    * bounds closed, absent stats read conservatively). Ranges on
+    * columns without stats simply don't prune. O(#files × #ranges)
+    * driver metadata. */
+  private[operators] def prunedActiveFiles(spark: SparkSession, root: String,
+      asOf: Option[Long],
+      ranges: Seq[(String, String, Option[String], Option[String])]): Seq[String] = {
+    val zones = collectZoneRows(spark, root, asOf)
+    ranges.foldLeft(activeFiles(spark, root, asOf)) {
+      case (files, (c, kind, lo, hi)) =>
+        touchedFrom(files, zones, c, kind, lo, hi)
+    }
+  }
+
+  /** The serialized (kind, repr) of a typed bound — exposed for
+    * [[TableLogFileIndex]]'s literal translation. */
+  private[operators] def zboundOf(v: Any): (String, String) = zbound(v)
 
   /** Files PROVABLY all-inside [qlo, qhi] on `scol`: some matching
     * stats row has its whole interval inside the range AND a
@@ -1399,7 +1551,7 @@ object TableLog {
                                 asOf: Option[Long]): Seq[String] =
     touchedFrom(activeFiles(spark, root, asOf),
       collectZoneRows(spark, root, asOf), keyCol, "long",
-      lo.toString, Some(hi.toString), trustLegacy = true)
+      Some(lo.toString), Some(hi.toString), trustLegacy = true)
 
   /** Read a PRUNED file subset of the snapshot at `asOf` with a
     * residual filter — the shared tail of every zone-pruned read
@@ -1454,7 +1606,7 @@ object TableLog {
     require(kind == kindHi,
       s"TableLog.snapshotWhere: bound kinds differ ($kind vs $kindHi)")
     val files = touchedFrom(activeFiles(spark, root, asOf),
-      collectZoneRows(spark, root, asOf), keyCol, kind, qlo, Some(qhi))
+      collectZoneRows(spark, root, asOf), keyCol, kind, Some(qlo), Some(qhi))
     readPruned(spark, root, files,
       col(keyCol) >= zlit(lo) && col(keyCol) <= zlit(hi),
       asOf, idCol, "snapshotWhere")
@@ -1487,7 +1639,7 @@ object TableLog {
     import org.apache.spark.sql.functions._
     val files = touchedFrom(activeFiles(spark, root, asOf),
       collectZoneRows(spark, root, asOf), keyCol, "string",
-      prefix, prefixSucc(prefix))
+      Some(prefix), prefixSucc(prefix))
     readPruned(spark, root, files,
       col(keyCol).startsWith(prefix), asOf, idCol, "snapshotPrefix")
   }
@@ -1554,7 +1706,7 @@ object TableLog {
       sys.error(s"TableLog.replaceWhere: empty log at $root"))
     val touched = touchedFrom(activeFiles(spark, root, Some(readV)),
       collectZoneRows(spark, root, Some(readV)), keyCol, kind,
-      qlo, Some(qhi), trustLegacy)
+      Some(qlo), Some(qhi), trustLegacy)
     val reader = logSchema(spark, root, Some(readV))
       .fold(spark.read)(st => spark.read.schema(st))
     val survivors =
@@ -1648,7 +1800,7 @@ object TableLog {
     val touched =
       if (emptyWindow) Seq.empty[String] // an empty window deletes nothing
       else touchedFrom(activeFiles(spark, root, Some(readV)), zones,
-        keyCol, kind, qlo, Some(qhi), trustLegacy)
+        keyCol, kind, Some(qlo), Some(qhi), trustLegacy)
     if (touched.isEmpty) readV // provably nothing in range: NO-OP
     else {
       // the rewrite below would resurrect sidecar-deleted rows; the
@@ -1887,9 +2039,13 @@ object TableLog {
     * by definition in NO entry — the one storage leak the log cannot
     * account for (the stageWrite scaladoc's "cost only storage until
     * manually cleaned"; Delta's VACUUM walks the directory for the
-    * same reason). This is the ONE operation that lists the data
-    * directories — O(#files) listing, run it on the maintenance
-    * schedule, never on the read path. A stage dir is orphaned when
+    * same reason). The sweep reads the `_log/_stages/` MANIFEST
+    * [[stageMarker]] maintains — O(#outstanding stages), the data
+    * tree is never listed; markers of committed or vanished targets
+    * retire on the spot so the manifest stays bounded. `fullWalk =
+    * true` forces the pre-manifest exhaustive walk (O(#files) —
+    * the migration path for stages older than the manifest, and the
+    * audit proving the manifest lost nothing). A stage dir is orphaned when
     * NONE of its files appear in any log entry or checkpoint
     * (add/remove/deletes/cdf/zmap — removed files are still
     * referenced history until vacuum reclaims them) AND its
@@ -1901,8 +2057,51 @@ object TableLog {
     * root-relative paths; `dryRun = true` returns the same list
     * deleting nothing (and skips the empty-dir prune) — the same
     * audit mode as [[vacuum]]'s. */
+  /** MANIFEST-mode sweep: candidates come from the `_log/_stages/`
+    * markers [[stageMarker]] wrote — O(#outstanding stages) tiny
+    * reads + one stat each, NEVER a walk of the data tree. A marker
+    * whose target is committed (referenced) or already gone is
+    * retired on the spot, so the manifest stays bounded by the
+    * in-flight/crashed stage count. Returns (doomed rel paths,
+    * retired markers deleted even under dryRun=false only). */
+  private def manifestOrphans(f: FileSystem, root: String,
+                              referenced: Set[String], cutoff: Long,
+                              dryRun: Boolean): Seq[String] = {
+    val dir = new Path(s"${logDir(root)}/_stages")
+    // every directory prefix of every referenced path, so a marker's
+    // target dir (possibly nested — data/deletes/<stage>) matches when
+    // ANY file under it is referenced
+    val refDirs = referenced.flatMap { p =>
+      Iterator.iterate(p.lastIndexOf('/'))(i => p.lastIndexOf('/', i - 1))
+        .takeWhile(_ > 0).map(p.substring(0, _)).toSet
+    }
+    val doomed = Seq.newBuilder[String]
+    f.listStatus(dir).toSeq.foreach { m =>
+      val target = readFully(f, m.getPath).trim
+      val tPath = new Path(resolve(root, target))
+      val committed = referenced(target) || refDirs(target)
+      val st = try Some(f.getFileStatus(tPath))
+               catch { case _: java.io.FileNotFoundException => None }
+      (st, committed) match {
+        case (None, _) => // target gone: retire the marker
+          if (!dryRun) f.delete(m.getPath, false)
+        case (_, true) => // committed: never an orphan again
+          if (!dryRun) f.delete(m.getPath, false)
+        case (Some(s), false) if s.getModificationTime < cutoff =>
+          doomed += target
+          if (!dryRun) {
+            f.delete(tPath, true)
+            f.delete(m.getPath, false)
+          }
+        case _ => () // young un-committed stage: maybe still in flight
+      }
+    }
+    doomed.result().sorted
+  }
+
   def gcOrphans(spark: SparkSession, root: String,
-                olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
+                olderThanMs: Long, dryRun: Boolean = false,
+                fullWalk: Boolean = false): Seq[String] = {
     val f = fs(spark, root)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val referenced: Set[String] = (versions(spark, root).flatMap { v =>
@@ -1912,6 +2111,13 @@ object TableLog {
       val c = readCheckpoint(f, root, cv)
       c.files ++ c.deletes ++ c.zmap ++ c.schema ++ c.checks
     }).toSet
+    // MANIFEST mode (the default whenever markers exist): sweep from
+    // `_log/_stages/` at O(#stage entries) — the data tree is never
+    // listed. `fullWalk = true` forces the exhaustive walk below: the
+    // migration path for dirs staged before the manifest existed, and
+    // the audit that proves the manifest lost nothing.
+    if (!fullWalk && f.exists(new Path(s"${logDir(root)}/_stages")))
+      return manifestOrphans(f, root, referenced, cutoff, dryRun)
     // listStatus returns SCHEME-QUALIFIED paths (file:/...); compare
     // in scheme-free URI-path space or nothing matches the log's
     // root-relative refs and every committed dir looks orphaned

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+  Literal, StartsWith}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
+
+/** A CATALYST-VISIBLE snapshot relation over a [[TableLog]] table: the
+  * log's active file set wrapped in a custom [[FileIndex]] whose
+  * `listFiles` consults the typed zone-map sidecars — so ANY pushed
+  * predicate on a stats-covered column prunes files INSIDE the
+  * optimizer, on a plain `snapshotDf.filter(col between ...)`, with no
+  * special read face. This closes the gap [[TableLog.snapshotRange]]
+  * left open: there, pruning happened only when the caller remembered
+  * to use the blessed entry point; here the planner does it on every
+  * query (the Delta `TahoeFileIndex` design).
+  *
+  * What the planner hands `listFiles` is the split conjunction of
+  * pushed data filters; [[TableLogFileIndex.rangesOf]] translates the
+  * comparison shapes it understands — =, <, <=, >, >= between a
+  * column and a literal (either orientation) and `startswith(col,
+  * lit)` — into typed closed ranges, and ignores everything else
+  * (unknown predicates prune nothing; they still filter rows later,
+  * so correctness never depends on the translation). Open bounds are
+  * closed conservatively (`x > 5` prunes as `x >= 5`), which can only
+  * under-prune.
+  *
+  * Scale shape: the index materializes O(#files) driver metadata
+  * (path + size — the same order as the log replay that produced it)
+  * once at construction; each `listFiles` is a driver-side interval
+  * check against the collected zone stats. Row-group pushdown inside
+  * surviving files is unchanged parquet behavior. */
+class TableLogFileIndex(spark: SparkSession, root: String,
+                        asOf: Option[Long],
+                        schema: StructType) extends FileIndex {
+
+  private val fsys = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (root-relative ref, status) for every active file at `asOf`. */
+  private val active: Seq[(String, FileStatus)] =
+    TableLog.activeFiles(spark, root, asOf).map { rel =>
+      val p = if (rel.startsWith("/")) new Path(rel)
+              else new Path(root, rel)
+      rel -> fsys.getFileStatus(p)
+    }
+
+  private val byRel = active.toMap
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = active.map(_._2.getLen).sum
+
+  override def inputFiles: Array[String] =
+    active.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  /** Translate pushed conjuncts to typed closed ranges per column —
+    * only shapes whose literal type has a stats kind; everything else
+    * is ignored (= prunes nothing, never wrong). */
+  private[operators] def rangesOf(filters: Seq[Expression])
+      : Seq[(String, String, Option[String], Option[String])] = {
+    def kindRepr(dt: org.apache.spark.sql.types.DataType,
+                 v: Any): Option[(String, String)] = (dt, v) match {
+      case (_, null) => None // comparisons to NULL match nothing; skip
+      case (ByteType | ShortType | IntegerType | LongType, x) =>
+        Some(("long", x.toString))
+      case (DateType, days) => Some(("date", days.toString)) // Int epoch days
+      case (TimestampType, micros) => Some(("timestamp", micros.toString))
+      case (StringType, s) => Some(("string", s.toString)) // UTF8String
+      case (FloatType | DoubleType, x) => Some(("double", x.toString))
+      case _ => None
+    }
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(split).flatMap {
+      case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+      case GreaterThan(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+      case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+      case LessThan(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+      case EqualTo(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), Some(r)) }
+      // reversed orientations (lit OP col)
+      case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+      case GreaterThan(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+      case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+      case LessThan(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+      case EqualTo(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), Some(r)) }
+      case StartsWith(a: Attribute, Literal(v, StringType)) if v != null =>
+        val prefix = v.toString
+        Some((a.name, "string", Some(prefix),
+          TableLogRelation.prefixUpper(prefix)))
+      case _ => None
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = TableLog.prunedActiveFiles(spark, root, asOf,
+      rangesOf(dataFilters)).toSet
+    Seq(PartitionDirectory(InternalRow.empty,
+      active.collect { case (rel, st) if keep(rel) => st }.toArray))
+  }
+}
+
+object TableLogRelation {
+
+  /** The smallest string above every `prefix`-prefixed string, when
+    * expressible over an ASCII tail (see
+    * [[TableLog.snapshotPrefix]]'s successor rule). */
+  private[operators] def prefixUpper(prefix: String): Option[String] = {
+    val i = prefix.lastIndexWhere(c => c < 0x7f)
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+  }
+
+  /** The snapshot at `asOf` as a PLANNER-PRUNED relation: filters on
+    * any stats-covered column skip files inside Catalyst (the
+    * `.explain`-visible form — the scan's file count shrinks with the
+    * predicate). Delete sidecars, when in force, compose as the same
+    * left-anti join [[TableLog.snapshot]] applies — pruning still
+    * happens underneath it; pass `idCol` exactly as there. */
+  def snapshotDf(spark: SparkSession, root: String,
+                 asOf: Option[Long] = None,
+                 idCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = TableLog.logSchema(spark, root, asOf).getOrElse {
+      // no declared schema: take the files' own uniform schema from
+      // ONE footer (files are immutable, a commit's files share one)
+      val files = TableLog.activeFiles(spark, root, asOf)
+      require(files.nonEmpty,
+        s"TableLogRelation: no active files at $root asOf=$asOf")
+      val head = files.head
+      val p = if (head.startsWith("/")) head else s"$root/$head"
+      spark.read.parquet(p).schema
+    }
+    val index = new TableLogFileIndex(spark, root, asOf, schema)
+    val rel = HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val base = org.apache.spark.sql.graftbridge.BridgePlans.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LogicalRelation(rel, isStreaming = false))
+    val dels = TableLog.activeDeletes(spark, root, asOf)
+    if (dels.isEmpty) base
+    else idCol match {
+      case None => sys.error(
+        s"TableLogRelation.snapshotDf: $root has delete sidecars; pass idCol")
+      case Some(id) =>
+        val doomed = spark.read.parquet(dels.map(d =>
+          if (d.startsWith("/")) d else s"$root/$d"): _*)
+        base.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
+          Seq(id), "left_anti")
+    }
+  }
+}

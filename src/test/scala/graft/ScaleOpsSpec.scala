@@ -1891,17 +1891,63 @@ class ScaleOpsSpec extends AnyFunSuite {
       "replaced-generation files are log history for vacuum, not orphans")
     assert(TableLog.snapshot(spark0, root, Some(0L)).count() === before,
       "time travel below the compaction must still serve after gc")
-    // an orphaned NESTED schema sidecar (a conflict-refused evolving
-    // batch) reclaims, and its now-empty subdirectory prunes with it —
-    // a long-lived stream must not accumulate empty dirs forever
+    // an orphaned NESTED schema sidecar WITHOUT a stage marker (a
+    // pre-manifest writer, or a handcrafted file): the DEFAULT sweep
+    // reads only the _stages manifest — it must NOT see this file,
+    // which is also the proof it never walks the data tree. The
+    // fullWalk migration sweep finds and reclaims it, and its
+    // now-empty subdirectory prunes with it — a long-lived stream
+    // must not accumulate empty dirs forever
     val schemaSub = java.nio.file.Paths.get(root, "schema", "evolving")
     java.nio.file.Files.createDirectories(schemaSub)
     java.nio.file.Files.write(schemaSub.resolve("b7-deadbeef.json"),
       "{}".getBytes("UTF-8"))
-    val doomed2 = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(TableLog.gcOrphans(spark0, root, olderThanMs = -1000L).isEmpty,
+      "the manifest sweep must list only _stages markers, never the tree")
+    val doomed2 = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L,
+      fullWalk = true)
     assert(doomed2 === Seq("schema/evolving/b7-deadbeef.json"), s"got $doomed2")
     assert(!java.nio.file.Files.exists(schemaSub),
       "the emptied sidecar subdirectory must prune with its orphan")
+  }
+
+  test("TableLog.gcOrphans manifest: O(#markers) sweep, markers retire, crash-before-write covered") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_gcm").toString + "/t"
+    val stagesDir = java.nio.file.Paths.get(root, "_log", "_stages")
+    def markers() = { // exclude Hadoop LocalFS .crc shadow files
+      val s = java.nio.file.Files.list(stagesDir)
+      try s.filter(p => !p.getFileName.toString.startsWith(".")).count()
+      finally s.close()
+    }
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(docs.limit(30), root, "base"), Nil)
+    TableLog.stageWrite(docs.limit(10), root, "crashed")
+    // a crash BETWEEN marker and parquet write: marker points nowhere
+    java.nio.file.Files.write(stagesDir.resolve("feedbeeffeedbeef"),
+      "data/neverwritten-00000000".getBytes("UTF-8"))
+    assert(markers() === 3)
+    // DRY RUN in manifest mode: names the orphan, deletes nothing,
+    // retires no marker
+    val wouldGc = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L,
+      dryRun = true)
+    assert(wouldGc.size === 1 && wouldGc.head.contains("crashed-"))
+    assert(markers() === 3, "dry run must not retire markers")
+    // real sweep: the orphan reclaims; the committed marker AND the
+    // pointing-nowhere marker retire — the manifest is left EMPTY, so
+    // the next sweep's cost is zero reads (O(#outstanding stages))
+    val doomed = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(doomed === wouldGc)
+    assert(markers() === 0,
+      "committed/vanished/reclaimed markers must all retire")
+    assert(TableLog.gcOrphans(spark0, root, olderThanMs = -1000L).isEmpty)
+    assert(TableLog.snapshot(spark0, root).count() === 30)
+    // a young un-committed stage stays: marker kept, dir kept
+    TableLog.stageWrite(docs.limit(5), root, "inflight")
+    assert(TableLog.gcOrphans(spark0, root, olderThanMs = 3600000L).isEmpty)
+    assert(markers() === 1, "an in-flight stage's marker must survive")
   }
 
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
@@ -2028,6 +2074,135 @@ class ScaleOpsSpec extends AnyFunSuite {
       feed.inputFiles.forall(_.contains("/cdf/")),
       "the purge feed must serve from its sidecar, never a snapshot diff")
     assert(TableLog.snapshot(spark0, root2).count() === 100L)
+  }
+
+  test("TableLogRelation: plain filters prune files inside Catalyst via the zone maps") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_rel").toString + "/t"
+    val base = java.time.LocalDate.of(2021, 1, 1)
+    val df = (0L until 400L).map { i =>
+      (i, s"s${i / 100}:k${"%04d".format(i)}",
+        java.sql.Date.valueOf(base.plusDays(i % 200)), s"t$i")
+    }.toDF("doc_id", "skey", "day", "text")
+    // clustered on doc_id; stats additionally on skey and day — any
+    // of the three prunes a plain filter
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "doc_id", 8,
+      statsCols = Seq("skey", "day"))
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    // scan-side file count: the FileIndex's listFiles result is what
+    // FileSourceScanExec reads — df.inputFiles is the UNPRUNED index
+    // listing by contract, so the proof reads the scan metric
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: QueryStageExec => findScans(q.plan)
+      case r: ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(findScans)
+    }
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = findScans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.isInstanceOf[graft.operators.TableLogFileIndex])
+      assert(scans.nonEmpty, "no TableLogFileIndex scan in the plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // 1) plain long range — the q136 shape
+    val longQ = snap.filter(col("doc_id") >= 100L && col("doc_id") <= 149L)
+    assert(longQ.count() === 50L)
+    assert(scannedFiles(longQ) < files.length,
+      s"long filter read all ${files.length} files")
+    // 2) string prefix via startswith — the begins_with shape
+    val preQ = snap.filter(col("skey").startsWith("s1:"))
+    assert(preQ.count() === 100L)
+    assert(scannedFiles(preQ) < files.length, "prefix did not prune")
+    // 3) date range — day correlates with doc_id only in [0,200);
+    //    a narrow early window prunes the upper doc_id files
+    val dayQ = snap.filter(col("day") >= lit(java.sql.Date.valueOf(
+      base.plusDays(0))) && col("day") <= lit(java.sql.Date.valueOf(
+      base.plusDays(20))))
+    assert(dayQ.count() === 2 * 21L)
+    assert(scannedFiles(dayQ) < files.length, "date range did not prune")
+    // 4) unknown predicates prune nothing but stay correct
+    assert(snap.filter(col("text") === "t7").count() === 1L)
+    // 5) a stats-less commit reads conservatively through the SAME
+    //    relation (refresh = new snapshotDf)
+    TableLog.commit(spark0, root, TableLog.stageWrite(
+      (1000L until 1010L).map(i => (i, s"x$i",
+        java.sql.Date.valueOf(base), s"t$i")).toDF("doc_id", "skey", "day", "text")
+        .coalesce(1), root, "b"), Nil)
+    val snap2 = TableLogRelation.snapshotDf(spark0, root)
+    val longQ2 = snap2.filter(col("doc_id") >= 100L && col("doc_id") <= 149L)
+    assert(longQ2.count() === 50L)
+    // pruned zone files + the one conservative stats-less file
+    assert(scannedFiles(longQ2) < files.length + 1)
+    // 6) delete sidecars compose on top, pruning intact underneath
+    TableLog.commitDeletes(
+      Seq(110L, 120L).toDF("doc_id"), root, "purge2")
+    val snap3 = TableLogRelation.snapshotDf(spark0, root, idCol = Some("doc_id"))
+    val delQ = snap3.filter(col("doc_id") >= 100L && col("doc_id") <= 149L)
+    assert(delQ.count() === 48L)
+    assert(scannedFiles(delQ) < files.length + 1,
+      "pruning must survive under the sidecar anti-join")
+  }
+
+  test("mergeIntoConditional: first clause wins, fail-open keeps, untouched buckets keep path identity") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_mc").toString + "/t"
+    val nB = 16
+    val base = (0L until 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    TableLog.commit(spark0, root,
+      TableLog.stageBucketed(base, root, "base", "doc_id", nB), Nil)
+    val before = TableLog.activeFiles(spark0, root)
+    // source touches ids 0..39 (updates/deletes) and inserts 1000..1004;
+    // enriched NULL on %4==1 (fail-open keep), quality<0 on %4==2 (delete)
+    val src = ((0L until 40L) ++ (1000L until 1005L)).map { i =>
+      (i, s"old$i",
+        if (i % 4 == 1) null else s"ENR$i",
+        if (i % 4 == 2) -1 else 1)
+    }.toDF("doc_id", "text", "enriched", "quality")
+    val v = TableLog.mergeIntoConditional(spark0, root, "doc_id", src, nB, "m",
+      matched = Seq(
+        TableLog.MatchedDelete(Some("s.quality < 0")),
+        TableLog.MatchedUpdate(Some("s.enriched IS NOT NULL"),
+          Map("text" -> "s.enriched"))),
+      insertWhen = Some("s.enriched IS NOT NULL"),
+      insertSet = Map("text" -> "s.enriched"))
+    assert(v === 1L)
+    val got = TableLog.snapshot(spark0, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // deletes: matched ids with quality<0 vanish — and the DELETE
+    // clause outranks the update even when enriched is non-null too
+    (0L until 40L).filter(_ % 4 == 2).foreach(i =>
+      assert(!got.contains(i), s"id $i should be deleted"))
+    // fail-open: NULL enrichment keeps the TARGET text (not s.text)
+    (0L until 40L).filter(_ % 4 == 1).foreach(i =>
+      assert(got(i) === s"t$i", s"id $i must keep the old row"))
+    // conditional update applied where enriched non-null and not deleted
+    (0L until 40L).filter(i => i % 4 != 1 && i % 4 != 2).foreach(i =>
+      assert(got(i) === s"ENR$i", s"id $i should be enriched"))
+    // untouched targets keep; inserts gated on the insert condition
+    assert(got(200L) === "t200")
+    assert(got(1000L) === "ENR1000" && got(1004L) === "ENR1004")
+    assert(!got.contains(1001L), "insert with NULL enrichment must drop")
+    assert(got.size === 400 - 10 + 4) // 40/4 deletes, 5-1 inserts
+    // untouched buckets keep their EXACT files across the version
+    val touchedBuckets = src.select(
+      TableLog.idBucket("doc_id", nB).as("b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val after = TableLog.activeFiles(spark0, root).toSet
+    val untouchedBefore = before.filter(p =>
+      "_gb=(\\d+)/".r.findFirstMatchIn(p).exists(m => !touchedBuckets(m.group(1).toInt)))
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach(p => assert(after(p),
+      s"untouched bucket file $p was rewritten"))
   }
 
   test("TableLog: time travel into an expired inter-checkpoint gap errors; the checkpoint's own version still serves") {
