@@ -1080,11 +1080,17 @@ object SparkEntry {
     graft.operators.Freq.cmsHeavyHitters(Tables.documents(s, d), "text",
       depth = 4, width = 1024, topN = 20)
 
-  /** Bloom-filter decontamination: the q57 shingle guard with a
-    * CONSTANT-SIZE broadcast — the filter is 2^16 bit positions no
-    * matter how large the eval set grows. No false negatives
-    * (bloom_hits covers every true_hits shingle); false positives
-    * surface as bloom_hits > true_hits. Same eval split as q57. */
+  /** Bloom-filter decontamination: the q57 shingle guard with
+    * CONSTANT-SIZE state — where q57 broadcasts the eval shingles
+    * themselves (exact, state grows with the eval set), q77's filter
+    * is a 2^16-bit bitmap collected once and shipped as an 8 KB plan
+    * literal; membership is a map-only `forall` over it (one corpus
+    * exchange total — the per-doc reduce), and each shingle pays ONE
+    * md5 whose digest windows supply all hash positions. No false
+    * negatives (bloom_hits covers every true_hits shingle); false
+    * positives surface as bloom_hits > true_hits. Same eval split as
+    * q57. ~2× the pre-literal plan at 10× data (FreqSpec pins the
+    * one-exchange shape). */
   private val q77: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     graft.operators.Freq.bloomContamination(
@@ -1792,15 +1798,15 @@ object SparkEntry {
     * compute per sentence): q92's data-trained BPE counter aggregated
     * per lang in exact integer sums, divided once at the end. One
     * map-only pass over the corpus (the counter is a native
-    * expression), a #langs-size aggregate. Oracle: the shared 56-step
-    * BPE replay chain aggregated by lang. */
+    * expression), a #langs-size aggregate. Oracle: the shared
+    * cascading BPE replay chain aggregated by lang. */
   private val q126: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val toks = TF.tokens(coalesce(col("text"), lit("")))
     val merges = trainedMerges(d, docs)
     docs.select(col("lang"),
         size(toks).cast("long").as("nw"),
-        graft.plans.BpeTokenCount.bpeTokenCount(toks, merges).as("nb"),
+        graft.plans.BpeSweepTokenCount.bpeSweepTokenCount(toks, merges).as("nb"),
         aggregate(transform(toks, w => length(w).cast("long")),
           lit(0L), (a, x) => a + x).as("nc"))
       .groupBy(col("lang"))
@@ -2054,19 +2060,22 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy(col("side"))
   }
 
-  /** ZONE-MAP FILE SKIPPING ([[graft.operators.TableLog
-    * .stageWithZoneMap]] → [[graft.operators.TableLog.snapshotRange]])
-    * — the stats-based data-skipping layer of the table format (the
-    * Delta/Iceberg per-file min/max story): the corpus lands
-    * range-clustered on doc_id with a (file, lo, hi, n_rows) sidecar
-    * committed in the log entry's `zmap` list, and a range read
-    * consults the O(#files) zone map to open ONLY the files whose key
-    * interval intersects the predicate — at 100 TB a 0.1%-selective
-    * range touches ~0.1% of the files, by metadata, before any scan
-    * (ScaleOpsSpec asserts the pruned inputFiles set and the
-    * conservative fallback for files committed without stats). The
-    * residual filter still applies (pruning is file-granular) and
-    * Catalyst pushes it into the surviving files' row groups. */
+  /** ZONE-MAP FILE SKIPPING, CATALYST-VISIBLE ([[graft.operators
+    * .TableLog.stageWithZoneMap]] → [[graft.operators
+    * .TableLogRelation.snapshotDf]]) — the stats-based data-skipping
+    * layer of the table format (the Delta/Iceberg per-file min/max
+    * story): the corpus lands range-clustered on doc_id with a typed
+    * stats sidecar committed in the log entry's `zmap` list, and the
+    * snapshot is exposed as a custom-FileIndex relation, so a PLAIN
+    * `.filter(doc_id between ...)` prunes files inside the optimizer
+    * — no blessed read face needed; the planner's pushed conjuncts
+    * reach the index's listFiles (ScaleOpsSpec asserts the pruned
+    * inputFiles set for long, string-prefix and date predicates, plus
+    * the conservative fallback for files committed without stats). At
+    * 100 TB a 0.1%-selective range touches ~0.1% of the files, by
+    * metadata, before any scan; the residual filter still applies
+    * (pruning is file-granular) and Catalyst pushes it into the
+    * surviving files' row groups. */
   private val q136Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q136: Q = (s, d) => {
     val root = cachedTmpArtifact(q136Cache, d, "graft_q136_zmap") { p =>
@@ -2075,7 +2084,8 @@ object SparkEntry {
         Tables.documents(s, d), p, "base", "doc_id", parts = 16)
       tl.commit(s, p, files, Nil, zmap = zmaps)
     }
-    graft.operators.TableLog.snapshotRange(s, root, "doc_id", 100L, 299L)
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("doc_id") >= 100L && col("doc_id") <= 299L)
       .orderBy(col("doc_id"))
   }
 
@@ -2401,6 +2411,49 @@ object SparkEntry {
     graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
   }
 
+  /** CONDITIONAL MERGE clauses ([[graft.operators.TableLog
+    * .mergeIntoConditional]] — the full Delta MERGE surface) in ONE
+    * atomic commit: `WHEN MATCHED AND s.quality < 0 THEN DELETE`,
+    * `WHEN MATCHED AND s.enriched IS NOT NULL THEN UPDATE SET text =
+    * s.enriched` (the reference's fail-open enrichment,
+    * enrichment.py:83-131 — a NULL enrichment keeps the old row
+    * instead of overwriting it, which an unconditional upsert cannot
+    * express), and `WHEN NOT MATCHED AND s.enriched IS NOT NULL THEN
+    * INSERT`. Bucket-pruned like q133's merge: only the buckets the
+    * source ids hash into rewrite. Oracle: the logical clause replay
+    * over the base table. */
+  private val q148Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q148: Q = (s, d) => {
+    val root = cachedTmpArtifact(q148Cache, d, "graft_q148_mergec") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p,
+        tl.stageBucketed(docs, p, "base", "doc_id", nBuckets = 16), Nil)
+      val updates = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"),
+          when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(upper(col("text"))).as("enriched"),
+          when(col("doc_id") % 15 === 0, lit(-1)).otherwise(lit(1))
+            .as("quality"))
+      val inserts = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"),
+          when(col("doc_id") % 14 === 3, lit(null).cast("string"))
+            .otherwise(upper(col("text"))).as("enriched"),
+          lit(1).as("quality"))
+      tl.mergeIntoConditional(s, p, "doc_id",
+        updates.unionByName(inserts), nBuckets = 16, name = "mc",
+        matched = Seq(
+          tl.MatchedDelete(Some("s.quality < 0")),
+          tl.MatchedUpdate(Some("s.enriched IS NOT NULL"),
+            Map("text" -> "s.enriched"))),
+        insertWhen = Some("s.enriched IS NOT NULL"),
+        insertSet = Map("text" -> "s.enriched"))
+    }
+    graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2675,29 +2728,40 @@ object SparkEntry {
       v1, base.unionByName(adds), "doc_id", "text")
   }
 
-  /** Subword (BPE-style) token counts against a DATA-TRAINED merge
-    * table: one global adjacent-char-pair frequency aggregate picks
-    * the top-8 merges (count desc, pair asc — deterministic), then a
-    * native one-loop expression applies them rank-major,
-    * leftmost-first (plans/BpeTokens.scala). Whitespace counts
-    * under-state LLM tokens; this is the honest SQL-replayable core
-    * of the BPE family, making q62/q68-style layout math
-    * representative. The oracle replays training AND application. */
-  /** Top-8 adjacent-char-pair merge table: one global frequency
-    * aggregate over the corpus words, count desc / pair asc — the
-    * deterministic training shared by q92 and q96, trained ONCE per
-    * sf dir (Training.cached): a second invocation, or the other
-    * query of the pair, reuses the artifact with zero Spark jobs. */
+  /** Subword token counts against a DATA-TRAINED CASCADING BPE
+    * merge table ([[graft.operators.Bpe.train]]): merged symbols
+    * merge again at later ranks (e+r→er, m+er→mer), so the table is
+    * a true subword vocabulary applied rank-major by a native sweep
+    * expression (plans/BpeSweep.scala, word-memoized). Whitespace
+    * counts under-state LLM tokens; this makes q62/q68-style layout
+    * math representative at fertility ≈ 2.3. The oracle replays
+    * training AND application, one replace() per rank. */
+  /** The q92/q96/q126 merge budget: large enough for deep cascades
+    * (rank ~40 symbols are 4-6 chars), small enough that the corpus's
+    * 31-word vocabulary does NOT saturate (cascading training drains
+    * this corpus at 89 merges — every word one symbol, fertility 1.0,
+    * a degenerate tokenizer; production-size tables of 32k+ merges
+    * need a vocabulary that supports them, which 138 distinct
+    * characters-of-vocab cannot). At 48, fertility ≈ 2.3 — the
+    * multilingual-tokenizer regime the packing/fertility queries are
+    * meant to represent. */
+  private val BpeBudget = 48
+
+  /** CASCADING BPE merge table ([[graft.operators.Bpe.train]]): ONE
+    * distributed word-frequency aggregate, then the vocabulary-sized
+    * merge loop on the driver (the HuggingFace/SentencePiece training
+    * shape — O(vocab) state regardless of corpus size). Deterministic
+    * (count desc / bracketed-pair asc), trained ONCE per sf dir
+    * (Training.cached): a second invocation, or the other queries of
+    * the family, reuse the artifact with zero Spark jobs. */
   private def trainedMerges(d: String,
-                            docs: org.apache.spark.sql.DataFrame): Seq[String] =
-    graft.operators.Training.cached(s"bpe-merges:$d:8")(
-      docs.select(explode(TF.tokens(coalesce(col("text"), lit("")))).as("w"))
-        .filter(length(col("w")) >= 2)
-        .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2)))).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("p")).limit(8)
-        .collect().map(_.getString(0)).toSeq)
+                            docs: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    graft.operators.Training.cached(s"bpe-merges:$d:v2:$BpeBudget")(
+      graft.operators.Bpe.train(
+        docs.select(explode(TF.tokens(coalesce(col("text"), lit("")))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+        budget = BpeBudget))
 
   private val q92: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -2705,7 +2769,7 @@ object SparkEntry {
     val merges = trainedMerges(d, docs)
     docs.select(col("doc_id"),
         size(toks).cast("long").as("n_words"),
-        graft.plans.BpeTokenCount.bpeTokenCount(toks, merges).as("n_bpe_tokens"))
+        graft.plans.BpeSweepTokenCount.bpeSweepTokenCount(toks, merges).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -2719,7 +2783,7 @@ object SparkEntry {
     val merges = trainedMerges(d, docs)
     graft.operators.Pack.shardedCumSum(
       docs.select(col("source"), col("doc_id"),
-        graft.plans.BpeTokenCount.bpeTokenCount(
+        graft.plans.BpeSweepTokenCount.bpeSweepTokenCount(
           TF.tokens(coalesce(col("text"), lit(""))), merges).as("n_tokens"),
         md5(coalesce(col("text"), lit(""))).as("__tie")),
       part = "source", ordId = "doc_id", tieCol = "__tie",
@@ -2941,6 +3005,7 @@ object SparkEntry {
     "q145_delete_where" -> q145,
     "q146_prefix_scan" -> q146,
     "q147_ttl_purge" -> q147,
+    "q148_merge_clauses" -> q148,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3997,12 +4062,12 @@ object SparkEntry {
          corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 91 <> 0),
          bloom AS (
            SELECT DISTINCT
-             CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || s), 1, 8)
+             CAST('0x' || substr(md5(s), CAST(1 + 8*h AS INTEGER), 8)
                AS BIGINT) % 65536 AS pos
            FROM evals, unnest(range(3)) AS u(h)),
          cpos AS (
            SELECT doc_id, s,
-             CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || s), 1, 8)
+             CAST('0x' || substr(md5(s), CAST(1 + 8*h AS INTEGER), 8)
                AS BIGINT) % 65536 AS pos
            FROM corp, unnest(range(3)) AS u(h)),
          mt AS (SELECT doc_id, s, count(*) AS nset
@@ -4156,10 +4221,9 @@ object SparkEntry {
     // the materialized-index probe (q87) is output-identical to the
     // inline q80 composite by construction — same replay oracle
     "q87_ivfpq_index" -> IvfPqReplaySql,
-    // BPE replay: trains the same top-8 merge table (one pair-count
-    // aggregate) and unrolls rank-major leftmost-first application as
-    // 56 mask/count micro-steps per word (ranks 0..7 × positions 1..7
-    // — words are ≤ 8 bytes by the corpus contract)
+    // BPE replay: trains the same cascading merge table and applies
+    // it, one MATERIALIZED state CTE + replace() per rank (training
+    // and application share each step by construction)
     "q92_bpe_tokens" -> bpeOracle,
     // fertility: the shared BPE replay chain aggregated by lang —
     // integer sums divided once at the end
@@ -5161,6 +5225,35 @@ object SparkEntry {
          WHERE NOT (DATE '2020-01-01' + CAST(doc_id % 365 AS INTEGER)
                     BETWEEN DATE '2020-03-01' AND DATE '2020-06-30')
          ORDER BY doc_id""",
+    // logical replay of the clause semantics: delete clause first,
+    // then the conditional update (fail-open on NULL enrichment),
+    // unmatched targets keep, inserts only when enriched
+    "q148_merge_clauses" ->
+      """WITH src AS (
+           SELECT doc_id, text, lang, source, n_chars,
+             CASE WHEN doc_id % 10 = 0 THEN NULL ELSE upper(text) END AS enriched,
+             CASE WHEN doc_id % 15 = 0 THEN -1 ELSE 1 END AS quality
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source, n_chars,
+             CASE WHEN doc_id % 14 = 3 THEN NULL ELSE upper(text) END, 1
+           FROM documents WHERE doc_id % 7 = 3),
+         kept AS (
+           SELECT d.doc_id,
+             CASE WHEN s.doc_id IS NOT NULL AND NOT coalesce(s.quality < 0, FALSE)
+                       AND s.enriched IS NOT NULL THEN s.enriched
+                  ELSE d.text END AS text,
+             d.lang, d.source, d.n_chars
+           FROM documents d LEFT JOIN src s ON d.doc_id = s.doc_id
+           WHERE s.doc_id IS NULL OR NOT coalesce(s.quality < 0, FALSE)),
+         ins AS (
+           SELECT s.doc_id, s.enriched AS text, s.lang, s.source, s.n_chars
+           FROM src s LEFT JOIN documents d ON d.doc_id = s.doc_id
+           WHERE d.doc_id IS NULL AND s.enriched IS NOT NULL)
+         SELECT doc_id, text, lang, source, n_chars FROM kept
+         UNION ALL
+         SELECT doc_id, text, lang, source, n_chars FROM ins
+         ORDER BY doc_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->
@@ -5535,46 +5628,58 @@ object SparkEntry {
     head + iterBlocks + probe
   }
 
-  /** DuckDB replay of the BPE pipeline (q92/q96 shared prefix): train
-    * the top-8 adjacent-pair merge table, then apply it with the
-    * exact rank-major, leftmost-first, no-cascade semantics of
-    * plans/BpeTokens.scala — state is an 8-bit "char already merged"
-    * mask + merge count, folded through 56 generated micro-step CTE
-    * columns (bit test (mask div 2^i) mod 4 = 0 ≡ the Scala
-    * (mask >> i) & 3). Ends with CTE bpe_doc(doc_id, nw, nb). */
+  /** DuckDB replay of the CASCADING BPE pipeline (q92/q96/q126 shared
+    * prefix): replays TRAINING and APPLICATION together, exactly as
+    * [[graft.operators.Bpe.train]] does — because each training step
+    * both picks the next merge and applies it, the state after the
+    * last step IS the fully-tokenized vocabulary.
+    *
+    * Representation: each distinct word as a bracketed symbol string
+    * ('hash' → '(h)(a)(s)(h)'); a merge of pair (A, B) is one SQL
+    * `replace(w, '(A)(B)', '(AB)')` — unambiguous (symbols are
+    * letter-runs, so the pattern can only match whole symbols) and
+    * left-to-right non-overlapping, the trainer's exact rule. Per
+    * iteration: count adjacent symbol pairs weighted by word count,
+    * pick ORDER BY count DESC, pair-string ASC (the trainer's order),
+    * replace. The chain CTEs are MATERIALIZED — each state is
+    * referenced twice (pair count + replace), so DuckDB's default
+    * CTE inlining would expand the chain exponentially. Iterations
+    * whose pair table is empty no-op via the LEFT JOIN NULL guard, so
+    * the fixed [[BpeBudget]]-step chain is safe past saturation.
+    * Final token count per word = its '(' count. Ends with CTE
+    * bpe_doc(doc_id, nw, nb, nc). */
   private def bpeCtes: String = {
-    val mtCols = (0 until 8)
-      .map(r => s"max(CASE WHEN r = $r THEN p END) AS p$r").mkString(", ")
-    val steps = new StringBuilder
-    var prev = "wstate0"; var m = "0"; var c = "0"
-    var k = 0
-    for (r <- 0 until 8; pos <- 1 to 7) {
-      k += 1
-      val bit = 1 << (pos - 1)
-      val cond = s"p$r IS NOT NULL AND length(w) > $pos AND " +
-        s"substr(w, $pos, 2) = p$r AND (($m // $bit) % 4) = 0"
-      steps ++= s""",
-         s$k AS (SELECT *,
-           CASE WHEN $cond THEN $m + ${3 * bit} ELSE $m END AS m$k,
-           CASE WHEN $cond THEN $c + 1 ELSE $c END AS c$k FROM $prev)"""
-      prev = s"s$k"; m = s"m$k"; c = s"c$k"
-    }
-    s"""WITH words AS (
+    val sb = new StringBuilder
+    sb ++= """WITH words AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
            FROM documents),
-         wp AS (
-           SELECT substr(w, i, 2) AS p
-           FROM words, unnest(range(1, length(w))) AS u(i)
-           WHERE length(w) >= 2),
-         ranked AS (
-           SELECT p, row_number() OVER (ORDER BY count(*) DESC, p) - 1 AS r
-           FROM wp GROUP BY p),
-         mt AS (SELECT $mtCols FROM ranked),
-         wstate0 AS (SELECT * FROM words CROSS JOIN mt)$steps,
+         wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+         st0 AS MATERIALIZED (
+           SELECT w AS w0, regexp_replace(w, '(.)', '(\1)', 'g') AS w, c FROM wc)"""
+    for (i <- 1 to BpeBudget) {
+      sb ++= s""",
+         pr$i AS (
+           SELECT '(' || s[j] || ')(' || s[j+1] || ')' AS sp, sum(c) AS pc
+           FROM (SELECT string_split(substr(w, 2, length(w)-2), ')(') AS s, c
+                 FROM st${i - 1}) t,
+                unnest(range(1, len(s))) AS u(j) GROUP BY 1),
+         b$i AS (SELECT sp, replace(sp, ')(', '') AS mg FROM pr$i
+                 ORDER BY pc DESC, sp LIMIT 1),
+         st$i AS MATERIALIZED (
+           SELECT w0, CASE WHEN b.sp IS NULL THEN w
+                           ELSE replace(w, b.sp, b.mg) END AS w, c
+           FROM st${i - 1} LEFT JOIN b$i b ON TRUE)"""
+    }
+    sb ++= s""",
+         wordtok AS (
+           SELECT w0, CAST(length(w) - length(replace(w, '(', '')) AS BIGINT) AS toks
+           FROM st$BpeBudget),
          bpe_doc AS (
-           SELECT doc_id, count(*) AS nw, sum(length(w) - $c) AS nb,
-             sum(length(w)) AS nc
-           FROM $prev GROUP BY doc_id)"""
+           SELECT words.doc_id, count(*) AS nw, sum(t.toks) AS nb,
+             sum(length(words.w)) AS nc
+           FROM words JOIN wordtok t ON words.w = t.w0
+           GROUP BY words.doc_id)"""
+    sb.toString
   }
 
   private def bpeOracle: String = bpeCtes +

@@ -81,60 +81,87 @@ object Freq {
       .orderBy(col("n_exact").desc, col("term"))
   }
 
-  /** Bloom bit position for hash `h` of a shingle: first 32 md5 bits
-    * of "h:shingle" mod mBits. */
-  private def bloomPos(h: Column, s: Column, mBits: Int): Column =
-    conv(substring(md5(concat(h.cast("string"), lit(":"), s).cast("binary")),
-      1, 8), 16, 10).cast("long") % mBits
-
-  private def bloomPositions(s: Column, hashes: Int, mBits: Int): Column =
-    transform(sequence(lit(0), lit(hashes - 1)), h => bloomPos(h, s, mBits))
+  /** The `hashes` Bloom bit positions of a shingle: ONE md5, its hex
+    * digest split into disjoint 8-hex (32-bit) windows, each mod
+    * mBits. One hash evaluation per shingle instead of one per
+    * position — the per-row cost of both the filter build and the
+    * probe is hash-bound, so this is the 100 TB lever (the plan-side
+    * lever being the map-only probe below). 32 hex chars bound
+    * `hashes` at 4; windows are independent uniform bits, the classic
+    * partitioned-hash Bloom construction. */
+  private def bloomPositions(s: Column, hashes: Int, mBits: Int): Column = {
+    require(hashes <= 4, s"bloomPositions: at most 4 hash windows per md5, got $hashes")
+    val digest = md5(s.cast("binary"))
+    transform(sequence(lit(0), lit(hashes - 1)),
+      h => conv(substring(digest, h * lit(8) + lit(1), lit(8)), 16, 10)
+        .cast("long") % mBits)
+  }
 
   /** Benchmark decontamination through a Bloom filter: flag corpus
     * docs whose k-shingles look present in the eval set.
     *
     * The filter is the DISTINCT set of set bit positions over the eval
-    * shingles — at most mBits values to broadcast however large the
-    * eval set grows (the exact q57 guard broadcasts the eval shingles
-    * themselves). A corpus shingle "hits" when all `hashes` of its
-    * positions are set; no false negatives by construction, false
-    * positives at the classic (1-e^(-kn/m))^k rate — visible in the
-    * output as bloom_hits > true_hits.
+    * shingles, COLLECTED ONCE into an mBits-size boolean bitmap and
+    * shipped as a single plan LITERAL (8 KB at the default 2^16 bits)
+    * — constant-size however large the eval set grows (the exact q57
+    * guard broadcasts the eval shingles themselves). A corpus shingle
+    * "hits" when all `hashes` of its positions index set bits —
+    * evaluated MAP-ONLY with a higher-order `forall` over the literal
+    * (no explode, no join, no per-position shuffle); no false
+    * negatives by construction, false positives at the classic
+    * (1-e^(-kn/m))^k rate — visible as bloom_hits > true_hits.
     *
-    * Scale shape: the corpus is scanned ONCE — the bloom probe and
-    * the exact-truth flag ride the same flow as two broadcast LEFT
-    * joins (both builds bounded: m bit positions, eval shingles), and
-    * the only wide shuffles are the (doc, shingle) distinct and the
-    * per-doc reduce; the (doc, shingle) partitioning carries through
-    * generate + broadcast joins, so the flag aggregation adds no
-    * exchange. `true_hits` is the verification harness — a pure
-    * deployment drops it and the eval-shingle broadcast, keeping only
-    * the m-bit filter.
+    * Scale shape: the corpus is scanned ONCE and the plan has ONE
+    * exchange — the per-doc reduce. Per-doc shingle dedup is
+    * `array_distinct` on the row's own shingle array (map-side; docs
+    * are one row each, `idCol` unique), the bloom probe is the
+    * forall-over-literal above, and only `true_hits` — the
+    * verification harness a pure deployment drops — needs the
+    * broadcast LEFT join against the eval shingles. Before this
+    * rewrite the probe exploded ×hashes positions, broadcast-joined
+    * the bit set and re-aggregated by (doc, shingle) — a second full
+    * shuffle of the distinct shingle set that the bitmap literal
+    * makes unnecessary.
     *
     * Returns per corpus doc with at least one flagged shingle:
     * (doc_id, n_shingles, bloom_hits, true_hits). */
   def bloomContamination(corpus: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, k: Int = 3, hashes: Int = 3,
                          mBits: Int = 65536): DataFrame = {
-    def shingleSet(df: DataFrame) = df
-      .select(col(idCol), explode(TF.shingles(TF.tokens(col(textCol)), k)).as("s"))
+    // native one-loop shingling (plans/ShingleTokens) — the probe is
+    // generation+hash bound, so both matter more than the plan here
+    def sh(c: Column) =
+      graft.plans.ShingleTokens.shingleTokens(TF.tokens(c), k)
+    val evalShingles = eval
+      .select(explode(sh(col(textCol))).as("s"))
       .distinct()
-    val evalShingles = shingleSet(eval).select(col("s")).distinct()
-    val bloom = evalShingles
+    // the ONE bounded collect: ≤ mBits distinct positions (the
+    // filter's whole state), packed 64-per-long — 2^16 bits = 1 KB of
+    // plan literal
+    val words = new Array[Long]((mBits + 63) / 64)
+    evalShingles
       .select(explode(bloomPositions(col("s"), hashes, mBits)).as("pos"))
-      .distinct()
-    // a shingle is flagged when all `hashes` positions (with
-    // multiplicity, if two hash rows collide) land on set bits
-    shingleSet(corpus)
-      .select(col(idCol), col("s"),
-        explode(bloomPositions(col("s"), hashes, mBits)).as("pos"))
-      .join(broadcast(bloom.withColumn("set_bit", lit(1L))), Seq("pos"), "left")
-      .groupBy(col(idCol), col("s"))
-      .agg(sum(coalesce(col("set_bit"), lit(0L))).as("nset"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p >>> 6) |= (1L << (p & 63))
+      }
+    val bitmap = typedLit(words.toSeq)
+    // all `hashes` positions set (with multiplicity if two hash rows
+    // collide) — element_at is 1-based; getbit tests inside the word
+    def allSet(s: Column): Column =
+      forall(bloomPositions(s, hashes, mBits),
+        p => call_function("getbit",
+          element_at(bitmap, (p / 64).cast("int") + 1),
+          (p % 64).cast("int")) === 1)
+    corpus
+      .select(col(idCol),
+        explode(array_distinct(sh(col(textCol)))).as("s"))
+      .withColumn("bloom_hit", when(allSet(col("s")), 1L).otherwise(0L))
       .join(broadcast(evalShingles.withColumn("in_eval", lit(1L))), Seq("s"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("nset") === hashes, lit(1L)).otherwise(lit(0L))).as("bloom_hits"),
+        sum(col("bloom_hit")).as("bloom_hits"),
         sum(coalesce(col("in_eval"), lit(0L))).as("true_hits"))
       .filter(col("bloom_hits") > 0)
       .orderBy(col(idCol))

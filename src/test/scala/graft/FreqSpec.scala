@@ -93,6 +93,26 @@ class FreqSpec extends AnyFunSuite {
     assert(exactContaminated.subsetOf(rows.map(_._1).toSet))
   }
 
+  test("bloom probe is map-only: one corpus-side shuffle, no per-position explode-join") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val got = Freq.bloomContamination(
+      docs.filter(col("doc_id") % 91 =!= 0),
+      docs.filter(col("doc_id") % 91 === 0), "doc_id", "text")
+    got.collect() // materialize so executedPlan is final (AQE)
+    // AQE's toString prints Final AND Initial plans — count the final
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the whole flow has exactly TWO hash exchanges: the eval-side
+    // shingle distinct (inside the broadcast build) and the per-doc
+    // reduce. The pre-rewrite plan also shuffled the exploded
+    // (doc, shingle, pos) set and re-aggregated it — the bitmap
+    // literal makes membership a forall over plan constants instead.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"bloom probe regressed to $shuffles shuffles:\n$plan")
+    assert(!plan.contains("pos#"),
+      "bloom membership must not explode hash positions into the plan")
+  }
+
   // ---- PQ ANN --------------------------------------------------------
 
   test("pq retrieves exact-match vectors first with zero ADC distance") {

@@ -309,30 +309,56 @@ class PropertySpec extends AnyFunSuite {
       s"prefix filtering should bound hot-shingle join work: $prefixWork vs $naiveWork")
   }
 
-  test("BpeTokenCount applies merges rank-major, leftmost-first, no cascade") {
+  test("BpeSweepTokenCount cascades merges rank-major, leftmost-first") {
     import spark.implicits._
-    def count(words: Seq[String], merges: Seq[String]): Long =
+    def count(words: Seq[String], merges: Seq[(String, String)]): Long =
       Seq(Tuple1(words)).toDF("toks")
-        .select(graft.plans.BpeTokenCount.bpeTokenCount(col("toks"), merges).as("n"))
+        .select(graft.plans.BpeSweepTokenCount
+          .bpeSweepTokenCount(col("toks"), merges).as("n"))
         .head.getLong(0)
-    // rank priority beats left-to-right: in "the", rank-0 "he" merges
-    // first and consumes the h, so rank-1 "th" cannot fire → t|he = 2
-    assert(count(Seq("the"), Seq("he", "th")) === 2L)
-    // swap the ranks and "th" wins → th|e = 2 (different segmentation,
-    // same count here) but in "hes" it shows: he|s vs h|e|s
-    assert(count(Seq("hes"), Seq("he", "th")) === 2L)
-    assert(count(Seq("hes"), Seq("th", "xx")) === 3L)
-    // leftmost-first non-overlap within a rank: "aaa" merges (0,1) only
-    assert(count(Seq("aaa"), Seq("aa")) === 2L)
-    assert(count(Seq("aaaa"), Seq("aa")) === 2L) // (0,1) and (2,3)
-    // no cascade: merged symbols are not re-merged ("abab" with "ab"
-    // twice → ab|ab, and no "abab" super-merge exists by construction)
-    assert(count(Seq("abab"), Seq("ab")) === 2L)
-    // chars in at most one merge: "abc" with "ab" rank-0 blocks "bc"
-    assert(count(Seq("abc"), Seq("ab", "bc")) === 2L)
+    // CASCADE: a rank's output symbol merges again at later ranks —
+    // (e,r)→er then (m,er)→mer then (mer,g)→merg: "merge" → merg|e = 2
+    assert(count(Seq("merge"),
+      Seq(("e", "r"), ("m", "er"), ("mer", "g"))) === 2L)
+    // rank priority beats left-to-right: rank-0 (h,e) consumes the h
+    // of "the" first, so rank-1 (t,h) cannot fire → t|he = 2
+    assert(count(Seq("the"), Seq(("h", "e"), ("t", "h"))) === 2L)
+    // leftmost-first non-overlap within a rank sweep
+    assert(count(Seq("aaa"), Seq(("a", "a"))) === 2L)
+    assert(count(Seq("aaaa"), Seq(("a", "a"))) === 2L) // (0,1) and (2,3)
+    // and the merged symbol cascades on the NEXT rank: (aa,aa) → 1
+    assert(count(Seq("aaaa"), Seq(("a", "a"), ("aa", "aa"))) === 1L)
     // empty inputs and 1-char words pass through
-    assert(count(Seq.empty, Seq("ab")) === 0L)
-    assert(count(Seq("a", "b"), Seq("ab")) === 2L)
+    assert(count(Seq.empty, Seq(("a", "b"))) === 0L)
+    assert(count(Seq("a", "b"), Seq(("a", "b"))) === 2L)
+  }
+
+  test("Bpe.train cascades to a true subword vocabulary, deterministically, and saturates safely") {
+    import graft.operators.Bpe
+    // hand-checkable corpus: 'abab'×4 dominates, 'abc'×1
+    // it0: (a,b) count 8+1 → merge ab everywhere
+    // it1: (ab,ab) count 4 beats (ab,c) count 1 → merge abab
+    // it2: (ab,c) count 1 → merge abc; saturation: no pairs remain
+    val m = Bpe.train(Seq(("abab", 4L), ("abc", 1L)), budget = 100)
+    assert(m === Seq(("a", "b"), ("ab", "ab"), ("ab", "c")))
+    // input order must not matter (counting is commutative, the
+    // argmax order is total)
+    assert(Bpe.train(Seq(("abc", 1L), ("abab", 4L)), budget = 100) === m)
+    // budget caps the table
+    assert(Bpe.train(Seq(("abab", 4L), ("abc", 1L)), budget = 2) === m.take(2))
+    // tie-break is the bracketed pair string ascending: equal counts
+    // (x,y)=1 and (p,q)=1 → '(p)(q)' < '(x)(y)'
+    assert(Bpe.train(Seq(("xy", 1L), ("pq", 1L)), budget = 1) ===
+      Seq(("p", "q")))
+    // application (the sweep expression's rule) replays training: the
+    // trained table re-tokenizes every training word to ONE symbol
+    // here (this corpus saturated), matching the state train() left
+    import spark.implicits._
+    val toks = Seq(Tuple1(Seq("abab", "abc"))).toDF("toks")
+      .select(graft.plans.BpeSweepTokenCount
+        .bpeSweepTokenCount(org.apache.spark.sql.functions.col("toks"), m).as("n"))
+      .head.getLong(0)
+    assert(toks === 2L) // one symbol per word
   }
 
   test("cluster dedup composite stays exact and skew-bounded over the prefix generator") {
