@@ -10,6 +10,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// OPTIONAL Kafka binding (stretch profile): spark-sql-kafka is not in
+// /opt/spark/jars and nothing resolves online here, so the binding
+// attaches as a second unmanaged-jars dir ONLY when the environment
+// provides it. With GRAFT_KAFKA_JARS pointing at the connector +
+// kafka-clients jars (and GRAFT_KAFKA_BOOTSTRAP at a broker),
+// KafkaSourceContractSpec runs the binding-agnostic streaming-source
+// contract unedited; unset — this image — the spec compiles against
+// zero extra jars and cancels itself.
+Test / unmanagedJars ++= sys.env.get("GRAFT_KAFKA_JARS")
+  .map(d => (file(d) ** "*.jar").classpath.toSeq).getOrElse(Nil)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -32,17 +32,23 @@ import graft.sources.Event
   * Downstream pipelines are unchanged — they never see the transport.
   *
   * ==Kafka/Kinesis binding checklist==
-  * The day `spark-sql-kafka` (or a Kinesis connector) resolves, the
-  * drop-in is verified by the generic source contract
+  * The drop-in is verified by the generic source contract
   * (`StreamSourceContract` in the test tree) — the same harness the
-  * jsonl binding passes (`JsonlSourceContractSpec`). Checklist:
+  * jsonl and tablechanges bindings pass. `KafkaSourceContractSpec`
+  * now EXISTS (test tree), compiled connector-free: the reader is the
+  * `format("kafka")` string, the producer goes through reflection,
+  * and every test `assume`s the connector class + a
+  * `GRAFT_KAFKA_BOOTSTRAP` broker — on this zero-egress image it
+  * compiles and cancels; point build.sbt's `GRAFT_KAFKA_JARS` at the
+  * connector + kafka-clients jars and the contract runs unedited.
+  * Checklist for any further binding (Kinesis, a queue):
   *
   *  1. implement `SourceContractFixture`: `append(n)` produces n
   *     uniquely-id'd JSON records to a fresh test topic; `stream`
   *     builds the readStream above (capped variant sets
   *     `maxOffsetsPerTrigger` low enough that 1000 records take >3
   *     micro-batches);
-  *  2. `class KafkaSourceContractSpec extends AnyFunSuite with
+  *  2. `class <X>SourceContractSpec extends AnyFunSuite with
   *     StreamSourceContract` — zero new test code; the contract pins
   *     capped exactly-once coverage, exact mid-backlog checkpoint
   *     resume, and idle-restart replay silence;
