@@ -111,10 +111,15 @@ object Freq {
     * negatives by construction, false positives at the classic
     * (1-e^(-kn/m))^k rate — visible as bloom_hits > true_hits.
     *
+    * REQUIRES one row per `idCol` value (the documents-table shape):
+    * per-doc shingle dedup is `array_distinct` on the row's own
+    * shingle array — map-side, which is what keeps the plan at one
+    * exchange. A corpus split across several rows per id would count
+    * shingles shared between its rows more than once; pre-aggregate
+    * such a frame (concat its texts per id) before calling.
+    *
     * Scale shape: the corpus is scanned ONCE and the plan has ONE
-    * exchange — the per-doc reduce. Per-doc shingle dedup is
-    * `array_distinct` on the row's own shingle array (map-side; docs
-    * are one row each, `idCol` unique), the bloom probe is the
+    * exchange — the per-doc reduce. The bloom probe is the
     * forall-over-literal above, and only `true_hits` — the
     * verification harness a pure deployment drops — needs the
     * broadcast LEFT join against the eval shingles. Before this

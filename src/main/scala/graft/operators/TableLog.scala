@@ -71,7 +71,7 @@ object TableLog {
     * table's immutable files in place. Every read path resolves refs
     * through here so borrowed and owned files mix freely in one
     * active set. */
-  private def resolve(root: String, rel: String): String =
+  private[operators] def resolve(root: String, rel: String): String =
     if (rel.startsWith("/")) rel else s"$root/$rel"
 
   private def entryPath(root: String, v: Long) =
@@ -1276,6 +1276,17 @@ object TableLog {
     // that bucket's files (≤ nBuckets collect, layout metadata)
     val touched = source.select(idBucket(idCol, nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0).toInt).toSet
+    // ENFORCE the unique-source-id contract (Delta raises
+    // MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW): with duplicates, the
+    // full-outer join below would silently apply BOTH source rows to
+    // one target — e.g. delete it through one and re-emit it through
+    // the other
+    val dup = source.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"TableLog.mergeIntoConditional: ${dup.headOption.map(_.get(0))
+        .getOrElse("")} appears more than once in the source — merge " +
+        "clauses need one source row per id; pre-aggregate the source")
     val (oldTouched, _) = active.partition(p => bucketOf(p).exists(touched))
     val base =
       if (oldTouched.isEmpty)
@@ -1441,7 +1452,7 @@ object TableLog {
     * serialized bounds (None where stats are absent: a file of
     * ALL-null keys has null min/max), and the null count (None =
     * unknown, written before the stat existed). */
-  private final case class ZStat(file: String, scol: Option[String],
+  private[operators] final case class ZStat(file: String, scol: Option[String],
                                  kind: String, lo: Option[String],
                                  hi: Option[String], nNulls: Option[Long])
 
@@ -1451,7 +1462,7 @@ object TableLog {
     * string lo_s/hi_s). O(#files × #statsCols) driver metadata —
     * shared by [[rangeTouchedFiles]] and [[deleteWhere]] so one purge
     * plans from ONE sidecar read. */
-  private def collectZoneRows(spark: SparkSession, root: String,
+  private[operators] def collectZoneRows(spark: SparkSession, root: String,
                               asOf: Option[Long]): Array[ZStat] = {
     val zmaps = inForceZmaps(fs(spark, root), root, asOf)
     if (zmaps.isEmpty) Array.empty
@@ -1511,26 +1522,38 @@ object TableLog {
     active.filterNot(pruned).sorted
   }
 
-  /** Driver-side pruning hook for [[TableLogFileIndex]]: the active
-    * files at `asOf` that a CONJUNCTION of typed column ranges may
-    * touch — each range (col, kind, lo?, hi?) prunes independently
-    * ([[touchedFrom]]'s rules: only stats rows naming the column, all
-    * bounds closed, absent stats read conservatively). Ranges on
-    * columns without stats simply don't prune. O(#files × #ranges)
-    * driver metadata. */
-  private[operators] def prunedActiveFiles(spark: SparkSession, root: String,
-      asOf: Option[Long],
-      ranges: Seq[(String, String, Option[String], Option[String])]): Seq[String] = {
-    val zones = collectZoneRows(spark, root, asOf)
-    ranges.foldLeft(activeFiles(spark, root, asOf)) {
+  /** Driver-side pruning hook for [[TableLogFileIndex]]: the files of
+    * `active` that a CONJUNCTION of typed column ranges may touch,
+    * against PRE-COLLECTED `zones` — each range (col, kind, lo?, hi?)
+    * prunes independently ([[touchedFrom]]'s rules: only stats rows
+    * naming the column, all bounds closed, absent stats read
+    * conservatively). Ranges on columns without stats simply don't
+    * prune. Pure driver-side interval checks — the index collects the
+    * state once at construction and calls this per planning pass. */
+  private[operators] def pruneWithStats(active: Seq[String],
+      zones: Array[ZStat],
+      ranges: Seq[(String, String, Option[String], Option[String])]): Seq[String] =
+    ranges.foldLeft(active) {
       case (files, (c, kind, lo, hi)) =>
         touchedFrom(files, zones, c, kind, lo, hi)
     }
-  }
 
-  /** The serialized (kind, repr) of a typed bound — exposed for
-    * [[TableLogFileIndex]]'s literal translation. */
-  private[operators] def zboundOf(v: Any): (String, String) = zbound(v)
+  /** The stats columns a predicate-scoped REWRITE must re-declare for
+    * its restaged files: every column the rewritten files' existing
+    * zone rows covered beyond the cluster key — without this, a
+    * deleteWhere/replaceWhere boundary rewrite would silently drop
+    * secondary-column stats and later reads on those columns would
+    * degrade to conservative scans with no signal. Intersected with
+    * the outgoing frame's columns defensively (a column can only
+    * vanish on a format misuse; losing its stats is the conservative
+    * outcome, never an error). */
+  private def rewriteStatsCols(zones: Array[ZStat], rewritten: Seq[String],
+                               keyCol: String,
+                               outCols: Seq[String]): Seq[String] = {
+    val files = rewritten.toSet
+    zones.filter(z => files(z.file)).flatMap(_.scol).distinct
+      .filterNot(_ == keyCol).filter(outCols.contains).toSeq
+  }
 
   /** Files PROVABLY all-inside [qlo, qhi] on `scol`: some matching
     * stats row has its whole interval inside the range AND a
@@ -1619,7 +1642,7 @@ object TableLog {
     * a non-ASCII last char yields None = no upper bound, so the scan
     * stays conservative rather than risking UTF-8-vs-UTF-16 order
     * disagreements at the boundary. */
-  private def prefixSucc(p: String): Option[String] = {
+  private[operators] def prefixSucc(p: String): Option[String] = {
     val i = p.lastIndexWhere(c => c < 0x7f)
     if (i < 0) None
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
@@ -1704,9 +1727,9 @@ object TableLog {
         "overwrite beyond the predicate")
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.replaceWhere: empty log at $root"))
+    val zones = collectZoneRows(spark, root, Some(readV))
     val touched = touchedFrom(activeFiles(spark, root, Some(readV)),
-      collectZoneRows(spark, root, Some(readV)), keyCol, kind,
-      Some(qlo), Some(qhi), trustLegacy)
+      zones, keyCol, kind, Some(qlo), Some(qhi), trustLegacy)
     val reader = logSchema(spark, root, Some(readV))
       .fold(spark.read)(st => spark.read.schema(st))
     val survivors =
@@ -1715,7 +1738,9 @@ object TableLog {
         .filter(col(keyCol).isNull || col(keyCol) < loLit ||
           col(keyCol) > hiLit)
     val (files, zm) = stageWithZoneMap(
-      survivors.unionByName(replacement), root, name, keyCol, parts)
+      survivors.unionByName(replacement), root, name, keyCol, parts,
+      statsCols = rewriteStatsCols(zones, touched, keyCol,
+        replacement.columns))
     // a concurrent blind append could land rows inside [lo, hi] that
     // this rewrite never saw — any add since the read conflicts (the
     // zone-described-disjoint relaxation would need the added file's
@@ -1830,7 +1855,9 @@ object TableLog {
           // fact (stats-less, or interval-covered with unknown nulls
           // that turn out absent): nothing survives → pure drop
           if (survivors.isEmpty) (Seq.empty[String], Seq.empty[String])
-          else stageWithZoneMap(survivors, root, name, keyCol, parts)
+          else stageWithZoneMap(survivors, root, name, keyCol, parts,
+            statsCols = rewriteStatsCols(zones, rewrite, keyCol,
+              survivors.columns))
         }
       val cdfSeq = feedIdCol.fold(Seq.empty[String]) { idc =>
         // the feed's one honest cost: a column-pruned scan of the
@@ -2075,27 +2102,62 @@ object TableLog {
       Iterator.iterate(p.lastIndexOf('/'))(i => p.lastIndexOf('/', i - 1))
         .takeWhile(_ > 0).map(p.substring(0, _)).toSet
     }
+    // a target is deletable ONLY when it parses as a sane in-root
+    // stage path: relative, the commit charset, no '.'/'..' segments,
+    // under a staging subtree. A zero-byte marker (stageMarker crashed
+    // between create and write) or a corrupt/hostile one must never
+    // turn into a recursive delete of the root or of anything outside
+    // it — the same escape validatePaths blocks on the commit path.
+    def saneTarget(t: String): Boolean =
+      t.nonEmpty && !t.startsWith("/") &&
+        t.matches("[A-Za-z0-9._/=-]+") &&
+        !t.split("/").exists(s => s == ".." || s == "." || s.isEmpty) &&
+        Seq("data/", "zmap/", "cdf/", "schema/", "constraints/")
+          .exists(t.startsWith)
     val doomed = Seq.newBuilder[String]
+    var sidecarDeleted = false
     f.listStatus(dir).toSeq.foreach { m =>
       val target = readFully(f, m.getPath).trim
-      val tPath = new Path(resolve(root, target))
-      val committed = referenced(target) || refDirs(target)
-      val st = try Some(f.getFileStatus(tPath))
-               catch { case _: java.io.FileNotFoundException => None }
-      (st, committed) match {
-        case (None, _) => // target gone: retire the marker
-          if (!dryRun) f.delete(m.getPath, false)
-        case (_, true) => // committed: never an orphan again
-          if (!dryRun) f.delete(m.getPath, false)
-        case (Some(s), false) if s.getModificationTime < cutoff =>
-          doomed += target
-          if (!dryRun) {
-            f.delete(tPath, true)
-            f.delete(m.getPath, false)
-          }
-        case _ => () // young un-committed stage: maybe still in flight
+      if (!saneTarget(target)) {
+        // garbage marker: retire IT (once old enough that it cannot
+        // be a marker another writer is mid-writing), touch nothing
+        if (!dryRun && m.getModificationTime < cutoff)
+          f.delete(m.getPath, false)
+      } else {
+        val tPath = new Path(resolve(root, target))
+        val committed = referenced(target) || refDirs(target)
+        val st = try Some(f.getFileStatus(tPath))
+                 catch { case _: java.io.FileNotFoundException => None }
+        (st, committed) match {
+          case (None, _) =>
+            // target absent. EITHER already cleaned up — retire — OR
+            // the stage is mid-flight (stageMarker runs BEFORE the
+            // data write; the dir may not exist for minutes): judge by
+            // the MARKER's age, else a sweep in that window would
+            // retire the marker and a later crash-orphan would be
+            // invisible to every future manifest sweep
+            if (!dryRun && m.getModificationTime < cutoff)
+              f.delete(m.getPath, false)
+          case (_, true) => // committed: never an orphan again
+            if (!dryRun) f.delete(m.getPath, false)
+          case (Some(s), false) if s.getModificationTime < cutoff &&
+              m.getModificationTime < cutoff =>
+            doomed += target
+            if (!dryRun) {
+              f.delete(tPath, true)
+              f.delete(m.getPath, false)
+              if (target.startsWith("schema/") ||
+                  target.startsWith("constraints/")) sidecarDeleted = true
+            }
+          case _ => () // young un-committed stage: maybe still in flight
+        }
       }
     }
+    // reclaim now-emptied sidecar subdirectories exactly as the walk
+    // mode does (a long-lived evolving stream's conflict-refused
+    // attempts must not accumulate empty schema/<stream>/ dirs) —
+    // bounded: these trees hold sidecars, not data
+    if (sidecarDeleted) pruneEmptySidecarDirs(f, root)
     doomed.result().sorted
   }
 
@@ -2162,11 +2224,19 @@ object TableLog {
     dirOrphans.foreach(p => f.delete(p, true))
     fileOrphans.foreach(p => f.delete(p, false))
     // reclaim now-EMPTY sidecar subdirectories (this pass's deletions
-    // included): a long-lived evolving stream whose conflict-refused
-    // attempts orphan schema/<stream>/… sidecars would otherwise
-    // accumulate empty dirs no path ever removes, inflating every
-    // future listing. No age gate — an empty dir holds no data, and a
-    // concurrent stage re-creates parents on write (FS create mkdirs).
+    // included) — see [[pruneEmptySidecarDirs]]
+    pruneEmptySidecarDirs(f, root)
+    doomed
+  }
+
+  /** Remove now-empty subdirectories under schema/ and constraints/:
+    * a long-lived evolving stream whose conflict-refused attempts
+    * orphan schema/<stream>/… sidecars would otherwise accumulate
+    * empty dirs no path ever removes, inflating every future listing.
+    * No age gate — an empty dir holds no data, and a concurrent stage
+    * re-creates parents on write (FS create mkdirs). Shared by both
+    * [[gcOrphans]] sweep modes. */
+  private def pruneEmptySidecarDirs(f: FileSystem, root: String): Unit = {
     def pruneEmpty(p: Path): Boolean = {
       val live = f.listStatus(p).toSeq.count { s =>
         if (s.isDirectory) !pruneEmpty(s.getPath) else true
@@ -2179,7 +2249,6 @@ object TableLog {
         f.listStatus(d).toSeq.filter(_.isDirectory)
           .foreach(s => pruneEmpty(s.getPath))
     }
-    doomed
   }
 
   /** SHALLOW CLONE (the Delta `CLONE` shape): materialize `dstRoot`

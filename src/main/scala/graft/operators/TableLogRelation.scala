@@ -32,27 +32,36 @@ import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType,
   * closed conservatively (`x > 5` prunes as `x >= 5`), which can only
   * under-prune.
   *
-  * Scale shape: the index materializes O(#files) driver metadata
-  * (path + size — the same order as the log replay that produced it)
-  * once at construction; each `listFiles` is a driver-side interval
-  * check against the collected zone stats. Row-group pushdown inside
-  * surviving files is unchanged parquet behavior. */
+  * Scale shape: the index PINS the snapshot version at construction
+  * (asOf = None resolves to the latest committed version THEN — a
+  * concurrent commit between relation build and query execution can
+  * neither drop rows nor mix file generations) and materializes the
+  * active statuses + zone stats once — O(#files) driver metadata, the
+  * same order as the log replay that produced it; each `listFiles`
+  * is then a pure driver-side interval check, no log replay and no
+  * Spark job per planning pass. Row-group pushdown inside surviving
+  * files is unchanged parquet behavior. */
 class TableLogFileIndex(spark: SparkSession, root: String,
-                        asOf: Option[Long],
-                        schema: StructType) extends FileIndex {
+                        asOf: Option[Long]) extends FileIndex {
+
+  /** The pinned snapshot version this index serves. */
+  val version: Long = asOf.getOrElse(
+    TableLog.versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLogFileIndex: empty log at $root")))
 
   private val fsys = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (root-relative ref, status) for every active file at `asOf`. */
+  /** (root-relative ref, status) for every active file at [[version]]. */
   private val active: Seq[(String, FileStatus)] =
-    TableLog.activeFiles(spark, root, asOf).map { rel =>
-      val p = if (rel.startsWith("/")) new Path(rel)
-              else new Path(root, rel)
-      rel -> fsys.getFileStatus(p)
+    TableLog.activeFiles(spark, root, Some(version)).map { rel =>
+      rel -> fsys.getFileStatus(new Path(TableLog.resolve(root, rel)))
     }
 
-  private val byRel = active.toMap
+  /** Zone stats collected ONCE — listFiles must not re-read sidecars
+    * (a Spark job) inside every planning pass. */
+  private val zones: Array[TableLog.ZStat] =
+    TableLog.collectZoneRows(spark, root, Some(version))
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 
@@ -109,15 +118,14 @@ class TableLogFileIndex(spark: SparkSession, root: String,
         kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), Some(r)) }
       case StartsWith(a: Attribute, Literal(v, StringType)) if v != null =>
         val prefix = v.toString
-        Some((a.name, "string", Some(prefix),
-          TableLogRelation.prefixUpper(prefix)))
+        Some((a.name, "string", Some(prefix), TableLog.prefixSucc(prefix)))
       case _ => None
     }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = TableLog.prunedActiveFiles(spark, root, asOf,
+    val keep = TableLog.pruneWithStats(active.map(_._1), zones,
       rangesOf(dataFilters)).toSet
     Seq(PartitionDirectory(InternalRow.empty,
       active.collect { case (rel, st) if keep(rel) => st }.toArray))
@@ -126,49 +134,43 @@ class TableLogFileIndex(spark: SparkSession, root: String,
 
 object TableLogRelation {
 
-  /** The smallest string above every `prefix`-prefixed string, when
-    * expressible over an ASCII tail (see
-    * [[TableLog.snapshotPrefix]]'s successor rule). */
-  private[operators] def prefixUpper(prefix: String): Option[String] = {
-    val i = prefix.lastIndexWhere(c => c < 0x7f)
-    if (i < 0) None
-    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
-  }
-
   /** The snapshot at `asOf` as a PLANNER-PRUNED relation: filters on
     * any stats-covered column skip files inside Catalyst (the
     * `.explain`-visible form — the scan's file count shrinks with the
-    * predicate). Delete sidecars, when in force, compose as the same
-    * left-anti join [[TableLog.snapshot]] applies — pruning still
-    * happens underneath it; pass `idCol` exactly as there. */
+    * predicate). `asOf = None` PINS the latest committed version at
+    * build time — every later action serves exactly that snapshot,
+    * however many commits land meanwhile (build a new relation to see
+    * them). Delete sidecars, when in force at the pinned version,
+    * compose as the same left-anti join [[TableLog.snapshot]] applies
+    * — pruning still happens underneath it; pass `idCol` exactly as
+    * there. */
   def snapshotDf(spark: SparkSession, root: String,
                  asOf: Option[Long] = None,
                  idCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val schema = TableLog.logSchema(spark, root, asOf).getOrElse {
+    val index = new TableLogFileIndex(spark, root, asOf)
+    val at = Some(index.version)
+    val schema = TableLog.logSchema(spark, root, at).getOrElse {
       // no declared schema: take the files' own uniform schema from
       // ONE footer (files are immutable, a commit's files share one)
-      val files = TableLog.activeFiles(spark, root, asOf)
+      val files = TableLog.activeFiles(spark, root, at)
       require(files.nonEmpty,
         s"TableLogRelation: no active files at $root asOf=$asOf")
-      val head = files.head
-      val p = if (head.startsWith("/")) head else s"$root/$head"
-      spark.read.parquet(p).schema
+      spark.read.parquet(TableLog.resolve(root, files.head)).schema
     }
-    val index = new TableLogFileIndex(spark, root, asOf, schema)
     val rel = HadoopFsRelation(index, StructType(Nil), schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val base = org.apache.spark.sql.graftbridge.BridgePlans.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       LogicalRelation(rel, isStreaming = false))
-    val dels = TableLog.activeDeletes(spark, root, asOf)
+    val dels = TableLog.activeDeletes(spark, root, at)
     if (dels.isEmpty) base
     else idCol match {
       case None => sys.error(
         s"TableLogRelation.snapshotDf: $root has delete sidecars; pass idCol")
       case Some(id) =>
-        val doomed = spark.read.parquet(dels.map(d =>
-          if (d.startsWith("/")) d else s"$root/$d"): _*)
+        val doomed = spark.read.parquet(
+          dels.map(TableLog.resolve(root, _)): _*)
         base.join(doomed.select(col(doomed.columns.head).as(id)).distinct(),
           Seq(id), "left_anti")
     }

@@ -1950,6 +1950,139 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(markers() === 1, "an in-flight stage's marker must survive")
   }
 
+  test("TableLog.gcOrphans manifest: corrupt/hostile markers never delete outside the staging tree; missing targets respect the age guard") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf)
+    val root = Files.createTempDirectory("graft_tablelog_gcx").toString + "/t"
+    val stagesDir = java.nio.file.Paths.get(root, "_log", "_stages")
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(docs.limit(30), root, "base"), Nil)
+    // the attack/crash class: a ZERO-BYTE marker (stageMarker died
+    // between create and write — its target would resolve to the
+    // TABLE ROOT), an absolute target, a '..' escape, and a
+    // non-staging in-root target (the _log dir itself)
+    java.nio.file.Files.write(stagesDir.resolve("evil0"), Array.empty[Byte])
+    java.nio.file.Files.write(stagesDir.resolve("evil1"),
+      "/etc".getBytes("UTF-8"))
+    java.nio.file.Files.write(stagesDir.resolve("evil2"),
+      "data/../../escape".getBytes("UTF-8"))
+    java.nio.file.Files.write(stagesDir.resolve("evil3"),
+      "_log".getBytes("UTF-8"))
+    val doomed = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(doomed.isEmpty, s"garbage markers produced deletions: $doomed")
+    assert(TableLog.snapshot(spark0, root).count() === 30,
+      "the table must survive garbage markers intact")
+    assert(TableLog.versions(spark0, root).nonEmpty,
+      "_log must survive a marker naming it")
+    // the garbage markers themselves retire once past the age guard
+    val left = java.nio.file.Files.list(stagesDir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      left.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq
+    } finally left.close()
+    assert(!names.exists(_.startsWith("evil")),
+      s"aged garbage markers must retire: $names")
+    // MISSING-target marker + a YOUNG age guard: the marker must
+    // survive (stageMarker runs before the data write — retiring it
+    // in that window would hide a later crash-orphan forever)
+    java.nio.file.Files.write(stagesDir.resolve("aaaainflight00"),
+      "data/notyetwritten-00000000".getBytes("UTF-8"))
+    assert(TableLog.gcOrphans(spark0, root, olderThanMs = 3600000L).isEmpty)
+    assert(java.nio.file.Files.exists(stagesDir.resolve("aaaainflight00")),
+      "a young missing-target marker is an in-flight stage, not garbage")
+    // past the age guard it retires
+    TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(!java.nio.file.Files.exists(stagesDir.resolve("aaaainflight00")))
+    // manifest mode also prunes emptied sidecar subdirs: an orphaned
+    // MARKED schema sidecar in a nested dir reclaims WITH its dir
+    val f2 = new java.io.File(s"$root/schema/stream")
+    f2.mkdirs()
+    java.nio.file.Files.write(f2.toPath.resolve("b9-cafecafe.json"),
+      "{}".getBytes("UTF-8"))
+    java.nio.file.Files.write(stagesDir.resolve("aaaaorphschema"),
+      "schema/stream/b9-cafecafe.json".getBytes("UTF-8"))
+    val doomed2 = TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(doomed2 === Seq("schema/stream/b9-cafecafe.json"))
+    assert(!f2.exists(),
+      "the emptied sidecar subdirectory must prune in manifest mode too")
+  }
+
+  test("mergeIntoConditional refuses duplicate source ids; rewrites preserve secondary-column stats") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    // --- duplicate source ids: the Delta multiple-source-rows error
+    val root = Files.createTempDirectory("graft_tablelog_dup").toString + "/t"
+    TableLog.commit(spark0, root, TableLog.stageBucketed(
+      (0L until 50L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      root, "base", "doc_id", 8), Nil)
+    val dupSrc = Seq((7L, "a", "A", 1), (7L, "b", null, -1))
+      .toDF("doc_id", "text", "enriched", "quality")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mergeIntoConditional(spark0, root, "doc_id", dupSrc, 8, "m",
+        matched = Seq(TableLog.MatchedUpdate(None, Map("text" -> "s.text"))),
+        insertWhen = None)
+    }
+    assert(e.getMessage.contains("more than once"))
+    // --- a deleteWhere boundary rewrite must re-declare the secondary
+    // stats its rewritten files carried, or later reads on those
+    // columns silently degrade to conservative scans
+    val root2 = Files.createTempDirectory("graft_tablelog_rwst").toString + "/t"
+    val df = (0L until 400L).map(i => (i, i * 7L, s"t$i"))
+      .toDF("doc_id", "alt_key", "text")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root2, "base", "doc_id", 8,
+      statsCols = Seq("alt_key"))
+    TableLog.commit(spark0, root2, files, Nil, zmap = zm)
+    // purge a window whose boundary files rewrite
+    TableLog.deleteWhereTyped(spark0, root2, "doc_id", 120L, 180L, "p", 2)
+    val snap = TableLogRelation.snapshotDf(spark0, root2)
+    val q = snap.filter(col("alt_key") >= 0L && col("alt_key") <= 280L) // ids 0..40
+    assert(q.count() === 41L)
+    q.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val n = scans(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    // exactly ONE file holds alt_key <= 280 (ids 0..49); the purge's
+    // rewritten boundary files hold alt 700+ and prune ONLY if the
+    // rewrite re-declared their alt_key stats
+    assert(n === 1,
+      s"secondary-column stats lost by the rewrite: scanned $n files")
+  }
+
+  test("TableLogRelation pins its version: a concurrent commit cannot change served rows") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_pin").toString + "/t"
+    val (f1, z1) = TableLog.stageWithZoneMap(
+      (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      root, "base", "doc_id", 4)
+    TableLog.commit(spark0, root, f1, Nil, zmap = z1)
+    val pinned = TableLogRelation.snapshotDf(spark0, root)
+    assert(pinned.count() === 100L)
+    // a full rewrite lands AFTER the relation was built
+    TableLog.compactTable(spark0, root, "doc_id", "rewrite")
+    TableLog.commit(spark0, root, TableLog.stageWrite(
+      (1000L until 1010L).map(i => (i, s"x$i")).toDF("doc_id", "text")
+        .coalesce(1), root, "more"), Nil)
+    // the pinned relation still serves its construction-time snapshot
+    // exactly — neither dropped rows (the race the pin closes) nor
+    // the new commit's rows
+    assert(pinned.count() === 100L)
+    assert(pinned.filter(col("doc_id") >= 1000L).count() === 0L)
+    // a fresh relation sees the new head
+    assert(TableLogRelation.snapshotDf(spark0, root).count() === 110L)
+  }
+
   test("TableLog.replaceWhere preserves NULL-key rows and refuses NULL-key replacements") {
     import graft.operators.TableLog
     val spark0 = spark
