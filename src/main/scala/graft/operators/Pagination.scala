@@ -200,10 +200,15 @@ object Pagination {
     * entries the drain will actually touch. */
   def pagedFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      key: String, cols: Seq[String], pageSize: Int,
-                     pages: Int): DataFrame = {
-    val manifest = boundedManifest(spark, path, pages.toLong * pageSize)
+                     pages: Int, startAfter: Option[Long] = None): DataFrame = {
+    // `startAfter` resumes a drain mid-table: the manifest bound is
+    // ANCHORED AT THE CURSOR'S BUCKET (not bucket 0), or the prefix
+    // bound would filter out every bucket the resumed drain actually
+    // touches and pages would come back silently short
+    val manifest = boundedManifest(spark, path, pages.toLong * pageSize,
+      startAfter)
     val data = spark.read.parquet(s"$path/data")
-    var after: Option[Long] = None
+    var after: Option[Long] = startAfter
     var acc = Vector.empty[DataFrame]
     var n = 0
     var done = false
@@ -239,25 +244,43 @@ object Pagination {
     else acc.reduce(_ unionByName _)
   }
 
-  /** The manifest prefix a drain of `needRows` rows (from the start of
-    * the index) can possibly touch, collected with the pbucket bound
-    * pushed into the parquet scan. bucketRows is read off the
-    * manifest's own bucket 0 (fixed occupancy: every bucket except the
-    * last holds exactly bucketRows rows, so bucket 0's count IS the
-    * build parameter whenever a second bucket exists; when it doesn't,
-    * the whole manifest is one row and any bound covers it). The +2
-    * covers the ceil and the one bucket a page's cursor may straddle.
-    * Exposed (package-visible) so LayoutSpec can assert the bound. */
+  /** The manifest WINDOW a drain of `needRows` rows starting after
+    * `cursor` (None = the table head) can possibly touch, collected
+    * with the pbucket bounds pushed into the parquet scan. The window
+    * is ANCHORED at the first bucket whose key_max exceeds the cursor
+    * (one pushed-filter 1-row aggregate finds it) and spans
+    * needRows/bucketRows + 2 buckets from there — so a drain resumed
+    * DEEP in a 10^8-bucket index still collects only the O(pages)
+    * entries it will touch, exactly like a head drain. bucketRows is
+    * read off the manifest's own bucket 0 (fixed occupancy: every
+    * bucket except the last holds exactly bucketRows rows, so bucket
+    * 0's count IS the build parameter whenever a second bucket
+    * exists; when it doesn't, the whole manifest is one row and any
+    * bound covers it). The +2 covers the ceil and the one bucket a
+    * page's cursor may straddle. Exposed (package-visible) so
+    * LayoutSpec can assert both the head bound and the cursor
+    * anchoring. */
   private[graft] def boundedManifest(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      needRows: Long): Array[(Long, Long, Long, Long)] = {
+      needRows: Long,
+      cursor: Option[Long] = None): Array[(Long, Long, Long, Long)] = {
     val mf = spark.read.parquet(s"$path/manifest")
     val b0 = mf.filter(col("pbucket") === 0).select(col("rows")).collect()
     val bucketRows =
       if (b0.isEmpty) 1L
       else math.max(1L, b0.head.getAs[Number]("rows").longValue())
-    val maxBucket = needRows / bucketRows + 2
-    mf.filter(col("pbucket") <= maxBucket)
+    val span = needRows / bucketRows + 2
+    val fromBucket = cursor.fold(0L) { c =>
+      // the first bucket a post-cursor drain can touch: buckets whose
+      // whole key range is ≤ cursor cannot contribute a row
+      val r = mf.filter(col("key_max") > c)
+        .agg(min(col("pbucket"))).collect()
+      if (r.isEmpty || r.head.isNullAt(0)) Long.MaxValue // past the end
+      else r.head.getAs[Number](0).longValue()
+    }
+    if (fromBucket == Long.MaxValue) return Array.empty
+    mf.filter(col("pbucket") >= fromBucket &&
+        col("pbucket") <= fromBucket + span)
       .collect()
       // pbucket comes back via partition-directory type inference
       // (INT for small values) — widen through Number, don't assume

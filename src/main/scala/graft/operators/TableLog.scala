@@ -556,13 +556,22 @@ object TableLog {
     * the rewrite once, on schedule, and every range read after it is
     * O(selectivity). Returns the new version. */
   def optimizeTable(spark: SparkSession, root: String, idCol: String,
-                    keyCol: String, name: String, parts: Int): Long = {
+                    keyCol: String, name: String, parts: Int,
+                    statsCols: Seq[String] = Nil): Long = {
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.optimizeTable: empty log at $root"))
     val readFiles = activeFiles(spark, root, Some(readV))
     val readDels = activeDeletes(spark, root, Some(readV))
     val current = snapshot(spark, root, Some(readV), Some(idCol))
-    val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts)
+    // a full rewrite must not LOSE stats coverage: re-declare every
+    // column the outgoing generation's zone rows covered (the same
+    // rule as the deleteWhere/replaceWhere boundary rewrites), plus
+    // any newly requested statsCols
+    val inherited = rewriteStatsCols(
+      collectZoneRows(spark, root, Some(readV)), readFiles, keyCol,
+      current.columns)
+    val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts,
+      statsCols = (inherited ++ statsCols).distinct)
     commit(spark, root, add = files,
       remove = readFiles, resetDeletes = true, zmap = zm,
       expectActive = readFiles, expectDeletes = Some(readDels),

@@ -166,6 +166,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.count() === 80L)
     assert(out.agg(max(col("k"))).head().getLong(0) === 80L)
     assert(out.filter(col("v") =!= col("k") + 1).count() === 0L)
+    // CURSOR-RESUMED drain: the bound anchors at the cursor's bucket
+    // (not bucket 0 — the old prefix bound would filter out every
+    // bucket a deep resume touches and pages would come back short)
+    val cursor = 3210L // inside bucket 64 (rows 3201..3250)
+    val mc = Pagination.boundedManifest(spark, dir, needRows = 80L,
+      cursor = Some(cursor))
+    assert(mc.nonEmpty && mc.map(_._1).min === 64L,
+      s"cursor bound must anchor at bucket 64, got ${mc.map(_._1).toSeq}")
+    assert(mc.length <= 4,
+      s"cursor-anchored collect not bounded by the drain: ${mc.length}")
+    val resumed = Pagination.pagedFromIndex(spark, dir, "k", Seq("k", "v"),
+      pageSize = 40, pages = 2, startAfter = Some(cursor))
+    assert(resumed.count() === 80L, "resumed pages must come back FULL")
+    val ks = resumed.select("k").collect().map(_.getLong(0)).sorted
+    assert(ks.head === 3211L && ks.last === 3290L,
+      s"resumed drain must serve exactly the 80 rows past the cursor")
+    // resuming past the last key is an empty drain, not an error
+    assert(Pagination.pagedFromIndex(spark, dir, "k", Seq("k", "v"),
+      pageSize = 40, pages = 2, startAfter = Some(99999L)).count() === 0L)
   }
 
   test("writeGsi probes read only the matching key directories") {

@@ -2049,6 +2049,11 @@ class ScaleOpsSpec extends AnyFunSuite {
       case f: FileSourceScanExec => Seq(f)
       case o => (o.children ++ o.subqueries).flatMap(scans)
     }
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
     val n = scans(q.queryExecution.executedPlan)
       .map(_.metrics("numFiles").value).sum
     // exactly ONE file holds alt_key <= 280 (ids 0..49); the purge's
@@ -2056,6 +2061,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     // rewrite re-declared their alt_key stats
     assert(n === 1,
       s"secondary-column stats lost by the rewrite: scanned $n files")
+    // OPTIMIZE is a FULL rewrite — it must inherit the outgoing
+    // generation's stats coverage the same way
+    TableLog.optimizeTable(spark0, root2, "doc_id", "doc_id", "opt", 8)
+    val q2 = TableLogRelation.snapshotDf(spark0, root2)
+      .filter(col("alt_key") >= 0L && col("alt_key") <= 280L)
+    assert(q2.count() === 41L)
+    assert(scanned(q2) === 1,
+      s"optimizeTable dropped secondary-column stats")
   }
 
   test("TableLogRelation pins its version: a concurrent commit cannot change served rows") {
