@@ -1005,6 +1005,11 @@ object TableLog {
     * Written before the write so a crash mid-stage leaves a marker
     * pointing at the partial dir (the one leak the log cannot see). */
   private def stageMarker(f: FileSystem, root: String, target: String): Unit = {
+    // the same rule commit enforces, applied BEFORE any data is
+    // written: a stage name outside the charset could stage data that
+    // commit would refuse and the manifest sweep could not describe —
+    // a guaranteed, silent, permanent orphan. Refuse it immediately.
+    validatePaths(Seq(target))
     val dir = new Path(s"${logDir(root)}/_stages")
     f.mkdirs(dir)
     val out = f.create(
@@ -1283,19 +1288,28 @@ object TableLog {
     // the touched-bucket set covers updates, deletes AND inserts —
     // an inserted id's bucket is rewritten so its rows land beside
     // that bucket's files (≤ nBuckets collect, layout metadata)
-    val touched = source.select(idBucket(idCol, nBuckets).as("b"))
-      .distinct().collect().map(_.getLong(0).toInt).toSet
-    // ENFORCE the unique-source-id contract (Delta raises
+    // ONE aggregation serves both the touched-bucket set and the
+    // unique-source-id contract (Delta raises
     // MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW): with duplicates, the
     // full-outer join below would silently apply BOTH source rows to
     // one target — e.g. delete it through one and re-emit it through
-    // the other
-    val dup = source.groupBy(col(idCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"TableLog.mergeIntoConditional: ${dup.headOption.map(_.get(0))
-        .getOrElse("")} appears more than once in the source — merge " +
-        "clauses need one source row per id; pre-aggregate the source")
+    // the other. Reserved aliases, so an idCol named "count"/"b"
+    // cannot collide.
+    val perBucket = source.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(idBucket(idCol, nBuckets).as("__b"))
+      .agg(max(col("__n")).as("__mx"))
+      .collect()
+    val touched = perBucket.map(_.getLong(0).toInt).toSet
+    if (perBucket.exists(_.getLong(1) > 1)) {
+      // failure path only: name one offending id for the error
+      val bad = source.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      throw new IllegalArgumentException(
+        s"TableLog.mergeIntoConditional: ${bad.headOption.map(_.get(0))
+          .getOrElse("")} appears more than once in the source — merge " +
+          "clauses need one source row per id; pre-aggregate the source")
+    }
     val (oldTouched, _) = active.partition(p => bucketOf(p).exists(touched))
     val base =
       if (oldTouched.isEmpty)
@@ -2124,7 +2138,6 @@ object TableLog {
         Seq("data/", "zmap/", "cdf/", "schema/", "constraints/")
           .exists(t.startsWith)
     val doomed = Seq.newBuilder[String]
-    var sidecarDeleted = false
     f.listStatus(dir).toSeq.foreach { m =>
       val target = readFully(f, m.getPath).trim
       if (!saneTarget(target)) {
@@ -2155,8 +2168,6 @@ object TableLog {
             if (!dryRun) {
               f.delete(tPath, true)
               f.delete(m.getPath, false)
-              if (target.startsWith("schema/") ||
-                  target.startsWith("constraints/")) sidecarDeleted = true
             }
           case _ => () // young un-committed stage: maybe still in flight
         }
@@ -2164,9 +2175,12 @@ object TableLog {
     }
     // reclaim now-emptied sidecar subdirectories exactly as the walk
     // mode does (a long-lived evolving stream's conflict-refused
-    // attempts must not accumulate empty schema/<stream>/ dirs) —
-    // bounded: these trees hold sidecars, not data
-    if (sidecarDeleted) pruneEmptySidecarDirs(f, root)
+    // attempts must not accumulate empty schema/<stream>/ dirs).
+    // UNCONDITIONAL, like the walk mode's: a crash between a prior
+    // pass's sidecar delete and its prune would otherwise leave an
+    // empty dir no future sweep reclaims (the marker is already
+    // gone). Bounded — these trees hold sidecars, not data.
+    if (!dryRun) pruneEmptySidecarDirs(f, root)
     doomed.result().sorted
   }
 

@@ -58,6 +58,11 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       rel -> fsys.getFileStatus(new Path(TableLog.resolve(root, rel)))
     }
 
+  /** The pinned active file refs (root-relative) — exposed so
+    * [[TableLogRelation.snapshotDf]] reuses the replay this
+    * constructor already paid for instead of re-reading the log. */
+  private[operators] def activeRefs: Seq[String] = active.map(_._1)
+
   /** Zone stats collected ONCE — listFiles must not re-read sidecars
     * (a Spark job) inside every planning pass. */
   private val zones: Array[TableLog.ZStat] =
@@ -152,8 +157,9 @@ object TableLogRelation {
     val at = Some(index.version)
     val schema = TableLog.logSchema(spark, root, at).getOrElse {
       // no declared schema: take the files' own uniform schema from
-      // ONE footer (files are immutable, a commit's files share one)
-      val files = TableLog.activeFiles(spark, root, at)
+      // ONE footer (files are immutable, a commit's files share one);
+      // the index already replayed the log — reuse its refs
+      val files = index.activeRefs
       require(files.nonEmpty,
         s"TableLogRelation: no active files at $root asOf=$asOf")
       spark.read.parquet(TableLog.resolve(root, files.head)).schema
