@@ -2454,6 +2454,29 @@ object SparkEntry {
     graft.operators.TableLog.snapshot(s, root).orderBy(col("doc_id"))
   }
 
+  /** TIMESTAMP-KEYED time-window scan ([[graft.operators.TableLog
+    * .snapshotWhere]] with Instant bounds) — the classic time-series
+    * read over the table format: events land range-clustered on `ts`
+    * with typed timestamp stats (epoch-micros serialization), and a
+    * one-day window opens only the files whose time interval
+    * intersects it — at 100 TB of append-mostly events, "yesterday's
+    * window" reads O(day), not O(history). Completes the typed-kind
+    * coverage beside q136 (long), q146 (string) and q147 (date);
+    * ScaleOpsSpec pins the pruning. Oracle: the plain BETWEEN. */
+  private val q149Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q149: Q = (s, d) => {
+    val root = cachedTmpArtifact(q149Cache, d, "graft_q149_tswin") { p =>
+      val tl = graft.operators.TableLog
+      val (files, zm) = tl.stageWithZoneMap(
+        Tables.events(s, d), p, "base", "ts", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLog.snapshotWhere(s, root, "ts",
+      java.time.Instant.parse("2024-01-03T00:00:00Z"),
+      java.time.Instant.parse("2024-01-04T00:00:00Z"))
+      .orderBy(col("event_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -3006,6 +3029,7 @@ object SparkEntry {
     "q146_prefix_scan" -> q146,
     "q147_ttl_purge" -> q147,
     "q148_merge_clauses" -> q148,
+    "q149_ts_window_scan" -> q149,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5254,6 +5278,14 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id, text, lang, source, n_chars FROM ins
          ORDER BY doc_id""",
+    "q149_ts_window_scan" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           event_type, value, props
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP)
+           BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+               AND TIMESTAMP '2024-01-04 00:00:00'
+         ORDER BY event_id""",
     // Zone-map skipping must not change results: the plain range
     // filter over the base table IS the oracle.
     "q136_zone_skip" ->

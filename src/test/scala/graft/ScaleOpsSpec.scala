@@ -2481,6 +2481,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       .count() === 41L)
   }
 
+  test("typed zone maps: timestamp keys prune snapshotWhere to the time window") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_tsz").toString + "/t"
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val df = (0L until 400L).map { i =>
+      (i, java.sql.Timestamp.from(t0.plusSeconds(i * 3600)), s"t$i")
+    }.toDF("event_id", "ts", "text")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "ts", 8)
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    val got = TableLog.snapshotWhere(spark0, root, "ts",
+      t0.plusSeconds(100L * 3600), t0.plusSeconds(140L * 3600))
+    assert(got.count() === 41L)
+    assert(got.inputFiles.length < files.length,
+      s"timestamp window read all ${files.length} files")
+    // sql.Timestamp bounds normalize identically to Instant bounds
+    val got2 = TableLog.snapshotWhere(spark0, root, "ts",
+      java.sql.Timestamp.from(t0.plusSeconds(100L * 3600)),
+      java.sql.Timestamp.from(t0.plusSeconds(140L * 3600)))
+    assert(got2.count() === 41L)
+  }
+
   test("typed zone maps: date-keyed deleteWhere drops interior files by metadata; null dates survive") {
     import graft.operators.TableLog
     val spark0 = spark
