@@ -1096,7 +1096,8 @@ object SparkEntry {
     graft.operators.Freq.bloomContamination(
       docs.filter(col("doc_id") % 91 =!= 0),
       docs.filter(col("doc_id") % 91 === 0),
-      "doc_id", "text", k = 3, hashes = 3, mBits = 65536)
+      "doc_id", "text", k = 3, hashes = 3, mBits = 65536,
+      uniqueIds = true) // documents: one row per doc_id → one-exchange plan
   }
 
   /** Product-quantization ANN with ADC scoring — after the map-only

@@ -111,15 +111,20 @@ object Freq {
     * negatives by construction, false positives at the classic
     * (1-e^(-kn/m))^k rate — visible as bloom_hits > true_hits.
     *
-    * REQUIRES one row per `idCol` value (the documents-table shape):
-    * per-doc shingle dedup is `array_distinct` on the row's own
-    * shingle array — map-side, which is what keeps the plan at one
-    * exchange. A corpus split across several rows per id would count
-    * shingles shared between its rows more than once; pre-aggregate
-    * such a frame (concat its texts per id) before calling.
+    * Per-doc shingle dedup: by default (`uniqueIds = false`) the
+    * exploded (id, shingle) pairs are distinct'd — correct for ANY
+    * corpus shape, including several rows per id, at the cost of one
+    * extra exchange carrying the distinct pairs. A caller whose frame
+    * has ONE row per `idCol` value (the documents-table shape) passes
+    * `uniqueIds = true`: dedup is then `array_distinct` on the row's
+    * own shingle array — map-side, which keeps the plan at ONE
+    * exchange (the per-doc reduce). The flag is an attestation, not a
+    * heuristic — passing it over a multi-row-per-id frame double
+    * counts shingles shared between an id's rows.
     *
-    * Scale shape: the corpus is scanned ONCE and the plan has ONE
-    * exchange — the per-doc reduce. The bloom probe is the
+    * Scale shape: the corpus is scanned ONCE and the plan has one
+    * exchange (`uniqueIds = true`) or two (default) — never a
+    * per-position shuffle. The bloom probe is the
     * forall-over-literal above, and only `true_hits` — the
     * verification harness a pure deployment drops — needs the
     * broadcast LEFT join against the eval shingles. Before this
@@ -132,7 +137,8 @@ object Freq {
     * (doc_id, n_shingles, bloom_hits, true_hits). */
   def bloomContamination(corpus: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, k: Int = 3, hashes: Int = 3,
-                         mBits: Int = 65536): DataFrame = {
+                         mBits: Int = 65536,
+                         uniqueIds: Boolean = false): DataFrame = {
     // native one-loop shingling (plans/ShingleTokens) — the probe is
     // generation+hash bound, so both matter more than the plan here
     def sh(c: Column) =
@@ -159,9 +165,12 @@ object Freq {
         p => call_function("getbit",
           element_at(bitmap, (p / 64).cast("int") + 1),
           (p % 64).cast("int")) === 1)
-    corpus
+    val pairs = corpus
       .select(col(idCol),
         explode(array_distinct(sh(col(textCol)))).as("s"))
+    // cross-ROW dedup (an id split over several rows must count a
+    // shared shingle once); map-side partial dedup bounds the exchange
+    (if (uniqueIds) pairs else pairs.distinct())
       .withColumn("bloom_hit", when(allSet(col("s")), 1L).otherwise(0L))
       .join(broadcast(evalShingles.withColumn("in_eval", lit(1L))), Seq("s"), "left")
       .groupBy(col(idCol))

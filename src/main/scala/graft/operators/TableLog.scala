@@ -2106,7 +2106,12 @@ object TableLog {
     * [[evolveAppend]]) reclaim the same way. Returns the deleted
     * root-relative paths; `dryRun = true` returns the same list
     * deleting nothing (and skips the empty-dir prune) — the same
-    * audit mode as [[vacuum]]'s. */
+    * audit mode as [[vacuum]]'s. Markers whose TARGET does not exist
+    * retire on the separate `absentOlderThanMs` horizon (default
+    * 8 × olderThanMs) — long enough that a writer stalled between
+    * marker and data write cannot have its marker retired before the
+    * partial dir appears (the one leak that would otherwise need a
+    * `fullWalk` audit to find). */
   /** MANIFEST-mode sweep: candidates come from the `_log/_stages/`
     * markers [[stageMarker]] wrote — O(#outstanding stages) tiny
     * reads + one stat each, NEVER a walk of the data tree. A marker
@@ -2116,6 +2121,7 @@ object TableLog {
     * retired markers deleted even under dryRun=false only). */
   private def manifestOrphans(f: FileSystem, root: String,
                               referenced: Set[String], cutoff: Long,
+                              absentCutoff: Long,
                               dryRun: Boolean): Seq[String] = {
     val dir = new Path(s"${logDir(root)}/_stages")
     // every directory prefix of every referenced path, so a marker's
@@ -2155,10 +2161,15 @@ object TableLog {
             // target absent. EITHER already cleaned up — retire — OR
             // the stage is mid-flight (stageMarker runs BEFORE the
             // data write; the dir may not exist for minutes): judge by
-            // the MARKER's age, else a sweep in that window would
-            // retire the marker and a later crash-orphan would be
-            // invisible to every future manifest sweep
-            if (!dryRun && m.getModificationTime < cutoff)
+            // the MARKER's age against the SEPARATE, much longer
+            // absent horizon — a writer stalled longer than olderThanMs
+            // between marker and parquet write, whose dir then
+            // materializes after a sweep retired the marker, would be
+            // an orphan no future manifest sweep can see. The longer
+            // horizon makes that window survive any plausible stall;
+            // the cost of keeping an already-cleaned marker around is
+            // one tiny manifest file, not data
+            if (!dryRun && m.getModificationTime < absentCutoff)
               f.delete(m.getPath, false)
           case (_, true) => // committed: never an orphan again
             if (!dryRun) f.delete(m.getPath, false)
@@ -2186,9 +2197,14 @@ object TableLog {
 
   def gcOrphans(spark: SparkSession, root: String,
                 olderThanMs: Long, dryRun: Boolean = false,
-                fullWalk: Boolean = false): Seq[String] = {
+                fullWalk: Boolean = false,
+                absentOlderThanMs: Option[Long] = None): Seq[String] = {
     val f = fs(spark, root)
-    val cutoff = System.currentTimeMillis() - olderThanMs
+    val now = System.currentTimeMillis()
+    val cutoff = now - olderThanMs
+    // markers whose TARGET is absent retire on a much longer horizon
+    // (default 8× olderThanMs): see manifestOrphans' absent case
+    val absentCutoff = now - absentOlderThanMs.getOrElse(8L * olderThanMs)
     val referenced: Set[String] = (versions(spark, root).flatMap { v =>
       val e = readEntry(f, entryPath(root, v))
       e.add ++ e.remove ++ e.deletes ++ e.cdf ++ e.zmap ++ e.schema ++ e.checks
@@ -2202,7 +2218,8 @@ object TableLog {
     // migration path for dirs staged before the manifest existed, and
     // the audit that proves the manifest lost nothing.
     if (!fullWalk && f.exists(new Path(s"${logDir(root)}/_stages")))
-      return manifestOrphans(f, root, referenced, cutoff, dryRun)
+      return manifestOrphans(f, root, referenced, cutoff, absentCutoff,
+        dryRun)
     // listStatus returns SCHEME-QUALIFIED paths (file:/...); compare
     // in scheme-free URI-path space or nothing matches the log's
     // root-relative refs and every committed dir looks orphaned

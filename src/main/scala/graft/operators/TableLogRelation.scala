@@ -92,7 +92,15 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       case (DateType, days) => Some(("date", days.toString)) // Int epoch days
       case (TimestampType, micros) => Some(("timestamp", micros.toString))
       case (StringType, s) => Some(("string", s.toString)) // UTF8String
-      case (FloatType | DoubleType, x) => Some(("double", x.toString))
+      // FloatType: the sidecar stores float bounds WIDENED to double
+      // (zser casts through double before serializing), so the literal
+      // must widen the same way — Float.toString's short repr ("1.3")
+      // parses as the double 1.3, which sits ABOVE the widened stored
+      // bound 1.2999999523162842 and would wrongly prune a file whose
+      // rows satisfy `col >= 1.3f`. Double.toString round-trips.
+      case (FloatType, x: java.lang.Float) =>
+        Some(("double", x.toDouble.toString))
+      case (DoubleType, x) => Some(("double", x.toString))
       case _ => None
     }
     def split(e: Expression): Seq[Expression] = e match {

@@ -97,7 +97,8 @@ class FreqSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
     val got = Freq.bloomContamination(
       docs.filter(col("doc_id") % 91 =!= 0),
-      docs.filter(col("doc_id") % 91 === 0), "doc_id", "text")
+      docs.filter(col("doc_id") % 91 === 0), "doc_id", "text",
+      uniqueIds = true)
     got.collect() // materialize so executedPlan is final (AQE)
     // AQE's toString prints Final AND Initial plans — count the final
     val plan = got.queryExecution.executedPlan.toString
@@ -111,6 +112,28 @@ class FreqSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"bloom probe regressed to $shuffles shuffles:\n$plan")
     assert(!plan.contains("pos#"),
       "bloom membership must not explode hash positions into the plan")
+  }
+
+  test("bloom default counts a shingle shared between an id's rows ONCE") {
+    // doc 1 split over two rows that REPEAT the same text: every
+    // shingle is shared between the rows. The default (cross-row
+    // dedup) must count each once — identical to the one-row frame;
+    // the uniqueIds fast path over the same split frame double counts
+    // (which is exactly why the flag is an attestation).
+    val text = "the quick brown fox jumps over the lazy dog today"
+    val evalDocs = Seq((9L, text)).toDF("doc_id", "text")
+    val split = Seq((1L, text), (1L, text)).toDF("doc_id", "text")
+    val one = Seq((1L, text)).toDF("doc_id", "text")
+    def counts(df: org.apache.spark.sql.DataFrame, unique: Boolean) =
+      Freq.bloomContamination(df, evalDocs, "doc_id", "text",
+          uniqueIds = unique)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(counts(split, unique = false) === counts(one, unique = true))
+    val (nDup, bDup, tDup) = counts(split, unique = true)
+    val (n1, b1, t1) = counts(one, unique = true)
+    assert((nDup, bDup, tDup) === ((2 * n1, 2 * b1, 2 * t1)),
+      "attestation misuse should double count — if not, the fast path " +
+        "started deduping and the default's extra exchange is dead weight")
   }
 
   // ---- PQ ANN --------------------------------------------------------

@@ -1992,7 +1992,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(TableLog.gcOrphans(spark0, root, olderThanMs = 3600000L).isEmpty)
     assert(java.nio.file.Files.exists(stagesDir.resolve("aaaainflight00")),
       "a young missing-target marker is an in-flight stage, not garbage")
-    // past the age guard it retires
+    // absent targets retire on their OWN, longer horizon: a sweep
+    // whose data-age guard has lapsed (olderThanMs = -1000) but whose
+    // absent horizon has not must KEEP the marker — a writer stalled
+    // past olderThanMs between marker and parquet write, then crashing
+    // after the dir materializes, would otherwise leave an orphan no
+    // future manifest sweep can see
+    TableLog.gcOrphans(spark0, root, olderThanMs = -1000L,
+      absentOlderThanMs = Some(3600000L))
+    assert(java.nio.file.Files.exists(stagesDir.resolve("aaaainflight00")),
+      "an absent-target marker inside the absent horizon must survive " +
+        "even when the data-age guard has lapsed")
+    // past the absent horizon it retires (default = 8 × olderThanMs)
     TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
     assert(!java.nio.file.Files.exists(stagesDir.resolve("aaaainflight00")))
     // manifest mode also prunes emptied sidecar subdirs: an orphaned
