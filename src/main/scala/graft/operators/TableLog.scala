@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -47,17 +47,39 @@ import org.apache.spark.sql.functions.col
 object TableLog {
 
   /** One parsed log entry. `tag` is an optional idempotence token —
-    * a committer that might re-run (a streaming micro-batch replayed
+    * a streaming committer that might re-run (a micro-batch replayed
     * after a crash) writes its batch identity here and checks
     * [[committedTags]] first, making re-delivery a no-op instead of a
-    * duplicate commit. */
+    * duplicate commit. `addMeta` carries PER-FILE metadata aligned
+    * with `add` (the Delta `add.size`/`modificationTime` analog):
+    * each element is `<len>.<mtimeMs>` or `<len>.<mtimeMs>.<nRows>`
+    * — or the `-` sentinel for unknown. Readers that need statuses
+    * ([[graft.operators.TableLogFileIndex]]) build them FROM THE LOG
+    * instead of one `getFileStatus` RPC per active file — at millions
+    * of files on an object store that per-file stat is the
+    * planning-path bottleneck. Entries written before the field
+    * existed parse as all-unknown and fall back to the stat path. */
   final case class LogEntry(version: Long, reset: Boolean,
                             add: Seq[String], remove: Seq[String],
                             deletes: Seq[String], cdf: Seq[String],
                             tag: Option[String],
                             zmap: Seq[String] = Nil,
                             schema: Seq[String] = Nil,
-                            checks: Seq[String] = Nil)
+                            checks: Seq[String] = Nil,
+                            addMeta: Seq[String] = Nil)
+
+  /** Parse one [[LogEntry.addMeta]] element to (len, mtimeMs), or
+    * None for the unknown sentinel / an unparseable value (readers
+    * then fall back to a per-file stat — metadata is an optimization,
+    * never a correctness dependency). A third `.`-separated field
+    * (n_rows) is tolerated and ignored here. */
+  private[operators] def parseFileMeta(m: String): Option[(Long, Long)] =
+    m.split('.') match {
+      case Array(len, mt, _*) if len.forall(_.isDigit) && len.nonEmpty &&
+          mt.forall(_.isDigit) && mt.nonEmpty =>
+        Some((len.toLong, mt.toLong))
+      case _ => None
+    }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,6 +121,25 @@ object TableLog {
         s"TableLog: path '$p' contains a '.' or '..' segment — refs " +
           "must resolve inside the table root")
     }
+
+  /** `<len>.<mtimeMs>` metadata for each ref, gathered with ONE
+    * listStatus per distinct parent dir (scheme-free URI-path keyed,
+    * like every other path compare here). Missing files record the
+    * `-` unknown sentinel rather than failing — metadata is an
+    * optimization; the reader's stat fallback is the contract. */
+  private def metaFor(f: FileSystem, root: String,
+                      refs: Seq[String]): Seq[String] = {
+    if (refs.isEmpty) return Nil
+    val paths = refs.map(r => new Path(resolve(root, r)))
+    val statBy = scala.collection.mutable.HashMap.empty[String, FileStatus]
+    paths.map(_.getParent).distinct.foreach { dir =>
+      try f.listStatus(dir).foreach(s =>
+        statBy(s.getPath.toUri.getPath) = s)
+      catch { case _: java.io.FileNotFoundException => () }
+    }
+    paths.map(p => statBy.get(p.toUri.getPath)
+      .fold("-")(s => s"${s.getLen}.${s.getModificationTime}"))
+  }
 
   /** Append a commit (adds/removes are table-root-relative file
     * paths; `deletes` are root-relative ID-LIST sidecar files — see
@@ -162,6 +203,15 @@ object TableLog {
       s"TableLog.commit: at most one schema ref per commit, got $schema")
     val f = fs(spark, root)
     f.mkdirs(new Path(logDir(root)))
+    // per-file metadata for the adds, captured ONCE at commit time so
+    // every future read plans from the log instead of re-statting the
+    // files. Grouped by parent dir: adds land under a handful of
+    // staged dirs, so this is O(#dirs) listStatus RPCs — not
+    // O(#files) stats — on the write path, where the cost is paid
+    // once per file ever. A file the listing misses (never in
+    // practice — adds are staged before commit) records the unknown
+    // sentinel; readers then fall back to a stat for IT alone.
+    val addMeta = metaFor(f, root, add)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     var attempt = 0
     while (attempt < 64) {
@@ -227,6 +277,7 @@ object TableLog {
       val reset = if (resetDeletes) 1 else 0
       val tagPart = tag.fold("")(t => s""","tag":"$t"""")
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
+        s""""addmeta":${arr(addMeta)},""" +
         s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
         s""""cdf":${arr(cdf)},"zmap":${arr(zmap)},""" +
         s""""schema":${arr(schema)},"checks":${arr(checks)}$tagPart}"""
@@ -304,10 +355,16 @@ object TableLog {
     val reset = "\"reset\":1".r.findFirstIn(body).isDefined
     val tag = "\"tag\":\"([A-Za-z0-9._/=-]+)\"".r.findFirstMatchIn(body)
       .map(_.group(1))
-    // "cdf"/"tag"/"zmap"/"schema" absent in older entries → empty/None
-    // (format upgrades stay readable both ways)
-    LogEntry(v, reset, list("add"), list("remove"), list("deletes"),
-      list("cdf"), tag, list("zmap"), list("schema"), list("checks"))
+    // "cdf"/"tag"/"zmap"/"schema"/"addmeta" absent in older entries →
+    // empty/None (format upgrades stay readable both ways). A meta
+    // list that does not align 1:1 with add parses as all-unknown —
+    // misaligned metadata must degrade to the stat fallback, never
+    // attach the wrong file's length to a scan.
+    val add = list("add")
+    val meta0 = list("addmeta")
+    val meta = if (meta0.length == add.length) meta0 else Nil
+    LogEntry(v, reset, add, list("remove"), list("deletes"),
+      list("cdf"), tag, list("zmap"), list("schema"), list("checks"), meta)
   }
 
   /** The idempotence tags of every committed entry — a replay-prone
@@ -330,7 +387,8 @@ object TableLog {
                               deletes: Seq[String], zmap: Seq[String],
                               tags: Seq[String],
                               schema: Option[String],
-                              checks: Seq[String])
+                              checks: Seq[String],
+                              filesMeta: Seq[String] = Nil)
 
   private def checkpointPath(root: String, v: Long) =
     new Path(s"${logDir(root)}/$v.ckpt")
@@ -351,7 +409,7 @@ object TableLog {
                              v: Long): Checkpoint = {
     val e = readEntry(f, checkpointPath(root, v)) // same line format
     Checkpoint(e.version, e.add, e.deletes, e.zmap, e.cdf,
-      e.schema.headOption, e.checks)
+      e.schema.headOption, e.checks, e.addMeta)
   }
 
   /** FOLD the whole log into one checkpoint file `_log/<V>.ckpt` at
@@ -372,7 +430,8 @@ object TableLog {
     val v = vs.last
     val p = checkpointPath(root, v)
     if (f.exists(p)) return v
-    val files = activeFiles(spark, root, Some(v))
+    val filesMeta = activeFilesWithMeta(spark, root, Some(v))
+    val files = filesMeta.map(_._1)
     val dels = activeDeletes(spark, root, Some(v))
     val entries = vs.map(x => readEntry(f, entryPath(root, x)))
     val zmaps = (checkpoints(f, root).flatMap(c =>
@@ -394,6 +453,7 @@ object TableLog {
     // so one parser serves both artifact kinds
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val body = s"""{"version":$v,"reset":0,"add":${arr(files)},""" +
+      s""""addmeta":${arr(filesMeta.map(_._2))},""" +
       s""""remove":[],"deletes":${arr(dels)},""" +
       s""""cdf":${arr(tags)},"zmap":${arr(zmaps)},"schema":${arr(sch)},""" +
       s""""checks":${arr(cks)}}"""
@@ -473,15 +533,33 @@ object TableLog {
   }
 
   def activeFiles(spark: SparkSession, root: String,
-                  asOf: Option[Long] = None): Seq[String] = {
+                  asOf: Option[Long] = None): Seq[String] =
+    activeFilesWithMeta(spark, root, asOf).map(_._1)
+
+  /** The active file set at `asOf` WITH each file's commit-time
+    * metadata string ([[LogEntry.addMeta]] format; `-` = unknown —
+    * pre-format entries or a writer that could not stat). Same replay
+    * and the same ordering as [[activeFiles]]; this is the zero-stat
+    * planning path [[TableLogFileIndex]] builds from. */
+  private[operators] def activeFilesWithMeta(spark: SparkSession,
+      root: String, asOf: Option[Long] = None): Seq[(String, String)] = {
     val f = fs(spark, root)
     val (cp, replay) = replayPlan(f, root, asOf)
-    val active = scala.collection.mutable.LinkedHashSet.empty[String]
-    cp.foreach(cv => readCheckpoint(f, root, cv).files.foreach(active += _))
+    // LinkedHashMap: re-adding an existing path keeps its position,
+    // matching the LinkedHashSet order semantics this replay always had
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def fold(files: Seq[String], meta: Seq[String]): Unit = {
+      val ms = if (meta.length == files.length) meta
+               else files.map(_ => "-")
+      files.zip(ms).foreach { case (p, m) => active(p) = m }
+    }
+    cp.foreach { cv =>
+      val c = readCheckpoint(f, root, cv); fold(c.files, c.filesMeta)
+    }
     replay.foreach { v =>
       val e = readEntry(f, entryPath(root, v))
       e.remove.foreach(active -= _)
-      e.add.foreach(active += _)
+      fold(e.add, e.addMeta)
     }
     active.toSeq
   }
@@ -2108,10 +2186,13 @@ object TableLog {
     * deleting nothing (and skips the empty-dir prune) — the same
     * audit mode as [[vacuum]]'s. Markers whose TARGET does not exist
     * retire on the separate `absentOlderThanMs` horizon (default
-    * 8 × olderThanMs) — long enough that a writer stalled between
-    * marker and data write cannot have its marker retired before the
-    * partial dir appears (the one leak that would otherwise need a
-    * `fullWalk` audit to find). */
+    * 8 × olderThanMs, clamped to AT LEAST olderThanMs — a shorter
+    * absent horizon would reintroduce the very race it closes) — long
+    * enough that a writer stalled between marker and data write
+    * cannot have its marker retired before the partial dir appears
+    * (the one leak that would otherwise need a `fullWalk` audit to
+    * find). Garbage/unparseable markers retire on the same long
+    * horizon: a zero-byte marker may be a stageMarker mid-write. */
   /** MANIFEST-mode sweep: candidates come from the `_log/_stages/`
     * markers [[stageMarker]] wrote — O(#outstanding stages) tiny
     * reads + one stat each, NEVER a walk of the data tree. A marker
@@ -2147,9 +2228,16 @@ object TableLog {
     f.listStatus(dir).toSeq.foreach { m =>
       val target = readFully(f, m.getPath).trim
       if (!saneTarget(target)) {
-        // garbage marker: retire IT (once old enough that it cannot
-        // be a marker another writer is mid-writing), touch nothing
-        if (!dryRun && m.getModificationTime < cutoff)
+        // garbage marker: retire IT, touch nothing — on the ABSENT
+        // horizon, not the data cutoff. A zero-byte marker is also
+        // what a stageMarker stalled between create and content write
+        // looks like: retire it on the short cutoff and a writer that
+        // resumes (its content write lands in the unlinked file but
+        // stageUnder still writes the data dir) leaves a staged dir no
+        // future manifest sweep can see — the same leak class the
+        // absent-target horizon exists to close. Keeping garbage a
+        // little longer costs one tiny file.
+        if (!dryRun && m.getModificationTime < absentCutoff)
           f.delete(m.getPath, false)
       } else {
         val tPath = new Path(resolve(root, target))
@@ -2203,8 +2291,14 @@ object TableLog {
     val now = System.currentTimeMillis()
     val cutoff = now - olderThanMs
     // markers whose TARGET is absent retire on a much longer horizon
-    // (default 8× olderThanMs): see manifestOrphans' absent case
-    val absentCutoff = now - absentOlderThanMs.getOrElse(8L * olderThanMs)
+    // (default 8× olderThanMs): see manifestOrphans' absent case.
+    // CLAMPED to at least olderThanMs — a caller passing a SHORTER
+    // absent horizon would silently reintroduce the
+    // retire-before-the-dir-appears race the parameter exists to
+    // prevent (the marker is written BEFORE the data dir; its only
+    // safe retirement horizons are ≥ the data one)
+    val absentCutoff = now -
+      math.max(absentOlderThanMs.getOrElse(8L * olderThanMs), olderThanMs)
     val referenced: Set[String] = (versions(spark, root).flatMap { v =>
       val e = readEntry(f, entryPath(root, v))
       e.add ++ e.remove ++ e.deletes ++ e.cdf ++ e.zmap ++ e.schema ++ e.checks

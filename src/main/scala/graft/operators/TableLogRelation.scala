@@ -52,10 +52,25 @@ class TableLogFileIndex(spark: SparkSession, root: String,
   private val fsys = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (root-relative ref, status) for every active file at [[version]]. */
+  /** (root-relative ref, status) for every active file at [[version]].
+    * Statuses are built FROM THE LOG's commit-time per-file metadata
+    * (len + mtime travel in each entry's `addmeta` — Delta's
+    * `add.size` analog), so constructing this index costs ZERO
+    * per-file filesystem calls: at millions of active files on an
+    * object store, one sequential `getFileStatus` RPC per file is the
+    * planning-path bottleneck this format exists to avoid. Files whose
+    * entry predates the metadata field (or recorded the unknown
+    * sentinel) fall back to a stat — for those files alone. */
   private val active: Seq[(String, FileStatus)] =
-    TableLog.activeFiles(spark, root, Some(version)).map { rel =>
-      rel -> fsys.getFileStatus(new Path(TableLog.resolve(root, rel)))
+    TableLog.activeFilesWithMeta(spark, root, Some(version)).map {
+      case (rel, meta) =>
+        val p = fsys.makeQualified(new Path(TableLog.resolve(root, rel)))
+        rel -> TableLog.parseFileMeta(meta).fold(fsys.getFileStatus(p)) {
+          case (len, mtime) =>
+            // synthetic status: block size is a planning hint only
+            // (split sizing rides spark.sql.files.maxPartitionBytes)
+            new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, p)
+        }
     }
 
   /** The pinned active file refs (root-relative) — exposed so

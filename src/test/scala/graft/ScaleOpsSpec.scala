@@ -2006,6 +2006,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     // past the absent horizon it retires (default = 8 × olderThanMs)
     TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
     assert(!java.nio.file.Files.exists(stagesDir.resolve("aaaainflight00")))
+    // the absent horizon CLAMPS to at least olderThanMs: a caller
+    // passing a shorter one must not reintroduce the
+    // retire-before-the-dir-appears race the parameter closes
+    java.nio.file.Files.write(stagesDir.resolve("aaaainflight01"),
+      "data/notyetwritten-11111111".getBytes("UTF-8"))
+    TableLog.gcOrphans(spark0, root, olderThanMs = 3600000L,
+      absentOlderThanMs = Some(-1000L))
+    assert(java.nio.file.Files.exists(stagesDir.resolve("aaaainflight01")),
+      "absentOlderThanMs below olderThanMs must clamp up, not race")
+    // a ZERO-BYTE marker also rides the absent horizon, not the data
+    // cutoff: it may be a stageMarker stalled between create and
+    // content write — retiring it early would orphan the dir the
+    // resumed writer stages afterwards
+    java.nio.file.Files.write(stagesDir.resolve("aaaastalled000"),
+      Array.empty[Byte])
+    TableLog.gcOrphans(spark0, root, olderThanMs = -1000L,
+      absentOlderThanMs = Some(3600000L))
+    assert(java.nio.file.Files.exists(stagesDir.resolve("aaaastalled000")),
+      "a young zero-byte marker may be a mid-write stageMarker — " +
+        "it must survive until the absent horizon lapses")
+    TableLog.gcOrphans(spark0, root, olderThanMs = -1000L)
+    assert(!java.nio.file.Files.exists(stagesDir.resolve("aaaastalled000")) &&
+      !java.nio.file.Files.exists(stagesDir.resolve("aaaainflight01")),
+      "aged absent/garbage markers retire past the absent horizon")
     // manifest mode also prunes emptied sidecar subdirs: an orphaned
     // MARKED schema sidecar in a nested dir reclaims WITH its dir
     val f2 = new java.io.File(s"$root/schema/stream")
@@ -2571,4 +2595,103 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(after.filter(col("text").rlike("^T2[34]")).count() === 10L)
     assert(after.count() === (80L + 79L + 2L))
   }
+
+  test("TableLogFileIndex builds from logged file metadata: zero per-data-file stats; checkpoints fold it; legacy entries fall back") {
+    import graft.operators.{TableLog, TableLogFileIndex, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    spark0.sparkContext.hadoopConfiguration.set(
+      "fs.graftcnt.impl", classOf[CountingLocalFs].getName)
+    val local = Files.createTempDirectory("graft_tablelog_meta").toString
+    val root = s"graftcnt://$local/t" // $local starts with '/', → ///
+    val (files, zm) = TableLog.stageWithZoneMap(
+      (0L until 400L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      root, "base", "doc_id", 8)
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    TableLog.commit(spark0, root, TableLog.stageWrite(
+      (1000L until 1050L).map(i => (i, s"x$i")).toDF("doc_id", "text")
+        .coalesce(2), root, "b"), Nil)
+    // 1) each entry records addmeta ALIGNED with add, len.mtime typed
+    val logDir = java.nio.file.Paths.get(local, "t", "_log")
+    val entry0 = new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve("%020d.json".format(0L))), "UTF-8")
+    val metas = "\"addmeta\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(entry0).map(_.group(1)).getOrElse("")
+      .split(",").toSeq.filter(_.nonEmpty)
+      .map(_.stripPrefix("\"").stripSuffix("\""))
+    assert(metas.length === files.length,
+      s"addmeta must align 1:1 with add: ${metas.length} vs ${files.length}")
+    assert(metas.forall(_.matches("\\d+\\.\\d+")),
+      s"addmeta elements must be <len>.<mtime>: $metas")
+    // the real on-disk byte total, independently walked
+    def realBytes: Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(local, "t", "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(p => java.nio.file.Files.size(p)).sum
+      } finally w.close()
+    }
+    val expectBytes = realBytes
+    // 2) index construction: ZERO getFileStatus calls on data files —
+    //    statuses come from the log (the 100×-scale planning path)
+    CountingLocalFs.reset()
+    val idx = new TableLogFileIndex(spark0, root, None)
+    assert(CountingLocalFs.dataFileStats() === 0,
+      s"index construction stat-ed ${CountingLocalFs.dataFileStats()} " +
+        "data files — per-file metadata must come from the log")
+    // 3) sizeInBytes is the log's answer and matches the disk exactly
+    assert(idx.sizeInBytes === expectBytes)
+    // 4) scans through the synthetic statuses read correctly (a wrong
+    //    logged length would truncate or over-read a parquet footer)
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    assert(snap.count() === 450L)
+    assert(snap.filter(col("doc_id") >= 100L && col("doc_id") <= 149L)
+      .count() === 50L)
+    // 5) the checkpoint FOLDS the metadata: after expiry the index
+    //    still builds stat-free from the checkpoint alone
+    TableLog.expireLog(spark0, root, TableLog.writeCheckpoint(spark0, root))
+    CountingLocalFs.reset()
+    val idx2 = new TableLogFileIndex(spark0, root, None)
+    assert(CountingLocalFs.dataFileStats() === 0,
+      "checkpoint must carry filesMeta — post-expiry builds re-stat nothing")
+    assert(idx2.sizeInBytes === expectBytes)
+    // 6) legacy fallback: strip addmeta from the checkpoint (an old
+    //    writer's artifact) — the index falls back to one stat per
+    //    meta-less file and keeps serving the same answers
+    val ckpt = logDir.resolve("1.ckpt")
+    val stripped = new String(java.nio.file.Files.readAllBytes(ckpt), "UTF-8")
+      .replaceAll("\"addmeta\":\\[[^\\]]*\\],", "")
+    java.nio.file.Files.write(ckpt, stripped.getBytes("UTF-8"))
+    CountingLocalFs.reset()
+    val idx3 = new TableLogFileIndex(spark0, root, None)
+    val nActive = TableLog.activeFiles(spark0, root).length
+    assert(CountingLocalFs.dataFileStats() === nActive,
+      "meta-less files must fall back to exactly one stat each")
+    assert(idx3.sizeInBytes === expectBytes)
+    assert(TableLogRelation.snapshotDf(spark0, root).count() === 450L)
+  }
+}
+
+/** A local filesystem that COUNTS getFileStatus calls on data parquet
+  * files — the proof harness for [[graft.operators.TableLogFileIndex]]
+  * building statuses from the log's commit-time metadata instead of
+  * one stat RPC per active file. Registered under the `graftcnt`
+  * scheme by the spec below; instantiated reflectively by Hadoop. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftcnt"
+  override def getUri: java.net.URI = java.net.URI.create("graftcnt:///")
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    CountingLocalFs.record(p)
+    super.getFileStatus(p)
+  }
+}
+object CountingLocalFs {
+  private val dataStats = new java.util.concurrent.atomic.AtomicInteger(0)
+  def record(p: org.apache.hadoop.fs.Path): Unit =
+    if (p.toUri.getPath.contains("/data/") &&
+        p.getName.endsWith(".parquet")) dataStats.incrementAndGet()
+  def reset(): Unit = dataStats.set(0)
+  def dataFileStats(): Int = dataStats.get()
 }
