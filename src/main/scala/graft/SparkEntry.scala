@@ -2478,6 +2478,63 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** BATCH-OF-KEYS probe through the planner-pruned relation
+    * ([[graft.operators.TableLogRelation.snapshotDf]] + `isin`) — the
+    * reference's HOTTEST read shape: web_api.py:147-190 loops one
+    * DynamoDB Query per preference key and consumer.py batch-gets by
+    * id; here the whole key batch is ONE plain
+    * `col("skey").isin(k1..kn)` filter whose In/InSet translation
+    * prunes the range-clustered table to only the files containing
+    * those exact points (a point-interval union over the typed string
+    * stats — ScaleOpsSpec pins numFiles ≪ total, and that the
+    * optimizer's InSet rewrite past the 10-value threshold prunes
+    * identically). At 100 TB a 50-key probe reads O(50 files), not the
+    * table. Layout-invisible oracle: the same IN list over the base
+    * table. */
+  private val q150Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q150: Q = (s, d) => {
+    val root = cachedTmpArtifact(q150Cache, d, "graft_q150_keybatch") { p =>
+      val tl = graft.operators.TableLog
+      val keyed = Tables.documents(s, d).withColumn("skey",
+        concat(lit("k"), lpad(col("doc_id").cast("string"), 9, "0")))
+      val (files, zm) = tl.stageWithZoneMap(keyed, p, "base", "skey", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    val keys = Seq(7L, 42L, 123L, 200L, 249L).map(i => f"k$i%09d")
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("skey").isin(keys: _*))
+      .select(col("skey"), col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** FLOAT-keyed zone skip — the float→double WIDENING path of the
+    * typed stats sidecar, on the correctness gate: the sidecar stores
+    * float bounds widened through double ([[graft.operators.TableLog]]
+    * zser), so a pushed FloatType literal must widen the same way —
+    * `Float.toString`'s short repr ("1.3") parses as the double 1.3,
+    * ABOVE the widened stored bound 1.2999999523162842, and would
+    * WRONGLY PRUNE the file whose max is 1.3f (missing rows, not a
+    * missed optimization). This query range-clusters documents on a
+    * float score and probes a float interval through snapshotDf;
+    * ScaleOpsSpec additionally pins the exact 1.3f boundary file.
+    * Oracle: the plain REAL range filter. */
+  private val q151Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q151: Q = (s, d) => {
+    val root = cachedTmpArtifact(q151Cache, d, "graft_q151_fzone") { p =>
+      val tl = graft.operators.TableLog
+      val scored = Tables.documents(s, d).withColumn("score",
+        (col("doc_id") / lit(10.0)).cast("float"))
+      val (files, zm) = tl.stageWithZoneMap(scored, p, "base", "score", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("score") >= lit(1.3f) && col("score") <= lit(20.7f))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -3031,6 +3088,8 @@ object SparkEntry {
     "q147_ttl_purge" -> q147,
     "q148_merge_clauses" -> q148,
     "q149_ts_window_scan" -> q149,
+    "q150_keybatch_probe" -> q150,
+    "q151_float_zone_skip" -> q151,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5292,6 +5351,23 @@ object SparkEntry {
     "q136_zone_skip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 299 ORDER BY doc_id""",
+    // Batch-of-keys probe: pruning must not change results — the
+    // plain IN list over the base table IS the oracle.
+    "q150_keybatch_probe" ->
+      """SELECT 'k' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS skey,
+           doc_id, text, lang, source, n_chars
+         FROM documents WHERE doc_id IN (7, 42, 123, 200, 249)
+         ORDER BY doc_id""",
+    // Float zone skip: the REAL range filter over the base table —
+    // identical float arithmetic on both sides (x/10.0 in double,
+    // narrowed to float32).
+    "q151_float_zone_skip" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+           CAST(doc_id / 10.0 AS REAL) AS score
+         FROM documents
+         WHERE CAST(doc_id / 10.0 AS REAL) >= CAST(1.3 AS REAL)
+           AND CAST(doc_id / 10.0 AS REAL) <= CAST(20.7 AS REAL)
+         ORDER BY doc_id""",
     // CDC replication oracle: both sides replay to q131's final
     // (v2) content — feed-driven merge apply ≡ the source itself.
     "q135_cdc_replicate" ->

@@ -1623,20 +1623,55 @@ object TableLog {
     active.filterNot(pruned).sorted
   }
 
+  /** One pushed predicate [[TableLogFileIndex]] can prune with, in
+    * typed-stats space. */
+  private[operators] sealed trait ZPredicate
+  /** A DISJUNCTION of closed typed intervals on one column — one
+    * element for a plain comparison/range, one POINT interval per
+    * value for `col IN (...)` (the reference's hottest read is a
+    * batch of exact keys: web_api.py:147-190 loops a Query per
+    * preference key; consumer.py batch-gets). A file survives when
+    * ANY disjunct may touch it. An empty disjunct list (an IN of only
+    * NULLs) prunes nothing — conservative; the row filter finishes
+    * the job. */
+  private[operators] final case class ZIntervals(scol: String, kind: String,
+      disjuncts: Seq[(Option[String], Option[String])]) extends ZPredicate
+  /** `col IS NULL`: prunes files whose stats PROVE zero nulls on the
+    * column (the n_nulls sidecar stat). */
+  private[operators] final case class ZIsNull(scol: String) extends ZPredicate
+
   /** Driver-side pruning hook for [[TableLogFileIndex]]: the files of
-    * `active` that a CONJUNCTION of typed column ranges may touch,
-    * against PRE-COLLECTED `zones` — each range (col, kind, lo?, hi?)
-    * prunes independently ([[touchedFrom]]'s rules: only stats rows
-    * naming the column, all bounds closed, absent stats read
-    * conservatively). Ranges on columns without stats simply don't
-    * prune. Pure driver-side interval checks — the index collects the
-    * state once at construction and calls this per planning pass. */
+    * `active` that a CONJUNCTION of [[ZPredicate]]s may touch, against
+    * PRE-COLLECTED `zones`. Interval predicates prune by
+    * [[touchedFrom]]'s rules (only stats rows naming the column, all
+    * bounds closed, absent stats read conservatively), disjunctions as
+    * the union of their disjuncts' survivor sets (files without stats
+    * survive every disjunct, so the union stays conservative).
+    * IS NULL prunes only files with a PROVEN zero null count.
+    * Predicates on columns without stats simply don't prune. Pure
+    * driver-side interval checks — the index collects the state once
+    * at construction and calls this per planning pass; a k-point IN
+    * costs O(k × #zone-rows) driver work, the same order as the
+    * per-key Query loop it replaces, on metadata instead of data. */
   private[operators] def pruneWithStats(active: Seq[String],
       zones: Array[ZStat],
-      ranges: Seq[(String, String, Option[String], Option[String])]): Seq[String] =
-    ranges.foldLeft(active) {
-      case (files, (c, kind, lo, hi)) =>
+      preds: Seq[ZPredicate]): Seq[String] =
+    preds.foldLeft(active) {
+      case (files, ZIntervals(_, _, ds)) if ds.isEmpty => files
+      case (files, ZIntervals(c, kind, Seq((lo, hi)))) =>
         touchedFrom(files, zones, c, kind, lo, hi)
+      case (files, ZIntervals(c, kind, ds)) =>
+        val kept = ds.map(d =>
+          touchedFrom(files, zones, c, kind, d._1, d._2).toSet).reduce(_ | _)
+        files.filter(kept)
+      case (files, ZIsNull(c)) =>
+        // a stats row is a fact about its whole immutable file: one
+        // row naming this column with n_nulls = 0 proves no row of the
+        // file satisfies IS NULL
+        val allNonNull = zones.collect {
+          case z if z.scol.contains(c) && z.nNulls.contains(0L) => z.file
+        }.toSet
+        files.filterNot(allNonNull)
     }
 
   /** The stats columns a predicate-scoped REWRITE must re-declare for

@@ -3,9 +3,9 @@ package graft.operators
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-  Literal, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In,
+  InSet, IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -24,13 +24,16 @@ import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType,
   *
   * What the planner hands `listFiles` is the split conjunction of
   * pushed data filters; [[TableLogFileIndex.rangesOf]] translates the
-  * comparison shapes it understands — =, <, <=, >, >= between a
-  * column and a literal (either orientation) and `startswith(col,
-  * lit)` — into typed closed ranges, and ignores everything else
-  * (unknown predicates prune nothing; they still filter rows later,
-  * so correctness never depends on the translation). Open bounds are
-  * closed conservatively (`x > 5` prunes as `x >= 5`), which can only
-  * under-prune.
+  * shapes it understands — =, <=>, <, <=, >, >= between a column and
+  * a literal (either orientation), `startswith(col, lit)`,
+  * `col IN (lits)` / the optimizer's `InSet` rewrite (a point-interval
+  * union — the batch-of-exact-keys probe the reference serves with a
+  * per-key Query loop, web_api.py:147-190), and `IS NULL` (via the
+  * sidecar's n_nulls stat) — into typed stats predicates, and ignores
+  * everything else (unknown predicates prune nothing; they still
+  * filter rows later, so correctness never depends on the
+  * translation). Open bounds are closed conservatively (`x > 5`
+  * prunes as `x >= 5`), which can only under-prune.
   *
   * Scale shape: the index PINS the snapshot version at construction
   * (asOf = None resolves to the latest committed version THEN — a
@@ -94,11 +97,19 @@ class TableLogFileIndex(spark: SparkSession, root: String,
 
   override def refresh(): Unit = ()
 
-  /** Translate pushed conjuncts to typed closed ranges per column —
-    * only shapes whose literal type has a stats kind; everything else
-    * is ignored (= prunes nothing, never wrong). */
+  /** Translate pushed conjuncts to typed stats predicates — closed
+    * ranges for comparisons, POINT-INTERVAL UNIONS for `In`/`InSet`
+    * (the batch-of-exact-keys probe: on a range-clustered table,
+    * `col(key).isin(k1..kn)` prunes to the few files containing those
+    * points), and null-count pruning for `IsNull`. Only shapes whose
+    * literal type has a stats kind translate; everything else is
+    * ignored (= prunes nothing, never wrong). Inside an IN list a
+    * NULL element matches nothing (three-valued IN) and is soundly
+    * dropped; any OTHER untranslatable element abandons the whole
+    * predicate — pruning by the translated subset alone could drop a
+    * file whose rows match the untranslated value. */
   private[operators] def rangesOf(filters: Seq[Expression])
-      : Seq[(String, String, Option[String], Option[String])] = {
+      : Seq[TableLog.ZPredicate] = {
     def kindRepr(dt: org.apache.spark.sql.types.DataType,
                  v: Any): Option[(String, String)] = (dt, v) match {
       case (_, null) => None // comparisons to NULL match nothing; skip
@@ -122,31 +133,67 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
+    def one(name: String, k: String, lo: Option[String],
+            hi: Option[String]): TableLog.ZPredicate =
+      TableLog.ZIntervals(name, k, Seq((lo, hi)))
+    // `col IN (v1..vn)` as a union of point intervals. NULL elements
+    // drop soundly (IN's three-valued logic: NULL matches no row); a
+    // non-null element whose type has no stats kind — or a kind
+    // mismatch across elements — abandons the predicate entirely.
+    def inPred(a: Attribute, vs: Seq[(Any, org.apache.spark.sql.types.DataType)])
+        : Option[TableLog.ZPredicate] = {
+      val nonNull = vs.filter(_._1 != null)
+      val reprs = nonNull.map { case (v, dt) => kindRepr(dt, v) }
+      if (reprs.exists(_.isEmpty)) None
+      else {
+        val pts = reprs.flatten
+        if (pts.map(_._1).distinct.length > 1) None
+        else Some(TableLog.ZIntervals(a.name,
+          pts.headOption.fold("long")(_._1),
+          pts.map { case (_, r) => (Some(r), Some(r)) }))
+      }
+    }
     filters.flatMap(split).flatMap {
       case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), None) }
       case GreaterThan(a: Attribute, Literal(v, dt)) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), None) }
       case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, None, Some(r)) }
       case LessThan(a: Attribute, Literal(v, dt)) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, None, Some(r)) }
       case EqualTo(a: Attribute, Literal(v, dt)) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), Some(r)) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), Some(r)) }
+      // <=> with a non-null literal prunes like =; <=> NULL is IS NULL
+      case EqualNullSafe(a: Attribute, Literal(null, _)) =>
+        Some(TableLog.ZIsNull(a.name))
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), Some(r)) }
       // reversed orientations (lit OP col)
       case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, None, Some(r)) }
       case GreaterThan(Literal(v, dt), a: Attribute) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, None, Some(r)) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, None, Some(r)) }
       case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), None) }
       case LessThan(Literal(v, dt), a: Attribute) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), None) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), None) }
       case EqualTo(Literal(v, dt), a: Attribute) =>
-        kindRepr(dt, v).map { case (k, r) => (a.name, k, Some(r), Some(r)) }
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), Some(r)) }
+      case EqualNullSafe(Literal(null, _), a: Attribute) =>
+        Some(TableLog.ZIsNull(a.name))
+      case EqualNullSafe(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), Some(r)) }
       case StartsWith(a: Attribute, Literal(v, StringType)) if v != null =>
-        val prefix = v.toString
-        Some((a.name, "string", Some(prefix), TableLog.prefixSucc(prefix)))
+        Some(one(a.name, "string", Some(v.toString),
+          TableLog.prefixSucc(v.toString)))
+      // the batch-of-keys probe: both the literal-list form and the
+      // optimizer's hashed-set rewrite (In → InSet past the threshold)
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        inPred(a, list.map { case Literal(v, dt) => (v, dt) })
+      case InSet(a: Attribute, hset) =>
+        inPred(a, hset.toSeq.map(v => (v, a.dataType)))
+      case IsNull(a: Attribute) => Some(TableLog.ZIsNull(a.name))
       case _ => None
     }
   }

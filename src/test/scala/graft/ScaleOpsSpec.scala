@@ -2671,6 +2671,113 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(idx3.sizeInBytes === expectBytes)
     assert(TableLogRelation.snapshotDf(spark0, root).count() === 450L)
   }
+
+  /** Scan-side pruned-file count for a TableLogFileIndex-backed frame
+    * (df.inputFiles is the UNPRUNED index listing by contract). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: QueryStageExec => findScans(q.plan)
+      case r: ReusedExchangeExec => findScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(findScans)
+    }
+    df.collect()
+    val scans = findScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.isInstanceOf[graft.operators.TableLogFileIndex])
+    assert(scans.nonEmpty, "no TableLogFileIndex scan in the plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("TableLogFileIndex: IN-list point pruning, the InSet rewrite, and IS NULL via n_nulls") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_in").toString + "/t"
+    val df = (0L until 400L).map { i =>
+      (i, f"k$i%04d", if (i < 50) null else s"v$i", s"t$i")
+    }.toDF("doc_id", "skey", "maybe", "text")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "skey", 8,
+      statsCols = Seq("maybe"))
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    assert(files.length === 8)
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // 1) the batch-of-keys probe: 3 exact keys = 3 point intervals —
+    //    at most one file each (range-clustered on skey)
+    val in3 = snap.filter(col("skey").isin("k0007", "k0203", "k0399"))
+    assert(in3.count() === 3L)
+    assert(scannedFiles(in3) <= 3,
+      s"3-key IN scanned ${scannedFiles(in3)} of ${files.length} files")
+    // 2) past the 10-value threshold the optimizer rewrites In →
+    //    InSet; pruning must survive the rewrite. 15 keys clustered
+    //    in the bottom and top of the key space.
+    val many = ((0L until 13L) ++ Seq(398L, 399L)).map(i => f"k$i%04d")
+    val inMany = snap.filter(col("skey").isin(many: _*))
+    assert(inMany.count() === 15L)
+    assert(scannedFiles(inMany) <= 3,
+      s"InSet stopped pruning: ${scannedFiles(inMany)} files")
+    // 3) a NULL element in the IN list matches nothing and drops
+    //    soundly — the other points still prune
+    val withNull = snap.filter(col("skey").isin("k0007", null))
+    assert(withNull.count() === 1L)
+    assert(scannedFiles(withNull) === 1L)
+    // 4) IS NULL prunes via the n_nulls stat: nulls live only in the
+    //    low-key file(s); every all-non-null file is proven skippable
+    val nullQ = snap.filter(col("maybe").isNull)
+    assert(nullQ.count() === 50L)
+    assert(scannedFiles(nullQ) <= 2,
+      s"IS NULL scanned ${scannedFiles(nullQ)} files — n_nulls=0 " +
+        "files must prune")
+    // 5) null-safe equality: <=> key prunes like =, <=> NULL like IS NULL
+    val nsQ = snap.filter(col("skey") <=> "k0007")
+    assert(nsQ.count() === 1L)
+    assert(scannedFiles(nsQ) === 1L)
+    val nsNull = snap.filter(col("maybe") <=> lit(null))
+    assert(nsNull.count() === 50L)
+    assert(scannedFiles(nsNull) <= 2)
+  }
+
+  test("float zone maps: pushed literals widen through double — the 1.3f boundary file is never wrongly pruned") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_float").toString + "/t"
+    // two controlled files: A = scores [0.5f, 1.3f] (stored max is the
+    // WIDENED double 1.2999999523162842 — BELOW the naive double 1.3),
+    // B = [1.4f, 2.0f]
+    def mk(lo: Int, hi: Int) = (lo to hi).map(i =>
+      (i.toLong, (i / 10.0).toFloat, s"t$i"))
+      .toDF("doc_id", "score", "text")
+    val (fA, zA) = TableLog.stageWithZoneMap(mk(5, 13), root, "a", "score", 1)
+    TableLog.commit(spark0, root, fA, Nil, zmap = zA)
+    val (fB, zB) = TableLog.stageWithZoneMap(mk(14, 20), root, "b", "score", 1)
+    TableLog.commit(spark0, root, fB, Nil, zmap = zB)
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // the boundary probe: `score >= 1.3f` MUST keep file A — a
+    // Float.toString literal ("1.3" → double 1.3 > stored max) would
+    // wrongly prune it and silently drop the matching doc_id=13 row
+    val q = snap.filter(col("score") >= lit(1.3f))
+    assert(q.select("doc_id").as[Long].collect().sorted ===
+      (13L to 20L).toArray,
+      "the 1.3f row must survive a >= 1.3f probe (wrong-prune class)")
+    assert(scannedFiles(q) === 2L,
+      "file A (max 1.3f) must NOT be pruned by >= 1.3f")
+    // pruning on the double kind works at all — both cut directions
+    val loQ = snap.filter(col("score") <= lit(0.9f))
+    assert(loQ.count() === 5L)
+    assert(scannedFiles(loQ) === 1L, "above-cut file B must prune")
+    val hiQ = snap.filter(col("score") > lit(1.35f))
+    assert(hiQ.count() === 7L)
+    assert(scannedFiles(hiQ) === 1L, "below-cut file A must prune")
+    // float IN lists ride the same widening (point intervals)
+    val inQ = snap.filter(col("score").isin(1.3f, 0.5f))
+    assert(inQ.count() === 2L)
+    assert(scannedFiles(inQ) === 1L,
+      "a float IN of file-A-only points must prune file B")
+  }
 }
 
 /** A local filesystem that COUNTS getFileStatus calls on data parquet
