@@ -2535,6 +2535,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** OPTIMIZE ... ZORDER BY ([[graft.operators.TableLog.optimizeTable]]
+    * with `zorderWith`): a table that accumulated sidecar deletes over
+    * an unsorted base rewrites ONCE clustered on the bit-interleaved
+    * Z-value of two dimensions (q99's integer quantize/interleave
+    * rule), with typed stats on both — so a 2-D box predicate through
+    * the planner-pruned relation skips files on x AND y simultaneously
+    * (1-D clustering makes only the key's stats bite; the second
+    * dimension's per-file intervals span everything). ScaleOpsSpec
+    * pins numFiles on the box and on each dimension alone. Oracle:
+    * the logical deletes + box filter over the base table — the
+    * layout must buy cost, never answers. */
+  private val q152Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q152: Q = (s, d) => {
+    val root = cachedTmpArtifact(q152Cache, d, "graft_q152_zopt") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+        .withColumn("gx", col("doc_id") % 256L)
+        .withColumn("gy", (col("doc_id") * 37L) % 251L)
+      tl.commit(s, p, tl.stageWrite(docs, p, "base"), Nil) // v0 unsorted
+      tl.commitDeletes(
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")),
+        p, "p11") // v1 — sidecar only
+      tl.optimizeTable(s, p, "doc_id", "gx", "zopt", parts = 16,
+        zorderWith = Some("gy")) // v2: compaction ∘ Z-order ∘ stats
+    }
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("gx") >= 16L && col("gx") <= 47L &&
+        col("gy") >= 32L && col("gy") <= 95L)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("gx"), col("gy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -3090,6 +3123,7 @@ object SparkEntry {
     "q149_ts_window_scan" -> q149,
     "q150_keybatch_probe" -> q150,
     "q151_float_zone_skip" -> q151,
+    "q152_zorder_optimize" -> q152,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5367,6 +5401,16 @@ object SparkEntry {
          FROM documents
          WHERE CAST(doc_id / 10.0 AS REAL) >= CAST(1.3 AS REAL)
            AND CAST(doc_id / 10.0 AS REAL) <= CAST(20.7 AS REAL)
+         ORDER BY doc_id""",
+    // Z-order is layout, not semantics: the logical deletes + box
+    // filter over the base table IS the oracle.
+    "q152_zorder_optimize" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+           doc_id % 256 AS gx, (doc_id * 37) % 251 AS gy
+         FROM documents
+         WHERE doc_id % 11 <> 0
+           AND doc_id % 256 BETWEEN 16 AND 47
+           AND (doc_id * 37) % 251 BETWEEN 32 AND 95
          ORDER BY doc_id""",
     // CDC replication oracle: both sides replay to q131's final
     // (v2) content — feed-driven merge apply ≡ the source itself.

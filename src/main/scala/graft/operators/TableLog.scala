@@ -630,12 +630,27 @@ object TableLog {
     * bounded read-path cost (sidecar deletes fold in, reads anti-join
     * nothing afterwards) and stats-based file skipping
     * ([[snapshotRange]] prunes by the fresh map) in one atomic
-    * commit. The OPTIMIZE ... ZORDER BY shape of this format: pay
-    * the rewrite once, on schedule, and every range read after it is
-    * O(selectivity). Returns the new version. */
+    * commit: pay the rewrite once, on schedule, and every range read
+    * after it is O(selectivity).
+    *
+    * `zorderWith = Some(yCol)` is the full `OPTIMIZE ... ZORDER BY
+    * (keyCol, yCol)` shape: the survivors land clustered on the
+    * bit-interleaved Z-VALUE of the two (integral) dimensions —
+    * [[Layout.zValue]] over [[Layout.quantize]]d coordinates, the
+    * same integer rule as q99's layout — so EACH file owns a tight
+    * rectangle in BOTH dimensions and a 2-D box predicate through
+    * [[TableLogRelation.snapshotDf]] prunes on x AND y
+    * simultaneously (1-D range clustering makes only the key's stats
+    * bite; the second dimension's per-file intervals span everything).
+    * Typed stats are declared on both dimensions automatically; the
+    * Z-value itself never lands in the data. The quantization bounds
+    * are one 1-row aggregate over the snapshot. Returns the new
+    * version. */
   def optimizeTable(spark: SparkSession, root: String, idCol: String,
                     keyCol: String, name: String, parts: Int,
-                    statsCols: Seq[String] = Nil): Long = {
+                    statsCols: Seq[String] = Nil,
+                    zorderWith: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
     val readV = versions(spark, root).lastOption.getOrElse(
       sys.error(s"TableLog.optimizeTable: empty log at $root"))
     val readFiles = activeFiles(spark, root, Some(readV))
@@ -648,8 +663,28 @@ object TableLog {
     val inherited = rewriteStatsCols(
       collectZoneRows(spark, root, Some(readV)), readFiles, keyCol,
       current.columns)
+    val cluster = zorderWith.flatMap { y =>
+      // quantization bounds: one bounded 1-row collect (metadata-
+      // scale), inlined as literals so the write plan stays a pure
+      // scan → project → exchange
+      val r = current.agg(
+        min(col(keyCol).cast("long")), max(col(keyCol).cast("long")),
+        min(col(y).cast("long")), max(col(y).cast("long"))).head()
+      // an empty or all-null snapshot has no bounds: fall back to the
+      // plain 1-D clustering rather than fail the maintenance job
+      if ((0 to 3).exists(r.isNullAt)) None
+      else {
+        val bits = 16
+        Some(Layout.zValue(
+          Layout.quantize(col(keyCol).cast("long"),
+            lit(r.getLong(0)), lit(r.getLong(1)), bits),
+          Layout.quantize(col(y).cast("long"),
+            lit(r.getLong(2)), lit(r.getLong(3)), bits), bits))
+      }
+    }
     val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts,
-      statsCols = (inherited ++ statsCols).distinct)
+      statsCols = (inherited ++ statsCols ++ zorderWith).distinct,
+      clusterBy = cluster)
     commit(spark, root, add = files,
       remove = readFiles, resetDeletes = true, zmap = zm,
       expectActive = readFiles, expectDeletes = Some(readDels),
@@ -1460,18 +1495,25 @@ object TableLog {
     * an error. At 100 TB the zone map is O(#files × #statsCols)
     * metadata serving O(selectivity) reads; clustering on the key is
     * what makes the KEY's stats bite (un-sorted files all span the
-    * full range and nothing prunes). Returns (data paths, zone-map
-    * paths) for [[commit]]'s `add`/`zmap`. */
+    * full range and nothing prunes). `clusterBy` overrides the
+    * physical clustering expression (Z-ORDER staging: cluster on the
+    * interleaved Z-value so EVERY declared dimension's per-file
+    * interval is tight, while stats still describe the real columns —
+    * the expression never lands in the data). Returns (data paths,
+    * zone-map paths) for [[commit]]'s `add`/`zmap`. */
   def stageWithZoneMap(df: DataFrame, root: String, name: String,
                        keyCol: String, parts: Int,
-                       statsCols: Seq[String] = Nil): (Seq[String], Seq[String]) = {
+                       statsCols: Seq[String] = Nil,
+                       clusterBy: Option[org.apache.spark.sql.Column] = None)
+      : (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val f = fs(spark, root)
     val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
     stageMarker(f, root, s"data/$dir")
-    df.repartitionByRange(parts, col(keyCol))
-      .sortWithinPartitions(col(keyCol))
+    val key = clusterBy.getOrElse(col(keyCol))
+    df.repartitionByRange(parts, key)
+      .sortWithinPartitions(key)
       .write.mode("errorifexists").parquet(s"$root/data/$dir")
     val files = f.listStatus(new Path(s"$root/data/$dir")).toSeq
       .map(_.getPath.getName)

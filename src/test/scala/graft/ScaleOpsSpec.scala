@@ -2778,6 +2778,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(scannedFiles(inQ) === 1L,
       "a float IN of file-A-only points must prune file B")
   }
+
+  test("OPTIMIZE ZORDER BY: 2-D box and each single dimension prune files; results unchanged") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_zopt").toString + "/t"
+    // a full 64×64 grid: with 16 Z-clustered files each owns ~a 16×16
+    // tile, so BOTH dimensions' per-file intervals are tight —
+    // 1-D clustering on gx would leave gy's intervals spanning [0,63]
+    val grid = (0L until 4096L).map(i => (i, i % 64L, i / 64L, s"t$i"))
+      .toDF("doc_id", "gx", "gy", "text")
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(grid, root, "base"), Nil) // unsorted v0
+    TableLog.commitDeletes(
+      grid.filter(col("doc_id") % 100 === 0).select(col("doc_id")),
+      root, "p100") // v1
+    TableLog.optimizeTable(spark0, root, "doc_id", "gx", "zopt",
+      parts = 16, zorderWith = Some("gy")) // v2
+    val nFiles = TableLog.activeFiles(spark0, root).length
+    assert(nFiles >= 8, s"optimize must land multiple files, got $nFiles")
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    def logical(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Long =
+      (0L until 4096L).count(i => i % 100 != 0 &&
+        i % 64 >= xlo && i % 64 <= xhi &&
+        i / 64 >= ylo && i / 64 <= yhi).toLong
+    // 1) the 2-D box: one tile's worth of files, not the table
+    val box = snap.filter(col("gx") >= 0L && col("gx") <= 15L &&
+      col("gy") >= 0L && col("gy") <= 15L)
+    assert(box.count() === logical(0, 15, 0, 15))
+    assert(scannedFiles(box) <= 4,
+      s"2-D box scanned ${scannedFiles(box)} of $nFiles files")
+    // 2) each dimension ALONE prunes (both carry typed stats and the
+    //    Z-layout keeps both interval sets tight)
+    val xOnly = snap.filter(col("gx") >= 0L && col("gx") <= 15L)
+    assert(xOnly.count() === logical(0, 15, 0, 63))
+    assert(scannedFiles(xOnly) < nFiles,
+      s"gx alone scanned all $nFiles files")
+    val yOnly = snap.filter(col("gy") >= 0L && col("gy") <= 15L)
+    assert(yOnly.count() === logical(0, 63, 0, 15))
+    assert(scannedFiles(yOnly) < nFiles,
+      s"gy alone scanned all $nFiles files")
+    // 3) the optimize folded the sidecar deletes (reads anti-join
+    //    nothing) and preserved every row outside them
+    assert(TableLog.activeDeletes(spark0, root).isEmpty)
+    assert(snap.count() === logical(0, 63, 0, 63))
+  }
 }
 
 /** A local filesystem that COUNTS getFileStatus calls on data parquet
