@@ -1160,8 +1160,24 @@ object TableLog {
 
   /** Bucket a staged path back to its bucket id (None for files staged
     * by the un-bucketed [[stageWrite]]). */
-  private def bucketOf(rel: String): Option[Int] =
+  private[operators] def bucketOf(rel: String): Option[Int] =
     BucketDir.findFirstMatchIn(rel).map(_.group(1).toInt)
+
+  /** DRIVER-SIDE twin of [[idBucket]]: the bucket of one key value,
+    * given its Spark `cast(string)` representation — md5 of the UTF-8
+    * bytes, first 8 hex chars as a long, mod n. This is what lets a
+    * POINT READ through [[TableLogRelation.snapshotDf]] prune a
+    * [[stageBucketed]] table to one bucket's files by path alone
+    * (the `_gb=K` tag) before any file opens. Long and string keys
+    * only — their cast-string form is the literal's natural repr;
+    * other types would need Spark's exact cast formatting and are
+    * left to zone stats. Spec-pinned equal to the Column form. */
+  private[graft] def bucketOfKey(castString: String, n: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(castString.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % n).toInt
+  }
 
   /** Stage `df` BUCKETED by [[idBucket]] — one parquet write
     * partitioned on the bucket, so every staged file path carries its
@@ -1245,9 +1261,14 @@ object TableLog {
     val doomedIds = upserts.select(col(idCol))
       .unionByName(deleteIds.select(col(deleteIds.columns.head).as(idCol)))
       .distinct()
+    // read-back through the Catalyst-visible relation pinned at readV,
+    // restricted to the touched buckets (path tags, zero extra I/O) —
+    // the sink-side merge's scan shows its pruned numFiles instead of
+    // hiding behind a raw path list, and any zone stats compose
     val base =
       if (oldTouched.isEmpty) upserts.limit(0)
-      else spark.read.parquet(oldTouched.map(resolve(root, _)): _*)
+      else TableLogRelation.snapshotDf(spark, root, Some(readV),
+        onlyBuckets = Some(touched))
     val merged = base.join(doomedIds, Seq(idCol), "left_anti")
       .unionByName(upserts)
     val adds = stageBucketed(merged, root, name, idCol, nBuckets)
@@ -1424,10 +1445,12 @@ object TableLog {
           "clauses need one source row per id; pre-aggregate the source")
     }
     val (oldTouched, _) = active.partition(p => bucketOf(p).exists(touched))
+    // same pinned, bucket-restricted relation as mergeInto's read-back
     val base =
       if (oldTouched.isEmpty)
         snapshot(spark, root, Some(readV)).limit(0)
-      else spark.read.parquet(oldTouched.map(resolve(root, _)): _*)
+      else TableLogRelation.snapshotDf(spark, root, Some(readV),
+        onlyBuckets = Some(touched))
     val cols = base.columns.toSeq
     (matched.collect { case MatchedUpdate(_, set) => set.keys }.flatten ++
       insertSet.keys).foreach(c => require(cols.contains(c),

@@ -45,7 +45,10 @@ import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType,
   * Spark job per planning pass. Row-group pushdown inside surviving
   * files is unchanged parquet behavior. */
 class TableLogFileIndex(spark: SparkSession, root: String,
-                        asOf: Option[Long]) extends FileIndex {
+                        asOf: Option[Long],
+                        bucketBy: Option[(String, Int)] = None,
+                        onlyBuckets: Option[Set[Int]] = None)
+    extends FileIndex {
 
   /** The pinned snapshot version this index serves. */
   val version: Long = asOf.getOrElse(
@@ -65,8 +68,15 @@ class TableLogFileIndex(spark: SparkSession, root: String,
     * entry predates the metadata field (or recorded the unknown
     * sentinel) fall back to a stat — for those files alone. */
   private val active: Seq[(String, FileStatus)] =
-    TableLog.activeFilesWithMeta(spark, root, Some(version)).map {
-      case (rel, meta) =>
+    TableLog.activeFilesWithMeta(spark, root, Some(version))
+      // `onlyBuckets` restricts the index to the named bucket dirs by
+      // PATH TAG at construction — the merge read-back's scope (the
+      // touched-bucket set), zero I/O; untagged files stay
+      // (conservative — callers that require a fully bucketed layout
+      // enforce it before reading)
+      .filter { case (rel, _) =>
+        onlyBuckets.forall(bs => TableLog.bucketOf(rel).forall(bs)) }
+      .map { case (rel, meta) =>
         val p = fsys.makeQualified(new Path(TableLog.resolve(root, rel)))
         rel -> TableLog.parseFileMeta(meta).fold(fsys.getFileStatus(p)) {
           case (len, mtime) =>
@@ -200,8 +210,33 @@ class TableLogFileIndex(spark: SparkSession, root: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = TableLog.pruneWithStats(active.map(_._1), zones,
-      rangesOf(dataFilters)).toSet
+    val preds = rangesOf(dataFilters)
+    val zoneKeep = TableLog.pruneWithStats(active.map(_._1), zones,
+      preds).toSet
+    // BUCKET pruning (the attested [[TableLog.stageBucketed]] layout):
+    // a point predicate on the bucket column — equality or an IN's
+    // point-interval union, long/string kinds whose serialized repr IS
+    // the cast-string the bucket hashes — resolves to the bucket ids
+    // it can touch; files tagged with any OTHER bucket drop by PATH
+    // alone. Untagged files stay (conservative), and multiple point
+    // predicates intersect (a conjunction). One path-tag check per
+    // file — no stats, no I/O: the point read of a 100 TB bucketed
+    // table scans one bucket directory.
+    val keep = bucketBy match {
+      case None => zoneKeep
+      case Some((c, n)) =>
+        val pointSets = preds.collect {
+          case TableLog.ZIntervals(`c`, kind, ds)
+            if (kind == "long" || kind == "string") && ds.nonEmpty &&
+              ds.forall(d => d._1.isDefined && d._1 == d._2) =>
+            ds.map(d => TableLog.bucketOfKey(d._1.get, n)).toSet
+        }
+        if (pointSets.isEmpty) zoneKeep
+        else {
+          val buckets = pointSets.reduce(_ intersect _)
+          zoneKeep.filter(rel => TableLog.bucketOf(rel).forall(buckets))
+        }
+    }
     Seq(PartitionDirectory(InternalRow.empty,
       active.collect { case (rel, st) if keep(rel) => st }.toArray))
   }
@@ -218,12 +253,29 @@ object TableLogRelation {
     * them). Delete sidecars, when in force at the pinned version,
     * compose as the same left-anti join [[TableLog.snapshot]] applies
     * — pruning still happens underneath it; pass `idCol` exactly as
-    * there. */
+    * there.
+    *
+    * `bucketBy = Some((col, n))` ATTESTS the table is a
+    * [[TableLog.stageBucketed]] layout on `col` with `n` buckets (the
+    * same attestation [[TableLog.mergeInto]] takes): point predicates
+    * on that column then prune to the matching bucket directories by
+    * path alone — the DynamoDB-style point read, one bucket of a
+    * 100 TB table. A wrong attestation (different column or bucket
+    * count than the writer used) prunes WRONGLY — same contract as
+    * passing the wrong nBuckets to mergeInto.
+    *
+    * `onlyBuckets` restricts the relation to the named `_gb` bucket
+    * dirs at construction (zero I/O, path tags) — the merge
+    * read-back's scope: [[TableLog.mergeInto]] reads exactly its
+    * touched buckets through this, so the read-back is a
+    * Catalyst-visible pruned scan instead of a raw path list. */
   def snapshotDf(spark: SparkSession, root: String,
                  asOf: Option[Long] = None,
-                 idCol: Option[String] = None): DataFrame = {
+                 idCol: Option[String] = None,
+                 bucketBy: Option[(String, Int)] = None,
+                 onlyBuckets: Option[Set[Int]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val index = new TableLogFileIndex(spark, root, asOf)
+    val index = new TableLogFileIndex(spark, root, asOf, bucketBy, onlyBuckets)
     val at = Some(index.version)
     val schema = TableLog.logSchema(spark, root, at).getOrElse {
       // no declared schema: take the files' own uniform schema from

@@ -2824,6 +2824,67 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(TableLog.activeDeletes(spark0, root).isEmpty)
     assert(snap.count() === logical(0, 63, 0, 63))
   }
+
+  test("snapshotDf bucketBy: point reads scan one bucket dir; driver bucket equals the Column form") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    // the driver-side bucket mirror must agree with the layout's own
+    // Column expression for BOTH key kinds it serves
+    val longKeys = (0L until 100L).map(i => i * 7919L)
+    val gotLong = longKeys.toDF("k")
+      .select(col("k"), TableLog.idBucket("k", 16).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    longKeys.foreach { k =>
+      assert(TableLog.bucketOfKey(k.toString, 16) === gotLong(k),
+        s"driver bucket of long $k diverges from idBucket")
+    }
+    val strKeys = (0 until 100).map(i => s"user:$i:pref")
+    val gotStr = strKeys.toDF("k")
+      .select(col("k"), TableLog.idBucket("k", 16).as("b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    strKeys.foreach { k =>
+      assert(TableLog.bucketOfKey(k, 16) === gotStr(k),
+        s"driver bucket of string '$k' diverges from idBucket")
+    }
+    // a bucketed table: a point read through the attested relation
+    // scans ONE bucket's file(s), an IN at most one per key
+    val root = Files.createTempDirectory("graft_tablelog_bkt").toString + "/t"
+    val nB = 16
+    val base = (0L until 800L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    TableLog.commit(spark0, root,
+      TableLog.stageBucketed(base, root, "base", "doc_id", nB), Nil)
+    val nFiles = TableLog.activeFiles(spark0, root).length
+    assert(nFiles === nB)
+    val snap = TableLogRelation.snapshotDf(spark0, root,
+      bucketBy = Some(("doc_id", nB)))
+    val point = snap.filter(col("doc_id") === 123L)
+    assert(point.count() === 1L)
+    assert(scannedFiles(point) === 1L,
+      s"point read scanned ${scannedFiles(point)} of $nFiles bucket files")
+    val batch = snap.filter(col("doc_id").isin(7L, 123L, 700L))
+    assert(batch.count() === 3L)
+    assert(scannedFiles(batch) <= 3L)
+    // non-point predicates don't bucket-prune (hash layout carries no
+    // order) but stay correct
+    val range = snap.filter(col("doc_id") >= 100L && col("doc_id") <= 105L)
+    assert(range.count() === 6L)
+    // and without the attestation a point read is merely unpruned
+    val plain = TableLogRelation.snapshotDf(spark0, root)
+      .filter(col("doc_id") === 123L)
+    assert(plain.count() === 1L)
+    assert(scannedFiles(plain) === nFiles.toLong)
+    // the merge read-back's relation: onlyBuckets restricts the index
+    // to the touched bucket dirs — the scan's numFiles IS the touched
+    // set, pinned at the read version (what mergeInto reads through)
+    val touched = Set(3, 7)
+    val rb = TableLogRelation.snapshotDf(spark0, root,
+      asOf = Some(0L), onlyBuckets = Some(touched))
+    assert(scannedFiles(rb) === touched.size.toLong,
+      s"bucket-restricted read-back scanned ${scannedFiles(rb)} files")
+    assert(rb.count() === base.filter(
+      TableLog.idBucket("doc_id", nB).isin(3L, 7L)).count())
+  }
 }
 
 /** A local filesystem that COUNTS getFileStatus calls on data parquet
