@@ -2568,6 +2568,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PRODUCTION-table BPE application to UNSEEN words: the ≥1k-merge
+    * table (corpus ∪ [[syntheticVocab]], [[BpeBudget]] cascading
+    * ranks) applied to probe words that were NEVER TRAINED ON
+    * (md5-hex of doc_id%64 + 1000000 behind the chr(1) sentinel) —
+    * the partial-subword path a tokenizer runs on out-of-vocabulary
+    * text, where the candidate-rank sweep (plans/BpeSweep.scala)
+    * does its table-size-independent work and the word memo misses.
+    * Counts land strictly between 1 (seen words saturate) and
+    * word-length (nothing applies) — non-degenerate by construction.
+    * Oracle: the probes ride the recursive training-replay chain at
+    * COUNT ZERO (merged, never counted), so one chain replays
+    * training and unseen-word application together. */
+  private val q153: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = trainedMerges(d, docs)
+    val probe = concat(lit(BpePrefix),
+      md5((col("doc_id") % 64 + 1000000L).cast("string").cast("binary")))
+    docs.select(col("doc_id"),
+        graft.plans.BpeSweepTokenCount.bpeSweepTokenCount(
+          array(probe), merges).as("n_probe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -2850,16 +2873,39 @@ object SparkEntry {
     * counts under-state LLM tokens; this makes q62/q68-style layout
     * math representative at fertility ≈ 2.3. The oracle replays
     * training AND application, one replace() per rank. */
-  /** The q92/q96/q126 merge budget: large enough for deep cascades
-    * (rank ~40 symbols are 4-6 chars), small enough that the corpus's
-    * 31-word vocabulary does NOT saturate (cascading training drains
-    * this corpus at 89 merges — every word one symbol, fertility 1.0,
-    * a degenerate tokenizer; production-size tables of 32k+ merges
-    * need a vocabulary that supports them, which 138 distinct
-    * characters-of-vocab cannot). At 48, fertility ≈ 2.3 — the
-    * multilingual-tokenizer regime the packing/fertility queries are
-    * meant to represent. */
-  private val BpeBudget = 48
+  /** The q92/q96/q126/q153 merge budget — PRODUCTION REGIME: ≥1k
+    * cascading merges actually train because the word-frequency table
+    * is the corpus vocabulary AUGMENTED with [[syntheticVocab]] (the
+    * corpus's own 31 words saturate at 89 merges — a table can never
+    * exceed vocab-total-chars − vocab-size). The corpus words, with
+    * their large counts, win the early ranks and saturate: seen
+    * high-frequency words becoming SINGLE tokens is exactly what a
+    * production table does to them (GPT-2's " the" is one token).
+    * The remaining ranks cascade through the synthetic vocabulary,
+    * and q153 probes UNSEEN words against the table for the partial
+    * subword path. Application cost is table-size-independent
+    * (BpeSweep's candidate-rank sweep), so the 25× budget is
+    * bench-flat. */
+  private val BpeBudget = 1200
+
+  /** Deterministic synthetic vocabulary extension — 512 words of
+    * 32-char md5 hex behind a \u0001 prefix no corpus token carries
+    * (so it can never collide with or join against corpus words),
+    * counts 1 + i%7 (small, so the corpus's organic merges keep the
+    * early ranks). Total characters ≈ 17k, supporting thousands of
+    * merges. The DuckDB oracle regenerates it verbatim
+    * (`chr(1) || md5(i)`). */
+  /** The synthetic/probe word sentinel prefix (DuckDB `chr(1)`). */
+  private val BpePrefix = "\u0001"
+
+  private def syntheticVocab: Seq[(String, Long)] =
+    (0 until 512).map { i =>
+      (BpePrefix + md5Hex(i.toString), 1L + (i % 7))
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** CASCADING BPE merge table ([[graft.operators.Bpe.train]]): ONE
     * distributed word-frequency aggregate, then the vocabulary-sized
@@ -2870,11 +2916,12 @@ object SparkEntry {
     * the family, reuse the artifact with zero Spark jobs. */
   private def trainedMerges(d: String,
                             docs: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
-    graft.operators.Training.cached(s"bpe-merges:$d:v2:$BpeBudget")(
+    graft.operators.Training.cached(s"bpe-merges:$d:v3:$BpeBudget")(
       graft.operators.Bpe.train(
         docs.select(explode(TF.tokens(coalesce(col("text"), lit("")))).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          ++ syntheticVocab,
         budget = BpeBudget))
 
   private val q92: Q = (s, d) => {
@@ -3124,6 +3171,7 @@ object SparkEntry {
     "q150_keybatch_probe" -> q150,
     "q151_float_zone_skip" -> q151,
     "q152_zorder_optimize" -> q152,
+    "q153_bpe_probe" -> q153,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4349,6 +4397,7 @@ object SparkEntry {
     // BPE counts composed into q68's packing layout — trainer +
     // counter + running-total boundary rules all replayed
     "q96_bpe_pack" -> bpePackOracle,
+    "q153_bpe_probe" -> bpeProbeOracle,
     // trained IVF: the oracle replays BOTH Lloyd iterations —
     // assignment argmax, integer-quantized per-cell sums, the exact
     // sum/(n·scale) mean expression — then runs q41's probe replay
@@ -5781,59 +5830,84 @@ object SparkEntry {
     head + iterBlocks + probe
   }
 
-  /** DuckDB replay of the CASCADING BPE pipeline (q92/q96/q126 shared
-    * prefix): replays TRAINING and APPLICATION together, exactly as
-    * [[graft.operators.Bpe.train]] does — because each training step
-    * both picks the next merge and applies it, the state after the
-    * last step IS the fully-tokenized vocabulary.
+  /** DuckDB replay of the CASCADING BPE pipeline (q92/q96/q126/q153
+    * shared prefix): replays TRAINING and APPLICATION together,
+    * exactly as [[graft.operators.Bpe.train]] does — because each
+    * training step both picks the next merge and applies it, the
+    * state after the last step IS the fully-tokenized vocabulary.
     *
     * Representation: each distinct word as a bracketed symbol string
     * ('hash' → '(h)(a)(s)(h)'); a merge of pair (A, B) is one SQL
-    * `replace(w, '(A)(B)', '(AB)')` — unambiguous (symbols are
-    * letter-runs, so the pattern can only match whole symbols) and
-    * left-to-right non-overlapping, the trainer's exact rule. Per
-    * iteration: count adjacent symbol pairs weighted by word count,
-    * pick ORDER BY count DESC, pair-string ASC (the trainer's order),
-    * replace. The chain CTEs are MATERIALIZED — each state is
-    * referenced twice (pair count + replace), so DuckDB's default
-    * CTE inlining would expand the chain exponentially. Iterations
-    * whose pair table is empty no-op via the LEFT JOIN NULL guard, so
-    * the fixed [[BpeBudget]]-step chain is safe past saturation.
-    * Final token count per word = its '(' count. Ends with CTE
-    * bpe_doc(doc_id, nw, nb, nc). */
-  private def bpeCtes: String = {
-    val sb = new StringBuilder
-    sb ++= """WITH words AS (
+    * `replace(w, '(A)(B)', '(AB)')` — unambiguous (the pattern can
+    * only match whole symbols) and left-to-right non-overlapping, the
+    * trainer's exact rule. Per iteration: count adjacent symbol pairs
+    * weighted by word count, pick ORDER BY count DESC, pair-string
+    * ASC (the trainer's order), replace.
+    *
+    * The chain is ONE RECURSIVE CTE carrying (step, word, state,
+    * count) — the production-budget form: the old one-CTE-per-rank
+    * chain hit DuckDB's 1000-deep expression binder at the ≥1k-merge
+    * table and materialized the vocabulary 1200 times (~8 min); the
+    * recursive form is a single plan iterated at runtime (~10 s).
+    * Iterations past saturation no-op via the LEFT JOIN NULL guard.
+    * The word-count state unions the corpus vocabulary with the
+    * [[syntheticVocab]] generator (chr(1) || md5(i), counts 1+i%7 —
+    * the richer vocabulary that lets ≥1k merges actually train) plus
+    * q153's probe words at COUNT ZERO: zero-weight rows ride the
+    * replace chain (application replay) but are excluded from pair
+    * counting (`WHERE c > 0`), so they can never influence training —
+    * exactly the Scala side, which trains without them. Final token
+    * count per word = its '(' count. Ends with CTE
+    * bpe_doc(doc_id, nw, nb, nc) over corpus words. */
+  private def bpeCtes: String = s"""WITH RECURSIVE words AS (
            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
            FROM documents),
-         wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
-         st0 AS MATERIALIZED (
-           SELECT w AS w0, regexp_replace(w, '(.)', '(\1)', 'g') AS w, c FROM wc)"""
-    for (i <- 1 to BpeBudget) {
-      sb ++= s""",
-         pr$i AS (
-           SELECT '(' || s[j] || ')(' || s[j+1] || ')' AS sp, sum(c) AS pc
-           FROM (SELECT string_split(substr(w, 2, length(w)-2), ')(') AS s, c
-                 FROM st${i - 1}) t,
-                unnest(range(1, len(s))) AS u(j) GROUP BY 1),
-         b$i AS (SELECT sp, replace(sp, ')(', '') AS mg FROM pr$i
-                 ORDER BY pc DESC, sp LIMIT 1),
-         st$i AS MATERIALIZED (
-           SELECT w0, CASE WHEN b.sp IS NULL THEN w
-                           ELSE replace(w, b.sp, b.mg) END AS w, c
-           FROM st${i - 1} LEFT JOIN b$i b ON TRUE)"""
-    }
-    sb ++= s""",
+         wc AS (
+           SELECT w, count(*) AS c FROM words GROUP BY w
+           UNION ALL
+           SELECT chr(1) || md5(CAST(i AS VARCHAR)) AS w, 1 + (i % 7) AS c
+           FROM range(512) syn(i)
+           UNION ALL
+           SELECT DISTINCT chr(1) || md5(CAST(doc_id % 64 + 1000000 AS VARCHAR)) AS w,
+             0 AS c
+           FROM documents),
+         st(step, w0, w, c) AS (
+           SELECT 0, w, regexp_replace(w, '(.)', '(\\1)', 'g'), c FROM wc
+           UNION ALL
+           SELECT st.step + 1, st.w0,
+             CASE WHEN b.sp IS NULL THEN st.w
+                  ELSE replace(st.w, b.sp, b.mg) END,
+             st.c
+           FROM st
+           LEFT JOIN (
+             SELECT sp, replace(sp, ')(', '') AS mg FROM (
+               SELECT '(' || s[j] || ')(' || s[j+1] || ')' AS sp, sum(c) AS pc
+               FROM (SELECT string_split(substr(w, 2, length(w)-2), ')(') AS s, c
+                     FROM st WHERE c > 0) t,
+                    unnest(range(1, len(s))) AS u(j)
+               GROUP BY 1)
+             ORDER BY pc DESC, sp LIMIT 1) b ON TRUE
+           WHERE st.step < $BpeBudget),
          wordtok AS (
            SELECT w0, CAST(length(w) - length(replace(w, '(', '')) AS BIGINT) AS toks
-           FROM st$BpeBudget),
+           FROM st WHERE step = $BpeBudget),
          bpe_doc AS (
            SELECT words.doc_id, count(*) AS nw, sum(t.toks) AS nb,
              sum(length(words.w)) AS nc
            FROM words JOIN wordtok t ON words.w = t.w0
            GROUP BY words.doc_id)"""
-    sb.toString
-  }
+
+  /** q153: the probes (count-zero passengers of the chain) joined
+    * back per doc. */
+  private def bpeProbeOracle: String = bpeCtes +
+    """,
+         probe AS (
+           SELECT doc_id,
+             chr(1) || md5(CAST(doc_id % 64 + 1000000 AS VARCHAR)) AS w
+           FROM documents)
+         SELECT p.doc_id, t.toks AS n_probe_tokens
+         FROM probe p JOIN wordtok t ON p.w = t.w0
+         ORDER BY p.doc_id"""
 
   private def bpeOracle: String = bpeCtes +
     """

@@ -12,21 +12,31 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * mergeable at a later rank (`e+r→er`, then `m+er→mer`), so the
   * trained table is a true subword vocabulary, not a char-pair list.
   *
-  * Application is the RANK-MAJOR SWEEP (the reference GPT-2 `bpe()`
-  * order on consistency-trained tables): for each rank in training
-  * order, merge every leftmost-first non-overlapping occurrence of
-  * that rank's pair in the word's current symbol sequence. Training
-  * ([[graft.operators.Bpe.train]]) applies each new merge with
-  * exactly this rule, so application replays training bit-for-bit and
-  * the DuckDB oracle replays both with one `replace()` per rank.
+  * Application semantics are the RANK-MAJOR SWEEP (the reference
+  * GPT-2 `bpe()` order on consistency-trained tables): for each rank
+  * in training order, merge every leftmost-first non-overlapping
+  * occurrence of that rank's pair in the word's current symbol
+  * sequence. Training ([[graft.operators.Bpe.train]]) applies each
+  * new merge with exactly this rule, so application replays training
+  * bit-for-bit and the DuckDB oracle replays both with one
+  * `replace()` per rank.
   *
-  * Cost shape: the sweep is O(ranks × word-length) per DISTINCT word;
-  * a bounded concurrent memo (word → token count, capped so a
-  * pathological corpus cannot grow it unbounded) makes repeated words
-  * O(1), which at 100 TB is the dominant case — natural-language
-  * corpora are Zipfian, so the cache hit rate approaches 1. The
-  * expression stays inside whole-stage codegen via
-  * [[org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext#addReferenceObj]].
+  * Evaluation is the CANDIDATE-RANK sweep — same result, production
+  * cost: instead of scanning all R ranks per word (O(R × len), ~700×
+  * the useful work at a 32k-merge table), a min-heap of the ranks
+  * whose pairs are PRESENT in the word drives the loop — pairs are
+  * looked up in a rank index, newly created pairs push their next
+  * applicable rank — so per-word cost is O(len · k) for k ranks
+  * actually applied, INDEPENDENT of table size. Equivalence to the
+  * naive full-rank sweep is structural (a rank whose pair is absent
+  * sweeps as a no-op; present ranks are discovered in increasing
+  * order, and a pair re-created by a rank-m merge re-enters at its
+  * first rank AFTER m — exactly the ranks the naive sweep still has
+  * ahead of it) and spec-pinned against a reference implementation on
+  * both the small and the ≥1k-merge table. A bounded concurrent memo
+  * (word → count) makes repeated words O(1) — the dominant case on a
+  * Zipfian corpus. The expression stays inside whole-stage codegen
+  * via `addReferenceObj`.
   */
 case class BpeSweepTokenCount(child: Expression,
                               mergesA: Seq[String], mergesB: Seq[String])
@@ -38,6 +48,27 @@ case class BpeSweepTokenCount(child: Expression,
 
   @transient private lazy val pairA: Array[String] = mergesA.toArray
   @transient private lazy val pairB: Array[String] = mergesB.toArray
+
+  /** pair → ASCENDING ranks at which the table merges it. A pair can
+    * train at several ranks (merged exhaustively at r, re-created by
+    * a later merge, trained again), so the index keeps them all —
+    * the candidate sweep picks the first rank past the current one.
+    * Keys are length-prefixed (`<lenA>:<a><b>`) so symbol boundaries
+    * are unambiguous for any symbol content. */
+  @transient private lazy val rankOf: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](pairA.length * 2)
+    var r = 0
+    while (r < pairA.length) {
+      val k = key(pairA(r), pairB(r))
+      val old = m.get(k)
+      m.put(k, if (old == null) Array(r) else old :+ r)
+      r += 1
+    }
+    m
+  }
+
+  private def key(a: String, b: String): String =
+    s"${a.length}:$a$b"
 
   // word → token count; bounded so an adversarial high-cardinality
   // corpus degrades to recompute, never to memory growth
@@ -51,24 +82,48 @@ case class BpeSweepTokenCount(child: Expression,
   private def tokensOf(w: String): Long = {
     val cached = memo.get(w)
     if (cached != null) return cached.longValue()
-    // symbol sequence starts as characters; each rank sweeps once
-    var syms = new Array[String](w.length)
+    val syms = new Array[String](w.length)
     var i = 0
     while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
     var n = syms.length
-    var r = 0
-    while (r < pairA.length && n > 1) {
-      val a = pairA(r); val b = pairB(r)
-      // leftmost-first, non-overlapping (SQL replace semantics)
-      var rd = 0; var wr = 0
-      while (rd < n) {
-        if (rd < n - 1 && syms(rd) == a && syms(rd + 1) == b) {
-          syms(wr) = a + b; rd += 2
-        } else { syms(wr) = syms(rd); rd += 1 }
-        wr += 1
+    if (n > 1) {
+      val queue = new java.util.PriorityQueue[Integer]()
+      val queued = new java.util.HashSet[Integer]()
+      // the first rank of (a, b) STRICTLY AFTER `after` — the only
+      // rank the naive sweep could still apply to a pair present now
+      def push(a: String, b: String, after: Int): Unit = {
+        val rs = rankOf.get(key(a, b))
+        if (rs != null) {
+          var j = 0
+          while (j < rs.length && rs(j) <= after) j += 1
+          if (j < rs.length) {
+            val r = Integer.valueOf(rs(j))
+            if (queued.add(r)) queue.add(r)
+          }
+        }
       }
-      n = wr
-      r += 1
+      var j = 0
+      while (j < n - 1) { push(syms(j), syms(j + 1), -1); j += 1 }
+      while (!queue.isEmpty && n > 1) {
+        val r = queue.poll().intValue()
+        val a = pairA(r); val b = pairB(r)
+        // leftmost-first, non-overlapping — the sweep's exact rule
+        var rd = 0; var wr = 0; var merged = false
+        while (rd < n) {
+          if (rd < n - 1 && syms(rd) == a && syms(rd + 1) == b) {
+            syms(wr) = a + b; rd += 2; merged = true
+          } else { syms(wr) = syms(rd); rd += 1 }
+          wr += 1
+        }
+        if (merged) {
+          n = wr
+          // merging created new adjacencies (and may have re-created
+          // this very pair for a later rank): rescan — O(n), the same
+          // order as the sweep that just ran
+          var k = 0
+          while (k < n - 1) { push(syms(k), syms(k + 1), r); k += 1 }
+        }
+      }
     }
     if (memo.size < MemoCap) memo.put(w, java.lang.Long.valueOf(n.toLong))
     n.toLong
@@ -101,4 +156,30 @@ object BpeSweepTokenCount {
   def bpeSweepTokenCount(tokens: Column, merges: Seq[(String, String)]): Column =
     Bridge.toColumn(BpeSweepTokenCount(Bridge.toExpression(tokens),
       merges.map(_._1), merges.map(_._2)))
+
+  /** REFERENCE naive full-rank sweep — O(ranks × len) per word, the
+    * semantics oracle the candidate-rank evaluation is spec-pinned
+    * against (and the DuckDB replay's literal form). Test harness and
+    * equivalence proofs only; production evaluation never calls it. */
+  private[graft] def naiveSweepTokens(w: String,
+      merges: Seq[(String, String)]): Long = {
+    var syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var n = syms.length
+    var r = 0
+    while (r < merges.length && n > 1) {
+      val (a, b) = merges(r)
+      var rd = 0; var wr = 0
+      while (rd < n) {
+        if (rd < n - 1 && syms(rd) == a && syms(rd + 1) == b) {
+          syms(wr) = a + b; rd += 2
+        } else { syms(wr) = syms(rd); rd += 1 }
+        wr += 1
+      }
+      n = wr
+      r += 1
+    }
+    n.toLong
+  }
 }

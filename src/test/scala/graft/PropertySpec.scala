@@ -361,6 +361,66 @@ class PropertySpec extends AnyFunSuite {
     assert(toks === 2L) // one symbol per word
   }
 
+  test("BPE at production scale: >=1k merges train; candidate-rank sweep == naive full-rank sweep") {
+    import graft.operators.Bpe
+    import graft.plans.BpeSweepTokenCount
+    import spark.implicits._
+    // the q92-family augmented vocabulary: 512 md5-hex words behind a
+    // U+0001 sentinel — rich enough that a >=1k-merge table TRAINS
+    // instead of saturating (a 31-word corpus drains at 89 merges)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val synth = (0 until 512).map(i =>
+      ("\u0001" + md5hex(i.toString), 1L + (i % 7)))
+    val corpus = Seq(("the", 900L), ("quick", 300L), ("brown", 250L),
+      ("fox", 200L))
+    val big = Bpe.train(corpus ++ synth, budget = 1200)
+    assert(big.length === 1200,
+      s"trained only ${big.length} merges — the synthetic vocabulary " +
+        "must support the production budget without saturating")
+    // the cascade runs deep: late ranks merge long composite symbols
+    assert(big.drop(1000).exists { case (a, b) => (a + b).length >= 8 },
+      "late ranks should merge multi-char cascade symbols")
+    // EQUIVALENCE: the candidate-rank evaluation must equal the naive
+    // full-rank sweep word-for-word — on the big table AND a small
+    // one, over seen, unseen, and adversarial words (repeats, the
+    // sentinel char, same-pair-retrained shapes)
+    val small = Bpe.train(corpus, budget = 48)
+    val probes = (corpus.map(_._1) ++ synth.take(8).map(_._1) ++
+      (600 until 640).map(i => "\u0001" + md5hex(i.toString)) ++
+      Seq("", "a", "aaaa", "thequickbrown", "\u0001\u0001aa",
+        "ababababab", "0123456789abcdef")).distinct
+    for (t <- Seq(small, big)) {
+      val got = probes.toDF("w")
+        .select(col("w"), BpeSweepTokenCount
+          .bpeSweepTokenCount(array(col("w")), t).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      probes.foreach { w =>
+        assert(got(w) === BpeSweepTokenCount.naiveSweepTokens(w, t),
+          s"candidate sweep diverged from naive on '$w' " +
+            s"(${t.length}-merge table)")
+      }
+    }
+    // randomized stress on the hex alphabet (hits many trained pairs,
+    // including re-trained same-pair ranks): fast == naive, always
+    val hexWord: Gen[String] = for {
+      n <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(n, Gen.oneOf("0123456789abcdef".toSeq))
+    } yield cs.mkString
+    forSamples(Gen.listOfN(40, hexWord), n = 5) { words =>
+      val expr = graft.plans.BpeSweepTokenCount(
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(lit("x")),
+        big.map(_._1), big.map(_._2))
+      // drive tokensOf through the public count() on 1-element arrays
+      words.foreach { w =>
+        val arr = org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(Array(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+        assert(expr.count(arr) === BpeSweepTokenCount.naiveSweepTokens(w, big),
+          s"random hex word '$w' diverged")
+      }
+    }
+  }
+
   test("cluster dedup composite stays exact and skew-bounded over the prefix generator") {
     import spark.implicits._
     import graft.operators.{Cluster, Dedup}
