@@ -2888,24 +2888,21 @@ object SparkEntry {
     * bench-flat. */
   private val BpeBudget = 1200
 
-  /** Deterministic synthetic vocabulary extension — 512 words of
-    * 32-char md5 hex behind a \u0001 prefix no corpus token carries
-    * (so it can never collide with or join against corpus words),
-    * counts 1 + i%7 (small, so the corpus's organic merges keep the
-    * early ranks). Total characters ≈ 17k, supporting thousands of
-    * merges. The DuckDB oracle regenerates it verbatim
-    * (`chr(1) || md5(i)`). */
   /** The synthetic/probe word sentinel prefix (DuckDB `chr(1)`). */
   private val BpePrefix = "\u0001"
 
+  /** Deterministic synthetic vocabulary extension — 512 words of
+    * 32-char md5 hex behind the [[BpePrefix]] sentinel no corpus
+    * token carries (so it can never collide with or join against
+    * corpus words), counts 1 + i%7 (small, so the corpus's organic
+    * merges keep the early ranks). Total characters ≈ 17k, supporting
+    * thousands of merges. The DuckDB oracle regenerates it verbatim
+    * (`chr(1) || md5(i)`). */
   private def syntheticVocab: Seq[(String, Long)] =
     (0 until 512).map { i =>
-      (BpePrefix + md5Hex(i.toString), 1L + (i % 7))
+      (BpePrefix + graft.functions.Sketches.md5HexLocal(i.toString),
+        1L + (i % 7))
     }
-
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** CASCADING BPE merge table ([[graft.operators.Bpe.train]]): ONE
     * distributed word-frequency aggregate, then the vocabulary-sized

@@ -33,6 +33,15 @@ object Sketches {
   /** Lowercase-hex md5 of any column, the sketch's hash source. */
   def hashHex(x: Column): Column = md5(x.cast("string"))
 
+  /** DRIVER-SIDE twin of [[hashHex]] / Spark's `md5(binary)` on a
+    * string's UTF-8 bytes — lowercase hex, byte-identical to DuckDB's
+    * `md5(varchar)`. The ONE md5-to-hex definition shared by every
+    * driver-side consumer (bucket routing, synthetic vocabulary,
+    * specs), so oracle parity cannot drift between copies. */
+  def md5HexLocal(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** HLL bucket = first 8 hash bits (2 hex chars) → [0, 256). */
   def hllBucket(hx: Column): Column =
     conv(substring(hx, 1, 2), 16, 10).cast("long")

@@ -133,9 +133,12 @@ object TableLog {
     val paths = refs.map(r => new Path(resolve(root, r)))
     val statBy = scala.collection.mutable.HashMap.empty[String, FileStatus]
     paths.map(_.getParent).distinct.foreach { dir =>
+      // ANY listing failure (not-found, throttling, ACL) degrades to
+      // the unknown sentinel — metadata must never turn a commit that
+      // previously listed nothing into a write-path failure
       try f.listStatus(dir).foreach(s =>
         statBy(s.getPath.toUri.getPath) = s)
-      catch { case _: java.io.FileNotFoundException => () }
+      catch { case _: java.io.IOException => () }
     }
     paths.map(p => statBy.get(p.toUri.getPath)
       .fold("-")(s => s"${s.getLen}.${s.getModificationTime}"))
@@ -675,11 +678,22 @@ object TableLog {
       if ((0 to 3).exists(r.isNullAt)) None
       else {
         val bits = 16
+        // OVERFLOW-SAFE 16-bit quantization: (x − lo) in two's
+        // complement IS the unsigned distance for any Long pair
+        // (snowflake/hash-style keys span > 2^47, where
+        // Layout.quantize's (v−lo)·2^16 multiplication would wrap and
+        // cluster on noise); an unsigned right shift by
+        // (bitLength(range) − 16) maps it monotonically into
+        // [0, 2^16). Power-of-2 buckets instead of exact division —
+        // a layout hint only; the typed stats stay exact values.
+        def q(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+          val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(hi - lo)
+          val shift = math.max(0, bitLen - bits)
+          shiftrightunsigned(c.cast("long") - lit(lo), shift)
+        }
         Some(Layout.zValue(
-          Layout.quantize(col(keyCol).cast("long"),
-            lit(r.getLong(0)), lit(r.getLong(1)), bits),
-          Layout.quantize(col(y).cast("long"),
-            lit(r.getLong(2)), lit(r.getLong(3)), bits), bits))
+          q(col(keyCol), r.getLong(0), r.getLong(1)),
+          q(col(y), r.getLong(2), r.getLong(3)), bits))
       }
     }
     val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts,
@@ -1173,9 +1187,7 @@ object TableLog {
     * other types would need Spark's exact cast formatting and are
     * left to zone stats. Spec-pinned equal to the Column form. */
   private[graft] def bucketOfKey(castString: String, n: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(castString.getBytes("UTF-8")).take(4)
-      .map("%02x".format(_)).mkString
+    val hex = graft.functions.Sketches.md5HexLocal(castString).substring(0, 8)
     (java.lang.Long.parseLong(hex, 16) % n).toInt
   }
 
@@ -1723,12 +1735,26 @@ object TableLog {
       preds: Seq[ZPredicate]): Seq[String] =
     preds.foldLeft(active) {
       case (files, ZIntervals(_, _, ds)) if ds.isEmpty => files
-      case (files, ZIntervals(c, kind, Seq((lo, hi)))) =>
-        touchedFrom(files, zones, c, kind, lo, hi)
       case (files, ZIntervals(c, kind, ds)) =>
-        val kept = ds.map(d =>
-          touchedFrom(files, zones, c, kind, d._1, d._2).toSet).reduce(_ | _)
-        files.filter(kept)
+        // ONE pass over the zone rows for the whole disjunction
+        // (k-point INs must not rescan and resort the file list per
+        // point): a file prunes iff every matching row is bounded and
+        // its interval misses EVERY disjunct — ∀row ∀disjunct miss,
+        // which is exactly "pruned under each disjunct independently"
+        // since rows and disjuncts are independent. touchedFrom's
+        // exact rule at k = 1.
+        val matching = zones.filter(z => z.kind == kind && z.scol.contains(c))
+        val activeSet = files.toSet
+        val byFile = matching.filter(z => activeSet(z.file)).groupBy(_.file)
+        val pruned = byFile.collect { case (p, zs)
+          if zs.forall(z => (z.lo, z.hi) match {
+            case (Some(l), Some(h)) => ds.forall { case (qlo, qhi) =>
+              qlo.exists(q => zcmp(kind, h, q) < 0) ||
+                qhi.exists(q => zcmp(kind, l, q) > 0) }
+            case _ => false
+          }) => p
+        }.toSet
+        files.filterNot(pruned)
       case (files, ZIsNull(c)) =>
         // a stats row is a fact about its whole immutable file: one
         // row naming this column with n_nulls = 0 proves no row of the

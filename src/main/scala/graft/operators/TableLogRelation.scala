@@ -268,7 +268,12 @@ object TableLogRelation {
     * dirs at construction (zero I/O, path tags) — the merge
     * read-back's scope: [[TableLog.mergeInto]] reads exactly its
     * touched buckets through this, so the read-back is a
-    * Catalyst-visible pruned scan instead of a raw path list. */
+    * Catalyst-visible pruned scan instead of a raw path list.
+    * CAVEAT: files WITHOUT a bucket tag are conservatively INCLUDED
+    * (they may hold any id) — on a mixed bucketed/unbucketed table
+    * this reads more than the named buckets, never less. A caller
+    * that needs bucket-exclusive scope must require the fully
+    * bucketed layout first, exactly as the merges do. */
   def snapshotDf(spark: SparkSession, root: String,
                  asOf: Option[Long] = None,
                  idCol: Option[String] = None,

@@ -368,8 +368,7 @@ class PropertySpec extends AnyFunSuite {
     // the q92-family augmented vocabulary: 512 md5-hex words behind a
     // U+0001 sentinel — rich enough that a >=1k-merge table TRAINS
     // instead of saturating (a 31-word corpus drains at 89 merges)
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def md5hex(s: String) = graft.functions.Sketches.md5HexLocal(s)
     val synth = (0 until 512).map(i =>
       ("\u0001" + md5hex(i.toString), 1L + (i % 7)))
     val corpus = Seq(("the", 900L), ("quick", 300L), ("brown", 250L),
