@@ -2591,6 +2591,128 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** OUTSIDE-A-WINDOW disjunction through the planner-pruned relation
+    * ([[graft.operators.TableLogRelation.snapshotDf]] + `OR`): the
+    * quarantine/backfill shape — "everything EXCEPT this id window,
+    * plus a tagged slice inside it" — as ONE plain filter whose OR
+    * tree prunes files: same-column branches collapse into a single
+    * interval disjunction (`id < a OR id > b` survives only the edge
+    * files of a range-clustered table), and the cross-column branch
+    * (`lang = 'de' AND id BETWEEN ...`) prunes by its translatable
+    * conjunct while the untranslatable one rides the row filter. At
+    * 100 TB "reprocess everything outside the bad window" reads
+    * O(outside), not the table. ScaleOpsSpec pins the file counts;
+    * the oracle is the identical WHERE over the base table. */
+  private val q154Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q154: Q = (s, d) => {
+    val root = cachedTmpArtifact(q154Cache, d, "graft_q154_orscan") { p =>
+      val tl = graft.operators.TableLog
+      val (files, zm) = tl.stageWithZoneMap(
+        Tables.documents(s, d), p, "base", "doc_id", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("doc_id") < 100L || col("doc_id") > 400L ||
+        (col("lang") === "de" && col("doc_id").between(200L, 220L)))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SPARSE-COLUMN scan with ALL-NULL file skipping: a column that is
+    * NULL for a whole id prefix (the unbackfilled-history shape every
+    * schema evolution leaves behind) gets per-file n_nulls/n_rows
+    * stats, so `IS NOT NULL` — which Catalyst also pushes beside
+    * every comparison on the column — PROVES the all-null files
+    * skippable, and a range on the column prunes them too (no bounds
+    * + n_nulls == n_rows ⇒ no row can match any interval). At 100 TB
+    * a backfilled column's queries stop paying for the unbackfilled
+    * era. ScaleOpsSpec pins the file counts; the oracle replays the
+    * CASE derivation over the base table. */
+  private val q155Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q155: Q = (s, d) => {
+    val root = cachedTmpArtifact(q155Cache, d, "graft_q155_sparse") { p =>
+      val tl = graft.operators.TableLog
+      val sparse = Tables.documents(s, d).withColumn("backfill",
+        when(col("doc_id") < 120L, lit(null).cast("string"))
+          .otherwise(concat(lit("m"), lpad(col("doc_id").cast("string"),
+            9, "0"))))
+      val (files, zm) = tl.stageWithZoneMap(sparse, p, "base", "doc_id", 16,
+        statsCols = Seq("backfill"))
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("backfill").isNotNull && col("backfill") <= "m000000300")
+      .select(col("doc_id"), col("backfill"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** METADATA-ONLY AGGREGATES ([[graft.plans.MetadataOnlyAgg]] via
+    * [[graft.operators.TableLogRelation.enableMetadataOnlyAggregates]]):
+    * the high-water-mark/sanity probes every pipeline runs —
+    * `count(*)`, `count(col)`, `min`/`max` of ids, strings and a
+    * stats column — answered from the log's zone-map sidecars as a
+    * [[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]]
+    * with ZERO files scanned (the Delta aggregate-pushdown story; the
+    * reference's consumer asks its checkpoint the same question). The
+    * rewrite fires only when every active file is stats-covered and
+    * nothing sits between the global Aggregate and the relation —
+    * ScaleOpsSpec pins the zero-scan plan AND every guard (filter,
+    * DISTINCT, GROUP BY, uncovered file/column, delete sidecars).
+    * Oracle: the same aggregates over the base table — the rewrite
+    * must be invisible in the answers. */
+  private val q156Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q156: Q = (s, d) => {
+    val root = cachedTmpArtifact(q156Cache, d, "graft_q156_magg") { p =>
+      val tl = graft.operators.TableLog
+      val sparse = Tables.documents(s, d).withColumn("backfill",
+        when(col("doc_id") < 120L, lit(null).cast("string"))
+          .otherwise(col("source")))
+      val (files, zm) = tl.stageWithZoneMap(sparse, p, "base", "doc_id", 16,
+        statsCols = Seq("n_chars", "source", "backfill"))
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLogRelation.enableMetadataOnlyAggregates(s)
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("backfill")).as("n_backfilled"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("source")).as("min_source"),
+        max(col("source")).as("max_source"))
+  }
+
+  /** TOP-K FILE PRUNING ([[graft.plans.MetadataTopK]] via
+    * [[graft.operators.TableLogRelation.enableMetadataTopK]]): "the
+    * latest 50 events" — every dashboard's and every incremental
+    * consumer's first query — as a plain `ORDER BY ts DESC, event_id
+    * DESC LIMIT 50` over the planner-pruned relation of a
+    * time-clustered table. The rule walks the per-file zone bounds,
+    * accumulates row counts to k, and restricts the scan to the files
+    * that can hold the top 50 (first sort key only — ties at the
+    * boundary keep both sides, so the event_id tie-break stays
+    * exact): at 100 TB the answer reads O(1) files instead of
+    * heap-scanning the table. ScaleOpsSpec pins the kept-file counts
+    * and every guard; the oracle is the same ORDER BY ... LIMIT over
+    * the base table. */
+  private val q157Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q157: Q = (s, d) => {
+    val root = cachedTmpArtifact(q157Cache, d, "graft_q157_topk") { p =>
+      val tl = graft.operators.TableLog
+      val (files, zm) = tl.stageWithZoneMap(
+        Tables.events(s, d), p, "base", "ts", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLogRelation.enableMetadataTopK(s)
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(50)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -3169,6 +3291,10 @@ object SparkEntry {
     "q151_float_zone_skip" -> q151,
     "q152_zorder_optimize" -> q152,
     "q153_bpe_probe" -> q153,
+    "q154_or_window_scan" -> q154,
+    "q155_sparse_notnull_scan" -> q155,
+    "q156_meta_agg" -> q156,
+    "q157_latest_k" -> q157,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5458,6 +5584,47 @@ object SparkEntry {
            AND doc_id % 256 BETWEEN 16 AND 47
            AND (doc_id * 37) % 251 BETWEEN 32 AND 95
          ORDER BY doc_id""",
+    // OR pruning is layout, not semantics: the identical WHERE over
+    // the base table IS the oracle.
+    "q154_or_window_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE doc_id < 100 OR doc_id > 400
+            OR (lang = 'de' AND doc_id BETWEEN 200 AND 220)
+         ORDER BY doc_id""",
+    // All-null file skipping must not change results: the CASE
+    // derivation + the same filters over the base table.
+    "q155_sparse_notnull_scan" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CASE WHEN doc_id < 120 THEN NULL
+                  ELSE 'm' || lpad(CAST(doc_id AS VARCHAR), 9, '0') END
+               AS backfill,
+             lang, source, n_chars
+           FROM documents)
+         SELECT doc_id, backfill, lang, source, n_chars FROM s
+         WHERE backfill IS NOT NULL AND backfill <= 'm000000300'
+         ORDER BY doc_id""",
+    // Metadata-only aggregates must be invisible in the answers: the
+    // same aggregates computed over the base table IS the oracle.
+    "q156_meta_agg" ->
+      """WITH s AS (
+           SELECT doc_id, n_chars, source,
+             CASE WHEN doc_id < 120 THEN NULL ELSE source END AS backfill
+           FROM documents)
+         SELECT count(*) AS n_rows, count(backfill) AS n_backfilled,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           min(source) AS min_source, max(source) AS max_source
+         FROM s""",
+    // Top-k file pruning must be invisible in the answers: the same
+    // ORDER BY ... LIMIT over the base table IS the oracle (the
+    // (ts, event_id) pair is a total order, so the cut is exact).
+    "q157_latest_k" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           event_type, value
+         FROM events
+         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+         LIMIT 50""",
     // CDC replication oracle: both sides replay to q131's final
     // (v2) content — feed-driven merge apply ≡ the source itself.
     "q135_cdc_replicate" ->

@@ -1306,7 +1306,7 @@ object TableLog {
     * only; NTZ would need a timezone convention and is excluded
     * rather than guessed), `string` (raw, ordered like Spark's own
     * min/max — UTF8 binary), `double`. */
-  private def zkindFor(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+  private[graft] def zkindFor(dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => Some("long")
@@ -1337,7 +1337,7 @@ object TableLog {
   /** Compare two serialized stats values IN THE KIND'S DOMAIN.
     * Strings compare as UTF8 binary — exactly how Spark's min/max
     * ordered them when the sidecar was written. */
-  private def zcmp(kind: String, a: String, b: String): Int = kind match {
+  private[graft] def zcmp(kind: String, a: String, b: String): Int = kind match {
     case "string" =>
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
@@ -1376,6 +1376,31 @@ object TableLog {
     * side of [[zbound]]). */
   private def zlit(v: Any): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.lit(v)
+
+  /** Parse a serialized stats value back to the CATALYST-INTERNAL
+    * value of the column's type — the inverse of [[zser]] for
+    * metadata-only aggregate answering (strings are UTF8String, dates
+    * epoch-day Ints, timestamps epoch-micro Longs; float bounds were
+    * stored widened through double, and the widening is exact, so
+    * narrowing back is too). Throws on a kind/type mismatch — callers
+    * verify the kind against [[zkindFor]] first. */
+  private[graft] def zparse(kind: String, s: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (kind, dt) match {
+      case ("long", ByteType) => s.toLong.toByte
+      case ("long", ShortType) => s.toLong.toShort
+      case ("long", IntegerType) => s.toLong.toInt
+      case ("long", LongType) => s.toLong
+      case ("date", DateType) => s.toLong.toInt
+      case ("timestamp", TimestampType) => s.toLong
+      case ("string", StringType) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case ("double", FloatType) => s.toDouble.toFloat
+      case ("double", DoubleType) => s.toDouble
+      case other => sys.error(s"TableLog.zparse: kind/type mismatch $other")
+    }
+  }
 
   /** One WHEN MATCHED clause of [[mergeIntoConditional]]. `cond` is a
     * boolean Spark-SQL expression over `t.*` (the target row) and
@@ -1628,11 +1653,15 @@ object TableLog {
     * the PRE-TYPED sidecar format, which recorded no column name —
     * the caller's key discipline was its contract), the value kind,
     * serialized bounds (None where stats are absent: a file of
-    * ALL-null keys has null min/max), and the null count (None =
-    * unknown, written before the stat existed). */
+    * ALL-null keys has null min/max), the null count (None =
+    * unknown, written before the stat existed), and the file's total
+    * row count (None on legacy rows). `nNulls == nRows` is the
+    * ALL-NULL proof: no row of the file can satisfy any interval or
+    * IS NOT NULL predicate on the column. */
   private[operators] final case class ZStat(file: String, scol: Option[String],
                                  kind: String, lo: Option[String],
-                                 hi: Option[String], nNulls: Option[Long])
+                                 hi: Option[String], nNulls: Option[Long],
+                                 nRows: Option[Long] = None)
 
   /** One collected read of the in-force zone-map sidecars at `asOf`,
     * both formats (mergeSchema unions their disjoint column sets:
@@ -1654,15 +1683,15 @@ object TableLog {
       zm.select(col("file"), opt("scol", "string"), opt("kind", "string"),
           opt("lo_s", "string"), opt("hi_s", "string"),
           opt("lo", "long").cast("string"), opt("hi", "long").cast("string"),
-          opt("n_nulls", "long"))
+          opt("n_nulls", "long"), opt("n_rows", "long"))
         .collect().map { r =>
           def s(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+          def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
           if (!r.isNullAt(2)) // typed row
             ZStat(r.getString(0), s(1), r.getString(2), s(3), s(4),
-              if (r.isNullAt(7)) None else Some(r.getLong(7)))
+              l(7), l(8))
           else // legacy long row
-            ZStat(r.getString(0), None, "long", s(5), s(6),
-              if (r.isNullAt(7)) None else Some(r.getLong(7)))
+            ZStat(r.getString(0), None, "long", s(5), s(6), l(7), l(8))
         }
     }
   }
@@ -1716,6 +1745,21 @@ object TableLog {
   /** `col IS NULL`: prunes files whose stats PROVE zero nulls on the
     * column (the n_nulls sidecar stat). */
   private[operators] final case class ZIsNull(scol: String) extends ZPredicate
+  /** `col IS NOT NULL`: prunes files whose stats PROVE every row is
+    * null on the column (`n_nulls == n_rows`). Catalyst pushes an
+    * IsNotNull beside nearly every comparison filter, so at 100 TB
+    * this silently skips the all-null files of a sparse optional
+    * column on EVERY query that touches it. */
+  private[operators] final case class ZIsNotNull(scol: String) extends ZPredicate
+  /** A DISJUNCTION of two translated conjunctions — `Or(l, r)` where
+    * BOTH sides translated (an untranslatable side would survive
+    * every file, making the whole Or prune nothing). A file survives
+    * when it survives EITHER side: pruning under Or is sound exactly
+    * when the file is provably missed by both branches. Covers the
+    * outside-a-window shape (`ts < a OR ts > b`) and cross-column
+    * disjunctions the In rewrite never sees. */
+  private[operators] final case class ZOr(left: Seq[ZPredicate],
+      right: Seq[ZPredicate]) extends ZPredicate
 
   /** Driver-side pruning hook for [[TableLogFileIndex]]: the files of
     * `active` that a CONJUNCTION of [[ZPredicate]]s may touch, against
@@ -1751,7 +1795,11 @@ object TableLog {
             case (Some(l), Some(h)) => ds.forall { case (qlo, qhi) =>
               qlo.exists(q => zcmp(kind, h, q) < 0) ||
                 qhi.exists(q => zcmp(kind, l, q) > 0) }
-            case _ => false
+            // an UNBOUNDED row (min/max absent) can still prove a
+            // miss: n_nulls == n_rows means every row is NULL, and
+            // NULL satisfies no interval — the all-null file of a
+            // sparse optional column prunes under any range on it
+            case _ => z.nRows.isDefined && z.nNulls == z.nRows
           }) => p
         }.toSet
         files.filterNot(pruned)
@@ -1763,6 +1811,22 @@ object TableLog {
           case z if z.scol.contains(c) && z.nNulls.contains(0L) => z.file
         }.toSet
         files.filterNot(allNonNull)
+      case (files, ZIsNotNull(c)) =>
+        // dual of IS NULL: n_nulls == n_rows proves EVERY row is null
+        // on the column, so no row satisfies IS NOT NULL
+        val allNull = zones.collect {
+          case z if z.scol.contains(c) && z.nRows.isDefined &&
+            z.nNulls == z.nRows => z.file
+        }.toSet
+        files.filterNot(allNull)
+      case (files, ZOr(l, r)) =>
+        // a file prunes under Or(l, r) iff it is provably missed by
+        // BOTH branches — survivors are the union of each branch's
+        // survivors over the same incoming set (each branch is itself
+        // a conjunction, recursively pruned)
+        val kl = pruneWithStats(files, zones, l).toSet
+        val kr = pruneWithStats(files, zones, r).toSet
+        files.filter(f => kl(f) || kr(f))
     }
 
   /** The stats columns a predicate-scoped REWRITE must re-declare for
@@ -1792,7 +1856,7 @@ object TableLog {
                             trustLegacy: Boolean): Set[String] =
     zones.filter(z => z.kind == kind &&
         (z.scol.contains(scol) || (z.scol.isEmpty && trustLegacy)))
-      .collect { case ZStat(p, _, _, Some(l), Some(h), Some(0L))
+      .collect { case ZStat(p, _, _, Some(l), Some(h), Some(0L), _)
         if zcmp(kind, l, qlo) >= 0 && zcmp(kind, h, qhi) <= 0 => p }
       .toSet
 

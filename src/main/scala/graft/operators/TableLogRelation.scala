@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In,
-  InSet, IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
+  InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or,
+  StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -28,12 +29,16 @@ import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType,
   * a literal (either orientation), `startswith(col, lit)`,
   * `col IN (lits)` / the optimizer's `InSet` rewrite (a point-interval
   * union — the batch-of-exact-keys probe the reference serves with a
-  * per-key Query loop, web_api.py:147-190), and `IS NULL` (via the
-  * sidecar's n_nulls stat) — into typed stats predicates, and ignores
-  * everything else (unknown predicates prune nothing; they still
-  * filter rows later, so correctness never depends on the
-  * translation). Open bounds are closed conservatively (`x > 5`
-  * prunes as `x >= 5`), which can only under-prune.
+  * per-key Query loop, web_api.py:147-190), `IS NULL` / `IS NOT NULL`
+  * (via the sidecar's n_nulls / n_rows stats — an all-null file
+  * proves no row matches any interval or IS NOT NULL), and `OR`
+  * disjunctions (a file prunes only when BOTH branches provably miss
+  * it; same-column branches collapse into one interval disjunction —
+  * the `ts < a OR ts > b` outside-a-window shape) — into typed stats
+  * predicates, and ignores everything else (unknown predicates prune
+  * nothing; they still filter rows later, so correctness never
+  * depends on the translation). Open bounds are closed conservatively
+  * (`x > 5` prunes as `x >= 5`), which can only under-prune.
   *
   * Scale shape: the index PINS the snapshot version at construction
   * (asOf = None resolves to the latest committed version THEN — a
@@ -67,7 +72,7 @@ class TableLogFileIndex(spark: SparkSession, root: String,
     * planning-path bottleneck this format exists to avoid. Files whose
     * entry predates the metadata field (or recorded the unknown
     * sentinel) fall back to a stat — for those files alone. */
-  private val active: Seq[(String, FileStatus)] =
+  protected lazy val active: Seq[(String, FileStatus)] =
     TableLog.activeFilesWithMeta(spark, root, Some(version))
       // `onlyBuckets` restricts the index to the named bucket dirs by
       // PATH TAG at construction — the merge read-back's scope (the
@@ -93,8 +98,196 @@ class TableLogFileIndex(spark: SparkSession, root: String,
 
   /** Zone stats collected ONCE — listFiles must not re-read sidecars
     * (a Spark job) inside every planning pass. */
-  private val zones: Array[TableLog.ZStat] =
+  protected lazy val zones: Array[TableLog.ZStat] =
     TableLog.collectZoneRows(spark, root, Some(version))
+
+  /** Per-active-file row counts from the typed zone sidecars, when
+    * EVERY active file is covered by exactly one consistent n_rows —
+    * the precondition for answering aggregates from metadata alone.
+    * One uncovered file (committed without a zone map, or a pre-
+    * n_rows sidecar) makes the whole answer unknowable: None. */
+  private lazy val fileRowCounts: Option[Map[String, Long]] = {
+    val byFile = zones.filter(_.nRows.isDefined).groupBy(_.file)
+    val counts = active.flatMap { case (rel, _) =>
+      byFile.get(rel).map(zs => rel -> zs.flatMap(_.nRows).distinct) }
+    if (counts.length == active.length && counts.forall(_._2.length == 1))
+      Some(counts.map { case (f, ns) => f -> ns.head }.toMap)
+    else None
+  }
+
+  /** The snapshot's EXACT row count from metadata alone — Some iff
+    * every active file carries a consistent n_rows stat. Delete
+    * sidecars never corrupt this: they compose as an anti-join ABOVE
+    * this relation, so a plan answering from the bare relation is by
+    * construction delete-free. */
+  private[graft] def statsRowCount: Option[Long] =
+    fileRowCounts.map(_.values.sum)
+
+  /** `count(col)` (non-null rows) from metadata: every active file
+    * must carry both n_rows and a consistent n_nulls for the column. */
+  private[graft] def statsNonNullCount(colName: String): Option[Long] =
+    fileRowCounts.flatMap { rc =>
+      val byFile = zones
+        .filter(z => z.scol.contains(colName) && z.nNulls.isDefined)
+        .groupBy(_.file)
+      val per = rc.toSeq.flatMap { case (f, n) =>
+        byFile.get(f).map(zs => zs.flatMap(_.nNulls).distinct.toSeq)
+          .collect { case Seq(nn) => n - nn } }
+      if (per.length == rc.size) Some(per.sum) else None
+    }
+
+  /** `min(col)`/`max(col)` from metadata, as CATALYST-INTERNAL values
+    * (UTF8String / epoch days / epoch micros): Some iff every active
+    * file carries a stats row of the column's kind. A file whose
+    * bounds are absent contributes nothing ONLY when its n_nulls ==
+    * n_rows proves it all-null (min/max skip nulls); absent bounds
+    * without that proof make the answer unknowable. All files
+    * all-null → (null, null), SQL's aggregate-over-no-values. */
+  private[graft] def statsMinMax(colName: String,
+      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] =
+    TableLog.zkindFor(dt).flatMap { kind =>
+      if (fileRowCounts.isEmpty) None
+      else {
+        val byFile = zones
+          .filter(z => z.scol.contains(colName) && z.kind == kind)
+          .groupBy(_.file)
+        // per file: Some(Some((lo, hi))) = bounded, Some(None) =
+        // proven all-null, None = unknowable
+        val per = active.map { case (rel, _) =>
+          byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
+            case Seq(z) => (z.lo, z.hi) match {
+              case (Some(l), Some(h)) => Some(Some((l, h)))
+              case _ if z.nRows.isDefined && z.nNulls == z.nRows =>
+                Some(None)
+              case _ => None
+            }
+            case _ => None // no row, or conflicting rows
+          }
+        }
+        if (per.exists(_.isEmpty)) None
+        else {
+          val bounded = per.flatten.flatten
+          if (bounded.isEmpty) Some((null, null))
+          else Some((
+            TableLog.zparse(kind,
+              bounded.map(_._1).min(Ordering.fromLessThan[String](
+                (a, b) => TableLog.zcmp(kind, a, b) < 0)), dt),
+            TableLog.zparse(kind,
+              bounded.map(_._2).max(Ordering.fromLessThan[String](
+                (a, b) => TableLog.zcmp(kind, a, b) < 0)), dt)))
+        }
+      }
+    }
+
+  /** Active-file count — [[graft.plans.MetadataTopK]]'s no-op guard
+    * (a rewrite that keeps every file must leave the plan unchanged,
+    * or the fixed-point batch would loop on churn). */
+  private[graft] def activeCount: Int = active.length
+
+  /** The files that can hold the k OUTERMOST rows under a sort on
+    * `colName` — the metadata side of `ORDER BY ... LIMIT k`
+    * ([[graft.plans.MetadataTopK]]): Some(keep) iff EVERY active file
+    * carries bounded stats of the column's kind (or the all-null
+    * proof) plus known n_rows/n_nulls. Walk files by their extreme
+    * bound in the sort direction, accumulate non-null rows to k; the
+    * prefix's worst bound t then caps the kth row's value, and files
+    * strictly outside t prove empty of top-k rows. Null rows ride the
+    * null ordering: the null block is served greedily from the
+    * fewest null-holding files. Ties at t keep both sides (`hi == t`
+    * survives), so ANY valid top-k under SQL's tie freedom is
+    * reachable from the kept set. At 100 TB, "the latest 100 events"
+    * on a time-clustered table reads O(1) files instead of
+    * heap-scanning every row of every file. */
+  private[graft] def topKSurvivors(colName: String,
+      dt: org.apache.spark.sql.types.DataType, k: Long,
+      desc: Boolean, nullsFirst: Boolean): Option[Set[String]] =
+    TableLog.zkindFor(dt).flatMap { kind =>
+      fileRowCounts.flatMap { rc =>
+        val byFile = zones
+          .filter(z => z.scol.contains(colName) && z.kind == kind)
+          .groupBy(_.file)
+        final case class F(rel: String, lo: Option[String],
+                           hi: Option[String], nonNull: Long, nulls: Long)
+        val per = active.map { case (rel, _) =>
+          byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
+            case Seq(z) if z.nNulls.isDefined =>
+              val nn = z.nNulls.get
+              val n = rc(rel)
+              (z.lo, z.hi) match {
+                case (Some(l), Some(h)) =>
+                  Some(F(rel, Some(l), Some(h), n - nn, nn))
+                case _ if nn == n => Some(F(rel, None, None, 0L, nn))
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        if (per.exists(_.isEmpty)) None
+        else {
+          val fs = per.flatten
+          val totalNulls = fs.map(_.nulls).sum
+          val totalNonNull = fs.map(_.nonNull).sum
+          // fewest null-holding files covering m null rows (any m null
+          // rows are interchangeable under the sort)
+          def nullPick(m: Long): Set[String] = {
+            var acc = 0L
+            fs.filter(_.nulls > 0).sortBy(-_.nulls)
+              .takeWhile { f => val need = acc < m; acc += f.nulls; need }
+              .map(_.rel).toSet
+          }
+          // the files that can hold the m outermost NON-NULL rows:
+          // prefix by extreme bound until m rows accumulate, then keep
+          // everything not strictly outside the prefix's worst bound
+          def valuePick(m: Long): Set[String] = {
+            val bounded = fs.filter(_.nonNull > 0)
+            val sorted =
+              if (desc) bounded.sortWith((a, b) =>
+                TableLog.zcmp(kind, a.hi.get, b.hi.get) > 0)
+              else bounded.sortWith((a, b) =>
+                TableLog.zcmp(kind, a.lo.get, b.lo.get) < 0)
+            var acc = 0L
+            val prefix = sorted
+              .takeWhile { f => val need = acc < m; acc += f.nonNull; need }
+            if (acc < m) bounded.map(_.rel).toSet // table smaller than m
+            else {
+              val ord = Ordering.fromLessThan[String](
+                (a, b) => TableLog.zcmp(kind, a, b) < 0)
+              val t = if (desc) prefix.map(_.lo.get).min(ord)
+                      else prefix.map(_.hi.get).max(ord)
+              bounded.filter(f =>
+                if (desc) TableLog.zcmp(kind, f.hi.get, t) >= 0
+                else TableLog.zcmp(kind, f.lo.get, t) <= 0)
+                .map(_.rel).toSet
+            }
+          }
+          Some(
+            if (nullsFirst) {
+              if (totalNulls >= k) nullPick(k)
+              else fs.filter(_.nulls > 0).map(_.rel).toSet ++
+                valuePick(k - totalNulls)
+            } else {
+              if (totalNonNull >= k) valuePick(k)
+              else fs.filter(_.nonNull > 0).map(_.rel).toSet ++
+                nullPick(k - totalNonNull)
+            })
+        }
+      }
+    }
+
+  /** A copy of this index serving only `keep` — same pinned version,
+    * same pre-collected zone stats, ZERO extra log or filesystem work
+    * (the lazy state is overridden, not recomputed). The restricted
+    * copy is itself a TableLogFileIndex, so pushed-filter pruning
+    * still applies inside the kept set, and a fixed-point re-match of
+    * the top-k rule sees keep == activeCount and leaves it alone. */
+  private[graft] def restrictedTo(keep: Set[String]): TableLogFileIndex = {
+    val a = active.filter { case (rel, _) => keep(rel) }
+    val z = zones
+    new TableLogFileIndex(spark, root, Some(version), bucketBy, onlyBuckets) {
+      override protected lazy val active: Seq[(String, FileStatus)] = a
+      override protected lazy val zones: Array[TableLog.ZStat] = z
+    }
+  }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 
@@ -111,13 +304,15 @@ class TableLogFileIndex(spark: SparkSession, root: String,
     * ranges for comparisons, POINT-INTERVAL UNIONS for `In`/`InSet`
     * (the batch-of-exact-keys probe: on a range-clustered table,
     * `col(key).isin(k1..kn)` prunes to the few files containing those
-    * points), and null-count pruning for `IsNull`. Only shapes whose
-    * literal type has a stats kind translate; everything else is
-    * ignored (= prunes nothing, never wrong). Inside an IN list a
-    * NULL element matches nothing (three-valued IN) and is soundly
-    * dropped; any OTHER untranslatable element abandons the whole
-    * predicate — pruning by the translated subset alone could drop a
-    * file whose rows match the untranslated value. */
+    * points), null-count pruning for `IsNull`/`IsNotNull`, and `Or`
+    * trees (sound only when both branches translate — see
+    * [[TableLog.ZOr]]). Only shapes whose literal type has a stats
+    * kind translate; everything else is ignored (= prunes nothing,
+    * never wrong). Inside an IN list a NULL element matches nothing
+    * (three-valued IN) and is soundly dropped; any OTHER
+    * untranslatable element abandons the whole predicate — pruning by
+    * the translated subset alone could drop a file whose rows match
+    * the untranslated value. */
   private[operators] def rangesOf(filters: Seq[Expression])
       : Seq[TableLog.ZPredicate] = {
     def kindRepr(dt: org.apache.spark.sql.types.DataType,
@@ -139,10 +334,6 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       case (DoubleType, x) => Some(("double", x.toString))
       case _ => None
     }
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case other => Seq(other)
-    }
     def one(name: String, k: String, lo: Option[String],
             hi: Option[String]): TableLog.ZPredicate =
       TableLog.ZIntervals(name, k, Seq((lo, hi)))
@@ -163,7 +354,7 @@ class TableLogFileIndex(spark: SparkSession, root: String,
           pts.map { case (_, r) => (Some(r), Some(r)) }))
       }
     }
-    filters.flatMap(split).flatMap {
+    def leaf(e: Expression): Option[TableLog.ZPredicate] = e match {
       case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
         kindRepr(dt, v).map { case (k, r) => one(a.name, k, Some(r), None) }
       case GreaterThan(a: Attribute, Literal(v, dt)) =>
@@ -204,8 +395,36 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       case InSet(a: Attribute, hset) =>
         inPred(a, hset.toSeq.map(v => (v, a.dataType)))
       case IsNull(a: Attribute) => Some(TableLog.ZIsNull(a.name))
+      // Catalyst pushes an IsNotNull beside nearly every comparison:
+      // files PROVEN all-null on the column (n_nulls == n_rows) drop
+      case IsNotNull(a: Attribute) => Some(TableLog.ZIsNotNull(a.name))
       case _ => None
     }
+    // And splits into a conjunction. Or translates only when BOTH
+    // sides produced at least one predicate — an untranslated side
+    // survives every file, so the whole Or would prune nothing; a
+    // side translating PARTIALLY (one conjunct of an And) stays sound
+    // because dropping a conjunct only loosens that branch. Two
+    // single-interval branches on the SAME (column, kind) collapse
+    // into one interval DISJUNCTION (`ts < a OR ts > b`, the
+    // outside-a-window shape, prunes in the same one zone-row pass as
+    // an IN); everything else becomes a recursive [[TableLog.ZOr]]
+    // whose survivors are the union of its branches' survivors.
+    def translate(e: Expression): Seq[TableLog.ZPredicate] = e match {
+      case And(l, r) => translate(l) ++ translate(r)
+      case Or(l, r) =>
+        (translate(l), translate(r)) match {
+          case (Seq(TableLog.ZIntervals(c1, k1, d1)),
+                Seq(TableLog.ZIntervals(c2, k2, d2)))
+              if c1 == c2 && k1 == k2 =>
+            Seq(TableLog.ZIntervals(c1, k1, d1 ++ d2))
+          case (lp, rp) if lp.nonEmpty && rp.nonEmpty =>
+            Seq(TableLog.ZOr(lp, rp))
+          case _ => Nil
+        }
+      case other => leaf(other).toSeq
+    }
+    filters.flatMap(translate)
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -243,6 +462,23 @@ class TableLogFileIndex(spark: SparkSession, root: String,
 }
 
 object TableLogRelation {
+
+  /** Enable METADATA-ONLY AGGREGATES for this session: a global
+    * `count(*)`/`count(col)`/`min(col)`/`max(col)` over a
+    * [[snapshotDf]] relation answers from the zone-map sidecars with
+    * ZERO files scanned when every active file is stats-covered —
+    * see [[graft.plans.MetadataOnlyAgg]] for the soundness gates.
+    * Idempotent; per-session (`experimental.extraOptimizations`). */
+  def enableMetadataOnlyAggregates(spark: SparkSession): Unit =
+    graft.plans.MetadataOnlyAggSupport.enable(spark)
+
+  /** Enable TOP-K FILE PRUNING for this session: a global
+    * `ORDER BY col [DESC] LIMIT k` over a [[snapshotDf]] relation
+    * reads only the files that can hold the k outermost rows — see
+    * [[graft.plans.MetadataTopK]] for the soundness gates. Idempotent;
+    * per-session (`experimental.extraOptimizations`). */
+  def enableMetadataTopK(spark: SparkSession): Unit =
+    graft.plans.MetadataTopKSupport.enable(spark)
 
   /** The snapshot at `asOf` as a PLANNER-PRUNED relation: filters on
     * any stats-covered column skip files inside Catalyst (the

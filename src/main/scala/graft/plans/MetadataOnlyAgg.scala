@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+  Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
+  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+import graft.operators.TableLogFileIndex
+
+/** METADATA-ONLY AGGREGATES over a [[graft.operators.TableLog]]
+  * snapshot — the Delta `OptimizeMetadataOnlyQuery`/aggregate-pushdown
+  * analog as a Catalyst [[Rule]]: a global (no GROUP BY, no filter)
+  * `count(*)` / `count(col)` / `min(col)` / `max(col)` over a
+  * [[graft.operators.TableLogRelation.snapshotDf]] relation collapses
+  * to a [[LocalRelation]] holding the answer computed from the log's
+  * typed zone-map sidecars — ZERO files scanned. At 100 TB,
+  * `SELECT max(ts) FROM table` (every incremental consumer's
+  * high-water-mark probe — the reference's consumer.py asks exactly
+  * this of its checkpoint) and `SELECT count(*)` (every pipeline's
+  * sanity gate) answer in O(#files) driver metadata that the relation
+  * ALREADY collected at construction, instead of a full scan.
+  *
+  * Soundness gates — the rewrite fires ONLY when the answer is exact:
+  *  - the plan is literally `Aggregate(no grouping)` over (a
+  *    pass-through column-pruning [[Project]] over) a
+  *    [[TableLogFileIndex]] relation. A Filter, a delete-sidecar
+  *    anti-join, a sample — anything between — breaks the shape and
+  *    the scan proceeds normally;
+  *  - every aggregate is an undistinct, unfiltered `count(lit)`,
+  *    `count(attr)`, `min(attr)` or `max(attr)` (plus constant
+  *    columns); one unanswerable expression abandons the whole
+  *    rewrite;
+  *  - the index proves EVERY active file covered: a consistent
+  *    n_rows for counts, a stats row of the column's kind (or an
+  *    all-null proof) for min/max — one uncovered file → no rewrite
+  *    (see [[TableLogFileIndex.statsRowCount]] /
+  *    `statsNonNullCount` / `statsMinMax`).
+  *
+  * Registered per-session via
+  * [[graft.operators.TableLogRelation.enableMetadataOnlyAggregates]]
+  * (`spark.experimental.extraOptimizations` — the public runtime seam
+  * for extra optimizer rules; idempotent). Stats rows are written by
+  * the same pass that writes the data files, so trusting them here is
+  * exactly the trust every pruned read already extends. */
+object MetadataOnlyAgg extends Rule[LogicalPlan] {
+
+  /** The TableLogFileIndex under `plan`, looking through pass-through
+    * projections only (a Project never drops rows; anything else —
+    * Filter, Join, Sample — must keep the scan). */
+  private def indexOf(plan: LogicalPlan): Option[TableLogFileIndex] =
+    plan match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case t: TableLogFileIndex => Some(t)
+          case _ => None
+        }
+        case _ => None
+      }
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        indexOf(child)
+      case _ => None
+    }
+
+  /** Answer one output expression from the index's stats, or None.
+    * The returned value is CATALYST-INTERNAL (UTF8String etc.) and
+    * may be `null` (min/max over an all-null or empty table). */
+  private def answer(e: NamedExpression,
+                     idx: TableLogFileIndex): Option[Any] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null => idx.statsRowCount
+        case Count(Seq(a: AttributeReference)) =>
+          idx.statsNonNullCount(a.name)
+        case Min(a: AttributeReference) =>
+          idx.statsMinMax(a.name, a.dataType).map(_._1)
+        case Max(a: AttributeReference) =>
+          idx.statsMinMax(a.name, a.dataType).map(_._2)
+        case _ => None
+      }
+    case Alias(Literal(v, _), _) => Some(v)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      indexOf(child) match {
+        case None => agg
+        case Some(idx) =>
+          val answers = aggExprs.map(e => answer(e, idx))
+          if (answers.exists(_.isEmpty)) agg
+          else LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(answers.map(_.get))))
+      }
+  }
+}
+
+/** [[SparkSession.experimental.extraOptimizations]] registration —
+  * kept beside the rule so callers outside `graft.operators` have a
+  * public entry point. */
+object MetadataOnlyAggSupport {
+  /** Idempotently add [[MetadataOnlyAgg]] to the session's extra
+    * optimizer rules. */
+  def enable(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(MetadataOnlyAgg))
+      spark.experimental.extraOptimizations = cur :+ MetadataOnlyAgg
+  }
+}

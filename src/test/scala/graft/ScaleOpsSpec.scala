@@ -2633,15 +2633,17 @@ class ScaleOpsSpec extends AnyFunSuite {
       } finally w.close()
     }
     val expectBytes = realBytes
-    // 2) index construction: ZERO getFileStatus calls on data files —
-    //    statuses come from the log (the 100×-scale planning path)
+    // 2) building the status set (lazy; forced by the first planning
+    //    use, here sizeInBytes): ZERO getFileStatus calls on data
+    //    files — statuses come from the log (the 100×-scale planning
+    //    path). sizeInBytes is the log's answer, matching the disk
+    //    exactly.
     CountingLocalFs.reset()
     val idx = new TableLogFileIndex(spark0, root, None)
-    assert(CountingLocalFs.dataFileStats() === 0,
-      s"index construction stat-ed ${CountingLocalFs.dataFileStats()} " +
-        "data files — per-file metadata must come from the log")
-    // 3) sizeInBytes is the log's answer and matches the disk exactly
     assert(idx.sizeInBytes === expectBytes)
+    assert(CountingLocalFs.dataFileStats() === 0,
+      s"status-set build stat-ed ${CountingLocalFs.dataFileStats()} " +
+        "data files — per-file metadata must come from the log")
     // 4) scans through the synthetic statuses read correctly (a wrong
     //    logged length would truncate or over-read a parquet footer)
     val snap = TableLogRelation.snapshotDf(spark0, root)
@@ -2653,9 +2655,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     TableLog.expireLog(spark0, root, TableLog.writeCheckpoint(spark0, root))
     CountingLocalFs.reset()
     val idx2 = new TableLogFileIndex(spark0, root, None)
+    assert(idx2.sizeInBytes === expectBytes)
     assert(CountingLocalFs.dataFileStats() === 0,
       "checkpoint must carry filesMeta — post-expiry builds re-stat nothing")
-    assert(idx2.sizeInBytes === expectBytes)
     // 6) legacy fallback: strip addmeta from the checkpoint (an old
     //    writer's artifact) — the index falls back to one stat per
     //    meta-less file and keeps serving the same answers
@@ -2665,10 +2667,10 @@ class ScaleOpsSpec extends AnyFunSuite {
     java.nio.file.Files.write(ckpt, stripped.getBytes("UTF-8"))
     CountingLocalFs.reset()
     val idx3 = new TableLogFileIndex(spark0, root, None)
+    assert(idx3.sizeInBytes === expectBytes)
     val nActive = TableLog.activeFiles(spark0, root).length
     assert(CountingLocalFs.dataFileStats() === nActive,
       "meta-less files must fall back to exactly one stat each")
-    assert(idx3.sizeInBytes === expectBytes)
     assert(TableLogRelation.snapshotDf(spark0, root).count() === 450L)
   }
 
@@ -2738,6 +2740,265 @@ class ScaleOpsSpec extends AnyFunSuite {
     val nsNull = snap.filter(col("maybe") <=> lit(null))
     assert(nsNull.count() === 50L)
     assert(scannedFiles(nsNull) <= 2)
+  }
+
+  test("TableLogFileIndex: OR disjunctions, IS NOT NULL, and the all-null-file proof prune files") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_or").toString + "/t"
+    // 400 rows in 8 range-clustered files of 50 on skey; `maybe` is
+    // NULL for rows 0-49 — exactly the lowest file is ALL-null on it
+    val df = (0L until 400L).map { i =>
+      (i, f"k$i%04d", if (i < 50) null else f"v$i%04d", s"t$i")
+    }.toDF("doc_id", "skey", "maybe", "text")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "skey", 8,
+      statsCols = Seq("doc_id", "maybe"))
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    assert(files.length === 8)
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // 1) the outside-a-window shape, same column on both sides: the
+    //    two branch intervals collapse into ONE zone disjunction —
+    //    only the bottom and top files survive
+    val outside = snap.filter(col("skey") < "k0010" || col("skey") > "k0389")
+    assert(outside.count() === 20L)
+    assert(scannedFiles(outside) === 2L,
+      s"outside-window OR scanned ${scannedFiles(outside)} of 8 files")
+    // 2) a CROSS-COLUMN disjunction: a file survives iff either
+    //    branch may touch it — both branches hit only an edge file
+    val cross = snap.filter(col("skey") < "k0010" || col("doc_id") > 389L)
+    assert(cross.count() === 20L)
+    assert(scannedFiles(cross) === 2L,
+      s"cross-column OR scanned ${scannedFiles(cross)} of 8 files")
+    // 3) an OR with an untranslatable branch prunes NOTHING (the
+    //    branch could match anywhere) — but answers stay correct
+    val opaque = snap.filter(col("skey") < "k0010" ||
+      length(col("text")) > lit(1000))
+    assert(opaque.count() === 10L)
+    assert(scannedFiles(opaque) === 8L,
+      "an untranslatable OR branch must disable pruning, not lose rows")
+    // 4) IS NOT NULL prunes the PROVEN all-null file (n_nulls ==
+    //    n_rows); Catalyst pushes this shape beside nearly every
+    //    comparison filter
+    val notNull = snap.filter(col("maybe").isNotNull)
+    assert(notNull.count() === 350L)
+    assert(scannedFiles(notNull) === 7L,
+      "the all-null file must prune under IS NOT NULL")
+    // 5) an interval on the all-null column ALSO prunes that file:
+    //    its stats row has no bounds, but n_nulls == n_rows proves no
+    //    row can satisfy any range
+    val range = snap.filter(col("maybe") >= "v0350")
+    assert(range.count() === 50L)
+    assert(scannedFiles(range) <= 2L,
+      s"all-null + out-of-range files must prune (scanned ${scannedFiles(range)})")
+    // 6) nested: And under Or — the translatable conjunct of each
+    //    branch still prunes
+    val nested = snap.filter(
+      (col("skey") < "k0010" && length(col("text")) < lit(1000)) ||
+        (col("skey") > "k0389" && col("doc_id") > 200L))
+    assert(nested.count() === 20L)
+    assert(scannedFiles(nested) === 2L,
+      s"nested And-under-Or scanned ${scannedFiles(nested)} of 8 files")
+  }
+
+  test("MetadataOnlyAgg: count/min/max answer from the log with ZERO files scanned; every guard keeps the scan") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    TableLogRelation.enableMetadataOnlyAggregates(spark0)
+    // double-enable must not double-register
+    TableLogRelation.enableMetadataOnlyAggregates(spark0)
+    assert(spark0.experimental.extraOptimizations
+      .count(_ == graft.plans.MetadataOnlyAgg) === 1)
+    val root = Files.createTempDirectory("graft_tablelog_magg").toString + "/t"
+    val df = (0L until 400L).map { i =>
+      (i, f"k$i%04d", if (i < 50) null else f"v$i%04d",
+        (i / 10.0).toFloat, s"t$i")
+    }.toDF("doc_id", "skey", "maybe", "score", "text")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "skey", 8,
+      statsCols = Seq("doc_id", "maybe", "score"))
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+
+    def fileScans(qdf: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case _: FileSourceScanExec => 1
+        case o => (o.children ++ o.subqueries).map(scans).sum
+      }
+      qdf.collect(); scans(qdf.queryExecution.executedPlan)
+    }
+
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // 1) the full answerable battery in one Aggregate — collapses to
+    //    a LocalRelation, zero scans
+    val m = snap.agg(count(lit(1)).as("n"), count(col("maybe")).as("nn"),
+      min(col("skey")).as("lo"), max(col("skey")).as("hi"),
+      min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi"),
+      min(col("score")).as("slo"), max(col("score")).as("shi"))
+    val r = m.collect()(0)
+    assert(r.getLong(0) === 400L)
+    assert(r.getLong(1) === 350L, "count(maybe) must skip the 50 nulls")
+    assert(r.getString(2) === "k0000" && r.getString(3) === "k0399")
+    assert(r.getLong(4) === 0L && r.getLong(5) === 399L)
+    assert(r.getFloat(6) === 0.0f && r.getFloat(7) === 39.9f,
+      "float min/max must narrow back through the double widening")
+    assert(fileScans(m) === 0,
+      "a fully stats-covered global aggregate must scan ZERO files")
+    // Dataset.count() rides the same rewrite
+    assert(snap.count() === 400L)
+    // 2) guards — each keeps the scan AND the right answer:
+    //    a filter between aggregate and relation
+    val g1 = snap.filter(col("doc_id") >= 200L).agg(count(lit(1)).as("n"))
+    assert(g1.collect()(0).getLong(0) === 200L)
+    assert(fileScans(g1) > 0, "a filtered aggregate must scan")
+    //    a distinct aggregate
+    val g2 = snap.agg(countDistinct(col("skey")).as("n"))
+    assert(g2.collect()(0).getLong(0) === 400L)
+    assert(fileScans(g2) > 0, "count DISTINCT must scan")
+    //    min/max on a column without stats
+    val g3 = snap.agg(max(col("text")).as("m"))
+    assert(g3.collect()(0).getString(0) === "t99")
+    assert(fileScans(g3) > 0, "max on an uncovered column must scan")
+    //    GROUP BY
+    val g4 = snap.groupBy(col("maybe").isNull.as("k")).agg(count(lit(1)).as("n"))
+    assert(g4.collect().map(r0 => (r0.getBoolean(0), r0.getLong(1))).toMap
+      === Map(true -> 50L, false -> 350L))
+    assert(fileScans(g4) > 0, "GROUP BY must scan")
+    // 3) one file WITHOUT stats makes row counts unknowable → scan
+    val extra = Seq((9999L, "k9999", "v9999", 1.0f, "tx"))
+      .toDF("doc_id", "skey", "maybe", "score", "text").coalesce(1)
+    TableLog.commit(spark0, root, TableLog.stageWrite(extra, root, "plain"), Nil)
+    val snap2 = TableLogRelation.snapshotDf(spark0, root)
+    val g5 = snap2.agg(count(lit(1)).as("n"))
+    assert(g5.collect()(0).getLong(0) === 401L)
+    assert(fileScans(g5) > 0, "an uncovered file must force the scan")
+    // 4) delete sidecars compose as an anti-join ABOVE the relation —
+    //    the shape never matches, the answer stays exact
+    TableLog.commitDeletes(spark0.range(1).select(lit(9999L).as("doc_id")),
+      root, "purge")
+    val snap3 = TableLogRelation.snapshotDf(spark0, root, idCol = Some("doc_id"))
+    val g6 = snap3.agg(count(lit(1)).as("n"))
+    assert(g6.collect()(0).getLong(0) === 400L)
+    assert(fileScans(g6) > 0, "delete sidecars must force the scan")
+    // 5) an ALL-NULL covered column answers (null, null) — SQL's
+    //    aggregate-over-no-values — from metadata alone
+    val root2 = Files.createTempDirectory("graft_tablelog_magg2").toString + "/t"
+    val allNull = (0L until 100L).map(i => (i, None: Option[String]))
+      .toDF("doc_id", "maybe")
+    val (f2, z2) = TableLog.stageWithZoneMap(allNull, root2, "base", "doc_id", 2,
+      statsCols = Seq("maybe"))
+    TableLog.commit(spark0, root2, f2, Nil, zmap = z2)
+    val m2 = TableLogRelation.snapshotDf(spark0, root2)
+      .agg(min(col("maybe")).as("lo"), max(col("maybe")).as("hi"),
+        count(col("maybe")).as("nn"))
+    val r2 = m2.collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1) && r2.getLong(2) === 0L)
+    assert(fileScans(m2) === 0,
+      "an all-null covered column must still answer from metadata")
+  }
+
+  test("MetadataTopK: ORDER BY ... LIMIT k reads only the files that can hold the top k") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    TableLogRelation.enableMetadataTopK(spark0)
+    TableLogRelation.enableMetadataTopK(spark0)
+    assert(spark0.experimental.extraOptimizations
+      .count(_ == graft.plans.MetadataTopK) === 1)
+    // the top-k rewrite RESTRICTS the relation's own file listing —
+    // measure that listing (scan metrics reset on re-collect for this
+    // exchange-free plan shape; the location is the plan-time truth)
+    def keptFiles(qdf: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+        case q: QueryStageExec => findScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => (o.children ++ o.subqueries).flatMap(findScans)
+      }
+      val scans = findScans(qdf.queryExecution.executedPlan)
+        .filter(_.relation.location.isInstanceOf[graft.operators.TableLogFileIndex])
+      assert(scans.nonEmpty, "no TableLogFileIndex scan in the plan")
+      scans.map(_.relation.location.inputFiles.length.toLong).sum
+    }
+    val root = Files.createTempDirectory("graft_tablelog_topk").toString + "/t"
+    val df = (0L until 400L).map { i =>
+      (i, f"k$i%04d", if (i < 50) null else f"v$i%04d", s"t$i")
+    }.toDF("doc_id", "skey", "maybe", "text")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "skey", 8,
+      statsCols = Seq("doc_id", "maybe"))
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // 1) the latest-k probe: top 10 by skey desc live in ONE file
+    val top10 = snap.orderBy(col("skey").desc).limit(10)
+    assert(top10.select("skey").as[String].collect().toSeq ===
+      (390L until 400L).reverse.map(i => f"k$i%04d"))
+    assert(keptFiles(top10) === 1L,
+      s"top-10 desc scanned ${keptFiles(top10)} of 8 files")
+    // 2) ascending, limit crossing one file boundary → two files
+    val asc60 = snap.orderBy(col("skey")).limit(60)
+    assert(asc60.select("skey").as[String].collect().toSeq ===
+      (0L until 60L).map(i => f"k$i%04d"))
+    assert(keptFiles(asc60) === 2L,
+      s"asc-60 scanned ${keptFiles(asc60)} of 8 files")
+    // 3) MULTI-column order: the first key alone gates pruning (a
+    //    dropped file is strictly below the kth row's first key, so
+    //    no tie-break can reach it)
+    val multi = snap.orderBy(col("skey").desc, col("doc_id")).limit(10)
+    assert(multi.count() === 10L)
+    assert(keptFiles(multi) === 1L)
+    // 4) nulls ride the null ordering: asc on `maybe` defaults to
+    //    NULLS FIRST, and the 30 nulls all live in the one all-null
+    //    file — exactly that file is read
+    val nullsTop = snap.orderBy(col("maybe")).limit(30)
+    val got = nullsTop.collect()
+    assert(got.length === 30 && got.forall(_.isNullAt(2)))
+    assert(keptFiles(nullsTop) === 1L,
+      "a nulls-first limit within the null count must read only null files")
+    //    desc on `maybe` (NULLS LAST): the top values prune to the
+    //    high file even though another file is all-null
+    val descM = snap.orderBy(col("maybe").desc).limit(10)
+    assert(descM.select("maybe").as[String].collect().toSeq ===
+      (390L until 400L).reverse.map(i => f"v$i%04d"))
+    assert(keptFiles(descM) === 1L)
+    // 5) guards: a limit spanning the table keeps every file; a
+    //    filter between Limit∘Sort and the relation blocks the
+    //    rewrite (the row arithmetic would be wrong) but answers stay
+    //    exact
+    val all = snap.orderBy(col("skey")).limit(1000)
+    assert(all.count() === 400L)
+    assert(keptFiles(all) === 8L)
+    val filtered = snap.filter(col("doc_id") >= 100L)
+      .orderBy(col("skey")).limit(5)
+    assert(filtered.select("skey").as[String].collect().toSeq ===
+      (100L until 105L).map(i => f"k$i%04d"))
+    // 6) a TIE at the kth row's bound keeps both sides: two files
+    //    sharing the boundary value must both survive
+    val root2 = Files.createTempDirectory("graft_tablelog_topk2").toString + "/t"
+    val (fA, zA) = TableLog.stageWithZoneMap(
+      (0L to 9L).map(i => (i, s"a$i")).toDF("v", "tag"), root2, "a", "v", 1)
+    TableLog.commit(spark0, root2, fA, Nil, zmap = zA)
+    val (fB, zB) = TableLog.stageWithZoneMap(
+      (9L to 15L).map(i => (i, s"b$i")).toDF("v", "tag"), root2, "b", "v", 1)
+    TableLog.commit(spark0, root2, fB, Nil, zmap = zB)
+    val snap2 = TableLogRelation.snapshotDf(spark0, root2)
+    val tied = snap2.orderBy(col("v").desc).limit(7)
+    assert(tied.select("v").as[Long].collect().toSeq ===
+      Seq(15L, 14L, 13L, 12L, 11L, 10L, 9L))
+    assert(keptFiles(tied) === 2L,
+      "the file whose max TIES the kth row's bound must survive")
+    // 7) one uncovered file → no restriction, exact answers
+    val extra = Seq((500L, "k0500", "v0500", "tx"))
+      .toDF("doc_id", "skey", "maybe", "text").coalesce(1)
+    TableLog.commit(spark0, root, TableLog.stageWrite(extra, root, "plain"), Nil)
+    val snap3 = TableLogRelation.snapshotDf(spark0, root)
+    val g = snap3.orderBy(col("skey").desc).limit(1)
+    assert(g.select("skey").as[String].collect().toSeq === Seq("k0500"))
+    assert(keptFiles(g) === 9L, "an uncovered file must disable top-k pruning")
   }
 
   test("float zone maps: pushed literals widen through double — the 1.3f boundary file is never wrongly pruned") {
