@@ -2713,6 +2713,38 @@ object SparkEntry {
         col("event_type"), col("value"))
   }
 
+  /** The FORMAT FACE end to end ([[graft.sources.TableLogSource]]):
+    * the table format driven purely through `df.write.format(...)` /
+    * `spark.read.format(...)` — create clustered with zone maps via
+    * writer options, append a second commit, then TIME-TRAVEL back to
+    * version 0 with `versionAsOf` and range-probe it. The reader
+    * returns the SAME planner-pruned TableLogFileIndex relation as
+    * snapshotDf (one read path, spec-pinned), so skipping and the
+    * metadata rules apply to a user who never imports graft code.
+    * Oracle: version 0's content (the %3≠0 subset) under the same
+    * range filter. */
+  private val q158Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q158: Q = (s, d) => {
+    val root = cachedTmpArtifact(q158Cache, d, "graft_q158_fmt") { p =>
+      val docs = Tables.documents(s, d).withColumn("skey",
+        concat(lit("k"), lpad(col("doc_id").cast("string"), 9, "0")))
+      docs.filter(col("doc_id") % 3 =!= 0).write
+        .format("graft.sources.TableLogSource")
+        .option("clusterBy", "skey").option("parts", "16")
+        .option("statsCols", "doc_id")
+        .save(p) // version 0
+      docs.filter(col("doc_id") % 3 === 0).write
+        .format("graft.sources.TableLogSource")
+        .mode("append").save(p) // version 1
+    }
+    s.read.format("graft.sources.TableLogSource")
+      .option("versionAsOf", "0").load(root)
+      .filter(col("doc_id").between(100L, 399L))
+      .select(col("doc_id"), col("skey"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -3295,6 +3327,7 @@ object SparkEntry {
     "q155_sparse_notnull_scan" -> q155,
     "q156_meta_agg" -> q156,
     "q157_latest_k" -> q157,
+    "q158_format_face" -> q158,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5625,6 +5658,15 @@ object SparkEntry {
          FROM events
          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
          LIMIT 50""",
+    // The format face is plumbing, not semantics: version 0's
+    // content (the %3<>0 subset) under the same range filter.
+    "q158_format_face" ->
+      """SELECT doc_id,
+           'k' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS skey,
+           text, lang, source, n_chars
+         FROM documents
+         WHERE doc_id % 3 <> 0 AND doc_id BETWEEN 100 AND 399
+         ORDER BY doc_id""",
     // CDC replication oracle: both sides replay to q131's final
     // (v2) content — feed-driven merge apply ≡ the source itself.
     "q135_cdc_replicate" ->

@@ -105,6 +105,31 @@ object TableLog {
   def versions(spark: SparkSession, root: String): Seq[Long] =
     versionsIn(fs(spark, root), root)
 
+  /** The LATEST version committed at or before `tsMillis` — Delta's
+    * `timestampAsOf` resolution, from the commit files' own
+    * modification times (the entry lands atomically at commit, so its
+    * mtime IS the commit time; same contract and same caveat as
+    * Delta's: times come from the filesystem, so a clock-skewed
+    * writer skews history). Only versions whose entry file is still
+    * retained resolve — log expiry trades old timestamps away with
+    * the old entries; refuses loudly when `tsMillis` predates every
+    * retained commit (asking for a time before the table existed or
+    * before retention) rather than silently serving a later state. */
+  def versionAtTime(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val f = fs(spark, root)
+    val stamped = versionsIn(f, root).flatMap { v =>
+      val p = entryPath(root, v)
+      if (f.exists(p)) Some(v -> f.getFileStatus(p).getModificationTime)
+      else None // checkpoint-only version: its commit time is expired
+    }
+    val at = stamped.filter(_._2 <= tsMillis).map(_._1)
+    require(at.nonEmpty,
+      s"TableLog.versionAtTime: no retained commit at or before " +
+        s"$tsMillis in $root (earliest retained: " +
+        s"${stamped.map(_._2).minOption.getOrElse("none")})")
+    at.max
+  }
+
   /** Log paths must stay parseable by the line-oriented entry format:
     * no commas, quotes, brackets or whitespace — enforced at commit
     * time rather than silently garbled at read time. */

@@ -283,10 +283,14 @@ class TableLogFileIndex(spark: SparkSession, root: String,
   private[graft] def restrictedTo(keep: Set[String]): TableLogFileIndex = {
     val a = active.filter { case (rel, _) => keep(rel) }
     val z = zones
-    new TableLogFileIndex(spark, root, Some(version), bucketBy, onlyBuckets) {
+    // a NAMED subclass so `.explain` prints a readable Location line
+    // (an anonymous class has an empty simple name)
+    class TopKRestrictedFileIndex extends TableLogFileIndex(
+        spark, root, Some(version), bucketBy, onlyBuckets) {
       override protected lazy val active: Seq[(String, FileStatus)] = a
       override protected lazy val zones: Array[TableLog.ZStat] = z
     }
+    new TopKRestrictedFileIndex
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
@@ -510,15 +514,17 @@ object TableLogRelation {
     * this reads more than the named buckets, never less. A caller
     * that needs bucket-exclusive scope must require the fully
     * bucketed layout first, exactly as the merges do. */
-  def snapshotDf(spark: SparkSession, root: String,
-                 asOf: Option[Long] = None,
-                 idCol: Option[String] = None,
-                 bucketBy: Option[(String, Int)] = None,
-                 onlyBuckets: Option[Set[Int]] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
+  /** The pinned-version (index, HadoopFsRelation) pair [[snapshotDf]]
+    * plans from — shared with the `spark.read.format` face
+    * ([[graft.sources.TableLogSource]]), which must return a
+    * [[HadoopFsRelation]] (a BaseRelation) rather than a DataFrame. */
+  private[graft] def relationAt(spark: SparkSession, root: String,
+      asOf: Option[Long],
+      bucketBy: Option[(String, Int)] = None,
+      onlyBuckets: Option[Set[Int]] = None)
+      : (TableLogFileIndex, HadoopFsRelation) = {
     val index = new TableLogFileIndex(spark, root, asOf, bucketBy, onlyBuckets)
-    val at = Some(index.version)
-    val schema = TableLog.logSchema(spark, root, at).getOrElse {
+    val schema = TableLog.logSchema(spark, root, Some(index.version)).getOrElse {
       // no declared schema: take the files' own uniform schema from
       // ONE footer (files are immutable, a commit's files share one);
       // the index already replayed the log — reuse its refs
@@ -527,8 +533,18 @@ object TableLogRelation {
         s"TableLogRelation: no active files at $root asOf=$asOf")
       spark.read.parquet(TableLog.resolve(root, files.head)).schema
     }
-    val rel = HadoopFsRelation(index, StructType(Nil), schema, None,
-      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    (index, HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark))
+  }
+
+  def snapshotDf(spark: SparkSession, root: String,
+                 asOf: Option[Long] = None,
+                 idCol: Option[String] = None,
+                 bucketBy: Option[(String, Int)] = None,
+                 onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (index, rel) = relationAt(spark, root, asOf, bucketBy, onlyBuckets)
+    val at = Some(index.version)
     val base = org.apache.spark.sql.graftbridge.BridgePlans.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       LogicalRelation(rel, isStreaming = false))

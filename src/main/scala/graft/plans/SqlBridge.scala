@@ -28,4 +28,17 @@ object BridgePlans {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+
+  /** A plain DataFrame over already-internal rows —
+    * `internalCreateDataFrame` is `private[sql]`. The V1 streaming
+    * Sink re-batching path needs it: the Dataset a Sink receives is
+    * planned incrementally, so re-planning ops (persist, count) on it
+    * re-trigger the source; lifting its physical rows into a fresh
+    * frame once makes every downstream op safe. */
+  def fromInternalRows(spark: org.apache.spark.sql.classic.SparkSession,
+                       rows: org.apache.spark.rdd.RDD[
+                         org.apache.spark.sql.catalyst.InternalRow],
+                       schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.internalCreateDataFrame(rows, schema)
 }

@@ -85,4 +85,50 @@ object TableIngest {
         }
       }
   }
+
+  /** [[sink]] without a change feed — append-only ingest of frames
+    * that carry no row identity (raw event landing). Same
+    * one-atomic-commit-per-batch and tag-idempotence contract; the
+    * table still time-travels per batch boundary, there is just no
+    * O(delta) feed for downstream maintainers to consume. */
+  def appendSink(root: String,
+                 streamId: String = "ingest"): (DataFrame, Long) => Unit = {
+    val tags = new Ingest.TagCache(root)
+    (batch, batchId) =>
+      val sp = batch.sparkSession
+      if (!batch.isEmpty) {
+        val tag = s"$streamId-b$batchId"
+        if (!tags.known(sp, tag)) {
+          TableLog.commit(sp, root,
+            TableLog.stageWrite(batch, root, s"$streamId/b$batchId"), Nil,
+            tag = Some(tag))
+          tags.mark(tag)
+        }
+      }
+  }
+}
+
+/** The V1 [[org.apache.spark.sql.execution.streaming.Sink]] behind
+  * `writeStream.format("graft.sources.TableLogSource")` — the same
+  * exactly-once commit discipline as the foreachBatch sinks, reachable
+  * without writing a line of graft code. `idCol` present → each batch
+  * commits WITH a change feed ([[TableIngest.sink]]); absent → plain
+  * append ([[TableIngest.appendSink]]). */
+private[graft] class TableLogStreamSink(root: String, idCol: Option[String],
+    streamId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private val fn = idCol.map(id => TableIngest.sink(root, id, streamId))
+    .getOrElse(TableIngest.appendSink(root, streamId))
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the Dataset a V1 Sink receives is incrementally planned:
+    // re-planning ops (persist, isEmpty, a second action) would
+    // re-trigger the source. Lift its physical rows into a plain
+    // frame ONCE; everything downstream is then ordinary batch code.
+    val spark = data.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rows = data.queryExecution.toRdd.map(_.copy())
+    fn(org.apache.spark.sql.graftbridge.BridgePlans
+      .fromInternalRows(spark, rows, data.schema), batchId)
+  }
+  override def toString: String = s"TableLogStreamSink[$root]"
 }
