@@ -2680,6 +2680,7 @@ object SparkEntry {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"), // the token-budget probe
         min(col("source")).as("min_source"),
         max(col("source")).as("max_source"))
   }
@@ -2743,6 +2744,36 @@ object SparkEntry {
       .select(col("doc_id"), col("skey"), col("text"), col("lang"),
         col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DECIMAL-keyed zone skip — the MONEY type joins the typed-stats
+    * kinds (long/string/date/timestamp/double/decimal): lineitem
+    * prices cast to DECIMAL(12,2) land range-clustered with decimal
+    * sidecar bounds (serialized as plain decimal strings, compared
+    * NUMERICALLY in BigDecimal — exact at any precision, so one kind
+    * covers every (p, s) and a pushed literal of any scale orders
+    * correctly), and a price-band filter through snapshotDf prunes
+    * files. The warehouse's "orders in this price band" read at
+    * 100 TB costs O(band), not O(history). ScaleOpsSpec pins
+    * point/range/IN pruning and the metadata min/max on a controlled
+    * decimal table. Oracle: the same cast + band over lineitem. */
+  private val q159Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q159: Q = (s, d) => {
+    val root = cachedTmpArtifact(q159Cache, d, "graft_q159_dec") { p =>
+      val tl = graft.operators.TableLog
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_quantity"))
+      val (files, zm) = tl.stageWithZoneMap(li, p, "base", "price", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("price") >= lit("1000.00").cast("decimal(12,2)") &&
+        col("price") <= lit("9999.99").cast("decimal(12,2)"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("price"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** REAL audio decode
@@ -3328,6 +3359,7 @@ object SparkEntry {
     "q156_meta_agg" -> q156,
     "q157_latest_k" -> q157,
     "q158_format_face" -> q158,
+    "q159_decimal_zone_skip" -> q159,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5647,6 +5679,7 @@ object SparkEntry {
          SELECT count(*) AS n_rows, count(backfill) AS n_backfilled,
            min(doc_id) AS min_id, max(doc_id) AS max_id,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(source) AS min_source, max(source) AS max_source
          FROM s""",
     // Top-k file pruning must be invisible in the answers: the same
@@ -5658,6 +5691,16 @@ object SparkEntry {
          FROM events
          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
          LIMIT 50""",
+    // Decimal zone skipping is layout, not semantics: the same cast
+    // + price band over the base table IS the oracle.
+    "q159_decimal_zone_skip" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_quantity
+         FROM lineitem
+         WHERE CAST(l_extendedprice AS DECIMAL(12,2))
+           BETWEEN CAST(1000.00 AS DECIMAL(12,2))
+               AND CAST(9999.99 AS DECIMAL(12,2))
+         ORDER BY l_orderkey, l_linenumber""",
     // The format face is plumbing, not semantics: version 0's
     // content (the %3<>0 subset) under the same range filter.
     "q158_format_face" ->

@@ -116,12 +116,19 @@ object TableLog {
     * retained commit (asking for a time before the table existed or
     * before retention) rather than silently serving a later state. */
   def versionAtTime(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    // ONE listStatus yields both the version names and their mtimes —
+    // a per-version exists+stat pair would pay O(2·#versions) extra
+    // round-trips on an object store for data the listing already
+    // carries (and versions whose entry expired into the checkpoint
+    // simply aren't in the listing: their commit time is gone)
     val f = fs(spark, root)
-    val stamped = versionsIn(f, root).flatMap { v =>
-      val p = entryPath(root, v)
-      if (f.exists(p)) Some(v -> f.getFileStatus(p).getModificationTime)
-      else None // checkpoint-only version: its commit time is expired
-    }
+    val dir = new Path(logDir(root))
+    val stamped =
+      if (!f.exists(dir)) Seq.empty[(Long, Long)]
+      else f.listStatus(dir).toSeq
+        .filter(s => s.getPath.getName.endsWith(".json") && s.getLen > 0)
+        .map(s => s.getPath.getName.stripSuffix(".json").toLong ->
+          s.getModificationTime)
     val at = stamped.filter(_._2 <= tsMillis).map(_._1)
     require(at.nonEmpty,
       s"TableLog.versionAtTime: no retained commit at or before " +
@@ -1339,6 +1346,10 @@ object TableLog {
       case TimestampType => Some("timestamp")
       case StringType => Some("string")
       case FloatType | DoubleType => Some("double")
+      // the money type: serialized as the plain decimal string,
+      // compared NUMERICALLY (BigDecimal — exact at any precision,
+      // scale-agnostic, so one kind covers every (p, s))
+      case _: DecimalType => Some("decimal")
       case _ => None
     }
   }
@@ -1356,6 +1367,7 @@ object TableLog {
       case "timestamp" => unix_micros(c).cast("string")
       case "string" => c
       case "double" => c.cast("double").cast("string")
+      case "decimal" => c.cast("string") // plain form; zcmp is numeric
     }
   }
 
@@ -1367,6 +1379,7 @@ object TableLog {
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "decimal" => BigDecimal(a).compare(BigDecimal(b))
     case _ => java.lang.Long.compare(a.toLong, b.toLong)
   }
 
@@ -1391,6 +1404,8 @@ object TableLog {
         .between(java.time.Instant.EPOCH, t.toInstant).toString)
     case d: Double => ("double", d.toString)
     case f: Float => ("double", f.toDouble.toString)
+    case d: java.math.BigDecimal => ("decimal", d.toPlainString)
+    case d: BigDecimal => ("decimal", d.bigDecimal.toPlainString)
     case other => sys.error(
       s"TableLog: unsupported zone-predicate bound $other " +
         s"(${other.getClass.getName}) — use Long/Int/String/LocalDate/" +
@@ -1423,6 +1438,8 @@ object TableLog {
         org.apache.spark.unsafe.types.UTF8String.fromString(s)
       case ("double", FloatType) => s.toDouble.toFloat
       case ("double", DoubleType) => s.toDouble
+      case ("decimal", dt: DecimalType) =>
+        Decimal(BigDecimal(s), dt.precision, dt.scale)
       case other => sys.error(s"TableLog.zparse: kind/type mismatch $other")
     }
   }
@@ -1613,7 +1630,7 @@ object TableLog {
           s"staged frame (has ${staged.columns.mkString(",")})")))
         .map(k => (c, k))
     }
-    // no coverable column (e.g. a decimal cluster key): the data
+    // no coverable column (e.g. a map/array cluster key): the data
     // still lands clustered, but there is no sidecar to write —
     // reads stay conservative, never wrong
     if (covered.isEmpty) return (files, Nil)
@@ -1631,7 +1648,18 @@ object TableLog {
     val aggs = covered.flatMap { case (c, k) =>
       Seq(zser(k, min(col(c))).as(s"__lo__$c"),
         zser(k, max(col(c))).as(s"__hi__$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n__$c"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n__$c"),
+        // exact per-file SUM for integral kinds (metadata-only
+        // aggregate answering): accumulated in DECIMAL(38,0) so a
+        // wide file of large longs cannot overflow AT STAGE TIME
+        // under ANSI — the reader re-sums exactly and refuses to
+        // answer when the total leaves the Long domain. Non-integral
+        // kinds record no sum (double re-ordering is inexact; a
+        // metadata answer must be bit-equal to the scan's).
+        (if (k == "long")
+          sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("string")
+        else lit(null).cast("string")).as(s"__s__$c"))
     } :+ count(lit(1)).as("n_rows")
     val perFile = staged
       .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
@@ -1641,11 +1669,12 @@ object TableLog {
       explode(array(covered.map { case (c, k) =>
         struct(lit(c).as("scol"), lit(k).as("kind"),
           col(s"__lo__$c").as("lo_s"), col(s"__hi__$c").as("hi_s"),
-          col(s"__n__$c").as("n_nulls"))
+          col(s"__n__$c").as("n_nulls"), col(s"__s__$c").as("sum_s"))
       }: _*)).as("z"))
       .select(col("file"), col("z.scol").as("scol"), col("z.kind").as("kind"),
         col("z.lo_s").as("lo_s"), col("z.hi_s").as("hi_s"),
-        col("n_rows"), col("z.n_nulls").as("n_nulls"))
+        col("n_rows"), col("z.n_nulls").as("n_nulls"),
+        col("z.sum_s").as("sum_s"))
     (files, stageUnder(melted, root, "zmap", name))
   }
 
@@ -1686,7 +1715,8 @@ object TableLog {
   private[operators] final case class ZStat(file: String, scol: Option[String],
                                  kind: String, lo: Option[String],
                                  hi: Option[String], nNulls: Option[Long],
-                                 nRows: Option[Long] = None)
+                                 nRows: Option[Long] = None,
+                                 sum: Option[String] = None)
 
   /** One collected read of the in-force zone-map sidecars at `asOf`,
     * both formats (mergeSchema unions their disjoint column sets:
@@ -1708,13 +1738,14 @@ object TableLog {
       zm.select(col("file"), opt("scol", "string"), opt("kind", "string"),
           opt("lo_s", "string"), opt("hi_s", "string"),
           opt("lo", "long").cast("string"), opt("hi", "long").cast("string"),
-          opt("n_nulls", "long"), opt("n_rows", "long"))
+          opt("n_nulls", "long"), opt("n_rows", "long"),
+          opt("sum_s", "string"))
         .collect().map { r =>
           def s(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
           def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
           if (!r.isNullAt(2)) // typed row
             ZStat(r.getString(0), s(1), r.getString(2), s(3), s(4),
-              l(7), l(8))
+              l(7), l(8), s(9))
           else // legacy long row
             ZStat(r.getString(0), None, "long", s(5), s(6), l(7), l(8))
         }
@@ -1881,7 +1912,7 @@ object TableLog {
                             trustLegacy: Boolean): Set[String] =
     zones.filter(z => z.kind == kind &&
         (z.scol.contains(scol) || (z.scol.isEmpty && trustLegacy)))
-      .collect { case ZStat(p, _, _, Some(l), Some(h), Some(0L), _)
+      .collect { case ZStat(p, _, _, Some(l), Some(h), Some(0L), _, _)
         if zcmp(kind, l, qlo) >= 0 && zcmp(kind, h, qhi) <= 0 => p }
       .toSet
 

@@ -179,6 +179,55 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       }
     }
 
+  /** `sum(col)` for an INTEGRAL column from metadata, as the
+    * java.lang.Long the scan would produce (Spark's Sum over integral
+    * input is LongType): Some iff every active file carries either a
+    * per-file decimal sum (stageWithZoneMap records one for `long`
+    * kind) or the all-null proof. SQL semantics: all rows null →
+    * Some(null). The per-file sums re-add in BigDecimal (exact), and
+    * a total outside the Long domain REFUSES the rewrite — the scan
+    * path then raises Spark's own ANSI overflow, exactly as it would
+    * have without the rule. Non-integral columns never answer: a
+    * float/double re-sum is order-sensitive, and a metadata answer
+    * must be bit-equal to the scan's. */
+  private[graft] def statsSum(colName: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    val integral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral || fileRowCounts.isEmpty) None
+    else {
+      val byFile = zones
+        .filter(z => z.scol.contains(colName) && z.kind == "long")
+        .groupBy(_.file)
+      // Some(Some(sum)) = contributes, Some(None) = proven all-null
+      // (contributes nothing), None = unknowable
+      val per = active.map { case (rel, _) =>
+        byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
+          case Seq(z) => z.sum match {
+            case Some(s) => Some(Some(BigDecimal(s)))
+            case None if z.nRows.isDefined && z.nNulls == z.nRows =>
+              Some(None)
+            case None => None
+          }
+          case _ => None
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val parts = per.flatten.flatten
+        if (parts.isEmpty) Some(null) // sum over no non-null values
+        else {
+          val total = parts.sum
+          if (total.isValidLong) Some(java.lang.Long.valueOf(total.toLong))
+          else None // overflow: let the scan raise ANSI's error
+        }
+      }
+    }
+  }
+
   /** Active-file count — [[graft.plans.MetadataTopK]]'s no-op guard
     * (a rewrite that keeps every file must leave the plan unchanged,
     * or the fixed-point batch would loop on churn). */
@@ -336,6 +385,13 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       case (FloatType, x: java.lang.Float) =>
         Some(("double", x.toDouble.toString))
       case (DoubleType, x) => Some(("double", x.toString))
+      // Decimal literals serialize to the same plain string form the
+      // sidecar stored (zser casts through string); zcmp compares
+      // numerically, so scale differences between the pushed literal
+      // and the column never mis-order
+      case (_: org.apache.spark.sql.types.DecimalType,
+            d: org.apache.spark.sql.types.Decimal) =>
+        Some(("decimal", d.toBigDecimal.bigDecimal.toPlainString))
       case _ => None
     }
     def one(name: String, k: String, lo: Option[String],
@@ -484,6 +540,29 @@ object TableLogRelation {
   def enableMetadataTopK(spark: SparkSession): Unit =
     graft.plans.MetadataTopKSupport.enable(spark)
 
+  /** The pinned-version (index, HadoopFsRelation) pair [[snapshotDf]]
+    * plans from — shared with the `spark.read.format` face
+    * ([[graft.sources.TableLogSource]]), which must return a
+    * [[HadoopFsRelation]] (a BaseRelation) rather than a DataFrame. */
+  private[graft] def relationAt(spark: SparkSession, root: String,
+      asOf: Option[Long],
+      bucketBy: Option[(String, Int)] = None,
+      onlyBuckets: Option[Set[Int]] = None)
+      : (TableLogFileIndex, HadoopFsRelation) = {
+    val index = new TableLogFileIndex(spark, root, asOf, bucketBy, onlyBuckets)
+    val schema = TableLog.logSchema(spark, root, Some(index.version)).getOrElse {
+      // no declared schema: take the files' own uniform schema from
+      // ONE footer (files are immutable, a commit's files share one);
+      // the index already replayed the log — reuse its refs
+      val files = index.activeRefs
+      require(files.nonEmpty,
+        s"TableLogRelation: no active files at $root asOf=$asOf")
+      spark.read.parquet(TableLog.resolve(root, files.head)).schema
+    }
+    (index, HadoopFsRelation(index, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark))
+  }
+
   /** The snapshot at `asOf` as a PLANNER-PRUNED relation: filters on
     * any stats-covered column skip files inside Catalyst (the
     * `.explain`-visible form — the scan's file count shrinks with the
@@ -514,29 +593,6 @@ object TableLogRelation {
     * this reads more than the named buckets, never less. A caller
     * that needs bucket-exclusive scope must require the fully
     * bucketed layout first, exactly as the merges do. */
-  /** The pinned-version (index, HadoopFsRelation) pair [[snapshotDf]]
-    * plans from — shared with the `spark.read.format` face
-    * ([[graft.sources.TableLogSource]]), which must return a
-    * [[HadoopFsRelation]] (a BaseRelation) rather than a DataFrame. */
-  private[graft] def relationAt(spark: SparkSession, root: String,
-      asOf: Option[Long],
-      bucketBy: Option[(String, Int)] = None,
-      onlyBuckets: Option[Set[Int]] = None)
-      : (TableLogFileIndex, HadoopFsRelation) = {
-    val index = new TableLogFileIndex(spark, root, asOf, bucketBy, onlyBuckets)
-    val schema = TableLog.logSchema(spark, root, Some(index.version)).getOrElse {
-      // no declared schema: take the files' own uniform schema from
-      // ONE footer (files are immutable, a commit's files share one);
-      // the index already replayed the log — reuse its refs
-      val files = index.activeRefs
-      require(files.nonEmpty,
-        s"TableLogRelation: no active files at $root asOf=$asOf")
-      spark.read.parquet(TableLog.resolve(root, files.head)).schema
-    }
-    (index, HadoopFsRelation(index, StructType(Nil), schema, None,
-      new ParquetFileFormat(), Map.empty[String, String])(spark))
-  }
-
   def snapshotDf(spark: SparkSession, root: String,
                  asOf: Option[Long] = None,
                  idCol: Option[String] = None,

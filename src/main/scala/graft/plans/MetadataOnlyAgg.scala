@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Count, Max, Min}
+  Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -17,7 +17,8 @@ import graft.operators.TableLogFileIndex
 /** METADATA-ONLY AGGREGATES over a [[graft.operators.TableLog]]
   * snapshot — the Delta `OptimizeMetadataOnlyQuery`/aggregate-pushdown
   * analog as a Catalyst [[Rule]]: a global (no GROUP BY, no filter)
-  * `count(*)` / `count(col)` / `min(col)` / `max(col)` over a
+  * `count(*)` / `count(col)` / `min(col)` / `max(col)` /
+  * `sum(integral col)` over a
   * [[graft.operators.TableLogRelation.snapshotDf]] relation collapses
   * to a [[LocalRelation]] holding the answer computed from the log's
   * typed zone-map sidecars — ZERO files scanned. At 100 TB,
@@ -34,9 +35,9 @@ import graft.operators.TableLogFileIndex
   *    anti-join, a sample — anything between — breaks the shape and
   *    the scan proceeds normally;
   *  - every aggregate is an undistinct, unfiltered `count(lit)`,
-  *    `count(attr)`, `min(attr)` or `max(attr)` (plus constant
-  *    columns); one unanswerable expression abandons the whole
-  *    rewrite;
+  *    `count(attr)`, `min(attr)`, `max(attr)` or `sum(integral
+  *    attr)` (plus constant columns); one unanswerable expression
+  *    abandons the whole rewrite;
   *  - the index proves EVERY active file covered: a consistent
   *    n_rows for counts, a stats row of the column's kind (or an
   *    all-null proof) for min/max — one uncovered file → no rewrite
@@ -84,6 +85,11 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
           idx.statsMinMax(a.name, a.dataType).map(_._1)
         case Max(a: AttributeReference) =>
           idx.statsMinMax(a.name, a.dataType).map(_._2)
+        // integral sums only — the sidecar records exact per-file
+        // decimal sums for `long`-kind columns; float/double never
+        // answer (re-summing is order-sensitive)
+        case Sum(a: AttributeReference, _) =>
+          idx.statsSum(a.name, a.dataType)
         case _ => None
       }
     case Alias(Literal(v, _), _) => Some(v)

@@ -56,9 +56,12 @@ class TableLogSource extends RelationProvider
     * tag-idempotent commit (exactly-once from at-least-once replay;
     * see [[graft.streaming.TableIngest]]). Options: `idCol` commits a
     * change feed per batch (downstream maintainers consume O(delta));
-    * absent = plain append. `streamId` scopes the idempotence tags —
-    * give every (query, checkpoint generation) its own. Append mode
-    * only; partitioning rides the table's own layout, not
+    * absent = plain append. `streamId` scopes the idempotence tags;
+    * when not given it derives from the query's checkpointLocation —
+    * batch ids are only unique PER CHECKPOINT, so two unnamed queries
+    * writing the same table (or a reset checkpoint) must NOT share a
+    * tag space: a collision silently discards batches as 'replays'.
+    * Append mode only; partitioning rides the table's own layout, not
     * partitionBy. */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -70,8 +73,14 @@ class TableLogSource extends RelationProvider
     require(partitionColumns.isEmpty,
       "TableLogSource ignores partitionBy — stage layout is the " +
         "table's own (clusterBy/buckets on the batch write face)")
+    val streamId = parameters.get("streamId").orElse(
+      // stable across restarts of the same query (same checkpoint),
+      // distinct across queries and checkpoint generations
+      parameters.get("checkpointLocation").map(p =>
+        "ckpt-" + graft.functions.Sketches.md5HexLocal(p).take(12)))
+      .getOrElse("ingest")
     new graft.streaming.TableLogStreamSink(rootOf(parameters),
-      parameters.get("idCol"), parameters.getOrElse("streamId", "ingest"))
+      parameters.get("idCol"), streamId)
   }
 
   /** `readStream.format(...)` — the table's COMMIT-TIME CHANGE FEED
@@ -130,15 +139,9 @@ class TableLogSource extends RelationProvider
     val root = rootOf(parameters)
     // existence = any retained entry OR a checkpoint (a fully-expired
     // log keeps only its checkpoint; that is still an existing table)
-    val existing = TableLog.versions(spark, root) match {
-      case Seq() =>
-        val f = new org.apache.hadoop.fs.Path(s"$root/_log")
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dir = new org.apache.hadoop.fs.Path(s"$root/_log")
-        if (f.exists(dir) && f.listStatus(dir).exists(
-          _.getPath.getName.endsWith(".ckpt"))) Seq(-1L) else Seq()
-      case vs => vs
-    }
+    val versions = TableLog.versions(spark, root)
+    val exists = versions.nonEmpty ||
+      TableLog.checkpointVersions(spark, root).nonEmpty
     def stage(): (Seq[String], Seq[String]) = parameters.get("clusterBy") match {
       case Some(key) => TableLog.stageWithZoneMap(data, root, "write", key,
         parts = parameters.get("parts").map(_.toInt).getOrElse(16),
@@ -148,24 +151,40 @@ class TableLogSource extends RelationProvider
       case None => (TableLog.stageWrite(data, root, "write"), Nil)
     }
     mode match {
-      case SaveMode.ErrorIfExists if existing.nonEmpty => sys.error(
-        s"TableLogSource: $root already has ${existing.length} commits " +
+      case SaveMode.ErrorIfExists if exists => sys.error(
+        s"TableLogSource: $root already exists " +
           "(default mode is errorifexists; use append/overwrite/ignore)")
-      case SaveMode.Ignore if existing.nonEmpty => () // leave as-is
+      case SaveMode.Ignore if exists => () // leave as-is
       case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
         val (files, zm) = stage()
         TableLog.commit(spark, root, files, Nil, zmap = zm)
+      case SaveMode.Overwrite if !exists =>
+        // overwrite of a table that doesn't exist yet CREATES it —
+        // the create-or-replace idempotent-job shape every file
+        // source serves
+        val (files, zm) = stage()
+        TableLog.commit(spark, root, files, Nil, zmap = zm)
       case SaveMode.Overwrite =>
-        // the table BECOMES the frame: remove the read snapshot's
-        // active set in the same atomic commit, conflict-guarded on
-        // it (a concurrent writer's files must not be silently
-        // swept), and reset delete sidecars — they described removed
-        // files
-        val before = TableLog.activeFiles(spark, root)
+        // the table BECOMES the frame: pin ONE read version, remove
+        // exactly its active set in the same atomic commit, and
+        // conflict-guard the FULL-REWRITE way (compactTable's rule) —
+        // a concurrent blind append would survive a remove-only guard
+        // and silently ride through the overwrite, and resetDeletes
+        // must not cancel a delete sidecar committed concurrently
+        val readV = versions.lastOption.getOrElse(
+          TableLog.checkpointVersions(spark, root).max)
+        val before = TableLog.activeFiles(spark, root, Some(readV))
+        val dels = TableLog.activeDeletes(spark, root, Some(readV))
         val (files, zm) = stage()
         TableLog.commit(spark, root, files, remove = before, zmap = zm,
-          resetDeletes = true, expectActive = before)
+          resetDeletes = true, expectActive = before,
+          expectDeletes = Some(dels),
+          expectNoConflictingAdds = Some((readV, _ => true)))
     }
-    createRelation(sqlContext, parameters)
+    // the relation handed back to DataFrameWriter: built WITHOUT the
+    // read face's delete-sidecar refusal — a successful append to a
+    // table with deletes in force must not throw AFTER its commit
+    // landed (the caller would retry a write that already happened)
+    TableLogRelation.relationAt(spark, root, None)._2
   }
 }

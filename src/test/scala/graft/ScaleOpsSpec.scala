@@ -2837,7 +2837,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     val m = snap.agg(count(lit(1)).as("n"), count(col("maybe")).as("nn"),
       min(col("skey")).as("lo"), max(col("skey")).as("hi"),
       min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi"),
-      min(col("score")).as("slo"), max(col("score")).as("shi"))
+      min(col("score")).as("slo"), max(col("score")).as("shi"),
+      sum(col("doc_id")).as("dsum"))
     val r = m.collect()(0)
     assert(r.getLong(0) === 400L)
     assert(r.getLong(1) === 350L, "count(maybe) must skip the 50 nulls")
@@ -2845,8 +2846,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getLong(4) === 0L && r.getLong(5) === 399L)
     assert(r.getFloat(6) === 0.0f && r.getFloat(7) === 39.9f,
       "float min/max must narrow back through the double widening")
+    assert(r.getLong(8) === (0L until 400L).sum,
+      "sum(long) must re-add the per-file decimal sums exactly")
     assert(fileScans(m) === 0,
       "a fully stats-covered global aggregate must scan ZERO files")
+    //    sum on a FLOAT column never answers from metadata (re-adding
+    //    is order-sensitive) — the scan runs and the answer is exact
+    val fsum = snap.agg(sum(col("score")).as("s"))
+    assert(fsum.collect()(0).getDouble(0) > 0.0)
+    assert(fileScans(fsum) > 0, "sum(float) must scan")
     // Dataset.count() rides the same rewrite
     assert(snap.count() === 400L)
     // 2) guards — each keeps the scan AND the right answer:
@@ -2886,18 +2894,66 @@ class ScaleOpsSpec extends AnyFunSuite {
     // 5) an ALL-NULL covered column answers (null, null) — SQL's
     //    aggregate-over-no-values — from metadata alone
     val root2 = Files.createTempDirectory("graft_tablelog_magg2").toString + "/t"
-    val allNull = (0L until 100L).map(i => (i, None: Option[String]))
-      .toDF("doc_id", "maybe")
+    val allNull = (0L until 100L).map(i =>
+        (i, None: Option[String], None: Option[Long]))
+      .toDF("doc_id", "maybe", "nval")
     val (f2, z2) = TableLog.stageWithZoneMap(allNull, root2, "base", "doc_id", 2,
-      statsCols = Seq("maybe"))
+      statsCols = Seq("maybe", "nval"))
     TableLog.commit(spark0, root2, f2, Nil, zmap = z2)
     val m2 = TableLogRelation.snapshotDf(spark0, root2)
       .agg(min(col("maybe")).as("lo"), max(col("maybe")).as("hi"),
-        count(col("maybe")).as("nn"))
+        count(col("maybe")).as("nn"), sum(col("nval")).as("ns"))
     val r2 = m2.collect()(0)
     assert(r2.isNullAt(0) && r2.isNullAt(1) && r2.getLong(2) === 0L)
+    assert(r2.isNullAt(3), "sum over an all-null long column is NULL")
     assert(fileScans(m2) === 0,
       "an all-null covered column must still answer from metadata")
+  }
+
+  test("decimal zone maps: point/range/IN pruning, cross-scale literals, and metadata min/max") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_tablelog_dec").toString + "/t"
+    // 400 prices 0.25, 0.50, ... 100.00 as DECIMAL(12,2), 8 files
+    val df = (1L to 400L).map(i => (i, BigDecimal(i) / 4, s"t$i"))
+      .toDF("id", "price", "text")
+      .select(col("id"), col("price").cast("decimal(12,2)").as("price"),
+        col("text"))
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "price", 8)
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    assert(files.length === 8)
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // range: one file of 50 prices spans 12.50
+    val band = snap.filter(
+      col("price") >= lit("3.00").cast("decimal(12,2)") &&
+        col("price") <= lit("10.00").cast("decimal(12,2)"))
+    assert(band.count() === 29L) // 3.00..10.00 step .25
+    assert(scannedFiles(band) === 1L,
+      s"a one-file price band scanned ${scannedFiles(band)} of 8")
+    // point + IN (exact cents)
+    val in3 = snap.filter(col("price").isin(
+      new java.math.BigDecimal("0.25"), new java.math.BigDecimal("50.00"),
+      new java.math.BigDecimal("100.00")))
+    assert(in3.count() === 3L)
+    assert(scannedFiles(in3) <= 3L)
+    // a CROSS-SCALE literal (scale 1 vs the column's 2) must order
+    // correctly — numeric comparison, not string
+    val cross = snap.filter(col("price") > lit("99.5").cast("decimal(12,2)"))
+    assert(cross.count() === 2L) // 99.75, 100.00
+    assert(scannedFiles(cross) === 1L)
+    // metadata min/max answer as DECIMAL with zero files scanned
+    TableLogRelation.enableMetadataOnlyAggregates(spark0)
+    val m = snap.agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    val r = m.collect()(0)
+    assert(r.getDecimal(0) === new java.math.BigDecimal("0.25"))
+    assert(r.getDecimal(1) === new java.math.BigDecimal("100.00"))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def anyScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[FileSourceScanExec] ||
+        (p.children ++ p.subqueries).exists(anyScan)
+    assert(!anyScan(m.queryExecution.executedPlan),
+      "decimal min/max must answer from metadata")
   }
 
   test("MetadataTopK: ORDER BY ... LIMIT k reads only the files that can hold the top k") {

@@ -28,7 +28,7 @@ class TableLogSourceSpec extends AnyFunSuite {
     assert(spark0.read.format(Fmt).load(root).count() === 100L)
     // errorifexists refuses a second create
     val e = intercept[RuntimeException] { a.write.format(Fmt).save(root) }
-    assert(e.getMessage.contains("already has"))
+    assert(e.getMessage.contains("already exists"))
     // ignore no-ops
     b.write.format(Fmt).mode("ignore").save(root)
     assert(spark0.read.format(Fmt).load(root).count() === 100L)
@@ -128,10 +128,55 @@ class TableLogSourceSpec extends AnyFunSuite {
     // snapshotDf remains the face that applies them
     assert(graft.operators.TableLogRelation
       .snapshotDf(spark0, root, idCol = Some("id")).count() === 49L)
+    // an APPEND to a table with sidecars in force must SUCCEED and
+    // commit exactly once — the write face must not re-run the read
+    // face's refusal after its commit already landed (a caller
+    // retrying the 'failed' write would double the rows)
+    val vBefore = graft.operators.TableLog.versions(spark0, root).max
+    Seq((100L, "n")).toDF("id", "v")
+      .write.format(Fmt).mode("append").save(root)
+    assert(graft.operators.TableLog.versions(spark0, root).max === vBefore + 1)
+    assert(graft.operators.TableLogRelation
+      .snapshotDf(spark0, root, idCol = Some("id")).count() === 50L)
+    // mode(ignore) on it is a clean no-op too
+    Seq((101L, "x")).toDF("id", "v")
+      .write.format(Fmt).mode("ignore").save(root)
+    assert(graft.operators.TableLog.versions(spark0, root).max === vBefore + 1)
     // overwrite resets the sidecars: the new content is exactly the frame
     (0L until 5L).map(i => (i, s"z$i")).toDF("id", "v")
       .write.format(Fmt).mode("overwrite").save(root)
     assert(spark0.read.format(Fmt).load(root).count() === 5L)
+  }
+
+  test("overwrite CREATES a missing table; the short name resolves via ServiceLoader; per-checkpoint streamId defaults don't collide") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.operators.TableLog
+    // 1) create-or-replace: overwrite of a nonexistent path creates
+    val root = fresh()
+    (0L until 7L).map(i => (i, s"a$i")).toDF("id", "v")
+      .write.format(Fmt).mode("overwrite").save(root)
+    assert(spark0.read.format(Fmt).load(root).count() === 7L)
+    // 2) the registered SHORT name works end to end
+    val root2 = fresh()
+    (0L until 3L).map(i => (i, s"s$i")).toDF("id", "v")
+      .write.format("tablelog").save(root2)
+    assert(spark0.read.format("tablelog").load(root2).count() === 3L)
+    // 3) two unnamed streaming queries on the same table derive
+    //    DISTINCT streamIds from their checkpoints — batch 0 of the
+    //    second must not be discarded as the first's 'replay'
+    val root3 = fresh()
+    def sinkFor(ckpt: String) = new graft.sources.TableLogSource()
+      .createSink(spark0.sqlContext,
+        Map("path" -> root3, "checkpointLocation" -> ckpt), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    sinkFor("/tmp/ckptA").addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    sinkFor("/tmp/ckptB").addBatch(0L, Seq((2L, "b")).toDF("id", "v"))
+    assert(TableLog.snapshot(spark0, root3).count() === 2L,
+      "distinct checkpoints must not share an idempotence tag space")
+    // same checkpoint = same stream: a replay of batch 0 still no-ops
+    sinkFor("/tmp/ckptA").addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    assert(TableLog.snapshot(spark0, root3).count() === 2L)
   }
 
   test("writeStream format face: one atomic commit per batch, feed via idCol, replay exactly-once, readStream serves the feed") {
@@ -164,8 +209,11 @@ class TableLogSourceSpec extends AnyFunSuite {
     // REPLAY of a committed batch id must no-op (the worst crash
     // point: commit landed, checkpoint didn't) — drive the V1 Sink
     // directly with the same batch id
+    // the replayed sink models the SAME query restarted: same
+    // checkpoint → same derived streamId → same tag space
     val sink = new graft.sources.TableLogSource().createSink(
-      spark0.sqlContext, Map("path" -> root, "idCol" -> "doc_id"),
+      spark0.sqlContext, Map("path" -> root, "idCol" -> "doc_id",
+        "checkpointLocation" -> s"$dir/ckpt"),
       Nil, org.apache.spark.sql.streaming.OutputMode.Append())
     sink.addBatch(1L, Seq((3L, "cc")).toDF("doc_id", "text"))
     assert(TableLog.versions(spark0, root) === Seq(0L, 1L))
