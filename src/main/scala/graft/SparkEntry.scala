@@ -2776,6 +2776,100 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** METADATA-ONLY DISTINCT ([[graft.operators.TableLog
+    * .metadataDistinct]]): approximate `count(distinct user_id)` /
+    * `count(distinct event_type)` answered ENTIRELY from the table's
+    * zone-map sidecar — zero data files opened. stageWithZoneMap's
+    * `sketchCols` records a per-file HLL register bank (q70's
+    * md5-derived sketch, 256 registers) beside each file's bounds;
+    * register banks union by elementwise max, so the driver-merged
+    * bank is bit-identical to the bank a full scan would build and
+    * the estimate matches the q70 oracle math exactly. At 100 TB this
+    * is the cardinality dashboard probe for the cost of an O(#files)
+    * metadata read — the distinct-count member of the metadata tier
+    * beside q156's count/min/max/sum. Reference: the consumer.py
+    * distinct user/title counts, served without touching data. */
+  private val q160Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q160: Q = (s, d) => {
+    val root = cachedTmpArtifact(q160Cache, d, "graft_q160_mdist") { p =>
+      val tl = graft.operators.TableLog
+      val (files, zm) = tl.stageWithZoneMap(
+        Tables.events(s, d), p, "base", "event_id", parts = 8,
+        statsCols = Seq("user_id", "event_type"),
+        sketchCols = Seq("user_id", "event_type"))
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLog.metadataDistinct(
+        s, root, Seq("user_id", "event_type"))
+      .getOrElse(sys.error("metadataDistinct declined on a fully " +
+        "sketch-covered table — coverage bookkeeping broke"))
+  }
+
+  /** TABLE HISTORY ([[graft.operators.TableLog.history]] = Delta's
+    * `DESCRIBE HISTORY`): the operation ledger off the transaction
+    * log — one row per retained commit with the recorded op name
+    * (maintenance APIs stamp theirs: OPTIMIZE, DELETE, MERGE …; plain
+    * commits get a shape-derived lowercase class), file/byte deltas
+    * from the commit-time metadata, zero data-file I/O. The oracled
+    * projection joins each ledger row to the SNAPSHOT ROW COUNT at
+    * that version, so the oracle replays the logical operations over
+    * raw documents — the ledger must agree with what the data says
+    * happened, not merely echo itself. */
+  private val q161Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q161: Q = (s, d) => {
+    import s.implicits._
+    val tl = graft.operators.TableLog
+    val root = cachedTmpArtifact(q161Cache, d, "graft_q161_hist") { p =>
+      val docs = Tables.documents(s, d)
+      tl.commit(s, p,
+        tl.stageWrite(docs.filter(col("doc_id") % 3 === 0), p, "gen0"), Nil)
+      tl.commit(s, p,
+        tl.stageWrite(docs.filter(col("doc_id") % 3 === 1), p, "gen1"), Nil)
+      tl.commitDeletes(docs
+        .filter((col("doc_id") % 3 === 0 || col("doc_id") % 3 === 1) &&
+          col("doc_id") % 7 === 0)
+        .select(col("doc_id")), p, "purge7")
+      tl.optimizeTable(s, p, "doc_id", "doc_id", "opt", 2)
+    }
+    val ledger = tl.history(s, root)
+      .select(col("version"), col("operation")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    ledger.toSeq.map { case (v, opName) =>
+      (v, opName, tl.snapshot(s, root, Some(v), Some("doc_id")).count())
+    }.toDF("version", "operation", "n_rows").orderBy(col("version"))
+  }
+
+  /** INCREMENTAL SMALL-FILE COMPACTION
+    * ([[graft.operators.TableLog.compactSmallFiles]] — the
+    * bin-packing half of Delta's OPTIMIZE): five drip appends land
+    * five small zone-mapped files; the maintenance pass selects them
+    * BY THEIR LOGGED SIZES (zero stat calls for metadata-carrying
+    * commits), rewrites only them re-clustered on the key with stats
+    * inherited, and leaves right-sized files untouched — O(small
+    * delta), the only OPTIMIZE shape a 100 TB table under streaming
+    * ingest can afford (q134/q138 are the full-rewrite forms). The
+    * query reads the compacted table through the zone-pruned
+    * relation; the oracle replays the logical content — compaction
+    * must move bytes, never rows. */
+  private val q162Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q162: Q = (s, d) => {
+    val root = cachedTmpArtifact(q162Cache, d, "graft_q162_csmall") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d)
+      (0 until 5).foreach { k =>
+        val (f, z) = tl.stageWithZoneMap(
+          docs.filter(col("doc_id") % 5 === k), p, s"gen$k", "doc_id",
+          parts = 1)
+        tl.commit(s, p, f, Nil, zmap = z)
+      }
+      tl.compactSmallFiles(s, p, "bin", targetBytes = 512L * 1024 * 1024,
+        keyCol = Some("doc_id"))
+    }
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("doc_id") >= 120L && col("doc_id") <= 480L)
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode
     * ([[graft.operators.Multimodal.decodeAudioStats]]): encode 16-bit
     * mono PCM WAV through javax.sound's own writer, decode through
@@ -3360,6 +3454,9 @@ object SparkEntry {
     "q157_latest_k" -> q157,
     "q158_format_face" -> q158,
     "q159_decimal_zone_skip" -> q159,
+    "q160_metadata_distinct" -> q160,
+    "q161_table_history" -> q161,
+    "q162_small_file_compact" -> q162,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5693,6 +5790,78 @@ object SparkEntry {
          LIMIT 50""",
     // Decimal zone skipping is layout, not semantics: the same cast
     // + price band over the base table IS the oracle.
+    // Compaction must move bytes, never rows: the post-compaction
+    // zone-pruned read equals the plain replay over raw documents.
+    "q162_small_file_compact" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents
+         WHERE doc_id BETWEEN 120 AND 480
+         ORDER BY doc_id""",
+    // The ledger's row counts replay in SQL: v0 = the %3==0 subset,
+    // v1 adds %3==1, v2 deletes the %7==0 ids, v3 (OPTIMIZE) keeps
+    // the data identical. Operation names are pinned as the literals
+    // the construction used — recorded for DELETE/OPTIMIZE, derived
+    // for the untagged appends.
+    "q161_table_history" ->
+      """WITH u AS (
+           SELECT doc_id FROM documents WHERE doc_id % 3 IN (0, 1)),
+         a AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 0),
+         ab AS (SELECT count(*) AS n FROM u),
+         surv AS (SELECT count(*) AS n FROM u WHERE doc_id % 7 <> 0)
+         SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
+                (SELECT n FROM a) AS n_rows
+         UNION ALL SELECT 1, 'append', (SELECT n FROM ab)
+         UNION ALL SELECT 2, 'DELETE', (SELECT n FROM surv)
+         UNION ALL SELECT 3, 'OPTIMIZE', (SELECT n FROM surv)
+         ORDER BY version""",
+    // The per-file banks merged by elementwise max ARE the global
+    // register bank, so the oracle is q70's register replay over the
+    // RAW events table — layout-invisible: any file split must yield
+    // the identical merged bank or the hash check fails.
+    "q160_metadata_distinct" ->
+      """WITH h AS (
+           SELECT 'event_type' AS scol,
+             md5(CAST(event_type AS VARCHAR)) AS hx
+           FROM events WHERE event_type IS NOT NULL
+           UNION ALL
+           SELECT 'user_id', md5(CAST(user_id AS VARCHAR))
+           FROM events WHERE user_id IS NOT NULL),
+         d AS (
+           SELECT scol,
+             CAST((strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+               + strpos('0123456789abcdef', substr(hx,2,1))-1 AS BIGINT) AS bucket,
+             length(regexp_extract(substr(hx,3,14), '^0*')) AS lz,
+             substr(substr(hx,3,14),
+               length(regexp_extract(substr(hx,3,14), '^0*'))+1, 1) AS fc
+           FROM h),
+         r0 AS (
+           SELECT scol, bucket,
+             CASE WHEN lz = 14 THEN 57
+                  ELSE 4*lz + CASE WHEN fc = '1' THEN 3
+                                   WHEN fc IN ('2','3') THEN 2
+                                   WHEN fc IN ('4','5','6','7') THEN 1
+                                   ELSE 0 END + 1 END AS rho
+           FROM d),
+         r AS (SELECT scol, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2),
+         g AS (
+           SELECT scol, count(*) AS nz,
+             sum(CAST(pow(2.0, 57 - rho) AS HUGEINT)) AS numer_nz,
+             sum(rho) AS sum_rho
+           FROM r GROUP BY 1),
+         e AS (
+           SELECT scol, nz, sum_rho,
+             CAST(numer_nz + CAST(256 - nz AS HUGEINT)
+               * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE) AS numer
+           FROM g),
+         raw AS (
+           SELECT scol, nz, sum_rho,
+             (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57)) / numer AS raw_est
+           FROM e)
+         SELECT scol,
+           round(CASE WHEN 256 - nz > 0 AND raw_est <= 640.0
+                 THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw_est END, 4) AS est_distinct,
+           CAST(nz AS BIGINT) AS nz, CAST(sum_rho AS BIGINT) AS sum_rho
+         FROM raw ORDER BY scol""",
     "q159_decimal_zone_skip" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_quantity

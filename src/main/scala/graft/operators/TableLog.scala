@@ -66,7 +66,8 @@ object TableLog {
                             zmap: Seq[String] = Nil,
                             schema: Seq[String] = Nil,
                             checks: Seq[String] = Nil,
-                            addMeta: Seq[String] = Nil)
+                            addMeta: Seq[String] = Nil,
+                            op: Option[String] = None)
 
   /** Parse one [[LogEntry.addMeta]] element to (len, mtimeMs), or
     * None for the unknown sentinel / an unparseable value (readers
@@ -135,6 +136,76 @@ object TableLog {
         s"$tsMillis in $root (earliest retained: " +
         s"${stamped.map(_._2).minOption.getOrElse("none")})")
     at.max
+  }
+
+  /** DESCRIBE HISTORY (the Delta `DESCRIBE HISTORY` shape): one row
+    * per RETAINED commit, newest last — (version, ts, operation,
+    * n_added, n_removed, n_delete_sidecars, n_cdf, bytes_added,
+    * schema_change, constraint_change, tag). Everything comes from
+    * the log alone: `ts` is the commit file's own mtime (the same
+    * clock [[versionAtTime]] resolves `timestampAsOf` against, read
+    * in the SAME single listStatus), `bytes_added` sums the entry's
+    * per-file addMeta lengths (null when any add predates the
+    * metadata format — never a stat call), `operation` is the
+    * recorded op name (UPPERCASE — [[optimizeTable]], [[mergeInto]],
+    * deleteWhere … stamp theirs) or, for entries written by plain
+    * [[commit]] calls, a lowercase shape-derived class (`append`,
+    * `rewrite`, `delete`, `remove`, `schema`, `constraint`, `empty`)
+    * — the case distinguishes "the writer said" from "the log
+    * infers". Like Delta, history is RETENTION-BOUNDED: versions
+    * expired below a checkpoint have no entry and no row. O(#retained
+    * commits) driver metadata; zero data-file I/O. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val dir = new Path(logDir(root))
+    val mtimes: Map[Long, Long] =
+      if (!f.exists(dir)) Map.empty
+      else f.listStatus(dir).toSeq
+        .filter(s => s.getPath.getName.endsWith(".json") && s.getLen > 0)
+        .map(s => s.getPath.getName.stripSuffix(".json").toLong ->
+          s.getModificationTime)
+        .toMap
+    val rows = versions(spark, root).map { v =>
+      val e = readEntry(f, entryPath(root, v))
+      val derived =
+        if (e.add.nonEmpty && e.remove.nonEmpty) "rewrite"
+        else if (e.add.nonEmpty) "append"
+        else if (e.deletes.nonEmpty) "delete"
+        else if (e.remove.nonEmpty) "remove"
+        else if (e.schema.nonEmpty) "schema"
+        else if (e.checks.nonEmpty) "constraint"
+        else "empty"
+      val bytes: Option[Long] =
+        if (e.add.isEmpty) Some(0L)
+        else if (e.addMeta.length != e.add.length) None
+        else {
+          val parsed = e.addMeta.map(parseFileMeta)
+          if (parsed.forall(_.isDefined)) Some(parsed.flatten.map(_._1).sum)
+          else None
+        }
+      org.apache.spark.sql.Row(v,
+        new java.sql.Timestamp(mtimes.getOrElse(v, 0L)),
+        e.op.getOrElse(derived),
+        e.add.length.toLong, e.remove.length.toLong,
+        e.deletes.length.toLong, e.cdf.length.toLong,
+        bytes.map(Long.box).orNull,
+        e.schema.nonEmpty, e.checks.nonEmpty, e.tag.orNull)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("n_added", LongType, nullable = false),
+        StructField("n_removed", LongType, nullable = false),
+        StructField("n_delete_sidecars", LongType, nullable = false),
+        StructField("n_cdf", LongType, nullable = false),
+        StructField("bytes_added", LongType, nullable = true),
+        StructField("schema_change", BooleanType, nullable = false),
+        StructField("constraint_change", BooleanType, nullable = false),
+        StructField("tag", StringType, nullable = true))))
   }
 
   /** Log paths must stay parseable by the line-oriented entry format:
@@ -226,6 +297,7 @@ object TableLog {
              zmap: Seq[String] = Nil,
              schema: Seq[String] = Nil,
              checks: Seq[String] = Nil,
+             op: Option[String] = None,
              expectActive: Seq[String] = Nil,
              expectDeletes: Option[Seq[String]] = None,
              expectSchema: Option[Option[String]] = None,
@@ -234,6 +306,9 @@ object TableLog {
     validatePaths(add); validatePaths(remove); validatePaths(deletes)
     validatePaths(cdf); tag.foreach(t => validatePaths(Seq(t)))
     validatePaths(zmap); validatePaths(schema); validatePaths(checks)
+    op.foreach(o => require(o.nonEmpty && o.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '.' || c == '-'),
+      s"TableLog.commit: op name must be [A-Za-z0-9._-]+, got '$o'"))
     require(schema.size <= 1,
       s"TableLog.commit: at most one schema ref per commit, got $schema")
     val f = fs(spark, root)
@@ -310,7 +385,8 @@ object TableLog {
         }
       }
       val reset = if (resetDeletes) 1 else 0
-      val tagPart = tag.fold("")(t => s""","tag":"$t"""")
+      val tagPart = tag.fold("")(t => s""","tag":"$t"""") +
+        op.fold("")(o => s""","op":"$o"""")
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
         s""""addmeta":${arr(addMeta)},""" +
         s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
@@ -398,8 +474,11 @@ object TableLog {
     val add = list("add")
     val meta0 = list("addmeta")
     val meta = if (meta0.length == add.length) meta0 else Nil
+    val op = "\"op\":\"([A-Za-z0-9._-]+)\"".r.findFirstMatchIn(body)
+      .map(_.group(1))
     LogEntry(v, reset, add, list("remove"), list("deletes"),
-      list("cdf"), tag, list("zmap"), list("schema"), list("checks"), meta)
+      list("cdf"), tag, list("zmap"), list("schema"), list("checks"), meta,
+      op)
   }
 
   /** The idempotence tags of every committed entry — a replay-prone
@@ -631,7 +710,8 @@ object TableLog {
   def commitDeletes(ids: DataFrame, root: String, name: String): Long = {
     val spark = ids.sparkSession
     val files = stageWrite(ids, root, s"deletes/$name")
-    commit(spark, root, add = Nil, remove = Nil, deletes = files)
+    commit(spark, root, add = Nil, remove = Nil, deletes = files,
+      op = Some("DELETE"))
   }
 
   /** COMPACT the current version: materialize the snapshot (sidecar
@@ -654,7 +734,7 @@ object TableLog {
     val current = snapshot(spark, root, Some(readV), Some(idCol))
     val fresh = stageWrite(current, root, name)
     commit(spark, root, add = fresh,
-      remove = readFiles, resetDeletes = true,
+      remove = readFiles, resetDeletes = true, op = Some("COMPACT"),
       expectActive = readFiles, expectDeletes = Some(readDels),
       expectNoConflictingAdds = Some((readV, _ => true)))
   }
@@ -695,9 +775,11 @@ object TableLog {
     // column the outgoing generation's zone rows covered (the same
     // rule as the deleteWhere/replaceWhere boundary rewrites), plus
     // any newly requested statsCols
-    val inherited = rewriteStatsCols(
-      collectZoneRows(spark, root, Some(readV)), readFiles, keyCol,
-      current.columns)
+    val zonesRead = collectZoneRows(spark, root, Some(readV))
+    val inherited = rewriteStatsCols(zonesRead, readFiles, keyCol,
+      current.columns.toSeq)
+    val inheritedSketch = rewriteSketchCols(zonesRead, readFiles,
+      current.columns.toSeq)
     val cluster = zorderWith.flatMap { y =>
       // quantization bounds: one bounded 1-row collect (metadata-
       // scale), inlined as literals so the write plan stays a pure
@@ -730,11 +812,84 @@ object TableLog {
     }
     val (files, zm) = stageWithZoneMap(current, root, name, keyCol, parts,
       statsCols = (inherited ++ statsCols ++ zorderWith).distinct,
-      clusterBy = cluster)
+      clusterBy = cluster, sketchCols = inheritedSketch)
     commit(spark, root, add = files,
       remove = readFiles, resetDeletes = true, zmap = zm,
+      op = Some("OPTIMIZE"),
       expectActive = readFiles, expectDeletes = Some(readDels),
       expectNoConflictingAdds = Some((readV, _ => true)))
+  }
+
+  /** INCREMENTAL SMALL-FILE COMPACTION — the bin-packing half of
+    * Delta's `OPTIMIZE`, and the one a 100 TB table can actually run:
+    * [[optimizeTable]] rewrites the WHOLE table (right after bulk
+    * deletes or for re-clustering); a steady drip of streaming
+    * commits instead leaves thousands of small files that only need
+    * LOCAL consolidation. This rewrites ONLY the active files whose
+    * LOGGED size (commit-time addMeta — zero stat calls for any file
+    * committed by a metadata-writing version; a legacy meta-less file
+    * costs one stat) is under `minFileBytes` (default
+    * `targetBytes / 2`), staging them into ~`targetBytes` outputs,
+    * and leaves every right-sized file byte-untouched — O(small
+    * delta) I/O, never O(table).
+    *
+    * Delete sidecars stay IN FORCE: candidate rows are rewritten raw
+    * (never through the sidecar anti-join), so deleted ids stay
+    * deleted and the commit needs no `resetDeletes` — compaction of
+    * files and compaction of deletes ([[compactTable]]) remain
+    * independent maintenance axes. If any candidate carries zone
+    * rows, `keyCol` is REQUIRED (the rewrite re-clusters on it and
+    * re-declares the candidates' stats AND sketch columns via the
+    * same inheritance rule as [[optimizeTable]] — a consolidation
+    * must not degrade pruning or [[metadataDistinct]] coverage);
+    * without coverage a plain coalesced rewrite suffices. Concurrent
+    * appends are NOT conflicts (disjoint scope); a concurrent rewrite
+    * of a candidate is (expectActive). Returns the committed version,
+    * or the read version unchanged when fewer than two candidates
+    * exist (a no-op plans from the log alone). */
+  def compactSmallFiles(spark: SparkSession, root: String, name: String,
+                        targetBytes: Long,
+                        minFileBytes: Option[Long] = None,
+                        keyCol: Option[String] = None): Long = {
+    require(targetBytes > 0,
+      s"TableLog.compactSmallFiles: targetBytes must be positive, got $targetBytes")
+    val threshold = minFileBytes.getOrElse(math.max(1L, targetBytes / 2))
+    val f = fs(spark, root)
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.compactSmallFiles: empty log at $root"))
+    val sized: Seq[(String, Long)] =
+      activeFilesWithMeta(spark, root, Some(readV)).map { case (p, m) =>
+        p -> parseFileMeta(m).map(_._1).getOrElse(
+          f.getFileStatus(new Path(resolve(root, p))).getLen)
+      }
+    val candidates = sized.filter(_._2 < threshold)
+    if (candidates.length < 2) return readV
+    val candidatePaths = candidates.map(_._1)
+    val zones = collectZoneRows(spark, root, Some(readV))
+    val candidateSet = candidatePaths.toSet
+    val hasStats = zones.exists(z => candidateSet(z.file))
+    require(!hasStats || keyCol.isDefined,
+      s"TableLog.compactSmallFiles: candidates at $root carry zone-map " +
+        "stats — pass keyCol so the rewrite re-clusters and re-declares " +
+        "them (silently dropping stats would degrade every later read)")
+    val reader = logSchema(spark, root, Some(readV))
+      .fold(spark.read)(st => spark.read.schema(st))
+    val rows = reader.parquet(candidatePaths.map(resolve(root, _)): _*)
+    val parts = math.max(1L,
+      (candidates.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    val (files, zm) = keyCol match {
+      case Some(k) =>
+        stageWithZoneMap(rows, root, name, k, parts,
+          statsCols = rewriteStatsCols(zones, candidatePaths, k,
+            rows.columns.toSeq),
+          sketchCols = rewriteSketchCols(zones, candidatePaths,
+            rows.columns.toSeq))
+      case None =>
+        (stageWrite(rows.coalesce(parts), root, name), Nil)
+    }
+    commit(spark, root, add = files, remove = candidatePaths,
+      zmap = zm, op = Some("COMPACT_SMALL"),
+      expectActive = candidatePaths)
   }
 
   /** SCHEMA EVOLUTION: the table's schema lives IN THE LOG (a tiny
@@ -921,6 +1076,7 @@ object TableLog {
     // restore's deletes-RESET resurrects rows the scan excluded) may
     // slip past it either
     commit(spark, root, add = Nil, remove = Nil, checks = Seq(rel),
+      op = Some("ADD_CONSTRAINT"),
       expectDeletes = Some(activeDeletes(spark, root, Some(readV))),
       expectNoConflictingAdds = Some((readV, _ => true)))
   }
@@ -934,7 +1090,8 @@ object TableLog {
       s"TableLog.dropCheckConstraint: no constraint '$cname' at $root")
     val rel = stageConstraint(fs(spark, root), root,
       s"""{"cname":"$cname","drop":true}""")
-    commit(spark, root, add = Nil, remove = Nil, checks = Seq(rel))
+    commit(spark, root, add = Nil, remove = Nil, checks = Seq(rel),
+      op = Some("DROP_CONSTRAINT"))
   }
 
   /** Append `df` ENFORCING the in-force constraints — ONE aggregate
@@ -968,7 +1125,7 @@ object TableLog {
         s"TableLog.checkedAppend: batch violates ${violated.mkString("; ")}")
     }
     commit(spark, root, add = stageWrite(df, root, name), remove = Nil,
-      expectChecks = Some(readRefs))
+      op = Some("CHECKED_APPEND"), expectChecks = Some(readRefs))
   }
 
   /** ADD-COLUMNS-AND-APPEND in one atomic commit: `df` may carry
@@ -1017,7 +1174,7 @@ object TableLog {
     val files = stageWrite(df, root, name)
     commit(spark, root, add = files, remove = Nil,
       cdf = cdf, tag = tag, schema = schemaSeq,
-      expectSchema = Some(refAtRead))
+      op = Some("EVOLVE_APPEND"), expectSchema = Some(refAtRead))
   }
 
   /** RESTORE: roll the table BACK to the content of version `toV` as
@@ -1086,7 +1243,7 @@ object TableLog {
     commit(spark, root,
       add = target.filterNot(current.toSet),
       remove = current.filterNot(target.toSet),
-      deletes = targetDels, resetDeletes = true,
+      deletes = targetDels, resetDeletes = true, op = Some("RESTORE"),
       tag = tag, schema = schemaSeq,
       expectActive = current, expectDeletes = Some(currentDels),
       expectNoConflictingAdds = Some((readV, _ => true)))
@@ -1325,6 +1482,7 @@ object TableLog {
     // pass both: their read sets stay active and their added paths
     // carry other buckets.
     commit(spark, root, add = adds, remove = oldTouched, tag = tag,
+      op = Some("MERGE"),
       expectActive = oldTouched, expectDeletes = Some(Nil),
       expectNoConflictingAdds =
         Some((readV, p => bucketOf(p).forall(touched))))
@@ -1572,6 +1730,7 @@ object TableLog {
       .select(outCols: _*)
     val adds = stageBucketed(merged, root, name, idCol, nBuckets)
     commit(spark, root, add = adds, remove = oldTouched, tag = tag,
+      op = Some("MERGE"),
       expectActive = oldTouched, expectDeletes = Some(Nil),
       expectNoConflictingAdds =
         Some((readV, p => bucketOf(p).forall(touched))))
@@ -1601,12 +1760,21 @@ object TableLog {
     * physical clustering expression (Z-ORDER staging: cluster on the
     * interleaved Z-value so EVERY declared dimension's per-file
     * interval is tight, while stats still describe the real columns —
-    * the expression never lands in the data). Returns (data paths,
-    * zone-map paths) for [[commit]]'s `add`/`zmap`. */
+    * the expression never lands in the data). `sketchCols` (each must
+    * also be the key or a stats column) additionally records a
+    * PER-FILE HLL REGISTER BANK on the column's sidecar row — the
+    * mergeable distinct sketch ([[graft.plans.HllRegisters]] over the
+    * [[graft.functions.Sketches]] md5 hash, 256 registers ≈ 260 bytes
+    * per (file, column)) — so [[metadataDistinct]] can answer
+    * approximate `count(distinct col)` from the log alone, ZERO data
+    * files read: register banks union by elementwise max, so the
+    * per-file banks merged together ARE the global bank. Returns
+    * (data paths, zone-map paths) for [[commit]]'s `add`/`zmap`. */
   def stageWithZoneMap(df: DataFrame, root: String, name: String,
                        keyCol: String, parts: Int,
                        statsCols: Seq[String] = Nil,
-                       clusterBy: Option[org.apache.spark.sql.Column] = None)
+                       clusterBy: Option[org.apache.spark.sql.Column] = None,
+                       sketchCols: Seq[String] = Nil)
       : (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
@@ -1633,6 +1801,13 @@ object TableLog {
     // no coverable column (e.g. a map/array cluster key): the data
     // still lands clustered, but there is no sidecar to write —
     // reads stay conservative, never wrong
+    val sketched = sketchCols.distinct
+    sketched.foreach { c =>
+      if (!covered.exists(_._1 == c))
+        sys.error(s"TableLog.stageWithZoneMap: sketch column '$c' must " +
+          s"be the key or a stats column of a zone-coverable type " +
+          s"(covered: ${covered.map(_._1).mkString(",")})")
+    }
     if (covered.isEmpty) return (files, Nil)
     // ONE columnar pass over the staged stats columns → per-file
     // bounds for every covered column, melted to one sidecar row per
@@ -1659,7 +1834,23 @@ object TableLog {
         (if (k == "long")
           sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .cast("string")
-        else lit(null).cast("string")).as(s"__s__$c"))
+        else lit(null).cast("string")).as(s"__s__$c"),
+        // per-file HLL register bank for declared sketch columns —
+        // 256 small longs, stored comma-joined (the sidecar is
+        // parquet; a ~600-byte string per (file, column) is noise
+        // next to the bounds). Null rows hash to a null bucket and
+        // are skipped by the aggregate, so the bank describes exactly
+        // the file's NON-NULL values — the same universe the q70
+        // oracle counts.
+        (if (sketched.contains(c)) {
+          val hx = graft.functions.Sketches.hashHex(col(c))
+          array_join(transform(
+            graft.plans.HllRegisters.hllRegisters(
+              struct(graft.functions.Sketches.hllBucket(hx).as("bucket"),
+                graft.functions.Sketches.hllRho(hx).as("rho")),
+              graft.functions.Sketches.M),
+            r => r.cast("string")), ",")
+        } else lit(null).cast("string")).as(s"__h__$c"))
     } :+ count(lit(1)).as("n_rows")
     val perFile = staged
       .groupBy(regexp_extract(input_file_name(), "data/[^/]+/[^/]+$", 0)
@@ -1669,12 +1860,13 @@ object TableLog {
       explode(array(covered.map { case (c, k) =>
         struct(lit(c).as("scol"), lit(k).as("kind"),
           col(s"__lo__$c").as("lo_s"), col(s"__hi__$c").as("hi_s"),
-          col(s"__n__$c").as("n_nulls"), col(s"__s__$c").as("sum_s"))
+          col(s"__n__$c").as("n_nulls"), col(s"__s__$c").as("sum_s"),
+          col(s"__h__$c").as("hll_s"))
       }: _*)).as("z"))
       .select(col("file"), col("z.scol").as("scol"), col("z.kind").as("kind"),
         col("z.lo_s").as("lo_s"), col("z.hi_s").as("hi_s"),
         col("n_rows"), col("z.n_nulls").as("n_nulls"),
-        col("z.sum_s").as("sum_s"))
+        col("z.sum_s").as("sum_s"), col("z.hll_s").as("hll_s"))
     (files, stageUnder(melted, root, "zmap", name))
   }
 
@@ -1716,7 +1908,8 @@ object TableLog {
                                  kind: String, lo: Option[String],
                                  hi: Option[String], nNulls: Option[Long],
                                  nRows: Option[Long] = None,
-                                 sum: Option[String] = None)
+                                 sum: Option[String] = None,
+                                 hll: Option[String] = None)
 
   /** One collected read of the in-force zone-map sidecars at `asOf`,
     * both formats (mergeSchema unions their disjoint column sets:
@@ -1739,17 +1932,92 @@ object TableLog {
           opt("lo_s", "string"), opt("hi_s", "string"),
           opt("lo", "long").cast("string"), opt("hi", "long").cast("string"),
           opt("n_nulls", "long"), opt("n_rows", "long"),
-          opt("sum_s", "string"))
+          opt("sum_s", "string"), opt("hll_s", "string"))
         .collect().map { r =>
           def s(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
           def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
           if (!r.isNullAt(2)) // typed row
             ZStat(r.getString(0), s(1), r.getString(2), s(3), s(4),
-              l(7), l(8), s(9))
+              l(7), l(8), s(9), s(10))
           else // legacy long row
             ZStat(r.getString(0), None, "long", s(5), s(6), l(7), l(8))
         }
     }
+  }
+
+  /** METADATA-ONLY DISTINCT ESTIMATE: approximate
+    * `count(distinct col)` for each of `cols` over the snapshot at
+    * `asOf`, answered ENTIRELY from the zone-map sidecars — zero data
+    * files opened. Per-file HLL register banks (written by
+    * [[stageWithZoneMap]]'s `sketchCols`) union by elementwise max,
+    * so the merged bank is EXACTLY the bank a full scan would build —
+    * same registers, same estimate, bit-for-bit (the estimator runs
+    * as the same [[graft.functions.Sketches]] column math over the
+    * merged bank). At 100 TB this is the `SELECT count(distinct ...)`
+    * dashboard probe for the cost of an O(#files) driver metadata
+    * read.
+    *
+    * Returns None — the caller must scan — unless the answer would be
+    * exact-to-the-sketch: every active file must carry a bank for
+    * every requested column (a meta-less append breaks coverage until
+    * the next OPTIMIZE recomputes it) and no delete sidecar may be in
+    * force (banks describe pre-delete rows; registers cannot forget).
+    * Duplicate bank rows for one file merge idempotently (max is
+    * idempotent), so re-listed sidecars cannot skew the estimate.
+    * Output: one row per column, (scol, est_distinct, nz, sum_rho) —
+    * the q70 witness triple, sorted by scol. */
+  def metadataDistinct(spark: SparkSession, root: String,
+                       cols: Seq[String],
+                       asOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (activeDeletes(spark, root, asOf).nonEmpty) return None
+    val active = activeFiles(spark, root, asOf)
+    val zones = collectZoneRows(spark, root, asOf)
+    val activeSet = active.toSet
+    val m = graft.functions.Sketches.M
+    val want = cols.distinct.sorted
+    val banks: Seq[(String, Seq[Long])] = want.flatMap { c =>
+      val rows = zones.filter(z =>
+        activeSet(z.file) && z.scol.contains(c) && z.hll.isDefined)
+      // coverage: every active file must speak for this column
+      if (rows.iterator.map(_.file).toSet != activeSet) None
+      else {
+        val merged = new Array[Long](m)
+        val ok = rows.forall { z =>
+          val regs = z.hll.get.split(",", -1)
+          regs.length == m && {
+            var i = 0
+            while (i < m) { // elementwise max — the HLL union
+              val v = java.lang.Long.parseLong(regs(i))
+              if (v > merged(i)) merged(i) = v
+              i += 1
+            }
+            true
+          }
+        }
+        // a malformed bank (wrong register count — a foreign writer)
+        // declines rather than estimates wrong
+        if (ok) Some(c -> merged.toSeq) else None
+      }
+    }
+    if (banks.length != want.length) return None
+    // estimate via the SAME column expressions q70 uses — one
+    // LocalRelation row per column, no file I/O
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(banks.map { case (c, regs) =>
+        org.apache.spark.sql.Row(c, regs) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("scol",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("regs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
+    Some(df.select(col("scol"),
+        graft.functions.Sketches.hllEstimate(col("regs")).as("est_distinct"),
+        graft.functions.Sketches.nonZero(col("regs")).as("nz"),
+        aggregate(col("regs"), lit(0L), (a, r) => a + r).as("sum_rho"))
+      .orderBy(col("scol")))
   }
 
   /** The active files a typed range predicate [qlo, qhi] on `scol`
@@ -1902,6 +2170,19 @@ object TableLog {
       .filterNot(_ == keyCol).filter(outCols.contains).toSeq
   }
 
+  /** Sketch-coverage twin of [[rewriteStatsCols]]: the columns whose
+    * outgoing zone rows carried an HLL bank on any rewritten file —
+    * a rewrite re-declares them so [[metadataDistinct]] stays
+    * answerable across OPTIMIZE / boundary rewrites (recomputed banks
+    * describe the SURVIVING rows, so the merged estimate stays
+    * correct after a delete, not merely available). */
+  private def rewriteSketchCols(zones: Array[ZStat], rewritten: Seq[String],
+                                outCols: Seq[String]): Seq[String] = {
+    val files = rewritten.toSet
+    zones.filter(z => files(z.file) && z.hll.isDefined)
+      .flatMap(_.scol).distinct.filter(outCols.contains).toSeq
+  }
+
   /** Files PROVABLY all-inside [qlo, qhi] on `scol`: some matching
     * stats row has its whole interval inside the range AND a
     * KNOWN-zero null count (min/max skip NULLs, so the interval alone
@@ -1912,7 +2193,7 @@ object TableLog {
                             trustLegacy: Boolean): Set[String] =
     zones.filter(z => z.kind == kind &&
         (z.scol.contains(scol) || (z.scol.isEmpty && trustLegacy)))
-      .collect { case ZStat(p, _, _, Some(l), Some(h), Some(0L), _, _)
+      .collect { case ZStat(p, _, _, Some(l), Some(h), Some(0L), _, _, _)
         if zcmp(kind, l, qlo) >= 0 && zcmp(kind, h, qhi) <= 0 => p }
       .toSet
 
@@ -2087,12 +2368,15 @@ object TableLog {
     val (files, zm) = stageWithZoneMap(
       survivors.unionByName(replacement), root, name, keyCol, parts,
       statsCols = rewriteStatsCols(zones, touched, keyCol,
-        replacement.columns))
+        replacement.columns.toSeq),
+      sketchCols = rewriteSketchCols(zones, touched,
+        replacement.columns.toSeq))
     // a concurrent blind append could land rows inside [lo, hi] that
     // this rewrite never saw — any add since the read conflicts (the
     // zone-described-disjoint relaxation would need the added file's
     // stats read inside the claim; conservative is correct)
     commit(spark, root, add = files, remove = touched, zmap = zm,
+      op = Some("REPLACE_WHERE"),
       expectActive = touched, expectDeletes = Some(Nil),
       expectNoConflictingAdds = Some((readV, _ => true)))
   }
@@ -2204,7 +2488,9 @@ object TableLog {
           if (survivors.isEmpty) (Seq.empty[String], Seq.empty[String])
           else stageWithZoneMap(survivors, root, name, keyCol, parts,
             statsCols = rewriteStatsCols(zones, rewrite, keyCol,
-              survivors.columns))
+              survivors.columns.toSeq),
+            sketchCols = rewriteSketchCols(zones, rewrite,
+              survivors.columns.toSeq))
         }
       val cdfSeq = feedIdCol.fold(Seq.empty[String]) { idc =>
         // the feed's one honest cost: a column-pruned scan of the
@@ -2217,7 +2503,7 @@ object TableLog {
         stageFeed(removed, root, name)
       }
       commit(spark, root, add = files, remove = touched, zmap = zm,
-        cdf = cdfSeq,
+        cdf = cdfSeq, op = Some("DELETE_WHERE"),
         expectActive = touched, expectDeletes = Some(Nil),
         expectNoConflictingAdds = Some((readV, _ => true)))
     }
@@ -2253,7 +2539,8 @@ object TableLog {
                      idCol: String, contentCol: String,
                      name: String): Long = {
     val diff = Versioning.datasetDiff(before, after, idCol, contentCol)
-    commit(spark, root, add, remove, cdf = stageFeed(diff, root, name))
+    commit(spark, root, add, remove, cdf = stageFeed(diff, root, name),
+      op = Some("WRITE"))
   }
 
   /** [[commitDeletes]] WITH a row-lineage sidecar: `ids` must be
@@ -2269,7 +2556,7 @@ object TableLog {
       org.apache.spark.sql.functions.lit("removed").as("status"))
     commit(spark, root, add = Nil, remove = Nil,
       deletes = stageUnder(ids, root, "data", s"deletes/$name"),
-      cdf = stageFeed(feed, root, name))
+      cdf = stageFeed(feed, root, name), op = Some("DELETE"))
   }
 
   /** CHANGE DATA FEED: per-version row-level changes between
@@ -2701,6 +2988,7 @@ object TableLog {
         stageConstraint(fDst, dstRoot, s"""{"cname":"$n","expr":"$e"}""")
       }
     commit(spark, dstRoot, add = files, remove = Nil, deletes = dels,
-      tag = tag, zmap = zmapSeq, schema = schemaSeq, checks = checkSeq)
+      tag = tag, zmap = zmapSeq, schema = schemaSeq, checks = checkSeq,
+      op = Some("CLONE"))
   }
 }

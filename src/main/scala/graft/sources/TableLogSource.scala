@@ -42,8 +42,9 @@ import graft.operators.{TableLog, TableLogRelation}
   * delete sidecars — the table BECOMES the frame; `errorifexists`
   * (default) refuses a non-empty log; `ignore` no-ops one.
   * `clusterBy` stages range-clustered with a typed zone-map sidecar
-  * (`parts`, `statsCols` as in [[TableLog.stageWithZoneMap]]); plain
-  * writes stage as-is. Reference: the consumer's put/overwrite of
+  * (`parts`, `statsCols`, `sketchCols` as in
+  * [[TableLog.stageWithZoneMap]] — sketched columns serve
+  * [[TableLog.metadataDistinct]]); plain writes stage as-is. Reference: the consumer's put/overwrite of
   * derived tables (consumer.py) re-expressed as idiomatic
   * DataFrameWriter calls. */
 class TableLogSource extends RelationProvider
@@ -147,6 +148,9 @@ class TableLogSource extends RelationProvider
         parts = parameters.get("parts").map(_.toInt).getOrElse(16),
         statsCols = parameters.get("statsCols")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil),
+        sketchCols = parameters.get("sketchCols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))
       case None => (TableLog.stageWrite(data, root, "write"), Nil)
     }
@@ -157,13 +161,15 @@ class TableLogSource extends RelationProvider
       case SaveMode.Ignore if exists => () // leave as-is
       case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
         val (files, zm) = stage()
-        TableLog.commit(spark, root, files, Nil, zmap = zm)
+        TableLog.commit(spark, root, files, Nil, zmap = zm,
+          op = Some("WRITE"))
       case SaveMode.Overwrite if !exists =>
         // overwrite of a table that doesn't exist yet CREATES it —
         // the create-or-replace idempotent-job shape every file
         // source serves
         val (files, zm) = stage()
-        TableLog.commit(spark, root, files, Nil, zmap = zm)
+        TableLog.commit(spark, root, files, Nil, zmap = zm,
+          op = Some("OVERWRITE"))
       case SaveMode.Overwrite =>
         // the table BECOMES the frame: pin ONE read version, remove
         // exactly its active set in the same atomic commit, and
@@ -177,7 +183,8 @@ class TableLogSource extends RelationProvider
         val dels = TableLog.activeDeletes(spark, root, Some(readV))
         val (files, zm) = stage()
         TableLog.commit(spark, root, files, remove = before, zmap = zm,
-          resetDeletes = true, expectActive = before,
+          resetDeletes = true, op = Some("OVERWRITE"),
+          expectActive = before,
           expectDeletes = Some(dels),
           expectNoConflictingAdds = Some((readV, _ => true)))
     }

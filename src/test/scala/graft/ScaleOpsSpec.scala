@@ -3202,6 +3202,250 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rb.count() === base.filter(
       TableLog.idBucket("doc_id", nB).isin(3L, 7L)).count())
   }
+
+  test("compactSmallFiles: log-sized selection (zero stats on the no-op), " +
+      "right-sized files byte-untouched, stats+sketch inherited, delete " +
+      "sidecars stay in force") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    spark0.sparkContext.hadoopConfiguration.set(
+      "fs.graftcnt.impl", classOf[CountingLocalFs].getName)
+    val local = Files.createTempDirectory("graft_tablelog_csmall").toString
+    val root = s"graftcnt://$local/t"
+    def rows(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"text-$i" * 8)).toDF("doc_id", "text")
+    // v0: one RIGHT-SIZED file; v1..v4: four small drips — all
+    // zone-mapped on doc_id with a sketch, single file each
+    val (bf, bz) = TableLog.stageWithZoneMap(rows(0, 4000), root, "big",
+      "doc_id", 1, sketchCols = Seq("doc_id"))
+    TableLog.commit(spark0, root, bf, Nil, zmap = bz)
+    (1 to 4).foreach { k =>
+      val (f, z) = TableLog.stageWithZoneMap(
+        rows(4000L + k * 50L, 4000L + k * 50L + 50L), root, s"drip$k",
+        "doc_id", 1, sketchCols = Seq("doc_id"))
+      TableLog.commit(spark0, root, f, Nil, zmap = z)
+    }
+    assert(bf.length === 1)
+    val bigRel = bf.head
+    val bigDisk = java.nio.file.Paths.get(local, ("t" +: bigRel.split("/").toSeq): _*)
+    val bigLen = java.nio.file.Files.size(bigDisk)
+    val bigMtime = java.nio.file.Files.getLastModifiedTime(bigDisk)
+    // the ledger already knows every size: v0's bytes_added IS bigLen
+    val hist0 = TableLog.history(spark0, root).collect()
+    assert(hist0(0).getLong(7) === bigLen)
+    val expect = TableLog.snapshot(spark0, root).orderBy("doc_id")
+      .collect().toSeq
+    // zone-covered candidates without a keyCol must REFUSE, not
+    // silently drop pruning
+    val err = intercept[RuntimeException] {
+      TableLog.compactSmallFiles(spark0, root, "bad",
+        targetBytes = 64L << 20, minFileBytes = Some(bigLen))
+    }
+    assert(err.getMessage.contains("keyCol"))
+    // the real pass: only the four drips qualify (strict < bigLen)
+    val v = TableLog.compactSmallFiles(spark0, root, "bin",
+      targetBytes = 64L << 20, minFileBytes = Some(bigLen),
+      keyCol = Some("doc_id"))
+    val active = TableLog.activeFiles(spark0, root)
+    assert(active.length === 2, s"expected big + 1 bin, got $active")
+    assert(active.contains(bigRel), "the right-sized file must survive")
+    // ... BYTE-untouched: same length, same mtime — compaction never
+    // rewrote it
+    assert(java.nio.file.Files.size(bigDisk) === bigLen)
+    assert(java.nio.file.Files.getLastModifiedTime(bigDisk) === bigMtime)
+    // rows identical
+    assert(TableLog.snapshot(spark0, root).orderBy("doc_id")
+      .collect().toSeq === expect)
+    // the ledger records the maintenance op with its file deltas
+    val last = TableLog.history(spark0, root).collect().last
+    assert(last.getLong(0) === v)
+    assert(last.getString(2) === "COMPACT_SMALL")
+    assert((last.getLong(3), last.getLong(4)) === ((1L, 4L)))
+    // sketch + stats coverage inherited: the metadata distinct still
+    // answers and equals the scan-built bank
+    val md = TableLog.metadataDistinct(spark0, root, Seq("doc_id"))
+    assert(md.isDefined, "compaction must inherit sketch coverage")
+    // a NO-OP pass (nothing under 1 byte) plans from the log alone:
+    // zero data-file stats, version unchanged
+    CountingLocalFs.reset()
+    val vNoop = TableLog.compactSmallFiles(spark0, root, "noop",
+      targetBytes = 64L << 20, minFileBytes = Some(1L),
+      keyCol = Some("doc_id"))
+    assert(vNoop === v)
+    assert(CountingLocalFs.dataFileStats() === 0,
+      "no-op selection must come from logged sizes, not stat calls")
+    // sidecar interplay on a PLAIN table: deletes stay in force
+    // through compaction — raw rewrite, never a resurrect
+    val root2 = s"$local/t2"
+    (0 to 2).foreach { k =>
+      TableLog.commit(spark0, root2, TableLog.stageWrite(
+        rows(k * 100L, k * 100L + 100L).coalesce(1), root2, s"g$k"), Nil)
+    }
+    TableLog.commitDeletes(Seq(7L, 107L, 207L).toDF("doc_id").coalesce(1),
+      root2, "purge")
+    TableLog.compactSmallFiles(spark0, root2, "bin",
+      targetBytes = 64L << 20)
+    assert(TableLog.activeFiles(spark0, root2).length === 1)
+    assert(TableLog.activeDeletes(spark0, root2).nonEmpty,
+      "compaction must not reset delete sidecars")
+    val snap2 = TableLog.snapshot(spark0, root2, None, Some("doc_id"))
+    assert(snap2.count() === 297L)
+    assert(snap2.filter(col("doc_id").isin(7L, 107L, 207L)).count() === 0L)
+  }
+
+  test("history is the operation ledger off the log: recorded ops, derived " +
+      "classes, byte-exact addmeta sums, commit-clock timestamps, retention " +
+      "truncation — zero data-file I/O") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_tablelog_hist").toString
+    val root = s"$dir/t"
+    def rows(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val t0 = System.currentTimeMillis()
+    // v0: plain commit (no op) → derived "append"
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(rows(0, 100).coalesce(2), root, "g0"), Nil)
+    // v1: schema evolution → recorded EVOLVE_APPEND + schema_change
+    val evolved = rows(100, 150).withColumn("lang", lit("en"))
+    TableLog.evolveAppend(evolved, root, "g1")
+    // v2: delete sidecar → recorded DELETE
+    TableLog.commitDeletes(Seq(3L, 5L).toDF("doc_id").coalesce(1),
+      root, "purge")
+    // v3: OPTIMIZE → recorded, rewrite shape
+    TableLog.optimizeTable(spark0, root, "doc_id", "doc_id", "opt", 2)
+    val h = TableLog.history(spark0, root).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(h.map(_.getString(2)).toSeq ===
+      Seq("append", "EVOLVE_APPEND", "DELETE", "OPTIMIZE"))
+    // file-count deltas come straight from the entry
+    val v3 = h(3)
+    assert(v3.getLong(4) > 0L, "OPTIMIZE must report removed files")
+    assert(h(2).getLong(5) === 1L, "DELETE must report its sidecar")
+    // bytes_added: the addmeta sum must equal the on-disk bytes of
+    // that commit's own files — no stat calls, just the log
+    val f0 = h(0)
+    val logDir0 = java.nio.file.Paths.get(dir, "t", "_log")
+    val entry0 = new String(java.nio.file.Files.readAllBytes(
+      logDir0.resolve("%020d.json".format(0L))), "UTF-8")
+    val adds0 = "\"add\":\\[([^\\]]*)\\]".r.findFirstMatchIn(entry0)
+      .get.group(1).split(",").map(_.stripPrefix("\"").stripSuffix("\""))
+    val disk0 = adds0.map(rel =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(dir, "t", rel))).sum
+    assert(!f0.isNullAt(7) && f0.getLong(7) === disk0,
+      s"bytes_added ${f0.get(7)} != on-disk $disk0")
+    // ts rides the commit files' own clock: within the test's span,
+    // nondecreasing across versions
+    val ts = h.map(_.getTimestamp(1).getTime).toSeq
+    assert(ts.forall(_ >= t0 - 60000))
+    assert(ts === ts.sorted)
+    // schema/constraint flags
+    assert(h(1).getBoolean(8), "evolveAppend must flag schema_change")
+    assert(h.forall(!_.getBoolean(9)))
+    // retention: expiry below a checkpoint drops the expired rows —
+    // history is the RETAINED ledger, Delta's contract
+    TableLog.expireLog(spark0, root, TableLog.writeCheckpoint(spark0, root))
+    val h2 = TableLog.history(spark0, root).collect()
+    assert(h2.map(_.getLong(0)).toSeq === Seq(3L))
+    assert(h2(0).getString(2) === "OPTIMIZE")
+  }
+
+  test("metadataDistinct answers from the sidecar banks alone: scan-equal, " +
+      "OPTIMIZE-invariant, alive with the data directory GONE; declines on " +
+      "meta-less appends and in-force deletes") {
+    import graft.operators.TableLog
+    import graft.functions.Sketches
+    val spark0 = spark
+    import spark0.implicits._
+    // the SAME register pipeline q70/metadataDistinct use, run as a
+    // full scan — the ground truth the metadata answer must equal
+    // bit-for-bit (est_distinct is a rounded double; equality is the
+    // claim, not closeness)
+    def scanDistinct(df: org.apache.spark.sql.DataFrame, c: String)
+        : (Double, Long, Long) = {
+      val hx = Sketches.hashHex(col(c))
+      val r = df
+        .select(Sketches.hllBucket(hx).as("b"), Sketches.hllRho(hx).as("r"))
+        .agg(graft.plans.HllRegisters.hllRegisters(
+          struct(col("b"), col("r")), Sketches.M).as("regs"))
+        .select(Sketches.hllEstimate(col("regs")),
+          Sketches.nonZero(col("regs")),
+          aggregate(col("regs"), lit(0L), (a, x) => a + x))
+        .head()
+      (r.getDouble(0), r.getLong(1), r.getLong(2))
+    }
+    def metaDistinct(root: String, cols: Seq[String])
+        : Option[Map[String, (Double, Long, Long)]] =
+      TableLog.metadataDistinct(spark0, root, cols).map(_.collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+          r.getLong(3)))).toMap)
+    val dir = Files.createTempDirectory("graft_tablelog_mdist").toString
+    val root = s"$dir/t"
+    def rows(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"cat${i % 37}", s"payload$i"))
+      .toDF("doc_id", "cat", "text")
+    val (f1, z1) = TableLog.stageWithZoneMap(rows(0, 500), root, "base",
+      "doc_id", 4, statsCols = Seq("cat"),
+      sketchCols = Seq("doc_id", "cat"))
+    TableLog.commit(spark0, root, f1, Nil, zmap = z1)
+    val (f2, z2) = TableLog.stageWithZoneMap(rows(400, 900), root, "more",
+      "doc_id", 4, statsCols = Seq("cat"),
+      sketchCols = Seq("doc_id", "cat"))
+    TableLog.commit(spark0, root, f2, Nil, zmap = z2)
+    // 1) per-file banks merged across BOTH commits equal the full-scan
+    //    bank on the overlapping union (doc_id 400-499 occur twice —
+    //    distinct-ness must come from the registers, not row counts)
+    val snap = TableLog.snapshot(spark0, root)
+    val expect = Map(
+      "doc_id" -> scanDistinct(snap, "doc_id"),
+      "cat" -> scanDistinct(snap, "cat"))
+    assert(metaDistinct(root, Seq("doc_id", "cat")) === Some(expect))
+    // 2) OPTIMIZE rewrites every file into a different partitioning —
+    //    banks are value-determined, so the merged bank (and estimate)
+    //    must be IDENTICAL, with sketch coverage inherited, not lost
+    TableLog.optimizeTable(spark0, root, "doc_id", "doc_id", "opt", 2)
+    assert(metaDistinct(root, Seq("doc_id", "cat")) === Some(expect),
+      "OPTIMIZE must inherit sketch coverage and preserve the banks")
+    // 3) the brutal zero-data-read proof: remove the data directory
+    //    entirely — the answer must not notice (log + sidecars only)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t", "data"))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    assert(metaDistinct(root, Seq("doc_id", "cat")) === Some(expect),
+      "metadataDistinct touched the data directory")
+    // 4) an unsketched column declines even when others are covered
+    assert(metaDistinct(root, Seq("doc_id", "text")).isEmpty)
+    // refusal paths on a fresh table (root above has no data files left)
+    val root2 = s"$dir/t2"
+    val (g1, y1) = TableLog.stageWithZoneMap(rows(0, 300), root2, "base",
+      "doc_id", 2, sketchCols = Seq("doc_id"))
+    TableLog.commit(spark0, root2, g1, Nil, zmap = y1)
+    val before = metaDistinct(root2, Seq("doc_id"))
+    assert(before.isDefined)
+    // 5) a meta-less append breaks coverage → decline, don't guess
+    TableLog.commit(spark0, root2,
+      TableLog.stageWrite(rows(1000, 1010), root2, "plain"), Nil)
+    assert(metaDistinct(root2, Seq("doc_id")).isEmpty,
+      "an unsketched append must make metadataDistinct decline")
+    // ... but time travel BEFORE the append still answers
+    assert(TableLog.metadataDistinct(spark0, root2, Seq("doc_id"),
+      asOf = Some(0L)).isDefined)
+    // 6) OPTIMIZE recomputes banks over every live row → answerable
+    //    again, now equal to the post-append scan
+    TableLog.optimizeTable(spark0, root2, "doc_id", "doc_id", "opt", 2,
+      statsCols = Nil)
+    // inheritance declared doc_id from the surviving generation's rows
+    val after = metaDistinct(root2, Seq("doc_id"))
+    assert(after === Some(Map(
+      "doc_id" -> scanDistinct(TableLog.snapshot(spark0, root2), "doc_id"))))
+    // 7) delete sidecars in force: registers cannot forget → decline
+    TableLog.commitDeletes(Seq(5L).toDF("doc_id"), root2, "purge")
+    assert(metaDistinct(root2, Seq("doc_id")).isEmpty,
+      "in-force delete sidecars must make metadataDistinct decline")
+  }
 }
 
 /** A local filesystem that COUNTS getFileStatus calls on data parquet

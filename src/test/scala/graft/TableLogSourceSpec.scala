@@ -112,6 +112,27 @@ class TableLogSourceSpec extends AnyFunSuite {
     assert(q2.count() === 10L)
   }
 
+  test("sketchCols writer option records HLL banks; metadataDistinct answers " +
+      "a format-face-written table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = fresh()
+    (0L until 600L).map(i => (i, s"cat${i % 23}")).toDF("id", "cat")
+      .write.format(Fmt)
+      .option("clusterBy", "id").option("parts", "4")
+      .option("statsCols", "cat").option("sketchCols", "id,cat")
+      .save(root)
+    val md = graft.operators.TableLog.metadataDistinct(
+      spark0, root, Seq("id", "cat"))
+    assert(md.isDefined,
+      "a sketchCols-written table must be metadataDistinct-answerable")
+    val got = md.get.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 23 exact categories: the 256-register estimate lands within the
+    // sketch's documented error at this cardinality
+    assert(math.abs(got("cat") - 23.0) <= 2.0, s"cat est ${got("cat")}")
+    assert(got("id") > 400.0 && got("id") < 800.0, s"id est ${got("id")}")
+  }
+
   test("reads refuse delete sidecars; writes stay atomic under overwrite conflict guard") {
     val spark0 = spark
     import spark0.implicits._
