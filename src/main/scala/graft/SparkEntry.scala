@@ -2790,8 +2790,8 @@ object SparkEntry {
     * beside q156's count/min/max/sum. Reference: the consumer.py
     * distinct user/title counts, served without touching data. */
   private val q160Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q160: Q = (s, d) => {
-    val root = cachedTmpArtifact(q160Cache, d, "graft_q160_mdist") { p =>
+  private def mdistRoot(s: SparkSession, d: String): String =
+    cachedTmpArtifact(q160Cache, d, "graft_q160_mdist") { p =>
       val tl = graft.operators.TableLog
       val (files, zm) = tl.stageWithZoneMap(
         Tables.events(s, d), p, "base", "event_id", parts = 8,
@@ -2799,11 +2799,43 @@ object SparkEntry {
         sketchCols = Seq("user_id", "event_type"))
       tl.commit(s, p, files, Nil, zmap = zm)
     }
+  private val q160: Q = (s, d) =>
     graft.operators.TableLog.metadataDistinct(
-        s, root, Seq("user_id", "event_type"))
+        s, mdistRoot(s, d), Seq("user_id", "event_type"))
       .getOrElse(sys.error("metadataDistinct declined on a fully " +
         "sketch-covered table — coverage bookkeeping broke"))
-  }
+
+  /** RANGE-SCOPED METADATA DISTINCT ([[graft.operators.TableLog
+    * .metadataDistinctRange]]): `count(distinct user_id) WHERE
+    * event_id IN [123, 876]` over the same event_id-clustered,
+    * user_id-sketched table as q160 — files PROVABLY inside the
+    * window answer from their stored banks, only the boundary
+    * straddlers are scanned (filtered to the window and folded into
+    * the same register bank a full window scan would build), so the
+    * answer is exact-to-the-sketch at O(boundary files) I/O. The
+    * "distinct users in January" probe: at 100 TB with daily range
+    * clustering, two boundary files against a month of data.
+    * Reference: consumer.py's windowed distinct-user counts. */
+  private val q163: Q = (s, d) =>
+    graft.operators.TableLog.metadataDistinctRange(
+        s, mdistRoot(s, d), "user_id", "event_id", 123L, 876L)
+      .getOrElse(sys.error("metadataDistinctRange declined without " +
+        "delete sidecars in force — decline bookkeeping broke"))
+
+  /** METADATA-ONLY TABLE PROFILE ([[graft.operators.TableLog
+    * .metadataProfile]]): per-column completeness, range and
+    * cardinality of the q160 table computed from the zone-map
+    * sidecars alone — zero data files opened, the 100 TB catalog
+    * browser's DESCRIBE (q117/q132 are the scan-based faces). Every
+    * covered column reports exact n_rows/n_nulls/min/max (counts sum,
+    * bounds fold in the sidecar's order-preserving serialization);
+    * est_distinct appears exactly where the column was sketched
+    * (user_id, event_type) and stays null where it wasn't (event_id)
+    * — honest nullability, pinned by the oracle. */
+  private val q164: Q = (s, d) =>
+    graft.operators.TableLog.metadataProfile(s, mdistRoot(s, d))
+      .getOrElse(sys.error("metadataProfile declined on a covered " +
+        "table — coverage bookkeeping broke"))
 
   /** TABLE HISTORY ([[graft.operators.TableLog.history]] = Delta's
     * `DESCRIBE HISTORY`): the operation ledger off the transaction
@@ -3457,6 +3489,8 @@ object SparkEntry {
     "q160_metadata_distinct" -> q160,
     "q161_table_history" -> q161,
     "q162_small_file_compact" -> q162,
+    "q163_window_distinct" -> q163,
+    "q164_metadata_profile" -> q164,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5790,6 +5824,106 @@ object SparkEntry {
          LIMIT 50""",
     // Decimal zone skipping is layout, not semantics: the same cast
     // + price band over the base table IS the oracle.
+    // The profile's counts/bounds replay exactly over raw events;
+    // est_distinct replays the q70 register math per sketched column
+    // and is NULL where no bank was declared (event_id) — the
+    // nullability itself is on the gate.
+    "q164_metadata_profile" ->
+      """WITH reg AS (
+           SELECT scol, bucket, max(rho) AS rho FROM (
+             SELECT scol,
+               CAST((strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+                 + strpos('0123456789abcdef', substr(hx,2,1))-1 AS BIGINT) AS bucket,
+               CASE WHEN length(regexp_extract(substr(hx,3,14), '^0*')) = 14 THEN 57
+                    ELSE 4*length(regexp_extract(substr(hx,3,14), '^0*'))
+                      + CASE WHEN substr(substr(hx,3,14),
+                          length(regexp_extract(substr(hx,3,14), '^0*'))+1, 1) = '1' THEN 3
+                        WHEN substr(substr(hx,3,14),
+                          length(regexp_extract(substr(hx,3,14), '^0*'))+1, 1) IN ('2','3') THEN 2
+                        WHEN substr(substr(hx,3,14),
+                          length(regexp_extract(substr(hx,3,14), '^0*'))+1, 1) IN ('4','5','6','7') THEN 1
+                        ELSE 0 END + 1 END AS rho
+             FROM (
+               SELECT 'user_id' AS scol, md5(CAST(user_id AS VARCHAR)) AS hx
+               FROM events WHERE user_id IS NOT NULL
+               UNION ALL
+               SELECT 'event_type', md5(CAST(event_type AS VARCHAR))
+               FROM events WHERE event_type IS NOT NULL))
+           GROUP BY 1, 2),
+         est AS (
+           SELECT scol,
+             round(CASE WHEN 256 - nz > 0 AND raw_est <= 640.0
+                   THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw_est END, 4) AS e
+           FROM (SELECT scol, nz,
+               (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57)) /
+                 CAST(numer_nz + CAST(256 - nz AS HUGEINT)
+                   * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE) AS raw_est
+             FROM (SELECT scol, count(*) AS nz,
+                 sum(CAST(pow(2.0, 57 - rho) AS HUGEINT)) AS numer_nz
+               FROM reg GROUP BY 1)))
+         SELECT 'event_id' AS col_name, 'long' AS kind,
+           count(*) AS n_rows,
+           count(*) - count(event_id) AS n_nulls,
+           CAST(min(event_id) AS VARCHAR) AS lo,
+           CAST(max(event_id) AS VARCHAR) AS hi,
+           CAST(NULL AS DOUBLE) AS est_distinct
+         FROM events
+         UNION ALL
+         SELECT 'user_id', 'long', count(*), count(*) - count(user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+           (SELECT e FROM est WHERE scol = 'user_id')
+         FROM events
+         UNION ALL
+         SELECT 'event_type', 'string', count(*),
+           count(*) - count(event_type),
+           min(event_type), max(event_type),
+           (SELECT e FROM est WHERE scol = 'event_type')
+         FROM events
+         ORDER BY col_name""",
+    // The window-scoped bank (stored banks for covered files + the
+    // boundary scan's bank) must equal the register bank of a full
+    // scan of the window — so the oracle is q70's replay restricted
+    // to the window, and any boundary-handling bug hash-mismatches.
+    "q163_window_distinct" ->
+      """WITH h AS (
+           SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+           FROM events
+           WHERE user_id IS NOT NULL AND event_id BETWEEN 123 AND 876),
+         d AS (
+           SELECT
+             CAST((strpos('0123456789abcdef', substr(hx,1,1))-1)*16
+               + strpos('0123456789abcdef', substr(hx,2,1))-1 AS BIGINT) AS bucket,
+             length(regexp_extract(substr(hx,3,14), '^0*')) AS lz,
+             substr(substr(hx,3,14),
+               length(regexp_extract(substr(hx,3,14), '^0*'))+1, 1) AS fc
+           FROM h),
+         r0 AS (
+           SELECT bucket,
+             CASE WHEN lz = 14 THEN 57
+                  ELSE 4*lz + CASE WHEN fc = '1' THEN 3
+                                   WHEN fc IN ('2','3') THEN 2
+                                   WHEN fc IN ('4','5','6','7') THEN 1
+                                   ELSE 0 END + 1 END AS rho
+           FROM d),
+         r AS (SELECT bucket, max(rho) AS rho FROM r0 GROUP BY 1),
+         g AS (
+           SELECT count(*) AS nz,
+             sum(CAST(pow(2.0, 57 - rho) AS HUGEINT)) AS numer_nz,
+             sum(rho) AS sum_rho
+           FROM r),
+         raw AS (
+           SELECT nz, sum_rho,
+             (((0.7213/(1 + 1.079/256.0)) * 65536.0) * pow(2.0, 57)) /
+               CAST(coalesce(numer_nz, CAST(0 AS HUGEINT))
+                 + CAST(256 - nz AS HUGEINT)
+                 * CAST(pow(2.0, 57) AS HUGEINT) AS DOUBLE) AS raw_est
+           FROM g)
+         SELECT 'user_id' AS scol,
+           round(CASE WHEN 256 - nz > 0 AND raw_est <= 640.0
+                 THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw_est END, 4) AS est_distinct,
+           CAST(nz AS BIGINT) AS nz,
+           CAST(coalesce(sum_rho, 0) AS BIGINT) AS sum_rho
+         FROM raw""",
     // Compaction must move bytes, never rows: the post-compaction
     // zone-pruned read equals the plain replay over raw documents.
     "q162_small_file_compact" ->

@@ -165,7 +165,10 @@ object TableLog {
         .map(s => s.getPath.getName.stripSuffix(".json").toLong ->
           s.getModificationTime)
         .toMap
-    val rows = versions(spark, root).map { v =>
+    // the version list IS the mtimes map's key set — ONE listing
+    // serves both (a second versions() listing could see a commit the
+    // first missed and stamp it a bogus epoch-0 ts)
+    val rows = mtimes.keys.toSeq.sorted.map { v =>
       val e = readEntry(f, entryPath(root, v))
       val derived =
         if (e.add.nonEmpty && e.remove.nonEmpty) "rewrite"
@@ -1779,6 +1782,19 @@ object TableLog {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val f = fs(spark, root)
+    // sketch-column validation needs only names and types — run it
+    // BEFORE the O(data) repartition+write, not after (a misdeclared
+    // column must not burn the whole staging and orphan its files)
+    val sketched = sketchCols.distinct
+    sketched.foreach { c =>
+      val declared = (keyCol +: statsCols).contains(c)
+      val coverable = df.schema.find(_.name == c)
+        .exists(fld => zkindFor(fld.dataType).isDefined)
+      if (!declared || !coverable)
+        sys.error(s"TableLog.stageWithZoneMap: sketch column '$c' must " +
+          s"be the key or a stats column of a zone-coverable type " +
+          s"(declared: ${(keyCol +: statsCols).distinct.mkString(",")})")
+    }
     val dir = s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
     stageMarker(f, root, s"data/$dir")
     val key = clusterBy.getOrElse(col(keyCol))
@@ -1801,13 +1817,6 @@ object TableLog {
     // no coverable column (e.g. a map/array cluster key): the data
     // still lands clustered, but there is no sidecar to write —
     // reads stay conservative, never wrong
-    val sketched = sketchCols.distinct
-    sketched.foreach { c =>
-      if (!covered.exists(_._1 == c))
-        sys.error(s"TableLog.stageWithZoneMap: sketch column '$c' must " +
-          s"be the key or a stats column of a zone-coverable type " +
-          s"(covered: ${covered.map(_._1).mkString(",")})")
-    }
     if (covered.isEmpty) return (files, Nil)
     // ONE columnar pass over the staged stats columns → per-file
     // bounds for every covered column, melted to one sidecar row per
@@ -1945,6 +1954,60 @@ object TableLog {
     }
   }
 
+  /** Merge one serialized HLL bank into `merged` by elementwise max.
+    * Returns false — and `merged` is left UNTOUCHED — on wrong
+    * register count, a non-numeric/empty token, or a register above
+    * MaxRho (a register is a rho in [0, 57], ≤ 2 digits): a foreign
+    * writer's garbage must neither throw nor leave a partial merge
+    * behind (the range face keeps the array and scans the file
+    * instead; a half-merged bad bank would silently skew it). */
+  private def mergeBankInto(bank: String, merged: Array[Long]): Boolean = {
+    val m = merged.length
+    val maxRho = graft.functions.Sketches.MaxRho.toLong
+    val regs = bank.split(",", -1)
+    if (regs.length != m) return false
+    val parsed = new Array[Long](m)
+    var i = 0
+    while (i < m) { // validate EVERY token before touching `merged`
+      val t = regs(i)
+      if (t.isEmpty || t.length > 2 || !t.forall(_.isDigit)) return false
+      val v = t.toLong
+      if (v > maxRho) return false
+      parsed(i) = v
+      i += 1
+    }
+    i = 0
+    while (i < m) { // elementwise max — the HLL union
+      if (parsed(i) > merged(i)) merged(i) = parsed(i)
+      i += 1
+    }
+    true
+  }
+
+  /** Shared tail of the metadata-distinct faces: (column, merged
+    * bank) rows → (scol, est_distinct, nz, sum_rho), the q70 witness
+    * triple, computed with the SAME [[graft.functions.Sketches]]
+    * column math as the scan path — a LocalRelation, no file I/O. */
+  private def distinctEstimateDf(spark: SparkSession,
+      banks: Seq[(String, Seq[Long])]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(banks.map { case (c, regs) =>
+        org.apache.spark.sql.Row(c, regs) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("scol",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("regs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
+    df.select(col("scol"),
+        graft.functions.Sketches.hllEstimate(col("regs")).as("est_distinct"),
+        graft.functions.Sketches.nonZero(col("regs")).as("nz"),
+        aggregate(col("regs"), lit(0L), (a, r) => a + r).as("sum_rho"))
+      .orderBy(col("scol"))
+  }
+
   /** METADATA-ONLY DISTINCT ESTIMATE: approximate
     * `count(distinct col)` for each of `cols` over the snapshot at
     * `asOf`, answered ENTIRELY from the zone-map sidecars — zero data
@@ -1983,41 +2046,156 @@ object TableLog {
       if (rows.iterator.map(_.file).toSet != activeSet) None
       else {
         val merged = new Array[Long](m)
-        val ok = rows.forall { z =>
-          val regs = z.hll.get.split(",", -1)
-          regs.length == m && {
-            var i = 0
-            while (i < m) { // elementwise max — the HLL union
-              val v = java.lang.Long.parseLong(regs(i))
-              if (v > merged(i)) merged(i) = v
-              i += 1
-            }
-            true
-          }
-        }
-        // a malformed bank (wrong register count — a foreign writer)
-        // declines rather than estimates wrong
+        // a malformed bank (wrong register count or content — a
+        // foreign writer) declines rather than estimates wrong
+        val ok = rows.forall(z => mergeBankInto(z.hll.get, merged))
         if (ok) Some(c -> merged.toSeq) else None
       }
     }
     if (banks.length != want.length) return None
-    // estimate via the SAME column expressions q70 uses — one
-    // LocalRelation row per column, no file I/O
-    val df = spark.createDataFrame(
-      java.util.Arrays.asList(banks.map { case (c, regs) =>
-        org.apache.spark.sql.Row(c, regs) }: _*),
+    Some(distinctEstimateDf(spark, banks))
+  }
+
+  /** RANGE-SCOPED METADATA DISTINCT: approximate
+    * `count(distinct sketchCol) WHERE lo <= keyCol <= hi` over the
+    * snapshot at `asOf`, reading ONLY the window's BOUNDARY files —
+    * the "distinct users in January" probe on a range-clustered
+    * table. Files PROVABLY all-inside the window (interval contained,
+    * zero null keys — null is outside every range) answer from their
+    * stored HLL banks; files provably outside contribute nothing;
+    * only the straddlers (and inside files missing a sane bank) are
+    * scanned, filtered to the window, and folded into the SAME
+    * register bank a full scan of the window would build — the answer
+    * is exact-to-the-sketch at O(boundary files) I/O instead of
+    * O(window). At 100 TB with daily range clustering that is two
+    * boundary files against a month of data. Returns None only when
+    * delete sidecars are in force (banks cannot forget) — coverage
+    * gaps degrade to scanning those files, never to an error. Output:
+    * one (scol, est_distinct, nz, sum_rho) row, the q70 witness
+    * triple. Bounds are typed like [[snapshotWhere]]'s. */
+  def metadataDistinctRange(spark: SparkSession, root: String,
+                            sketchCol: String, keyCol: String,
+                            lo: Any, hi: Any,
+                            asOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (activeDeletes(spark, root, asOf).nonEmpty) return None
+    val (kind, qlo) = zbound(lo)
+    val (kindHi, qhi) = zbound(hi)
+    require(kind == kindHi,
+      s"TableLog.metadataDistinctRange: bound kinds differ ($kind vs $kindHi)")
+    val active = activeFiles(spark, root, asOf)
+    val zones = collectZoneRows(spark, root, asOf)
+    // every file a window row may live in; the provably-inside subset
+    // can serve from banks, the rest must scan
+    val touched = touchedFrom(active, zones, keyCol, kind,
+      Some(qlo), Some(qhi))
+    val inside = droppableFrom(zones, keyCol, kind, qlo, qhi,
+      trustLegacy = false)
+    val banksByFile: Map[String, String] = zones.iterator
+      .filter(z => z.scol.contains(sketchCol) && z.hll.isDefined)
+      .map(z => z.file -> z.hll.get).toMap
+    val merged = new Array[Long](graft.functions.Sketches.M)
+    val scanSet = touched.filter { p =>
+      // a file serves from metadata only when it is provably
+      // all-inside AND its bank parses sane; anything else scans —
+      // graceful degradation, never a wrong estimate
+      !(inside(p) && banksByFile.get(p).exists(mergeBankInto(_, merged)))
+    }
+    if (scanSet.nonEmpty) {
+      val reader = logSchema(spark, root, asOf)
+        .fold(spark.read)(st => spark.read.schema(st))
+      val hx = graft.functions.Sketches.hashHex(col(sketchCol))
+      val bank = reader.parquet(scanSet.map(resolve(root, _)): _*)
+        .filter(col(keyCol) >= zlit(lo) && col(keyCol) <= zlit(hi))
+        .select(graft.plans.HllRegisters.hllRegisters(
+          struct(graft.functions.Sketches.hllBucket(hx).as("bucket"),
+            graft.functions.Sketches.hllRho(hx).as("rho")),
+          graft.functions.Sketches.M).as("regs"))
+        .head().getSeq[Long](0)
+      var i = 0
+      while (i < merged.length) {
+        if (bank(i) > merged(i)) merged(i) = bank(i)
+        i += 1
+      }
+    }
+    Some(distinctEstimateDf(spark, Seq(sketchCol -> merged.toSeq)))
+  }
+
+  /** METADATA-ONLY TABLE PROFILE: per-column completeness,
+    * cardinality and range for every FULLY-COVERED column of the
+    * snapshot at `asOf`, computed from the zone-map sidecars alone —
+    * zero data files opened ([[graft.operators.Profile.profile]] is
+    * the scan-based face; this is what a 100 TB catalog browser
+    * shows without launching a job). A column is covered when EVERY
+    * active file carries its stats row with known row/null counts;
+    * uncovered columns are simply absent (the scan face serves
+    * them), an all-null era leaves min/max null, and `est_distinct`
+    * is non-null only where every file carries a sane HLL bank
+    * ([[stageWithZoneMap]]'s `sketchCols`). Bounds are returned in
+    * the sidecar's own order-preserving serialization (`kind` says
+    * which). Declines entirely (None) when delete sidecars are in
+    * force — per-file stats describe pre-delete rows. Output sorted
+    * by col_name: (col_name, kind, n_rows, n_nulls, lo, hi,
+    * est_distinct). */
+  def metadataProfile(spark: SparkSession, root: String,
+                      asOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (activeDeletes(spark, root, asOf).nonEmpty) return None
+    val active = activeFiles(spark, root, asOf)
+    val activeSet = active.toSet
+    val zones = collectZoneRows(spark, root, asOf)
+      .filter(z => activeSet(z.file) && z.scol.isDefined)
+    val m = graft.functions.Sketches.M
+    val perCol = zones.groupBy(_.scol.get).toSeq.collect {
+      // covered: one stats row per active file, counts known
+      case (c, rows0)
+          if rows0.iterator.map(_.file).toSet == activeSet &&
+            rows0.forall(z => z.nRows.isDefined && z.nNulls.isDefined) =>
+        // one row per file: counts must not double on a re-listed
+        // sidecar (bank merging is idempotent, sums are not)
+        val rows = rows0.toSeq.distinctBy(_.file)
+        val kind = rows.head.kind
+        val n = rows.iterator.map(_.nRows.get).sum
+        val nulls = rows.iterator.map(_.nNulls.get).sum
+        val los = rows.flatMap(_.lo)
+        val his = rows.flatMap(_.hi)
+        val lo = if (los.isEmpty) null
+                 else los.reduce((a, b) => if (zcmp(kind, a, b) <= 0) a else b)
+        val hi = if (his.isEmpty) null
+                 else his.reduce((a, b) => if (zcmp(kind, a, b) >= 0) a else b)
+        val bank = new Array[Long](m)
+        val sketched = rows.forall(z =>
+          z.hll.exists(mergeBankInto(_, bank)))
+        (c, kind, n, nulls, lo, hi,
+          if (sketched) bank.toSeq else null)
+    }
+    if (perCol.isEmpty) return None
+    val withEst = spark.createDataFrame(
+      java.util.Arrays.asList(perCol.map { case (c, k, n, nl, lo, hi, b) =>
+        org.apache.spark.sql.Row(c, k, n, nl, lo, hi, b) }: _*),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("scol",
+        org.apache.spark.sql.types.StructField("col_name",
           org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_nulls",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lo",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("hi",
+          org.apache.spark.sql.types.StringType, nullable = true),
         org.apache.spark.sql.types.StructField("regs",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, containsNull = false),
-          nullable = false))))
-    Some(df.select(col("scol"),
-        graft.functions.Sketches.hllEstimate(col("regs")).as("est_distinct"),
-        graft.functions.Sketches.nonZero(col("regs")).as("nz"),
-        aggregate(col("regs"), lit(0L), (a, r) => a + r).as("sum_rho"))
-      .orderBy(col("scol")))
+          nullable = true))))
+    Some(withEst.select(col("col_name"), col("kind"),
+        col("n_rows"), col("n_nulls"), col("lo"), col("hi"),
+        when(col("regs").isNotNull,
+          graft.functions.Sketches.hllEstimate(col("regs")))
+          .as("est_distinct"))
+      .orderBy(col("col_name")))
   }
 
   /** The active files a typed range predicate [qlo, qhi] on `scol`

@@ -143,15 +143,14 @@ class TableLogSource extends RelationProvider
     val versions = TableLog.versions(spark, root)
     val exists = versions.nonEmpty ||
       TableLog.checkpointVersions(spark, root).nonEmpty
+    def csvOption(name: String): Seq[String] = parameters.get(name)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     def stage(): (Seq[String], Seq[String]) = parameters.get("clusterBy") match {
       case Some(key) => TableLog.stageWithZoneMap(data, root, "write", key,
         parts = parameters.get("parts").map(_.toInt).getOrElse(16),
-        statsCols = parameters.get("statsCols")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil),
-        sketchCols = parameters.get("sketchCols")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil))
+        statsCols = csvOption("statsCols"),
+        sketchCols = csvOption("sketchCols"))
       case None => (TableLog.stageWrite(data, root, "write"), Nil)
     }
     mode match {

@@ -3294,6 +3294,122 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(snap2.filter(col("doc_id").isin(7L, 107L, 207L)).count() === 0L)
   }
 
+  test("metadataDistinctRange: covered files answer from banks, straddlers " +
+      "scan into the same window bank; file-aligned windows read no data; " +
+      "deletes decline") {
+    import graft.operators.TableLog
+    import graft.functions.Sketches
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_tablelog_mdrange").toString
+    val root = s"$dir/t"
+    // keys 0..999 range-clustered into 8 files; sketch column u has
+    // heavy collisions (i % 97) so windowed distinct != window size
+    val df = (0L until 1000L).map(i => (i, i % 97, s"p$i"))
+      .toDF("k", "u", "p")
+    val (f1, z1) = TableLog.stageWithZoneMap(df, root, "base", "k", 8,
+      statsCols = Seq("u"), sketchCols = Seq("u"))
+    TableLog.commit(spark0, root, f1, Nil, zmap = z1)
+    // ground truth: the SAME register pipeline over a real scan of
+    // the window — the range face must equal it bit-for-bit
+    def scanBank(lo: Long, hi: Long): (Double, Long, Long) = {
+      val hx = Sketches.hashHex(col("u"))
+      val r = TableLog.snapshot(spark0, root)
+        .filter(col("k") >= lo && col("k") <= hi)
+        .select(Sketches.hllBucket(hx).as("b"), Sketches.hllRho(hx).as("r"))
+        .agg(graft.plans.HllRegisters.hllRegisters(
+          struct(col("b"), col("r")), Sketches.M).as("regs"))
+        .select(Sketches.hllEstimate(col("regs")),
+          Sketches.nonZero(col("regs")),
+          aggregate(col("regs"), lit(0L), (a, x) => a + x))
+        .head()
+      (r.getDouble(0), r.getLong(1), r.getLong(2))
+    }
+    def rangeEst(lo: Long, hi: Long): Option[(Double, Long, Long)] =
+      TableLog.metadataDistinctRange(spark0, root, "u", "k", lo, hi)
+        .map(_.collect().head)
+        .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // 1) a misaligned window: covered banks + boundary scan must fold
+    //    to exactly the full-window-scan bank
+    assert(rangeEst(137L, 861L) === Some(scanBank(137L, 861L)))
+    // 2) an empty window answers the empty bank (est 0), no error
+    assert(rangeEst(2000L, 3000L) === Some(scanBank(2000L, 3000L)))
+    // 3) a FILE-ALIGNED window is pure metadata: derive the window
+    //    from the sidecar's own key bounds, then delete the data —
+    //    the answer must not notice
+    val bounds = spark0.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/zmap")
+      .filter(col("scol") === "k")
+      .select(col("lo_s").cast("long"), col("hi_s").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(bounds.length === 8)
+    val (wLo, wHi) = (bounds(2)._1, bounds(5)._2)
+    val expect = scanBank(wLo, wHi)
+    assert(rangeEst(wLo, wHi) === Some(expect))
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "t", "data"))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    assert(rangeEst(wLo, wHi) === Some(expect),
+      "a file-aligned window must answer without touching data")
+    // 4) delete sidecars in force → decline (banks cannot forget)
+    TableLog.commitDeletes(Seq(5L).toDF("k").coalesce(1), root, "purge")
+    assert(rangeEst(wLo, wHi).isEmpty)
+  }
+
+  test("metadataProfile: covered columns profile from the sidecar alone — " +
+      "exact counts/bounds, est only where sketched, uncovered columns " +
+      "absent, data directory not consulted") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_tablelog_mprof").toString
+    val root = s"$dir/t"
+    // k: key+sketch; u: stats+sketch with NULLs; v: stats only;
+    // w: never declared → must be absent from the profile
+    val df = (0L until 500L).map { i =>
+      (i, if (i % 5 == 0) None else Some(i % 83), s"v${i % 11}", s"w$i")
+    }.toDF("k", "u", "v", "w")
+    val (f1, z1) = TableLog.stageWithZoneMap(df, root, "base", "k", 4,
+      statsCols = Seq("u", "v"), sketchCols = Seq("k", "u"))
+    TableLog.commit(spark0, root, f1, Nil, zmap = z1)
+    val prof = TableLog.metadataProfile(spark0, root)
+    assert(prof.isDefined)
+    val rows = prof.get.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("k", "u", "v"), "w must be absent")
+    // exact counts and serialized bounds
+    assert(rows("k").getLong(2) === 500L && rows("k").getLong(3) === 0L)
+    assert((rows("k").getString(4), rows("k").getString(5)) === (("0", "499")))
+    assert(rows("u").getLong(3) === 100L, "u null count must be exact")
+    assert((rows("u").getString(4), rows("u").getString(5)) === (("0", "82")))
+    assert((rows("v").getString(4), rows("v").getString(5)) === (("v0", "v9")))
+    // est_distinct: present exactly where sketched, scan-equal
+    import graft.functions.Sketches
+    def scanEst(c: String): Double = {
+      val hx = Sketches.hashHex(col(c))
+      TableLog.snapshot(spark0, root)
+        .select(Sketches.hllBucket(hx).as("b"), Sketches.hllRho(hx).as("r"))
+        .agg(graft.plans.HllRegisters.hllRegisters(
+          struct(col("b"), col("r")), Sketches.M).as("regs"))
+        .select(Sketches.hllEstimate(col("regs"))).head().getDouble(0)
+    }
+    assert(rows("k").getDouble(6) === scanEst("k"))
+    assert(rows("u").getDouble(6) === scanEst("u"))
+    assert(rows("v").isNullAt(6), "unsketched column must report null est")
+    // the profile never consults data: delete the directory, same rows
+    val expect = prof.get.collect().toSeq
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "t", "data"))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    assert(TableLog.metadataProfile(spark0, root).get.collect().toSeq === expect)
+    // deletes in force → decline
+    TableLog.commitDeletes(Seq(5L).toDF("k").coalesce(1), root, "purge")
+    assert(TableLog.metadataProfile(spark0, root).isEmpty)
+  }
+
   test("history is the operation ledger off the log: recorded ops, derived " +
       "classes, byte-exact addmeta sums, commit-clock timestamps, retention " +
       "truncation — zero data-file I/O") {
@@ -3445,6 +3561,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     TableLog.commitDeletes(Seq(5L).toDF("doc_id"), root2, "purge")
     assert(metaDistinct(root2, Seq("doc_id")).isEmpty,
       "in-force delete sidecars must make metadataDistinct decline")
+    // 8) a foreign writer's malformed bank (right arity, garbage
+    //    registers) DECLINES — never throws mid-probe, never skews
+    val root3 = s"$dir/t3"
+    val (h1, w1) = TableLog.stageWithZoneMap(rows(0, 100).coalesce(1),
+      root3, "base", "doc_id", 1, sketchCols = Seq("doc_id"))
+    TableLog.commit(spark0, root3, h1, Nil, zmap = w1)
+    assert(metaDistinct(root3, Seq("doc_id")).isDefined)
+    val badBank = Seq.fill(256)("x").mkString(",")
+    Seq((TableLog.activeFiles(spark0, root3).head, "doc_id", "long",
+        Option.empty[String], Option.empty[String], 100L, 0L,
+        Option.empty[String], Option(badBank)))
+      .toDF("file", "scol", "kind", "lo_s", "hi_s", "n_rows", "n_nulls",
+        "sum_s", "hll_s")
+      .coalesce(1).write.parquet(s"$root3/zmap/foreign")
+    TableLog.commit(spark0, root3, Nil, Nil, zmap = Seq("zmap/foreign"))
+    assert(metaDistinct(root3, Seq("doc_id")).isEmpty,
+      "a malformed bank must decline the column, not throw or estimate")
+    // 9) a misdeclared sketch column fails BEFORE any data lands —
+    //    the validation must not burn an O(data) write
+    val root4 = s"$dir/t4"
+    val e4 = intercept[RuntimeException] {
+      TableLog.stageWithZoneMap(rows(0, 10), root4, "b", "doc_id", 1,
+        sketchCols = Seq("cat"))
+    }
+    assert(e4.getMessage.contains("sketch column"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "t4", "data")),
+      "sketch validation must run before the data write")
   }
 }
 
