@@ -5822,8 +5822,6 @@ object SparkEntry {
          FROM events
          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
          LIMIT 50""",
-    // Decimal zone skipping is layout, not semantics: the same cast
-    // + price band over the base table IS the oracle.
     // The profile's counts/bounds replay exactly over raw events;
     // est_distinct replays the q70 register math per sketched column
     // and is NULL where no bank was declared (event_id) — the
@@ -5996,6 +5994,8 @@ object SparkEntry {
                  THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw_est END, 4) AS est_distinct,
            CAST(nz AS BIGINT) AS nz, CAST(sum_rho AS BIGINT) AS sum_rho
          FROM raw ORDER BY scol""",
+    // Decimal zone skipping is layout, not semantics: the same cast
+    // + price band over the base table IS the oracle.
     "q159_decimal_zone_skip" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_quantity

@@ -1927,8 +1927,15 @@ object TableLog {
     * shared by [[rangeTouchedFiles]] and [[deleteWhere]] so one purge
     * plans from ONE sidecar read. */
   private[operators] def collectZoneRows(spark: SparkSession, root: String,
-                              asOf: Option[Long]): Array[ZStat] = {
-    val zmaps = inForceZmaps(fs(spark, root), root, asOf)
+                              asOf: Option[Long]): Array[ZStat] =
+    collectZoneRowsFrom(spark, root,
+      inForceZmaps(fs(spark, root), root, asOf))
+
+  /** [[collectZoneRows]] over a PRE-RESOLVED in-force zmap ref list —
+    * the [[replayState]] composition path, so one replay serves both
+    * the ref discovery and this read. */
+  private def collectZoneRowsFrom(spark: SparkSession, root: String,
+                                  zmaps: Seq[String]): Array[ZStat] = {
     if (zmaps.isEmpty) Array.empty
     else {
       val zm = spark.read.option("mergeSchema", "true")
@@ -1952,6 +1959,42 @@ object TableLog {
             ZStat(r.getString(0), None, "long", s(5), s(6), l(7), l(8))
         }
     }
+  }
+
+  /** ONE log replay serving every projection the metadata faces need
+    * — active files, in-force delete sidecars, in-force zmap refs —
+    * reading each retained entry ONCE. [[metadataDistinct]] /
+    * [[metadataDistinctRange]] / [[metadataProfile]] previously
+    * composed [[activeDeletes]] + [[activeFiles]] +
+    * [[collectZoneRows]], each replaying the log independently: ~3×
+    * the listStatus/open round-trips per probe on a path whose whole
+    * point is O(metadata) cost. Folds mirror [[activeFilesWithMeta]],
+    * [[activeDeletes]] and [[inForceZmaps]] exactly. */
+  private def replayState(spark: SparkSession, root: String,
+                          asOf: Option[Long])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val f = fs(spark, root)
+    if (versionsIn(f, root).isEmpty && checkpoints(f, root).isEmpty)
+      return (Nil, Nil, Nil)
+    val (cp, replay) = replayPlan(f, root, asOf)
+    val cpData = cp.map(cv => readCheckpoint(f, root, cv))
+    val entries = replay.map(v => readEntry(f, entryPath(root, v)))
+    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    cpData.foreach(_.files.foreach(active += _))
+    entries.foreach { e =>
+      e.remove.foreach(active -= _)
+      e.add.foreach(active += _)
+    }
+    val lastReset = entries.filter(_.reset).map(_.version).sorted.lastOption
+    val dels = lastReset match {
+      case Some(r) => entries.filter(_.version >= r).flatMap(_.deletes)
+      case None =>
+        cpData.toSeq.flatMap(_.deletes) ++ entries.flatMap(_.deletes)
+    }
+    val zmaps = (cpData.toSeq.flatMap(_.zmap) ++ entries.flatMap(_.zmap))
+      .distinct
+      .filter(rel => f.exists(new Path(resolve(root, rel))))
+    (active.toSeq, dels, zmaps)
   }
 
   /** Merge one serialized HLL bank into `merged` by elementwise max.
@@ -2033,9 +2076,9 @@ object TableLog {
                        cols: Seq[String],
                        asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
-    if (activeDeletes(spark, root, asOf).nonEmpty) return None
-    val active = activeFiles(spark, root, asOf)
-    val zones = collectZoneRows(spark, root, asOf)
+    val (active, dels, zmaps) = replayState(spark, root, asOf)
+    if (dels.nonEmpty) return None
+    val zones = collectZoneRowsFrom(spark, root, zmaps)
     val activeSet = active.toSet
     val m = graft.functions.Sketches.M
     val want = cols.distinct.sorted
@@ -2078,13 +2121,13 @@ object TableLog {
                             lo: Any, hi: Any,
                             asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
-    if (activeDeletes(spark, root, asOf).nonEmpty) return None
     val (kind, qlo) = zbound(lo)
     val (kindHi, qhi) = zbound(hi)
     require(kind == kindHi,
       s"TableLog.metadataDistinctRange: bound kinds differ ($kind vs $kindHi)")
-    val active = activeFiles(spark, root, asOf)
-    val zones = collectZoneRows(spark, root, asOf)
+    val (active, dels, zmaps) = replayState(spark, root, asOf)
+    if (dels.nonEmpty) return None
+    val zones = collectZoneRowsFrom(spark, root, zmaps)
     // every file a window row may live in; the provably-inside subset
     // can serve from banks, the rest must scan
     val touched = touchedFrom(active, zones, keyCol, kind,
@@ -2095,12 +2138,18 @@ object TableLog {
       .filter(z => z.scol.contains(sketchCol) && z.hll.isDefined)
       .map(z => z.file -> z.hll.get).toMap
     val merged = new Array[Long](graft.functions.Sketches.M)
-    val scanSet = touched.filter { p =>
+    // explicit partition, not a side-effecting filter: every touched
+    // file is classified (and every served bank merged) exactly once,
+    // regardless of how lazily the caller's collection traverses
+    val scanBuilder = Seq.newBuilder[String]
+    touched.foreach { p =>
       // a file serves from metadata only when it is provably
       // all-inside AND its bank parses sane; anything else scans —
       // graceful degradation, never a wrong estimate
-      !(inside(p) && banksByFile.get(p).exists(mergeBankInto(_, merged)))
+      val served = inside(p) && banksByFile.get(p).exists(mergeBankInto(_, merged))
+      if (!served) scanBuilder += p
     }
+    val scanSet = scanBuilder.result()
     if (scanSet.nonEmpty) {
       val reader = logSchema(spark, root, asOf)
         .fold(spark.read)(st => spark.read.schema(st))
@@ -2140,21 +2189,48 @@ object TableLog {
   def metadataProfile(spark: SparkSession, root: String,
                       asOf: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
-    if (activeDeletes(spark, root, asOf).nonEmpty) return None
-    val active = activeFiles(spark, root, asOf)
+    val (active, dels, zmaps) = replayState(spark, root, asOf)
+    if (dels.nonEmpty) return None
     val activeSet = active.toSet
-    val zones = collectZoneRows(spark, root, asOf)
+    val zones = collectZoneRowsFrom(spark, root, zmaps)
       .filter(z => activeSet(z.file) && z.scol.isDefined)
     val m = graft.functions.Sketches.M
-    val perCol = zones.groupBy(_.scol.get).toSeq.collect {
-      // covered: one stats row per active file, counts known
-      case (c, rows0)
-          if rows0.iterator.map(_.file).toSet == activeSet &&
-            rows0.forall(z => z.nRows.isDefined && z.nNulls.isDefined) =>
-        // one row per file: counts must not double on a re-listed
-        // sidecar (bank merging is idempotent, sums are not)
-        val rows = rows0.toSeq.distinctBy(_.file)
-        val kind = rows.head.kind
+    // a bound must PARSE under its kind's comparator before the fold
+    // touches it — a foreign row's garbage must skip the column, not
+    // throw mid-profile or mis-sort
+    def zparses(kind: String, s: String): Boolean = kind match {
+      case "string" => true
+      case "double" =>
+        try { s.toDouble; true } catch { case _: NumberFormatException => false }
+      case "decimal" =>
+        try { BigDecimal(s); true } catch { case _: NumberFormatException => false }
+      case _ =>
+        try { s.toLong; true } catch { case _: NumberFormatException => false }
+    }
+    val perCol = zones.groupBy(_.scol.get).toSeq.flatMap { case (c, rows0) =>
+      // one row per file: counts must not double on a re-listed
+      // sidecar (bank merging is idempotent, sums are not) — and
+      // CONFLICTING duplicates for one file skip the column entirely
+      // (an order-of-listing arbitrary pick would report a foreign
+      // row's counts as exact facts; the scan faces stay available)
+      val byFile = rows0.groupBy(_.file)
+      val consistent = byFile.values.forall(dups =>
+        dups.forall(z => (z.kind, z.nRows, z.nNulls, z.lo, z.hi) ==
+          (dups.head.kind, dups.head.nRows, dups.head.nNulls,
+            dups.head.lo, dups.head.hi)))
+      val rows = byFile.values.map(_.head).toSeq
+      val kinds = rows.map(_.kind).distinct
+      // covered: one stats row per active file, counts known, ONE
+      // kind across eras (a column restaged under a different type
+      // cannot fold its bounds under either comparator), bounds sane
+      val covered = consistent &&
+        byFile.keySet == activeSet && kinds.length == 1 &&
+        rows.forall(z => z.nRows.isDefined && z.nNulls.isDefined) &&
+        rows.forall(z => (z.lo.toSeq ++ z.hi.toSeq)
+          .forall(zparses(kinds.head, _)))
+      if (!covered) None
+      else {
+        val kind = kinds.head
         val n = rows.iterator.map(_.nRows.get).sum
         val nulls = rows.iterator.map(_.nNulls.get).sum
         val los = rows.flatMap(_.lo)
@@ -2164,10 +2240,15 @@ object TableLog {
         val hi = if (his.isEmpty) null
                  else his.reduce((a, b) => if (zcmp(kind, a, b) >= 0) a else b)
         val bank = new Array[Long](m)
-        val sketched = rows.forall(z =>
-          z.hll.exists(mergeBankInto(_, bank)))
-        (c, kind, n, nulls, lo, hi,
-          if (sketched) bank.toSeq else null)
+        // duplicates that agree on stats but DISAGREE on the bank:
+        // counts stay exact, but the estimate would ride an arbitrary
+        // pick — report it null (unsketched) instead
+        val sketched =
+          byFile.values.forall(dups => dups.map(_.hll).distinct.length == 1) &&
+          rows.forall(z => z.hll.exists(mergeBankInto(_, bank)))
+        Some((c, kind, n, nulls, lo, hi,
+          if (sketched) bank.toSeq else null))
+      }
     }
     if (perCol.isEmpty) return None
     val withEst = spark.createDataFrame(

@@ -3405,6 +3405,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally walk.close()
     assert(TableLog.metadataProfile(spark0, root).get.collect().toSeq === expect)
+    // a foreign writer's CONFLICTING duplicate row for u (wrong
+    // count): u must vanish from the profile — an arbitrary pick
+    // would report the foreign count as an exact fact — while k and
+    // v keep answering
+    Seq((TableLog.activeFiles(spark0, root).head, "u", "long",
+        Option("0"), Option("82"), 999L, 0L,
+        Option.empty[String], Option.empty[String]))
+      .toDF("file", "scol", "kind", "lo_s", "hi_s", "n_rows", "n_nulls",
+        "sum_s", "hll_s")
+      .coalesce(1).write.parquet(s"$root/zmap/foreign")
+    TableLog.commit(spark0, root, Nil, Nil, zmap = Seq("zmap/foreign"))
+    val afterForeign = TableLog.metadataProfile(spark0, root).get.collect()
+      .map(_.getString(0)).toSet
+    assert(afterForeign === Set("k", "v"),
+      "a conflicting duplicate must drop its column, not pick a row")
     // deletes in force → decline
     TableLog.commitDeletes(Seq(5L).toDF("k").coalesce(1), root, "purge")
     assert(TableLog.metadataProfile(spark0, root).isEmpty)
