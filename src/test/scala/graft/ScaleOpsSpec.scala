@@ -3356,6 +3356,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     // 4) delete sidecars in force → decline (banks cannot forget)
     TableLog.commitDeletes(Seq(5L).toDF("k").coalesce(1), root, "purge")
     assert(rangeEst(wLo, wHi).isEmpty)
+    // 5) the TYPED bound path: a STRING-keyed window (the reference's
+    //    own range keys are strings) must fold banks + boundary scan
+    //    identically under UTF8 ordering
+    val rootS = s"$dir/ts"
+    val dfS = (0L until 1000L).map(i => (f"k$i%04d", i % 97, s"p$i"))
+      .toDF("sk", "u", "p")
+    val (fS, zS) = TableLog.stageWithZoneMap(dfS, rootS, "base", "sk", 8,
+      statsCols = Seq("u"), sketchCols = Seq("u"))
+    TableLog.commit(spark0, rootS, fS, Nil, zmap = zS)
+    val hxS = Sketches.hashHex(col("u"))
+    val expS = TableLog.snapshot(spark0, rootS)
+      .filter(col("sk") >= "k0137" && col("sk") <= "k0861")
+      .select(Sketches.hllBucket(hxS).as("b"), Sketches.hllRho(hxS).as("r"))
+      .agg(graft.plans.HllRegisters.hllRegisters(
+        struct(col("b"), col("r")), Sketches.M).as("regs"))
+      .select(Sketches.hllEstimate(col("regs"))).head().getDouble(0)
+    val gotS = TableLog.metadataDistinctRange(spark0, rootS, "u", "sk",
+      "k0137", "k0861").map(_.collect().head.getDouble(1))
+    assert(gotS === Some(expS))
   }
 
   test("metadataProfile: covered columns profile from the sidecar alone — " +
