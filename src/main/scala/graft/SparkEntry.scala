@@ -2773,7 +2773,119 @@ object SparkEntry {
         col("price") <= lit("9999.99").cast("decimal(12,2)"))
       .select(col("l_orderkey"), col("l_linenumber"), col("price"),
         col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in generated
+      // lineitem — price/l_quantity break the ties so the emitted
+      // order (which the driver hashes) is total.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
+        col("l_quantity"))
+  }
+
+  /** The SQL-TEXT face end to end ([[graft.plans.GraftSql]], injected
+    * by [[graft.plans.GraftExtensions]]) — the verbs q158's
+    * `format(...)` face cannot carry, driven purely through
+    * `spark.sql(...)`: MERGE INTO (bucket-pruned, WHEN MATCHED UPDATE
+    * SET * / WHEN NOT MATCHED INSERT *), DELETE FROM … BETWEEN,
+    * graft_table(...) table-function reads with VERSION AS OF time
+    * travel, and DESCRIBE HISTORY's operation ledger — Delta's SQL
+    * surface re-expressed over TableLog (the reference's analysts
+    * speak SQL to its managed store; web_api.py's update/query verbs
+    * are the row-store ancestors of exactly these). One
+    * implementation, two faces: every statement routes to the SAME
+    * TableLog API the Scala face calls, so bucket pruning, conflict
+    * guards and atomic commits are identical — SqlFaceSpec pins the
+    * verb surface, this query oracles it. Output: version-0 content,
+    * current (post-merge, post-delete) content, and the op ledger in
+    * one frame; the oracle replays merge + delete logically and the
+    * ledger as literals. */
+  private val q165Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q165: Q = (s, d) => {
+    val root = cachedTmpArtifact(q165Cache, d, "graft_q165_sql") { p =>
+      val tl = graft.operators.TableLog
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      tl.commit(s, p, tl.stageBucketed( // v0: bucketed for SQL merges
+        docs.filter(col("doc_id") < 500), p, "base", "doc_id", 8), Nil)
+      docs.filter(col("doc_id").between(100L, 199L)) // 100 updates ...
+        .withColumn("text", concat(lit("U:"), col("text")))
+        .unionByName(docs.filter(col("doc_id") < 50) // ... + 50 inserts
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        .createOrReplaceTempView("q165_delta")
+      s.sql(s"MERGE INTO graft.`$p` USING q165_delta ON doc_id BUCKETS 8 " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      s.sql(s"DELETE FROM graft.`$p` WHERE doc_id BETWEEN 300 AND 399")
+      ()
+    }
+    val content = s.sql(
+      s"""SELECT 'v0' AS at, doc_id, text, lang, source, n_chars
+          FROM graft_table('$root', 0)
+          UNION ALL
+          SELECT 'now' AS at, doc_id, text, lang, source, n_chars
+          FROM graft_table('$root')""")
+    val ops = s.sql(s"DESCRIBE HISTORY graft.`$root`")
+      .select(lit("op").as("at"), col("version").as("doc_id"),
+        col("operation").as("text"), lit("").as("lang"),
+        lit("").as("source"), lit(0L).as("n_chars"))
+    content.unionByName(ops).orderBy(col("at"), col("doc_id"))
+  }
+
+  /** WINDOWED latest-k — q157's top-k file pruning COMPOSED with a
+    * zone predicate ([[graft.plans.MetadataTopK]]'s filtered shape):
+    * `WHERE ts BETWEEN … ORDER BY ts DESC LIMIT 50`, the dashboard's
+    * "latest events inside the window" probe (admin_lambda.py's
+    * time-bounded latest-logs fetch is the reference ancestor).
+    * Files the window provably excludes leave the count walk, files
+    * provably FULL inside it contribute exact row counts, straddlers
+    * count zero but stay keepable — so the scan reads the upper
+    * boundary file plus the cutoff file instead of every file the
+    * window touches (ScaleOpsSpec pins kept-file counts; at 100 TB
+    * the probe reads O(1) files of a multi-year table). Sort keys
+    * (ts, event_id) are a total order — the cut and the hash are
+    * exact. */
+  private val q166Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q166: Q = (s, d) => {
+    val root = cachedTmpArtifact(q166Cache, d, "graft_q166_wtopk") { p =>
+      val tl = graft.operators.TableLog
+      val (files, zm) = tl.stageWithZoneMap(
+        Tables.events(s, d), p, "base", "ts", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLogRelation.enableMetadataTopK(s)
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-22 00:00:00").cast("timestamp"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(50)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+  }
+
+  /** RANGE-SCOPED METADATA AGGREGATES ([[graft.operators.TableLog
+    * .metadataAggRange]]) — q163's interior-stats + boundary-scan
+    * composition generalized from HLL banks to exact counts / bounds
+    * / sums: `count(*) / n_nulls / min / max / sum WHERE event_id IN
+    * [1234, 8765]` over an event_id-clustered table, answered from
+    * the stats rows of every provably-inside file plus ONE filtered
+    * multi-column scan of the two boundary straddlers — "how many
+    * events in the window, what user range, how many ids' worth of
+    * sum" at O(boundary) I/O instead of O(window). Sums re-add the
+    * per-file DECIMAL strings exactly (long kinds only — floats
+    * never answer); bounds compare in the sidecar's own serialized
+    * domain. The oracle replays the same aggregates over raw events,
+    * so a wrong fold at either the served or scanned half
+    * hash-mismatches. */
+  private val q167Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q167: Q = (s, d) => {
+    val root = cachedTmpArtifact(q167Cache, d, "graft_q167_maggr") { p =>
+      val tl = graft.operators.TableLog
+      val (files, zm) = tl.stageWithZoneMap(
+        Tables.events(s, d), p, "base", "event_id", 16,
+        statsCols = Seq("user_id", "event_type"))
+      tl.commit(s, p, files, Nil, zmap = zm)
+    }
+    graft.operators.TableLog.metadataAggRange(s, root, "event_id",
+        1234L, 8765L, Seq("user_id", "event_type"))
+      .getOrElse(sys.error("metadataAggRange declined on a fully " +
+        "stats-covered table — coverage bookkeeping broke"))
   }
 
   /** METADATA-ONLY DISTINCT ([[graft.operators.TableLog
@@ -3491,6 +3603,9 @@ object SparkEntry {
     "q162_small_file_compact" -> q162,
     "q163_window_distinct" -> q163,
     "q164_metadata_profile" -> q164,
+    "q165_sql_face" -> q165,
+    "q166_windowed_latest" -> q166,
+    "q167_window_stats" -> q167,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5822,6 +5937,42 @@ object SparkEntry {
          FROM events
          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
          LIMIT 50""",
+    // The windowed latest-k: layout (filtered top-k file pruning)
+    // buys cost, never answers — the same window + sort + limit over
+    // raw events IS the oracle.
+    "q166_windowed_latest" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           event_type, value
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP)
+           BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+               AND TIMESTAMP '2024-01-22 00:00:00'
+         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+         LIMIT 50""",
+    // Range-scoped metadata aggregates: the same window aggregates
+    // over raw events, serialized in the sidecar's own forms (plain
+    // decimal strings for longs) — a wrong interior/boundary fold on
+    // either column hash-mismatches.
+    "q167_window_stats" ->
+      """WITH w AS (
+           SELECT user_id, event_type FROM events
+           WHERE event_id BETWEEN 1234 AND 8765
+         )
+         SELECT 'event_type' AS scol, 'string' AS kind,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nulls,
+           min(event_type) AS lo_s, max(event_type) AS hi_s,
+           CAST(NULL AS VARCHAR) AS sum_s
+         FROM w
+         UNION ALL
+         SELECT 'user_id', 'long', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+           CAST(sum(CAST(user_id AS DECIMAL(38,0))) AS VARCHAR)
+         FROM w
+         ORDER BY scol""",
     // The profile's counts/bounds replay exactly over raw events;
     // est_distinct replays the q70 register math per sketched column
     // and is NULL where no bank was declared (event_id) — the
@@ -6003,7 +6154,36 @@ object SparkEntry {
          WHERE CAST(l_extendedprice AS DECIMAL(12,2))
            BETWEEN CAST(1000.00 AS DECIMAL(12,2))
                AND CAST(9999.99 AS DECIMAL(12,2))
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, price, l_quantity""",
+    // The SQL face is plumbing, not semantics: version 0's content,
+    // the merge + delete replayed logically, and the op ledger as
+    // literals — the statements must land exactly their declared
+    // semantics for the three slices to hash-match.
+    "q165_sql_face" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE doc_id < 500
+         ), merged AS (
+           SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 100 AND 199
+                  THEN 'U:' || text ELSE text END AS text,
+             lang, source, n_chars
+           FROM base
+           UNION ALL
+           SELECT doc_id + 100000, text, lang, source, n_chars
+           FROM documents WHERE doc_id < 50
+         )
+         SELECT 'v0' AS at, doc_id, text, lang, source, n_chars FROM base
+         UNION ALL
+         SELECT 'now' AS at, doc_id, text, lang, source, n_chars
+         FROM merged WHERE doc_id NOT BETWEEN 300 AND 399
+         UNION ALL
+         SELECT * FROM (VALUES
+           ('op', CAST(0 AS BIGINT), 'append', '', '', CAST(0 AS BIGINT)),
+           ('op', CAST(1 AS BIGINT), 'MERGE', '', '', CAST(0 AS BIGINT)),
+           ('op', CAST(2 AS BIGINT), 'DELETE_WHERE', '', '', CAST(0 AS BIGINT)))
+           t(at, doc_id, text, lang, source, n_chars)
+         ORDER BY at, doc_id""",
     // The format face is plumbing, not semantics: version 0's
     // content (the %3<>0 subset) under the same range filter.
     "q158_format_face" ->

@@ -67,7 +67,8 @@ object TableLog {
                             schema: Seq[String] = Nil,
                             checks: Seq[String] = Nil,
                             addMeta: Seq[String] = Nil,
-                            op: Option[String] = None)
+                            op: Option[String] = None,
+                            cdfMeta: Seq[String] = Nil)
 
   /** Parse one [[LogEntry.addMeta]] element to (len, mtimeMs), or
     * None for the unknown sentinel / an unparseable value (readers
@@ -325,6 +326,10 @@ object TableLog {
     // practice — adds are staged before commit) records the unknown
     // sentinel; readers then fall back to a stat for IT alone.
     val addMeta = metaFor(f, root, add)
+    // feed sidecar sizes travel in the entry too — the byte-based
+    // stream admission cap (TableChangesSource maxBytesPerTrigger)
+    // then weighs a version with zero stat calls
+    val cdfMeta = metaFor(f, root, cdf)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     var attempt = 0
     while (attempt < 64) {
@@ -393,50 +398,17 @@ object TableLog {
       val body = s"""{"version":$v,"reset":$reset,"add":${arr(add)},""" +
         s""""addmeta":${arr(addMeta)},""" +
         s""""remove":${arr(remove)},"deletes":${arr(deletes)},""" +
-        s""""cdf":${arr(cdf)},"zmap":${arr(zmap)},""" +
+        s""""cdf":${arr(cdf)},"cdfmeta":${arr(cdfMeta)},""" +
+        s""""zmap":${arr(zmap)},""" +
         s""""schema":${arr(schema)},"checks":${arr(checks)}$tagPart}"""
       val p = entryPath(root, v)
-      val uri = p.toUri
-      val claimed =
-        if (uri.getScheme == null || uri.getScheme == "file") {
-          // POSIX: write the FULL body to a temp file, publish with a
-          // hard link — atomic create-if-absent WITH content, so the
-          // entry is either absent or complete, never half-written
-          val dst = java.nio.file.Paths.get(uri.getPath)
-          java.nio.file.Files.createDirectories(dst.getParent)
-          val tmp = dst.getParent.resolve(
-            s".tmp-${java.util.UUID.randomUUID()}")
-          java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-          try {
-            try { java.nio.file.Files.createLink(dst, tmp); true }
-            catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          } finally java.nio.file.Files.deleteIfExists(tmp)
-        } else {
-          // HDFS: create(overwrite=false) is an exclusive namenode op;
-          // content is visible at close (documented caveat above).
-          // Only the CREATE doubles as the race signal — a failure
-          // AFTER it is a write failure that would leave a partial
-          // entry (zero-length: every later commit livelocks retrying
-          // this version; non-empty: every reader fails on it), so it
-          // is best-effort deleted and surfaced, never retried as if
-          // the version race were lost.
-          val created =
-            try Some(f.create(p, false))
-            catch { case _: java.io.IOException => None } // lost the race
-          created match {
-            case None => false
-            case Some(out) =>
-              try { out.write(body.getBytes("UTF-8")); out.close(); true }
-              catch { case e: java.io.IOException =>
-                try out.close() catch { case _: Throwable => () }
-                try f.delete(p, false) catch { case _: Throwable => () }
-                throw new java.io.IOException(
-                  s"TableLog.commit: entry write failed after exclusive " +
-                    s"create of $p (partial entry removed)", e)
-              }
-          }
-        }
-      if (claimed) return v
+      // The version claim goes through the [[LogStore]] seam: atomic
+      // create-if-absent per scheme (POSIX hard link, HDFS exclusive
+      // create), with known-non-atomic object-store schemes refused
+      // unless the deployment registered a coordinated store — the
+      // S3 story (Delta's LogStore precedent). false = lost the race.
+      val store = LogStore.forScheme(p.toUri.getScheme)
+      if (store.putIfAbsent(f, p, body.getBytes("UTF-8"))) return v
       attempt += 1 // lost the race; re-read the log and retry
     }
     sys.error(s"TableLog.commit: lost $attempt version races at $root")
@@ -477,11 +449,36 @@ object TableLog {
     val add = list("add")
     val meta0 = list("addmeta")
     val meta = if (meta0.length == add.length) meta0 else Nil
+    val cdf = list("cdf")
+    val cdfMeta0 = list("cdfmeta")
+    val cdfMeta = if (cdfMeta0.length == cdf.length) cdfMeta0 else Nil
     val op = "\"op\":\"([A-Za-z0-9._-]+)\"".r.findFirstMatchIn(body)
       .map(_.group(1))
     LogEntry(v, reset, add, list("remove"), list("deletes"),
-      list("cdf"), tag, list("zmap"), list("schema"), list("checks"), meta,
-      op)
+      cdf, tag, list("zmap"), list("schema"), list("checks"), meta,
+      op, cdfMeta)
+  }
+
+  /** The change-feed sidecar BYTES of version `v` — the weight a
+    * byte-based stream admission cap assigns the version
+    * ([[graft.streaming.TableChangesSource]]'s `maxBytesPerTrigger`).
+    * Modern entries answer from their commit-time `cdfmeta` lengths
+    * with ZERO stat calls; legacy/meta-less entries fall back to one
+    * getFileStatus per cdf file, for those entries alone, counting a
+    * reclaimed file as 0 (admission needs a bound, and a consumer
+    * past the retention horizon fails loudly in getBatch anyway). */
+  def feedBytes(spark: SparkSession, root: String, v: Long): Long = {
+    val f = fs(spark, root)
+    val e = readEntry(f, entryPath(root, v))
+    val metas =
+      if (e.cdfMeta.length == e.cdf.length) e.cdfMeta
+      else e.cdf.map(_ => "-")
+    e.cdf.zip(metas).map { case (ref, m) =>
+      parseFileMeta(m).map(_._1).getOrElse {
+        try f.getFileStatus(new Path(resolve(root, ref))).getLen
+        catch { case _: java.io.IOException => 0L }
+      }
+    }.sum
   }
 
   /** The idempotence tags of every committed entry — a replay-prone
@@ -2068,8 +2065,12 @@ object TableLog {
     * every requested column (a meta-less append breaks coverage until
     * the next OPTIMIZE recomputes it) and no delete sidecar may be in
     * force (banks describe pre-delete rows; registers cannot forget).
-    * Duplicate bank rows for one file merge idempotently (max is
-    * idempotent), so re-listed sidecars cannot skew the estimate.
+    * IDENTICAL duplicate bank rows for one file merge idempotently
+    * (re-listed sidecars cannot skew the estimate); CONFLICTING
+    * well-formed duplicates — a foreign writer's sidecar claiming
+    * different registers for the same file — decline the column
+    * rather than silently inflate via elementwise max (the same rule
+    * [[metadataProfile]] applies to conflicting count rows).
     * Output: one row per column, (scol, est_distinct, nz, sum_rho) —
     * the q70 witness triple, sorted by scol. */
   def metadataDistinct(spark: SparkSession, root: String,
@@ -2088,11 +2089,18 @@ object TableLog {
       // coverage: every active file must speak for this column
       if (rows.iterator.map(_.file).toSet != activeSet) None
       else {
-        val merged = new Array[Long](m)
-        // a malformed bank (wrong register count or content — a
-        // foreign writer) declines rather than estimates wrong
-        val ok = rows.forall(z => mergeBankInto(z.hll.get, merged))
-        if (ok) Some(c -> merged.toSeq) else None
+        val byFile = rows.groupBy(_.file)
+        // conflicting well-formed duplicates for one file would
+        // inflate under max-merge (idempotence holds only for
+        // IDENTICAL banks) — decline, the scan face stays available
+        if (byFile.values.exists(_.map(_.hll.get).distinct.length > 1)) None
+        else {
+          val merged = new Array[Long](m)
+          // a malformed bank (wrong register count or content — a
+          // foreign writer) declines rather than estimates wrong
+          val ok = byFile.values.forall(ds => mergeBankInto(ds.head.hll.get, merged))
+          if (ok) Some(c -> merged.toSeq) else None
+        }
       }
     }
     if (banks.length != want.length) return None
@@ -2111,9 +2119,15 @@ object TableLog {
     * register bank a full scan of the window would build — the answer
     * is exact-to-the-sketch at O(boundary files) I/O instead of
     * O(window). At 100 TB with daily range clustering that is two
-    * boundary files against a month of data. Returns None only when
-    * delete sidecars are in force (banks cannot forget) — coverage
-    * gaps degrade to scanning those files, never to an error. Output:
+    * boundary files against a month of data. Returns None when
+    * delete sidecars are in force (banks cannot forget) or when
+    * `sketchCol`/`keyCol` is not a column of the table (validated
+    * against the log schema, the sidecar rows, or one parquet footer
+    * — a bogus column must decline up front, not throw mid-probe or
+    * silently answer 0 on an empty window) — mere coverage gaps
+    * degrade to scanning those files, never to an error. A file whose
+    * duplicate bank rows CONFLICT (a foreign writer's sidecar) also
+    * degrades to the scan, never merges an arbitrary pick. Output:
     * one (scol, est_distinct, nz, sum_rho) row, the q70 witness
     * triple. Bounds are typed like [[snapshotWhere]]'s. */
   def metadataDistinctRange(spark: SparkSession, root: String,
@@ -2128,15 +2142,36 @@ object TableLog {
     val (active, dels, zmaps) = replayState(spark, root, asOf)
     if (dels.nonEmpty) return None
     val zones = collectZoneRowsFrom(spark, root, zmaps)
+    // Both named columns must exist in the table before any planning:
+    // cheapest proof first — the declared log schema, then a sidecar
+    // row naming the column, then ONE parquet footer (metadata, not
+    // data). A column that exists nowhere declines; proceeding would
+    // either throw an AnalysisException from the boundary scan or,
+    // on a fully-file-aligned empty window, silently estimate 0.
+    val declared = logSchema(spark, root, asOf).map(_.fieldNames.toSet)
+    lazy val footerCols: Set[String] = active.headOption.map { p =>
+      spark.read.parquet(resolve(root, p)).schema.fieldNames.toSet
+    }.getOrElse(Set.empty)
+    def columnExists(c: String): Boolean = declared match {
+      case Some(fields) => fields.contains(c)
+      case None => zones.exists(_.scol.contains(c)) || footerCols.contains(c)
+    }
+    if (!columnExists(sketchCol) || !columnExists(keyCol)) return None
     // every file a window row may live in; the provably-inside subset
     // can serve from banks, the rest must scan
     val touched = touchedFrom(active, zones, keyCol, kind,
       Some(qlo), Some(qhi))
     val inside = droppableFrom(zones, keyCol, kind, qlo, qhi,
       trustLegacy = false)
+    // last-wins toMap would let a foreign writer's conflicting bank
+    // row mask the real one — a file with conflicting duplicates
+    // serves from the SCAN instead (identical duplicates still serve)
     val banksByFile: Map[String, String] = zones.iterator
       .filter(z => z.scol.contains(sketchCol) && z.hll.isDefined)
-      .map(z => z.file -> z.hll.get).toMap
+      .toSeq.groupBy(_.file).collect {
+        case (f, ds) if ds.map(_.hll.get).distinct.length == 1 =>
+          f -> ds.head.hll.get
+      }
     val merged = new Array[Long](graft.functions.Sketches.M)
     // explicit partition, not a side-effecting filter: every touched
     // file is classified (and every served bank merged) exactly once,
@@ -2168,6 +2203,182 @@ object TableLog {
       }
     }
     Some(distinctEstimateDf(spark, Seq(sketchCol -> merged.toSeq)))
+  }
+
+  /** RANGE-SCOPED METADATA AGGREGATES: exact `count(*)` /
+    * `count(col)` / `min` / `max` / `sum(long)` for each of `cols`
+    * restricted to `lo <= keyCol <= hi`, reading ONLY the window's
+    * BOUNDARY files — [[metadataDistinctRange]]'s composition (the
+    * q163 pattern) generalized from HLL banks to the counts / bounds
+    * / sums [[graft.plans.MetadataOnlyAgg]] serves globally: "how
+    * many events yesterday, what id range, how many tokens" on a
+    * range-clustered table costs O(boundary files), not O(window).
+    * Files PROVABLY all-inside the window (interval contained, zero
+    * null keys) answer from their stats rows; files provably outside
+    * contribute nothing; straddlers — and inside files missing a
+    * usable stats row for any requested column — are scanned ONCE
+    * (one multi-column pass), filtered to the window, and folded
+    * through the SAME serialization the stage pass used, so the
+    * answer is bit-identical to a full window scan. Returns None when
+    * delete sidecars are in force (per-file stats describe pre-delete
+    * rows) or a named column does not exist (validated like
+    * [[metadataDistinctRange]]); mere coverage gaps degrade to
+    * scanning those files. A file whose duplicate stats rows CONFLICT
+    * degrades to the scan, never trusts an arbitrary pick. Sums are
+    * exact DECIMAL strings for long-kind columns and null otherwise
+    * (float re-addition is order-sensitive; an exact face must not
+    * approximate). Output: one row per column, sorted — (scol, kind,
+    * n_rows, n_nulls, lo_s, hi_s, sum_s); bounds serialized in the
+    * sidecar's own order-preserving form, null when the window holds
+    * no non-null value. */
+  def metadataAggRange(spark: SparkSession, root: String,
+                       keyCol: String, lo: Any, hi: Any,
+                       cols: Seq[String],
+                       asOf: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val (kind, qlo) = zbound(lo)
+    val (kindHi, qhi) = zbound(hi)
+    require(kind == kindHi,
+      s"TableLog.metadataAggRange: bound kinds differ ($kind vs $kindHi)")
+    require(cols.nonEmpty, "TableLog.metadataAggRange: no columns asked")
+    val (active, dels, zmaps) = replayState(spark, root, asOf)
+    if (dels.nonEmpty) return None
+    val zones = collectZoneRowsFrom(spark, root, zmaps)
+    val want = cols.distinct.sorted
+    // column validation, cheapest proof first (the metadataDistinctRange
+    // rule): declared schema, then sidecar rows, then ONE footer
+    val declared = logSchema(spark, root, asOf)
+    val declaredNames = declared.map(_.fieldNames.toSet)
+    lazy val footerSchema: Option[org.apache.spark.sql.types.StructType] =
+      active.headOption.map(p =>
+        spark.read.parquet(resolve(root, p)).schema)
+    def columnExists(c: String): Boolean = declaredNames match {
+      case Some(fields) => fields.contains(c)
+      case None => zones.exists(_.scol.contains(c)) ||
+        footerSchema.exists(_.fieldNames.contains(c))
+    }
+    if (!(keyCol +: want).forall(columnExists)) return None
+    // each column's stats kind: the sidecar rows' (must be unique), or
+    // the schema type's for never-statsed columns; a column with
+    // neither — or an uncoverable type — declines (its serialization
+    // is undefined)
+    val kindOf: Map[String, String] = {
+      val pairs = want.map { c =>
+        val zkinds = zones.filter(_.scol.contains(c)).map(_.kind).distinct
+        val k = zkinds.toSeq match {
+          case Seq(one) => Some(one)
+          case Seq() =>
+            declared.orElse(footerSchema)
+              .flatMap(_.fields.find(_.name == c))
+              .flatMap(f => zkindFor(f.dataType))
+          case _ => None // restaged under a different type — ambiguous
+        }
+        c -> k
+      }
+      if (pairs.exists(_._2.isEmpty)) return None
+      pairs.map { case (c, k) => c -> k.get }.toMap
+    }
+    val touched = touchedFrom(active, zones, keyCol, kind,
+      Some(qlo), Some(qhi))
+    val inside = droppableFrom(zones, keyCol, kind, qlo, qhi,
+      trustLegacy = false)
+    // a file serves from metadata only when it is provably all-inside
+    // AND carries ONE consistent usable stats row per requested column
+    // (n_rows + n_nulls known; bounds present or the all-null proof);
+    // anything else scans — graceful degradation, never a wrong answer
+    val zByFileCol: Map[(String, String), Seq[ZStat]] = zones.toSeq
+      .filter(z => z.scol.exists(want.contains))
+      .groupBy(z => (z.file, z.scol.get))
+    def usableOne(z: ZStat, c: String): Option[ZStat] =
+      Some(z).filter(z =>
+        z.kind == kindOf(c) && z.nRows.isDefined && z.nNulls.isDefined &&
+          ((z.lo.isDefined && z.hi.isDefined) || z.nNulls == z.nRows) &&
+          (kindOf(c) != "long" || z.sum.isDefined || z.nNulls == z.nRows))
+    def usable(p: String, c: String): Option[ZStat] =
+      zByFileCol.getOrElse((p, c), Nil) match {
+        case zs if zs.nonEmpty && zs.forall(z =>
+            (z.kind, z.lo, z.hi, z.nNulls, z.nRows, z.sum) ==
+            (zs.head.kind, zs.head.lo, zs.head.hi, zs.head.nNulls,
+              zs.head.nRows, zs.head.sum)) =>
+          usableOne(zs.head, c)
+        case _ => None // absent, or conflicting duplicates: scan the file
+      }
+    val (served, toScan) = touched.partition(p =>
+      inside(p) && want.forall(c => usable(p, c).isDefined))
+    // ONE filtered multi-column pass over the boundary/degraded files,
+    // folded through the stage pass's own serialization (zser) so
+    // merged bounds compare in the same domain as stored ones
+    val scanRow: Option[org.apache.spark.sql.Row] =
+      if (toScan.isEmpty) None
+      else {
+        val reader = logSchema(spark, root, asOf)
+          .fold(spark.read)(st => spark.read.schema(st))
+        val windowed = reader.parquet(toScan.map(resolve(root, _)): _*)
+          .filter(col(keyCol) >= zlit(lo) && col(keyCol) <= zlit(hi))
+        val aggs = want.flatMap { c =>
+          val k = kindOf(c)
+          Seq(zser(k, min(col(c))).as(s"__lo__$c"),
+            zser(k, max(col(c))).as(s"__hi__$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n__$c"),
+            (if (k == "long")
+              sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+                .cast("string")
+            else lit(null).cast("string")).as(s"__s__$c"))
+        } :+ count(lit(1)).as("__n_rows")
+        Some(windowed.agg(aggs.head, aggs.tail: _*).head())
+      }
+    val scanRows: Long =
+      scanRow.fold(0L)(r => r.getLong(r.fieldIndex("__n_rows")))
+    val nRowsTotal = served.map(p =>
+      usable(p, want.headOption.getOrElse(keyCol))
+        .flatMap(_.nRows) // every usable row carries the file's n_rows
+        .getOrElse(0L)).sum + scanRows
+    val ord = (k: String) => Ordering.fromLessThan[String](
+      (a, b) => zcmp(k, a, b) < 0)
+    val out = want.map { c =>
+      val k = kindOf(c)
+      val zs = served.flatMap(p => usable(p, c))
+      val nNulls = zs.map(_.nNulls.get).sum +
+        scanRow.fold(0L)(r => r.getLong(r.fieldIndex(s"__n__$c")))
+      val bounds = zs.collect { case z if z.lo.isDefined =>
+        (z.lo.get, z.hi.get) } ++
+        scanRow.toSeq.collect { case r
+          if !r.isNullAt(r.fieldIndex(s"__lo__$c")) =>
+          (r.getString(r.fieldIndex(s"__lo__$c")),
+            r.getString(r.fieldIndex(s"__hi__$c"))) }
+      val (loS, hiS) =
+        if (bounds.isEmpty) (null: String, null: String)
+        else (bounds.map(_._1).min(ord(k)), bounds.map(_._2).max(ord(k)))
+      val sumS: String =
+        if (k != "long") null
+        else {
+          val parts = zs.collect {
+            case z if z.nNulls != z.nRows => BigDecimal(z.sum.get) } ++
+            scanRow.toSeq.collect { case r
+              if !r.isNullAt(r.fieldIndex(s"__s__$c")) =>
+              BigDecimal(r.getString(r.fieldIndex(s"__s__$c"))) }
+          if (parts.isEmpty) null
+          else parts.sum.bigDecimal.toPlainString
+        }
+      org.apache.spark.sql.Row(c, k, nRowsTotal, nNulls, loS, hiS, sumS)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scol",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_nulls",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("lo_s",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("hi_s",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("sum_s",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema))
   }
 
   /** METADATA-ONLY TABLE PROFILE: per-column completeness,
@@ -2411,6 +2622,49 @@ object TableLog {
         val kr = pruneWithStats(files, zones, r).toSet
         files.filter(f => kl(f) || kr(f))
     }
+
+  /** The INCLUSION dual of [[pruneWithStats]]: the files of `active`
+    * whose stats PROVE every row matches the conjunction — the
+    * arithmetic license for counting a file's rows toward a filtered
+    * top-k ([[TableLogFileIndex.topKSurvivorsFiltered]]) without
+    * opening it. Proof obligations per predicate:
+    *  - interval disjunction: the file's bounds exist, its NULL count
+    *    is a known ZERO (a null row matches no interval), and one
+    *    disjunct CONTAINS [lo, hi] — the predicates must come from
+    *    [[TableLogFileIndex.fullRangesOf]], whose bounds are exact
+    *    (an exclusion-style conservative closing would over-count);
+    *  - IS NOT NULL: known zero nulls; IS NULL: all-null proof;
+    *  - Or: either branch's conjunction proves full.
+    * Duplicate stats rows must ALL prove it (conflicting foreign rows
+    * fail closed). No proof → the file simply isn't in the returned
+    * set; callers treat it as contributing zero known rows. */
+  private[operators] def fullMatchWithStats(active: Seq[String],
+      zones: Array[ZStat],
+      preds: Seq[ZPredicate]): Set[String] = {
+    def rowsFor(file: String, c: String): Seq[ZStat] =
+      zones.toSeq.filter(z => z.file == file && z.scol.contains(c))
+    def proven(file: String, p: ZPredicate): Boolean = p match {
+      case ZIntervals(_, _, ds) if ds.isEmpty => false
+      case ZIntervals(c, kind, ds) =>
+        val zs = rowsFor(file, c).filter(_.kind == kind)
+        zs.nonEmpty && zs.forall(z =>
+          z.nNulls.contains(0L) && ((z.lo, z.hi) match {
+            case (Some(l), Some(h)) => ds.exists { case (qlo, qhi) =>
+              qlo.forall(q => zcmp(kind, l, q) >= 0) &&
+                qhi.forall(q => zcmp(kind, h, q) <= 0) }
+            case _ => false
+          }))
+      case ZIsNull(c) =>
+        val zs = rowsFor(file, c)
+        zs.nonEmpty && zs.forall(z => z.nRows.isDefined && z.nNulls == z.nRows)
+      case ZIsNotNull(c) =>
+        val zs = rowsFor(file, c)
+        zs.nonEmpty && zs.forall(_.nNulls.contains(0L))
+      case ZOr(l, r) =>
+        l.forall(proven(file, _)) || r.forall(proven(file, _))
+    }
+    active.filter(f => preds.forall(proven(f, _))).toSet
+  }
 
   /** The stats columns a predicate-scoped REWRITE must re-declare for
     * its restaged files: every column the rewritten files' existing

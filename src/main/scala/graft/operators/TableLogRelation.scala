@@ -366,34 +366,37 @@ class TableLogFileIndex(spark: SparkSession, root: String,
     * untranslatable element abandons the whole predicate — pruning by
     * the translated subset alone could drop a file whose rows match
     * the untranslated value. */
+  /** (stats kind, serialized repr) of a pushed literal — shared by
+    * [[rangesOf]] (pruning) and [[fullRangesOf]] (full-match proofs). */
+  private def kindRepr(dt: org.apache.spark.sql.types.DataType,
+               v: Any): Option[(String, String)] = (dt, v) match {
+    case (_, null) => None // comparisons to NULL match nothing; skip
+    case (ByteType | ShortType | IntegerType | LongType, x) =>
+      Some(("long", x.toString))
+    case (DateType, days) => Some(("date", days.toString)) // Int epoch days
+    case (TimestampType, micros) => Some(("timestamp", micros.toString))
+    case (StringType, s) => Some(("string", s.toString)) // UTF8String
+    // FloatType: the sidecar stores float bounds WIDENED to double
+    // (zser casts through double before serializing), so the literal
+    // must widen the same way — Float.toString's short repr ("1.3")
+    // parses as the double 1.3, which sits ABOVE the widened stored
+    // bound 1.2999999523162842 and would wrongly prune a file whose
+    // rows satisfy `col >= 1.3f`. Double.toString round-trips.
+    case (FloatType, x: java.lang.Float) =>
+      Some(("double", x.toDouble.toString))
+    case (DoubleType, x) => Some(("double", x.toString))
+    // Decimal literals serialize to the same plain string form the
+    // sidecar stored (zser casts through string); zcmp compares
+    // numerically, so scale differences between the pushed literal
+    // and the column never mis-order
+    case (_: org.apache.spark.sql.types.DecimalType,
+          d: org.apache.spark.sql.types.Decimal) =>
+      Some(("decimal", d.toBigDecimal.bigDecimal.toPlainString))
+    case _ => None
+  }
+
   private[operators] def rangesOf(filters: Seq[Expression])
       : Seq[TableLog.ZPredicate] = {
-    def kindRepr(dt: org.apache.spark.sql.types.DataType,
-                 v: Any): Option[(String, String)] = (dt, v) match {
-      case (_, null) => None // comparisons to NULL match nothing; skip
-      case (ByteType | ShortType | IntegerType | LongType, x) =>
-        Some(("long", x.toString))
-      case (DateType, days) => Some(("date", days.toString)) // Int epoch days
-      case (TimestampType, micros) => Some(("timestamp", micros.toString))
-      case (StringType, s) => Some(("string", s.toString)) // UTF8String
-      // FloatType: the sidecar stores float bounds WIDENED to double
-      // (zser casts through double before serializing), so the literal
-      // must widen the same way — Float.toString's short repr ("1.3")
-      // parses as the double 1.3, which sits ABOVE the widened stored
-      // bound 1.2999999523162842 and would wrongly prune a file whose
-      // rows satisfy `col >= 1.3f`. Double.toString round-trips.
-      case (FloatType, x: java.lang.Float) =>
-        Some(("double", x.toDouble.toString))
-      case (DoubleType, x) => Some(("double", x.toString))
-      // Decimal literals serialize to the same plain string form the
-      // sidecar stored (zser casts through string); zcmp compares
-      // numerically, so scale differences between the pushed literal
-      // and the column never mis-order
-      case (_: org.apache.spark.sql.types.DecimalType,
-            d: org.apache.spark.sql.types.Decimal) =>
-        Some(("decimal", d.toBigDecimal.bigDecimal.toPlainString))
-      case _ => None
-    }
     def one(name: String, k: String, lo: Option[String],
             hi: Option[String]): TableLog.ZPredicate =
       TableLog.ZIntervals(name, k, Seq((lo, hi)))
@@ -486,6 +489,217 @@ class TableLogFileIndex(spark: SparkSession, root: String,
     }
     filters.flatMap(translate)
   }
+
+  /** FULL-MATCH-capable translation, the dual of [[rangesOf]]: a
+    * per-conjunct [[TableLog.ZPredicate]] list usable for proving
+    * "EVERY row of this file matches" ([[TableLog.fullMatchWithStats]])
+    * — the arithmetic behind filtered top-k pruning. Where [[rangesOf]]
+    * may close open bounds conservatively (sound for exclusion, WRONG
+    * for inclusion: a file with lo == 5 is not full under `x > 5`),
+    * this translation is EXACT or absent: strict comparisons adjust by
+    * one on discrete kinds (long/date/timestamp) and refuse elsewhere,
+    * StartsWith (half-open) refuses, and — the critical difference —
+    * ONE untranslatable conjunct fails the WHOLE translation (None),
+    * because a dropped conjunct would over-count matching rows.
+    * Or-branches must translate fully on both sides. */
+  private[operators] def fullRangesOf(filters: Seq[Expression])
+      : Option[Seq[TableLog.ZPredicate]] = {
+    // x > v  ≡  x >= succ(v) only where the domain is discrete; the
+    // serialized reprs of long/date/timestamp kinds are decimal
+    // integers. Domain edges (succ overflows) refuse.
+    def step(kind: String, r: String, up: Boolean): Option[String] =
+      kind match {
+        case "long" | "date" | "timestamp" =>
+          try {
+            val v = BigInt(r) + (if (up) 1 else -1)
+            if (v.isValidLong) Some(v.toString) else None
+          } catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    def iv(name: String, k: String, lo: Option[String], hi: Option[String]) =
+      TableLog.ZIntervals(name, k, Seq((lo, hi)))
+    def inPred(a: Attribute,
+        vs: Seq[(Any, org.apache.spark.sql.types.DataType)])
+        : Option[TableLog.ZPredicate] = {
+      // NULL elements are sound to drop for a FULL proof too: a row
+      // matches IN iff its value equals some non-null element (the
+      // null element only turns FALSE into UNKNOWN — both non-matching)
+      val reprs = vs.filter(_._1 != null)
+        .map { case (v, dt) => kindRepr(dt, v) }
+      if (reprs.isEmpty || reprs.exists(_.isEmpty)) None
+      else {
+        val pts = reprs.flatten
+        if (pts.map(_._1).distinct.length > 1) None
+        else Some(TableLog.ZIntervals(a.name, pts.head._1,
+          pts.map { case (_, r) => (Some(r), Some(r)) }))
+      }
+    }
+    def leaf(e: Expression): Option[TableLog.ZPredicate] = e match {
+      case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, Some(r), None) }
+      case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, None, Some(r)) }
+      case GreaterThan(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).flatMap { case (k, r) =>
+          step(k, r, up = true).map(s => iv(a.name, k, Some(s), None)) }
+      case LessThan(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).flatMap { case (k, r) =>
+          step(k, r, up = false).map(s => iv(a.name, k, None, Some(s))) }
+      case EqualTo(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, Some(r), Some(r)) }
+      case EqualNullSafe(a: Attribute, Literal(null, _)) =>
+        Some(TableLog.ZIsNull(a.name))
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, Some(r), Some(r)) }
+      // reversed orientations (lit OP col)
+      case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, None, Some(r)) }
+      case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, Some(r), None) }
+      case GreaterThan(Literal(v, dt), a: Attribute) => // v > x ≡ x <= v-1
+        kindRepr(dt, v).flatMap { case (k, r) =>
+          step(k, r, up = false).map(s => iv(a.name, k, None, Some(s))) }
+      case LessThan(Literal(v, dt), a: Attribute) => // v < x ≡ x >= v+1
+        kindRepr(dt, v).flatMap { case (k, r) =>
+          step(k, r, up = true).map(s => iv(a.name, k, Some(s), None)) }
+      case EqualTo(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, Some(r), Some(r)) }
+      case EqualNullSafe(Literal(null, _), a: Attribute) =>
+        Some(TableLog.ZIsNull(a.name))
+      case EqualNullSafe(Literal(v, dt), a: Attribute) =>
+        kindRepr(dt, v).map { case (k, r) => iv(a.name, k, Some(r), Some(r)) }
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        inPred(a, list.map { case Literal(v, dt) => (v, dt) })
+      case InSet(a: Attribute, hset) =>
+        inPred(a, hset.toSeq.map(v => (v, a.dataType)))
+      case IsNull(a: Attribute) => Some(TableLog.ZIsNull(a.name))
+      case IsNotNull(a: Attribute) => Some(TableLog.ZIsNotNull(a.name))
+      case _ => None
+    }
+    def translate(e: Expression): Option[Seq[TableLog.ZPredicate]] =
+      e match {
+        case And(l, r) =>
+          for (lp <- translate(l); rp <- translate(r)) yield lp ++ rp
+        case Or(l, r) =>
+          for (lp <- translate(l); rp <- translate(r))
+            yield Seq(TableLog.ZOr(lp, rp)): Seq[TableLog.ZPredicate]
+        case other => leaf(other).map(Seq(_))
+      }
+    val per = filters.map(translate)
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten)
+  }
+
+  /** [[topKSurvivors]] UNDER A FILTER — `WHERE <zone predicate> ORDER
+    * BY col LIMIT k`, the dashboard's windowed latest-k probe
+    * ([[graft.plans.MetadataTopK]]'s filtered shape). Three-way file
+    * classification drives the count walk: files the filter provably
+    * EXCLUDES leave the universe entirely; files provably FULL (every
+    * row matches — [[fullRangesOf]] + [[TableLog.fullMatchWithStats]])
+    * contribute their exact counts; PARTIAL files (straddlers)
+    * contribute a sound lower bound of ZERO matching rows but stay
+    * keepable. The walk accumulates only PROVEN counts, so the cutoff
+    * can only land deeper into the sort order than the true kth row —
+    * pruning never drops a file the scan would need. When the proven
+    * counts cannot reach k (heavily partial coverage), the side that
+    * ran short keeps every candidate file — graceful degradation to
+    * plain filter pruning, never a wrong cut. Null rows: proven
+    * matching nulls come only from FULL files; a partial file with
+    * sort-column nulls stays keepable whenever the null block may
+    * reach it. Returns None unless every SURVIVOR file carries the
+    * sort column's bounded stats (or all-null proof) with known
+    * row/null counts — the same coverage contract as the unfiltered
+    * walk, narrowed to the files that can matter. */
+  private[graft] def topKSurvivorsFiltered(colName: String,
+      dt: org.apache.spark.sql.types.DataType, k: Long,
+      desc: Boolean, nullsFirst: Boolean,
+      filters: Seq[Expression]): Option[Set[String]] =
+    TableLog.zkindFor(dt).flatMap { kind =>
+      fullRangesOf(filters).flatMap { fullPreds =>
+        fileRowCounts.flatMap { rc =>
+          val survivors = TableLog.pruneWithStats(active.map(_._1), zones,
+            rangesOf(filters))
+          val fullSet = TableLog.fullMatchWithStats(survivors, zones,
+            fullPreds)
+          val byFile = zones
+            .filter(z => z.scol.contains(colName) && z.kind == kind)
+            .groupBy(_.file)
+          final case class F(rel: String, lo: Option[String],
+              hi: Option[String], nonNull: Long, nulls: Long, full: Boolean)
+          val per = survivors.map { rel =>
+            byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
+              case Seq(z) if z.nNulls.isDefined =>
+                val nn = z.nNulls.get
+                val n = rc(rel)
+                (z.lo, z.hi) match {
+                  case (Some(l), Some(h)) =>
+                    Some(F(rel, Some(l), Some(h), n - nn, nn, fullSet(rel)))
+                  case _ if nn == n =>
+                    Some(F(rel, None, None, 0L, nn, fullSet(rel)))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val fs = per.flatten
+            def provenNonNull(f: F) = if (f.full) f.nonNull else 0L
+            def provenNulls(f: F) = if (f.full) f.nulls else 0L
+            val ord = Ordering.fromLessThan[String](
+              (a, b) => TableLog.zcmp(kind, a, b) < 0)
+            // the files that can hold the m outermost matching
+            // NON-NULL rows: prefix by extreme bound until m PROVEN
+            // rows accumulate (partial files extend the prefix,
+            // contributing nothing — the cutoff only deepens), then
+            // keep every candidate not strictly outside the cutoff
+            def valuePick(m: Long): Set[String] = {
+              val bounded = fs.filter(_.nonNull > 0)
+              val sorted =
+                if (desc) bounded.sortWith((a, b) =>
+                  TableLog.zcmp(kind, a.hi.get, b.hi.get) > 0)
+                else bounded.sortWith((a, b) =>
+                  TableLog.zcmp(kind, a.lo.get, b.lo.get) < 0)
+              var acc = 0L
+              val prefix = sorted.takeWhile { f =>
+                val need = acc < m; acc += provenNonNull(f); need }
+              if (acc < m) bounded.map(_.rel).toSet // can't prove a cutoff
+              else {
+                val t = if (desc) prefix.map(_.lo.get).min(ord)
+                        else prefix.map(_.hi.get).max(ord)
+                bounded.filter(f =>
+                  if (desc) TableLog.zcmp(kind, f.hi.get, t) >= 0
+                  else TableLog.zcmp(kind, f.lo.get, t) <= 0)
+                  .map(_.rel).toSet
+              }
+            }
+            // fewest FULL files proving m matching null rows; when the
+            // proven nulls run short, every null-bearing candidate
+            // stays (a partial file may hold matching nulls)
+            def nullPick(m: Long): Set[String] = {
+              val provenTotal = fs.map(provenNulls).sum
+              if (provenTotal >= m) {
+                var acc = 0L
+                fs.filter(f => f.full && f.nulls > 0).sortBy(-_.nulls)
+                  .takeWhile { f => val need = acc < m; acc += f.nulls; need }
+                  .map(_.rel).toSet
+              } else fs.filter(_.nulls > 0).map(_.rel).toSet
+            }
+            val totalProvenNulls = fs.map(provenNulls).sum
+            val totalProvenNonNull = fs.map(provenNonNull).sum
+            Some(
+              if (nullsFirst) {
+                if (totalProvenNulls >= k) nullPick(k)
+                else fs.filter(_.nulls > 0).map(_.rel).toSet ++
+                  valuePick(k - totalProvenNulls)
+              } else {
+                if (totalProvenNonNull >= k) valuePick(k)
+                else fs.filter(_.nonNull > 0).map(_.rel).toSet ++
+                  nullPick(k - totalProvenNonNull)
+              })
+          }
+        }
+      }
+    }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

@@ -84,9 +84,20 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.plans." + name, name), b))
     }
+    // the SQL-text face of the table format: graft statements
+    // (DESCRIBE HISTORY / OPTIMIZE / DELETE WHERE / MERGE INTO /
+    // RESTORE) short-circuit in a delegating parser, and
+    // graft_table(...)/graft_table_at(...) serve reads with time
+    // travel as table-valued functions — see [[GraftSql]]
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    GraftSql.tableFunctions.foreach { case (name, b) =>
+      e.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.GraftSql", name), b))
+    }
+  }
 }

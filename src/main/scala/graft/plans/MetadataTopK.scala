@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
-  Descending, IntegerLiteral, NullsFirst}
-import org.apache.spark.sql.catalyst.plans.logical.{Limit, LogicalPlan,
-  Project, Sort}
+  Descending, Expression, IntegerLiteral, NullsFirst}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit,
+  LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -34,21 +34,35 @@ import graft.operators.TableLogFileIndex
   * index is itself a [[TableLogFileIndex]] at the same pinned
   * version, so pushed-filter pruning and a fixed-point re-match
   * compose (a re-match that would keep every file is a no-op by
-  * guard). Plans with anything between the Limit∘Sort pair and the
-  * relation — a Filter, a delete-sidecar anti-join — keep their
-  * scan: a Filter would break the row-count arithmetic, so the shape
-  * check IS the soundness check. */
+  * guard).
+  *
+  * FILTERED shape: `WHERE <pred> ORDER BY col LIMIT k` — the
+  * dashboard's windowed latest-k — also fires when the Filter(s)
+  * between the pair and the relation translate EXACTLY to zone
+  * predicates ([[TableLogFileIndex.fullRangesOf]]): files the filter
+  * provably excludes leave the walk, provably-FULL files contribute
+  * exact counts, straddlers count zero but stay keepable — the
+  * cutoff can only land deeper than the true kth row, never shallower
+  * (see [[TableLogFileIndex.topKSurvivorsFiltered]]). One conjunct
+  * the exact translation cannot carry → no rewrite (a dropped
+  * conjunct would over-count; plain scan-time pruning still applies).
+  * Anything ELSE between the pair and the relation — a delete-sidecar
+  * anti-join, a sample — keeps the scan: the shape check IS the
+  * soundness check. */
 object MetadataTopK extends Rule[LogicalPlan] {
 
-  /** The relation under `plan`, looking through pass-through
-    * projections only (a Project neither drops nor adds rows;
-    * anything else invalidates the row-count arithmetic). */
+  /** The relation under `plan` with the Filter conditions crossed on
+    * the way down, looking through pass-through projections only (a
+    * Project neither drops nor adds rows; a Filter is returned for
+    * the caller's exact-translation gate; anything else invalidates
+    * the row-count arithmetic). */
   private def relationIn(plan: LogicalPlan)
-      : Option[(LogicalRelation, HadoopFsRelation, TableLogFileIndex)] =
+      : Option[(LogicalRelation, HadoopFsRelation, TableLogFileIndex,
+          Seq[Expression])] =
     plan match {
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
-          case t: TableLogFileIndex => Some((l, h, t))
+          case t: TableLogFileIndex => Some((l, h, t, Nil))
           case _ => None
         }
         case _ => None
@@ -56,6 +70,8 @@ object MetadataTopK extends Rule[LogicalPlan] {
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         relationIn(child)
+      case Filter(cond, child) =>
+        relationIn(child).map { case (l, h, t, cs) => (l, h, t, cond +: cs) }
       case _ => None
     }
 
@@ -63,15 +79,19 @@ object MetadataTopK extends Rule[LogicalPlan] {
     case lim @ Limit(le @ IntegerLiteral(k),
         srt @ Sort(order, true, child, hint)) if k > 0 =>
       val rewritten = for {
-        (lr, rel, idx) <- relationIn(child)
+        (lr, rel, idx, conds) <- relationIn(child)
         so <- order.headOption
         a <- so.child match {
           case a: AttributeReference => Some(a)
           case _ => None
         }
-        keep <- idx.topKSurvivors(a.name, a.dataType, k.toLong,
-          desc = so.direction == Descending,
-          nullsFirst = so.nullOrdering == NullsFirst)
+        desc = so.direction == Descending
+        nf = so.nullOrdering == NullsFirst
+        keep <-
+          if (conds.isEmpty)
+            idx.topKSurvivors(a.name, a.dataType, k.toLong, desc, nf)
+          else idx.topKSurvivorsFiltered(a.name, a.dataType, k.toLong,
+            desc, nf, conds)
         if keep.size < idx.activeCount // no-op guard: fixed-point safe
       } yield {
         val restricted = rel.copy(location = idx.restrictedTo(keep))(

@@ -58,7 +58,8 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
                          idCol: String, contentCol: String,
                          startingVersion: Long, fallbackDiff: Boolean,
                          maxVersionsPerTrigger: Option[Long] = None,
-                         metadataPath: String = "")
+                         metadataPath: String = "",
+                         maxBytesPerTrigger: Option[Long] = None)
   extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -135,21 +136,49 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
     }
 
   /** The latest committed table version, as a stream offset — capped
-    * at `servedHighWater + maxVersionsPerTrigger` when admission
-    * control is on; None until the table has a version at or past
-    * `startingVersion`. The engine triggers a batch whenever this
-    * differs from the last processed offset — versions only grow, so
-    * offsets are monotone. */
+    * by the admission controls when on: at `servedHighWater +
+    * maxVersionsPerTrigger`, and/or at the last version whose
+    * CUMULATIVE feed bytes (the entries' commit-time `cdfmeta`
+    * lengths — [[TableLog.feedBytes]], zero stat calls on modern
+    * logs) still fit `maxBytesPerTrigger` — so a backlog drains in
+    * bounded steps AND one fat commit can't blow a trigger: a version
+    * exceeding the budget alone is admitted by itself (progress),
+    * never together with others. None until the table has a version
+    * at or past `startingVersion`. Versions only grow, so offsets are
+    * monotone; the byte walk costs O(admission window) tiny entry
+    * reads per trigger, only while a byte cap is set. */
   override def getOffset: Option[OffsetV1] = {
     val latest = TableLog.versions(spark, root).lastOption
     latest.filter(_ >= startingVersion).map { l =>
-      val capped = maxVersionsPerTrigger match {
-        case None => l
-        case Some(k) =>
-          servedHi.orElse(restoredServed)
-            .orElse(if (freshCheckpoint) Some(startingVersion - 1L) else None)
-            .fold(l)(base => math.min(l, base + k))
-      }
+      val capped =
+        if (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) l
+        else servedHi.orElse(restoredServed)
+          .orElse(if (freshCheckpoint) Some(startingVersion - 1L) else None)
+          .fold(l) { base =>
+            val vCap = maxVersionsPerTrigger.fold(l)(k => math.min(l, base + k))
+            maxBytesPerTrigger match {
+              case None => vCap
+              case Some(budget) =>
+                // a version whose entry is unreadable (expired below
+                // the horizon) weighs 0 — admit it and let getBatch's
+                // continuity check fail loudly, the documented
+                // lag-past-retention behavior
+                def weigh(v: Long): Long =
+                  try TableLog.feedBytes(spark, root, v)
+                  catch { case _: Exception => 0L }
+                var v = base + 1L
+                var acc = 0L
+                var end = base
+                var stop = false
+                while (v <= vCap && !stop) {
+                  val b = weigh(v)
+                  if (end == base || acc + b <= budget) {
+                    acc += b; end = v; v += 1L
+                  } else stop = true
+                }
+                end
+            }
+          }
       record(capped)
       VersionOffset(capped)
     }
@@ -218,7 +247,12 @@ object VersionOffset {
   * [[TableChangesSource]]), `contentCol` (default `text`, diff mode
   * only), `maxVersionsPerTrigger` (optional, ≥ 1 — bound each
   * micro-batch to that many table versions; a deep backlog drains in
-  * bounded steps instead of one giant first batch). */
+  * bounded steps instead of one giant first batch), and
+  * `maxBytesPerTrigger` (optional, ≥ 1 — bound each micro-batch's
+  * cumulative feed-sidecar bytes, weighed from the log's own
+  * `cdfmeta` lengths; a single over-budget commit is admitted ALONE,
+  * never skipped — Delta's maxBytesPerTrigger soft-max contract).
+  * Both caps compose (the tighter one wins). */
 class TableChangesSourceProvider extends StreamSourceProvider {
   private def idColOf(parameters: Map[String, String]): String =
     parameters.getOrElse("idCol", "doc_id")
@@ -242,12 +276,16 @@ class TableChangesSourceProvider extends StreamSourceProvider {
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxV.foreach(k => require(k >= 1L,
       s"maxVersionsPerTrigger must be >= 1, got $k"))
+    val maxB = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxB.foreach(b => require(b >= 1L,
+      s"maxBytesPerTrigger must be >= 1, got $b"))
     new TableChangesSource(sqlContext, root,
       idCol = idColOf(parameters),
       contentCol = parameters.getOrElse("contentCol", "text"),
       startingVersion = parameters.getOrElse("startingVersion", "1").toLong,
       fallbackDiff = parameters.getOrElse("fallback.diff", "false").toBoolean,
       maxVersionsPerTrigger = maxV,
-      metadataPath = metadataPath)
+      metadataPath = metadataPath,
+      maxBytesPerTrigger = maxB)
   }
 }

@@ -13,6 +13,7 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -3022,9 +3022,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       (390L until 400L).reverse.map(i => f"v$i%04d"))
     assert(keptFiles(descM) === 1L)
     // 5) guards: a limit spanning the table keeps every file; a
-    //    filter between Limit∘Sort and the relation blocks the
-    //    rewrite (the row arithmetic would be wrong) but answers stay
-    //    exact
+    //    zone-translatable filter between Limit∘Sort and the relation
+    //    fires the FILTERED walk (excluded files leave, full files
+    //    count) — doc_id >= 100 excludes the first two files and the
+    //    5-limit then lives in ONE file
     val all = snap.orderBy(col("skey")).limit(1000)
     assert(all.count() === 400L)
     assert(keptFiles(all) === 8L)
@@ -3032,6 +3033,8 @@ class ScaleOpsSpec extends AnyFunSuite {
       .orderBy(col("skey")).limit(5)
     assert(filtered.select("skey").as[String].collect().toSeq ===
       (100L until 105L).map(i => f"k$i%04d"))
+    assert(keptFiles(filtered) === 1L,
+      s"windowed top-5 scanned ${keptFiles(filtered)} of 8 files")
     // 6) a TIE at the kth row's bound keeps both sides: two files
     //    sharing the boundary value must both survive
     val root2 = Files.createTempDirectory("graft_tablelog_topk2").toString + "/t"
@@ -3055,6 +3058,156 @@ class ScaleOpsSpec extends AnyFunSuite {
     val g = snap3.orderBy(col("skey").desc).limit(1)
     assert(g.select("skey").as[String].collect().toSeq === Seq("k0500"))
     assert(keptFiles(g) === 9L, "an uncovered file must disable top-k pruning")
+  }
+
+  test("MetadataTopK under a filter: the windowed latest-k reads only the " +
+      "boundary+cutoff files; strict bounds adjust on discrete kinds; an " +
+      "untranslatable conjunct declines; proven-short walks keep all") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    TableLogRelation.enableMetadataTopK(spark0)
+    def keptFiles(qdf: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+        case q: QueryStageExec => findScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => (o.children ++ o.subqueries).flatMap(findScans)
+      }
+      val scans = findScans(qdf.queryExecution.executedPlan)
+        .filter(_.relation.location.isInstanceOf[graft.operators.TableLogFileIndex])
+      assert(scans.nonEmpty, "no TableLogFileIndex scan in the plan")
+      scans.map(_.relation.location.inputFiles.length.toLong).sum
+    }
+    val root = Files.createTempDirectory("graft_topk_filt").toString + "/t"
+    // 8 files of 100 rows clustered on ts; user carries 10 nulls per
+    // file (i % 10 == 0) so the null interplay is exercised
+    val df = (0L until 800L).map { i =>
+      (i, if (i % 10 == 0) None else Some(i % 50), s"e$i")
+    }.toDF("ts", "user", "ev")
+    val (files, zm) = TableLog.stageWithZoneMap(df, root, "base", "ts", 8,
+      statsCols = Seq("user"))
+    TableLog.commit(spark0, root, files, Nil, zmap = zm)
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    // 1) the dashboard probe — latest 20 INSIDE a window: the filter
+    //    excludes two files, the walk proves the cutoff inside the
+    //    last full file, and only the upper straddler + that file read
+    val win = snap.filter(col("ts").between(150L, 649L))
+      .orderBy(col("ts").desc).limit(20)
+    assert(win.select("ts").as[Long].collect().toSeq ===
+      (630L to 649L).reverse)
+    assert(keptFiles(win) === 2L,
+      s"windowed latest-20 scanned ${keptFiles(win)} of 8 files")
+    // 2) STRICT bounds on a discrete kind adjust by one and still
+    //    prove full: ts > 599 AND ts < 700 proves file 6 FULL (without
+    //    the ±1 adjustment the whole translation would decline and all
+    //    8 files would read); the conservative lower straddler f5
+    //    (hi == 599 under the closed exclusion bound) also stays
+    val strict = snap.filter(col("ts") > 599L && col("ts") < 700L)
+      .orderBy(col("ts")).limit(10)
+    assert(strict.select("ts").as[Long].collect().toSeq ===
+      (600L until 610L))
+    assert(keptFiles(strict) === 2L,
+      s"strict-window top-10 scanned ${keptFiles(strict)} of 8 files")
+    // 3) an untranslatable conjunct (StartsWith is half-open — exact
+    //    inclusion can't carry it) declines the rewrite entirely:
+    //    answers exact, location unrestricted
+    val opaque = snap.filter(col("ts") >= 100L && col("ev").startsWith("e"))
+      .orderBy(col("ts")).limit(5)
+    assert(opaque.select("ts").as[Long].collect().toSeq === (100L until 105L))
+    assert(keptFiles(opaque) === 8L,
+      "a conjunct outside the exact translation must decline the rewrite")
+    // 4) a cross-column filter no file is provably FULL under: the
+    //    walk can't reach k on proven rows and keeps every candidate —
+    //    graceful degradation, exact answers
+    val cross = snap.filter(col("user") === 7L)
+      .orderBy(col("ts").desc).limit(3)
+    assert(cross.select("ts").as[Long].collect().toSeq ===
+      Seq(757L, 707L, 657L))
+    assert(keptFiles(cross) === 8L)
+    // 5) nulls under a full-everywhere filter: a nulls-first limit
+    //    within the proven null count reads just the greedy null cover
+    val nf = snap.filter(col("ts") >= 0L).orderBy(col("user")).limit(25)
+    val gotNf = nf.collect()
+    assert(gotNf.length === 25 && gotNf.forall(_.isNullAt(1)))
+    assert(keptFiles(nf) === 3L,
+      s"proven-null cover scanned ${keptFiles(nf)} of 8 files")
+  }
+
+  test("metadataAggRange: interior files answer counts/bounds/sums from " +
+      "stats, straddlers scan into the same fold; file-aligned windows " +
+      "read no data; unknown columns and deletes decline") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_tablelog_maggr").toString
+    val root = s"$dir/t"
+    // k 0..999 range-clustered into 8 files; v: long with nulls at
+    // k%5==0; s: strings with full-range overlap per file
+    val df = (0L until 1000L).map { i =>
+      (i, if (i % 5 == 0) None else Some(i % 100), s"s${i % 13}")
+    }.toDF("k", "v", "s")
+    val (f1, z1) = TableLog.stageWithZoneMap(df, root, "base", "k", 8,
+      statsCols = Seq("v", "s"))
+    TableLog.commit(spark0, root, f1, Nil, zmap = z1)
+    // ground truth: the same aggregates over a real scan of the window
+    def scanAgg(lo: Long, hi: Long): Map[String, (Long, Long, String, String, String)] = {
+      val w = TableLog.snapshot(spark0, root)
+        .filter(col("k") >= lo && col("k") <= hi)
+      val n = w.count()
+      val r = w.agg(
+        sum(when(col("v").isNull, 1L).otherwise(0L)),
+        min(col("v")).cast("string"), max(col("v")).cast("string"),
+        sum(col("v").cast("decimal(38,0)")).cast("string"),
+        sum(when(col("s").isNull, 1L).otherwise(0L)),
+        min(col("s")), max(col("s"))).head()
+      Map(
+        "v" -> ((n, r.getLong(0), r.getString(1), r.getString(2), r.getString(3))),
+        "s" -> ((n, r.getLong(4), r.getString(5), r.getString(6), null)))
+    }
+    def rangeAgg(lo: Long, hi: Long): Option[Map[String, (Long, Long, String, String, String)]] =
+      TableLog.metadataAggRange(spark0, root, "k", lo, hi, Seq("v", "s"))
+        .map(_.collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+            r.getString(6)))).toMap)
+    // 1) a misaligned window: interior stats + boundary scan fold to
+    //    exactly the scan's answer (counts, nulls, bounds, exact sum)
+    assert(rangeAgg(137L, 861L) === Some(scanAgg(137L, 861L)))
+    // 2) an empty window: zero rows, null bounds, null sum
+    assert(rangeAgg(2000L, 3000L) ===
+      Some(Map("v" -> ((0L, 0L, null, null, null)),
+               "s" -> ((0L, 0L, null, null, null)))))
+    // 3) decline paths: unknown columns up front (validated while the
+    //    footer is still probeable), key included
+    assert(TableLog.metadataAggRange(spark0, root, "k", 0L, 10L,
+      Seq("nope")).isEmpty)
+    assert(TableLog.metadataAggRange(spark0, root, "nope", 0L, 10L,
+      Seq("v")).isEmpty)
+    // 4) a FILE-ALIGNED window answers from metadata alone: compute
+    //    the expectation, delete the data, ask again
+    val bounds = spark0.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/zmap")
+      .filter(col("scol") === "k")
+      .select(col("lo_s").cast("long"), col("hi_s").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(bounds.length === 8)
+    val (wLo, wHi) = (bounds(2)._1, bounds(5)._2)
+    val expect = rangeAgg(wLo, wHi)
+    assert(expect === Some(scanAgg(wLo, wHi)))
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "t", "data"))
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    assert(rangeAgg(wLo, wHi) === expect,
+      "a file-aligned window must answer without touching data")
+    // 5) delete sidecars in force → decline (stats describe
+    //    pre-delete rows)
+    TableLog.commitDeletes(Seq(999L).toDF("k").coalesce(1), root, "purge")
+    assert(TableLog.metadataAggRange(spark0, root, "k", wLo, wHi,
+      Seq("v")).isEmpty)
   }
 
   test("float zone maps: pushed literals widen through double — the 1.3f boundary file is never wrongly pruned") {
@@ -3377,6 +3530,156 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(gotS === Some(expS))
   }
 
+  test("metadata distinct faces: identical duplicate bank rows merge " +
+      "idempotently, CONFLICTING duplicates decline or degrade to the " +
+      "scan, and unknown columns return None instead of throwing") {
+    import graft.operators.TableLog
+    import graft.functions.Sketches
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_tablelog_mddup").toString
+    val root = s"$dir/t"
+    val df = (0L until 400L).map(i => (i, i % 53, s"p$i")).toDF("k", "u", "p")
+    val (f1, z1) = TableLog.stageWithZoneMap(df, root, "base", "k", 4,
+      statsCols = Seq("u"), sketchCols = Seq("u"))
+    TableLog.commit(spark0, root, f1, Nil, zmap = z1)
+    val baseEst = TableLog.metadataDistinct(spark0, root, Seq("u"))
+      .get.collect().head.getDouble(1)
+    // ground truth for the range face: the same register pipeline over
+    // a real scan of the window
+    def scanEst(c: String, lo: Long, hi: Long): Double = {
+      val hx = Sketches.hashHex(col(c))
+      TableLog.snapshot(spark0, root)
+        .filter(col("k") >= lo && col("k") <= hi)
+        .select(Sketches.hllBucket(hx).as("b"), Sketches.hllRho(hx).as("r"))
+        .agg(graft.plans.HllRegisters.hllRegisters(
+          struct(col("b"), col("r")), Sketches.M).as("regs"))
+        .select(Sketches.hllEstimate(col("regs"))).head().getDouble(0)
+    }
+    // --- unknown columns decline up front, never throw ---
+    // sketchCol bogus, window forces the scan path (pre-fix: an
+    // AnalysisException from col("nope") mid-probe)
+    assert(TableLog.metadataDistinctRange(spark0, root, "nope", "k",
+      0L, 399L).isEmpty)
+    // sketchCol bogus, EMPTY window (pre-fix: silently answered est 0)
+    assert(TableLog.metadataDistinctRange(spark0, root, "nope", "k",
+      5000L, 6000L).isEmpty)
+    // keyCol bogus
+    assert(TableLog.metadataDistinctRange(spark0, root, "u", "nope",
+      0L, 399L).isEmpty)
+    // ... but a REAL column with no sidecar presence (p: never in
+    // statsCols/sketchCols — only the parquet footer proves it) must
+    // still serve via the scan, not over-decline
+    val pGot = TableLog.metadataDistinctRange(spark0, root, "p", "k",
+      100L, 150L).map(_.collect().head.getDouble(1))
+    assert(pGot === Some(scanEst("p", 100L, 150L)))
+    // --- duplicate bank rows (a second commit carrying a foreign
+    // sidecar that re-describes a file the first commit covered) ---
+    val zrow = spark0.read.parquet(z1.map(r => s"$root/$r"): _*)
+      .filter(col("scol") === "u" && col("hll_s").isNotNull).limit(1).cache()
+    // an IDENTICAL duplicate (a re-listed sidecar) is harmless: max
+    // is idempotent on equal banks
+    zrow.coalesce(1).write.parquet(s"$root/zmap/dup_same")
+    TableLog.commit(spark0, root, Nil, Nil, zmap = Seq("zmap/dup_same"))
+    assert(TableLog.metadataDistinct(spark0, root, Seq("u"))
+      .get.collect().head.getDouble(1) === baseEst)
+    // a CONFLICTING well-formed duplicate (a foreign writer claiming
+    // different registers for the same file) must not inflate the
+    // merge: the global face declines ...
+    val badBank = Array.fill(Sketches.M)("1").mkString(",")
+    zrow.withColumn("hll_s", lit(badBank)).coalesce(1)
+      .write.parquet(s"$root/zmap/dup_conflict")
+    TableLog.commit(spark0, root, Nil, Nil, zmap = Seq("zmap/dup_conflict"))
+    assert(TableLog.metadataDistinct(spark0, root, Seq("u")).isEmpty,
+      "conflicting duplicate banks must decline the global face")
+    // ... and the range face serves that file from the SCAN — the
+    // answer still equals the full-window scan bank exactly
+    val got = TableLog.metadataDistinctRange(spark0, root, "u", "k",
+      0L, 399L).map(_.collect().head.getDouble(1))
+    assert(got === Some(scanEst("u", 0L, 399L)),
+      "a conflicted file must degrade to the scan, not merge a pick")
+  }
+
+  test("LogStore seam: non-atomic object-store schemes refuse loudly; a " +
+      "check-then-write store double-claims one version (the hazard the " +
+      "guard exists for); SingleDriverLogStore serializes racing commits " +
+      "through the full commit path") {
+    import graft.operators.{LogStore, SingleDriverLogStore, TableLog}
+    val spark0 = spark
+    import spark0.implicits._
+    // 1) the guard: an S3-class scheme with no registered store must
+    //    refuse up front, naming the registration fix — never fall
+    //    back to a claim that can silently lose a commit
+    for (scheme <- Seq("s3a", "s3", "gs")) {
+      val err = intercept[RuntimeException] { LogStore.forScheme(scheme) }
+      assert(err.getMessage.contains("LogStore.register"),
+        s"$scheme must refuse with the registration hint")
+    }
+    // known-atomic substrates still resolve
+    assert(LogStore.forScheme(null) eq graft.operators.PosixLinkLogStore)
+    assert(LogStore.forScheme("hdfs") eq graft.operators.ExclusiveCreateLogStore)
+    // 2) the hazard itself: a store whose putIfAbsent is
+    //    existence-check-then-PUT (what a stock object-store connector
+    //    gives) lets two racing claims of ONE version both return true
+    //    — a barrier holds both racers past the check to force the
+    //    interleaving deterministically
+    val dir = Files.createTempDirectory("graft_logstore").toString
+    val conf = spark0.sparkContext.hadoopConfiguration
+    val lfs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI("file:///"), conf)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val naive = new LogStore {
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path, body: Array[Byte]): Boolean = {
+        if (f.exists(p)) false
+        else {
+          barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          val out = f.create(p, true)
+          try out.write(body) finally out.close()
+          true
+        }
+      }
+    }
+    val clash = new org.apache.hadoop.fs.Path(s"$dir/naive/00000.json")
+    lfs.mkdirs(clash.getParent)
+    def race[A](a: => A, b: => A): (A, A) = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = a })
+        val fb = pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = b })
+        (fa.get(30, java.util.concurrent.TimeUnit.SECONDS),
+          fb.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+    }
+    val (c1, c2) = race(
+      naive.putIfAbsent(lfs, clash, "writer-A".getBytes("UTF-8")),
+      naive.putIfAbsent(lfs, clash, "writer-B".getBytes("UTF-8")))
+    assert(c1 && c2,
+      "the naive store must exhibit the double-claim — that hazard is " +
+        "exactly why unregistered object-store schemes refuse")
+    // 3) the single-driver answer end to end: register it for a
+    //    non-file test scheme and race two FULL commits — the claims
+    //    serialize into distinct versions, never a shared one
+    conf.set("fs.graftsd.impl", classOf[SingleDriverTestFs].getName)
+    LogStore.register("graftsd", SingleDriverLogStore)
+    assert(LogStore.forScheme("graftsd") eq SingleDriverLogStore)
+    val root = s"graftsd://$dir/t"
+    val go = new java.util.concurrent.CyclicBarrier(2)
+    def oneCommit(name: String): Long = {
+      val staged = TableLog.stageWrite(
+        Seq((1L, name)).toDF("doc_id", "text").coalesce(1), root, name)
+      go.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      TableLog.commit(spark0, root, staged, Nil)
+    }
+    val (vA, vB) = race(oneCommit("wa"), oneCommit("wb"))
+    assert(Set(vA, vB) === Set(0L, 1L),
+      s"racing commits must claim DISTINCT serialized versions, got $vA/$vB")
+    // both commits' files are active — neither claim was lost
+    assert(TableLog.snapshot(spark0, root).count() === 2L)
+  }
+
   test("metadataProfile: covered columns profile from the sidecar alone — " +
       "exact counts/bounds, est only where sketched, uncovered columns " +
       "absent, data directory not consulted") {
@@ -3624,6 +3927,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "t4", "data")),
       "sketch validation must run before the data write")
   }
+}
+
+/** A local filesystem registered under the `graftsd` scheme — the
+  * non-`file` substrate for racing [[graft.operators
+  * .SingleDriverLogStore]] commits through the scheme registry (a
+  * `file://` root would route to the hard-link store instead).
+  * Instantiated reflectively by Hadoop. */
+class SingleDriverTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftsd"
+  override def getUri: java.net.URI = java.net.URI.create("graftsd:///")
 }
 
 /** A local filesystem that COUNTS getFileStatus calls on data parquet

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-text face of the table format (plans/GraftSql): every verb
+  * driven purely through spark.sql(...) on a session built with
+  * GraftExtensions, checked against the Scala-face ground truth. */
+class SqlFaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshTable(nBuckets: Int): String = {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_sqlface").toString
+    val root = s"$dir/t"
+    val df = (0L until 300L).map(i => (i, s"t$i", i % 7)).toDF("id", "text", "grp")
+    graft.operators.TableLog.commit(spark, root,
+      graft.operators.TableLog.stageBucketed(df, root, "base", "id", nBuckets),
+      Nil)
+    root
+  }
+
+  test("graft_table TVF: latest read, VERSION AS OF, TIMESTAMP AS OF, " +
+      "and plain SQL composes over it") {
+    val root = freshTable(4)
+    val spark0 = spark
+    import spark0.implicits._
+    // append a second version through the Scala face
+    graft.operators.TableLog.commit(spark, root,
+      graft.operators.TableLog.stageWrite(
+        Seq((1000L, "x", 0L)).toDF("id", "text", "grp").coalesce(1),
+        root, "b"), Nil)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$root')")
+      .head().getLong(0) === 301L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$root', 0)")
+      .head().getLong(0) === 300L)
+    // negative version = latest (the 3-arg idCol form's escape)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root', -1)")
+      .head().getLong(0) === 301L)
+    // timestamp travel: the v0 commit file's own mtime resolves to v0
+    val v0ts = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "_log", "00000000000000000000.json"))
+      .toInstant
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table_at('$root', '$v0ts')")
+      .head().getLong(0) === 300L)
+    // ordinary SQL shapes compose: joins, filters, aggregation
+    val g = spark.sql(
+      s"""SELECT grp, count(*) AS n FROM graft_table('$root', 0)
+          WHERE id < 100 GROUP BY grp ORDER BY grp""").collect()
+    assert(g.length === 7 && g.map(_.getLong(1)).sum === 100L)
+    // non-graft SQL still parses through the delegate untouched
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
+  }
+
+  test("MERGE INTO / DELETE FROM BETWEEN / DESCRIBE HISTORY / OPTIMIZE " +
+      "ZORDER / RESTORE drive the table purely through spark.sql") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshTable(4)
+    val tl = graft.operators.TableLog
+    // MERGE from a temp view: 50 updates + 10 inserts
+    ((100L until 150L).map(i => (i, s"UPD$i", i % 7)) ++
+      (2000L until 2010L).map(i => (i, s"NEW$i", 0L)))
+      .toDF("id", "text", "grp").createOrReplaceTempView("merge_src")
+    val vMerge = spark.sql(
+      s"""MERGE INTO graft.`$root` USING merge_src ON id BUCKETS 4
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+    assert(vMerge === 1L)
+    val afterMerge = tl.snapshot(spark, root, None, Some("id"))
+    assert(afterMerge.count() === 310L)
+    assert(afterMerge.filter(col("text").startsWith("UPD")).count() === 50L)
+    // MERGE from a subquery source
+    spark.sql(
+      s"""MERGE INTO graft.`$root`
+          USING (SELECT id, 'SUBQ' AS text, grp FROM merge_src WHERE id >= 2005)
+          ON id BUCKETS 4
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(tl.snapshot(spark, root, None, Some("id"))
+      .filter(col("text") === "SUBQ").count() === 5L)
+    // DELETE ... BETWEEN (long literals)
+    val vDel = spark.sql(
+      s"DELETE FROM graft.`$root` WHERE id BETWEEN 200 AND 249")
+      .head().getLong(0)
+    val afterDel = tl.snapshot(spark, root, None, Some("id"))
+    assert(afterDel.count() === 260L)
+    assert(afterDel.filter(col("id").between(200L, 249L)).count() === 0L)
+    // OPTIMIZE ... CLUSTER BY two dims = Z-ORDER; folds the delete
+    val vOpt = spark.sql(
+      s"OPTIMIZE graft.`$root` KEY id CLUSTER BY (id, grp) PARTS 4")
+      .head().getLong(0)
+    assert(vOpt > vDel)
+    assert(tl.activeDeletes(spark, root).isEmpty,
+      "OPTIMIZE must fold the delete sidecars")
+    assert(tl.snapshot(spark, root).count() === 260L)
+    // DESCRIBE HISTORY: the ledger names the SQL-driven operations
+    val ops = spark.sql(s"DESCRIBE HISTORY graft.`$root`")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.count(_ == "MERGE") === 2, s"ops were $ops")
+    assert(ops.contains("DELETE_WHERE") && ops.contains("OPTIMIZE"))
+    // RESTORE back to the post-first-merge state
+    spark.sql(s"RESTORE graft.`$root` TO VERSION AS OF 1")
+    assert(tl.snapshot(spark, root, None, Some("id")).count() === 310L)
+    // malformed graft statements fail with the grammar hint, not a
+    // confusing delegate parse error
+    val err = intercept[RuntimeException] {
+      spark.sql(s"OPTIMIZE graft.`$root` CLUSTER BY id")
+    }
+    assert(err.getMessage.contains("GraftSql"))
+  }
+}

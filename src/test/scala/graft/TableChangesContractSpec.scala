@@ -68,6 +68,66 @@ class TableChangesContractSpec extends AnyFunSuite with StreamSourceContract {
     else { q.processAllAvailable(); q.stop() }
   }
 
+  test("TableChangesSource: maxBytesPerTrigger batches thin commits " +
+      "together and serves a fat commit ALONE — bounded triggers, " +
+      "exactly-once drain") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tablechanges_bytes")
+    val root = base.resolve("t").toString
+    TableLog.commit(spark, root, Nil, Nil) // v0: base load
+    def appendCommit(lo: Long, m: Long): Unit = {
+      val df = (lo until lo + m).map(i => (i, s"r$i")).toDF("doc_id", "text")
+      TableLog.commit(spark, root,
+        TableLog.stageWrite(df.coalesce(1), root, s"b$lo"), Nil,
+        cdf = TableLog.stageFeed(
+          df.select(col("doc_id"), lit("added").as("status")).coalesce(1),
+          root, s"b$lo"))
+    }
+    // v1..v6 thin (10 ids), v7 FAT (5000 ids), v8..v10 thin
+    (0 until 6).foreach(i => appendCommit(i * 10L, 10L))
+    appendCommit(100000L, 5000L)
+    (0 until 3).foreach(i => appendCommit(200000L + i * 10L, 10L))
+    // budget: two thin feeds fit, the fat one never does — derived
+    // from the log's own logged sizes so the test is layout-proof
+    val sizes = (1L to 10L).map(v => v -> TableLog.feedBytes(spark, root, v)).toMap
+    val thinMax = (sizes - 7L).values.max
+    val budget = thinMax * 2 + 1
+    assert(sizes(7L) > budget,
+      s"fat feed ${sizes(7L)} must exceed the budget $budget")
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    val q = spark.readStream
+      .format("graft.streaming.TableChangesSourceProvider")
+      .option("path", root).option("idCol", "doc_id")
+      .option("maxBytesPerTrigger", budget.toString)
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // exactly-once: every id served exactly once
+    val got = spark.read.parquet(out)
+    assert(got.count() === 5090L)
+    assert(got.select("doc_id").distinct().count() === 5090L)
+    // the WAL's end-offset sequence IS the admission record: the
+    // trigger crossing v7 must admit v7 ALONE (ends ... 6, 7 ...),
+    // while thin commits batch together (some step spans >= 2)
+    val ends = new java.io.File(new java.io.File(ckpt), "offsets")
+      .listFiles().toSeq
+      .filter(_.getName.forall(_.isDigit))
+      .sortBy(_.getName.toLong)
+      .map { f =>
+        import scala.jdk.CollectionConverters._
+        val lines = java.nio.file.Files.readAllLines(f.toPath).asScala
+          .filter(_.nonEmpty)
+        lines.last.trim.toLong // single source: last line is its offset
+      }
+    val steps = (0L +: ends).sliding(2).map(w => (w(0), w(1))).toSeq
+    assert(steps.contains((6L, 7L)),
+      s"the fat version must be admitted alone, end sequence was $ends")
+    assert(steps.exists(w => w._2 - w._1 >= 2 && w._2 != 7L),
+      s"thin commits should batch under the byte budget, ends $ends")
+  }
+
   test("TableChangesSource: re-enabling maxVersionsPerTrigger after an uncapped run never re-serves") {
     val env = fixture.newEnv()
     env.append(1000) // 10 versions of 100 rows
