@@ -101,9 +101,19 @@ object SingleDriverLogStore extends LogStore {
                            body: Array[Byte]): Boolean = lock.synchronized {
     if (f.exists(p)) false
     else {
+      // a write failure AFTER create would leave a partial entry that
+      // claims the version forever (every later putIfAbsent sees it
+      // exists, every reader fails on it) — best-effort delete and
+      // surface, exactly like ExclusiveCreateLogStore
       val out = f.create(p, true)
-      try out.write(body) finally out.close()
-      true
+      try { out.write(body); out.close(); true }
+      catch { case e: java.io.IOException =>
+        try out.close() catch { case _: Throwable => () }
+        try f.delete(p, false) catch { case _: Throwable => () }
+        throw new java.io.IOException(
+          s"LogStore: entry write failed after single-driver claim of " +
+            s"$p (partial entry removed)", e)
+      }
     }
   }
 }

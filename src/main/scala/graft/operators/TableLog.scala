@@ -2327,6 +2327,13 @@ object TableLog {
         } :+ count(lit(1)).as("__n_rows")
         Some(windowed.agg(aggs.head, aggs.tail: _*).head())
       }
+    // sum-based scan fields are NULL over zero rows (a straddler
+    // whose interval overlaps the window but whose actual rows all
+    // miss it) — read them null-safely; count(*) alone never nulls
+    def scanLong(r: org.apache.spark.sql.Row, field: String): Long = {
+      val i = r.fieldIndex(field)
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    }
     val scanRows: Long =
       scanRow.fold(0L)(r => r.getLong(r.fieldIndex("__n_rows")))
     val nRowsTotal = served.map(p =>
@@ -2339,7 +2346,7 @@ object TableLog {
       val k = kindOf(c)
       val zs = served.flatMap(p => usable(p, c))
       val nNulls = zs.map(_.nNulls.get).sum +
-        scanRow.fold(0L)(r => r.getLong(r.fieldIndex(s"__n__$c")))
+        scanRow.fold(0L)(scanLong(_, s"__n__$c"))
       val bounds = zs.collect { case z if z.lo.isDefined =>
         (z.lo.get, z.hi.get) } ++
         scanRow.toSeq.collect { case r
@@ -2641,8 +2648,13 @@ object TableLog {
   private[operators] def fullMatchWithStats(active: Seq[String],
       zones: Array[ZStat],
       preds: Seq[ZPredicate]): Set[String] = {
+    // group ONCE: a per-(file, predicate) linear rescan of the zone
+    // array would make this O(files × zones) inside an optimizer rule
+    val byFileCol: Map[(String, String), Seq[ZStat]] = zones.toSeq
+      .filter(_.scol.isDefined)
+      .groupBy(z => (z.file, z.scol.get))
     def rowsFor(file: String, c: String): Seq[ZStat] =
-      zones.toSeq.filter(z => z.file == file && z.scol.contains(c))
+      byFileCol.getOrElse((file, c), Nil)
     def proven(file: String, p: ZPredicate): Boolean = p match {
       case ZIntervals(_, _, ds) if ds.isEmpty => false
       case ZIntervals(c, kind, ds) =>

@@ -88,7 +88,10 @@ object GraftSql {
 
   /** SQL literal → the typed bound [[graft.operators.TableLog
     * .deleteWhereTyped]] expects (Long / String / LocalDate /
-    * Instant). */
+    * Instant). TIMESTAMP accepts both the conventional SQL spelling
+    * (`TIMESTAMP '2024-01-08 00:00:00'`, read as UTC — the session
+    * timezone every graft session declares) and strict ISO-8601 with
+    * zone (`'2024-01-08T00:00:00Z'`). */
   private def sqlLit(s: String): Any = {
     val t = s.trim
     def quoted(prefixLen: Int): String = {
@@ -97,8 +100,12 @@ object GraftSql {
     }
     if (t.regionMatches(true, 0, "DATE", 0, 4))
       java.time.LocalDate.parse(quoted(4))
-    else if (t.regionMatches(true, 0, "TIMESTAMP", 0, 9))
-      java.time.Instant.parse(quoted(9))
+    else if (t.regionMatches(true, 0, "TIMESTAMP", 0, 9)) {
+      val q = quoted(9)
+      if (q.contains("T")) java.time.Instant.parse(q)
+      else java.time.LocalDateTime.parse(q.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+    }
     else if (t.startsWith("'")) t.stripPrefix("'").stripSuffix("'")
     else t.toLong
   }

@@ -159,22 +159,36 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
             maxBytesPerTrigger match {
               case None => vCap
               case Some(budget) =>
-                // a version whose entry is unreadable (expired below
-                // the horizon) weighs 0 — admit it and let getBatch's
+                // a version whose entry is GONE (expired below the
+                // horizon) weighs 0 — admit it and let getBatch's
                 // continuity check fail loudly, the documented
-                // lag-past-retention behavior
-                def weigh(v: Long): Long =
-                  try TableLog.feedBytes(spark, root, v)
-                  catch { case _: Exception => 0L }
+                // lag-past-retention behavior. Any OTHER failure
+                // (transient store outage/throttling) must NOT weigh
+                // 0 — that would silently admit the whole backlog in
+                // one giant trigger, the exact batch the cap exists
+                // to prevent — so the walk STOPS at what it has
+                // weighed and retries next trigger (None = no
+                // progress this round, bounded and safe).
+                def weigh(v: Long): Option[Long] =
+                  try Some(TableLog.feedBytes(spark, root, v))
+                  catch {
+                    case _: java.io.FileNotFoundException => Some(0L)
+                    case e: Exception =>
+                      System.err.println(
+                        s"TableChangesSource: feedBytes($v) failed " +
+                          s"($e); admission walk stops here this trigger")
+                      None
+                  }
                 var v = base + 1L
                 var acc = 0L
                 var end = base
                 var stop = false
                 while (v <= vCap && !stop) {
-                  val b = weigh(v)
-                  if (end == base || acc + b <= budget) {
-                    acc += b; end = v; v += 1L
-                  } else stop = true
+                  weigh(v) match {
+                    case Some(b) if end == base || acc + b <= budget =>
+                      acc += b; end = v; v += 1L
+                    case _ => stop = true
+                  }
                 }
                 end
             }

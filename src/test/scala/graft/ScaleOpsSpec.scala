@@ -3208,6 +3208,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     TableLog.commitDeletes(Seq(999L).toDF("k").coalesce(1), root, "purge")
     assert(TableLog.metadataAggRange(spark0, root, "k", wLo, wHi,
       Seq("v")).isEmpty)
+    // 6) a HOLE straddler: the file's interval overlaps the window but
+    //    no actual row falls in it — the boundary scan aggregates over
+    //    ZERO rows (sum-based fields come back NULL) and must fold to
+    //    the empty answer, not throw
+    val rootH = s"$dir/th"
+    val dfH = ((0L until 100L) ++ (300L until 400L))
+      .map(i => (i, i % 7, s"s$i")).toDF("k", "v", "s")
+    val (fH, zH) = TableLog.stageWithZoneMap(dfH, rootH, "base", "k", 1,
+      statsCols = Seq("v", "s"))
+    TableLog.commit(spark0, rootH, fH, Nil, zmap = zH)
+    val hole = TableLog.metadataAggRange(spark0, rootH, "k", 120L, 280L,
+      Seq("v", "s")).map(_.collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+          r.getString(6)))).toMap)
+    assert(hole === Some(Map("v" -> ((0L, 0L, null, null, null)),
+                             "s" -> ((0L, 0L, null, null, null)))),
+      "an overlapping-but-empty window must answer empty, not NPE")
   }
 
   test("float zone maps: pushed literals widen through double — the 1.3f boundary file is never wrongly pruned") {

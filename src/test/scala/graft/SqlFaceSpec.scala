@@ -113,4 +113,36 @@ class SqlFaceSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("GraftSql"))
   }
+
+  test("DELETE FROM accepts typed literals: the conventional SQL " +
+      "TIMESTAMP spelling (space-separated, UTC) and DATE") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_sqlface_ts").toString
+    val root = s"$dir/t"
+    val tl = graft.operators.TableLog
+    // 200 hourly events starting 2024-01-01T00:00Z, clustered on ts
+    val df = (0L until 200L)
+      .map(i => (i, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(i * 3600))))
+      .toDF("id", "ts")
+    val (files, zm) = tl.stageWithZoneMap(df, root, "base", "ts", 4)
+    tl.commit(spark, root, files, Nil, zmap = zm)
+    // the standard SQL spelling — pre-fix this threw
+    // DateTimeParseException (Instant.parse wants ISO-8601 with zone)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE ts " +
+      "BETWEEN TIMESTAMP '2024-01-02 00:00:00' " +
+      "AND TIMESTAMP '2024-01-03 23:00:00'")
+    val left = tl.snapshot(spark, root)
+    assert(left.count() === 152L, "48 hourly rows must purge")
+    assert(left.filter(col("ts")
+      .between("2024-01-02 00:00:00", "2024-01-03 23:00:00"))
+      .count() === 0L)
+    // the ISO form still parses
+    spark.sql(s"DELETE FROM graft.`$root` WHERE ts " +
+      "BETWEEN TIMESTAMP '2024-01-01T00:00:00Z' " +
+      "AND TIMESTAMP '2024-01-01T05:00:00Z'")
+    assert(tl.snapshot(spark, root).count() === 146L)
+  }
 }
