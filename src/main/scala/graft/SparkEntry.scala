@@ -2888,6 +2888,57 @@ object SparkEntry {
         "stats-covered table — coverage bookkeeping broke"))
   }
 
+  /** FILE-ALIGNED windowed aggregates COLLAPSED BY THE PLANNER
+    * (q156's MetadataOnlyAgg extended through Filters +
+    * [[graft.operators.TableLogFileIndex]].alignedSurvivors): a
+    * plain-SQL `count(*) / count / min / max / sum … WHERE event_id
+    * BETWEEN 0 AND 499` over a graft_table(...) read collapses to a
+    * LocalRelation — ZERO files scanned — because the window is
+    * PROVABLY file-aligned (the predicate translates exactly and
+    * every surviving file is proven full; a straddling window keeps
+    * the scan, and the API face q167 serves it with a boundary scan).
+    * The daily "how many events in yesterday's partition" probe at
+    * 100 TB, now answered from the log for pure-SQL readers — the
+    * whole chain (TVF read → injected optimizer rule → stats answer)
+    * rides GraftExtensions, no graft imports. Coverage is judged PER
+    * SCOPE: this table carries a file the window EXCLUDES whose
+    * user_id column is uncovered (key stats only) — the old
+    * whole-snapshot coverage rule would have declined every
+    * count/sum(user_id); the scoped rule answers from the window's
+    * own files — ScaleOpsSpec pins that, the zero-scan proof, and
+    * the straddler decline. */
+  private val q168Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q168: Q = (s, d) => {
+    val root = cachedTmpArtifact(q168Cache, d, "graft_q168_aligned") { p =>
+      val tl = graft.operators.TableLog
+      val ev = Tables.events(s, d)
+      // ONE file holding exactly the probe window [0, 499] ...
+      val (fA, zA) = tl.stageWithZoneMap(ev.filter(col("event_id") < 500),
+        p, "head", "event_id", 1, statsCols = Seq("user_id"))
+      tl.commit(s, p, fA, Nil, zmap = zA)
+      // ... the rest clustered beside it ...
+      val (fB, zB) = tl.stageWithZoneMap(ev.filter(col("event_id") >= 500),
+        p, "tail", "event_id", 8, statsCols = Seq("user_id"))
+      tl.commit(s, p, fB, Nil, zmap = zB)
+      // ... plus a straggler far outside the window with KEY stats
+      // only (no user_id coverage) — excludable by the window, but a
+      // whole-snapshot coverage rule would have declined every
+      // user_id aggregate over it
+      val (fC, zC) = tl.stageWithZoneMap(
+        ev.filter(col("event_id") < 10)
+          .withColumn("event_id", col("event_id") + 100000000L),
+        p, "far", "event_id", 1)
+      tl.commit(s, p, fC, Nil, zmap = zC)
+    }
+    s.sql(
+      s"""SELECT count(*) AS n_rows, count(user_id) AS n_users,
+            min(user_id) AS min_u, max(user_id) AS max_u,
+            sum(user_id) AS sum_u,
+            min(event_id) AS min_id, max(event_id) AS max_id
+          FROM graft_table('$root')
+          WHERE event_id BETWEEN 0 AND 499""")
+  }
+
   /** METADATA-ONLY DISTINCT ([[graft.operators.TableLog
     * .metadataDistinct]]): approximate `count(distinct user_id)` /
     * `count(distinct event_type)` answered ENTIRELY from the table's
@@ -3606,6 +3657,7 @@ object SparkEntry {
     "q165_sql_face" -> q165,
     "q166_windowed_latest" -> q166,
     "q167_window_stats" -> q167,
+    "q168_aligned_meta_agg" -> q168,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5937,6 +5989,18 @@ object SparkEntry {
          FROM events
          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
          LIMIT 50""",
+    // The planner-collapsed aligned-window aggregates: the same
+    // window aggregates over raw events IS the oracle (the rewrite
+    // must be invisible). Spark's sum(long) is BIGINT; cast DuckDB's
+    // HUGEINT to match.
+    "q168_aligned_meta_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(user_id) AS BIGINT) AS n_users,
+           min(user_id) AS min_u, max(user_id) AS max_u,
+           CAST(sum(user_id) AS BIGINT) AS sum_u,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE event_id BETWEEN 0 AND 499""",
     // The windowed latest-k: layout (filtered top-k file pruning)
     // buys cost, never answers — the same window + sort + limit over
     // raw events IS the oracle.

@@ -93,119 +93,126 @@ class TableLogFileIndex(spark: SparkSession, root: String,
 
   /** The pinned active file refs (root-relative) — exposed so
     * [[TableLogRelation.snapshotDf]] reuses the replay this
-    * constructor already paid for instead of re-reading the log. */
-  private[operators] def activeRefs: Seq[String] = active.map(_._1)
+    * constructor already paid for instead of re-reading the log, and
+    * so [[graft.plans.MetadataOnlyAgg]] can scope a stats answer to
+    * the whole snapshot. */
+  private[graft] def activeRefs: Seq[String] = active.map(_._1)
 
   /** Zone stats collected ONCE — listFiles must not re-read sidecars
     * (a Spark job) inside every planning pass. */
   protected lazy val zones: Array[TableLog.ZStat] =
     TableLog.collectZoneRows(spark, root, Some(version))
 
-  /** Per-active-file row counts from the typed zone sidecars, when
-    * EVERY active file is covered by exactly one consistent n_rows —
-    * the precondition for answering aggregates from metadata alone.
-    * One uncovered file (committed without a zone map, or a pre-
-    * n_rows sidecar) makes the whole answer unknowable: None. */
-  private lazy val fileRowCounts: Option[Map[String, Long]] = {
+  /** Per-file row counts from the typed zone sidecars, for every
+    * active file covered by exactly one consistent n_rows. COVERAGE
+    * IS JUDGED PER QUERY SCOPE by the stats functions below: a
+    * whole-snapshot aggregate needs every active file here, but a
+    * file-aligned windowed aggregate needs only ITS files — an
+    * uncovered file outside the window must not block the answer. */
+  private lazy val coveredRowCounts: Map[String, Long] = {
     val byFile = zones.filter(_.nRows.isDefined).groupBy(_.file)
-    val counts = active.flatMap { case (rel, _) =>
-      byFile.get(rel).map(zs => rel -> zs.flatMap(_.nRows).distinct) }
-    if (counts.length == active.length && counts.forall(_._2.length == 1))
-      Some(counts.map { case (f, ns) => f -> ns.head }.toMap)
-    else None
+    active.flatMap { case (rel, _) =>
+      byFile.get(rel).map(zs => rel -> zs.flatMap(_.nRows).distinct.toSeq) }
+      .collect { case (f, Seq(n)) => f -> n }.toMap
   }
 
-  /** The snapshot's EXACT row count from metadata alone — Some iff
-    * every active file carries a consistent n_rows stat. Delete
+  /** The EXACT row count of `files` from metadata alone — Some iff
+    * every named file carries a consistent n_rows stat. Delete
     * sidecars never corrupt this: they compose as an anti-join ABOVE
     * this relation, so a plan answering from the bare relation is by
     * construction delete-free. */
-  private[graft] def statsRowCount: Option[Long] =
-    fileRowCounts.map(_.values.sum)
+  private[graft] def statsRowCount(files: Seq[String]): Option[Long] = {
+    val per = files.flatMap(coveredRowCounts.get)
+    if (per.length == files.length) Some(per.sum) else None
+  }
 
-  /** `count(col)` (non-null rows) from metadata: every active file
-    * must carry both n_rows and a consistent n_nulls for the column. */
-  private[graft] def statsNonNullCount(colName: String): Option[Long] =
-    fileRowCounts.flatMap { rc =>
-      val byFile = zones
-        .filter(z => z.scol.contains(colName) && z.nNulls.isDefined)
-        .groupBy(_.file)
-      val per = rc.toSeq.flatMap { case (f, n) =>
+  /** `count(col)` (non-null rows) over `files` from metadata: every
+    * named file must carry both n_rows and a consistent n_nulls for
+    * the column. */
+  private[graft] def statsNonNullCount(colName: String,
+      files: Seq[String]): Option[Long] = {
+    val byFile = zones
+      .filter(z => z.scol.contains(colName) && z.nNulls.isDefined)
+      .groupBy(_.file)
+    val per = files.flatMap { f =>
+      coveredRowCounts.get(f).flatMap { n =>
         byFile.get(f).map(zs => zs.flatMap(_.nNulls).distinct.toSeq)
-          .collect { case Seq(nn) => n - nn } }
-      if (per.length == rc.size) Some(per.sum) else None
-    }
+          .collect { case Seq(nn) => n - nn } } }
+    if (per.length == files.length) Some(per.sum) else None
+  }
 
-  /** `min(col)`/`max(col)` from metadata, as CATALYST-INTERNAL values
-    * (UTF8String / epoch days / epoch micros): Some iff every active
-    * file carries a stats row of the column's kind. A file whose
-    * bounds are absent contributes nothing ONLY when its n_nulls ==
-    * n_rows proves it all-null (min/max skip nulls); absent bounds
-    * without that proof make the answer unknowable. All files
-    * all-null → (null, null), SQL's aggregate-over-no-values. */
+  /** `min(col)`/`max(col)` over `files` from metadata, as
+    * CATALYST-INTERNAL values (UTF8String / epoch days / epoch
+    * micros): Some iff every named file carries a stats row of the
+    * column's kind. A file whose bounds are absent contributes
+    * nothing ONLY when its n_nulls == n_rows proves it all-null
+    * (min/max skip nulls); absent bounds without that proof make the
+    * answer unknowable. All files all-null → (null, null), SQL's
+    * aggregate-over-no-values. */
   private[graft] def statsMinMax(colName: String,
-      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] =
+      dt: org.apache.spark.sql.types.DataType,
+      files: Seq[String]): Option[(Any, Any)] =
     TableLog.zkindFor(dt).flatMap { kind =>
-      if (fileRowCounts.isEmpty) None
-      else {
-        val byFile = zones
-          .filter(z => z.scol.contains(colName) && z.kind == kind)
-          .groupBy(_.file)
-        // per file: Some(Some((lo, hi))) = bounded, Some(None) =
-        // proven all-null, None = unknowable
-        val per = active.map { case (rel, _) =>
-          byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
-            case Seq(z) => (z.lo, z.hi) match {
-              case (Some(l), Some(h)) => Some(Some((l, h)))
-              case _ if z.nRows.isDefined && z.nNulls == z.nRows =>
-                Some(None)
-              case _ => None
-            }
-            case _ => None // no row, or conflicting rows
+      val byFile = zones
+        .filter(z => z.scol.contains(colName) && z.kind == kind)
+        .groupBy(_.file)
+      // per file: Some(Some((lo, hi))) = bounded, Some(None) =
+      // proven all-null, None = unknowable
+      val per = files.map { rel =>
+        if (!coveredRowCounts.contains(rel)) None
+        else byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
+          case Seq(z) => (z.lo, z.hi) match {
+            case (Some(l), Some(h)) => Some(Some((l, h)))
+            case _ if z.nRows.isDefined && z.nNulls == z.nRows =>
+              Some(None)
+            case _ => None
           }
+          case _ => None // no row, or conflicting rows
         }
-        if (per.exists(_.isEmpty)) None
-        else {
-          val bounded = per.flatten.flatten
-          if (bounded.isEmpty) Some((null, null))
-          else Some((
-            TableLog.zparse(kind,
-              bounded.map(_._1).min(Ordering.fromLessThan[String](
-                (a, b) => TableLog.zcmp(kind, a, b) < 0)), dt),
-            TableLog.zparse(kind,
-              bounded.map(_._2).max(Ordering.fromLessThan[String](
-                (a, b) => TableLog.zcmp(kind, a, b) < 0)), dt)))
-        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val bounded = per.flatten.flatten
+        if (bounded.isEmpty) Some((null, null))
+        else Some((
+          TableLog.zparse(kind,
+            bounded.map(_._1).min(Ordering.fromLessThan[String](
+              (a, b) => TableLog.zcmp(kind, a, b) < 0)), dt),
+          TableLog.zparse(kind,
+            bounded.map(_._2).max(Ordering.fromLessThan[String](
+              (a, b) => TableLog.zcmp(kind, a, b) < 0)), dt)))
       }
     }
 
-  /** `sum(col)` for an INTEGRAL column from metadata, as the
-    * java.lang.Long the scan would produce (Spark's Sum over integral
-    * input is LongType): Some iff every active file carries either a
-    * per-file decimal sum (stageWithZoneMap records one for `long`
-    * kind) or the all-null proof. SQL semantics: all rows null →
-    * Some(null). The per-file sums re-add in BigDecimal (exact), and
-    * a total outside the Long domain REFUSES the rewrite — the scan
-    * path then raises Spark's own ANSI overflow, exactly as it would
-    * have without the rule. Non-integral columns never answer: a
-    * float/double re-sum is order-sensitive, and a metadata answer
+  /** `sum(col)` for an INTEGRAL column over `files` from metadata, as
+    * the java.lang.Long the scan would produce (Spark's Sum over
+    * integral input is LongType): Some iff every named file carries
+    * either a per-file decimal sum (stageWithZoneMap records one for
+    * `long` kind) or the all-null proof. SQL semantics: all rows null
+    * → Some(null). The per-file sums re-add in BigDecimal (exact),
+    * and a total outside the Long domain REFUSES the rewrite — the
+    * scan path then raises Spark's own ANSI overflow, exactly as it
+    * would have without the rule. Non-integral columns never answer:
+    * a float/double re-sum is order-sensitive, and a metadata answer
     * must be bit-equal to the scan's. */
   private[graft] def statsSum(colName: String,
-      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+      dt: org.apache.spark.sql.types.DataType,
+      files: Seq[String]): Option[Any] = {
     import org.apache.spark.sql.types._
     val integral = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    if (!integral || fileRowCounts.isEmpty) None
+    if (!integral) None
     else {
       val byFile = zones
         .filter(z => z.scol.contains(colName) && z.kind == "long")
         .groupBy(_.file)
       // Some(Some(sum)) = contributes, Some(None) = proven all-null
       // (contributes nothing), None = unknowable
-      val per = active.map { case (rel, _) =>
-        byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
+      val per = files.map { rel =>
+        if (!coveredRowCounts.contains(rel)) None
+        else byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
           case Seq(z) => z.sum match {
             case Some(s) => Some(Some(BigDecimal(s)))
             case None if z.nRows.isDefined && z.nNulls == z.nRows =>
@@ -227,6 +234,24 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       }
     }
   }
+
+  /** The filter's survivor set, iff it is PROVABLY FILE-ALIGNED: the
+    * filters translate EXACTLY ([[fullRangesOf]]) and every surviving
+    * file is proven FULL (every row matches) — then an aggregate over
+    * the filtered scan equals the same aggregate over exactly these
+    * files' stats, and [[graft.plans.MetadataOnlyAgg]] may collapse
+    * it ("how many events in yesterday's partition-aligned window").
+    * A boundary straddler, an inexact conjunct, or a coverage gap →
+    * None (the API face [[TableLog.metadataAggRange]] serves the
+    * straddling case with its boundary scan). */
+  private[graft] def alignedSurvivors(filters: Seq[Expression])
+      : Option[Set[String]] =
+    fullRangesOf(filters).flatMap { fullPreds =>
+      val survivors = TableLog.pruneWithStats(active.map(_._1), zones,
+        rangesOf(filters))
+      val full = TableLog.fullMatchWithStats(survivors, zones, fullPreds)
+      if (survivors.toSet == full) Some(full) else None
+    }
 
   /** Active-file count — [[graft.plans.MetadataTopK]]'s no-op guard
     * (a rewrite that keeps every file must leave the plan unchanged,
@@ -251,7 +276,7 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       dt: org.apache.spark.sql.types.DataType, k: Long,
       desc: Boolean, nullsFirst: Boolean): Option[Set[String]] =
     TableLog.zkindFor(dt).flatMap { kind =>
-      fileRowCounts.flatMap { rc =>
+      Some(coveredRowCounts).flatMap { rc =>
         val byFile = zones
           .filter(z => z.scol.contains(colName) && z.kind == kind)
           .groupBy(_.file)
@@ -259,7 +284,7 @@ class TableLogFileIndex(spark: SparkSession, root: String,
                            hi: Option[String], nonNull: Long, nulls: Long)
         val per = active.map { case (rel, _) =>
           byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
-            case Seq(z) if z.nNulls.isDefined =>
+            case Seq(z) if z.nNulls.isDefined && rc.contains(rel) =>
               val nn = z.nNulls.get
               val n = rc(rel)
               (z.lo, z.hi) match {
@@ -615,7 +640,7 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       filters: Seq[Expression]): Option[Set[String]] =
     TableLog.zkindFor(dt).flatMap { kind =>
       fullRangesOf(filters).flatMap { fullPreds =>
-        fileRowCounts.flatMap { rc =>
+        Some(coveredRowCounts).flatMap { rc =>
           val survivors = TableLog.pruneWithStats(active.map(_._1), zones,
             rangesOf(filters))
           val fullSet = TableLog.fullMatchWithStats(survivors, zones,
@@ -627,7 +652,7 @@ class TableLogFileIndex(spark: SparkSession, root: String,
               hi: Option[String], nonNull: Long, nulls: Long, full: Boolean)
           val per = survivors.map { rel =>
             byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
-              case Seq(z) if z.nNulls.isDefined =>
+              case Seq(z) if z.nNulls.isDefined && rc.contains(rel) =>
                 val nn = z.nNulls.get
                 val n = rc(rel)
                 (z.lo, z.hi) match {

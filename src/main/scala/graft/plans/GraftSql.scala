@@ -26,6 +26,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * SELECT ... FROM graft_table('<root>', <version>)      -- VERSION AS OF
   * SELECT ... FROM graft_table('<root>', <v>, '<idCol>') -- deletes applied
   * SELECT ... FROM graft_table_at('<root>', '<ISO ts>')  -- TIMESTAMP AS OF
+ * SELECT ... FROM graft_table_changes('<root>', <from>, <to>[, '<idCol>'
+ *   [, '<contentCol>']])                 -- CDC rows in versions (from, to]
   * DESCRIBE HISTORY graft.`<root>`
   * OPTIMIZE graft.`<root>` KEY <idCol> CLUSTER BY (<keyCol>[, <zCol>])
   *   [PARTS <n>]                                         -- zCol => Z-ORDER
@@ -199,9 +201,30 @@ object GraftSql {
       .queryExecution.logical
   }
 
+  /** graft_table_changes(root, fromVersion, toVersion [, idCol
+    * [, contentCol]]) — the CDC read as SQL: row-level
+    * (version, id, status) changes in versions (from, to], served
+    * from each version's O(delta) commit-time feed sidecar exactly
+    * like [[graft.operators.TableLog.changes]] (requireFeed = false,
+    * so pre-feed history falls back to the snapshot diff with
+    * `contentCol`, default `text`). A range log expiry punched a hole
+    * in errors loudly — same contract as the streaming source. */
+  def graftTableChangesBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length >= 3 && es.length <= 5,
+      "graft_table_changes(root, fromVersion, toVersion[, idCol[, contentCol]])")
+    val root = litString(es.head, "root")
+    val idCol = es.lift(3).map(litString(_, "idCol")).getOrElse("doc_id")
+    val contentCol = es.lift(4).map(litString(_, "contentCol"))
+      .getOrElse("text")
+    graft.operators.TableLog.changes(SparkSession.active, root,
+        litLong(es(1)), litLong(es(2)), idCol, contentCol)
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_table" -> graftTableBuilder _,
-    "graft_table_at" -> graftTableAtBuilder _)
+    "graft_table_at" -> graftTableAtBuilder _,
+    "graft_table_changes" -> graftTableChangesBuilder _)
 }
 
 /** The delegating parser [[GraftExtensions]] injects: graft

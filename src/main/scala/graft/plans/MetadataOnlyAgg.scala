@@ -3,11 +3,11 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Literal, NamedExpression}
+  Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
-  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -31,17 +31,25 @@ import graft.operators.TableLogFileIndex
   * Soundness gates — the rewrite fires ONLY when the answer is exact:
   *  - the plan is literally `Aggregate(no grouping)` over (a
   *    pass-through column-pruning [[Project]] over) a
-  *    [[TableLogFileIndex]] relation. A Filter, a delete-sidecar
-  *    anti-join, a sample — anything between — breaks the shape and
-  *    the scan proceeds normally;
+  *    [[TableLogFileIndex]] relation, OPTIONALLY through Filters that
+  *    are PROVABLY FILE-ALIGNED ([[TableLogFileIndex
+  *    .alignedSurvivors]]: the predicate translates exactly and every
+  *    surviving file is proven full — "count the events in
+  *    yesterday's partition-aligned window") — then the aggregate
+  *    answers from exactly those files' stats; a boundary straddler,
+  *    an inexact conjunct, a delete-sidecar anti-join, a sample —
+  *    anything else — keeps the scan (the API face
+  *    [[graft.operators.TableLog.metadataAggRange]] serves the
+  *    straddling window with its boundary scan);
   *  - every aggregate is an undistinct, unfiltered `count(lit)`,
   *    `count(attr)`, `min(attr)`, `max(attr)` or `sum(integral
   *    attr)` (plus constant columns); one unanswerable expression
   *    abandons the whole rewrite;
-  *  - the index proves EVERY active file covered: a consistent
+  *  - the index proves every IN-SCOPE file covered: a consistent
   *    n_rows for counts, a stats row of the column's kind (or an
-  *    all-null proof) for min/max — one uncovered file → no rewrite
-  *    (see [[TableLogFileIndex.statsRowCount]] /
+  *    all-null proof) for min/max — one uncovered scoped file → no
+  *    rewrite (an uncovered file OUTSIDE an aligned window does not
+  *    block it; see [[TableLogFileIndex.statsRowCount]] /
   *    `statsNonNullCount` / `statsMinMax`).
   *
   * Registered per-session via
@@ -52,14 +60,17 @@ import graft.operators.TableLogFileIndex
   * exactly the trust every pruned read already extends. */
 object MetadataOnlyAgg extends Rule[LogicalPlan] {
 
-  /** The TableLogFileIndex under `plan`, looking through pass-through
-    * projections only (a Project never drops rows; anything else —
-    * Filter, Join, Sample — must keep the scan). */
-  private def indexOf(plan: LogicalPlan): Option[TableLogFileIndex] =
+  /** The TableLogFileIndex under `plan` with the Filter conditions
+    * crossed on the way down, looking through pass-through
+    * projections only (a Project never drops rows; a Filter is
+    * returned for the caller's file-alignment gate; anything else —
+    * Join, Sample — must keep the scan). */
+  private def indexOf(plan: LogicalPlan)
+      : Option[(TableLogFileIndex, Seq[Expression])] =
     plan match {
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
-          case t: TableLogFileIndex => Some(t)
+          case t: TableLogFileIndex => Some((t, Nil))
           case _ => None
         }
         case _ => None
@@ -67,29 +78,33 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         indexOf(child)
+      case Filter(cond, child) =>
+        indexOf(child).map { case (t, cs) => (t, cond +: cs) }
       case _ => None
     }
 
-  /** Answer one output expression from the index's stats, or None.
-    * The returned value is CATALYST-INTERNAL (UTF8String etc.) and
-    * may be `null` (min/max over an all-null or empty table). */
-  private def answer(e: NamedExpression,
-                     idx: TableLogFileIndex): Option[Any] = e match {
+  /** Answer one output expression from the stats of the in-scope
+    * `files`, or None. The returned value is CATALYST-INTERNAL
+    * (UTF8String etc.) and may be `null` (min/max over an all-null or
+    * empty scope). */
+  private def answer(e: NamedExpression, idx: TableLogFileIndex,
+                     files: Seq[String]): Option[Any] = e match {
     case Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
-        case Count(Seq(Literal(v, _))) if v != null => idx.statsRowCount
+        case Count(Seq(Literal(v, _))) if v != null =>
+          idx.statsRowCount(files)
         case Count(Seq(a: AttributeReference)) =>
-          idx.statsNonNullCount(a.name)
+          idx.statsNonNullCount(a.name, files)
         case Min(a: AttributeReference) =>
-          idx.statsMinMax(a.name, a.dataType).map(_._1)
+          idx.statsMinMax(a.name, a.dataType, files).map(_._1)
         case Max(a: AttributeReference) =>
-          idx.statsMinMax(a.name, a.dataType).map(_._2)
+          idx.statsMinMax(a.name, a.dataType, files).map(_._2)
         // integral sums only — the sidecar records exact per-file
         // decimal sums for `long`-kind columns; float/double never
         // answer (re-summing is order-sensitive)
         case Sum(a: AttributeReference, _) =>
-          idx.statsSum(a.name, a.dataType)
+          idx.statsSum(a.name, a.dataType, files)
         case _ => None
       }
     case Alias(Literal(v, _), _) => Some(v)
@@ -100,11 +115,20 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
       indexOf(child) match {
         case None => agg
-        case Some(idx) =>
-          val answers = aggExprs.map(e => answer(e, idx))
-          if (answers.exists(_.isEmpty)) agg
-          else LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(answers.map(_.get))))
+        case Some((idx, conds)) =>
+          // scope: the whole snapshot, or — under Filters — exactly
+          // the provably file-aligned survivor set
+          val scope: Option[Seq[String]] =
+            if (conds.isEmpty) Some(idx.activeRefs)
+            else idx.alignedSurvivors(conds).map(_.toSeq.sorted)
+          scope match {
+            case None => agg
+            case Some(files) =>
+              val answers = aggExprs.map(e => answer(e, idx, files))
+              if (answers.exists(_.isEmpty)) agg
+              else LocalRelation(agg.output,
+                Seq(InternalRow.fromSeq(answers.map(_.get))))
+          }
       }
   }
 }

@@ -2858,10 +2858,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     // Dataset.count() rides the same rewrite
     assert(snap.count() === 400L)
     // 2) guards — each keeps the scan AND the right answer:
-    //    a filter between aggregate and relation
+    //    a FILE-ALIGNED filter now COLLAPSES (round 15 — the q168
+    //    scoped rule: doc_id >= 200 is exactly files 4-7) ...
     val g1 = snap.filter(col("doc_id") >= 200L).agg(count(lit(1)).as("n"))
     assert(g1.collect()(0).getLong(0) === 200L)
-    assert(fileScans(g1) > 0, "a filtered aggregate must scan")
+    assert(fileScans(g1) === 0, "an aligned filtered aggregate collapses")
+    //    ... while a STRADDLING filter keeps the scan (file 4 is
+    //    [200, 249]; 225 cuts it mid-file)
+    val g1b = snap.filter(col("doc_id") >= 225L).agg(count(lit(1)).as("n"))
+    assert(g1b.collect()(0).getLong(0) === 175L)
+    assert(fileScans(g1b) > 0, "a straddling filtered aggregate must scan")
     //    a distinct aggregate
     val g2 = snap.agg(countDistinct(col("skey")).as("n"))
     assert(g2.collect()(0).getLong(0) === 400L)
@@ -3225,6 +3231,71 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hole === Some(Map("v" -> ((0L, 0L, null, null, null)),
                              "s" -> ((0L, 0L, null, null, null)))),
       "an overlapping-but-empty window must answer empty, not NPE")
+  }
+
+  test("MetadataOnlyAgg through a FILE-ALIGNED filter: the windowed " +
+      "aggregate collapses to zero files, coverage is judged per scope, " +
+      "straddling windows keep the scan") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    TableLogRelation.enableMetadataOnlyAggregates(spark0)
+    val dir = Files.createTempDirectory("graft_aligned_agg").toString
+    val root = s"$dir/t"
+    // one file holding exactly [0, 499] with v covered; four more
+    // files [500, 999]; a straggler with KEY stats only (v uncovered)
+    def mk(df: org.apache.spark.sql.DataFrame, name: String, parts: Int,
+           stats: Seq[String]): Unit = {
+      val (f, z) = TableLog.stageWithZoneMap(df, root, name, "k", parts,
+        statsCols = stats)
+      TableLog.commit(spark0, root, f, Nil, zmap = z)
+    }
+    mk((0L until 500L).map(i => (i, i % 83)).toDF("k", "v"), "head", 1, Seq("v"))
+    mk((500L until 1000L).map(i => (i, i % 83)).toDF("k", "v"), "tail", 4, Seq("v"))
+    mk((5000L until 5050L).map(i => (i, i % 83)).toDF("k", "v"), "far", 1, Nil)
+    def snap = TableLogRelation.snapshotDf(spark0, root)
+    def winAgg(lo: Long, hi: Long) = snap.filter(col("k").between(lo, hi))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(col("v")).as("sm"))
+    // the zero-scan proof: count FileSourceScanExec in the EXECUTED
+    // plan (the q156 technique — a collapsed plan has none)
+    def fileScans(qdf: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case _: FileSourceScanExec => 1
+        case o => (o.children ++ o.subqueries).map(scans).sum
+      }
+      qdf.collect(); scans(qdf.queryExecution.executedPlan)
+    }
+    // 1) the aligned window collapses — ZERO file scans — and the
+    //    values are exactly the scan's
+    val aligned = winAgg(0L, 499L)
+    assert(aligned.head() === org.apache.spark.sql.Row(
+      500L, 500L, 0L, 82L, (0L until 500L).map(_ % 83).sum))
+    assert(fileScans(aligned) === 0, "a file-aligned window must collapse")
+    // ... even though the straggler's v is uncovered: per-scope
+    // coverage (the global count(v) must still DECLINE)
+    val globalV = snap.agg(count(col("v")).as("nv"))
+    assert(globalV.head().getLong(0) === 1050L)
+    assert(fileScans(globalV) === 1,
+      "an uncovered file in scope must keep the scan")
+    // ... while the global count(*) still collapses (n_rows IS
+    // covered everywhere)
+    val globalN = snap.agg(count(lit(1)).as("n"))
+    assert(globalN.head().getLong(0) === 1050L)
+    assert(fileScans(globalN) === 0)
+    // a window COVERING the straggler also declines v-aggregates ...
+    val overFar = winAgg(0L, 6000L)
+    assert(fileScans(overFar) === 1)
+    // 2) a STRADDLING window keeps the scan and stays exact
+    val straddle = winAgg(0L, 600L)
+    assert(straddle.head() === org.apache.spark.sql.Row(
+      601L, 601L, 0L, 82L, (0L until 601L).map(_ % 83).sum))
+    assert(fileScans(straddle) === 1, "a straddler must keep the scan")
   }
 
   test("float zone maps: pushed literals widen through double — the 1.3f boundary file is never wrongly pruned") {

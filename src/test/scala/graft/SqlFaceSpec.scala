@@ -106,6 +106,13 @@ class SqlFaceSpec extends AnyFunSuite {
     // RESTORE back to the post-first-merge state
     spark.sql(s"RESTORE graft.`$root` TO VERSION AS OF 1")
     assert(tl.snapshot(spark, root, None, Some("id")).count() === 310L)
+    // the CDC read as SQL: version 1's delta was the first MERGE —
+    // 50 updates (changed) + 10 inserts (added)
+    val chg = spark.sql(
+      s"SELECT * FROM graft_table_changes('$root', 0, 1, 'id')")
+    assert(chg.count() === 60L)
+    assert(chg.filter(col("status") === "added").count() === 10L)
+    assert(chg.filter(col("status") === "changed").count() === 50L)
     // malformed graft statements fail with the grammar hint, not a
     // confusing delegate parse error
     val err = intercept[RuntimeException] {
