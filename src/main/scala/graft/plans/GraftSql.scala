@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * SELECT ... FROM graft_table_at('<root>', '<ISO ts>')  -- TIMESTAMP AS OF
  * SELECT ... FROM graft_table_changes('<root>', <from>, <to>[, '<idCol>'
  *   [, '<contentCol>']])                 -- CDC rows in versions (from, to]
+ * SELECT ... FROM graft_table_profile('<root>'[, <version>])
+ *                                        -- the zero-scan DESCRIBE
   * DESCRIBE HISTORY graft.`<root>`
   * OPTIMIZE graft.`<root>` KEY <idCol> CLUSTER BY (<keyCol>[, <zCol>])
   *   [PARTS <n>]                                         -- zCol => Z-ORDER
@@ -221,10 +223,32 @@ object GraftSql {
       .queryExecution.logical
   }
 
+  /** graft_table_profile(root[, version]) — the zero-scan DESCRIBE
+    * as SQL ([[graft.operators.TableLog.metadataProfile]]): one row
+    * per fully-covered column with exact counts, serialized bounds
+    * and bank-served distinct estimates, all from the log's sidecars.
+    * Declines LOUDLY (with the reason) when delete sidecars are in
+    * force — per-file stats describe pre-delete rows; the scan-based
+    * [[graft.operators.Profile.profile]] serves that table. */
+  def graftTableProfileBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.nonEmpty && es.length <= 2,
+      "graft_table_profile(root[, version])")
+    val root = litString(es.head, "root")
+    val asOf = es.lift(1).map(litLong).filter(_ >= 0L)
+    graft.operators.TableLog
+      .metadataProfile(SparkSession.active, root, asOf)
+      .getOrElse(sys.error(
+        s"graft_table_profile: $root has delete sidecars in force — " +
+          "per-file stats describe pre-delete rows; use the scan-based " +
+          "profiler (graft.operators.Profile.profile) or compact first"))
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_table" -> graftTableBuilder _,
     "graft_table_at" -> graftTableAtBuilder _,
-    "graft_table_changes" -> graftTableChangesBuilder _)
+    "graft_table_changes" -> graftTableChangesBuilder _,
+    "graft_table_profile" -> graftTableProfileBuilder _)
 }
 
 /** The delegating parser [[GraftExtensions]] injects: graft

@@ -151,5 +151,10 @@ class SqlFaceSpec extends AnyFunSuite {
       "BETWEEN TIMESTAMP '2024-01-01T00:00:00Z' " +
       "AND TIMESTAMP '2024-01-01T05:00:00Z'")
     assert(tl.snapshot(spark, root).count() === 146L)
+    // the zero-scan DESCRIBE as SQL: the profile reflects the purged
+    // table (boundary rewrites re-declared the key's stats)
+    val prof = spark.sql(s"SELECT * FROM graft_table_profile('$root')")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prof.get("ts") === Some(146L), s"profile was $prof")
   }
 }
