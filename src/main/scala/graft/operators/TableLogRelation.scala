@@ -276,7 +276,10 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       dt: org.apache.spark.sql.types.DataType, k: Long,
       desc: Boolean, nullsFirst: Boolean): Option[Set[String]] =
     TableLog.zkindFor(dt).flatMap { kind =>
-      Some(coveredRowCounts).flatMap { rc =>
+      {
+        // coverage declines per FILE below (rc.contains guards), not
+        // wholesale — an uncovered file simply fails its own match
+        val rc = coveredRowCounts
         val byFile = zones
           .filter(z => z.scol.contains(colName) && z.kind == kind)
           .groupBy(_.file)
@@ -640,7 +643,9 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       filters: Seq[Expression]): Option[Set[String]] =
     TableLog.zkindFor(dt).flatMap { kind =>
       fullRangesOf(filters).flatMap { fullPreds =>
-        Some(coveredRowCounts).flatMap { rc =>
+        {
+          // per-file coverage guards below, as in [[topKSurvivors]]
+          val rc = coveredRowCounts
           val survivors = TableLog.pruneWithStats(active.map(_._1), zones,
             rangesOf(filters))
           val fullSet = TableLog.fullMatchWithStats(survivors, zones,

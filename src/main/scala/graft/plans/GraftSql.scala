@@ -164,14 +164,19 @@ object GraftSql {
   // ---- table-valued functions: reads with time travel ----
 
   private def litString(e: Expression, what: String): String = {
-    require(e.foldable, s"graft_table: $what must be a string literal")
+    require(e.foldable, s"$what must be a string literal")
     val v = e.eval()
-    require(v != null, s"graft_table: $what must not be NULL")
+    require(v != null, s"$what must not be NULL")
     v.toString
   }
-  private def litLong(e: Expression): Long = {
-    require(e.foldable, "graft_table: version must be an integer literal")
-    e.eval().asInstanceOf[Number].longValue
+  private def litLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be an integer literal")
+    e.eval() match {
+      case n: Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got " +
+          s"${Option(other).fold("NULL")(_.toString)}")
+    }
   }
 
   /** graft_table(root [, version [, idCol]]) — negative version =
@@ -181,9 +186,10 @@ object GraftSql {
   def graftTableBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.nonEmpty && es.length <= 3,
       "graft_table(root[, version[, idCol]])")
-    val root = litString(es.head, "root")
-    val asOf = es.lift(1).map(litLong).filter(_ >= 0L)
-    val idCol = es.lift(2).map(litString(_, "idCol"))
+    val root = litString(es.head, "graft_table: root")
+    val asOf = es.lift(1).map(litLong(_, "graft_table: version"))
+      .filter(_ >= 0L)
+    val idCol = es.lift(2).map(litString(_, "graft_table: idCol"))
     graft.operators.TableLogRelation
       .snapshotDf(SparkSession.active, root, asOf, idCol)
       .queryExecution.logical
@@ -195,8 +201,9 @@ object GraftSql {
   def graftTableAtBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length == 2, "graft_table_at(root, isoTimestamp)")
     val spark = SparkSession.active
-    val root = litString(es.head, "root")
-    val ts = java.time.Instant.parse(litString(es(1), "timestamp"))
+    val root = litString(es.head, "graft_table_at: root")
+    val ts = java.time.Instant.parse(
+      litString(es(1), "graft_table_at: timestamp"))
     val v = graft.operators.TableLog.versionAtTime(spark, root,
       ts.toEpochMilli)
     graft.operators.TableLogRelation.snapshotDf(spark, root, Some(v))
@@ -214,12 +221,16 @@ object GraftSql {
   def graftTableChangesBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length >= 3 && es.length <= 5,
       "graft_table_changes(root, fromVersion, toVersion[, idCol[, contentCol]])")
-    val root = litString(es.head, "root")
-    val idCol = es.lift(3).map(litString(_, "idCol")).getOrElse("doc_id")
-    val contentCol = es.lift(4).map(litString(_, "contentCol"))
+    val root = litString(es.head, "graft_table_changes: root")
+    val idCol = es.lift(3).map(litString(_, "graft_table_changes: idCol"))
+      .getOrElse("doc_id")
+    val contentCol = es.lift(4)
+      .map(litString(_, "graft_table_changes: contentCol"))
       .getOrElse("text")
     graft.operators.TableLog.changes(SparkSession.active, root,
-        litLong(es(1)), litLong(es(2)), idCol, contentCol)
+        litLong(es(1), "graft_table_changes: fromVersion"),
+        litLong(es(2), "graft_table_changes: toVersion"),
+        idCol, contentCol)
       .queryExecution.logical
   }
 
@@ -227,20 +238,31 @@ object GraftSql {
     * as SQL ([[graft.operators.TableLog.metadataProfile]]): one row
     * per fully-covered column with exact counts, serialized bounds
     * and bank-served distinct estimates, all from the log's sidecars.
-    * Declines LOUDLY (with the reason) when delete sidecars are in
-    * force — per-file stats describe pre-delete rows; the scan-based
-    * [[graft.operators.Profile.profile]] serves that table. */
+    * Declines LOUDLY with the ACTUAL reason — delete sidecars in
+    * force (per-file stats describe pre-delete rows), or no
+    * fully-covered column (a table committed without zone maps) —
+    * the scan-based [[graft.operators.Profile.profile]] serves both. */
   def graftTableProfileBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.nonEmpty && es.length <= 2,
       "graft_table_profile(root[, version])")
-    val root = litString(es.head, "root")
-    val asOf = es.lift(1).map(litLong).filter(_ >= 0L)
-    graft.operators.TableLog
-      .metadataProfile(SparkSession.active, root, asOf)
-      .getOrElse(sys.error(
-        s"graft_table_profile: $root has delete sidecars in force — " +
-          "per-file stats describe pre-delete rows; use the scan-based " +
-          "profiler (graft.operators.Profile.profile) or compact first"))
+    val spark = SparkSession.active
+    val root = litString(es.head, "graft_table_profile: root")
+    val asOf = es.lift(1).map(litLong(_, "graft_table_profile: version"))
+      .filter(_ >= 0L)
+    graft.operators.TableLog.metadataProfile(spark, root, asOf)
+      .getOrElse {
+        val reason =
+          if (graft.operators.TableLog.activeDeletes(spark, root, asOf)
+              .nonEmpty)
+            "delete sidecars are in force (per-file stats describe " +
+              "pre-delete rows; compact first)"
+          else
+            "no column is fully stats-covered (commit with " +
+              "stageWithZoneMap / the clusterBy+statsCols writer options)"
+        sys.error(s"graft_table_profile: $root declined — $reason; the " +
+          "scan-based profiler (graft.operators.Profile.profile) always " +
+          "serves")
+      }
       .queryExecution.logical
   }
 

@@ -138,10 +138,17 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
   * public entry point. */
 object MetadataOnlyAggSupport {
   /** Idempotently add [[MetadataOnlyAgg]] to the session's extra
-    * optimizer rules. */
+    * optimizer rules — ACROSS channels: a session built with
+    * [[GraftExtensions]] already carries the rule via
+    * injectOptimizerRule (visible in the optimizer's
+    * extendedOperatorOptimizationRules), and registering it again in
+    * extraOptimizations would run the same stats walks one more time
+    * per query for nothing. */
   def enable(spark: SparkSession): Unit = synchronized {
+    val injected = spark.sessionState.optimizer
+      .extendedOperatorOptimizationRules.contains(MetadataOnlyAgg)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(MetadataOnlyAgg))
+    if (!injected && !cur.contains(MetadataOnlyAgg))
       spark.experimental.extraOptimizations = cur :+ MetadataOnlyAgg
   }
 }

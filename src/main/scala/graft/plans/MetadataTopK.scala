@@ -109,10 +109,14 @@ object MetadataTopK extends Rule[LogicalPlan] {
 /** Registration seam, same shape as [[MetadataOnlyAggSupport]]. */
 object MetadataTopKSupport {
   /** Idempotently add [[MetadataTopK]] to the session's extra
-    * optimizer rules. */
+    * optimizer rules — across channels, like
+    * [[MetadataOnlyAggSupport.enable]] (a GraftExtensions session
+    * already carries the rule via injectOptimizerRule). */
   def enable(spark: SparkSession): Unit = synchronized {
+    val injected = spark.sessionState.optimizer
+      .extendedOperatorOptimizationRules.contains(MetadataTopK)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(MetadataTopK))
+    if (!injected && !cur.contains(MetadataTopK))
       spark.experimental.extraOptimizations = cur :+ MetadataTopK
   }
 }

@@ -12,6 +12,38 @@ import graft.sources.{Sinks, Tables}
 class ScaleOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** FileSourceScanExec count in the EXECUTED plan (collects first) —
+    * the zero-scan proof shared by the metadata-rule specs. */
+  private def fileScans(qdf: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _: FileSourceScanExec => 1
+      case o => (o.children ++ o.subqueries).map(scans).sum
+    }
+    qdf.collect(); scans(qdf.queryExecution.executedPlan)
+  }
+
+  /** The TableLogFileIndex scan's own plan-time file listing — the
+    * kept-file proof shared by the top-k specs (the top-k rewrite
+    * RESTRICTS the relation's location; the location is the truth). */
+  private def keptFiles(qdf: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: QueryStageExec => findScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(findScans)
+    }
+    val scans = findScans(qdf.queryExecution.executedPlan)
+      .filter(_.relation.location.isInstanceOf[graft.operators.TableLogFileIndex])
+    assert(scans.nonEmpty, "no TableLogFileIndex scan in the plan")
+    scans.map(_.relation.location.inputFiles.length.toLong).sum
+  }
+
   test("saltedJoin equals the plain inner join") {
     val orders = Tables.orders(spark, TestSpark.sf)
     val customer = Tables.customer(spark, TestSpark.sf)
@@ -2806,10 +2838,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     val spark0 = spark
     import spark0.implicits._
     TableLogRelation.enableMetadataOnlyAggregates(spark0)
-    // double-enable must not double-register
+    // double-enable must not double-register — ACROSS channels: this
+    // session carries the rule via GraftExtensions' injectOptimizerRule,
+    // so enable() must see it there and add nothing
     TableLogRelation.enableMetadataOnlyAggregates(spark0)
     assert(spark0.experimental.extraOptimizations
-      .count(_ == graft.plans.MetadataOnlyAgg) === 1)
+        .count(_ == graft.plans.MetadataOnlyAgg) +
+      spark0.sessionState.optimizer.extendedOperatorOptimizationRules
+        .count(_ == graft.plans.MetadataOnlyAgg) === 1)
     val root = Files.createTempDirectory("graft_tablelog_magg").toString + "/t"
     val df = (0L until 400L).map { i =>
       (i, f"k$i%04d", if (i < 50) null else f"v$i%04d",
@@ -2819,17 +2855,6 @@ class ScaleOpsSpec extends AnyFunSuite {
       statsCols = Seq("doc_id", "maybe", "score"))
     TableLog.commit(spark0, root, files, Nil, zmap = zm)
 
-    def fileScans(qdf: org.apache.spark.sql.DataFrame): Int = {
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def scans(p: SparkPlan): Int = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: QueryStageExec => scans(q.plan)
-        case _: FileSourceScanExec => 1
-        case o => (o.children ++ o.subqueries).map(scans).sum
-      }
-      qdf.collect(); scans(qdf.queryExecution.executedPlan)
-    }
 
     val snap = TableLogRelation.snapshotDf(spark0, root)
     // 1) the full answerable battery in one Aggregate — collapses to
@@ -2969,24 +2994,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     TableLogRelation.enableMetadataTopK(spark0)
     TableLogRelation.enableMetadataTopK(spark0)
     assert(spark0.experimental.extraOptimizations
-      .count(_ == graft.plans.MetadataTopK) === 1)
+        .count(_ == graft.plans.MetadataTopK) +
+      spark0.sessionState.optimizer.extendedOperatorOptimizationRules
+        .count(_ == graft.plans.MetadataTopK) === 1,
+      "one registration total across both channels")
     // the top-k rewrite RESTRICTS the relation's own file listing —
     // measure that listing (scan metrics reset on re-collect for this
     // exchange-free plan shape; the location is the plan-time truth)
-    def keptFiles(qdf: org.apache.spark.sql.DataFrame): Long = {
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
-        case q: QueryStageExec => findScans(q.plan)
-        case f: FileSourceScanExec => Seq(f)
-        case o => (o.children ++ o.subqueries).flatMap(findScans)
-      }
-      val scans = findScans(qdf.queryExecution.executedPlan)
-        .filter(_.relation.location.isInstanceOf[graft.operators.TableLogFileIndex])
-      assert(scans.nonEmpty, "no TableLogFileIndex scan in the plan")
-      scans.map(_.relation.location.inputFiles.length.toLong).sum
-    }
     val root = Files.createTempDirectory("graft_tablelog_topk").toString + "/t"
     val df = (0L until 400L).map { i =>
       (i, f"k$i%04d", if (i < 50) null else f"v$i%04d", s"t$i")
@@ -3073,20 +3087,6 @@ class ScaleOpsSpec extends AnyFunSuite {
     val spark0 = spark
     import spark0.implicits._
     TableLogRelation.enableMetadataTopK(spark0)
-    def keptFiles(qdf: org.apache.spark.sql.DataFrame): Long = {
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
-        case q: QueryStageExec => findScans(q.plan)
-        case f: FileSourceScanExec => Seq(f)
-        case o => (o.children ++ o.subqueries).flatMap(findScans)
-      }
-      val scans = findScans(qdf.queryExecution.executedPlan)
-        .filter(_.relation.location.isInstanceOf[graft.operators.TableLogFileIndex])
-      assert(scans.nonEmpty, "no TableLogFileIndex scan in the plan")
-      scans.map(_.relation.location.inputFiles.length.toLong).sum
-    }
     val root = Files.createTempDirectory("graft_topk_filt").toString + "/t"
     // 8 files of 100 rows clustered on ts; user carries 10 nulls per
     // file (i % 10 == 0) so the null interplay is exercised
@@ -3258,19 +3258,6 @@ class ScaleOpsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
         min(col("v")).as("mn"), max(col("v")).as("mx"),
         sum(col("v")).as("sm"))
-    // the zero-scan proof: count FileSourceScanExec in the EXECUTED
-    // plan (the q156 technique — a collapsed plan has none)
-    def fileScans(qdf: org.apache.spark.sql.DataFrame): Int = {
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def scans(p: SparkPlan): Int = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: QueryStageExec => scans(q.plan)
-        case _: FileSourceScanExec => 1
-        case o => (o.children ++ o.subqueries).map(scans).sum
-      }
-      qdf.collect(); scans(qdf.queryExecution.executedPlan)
-    }
     // 1) the aligned window collapses — ZERO file scans — and the
     //    values are exactly the scan's
     val aligned = winAgg(0L, 499L)
