@@ -56,6 +56,14 @@ def final_order_keys(sql, columns):
     keys = []
     for part in split_top_commas(tail):
         k = TRAIL_RE.sub("", part).strip()
+        # CAST(col AS type): the oracles' SELECT lists alias the same
+        # cast back to the bare column name, so ordering by the cast
+        # is ordering by that output column (casts here are
+        # order-preserving: ts nanos -> TIMESTAMP)
+        m = re.fullmatch(r"(?is)CAST\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+\w+\s*\)", k)
+        if m and m.group(1) in columns:
+            keys.append(m.group(1))
+            continue
         if re.fullmatch(r"\d+", k):
             idx = int(k) - 1
             if idx < 0 or idx >= len(columns):

@@ -19,6 +19,7 @@ object VerifySome {
       s"unknown queries: ${unknown.mkString(", ")} — valid names: " +
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[8]")
       .appName("graft-verify-some")
       .config("spark.sql.shuffle.partitions", "8")
