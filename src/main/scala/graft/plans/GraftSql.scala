@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
  *   [, '<contentCol>']])                 -- CDC rows in versions (from, to]
  * SELECT ... FROM graft_table_profile('<root>'[, <version>])
  *                                        -- the zero-scan DESCRIBE
+ * SELECT ... FROM graft_table_history('<root>')
+ *                                        -- the ledger, composable
   * DESCRIBE HISTORY graft.`<root>`
   * OPTIMIZE graft.`<root>` KEY <idCol> CLUSTER BY (<keyCol>[, <zCol>])
   *   [PARTS <n>]                                         -- zCol => Z-ORDER
@@ -39,6 +41,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   BUCKETS <n> WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
   * RESTORE graft.`<root>` TO VERSION AS OF <n>
+  * VACUUM graft.`<root>` RETAIN VERSION AS OF <n> [DRY RUN]
+  *                       -- reclaim below the horizon; returns paths
   * }}}
   *
   * Every verb routes to the existing [[graft.operators.TableLog]]
@@ -65,6 +69,20 @@ object GraftSql {
       s"GraftVersionCommand $label"
   }
 
+  /** Path-list sibling of [[GraftVersionCommand]] — VACUUM's shape:
+    * one row per root-relative path the call reclaimed (or, DRY RUN,
+    * would reclaim). */
+  case class GraftPathsCommand(label: String,
+      body: SparkSession => Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("path",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      body(spark).map(Row(_))
+    override def simpleString(maxFields: Int): String =
+      s"GraftPathsCommand $label"
+  }
+
   // ---- statement grammar (regex — five fixed statement shapes, not
   // ---- a general SQL dialect; anything unmatched falls through to
   // ---- Spark's parser, and a malformed graft statement errors with
@@ -86,9 +104,12 @@ object GraftSql {
   private val Restore =
     ("""(?is)\s*RESTORE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF""" +
       """\s+(\d+)\s*;?\s*""").r
+  private val Vacuum =
+    ("""(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+VERSION\s+AS\s+OF""" +
+      """\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""").r
   // a graft-addressed statement that matches none of the shapes above
   private val GraftHead =
-    """(?is)\s*(DESCRIBE\s+HISTORY|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|RESTORE)\s+graft\.`.*""".r
+    """(?is)\s*(DESCRIBE\s+HISTORY|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|RESTORE|VACUUM)\s+graft\.`.*""".r
 
   /** SQL literal → the typed bound [[graft.operators.TableLog
     * .deleteWhereTyped]] expects (Long / String / LocalDate /
@@ -155,6 +176,15 @@ object GraftSql {
       case Restore(root, v) => Some(
         GraftVersionCommand(s"RESTORE $root", s =>
           graft.operators.TableLog.restoreTable(s, root, v.toLong)))
+      // VACUUM returns the doomed file list (one row per reclaimed —
+      // or, under DRY RUN, reclaimable — root-relative path), Delta's
+      // shape; the RETENTION DECISION is explicit: versions below the
+      // named one become unrestorable. Eager at EXECUTION like every
+      // mutation (parse/EXPLAIN must not reclaim anything).
+      case Vacuum(root, v, dry) => Some(
+        GraftPathsCommand(s"VACUUM $root", s =>
+          graft.operators.TableLog.vacuum(s, root, v.toLong,
+            dryRun = dry != null)))
       case GraftHead(verb) => sys.error(
         s"GraftSql: malformed $verb statement for a graft.`<root>` " +
           "table — see graft.plans.GraftSql for the statement shapes")
@@ -266,11 +296,24 @@ object GraftSql {
       .queryExecution.logical
   }
 
+  /** graft_table_history(root) — the DESCRIBE HISTORY ledger as a
+    * COMPOSABLE table function: unlike the statement, it joins,
+    * filters and aggregates like any relation (`WHERE operation =
+    * 'MERGE'`, "bytes added last week", ...). Same O(log) metadata
+    * read as [[graft.operators.TableLog.history]]. */
+  def graftTableHistoryBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 1, "graft_table_history(root)")
+    graft.operators.TableLog.history(SparkSession.active,
+        litString(es.head, "graft_table_history: root"))
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_table" -> graftTableBuilder _,
     "graft_table_at" -> graftTableAtBuilder _,
     "graft_table_changes" -> graftTableChangesBuilder _,
-    "graft_table_profile" -> graftTableProfileBuilder _)
+    "graft_table_profile" -> graftTableProfileBuilder _,
+    "graft_table_history" -> graftTableHistoryBuilder _)
 }
 
 /** The delegating parser [[GraftExtensions]] injects: graft

@@ -106,13 +106,40 @@ class SqlFaceSpec extends AnyFunSuite {
     // RESTORE back to the post-first-merge state
     spark.sql(s"RESTORE graft.`$root` TO VERSION AS OF 1")
     assert(tl.snapshot(spark, root, None, Some("id")).count() === 310L)
-    // the CDC read as SQL: version 1's delta was the first MERGE —
-    // 50 updates (changed) + 10 inserts (added)
+    // the composable history TVF: filter the ledger like any relation
+    assert(spark.sql(s"SELECT count(*) FROM graft_table_history('$root') " +
+      "WHERE operation = 'MERGE'").head().getLong(0) === 2L)
+    // the CDC read as SQL (BEFORE the vacuum below reclaims v0):
+    // version 1's delta was the first MERGE — 50 updates + 10 inserts
     val chg = spark.sql(
       s"SELECT * FROM graft_table_changes('$root', 0, 1, 'id')")
     assert(chg.count() === 60L)
     assert(chg.filter(col("status") === "added").count() === 10L)
     assert(chg.filter(col("status") === "changed").count() === 50L)
+    // VACUUM: DRY RUN lists the pre-restore generations' doomed files
+    // without touching them; the real run reclaims exactly that list
+    // and the retained head still reads
+    val latest = tl.versions(spark, root).last
+    val dry = spark.sql(
+      s"VACUUM graft.`$root` RETAIN VERSION AS OF $latest DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(dry.nonEmpty, "the superseded generations must be reclaimable")
+    assert(dry.forall(p => new java.io.File(s"$root/$p").exists()),
+      "DRY RUN must delete nothing")
+    val real = spark.sql(
+      s"VACUUM graft.`$root` RETAIN VERSION AS OF $latest")
+      .collect().map(_.getString(0)).toSet
+    assert(real === dry, "the real run must reclaim the dry-run list")
+    assert(dry.forall(p => !new java.io.File(s"$root/$p").exists()),
+      "VACUUM must reclaim the listed files")
+    assert(tl.snapshot(spark, root, None, Some("id")).count() === 310L,
+      "the retained head must still read after VACUUM")
+    // ... and a CDC read BELOW the vacuum horizon fails loudly (the
+    // lag-past-retention contract), never silently under-reads
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$root', 0, 1, 'id')")
+        .count()
+    }
     // malformed graft statements fail with the grammar hint, not a
     // confusing delegate parse error
     val err = intercept[RuntimeException] {
