@@ -85,11 +85,22 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"BENCH_FULL write failed: $e") }
+    // Compact tail sizing (round-15 still clipped ~13 entries): the
+    // capture window holds ~2 KB AFTER JSON-escaping (every quote
+    // doubles), so the raw line must stay under ~1.8 KB for 168
+    // queries. Deciseconds + unpadded q-keys + no path/errors gets
+    // ~1.8 KB raw / ~2.15 KB escaped; full precision lives in the
+    // first line and BENCH_FULL.json.
+    def trim(d: Double): String = {
+      val s = f"$d%.1f"
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val shortQs = results.map { case (k, v, err) =>
-      val short = k.takeWhile(_ != '_')
-      "\"" + short + "\":" + (if (err.isEmpty) math.rint(v * 1000) / 1000 else -1.0)
+      val short = "q" + k.drop(1).takeWhile(_ != '_').dropWhile(_ == '0')
+      "\"" + short + "\":" + (if (err.isEmpty) trim(v) else "-1")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","queries_file":"BENCH_FULL.json","queries":$shortQs}""")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","n_failed":$nFailed,"sf":"$sfName","queries":$shortQs}""")
     spark.stop()
   }
 }

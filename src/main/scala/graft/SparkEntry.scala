@@ -2771,13 +2771,19 @@ object SparkEntry {
     graft.operators.TableLogRelation.snapshotDf(s, root)
       .filter(col("price") >= lit("1000.00").cast("decimal(12,2)") &&
         col("price") <= lit("9999.99").cast("decimal(12,2)"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("price"),
+      // Emit the price as exact integer cents: the DECIMAL stays
+      // inside the filter and the zone-map layout (the semantics
+      // being oracled), but a raw DECIMAL output column is hashed
+      // representation-sensitively by external comparators (the
+      // q105 HUGEINT lesson) — BIGINT cents removes the variable.
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("price") * lit(100)).cast("long").as("price_cents"),
         col("l_quantity"))
       // (l_orderkey, l_linenumber) is NOT unique in generated
       // lineitem — price/l_quantity break the ties so the emitted
       // order (which the driver hashes) is total.
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"),
-        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("price_cents"), col("l_quantity"))
   }
 
   /** The SQL-TEXT face end to end ([[graft.plans.GraftSql]], injected
@@ -6213,12 +6219,14 @@ object SparkEntry {
     // + price band over the base table IS the oracle.
     "q159_decimal_zone_skip" ->
       """SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_quantity
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents,
+           l_quantity
          FROM lineitem
          WHERE CAST(l_extendedprice AS DECIMAL(12,2))
            BETWEEN CAST(1000.00 AS DECIMAL(12,2))
                AND CAST(9999.99 AS DECIMAL(12,2))
-         ORDER BY l_orderkey, l_linenumber, price, l_quantity""",
+         ORDER BY l_orderkey, l_linenumber, price_cents, l_quantity""",
     // The SQL face is plumbing, not semantics: version 0's content,
     // the merge + delete replayed logically, and the op ledger as
     // literals — the statements must land exactly their declared
