@@ -2819,6 +2819,8 @@ object SparkEntry {
       s.sql(s"MERGE INTO graft.`$p` USING q165_delta ON doc_id BUCKETS 8 " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       s.sql(s"DELETE FROM graft.`$p` WHERE doc_id BETWEEN 300 AND 399")
+      s.sql(s"UPDATE graft.`$p` SET lang = concat('L:', lang) " +
+        "WHERE doc_id BETWEEN 450 AND 479")
       ()
     }
     val content = s.sql(
@@ -2880,18 +2882,75 @@ object SparkEntry {
     * so a wrong fold at either the served or scanned half
     * hash-mismatches. */
   private val q167Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val q167: Q = (s, d) => {
-    val root = cachedTmpArtifact(q167Cache, d, "graft_q167_maggr") { p =>
+  /** The q167/q171 SHARED table: events clustered on event_id with
+    * user_id/event_type stats — one recipe, so the API face (q167)
+    * and the SQL TVF face (q171) probe the SAME layout. */
+  private def q167Root(s: SparkSession, d: String): String =
+    cachedTmpArtifact(q167Cache, d, "graft_q167_maggr") { p =>
       val tl = graft.operators.TableLog
       val (files, zm) = tl.stageWithZoneMap(
         Tables.events(s, d), p, "base", "event_id", 16,
         statsCols = Seq("user_id", "event_type"))
       tl.commit(s, p, files, Nil, zmap = zm)
     }
-    graft.operators.TableLog.metadataAggRange(s, root, "event_id",
+  private val q167: Q = (s, d) =>
+    graft.operators.TableLog.metadataAggRange(s, q167Root(s, d), "event_id",
         1234L, 8765L, Seq("user_id", "event_type"))
       .getOrElse(sys.error("metadataAggRange declined on a fully " +
         "stats-covered table — coverage bookkeeping broke"))
+
+  /** The CATALOG-NAMED table face end to end: `CREATE TABLE <name>
+    * USING tablelog LOCATION …`, `spark.table(<name>)` serving the
+    * SAME planner-pruned [[graft.operators.TableLogFileIndex]]
+    * relation (zone-map file skipping intact — SqlFaceSpec pins the
+    * plan), and `INSERT INTO <name>` committing ATOMICALLY through
+    * the log ([[graft.plans.InsertIntoTableLogRule]]; without it
+    * Spark's raw V1 path drops unlogged parquet into the table dir —
+    * a "successful" INSERT invisible to every read). Delta's
+    * DeltaCatalog precedent re-expressed over TableLog: the
+    * warehouse user types names, never paths. Oracle: the same
+    * filtered slice plus the two inserted rows over raw lineitem. */
+  private val q169Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q169: Q = (s, d) => {
+    val root = cachedTmpArtifact(q169Cache, d, "graft_q169_named") { p =>
+      val tl = graft.operators.TableLog
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") * lit(100))
+          .cast("long").as("price_cents"),
+        col("l_quantity"))
+      val (files, zm) = tl.stageWithZoneMap(li, p, "base", "l_orderkey", 16)
+      tl.commit(s, p, files, Nil, zmap = zm)
+      // the NAME face drives the insert — exactly once per artifact
+      val tbl = "graft_q169_t_" +
+        graft.functions.Sketches.md5HexLocal(p).take(10)
+      s.sql(s"CREATE TABLE $tbl USING tablelog LOCATION '$p'")
+      s.sql(s"INSERT INTO $tbl VALUES (-1, 1, 111, 1.0), (-2, 1, 222, 2.0)")
+    }
+    val tbl = "graft_q169_t_" +
+      graft.functions.Sketches.md5HexLocal(root).take(10)
+    s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING tablelog LOCATION '$root'")
+    s.table(tbl)
+      .filter(col("l_orderkey") <= lit(1000L))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("price_cents"), col("l_quantity"))
+  }
+
+  /** The range-scoped metadata aggregates as PURE SQL
+    * (`graft_table_window_stats` — [[graft.plans.GraftSql]]'s TVF
+    * over [[graft.operators.TableLog.metadataAggRange]]): q167's
+    * exact windowed count/bounds/sum probe, now reachable by a
+    * reader who never imports graft code — the SAME layout (shared
+    * builder), the SAME interior-stats + boundary-scan fold, driven
+    * entirely through `spark.sql`. Oracle: identical to q167's
+    * (both faces must land the one true answer). */
+  private val q171: Q = (s, d) => {
+    val root = q167Root(s, d)
+    s.sql(
+      s"""SELECT scol, kind, n_rows, n_nulls, lo_s, hi_s, sum_s
+          FROM graft_table_window_stats('$root', 'event_id',
+            1234, 8765, 'user_id', 'event_type')
+          ORDER BY scol""")
   }
 
   /** FILE-ALIGNED windowed aggregates COLLAPSED BY THE PLANNER
@@ -3664,6 +3723,8 @@ object SparkEntry {
     "q166_windowed_latest" -> q166,
     "q167_window_stats" -> q167,
     "q168_aligned_meta_agg" -> q168,
+    "q169_named_table" -> q169,
+    "q171_sql_window_stats" -> q171,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6023,6 +6084,44 @@ object SparkEntry {
     // over raw events, serialized in the sidecar's own forms (plain
     // decimal strings for longs) — a wrong interior/boundary fold on
     // either column hash-mismatches.
+    // The name face is plumbing, not semantics: the same filtered
+    // slice plus the two rows the SQL INSERT committed.
+    "q169_named_table" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_cents,
+           l_quantity
+         FROM lineitem WHERE l_orderkey <= 1000
+         UNION ALL
+         SELECT * FROM (VALUES
+           (CAST(-1 AS BIGINT), CAST(1 AS INTEGER), CAST(111 AS BIGINT),
+            CAST(1.0 AS DOUBLE)),
+           (CAST(-2 AS BIGINT), CAST(1 AS INTEGER), CAST(222 AS BIGINT),
+            CAST(2.0 AS DOUBLE)))
+           t(l_orderkey, l_linenumber, price_cents, l_quantity)
+         ORDER BY l_orderkey, l_linenumber, price_cents, l_quantity""",
+    // Two faces, one answer: the SQL TVF must replay to exactly
+    // q167's windowed aggregates.
+    "q171_sql_window_stats" ->
+      """WITH w AS (
+           SELECT user_id, event_type FROM events
+           WHERE event_id BETWEEN 1234 AND 8765
+         )
+         SELECT 'event_type' AS scol, 'string' AS kind,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nulls,
+           min(event_type) AS lo_s, max(event_type) AS hi_s,
+           CAST(NULL AS VARCHAR) AS sum_s
+         FROM w
+         UNION ALL
+         SELECT 'user_id', 'long', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+           CAST(sum(CAST(user_id AS DECIMAL(38,0))) AS VARCHAR)
+         FROM w
+         ORDER BY scol""",
     "q167_window_stats" ->
       """WITH w AS (
            SELECT user_id, event_type FROM events
@@ -6247,13 +6346,17 @@ object SparkEntry {
          )
          SELECT 'v0' AS at, doc_id, text, lang, source, n_chars FROM base
          UNION ALL
-         SELECT 'now' AS at, doc_id, text, lang, source, n_chars
+         SELECT 'now' AS at, doc_id, text,
+           CASE WHEN doc_id BETWEEN 450 AND 479
+                THEN 'L:' || lang ELSE lang END AS lang,
+           source, n_chars
          FROM merged WHERE doc_id NOT BETWEEN 300 AND 399
          UNION ALL
          SELECT * FROM (VALUES
            ('op', CAST(0 AS BIGINT), 'append', '', '', CAST(0 AS BIGINT)),
            ('op', CAST(1 AS BIGINT), 'MERGE', '', '', CAST(0 AS BIGINT)),
-           ('op', CAST(2 AS BIGINT), 'DELETE_WHERE', '', '', CAST(0 AS BIGINT)))
+           ('op', CAST(2 AS BIGINT), 'DELETE_WHERE', '', '', CAST(0 AS BIGINT)),
+           ('op', CAST(3 AS BIGINT), 'REPLACE_WHERE', '', '', CAST(0 AS BIGINT)))
            t(at, doc_id, text, lang, source, n_chars)
          ORDER BY at, doc_id""",
     // The format face is plumbing, not semantics: version 0's

@@ -195,21 +195,28 @@ object TableLog {
         bytes.map(Long.box).orNull,
         e.schema.nonEmpty, e.checks.nonEmpty, e.tag.orNull)
     }
-    import org.apache.spark.sql.types._
     spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*),
-      StructType(Seq(
-        StructField("version", LongType, nullable = false),
-        StructField("ts", TimestampType, nullable = false),
-        StructField("operation", StringType, nullable = false),
-        StructField("n_added", LongType, nullable = false),
-        StructField("n_removed", LongType, nullable = false),
-        StructField("n_delete_sidecars", LongType, nullable = false),
-        StructField("n_cdf", LongType, nullable = false),
-        StructField("bytes_added", LongType, nullable = true),
-        StructField("schema_change", BooleanType, nullable = false),
-        StructField("constraint_change", BooleanType, nullable = false),
-        StructField("tag", StringType, nullable = true))))
+      java.util.Arrays.asList(rows: _*), historySchema)
+  }
+
+  /** [[history]]'s fixed output schema — exposed so the SQL face's
+    * DESCRIBE HISTORY command can declare its output WITHOUT reading
+    * the ledger at parse/analysis time (the read happens at
+    * execution, like every other command). */
+  val historySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_added", LongType, nullable = false),
+      StructField("n_removed", LongType, nullable = false),
+      StructField("n_delete_sidecars", LongType, nullable = false),
+      StructField("n_cdf", LongType, nullable = false),
+      StructField("bytes_added", LongType, nullable = true),
+      StructField("schema_change", BooleanType, nullable = false),
+      StructField("constraint_change", BooleanType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
   }
 
   /** Log paths must stay parseable by the line-oriented entry format:

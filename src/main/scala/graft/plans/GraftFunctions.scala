@@ -108,5 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (the extraOptimizations list is checked for membership there)
     e.injectOptimizerRule(_ => MetadataOnlyAgg)
     e.injectOptimizerRule(_ => MetadataTopK)
+    // catalog-named tables: INSERT INTO/OVERWRITE on a `USING
+    // tablelog` table must commit through the log — without this
+    // rule Spark's raw V1 file-write path drops unlogged parquet
+    // into the table dir (invisible to every snapshot read)
+    e.injectPostHocResolutionRule(s => InsertIntoTableLogRule(s))
   }
 }

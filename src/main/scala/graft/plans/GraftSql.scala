@@ -17,9 +17,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * Injected by [[GraftExtensions]] (`SparkSession.builder()
   * .withExtensions(new GraftExtensions)`): a delegating
   * [[ParserInterface]] that recognizes the graft statements below and
-  * hands EVERYTHING else to Spark's parser untouched, plus two
+  * hands EVERYTHING else to Spark's parser untouched, plus
   * table-valued functions for reads with time travel. Tables are
-  * addressed by their ROOT PATH, Delta's `delta.`/path`` shape:
+  * addressed by their ROOT PATH (Delta's `delta.`/path`` shape) or,
+  * in every statement below, by CATALOG NAME after `CREATE TABLE
+  * <name> USING tablelog LOCATION '<root>'` (`spark.table(<name>)`
+  * and `INSERT INTO <name>` ride Spark's own resolution — see
+  * [[InsertIntoTableLogRule]] for the transactional INSERT):
   *
   * {{{
   * SELECT ... FROM graft_table('<root>')                 -- latest snapshot
@@ -32,16 +36,26 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
  *                                        -- the zero-scan DESCRIBE
  * SELECT ... FROM graft_table_history('<root>')
  *                                        -- the ledger, composable
-  * DESCRIBE HISTORY graft.`<root>`
-  * OPTIMIZE graft.`<root>` KEY <idCol> CLUSTER BY (<keyCol>[, <zCol>])
+ * SELECT ... FROM graft_table_window_stats('<root>', '<keyCol>',
+ *   <lo>, <hi>, '<col>'[, ...])          -- range-scoped metadata aggs
+ * SELECT ... FROM graft_table_window_distinct('<root>', '<sketchCol>',
+ *   '<keyCol>', <lo>, <hi>)              -- range-scoped HLL distinct
+  * DESCRIBE HISTORY (graft.`<root>`|<name>)
+  * OPTIMIZE <target> KEY <idCol> CLUSTER BY (<keyCol>[, <zCol>])
   *   [PARTS <n>]                                         -- zCol => Z-ORDER
-  * DELETE FROM graft.`<root>` WHERE <keyCol> BETWEEN <lit> AND <lit>
+  * DELETE FROM <target> WHERE <keyCol> BETWEEN <lit> AND <lit>
   *   [PARTS <n>]          -- lit: 42 | 'str' | DATE '..' | TIMESTAMP '..'
-  * MERGE INTO graft.`<root>` USING <table|(subquery)> ON <idCol>
-  *   BUCKETS <n> WHEN MATCHED THEN UPDATE SET *
-  *   WHEN NOT MATCHED THEN INSERT *
-  * RESTORE graft.`<root>` TO VERSION AS OF <n>
-  * VACUUM graft.`<root>` RETAIN VERSION AS OF <n> [DRY RUN]
+  * UPDATE <target> SET <col> = <expr>[, ...]
+  *   WHERE <keyCol> BETWEEN <lit> AND <lit> [PARTS <n>]
+  * MERGE INTO <target> USING <table|(subquery)> ON <idCol> BUCKETS <n>
+  *   { WHEN MATCHED [AND <cond>] THEN (UPDATE SET (*|c=e,..)|DELETE) }*
+  *   [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
+  *                        -- cond/exprs over the t (target) and s
+  *                        -- (source) aliases; first matching clause wins
+  * INSERT INTO <name> (VALUES ...|SELECT ...)   -- atomic append commit
+  * INSERT OVERWRITE TABLE <name> ...            -- guarded full rewrite
+  * RESTORE <target> TO VERSION AS OF <n>
+  * VACUUM <target> RETAIN VERSION AS OF <n> [DRY RUN]
   *                       -- reclaim below the horizon; returns paths
   * }}}
   *
@@ -83,33 +97,175 @@ object GraftSql {
       s"GraftPathsCommand $label"
   }
 
-  // ---- statement grammar (regex — five fixed statement shapes, not
-  // ---- a general SQL dialect; anything unmatched falls through to
+  /** Fixed-schema row command — DESCRIBE HISTORY's shape: the output
+    * schema is STATIC ([[graft.operators.TableLog.historySchema]]),
+    * so parse and EXPLAIN stay metadata-free and the ledger read
+    * happens only at execution (previously the parser read the whole
+    * log inline, so a failed statement later in the text — or a bare
+    * EXPLAIN — paid one readEntry per version). */
+  case class GraftRowsCommand(label: String,
+      rowSchema: org.apache.spark.sql.types.StructType,
+      body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = rowSchema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    override def run(spark: SparkSession): Seq[Row] = body(spark)
+    override def simpleString(maxFields: Int): String =
+      s"GraftRowsCommand $label"
+  }
+
+  // ---- statement targets: path-addressed or catalog-named ----
+
+  /** A statement target is either the path-addressed ``graft.`<root>` ``
+    * form or a bare catalog NAME (`CREATE TABLE t USING tablelog
+    * LOCATION '<root>'` — the Delta-catalog shape: the first thing a
+    * warehouse user types is the name, not the path). Two capture
+    * groups: (path, name). */
+  private val T = """(?:graft\.`([^`]+)`|([A-Za-z_][\w.]*))"""
+
+  /** A resolved statement target: the table root, plus the catalog
+    * identifier when it was addressed by NAME — mutations must drop
+    * the name's relation-cache entry (a [[graft.operators
+    * .TableLogFileIndex]] is version-pinned; refresh() is a no-op),
+    * or the next `spark.table(name)` read would serve the pre-commit
+    * snapshot. */
+  private case class Target(root: String,
+      ident: Option[org.apache.spark.sql.catalyst.TableIdentifier]) {
+    /** Wrap a mutation body: run, then invalidate the name's cached
+      * relation so subsequent name reads re-resolve at the new head. */
+    def refreshing[A](body: SparkSession => A): SparkSession => A = s => {
+      val out = body(s)
+      ident.foreach(s.sessionState.catalog.refreshTable)
+      out
+    }
+  }
+
+  /** Resolve a (path, name) target capture, or None when the named
+    * table is absent / not a tablelog table — the statement then
+    * falls through to Spark's parser so non-graft tables keep
+    * Spark's own (error) semantics. The lookup is in-memory
+    * session-catalog METADATA (no filesystem I/O); it runs at parse
+    * only for statements that already match a full graft statement
+    * shape. */
+  private def resolveTarget(path: String, name: String): Option[Target] =
+    if (path != null) Some(Target(path, None))
+    else scala.util.Try {
+      val spark = SparkSession.active
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      meta.provider.map(_.toLowerCase)
+        .filter(InsertIntoTableLogRule.providerNames.contains)
+        .map(_ => Target(meta.location.toString, Some(ident)))
+    }.toOption.flatten
+
+  // ---- statement grammar (regex — fixed statement shapes, not a
+  // ---- general SQL dialect; anything unmatched falls through to
   // ---- Spark's parser, and a malformed graft statement errors with
   // ---- the expected shape rather than a confusing Spark parse error)
   private val Hist =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+graft\.`([^`]+)`\s*;?\s*""".r
+    (s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""").r
   private val Opt =
-    ("""(?is)\s*OPTIMIZE\s+graft\.`([^`]+)`\s+KEY\s+(\w+)\s+CLUSTER\s+BY""" +
+    (s"""(?is)\\s*OPTIMIZE\\s+$T\\s+KEY\\s+(\\w+)\\s+CLUSTER\\s+BY""" +
       """\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\)(?:\s+PARTS\s+(\d+))?\s*;?\s*""").r
   private val Lit = """('[^']*'|(?:DATE|TIMESTAMP)\s+'[^']*'|-?\d+)"""
   private val Del =
-    ("""(?is)\s*DELETE\s+FROM\s+graft\.`([^`]+)`\s+WHERE\s+(\w+)\s+""" +
+    (s"""(?is)\\s*DELETE\\s+FROM\\s+$T\\s+WHERE\\s+(\\w+)\\s+""" +
+      s"""BETWEEN\\s+$Lit\\s+AND\\s+$Lit(?:\\s+PARTS\\s+(\\d+))?\\s*;?\\s*""").r
+  private val Upd =
+    (s"""(?is)\\s*UPDATE\\s+$T\\s+SET\\s+(.+?)\\s+WHERE\\s+(\\w+)\\s+""" +
       s"""BETWEEN\\s+$Lit\\s+AND\\s+$Lit(?:\\s+PARTS\\s+(\\d+))?\\s*;?\\s*""").r
   private val Merge =
-    ("""(?is)\s*MERGE\s+INTO\s+graft\.`([^`]+)`\s+USING\s+""" +
-      """([\w.]+|\(.*\))\s+ON\s+(\w+)\s+BUCKETS\s+(\d+)\s+""" +
-      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
-      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+    (s"""(?is)\\s*MERGE\\s+INTO\\s+$T\\s+USING\\s+""" +
+      """([\w.]+|\(.*\))\s+ON\s+(\w+)\s+BUCKETS\s+(\d+)\s+(WHEN\s.*?);?\s*""").r
+  private val MergeClauseRe =
+    ("""(?is)\s*WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+      """(UPDATE\s+SET\s+(.+?)|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)""").r
   private val Restore =
-    ("""(?is)\s*RESTORE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF""" +
+    (s"""(?is)\\s*RESTORE\\s+$T\\s+TO\\s+VERSION\\s+AS\\s+OF""" +
       """\s+(\d+)\s*;?\s*""").r
   private val Vacuum =
-    ("""(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+VERSION\s+AS\s+OF""" +
+    (s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+VERSION\\s+AS\\s+OF""" +
       """\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""").r
   // a graft-addressed statement that matches none of the shapes above
   private val GraftHead =
-    """(?is)\s*(DESCRIBE\s+HISTORY|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|RESTORE|VACUUM)\s+graft\.`.*""".r
+    """(?is)\s*(DESCRIBE\s+HISTORY|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|UPDATE|RESTORE|VACUUM)\s+graft\.`.*""".r
+  // a DML verb on a NAMED table: only claimed (with a shape error)
+  // when the name really is a tablelog table — everything else stays
+  // Spark's to parse and reject with its own semantics
+  private val NamedDmlHead =
+    (s"""(?is)\\s*(UPDATE|DELETE\\s+FROM|MERGE\\s+INTO)\\s+$T(\\s.*)?""").r
+
+  // ---- MERGE clause parsing ----
+
+  private sealed trait PClause
+  private final case class PUpd(cond: Option[String],
+      set: Option[Seq[(String, String)]]) extends PClause // None = SET *
+  private final case class PDel(cond: Option[String]) extends PClause
+  private final case class PIns(cond: Option[String]) extends PClause
+
+  /** Split at top-level commas (outside parens and single-quoted
+    * strings) — assignment lists carry exprs with calls/literals. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val Assign = """(?s)\s*(\w+)\s*=\s*(.+?)\s*""".r
+  private def parseAssigns(s: String, stmt: String): Seq[(String, String)] =
+    splitTop(s).map {
+      case Assign(c, e) => c -> e.trim
+      case bad => sys.error(
+        s"GraftSql: malformed SET assignment '$bad' in $stmt — " +
+          "expected col = <expr>[, ...]")
+    }
+
+  /** The WHEN-clause tail of a MERGE, parsed to [[PClause]]s. The
+    * matches must TILE the text (any gap = malformed clause, loud). */
+  private def parseMergeClauses(text: String): Seq[PClause] = {
+    val ms = MergeClauseRe.findAllMatchIn(text).toSeq
+    val covered = ms.nonEmpty && ms.head.start == 0 &&
+      ms.last.end == text.length &&
+      ms.sliding(2).forall {
+        case Seq(a, b) => b.start == a.end
+        case _ => true
+      }
+    if (!covered) sys.error(
+      "GraftSql: malformed MERGE clauses — supported: WHEN MATCHED " +
+        "[AND <cond>] THEN UPDATE SET (*|col = expr, ...) | DELETE; " +
+        "WHEN NOT MATCHED [AND <cond>] THEN INSERT *")
+    val clauses = ms.map { m =>
+      val not = m.group(1) != null
+      val cond = Option(m.group(2)).map(_.trim)
+      val action = m.group(3).trim
+      val upper = action.toUpperCase(java.util.Locale.ROOT)
+      if (not) {
+        if (!upper.startsWith("INSERT")) sys.error(
+          "GraftSql: WHEN NOT MATCHED supports only INSERT *")
+        PIns(cond)
+      } else if (upper.startsWith("UPDATE")) {
+        val setText = m.group(4).trim
+        if (setText == "*") PUpd(cond, None)
+        else PUpd(cond, Some(parseAssigns(setText, "MERGE")))
+      } else if (upper.startsWith("DELETE")) PDel(cond)
+      else sys.error(
+        "GraftSql: WHEN MATCHED supports UPDATE SET ... or DELETE")
+    }
+    require(clauses.count(_.isInstanceOf[PIns]) <= 1,
+      "GraftSql: at most one WHEN NOT MATCHED clause")
+    clauses
+  }
 
   /** SQL literal → the typed bound [[graft.operators.TableLog
     * .deleteWhereTyped]] expects (Long / String / LocalDate /
@@ -136,22 +292,29 @@ object GraftSql {
   }
 
   /** The graft statement in `sqlText`, or None to fall through to
-    * Spark's parser. Read-only DESCRIBE HISTORY returns the history
-    * frame's own plan (lazily executed like any query); mutations
-    * return an eager [[GraftVersionCommand]]. */
+    * Spark's parser. All statements — including DESCRIBE HISTORY —
+    * parse to COMMANDS whose bodies run at execution, so parse and
+    * EXPLAIN never touch the log. A named target that is not a
+    * tablelog catalog table makes the whole statement fall through
+    * (None), keeping Spark's own semantics for foreign tables. */
   def parseGraftStatement(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case Hist(root) => Some(
-        graft.operators.TableLog.history(SparkSession.active, root)
-          .queryExecution.logical)
-      case Opt(root, idCol, keyCol, zCol, parts) => Some(
-        GraftVersionCommand(s"OPTIMIZE $root", s =>
+      case Hist(path, name) => resolveTarget(path, name).map { t =>
+        val root = t.root
+        GraftRowsCommand(s"DESCRIBE HISTORY $root",
+          graft.operators.TableLog.historySchema,
+          s => graft.operators.TableLog.history(s, root).collect().toSeq)
+      }
+      case Opt(path, name, idCol, keyCol, zCol, parts) =>
+        resolveTarget(path, name).map { t => val root = t.root
+        GraftVersionCommand(s"OPTIMIZE $root", t.refreshing(s =>
           graft.operators.TableLog.optimizeTable(s, root, idCol, keyCol,
             name = "sqloptimize",
             parts = Option(parts).map(_.toInt).getOrElse(8),
-            zorderWith = Option(zCol))))
-      case Del(root, keyCol, loS, hiS, parts) => Some(
-        GraftVersionCommand(s"DELETE WHERE $root", s =>
+            zorderWith = Option(zCol)))) }
+      case Del(path, name, keyCol, loS, hiS, parts) =>
+        resolveTarget(path, name).map { t => val root = t.root
+        GraftVersionCommand(s"DELETE WHERE $root", t.refreshing(s =>
           (sqlLit(loS), sqlLit(hiS)) match {
             case (lo: Long, hi: Long) =>
               graft.operators.TableLog.deleteWhere(s, root, keyCol, lo, hi,
@@ -161,33 +324,110 @@ object GraftSql {
               graft.operators.TableLog.deleteWhereTyped(s, root, keyCol,
                 lo, hi, name = "sqldelete",
                 parts = Option(parts).map(_.toInt).getOrElse(4))
+          })) }
+      // UPDATE over a key range: REPLACE WHERE with the SET applied —
+      // survivors outside the range keep their physical files, the
+      // touched range rewrites once, atomically, zone-pruned
+      // (O(range), not O(table)). SET of the range key itself must
+      // stay inside [lo, hi] (replaceWhere refuses a widening rewrite
+      // loudly — silent predicate escape is the classic UPDATE bug).
+      case Upd(path, name, setText, keyCol, loS, hiS, parts) =>
+        resolveTarget(path, name).map { t => val root = t.root
+          val assigns = parseAssigns(setText, "UPDATE")
+          GraftVersionCommand(s"UPDATE $root", t.refreshing(s => {
+            import org.apache.spark.sql.functions.expr
+            val tl = graft.operators.TableLog
+            val snap = graft.operators.TableLogRelation.snapshotDf(s, root)
+            assigns.foreach { case (c, _) =>
+              require(snap.columns.contains(c),
+                s"GraftSql: UPDATE SET column '$c' is not a table column " +
+                  s"(table has ${snap.columns.mkString(",")})") }
+            // the slice predicate reuses the ORIGINAL SQL literals —
+            // DATE '...' / TIMESTAMP '...' are valid Spark SQL too
+            val slice = snap.filter(expr(s"$keyCol BETWEEN $loS AND $hiS"))
+            val updated = assigns.foldLeft(slice) { case (df, (c, e)) =>
+              df.withColumn(c, expr(e).cast(snap.schema(c).dataType)) }
+            val nParts = Option(parts).map(_.toInt).getOrElse(4)
+            (sqlLit(loS), sqlLit(hiS)) match {
+              case (lo: Long, hi: Long) =>
+                tl.replaceWhere(s, root, keyCol, lo, hi, updated,
+                  name = "sqlupdate", parts = nParts)
+              case (lo, hi) =>
+                tl.replaceWhereTyped(s, root, keyCol, lo, hi, updated,
+                  name = "sqlupdate", parts = nParts)
+            }
           }))
-      case Merge(root, src, idCol, buckets) => Some(
-        GraftVersionCommand(s"MERGE INTO $root", s => {
-          val source = // a (subquery) re-enters the full parser; a bare
-            if (src.startsWith("(")) // name resolves as table/view
-              s.sql(src.stripPrefix("(").stripSuffix(")"))
-            else s.table(src)
-          graft.operators.TableLog.mergeInto(s, root, idCol,
-            upserts = source,
-            deleteIds = source.select(source.col(idCol)).limit(0),
-            nBuckets = buckets.toInt, name = "sqlmerge")
-        }))
-      case Restore(root, v) => Some(
-        GraftVersionCommand(s"RESTORE $root", s =>
+        }
+      // MERGE: the unconditional UPDATE SET * / INSERT * pair routes
+      // to the fast upsert; any conditional clause, partial SET,
+      // DELETE action or gated/absent INSERT routes to
+      // mergeIntoConditional — the full Delta clause surface, same
+      // bucket-pruned read/rewrite and conflict contract either way.
+      case Merge(path, name, src, idCol, buckets, clausesText) =>
+        resolveTarget(path, name).map { t => val root = t.root
+          val clauses = parseMergeClauses(clausesText.trim)
+          GraftVersionCommand(s"MERGE INTO $root", t.refreshing(s => {
+            val source = // a (subquery) re-enters the full parser; a bare
+              if (src.startsWith("(")) // name resolves as table/view
+                s.sql(src.stripPrefix("(").stripSuffix(")"))
+              else s.table(src)
+            val simple = clauses == Seq(PUpd(None, None), PIns(None))
+            if (simple)
+              graft.operators.TableLog.mergeInto(s, root, idCol,
+                upserts = source,
+                deleteIds = source.select(source.col(idCol)).limit(0),
+                nBuckets = buckets.toInt, name = "sqlmerge")
+            else {
+              val tl = graft.operators.TableLog
+              val cols = graft.operators.TableLogRelation
+                .snapshotDf(s, root).columns.toSeq
+              val matched: Seq[tl.MergeClause] = clauses.collect {
+                case PUpd(c, None) =>
+                  tl.MatchedUpdate(c, cols.map(x => x -> s"s.`$x`").toMap)
+                case PUpd(c, Some(set)) => tl.MatchedUpdate(c, set.toMap)
+                case PDel(c) => tl.MatchedDelete(c)
+              }
+              val insertWhen: Option[String] =
+                clauses.collectFirst { case PIns(c) => c } match {
+                  case None => Some("false") // no insert clause: drop
+                  case Some(None) => None    // unconditional insert
+                  case Some(Some(c)) => Some(c)
+                }
+              tl.mergeIntoConditional(s, root, idCol, source,
+                buckets.toInt, "sqlmerge", matched, insertWhen)
+            }
+          }))
+        }
+      case Restore(path, name, v) => resolveTarget(path, name).map { t =>
+        val root = t.root
+        GraftVersionCommand(s"RESTORE $root", t.refreshing(s =>
           graft.operators.TableLog.restoreTable(s, root, v.toLong)))
+      }
       // VACUUM returns the doomed file list (one row per reclaimed —
       // or, under DRY RUN, reclaimable — root-relative path), Delta's
       // shape; the RETENTION DECISION is explicit: versions below the
       // named one become unrestorable. Eager at EXECUTION like every
       // mutation (parse/EXPLAIN must not reclaim anything).
-      case Vacuum(root, v, dry) => Some(
-        GraftPathsCommand(s"VACUUM $root", s =>
+      case Vacuum(path, name, v, dry) => resolveTarget(path, name).map { t =>
+        val root = t.root
+        GraftPathsCommand(s"VACUUM $root", t.refreshing(s =>
           graft.operators.TableLog.vacuum(s, root, v.toLong,
             dryRun = dry != null)))
+      }
       case GraftHead(verb) => sys.error(
         s"GraftSql: malformed $verb statement for a graft.`<root>` " +
           "table — see graft.plans.GraftSql for the statement shapes")
+      // a DML verb addressed at a REAL tablelog catalog table in a
+      // shape the face doesn't support: error with the supported
+      // shape instead of handing Spark a statement it will reject
+      // with an unrelated message (v1 tables have no UPDATE/DELETE)
+      case NamedDmlHead(verb, path, name, _)
+          if resolveTarget(path, name).isDefined => sys.error(
+        s"GraftSql: unsupported $verb shape on tablelog table " +
+          s"'${Option(name).getOrElse(path)}' — supported: UPDATE/DELETE " +
+          "with WHERE <keyCol> BETWEEN <lit> AND <lit> [PARTS n]; MERGE " +
+          "INTO ... USING <src> ON <idCol> BUCKETS <n> WHEN ... (see " +
+          "graft.plans.GraftSql)")
       case _ => None
     }
 
@@ -308,12 +548,79 @@ object GraftSql {
       .queryExecution.logical
   }
 
+  /** A literal range bound: integer literals stay Long, string
+    * literals stay String (the zone map's own serialized domains —
+    * [[graft.operators.TableLog]]'s zbound handles both). */
+  private def litBound(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case n: Number => n.longValue
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer or string literal, got " +
+          s"${Option(other).fold("NULL")(_.toString)}")
+    }
+  }
+
+  /** graft_table_window_stats(root, keyCol, lo, hi, col1[, col2 ...])
+    * — the range-scoped metadata aggregates
+    * ([[graft.operators.TableLog.metadataAggRange]]) reachable by a
+    * PURE-SQL reader: count/min/max/sum per asked column over `lo <=
+    * keyCol <= hi`, answered from zone-map sidecars for every file
+    * provably inside the window plus a boundary-file scan for the
+    * straddlers — O(boundary files), never O(window). Declines
+    * LOUDLY (not silently scanning) when stats can't prove the
+    * window. */
+  def graftTableWindowStatsBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length >= 5,
+      "graft_table_window_stats(root, keyCol, lo, hi, col1[, ...])")
+    val root = litString(es.head, "graft_table_window_stats: root")
+    val keyCol = litString(es(1), "graft_table_window_stats: keyCol")
+    val lo = litBound(es(2), "graft_table_window_stats: lo")
+    val hi = litBound(es(3), "graft_table_window_stats: hi")
+    val cols = es.drop(4).map(litString(_, "graft_table_window_stats: col"))
+    graft.operators.TableLog.metadataAggRange(SparkSession.active, root,
+        keyCol, lo, hi, cols)
+      .getOrElse(sys.error(
+        "graft_table_window_stats: declined — the window's files are " +
+          "not stats-covered on the asked columns (or delete sidecars " +
+          "are in force); scan the window through graft_table(...)"))
+      .queryExecution.logical
+  }
+
+  /** graft_table_window_distinct(root, sketchCol, keyCol, lo, hi) —
+    * the range-scoped distinct estimate
+    * ([[graft.operators.TableLog.metadataDistinctRange]]) as SQL:
+    * `count(distinct sketchCol) WHERE lo <= keyCol <= hi` from the
+    * per-file HLL register banks of files inside the window, merged
+    * with a boundary-file scan. Coverage gaps DEGRADE to scanning
+    * those files (never a wrong estimate); declines loudly only for
+    * deletes-in-force or a column that exists nowhere. */
+  def graftTableWindowDistinctBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 5,
+      "graft_table_window_distinct(root, sketchCol, keyCol, lo, hi)")
+    val root = litString(es.head, "graft_table_window_distinct: root")
+    val sketchCol = litString(es(1), "graft_table_window_distinct: sketchCol")
+    val keyCol = litString(es(2), "graft_table_window_distinct: keyCol")
+    val lo = litBound(es(3), "graft_table_window_distinct: lo")
+    val hi = litBound(es(4), "graft_table_window_distinct: hi")
+    graft.operators.TableLog.metadataDistinctRange(SparkSession.active,
+        root, sketchCol, keyCol, lo, hi)
+      .getOrElse(sys.error(
+        "graft_table_window_distinct: declined — the window's files " +
+          "lack HLL sketches on the asked column (commit with " +
+          "sketchCols) or delete sidecars are in force"))
+      .queryExecution.logical
+  }
+
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_table" -> graftTableBuilder _,
     "graft_table_at" -> graftTableAtBuilder _,
     "graft_table_changes" -> graftTableChangesBuilder _,
     "graft_table_profile" -> graftTableProfileBuilder _,
-    "graft_table_history" -> graftTableHistoryBuilder _)
+    "graft_table_history" -> graftTableHistoryBuilder _,
+    "graft_table_window_stats" -> graftTableWindowStatsBuilder _,
+    "graft_table_window_distinct" -> graftTableWindowDistinctBuilder _)
 }
 
 /** The delegating parser [[GraftExtensions]] injects: graft

@@ -184,4 +184,121 @@ class SqlFaceSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(prof.get("ts") === Some(146L), s"profile was $prof")
   }
+
+  test("catalog-named tables: CREATE TABLE USING tablelog, read by " +
+      "name (pruned TableLogFileIndex), transactional INSERT " +
+      "INTO/OVERWRITE, and every graft verb by name") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshTable(4)
+    val tl = graft.operators.TableLog
+    spark.sql(s"CREATE TABLE sqlface_named USING tablelog LOCATION '$root'")
+    // the name serves the SAME planner-pruned relation as snapshotDf
+    val byName = spark.table("sqlface_named")
+    assert(byName.count() === 300L)
+    assert(byName.queryExecution.executedPlan.toString
+      .contains("TableLogFileIndex"), "name reads must plan the log index")
+    // conditional MERGE by name: clause-gated update, delete, insert
+    ((0L until 5L).map(i => (i, s"SRC$i", 99L)) ++
+      Seq((70000L, "n", 1L), (70001L, "n2", 998L)))
+      .toDF("id", "text", "grp").createOrReplaceTempView("named_src")
+    spark.sql("""MERGE INTO sqlface_named USING named_src ON id BUCKETS 4
+      WHEN MATCHED AND s.id < 2 THEN UPDATE SET text = s.text
+      WHEN MATCHED AND s.id = 3 THEN DELETE
+      WHEN NOT MATCHED AND s.grp < 100 THEN INSERT *""")
+    val merged = spark.table("sqlface_named") // refreshed, not stale
+    assert(merged.where("text LIKE 'SRC%'").count() === 2L)
+    assert(merged.where("id = 3").count() === 0L)
+    assert(merged.where("id = 2 AND text = 't2'").count() === 1L,
+      "a matched row no clause claims keeps its target version")
+    assert(merged.where("id >= 70000").count() === 1L,
+      "the gated insert must drop the failing source row")
+    // UPDATE over a key range by name: touched range rewrites with
+    // the SETs applied, untouched rows keep their values
+    spark.sql("UPDATE sqlface_named SET text = concat('U_', text), " +
+      "grp = grp + 100 WHERE id BETWEEN 10 AND 19")
+    assert(spark.table("sqlface_named")
+      .where("text LIKE 'U\\_%' AND grp >= 100").count() === 10L)
+    assert(spark.table("sqlface_named")
+      .where("id = 25 AND text = 't25'").count() === 1L)
+    // UPDATE SET on a non-column refuses loudly
+    val badSet = intercept[Exception] { spark.sql(
+      "UPDATE sqlface_named SET nope = 1 WHERE id BETWEEN 0 AND 1") }
+    assert(badSet.getMessage.contains("not a table column"))
+    // DELETE / DESCRIBE HISTORY / RESTORE by name
+    spark.sql("DELETE FROM sqlface_named WHERE id BETWEEN 200 AND 249")
+    assert(spark.table("sqlface_named").where("id BETWEEN 200 AND 249")
+      .count() === 0L)
+    val ops = spark.sql("DESCRIBE HISTORY sqlface_named")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.contains("MERGE") && ops.contains("REPLACE_WHERE") &&
+      ops.contains("DELETE_WHERE"), s"ops were $ops")
+    // INSERT INTO commits through the log (count through the SQL
+    // read AND the library face agree; no unlogged files)
+    spark.sql("INSERT INTO sqlface_named VALUES (90000, 'ins', 0)")
+    assert(spark.table("sqlface_named").where("id = 90000").count() === 1L)
+    assert(tl.snapshot(spark, root, None, Some("id"))
+      .where(col("id") === 90000L).count() === 1L)
+    // column-list INSERT: unnamed columns land NULL
+    spark.sql("INSERT INTO sqlface_named (id, text) VALUES (90001, 'p')")
+    assert(spark.table("sqlface_named")
+      .where("id = 90001 AND grp IS NULL").count() === 1L)
+    // INSERT OVERWRITE: the table becomes the frame, atomically,
+    // and time travel to the pre-overwrite version still serves
+    val vBefore = tl.versions(spark, root).last
+    spark.sql("INSERT OVERWRITE TABLE sqlface_named " +
+      "SELECT id, text, grp FROM named_src")
+    assert(spark.table("sqlface_named").count() === 7L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root', $vBefore)")
+      .head().getLong(0) > 7L)
+    // an unsupported DML shape on a REAL tablelog table errors with
+    // the supported grammar, not a confusing Spark v1 rejection
+    val badShape = intercept[Exception] { spark.sql(
+      "UPDATE sqlface_named SET text = 'x' WHERE id = 5") }
+    assert(badShape.getMessage.contains("GraftSql"))
+    // non-tablelog tables keep Spark's own semantics end to end
+    spark.sql("CREATE TABLE sqlface_plain (a INT) USING parquet")
+    spark.sql("INSERT INTO sqlface_plain VALUES (1)")
+    assert(spark.table("sqlface_plain").count() === 1L)
+    spark.sql("DROP TABLE sqlface_named")
+    spark.sql("DROP TABLE sqlface_plain")
+  }
+
+  test("graft_table_window_stats / graft_table_window_distinct: the " +
+      "range-scoped metadata aggregates as pure SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_sqlface_ws").toString
+    val root = s"$dir/t"
+    val tl = graft.operators.TableLog
+    val df = (0L until 1000L).map(i => (i, i % 50, s"u${i % 97}"))
+      .toDF("k", "v", "u")
+    val (files, zm) = tl.stageWithZoneMap(df, root, "base", "k", 8,
+      statsCols = Seq("v"), sketchCols = Seq("v"))
+    tl.commit(spark, root, files, Nil, zmap = zm)
+    val st = spark.sql(s"SELECT * FROM graft_table_window_stats(" +
+      s"'$root', 'k', 100, 899, 'v')").collect()
+    assert(st.length === 1)
+    val r = st.head
+    assert(r.getAs[Long]("n_rows") === 800L)
+    assert(r.getAs[String]("lo_s").toLong === 0L &&
+      r.getAs[String]("hi_s").toLong === 49L)
+    // the stats answer must equal the scan's ground truth
+    assert(r.getAs[Long]("sum_s").toString.toLong ===
+      df.where("k BETWEEN 100 AND 899").agg(sum("v")).head().getLong(0))
+    val d = spark.sql(s"SELECT * FROM graft_table_window_distinct(" +
+      s"'$root', 'v', 'k', 100, 899)").collect()
+    assert(d.length === 1)
+    val est = d.head.getAs[Double]("est_distinct")
+    assert(est > 45.0 && est < 55.0, s"HLL estimate $est drifted")
+    // a sketchless column DEGRADES to scanning those files (the
+    // metadataDistinctRange contract), still a sane estimate
+    val du = spark.sql(s"SELECT * FROM graft_table_window_distinct(" +
+      s"'$root', 'u', 'k', 100, 899)").head().getAs[Double]("est_distinct")
+    assert(du > 85.0 && du < 110.0, s"scan-degraded estimate $du drifted")
+    // a column that exists nowhere declines LOUDLY
+    val err = intercept[Exception] { spark.sql(
+      s"SELECT * FROM graft_table_window_distinct('$root', 'nope', 'k', 0, 9)") }
+    assert(err.getMessage.contains("declined"))
+  }
 }
