@@ -29,6 +29,7 @@ check.py therefore flags any dtype-kind mismatch as DTYPE_MISMATCH
 instead of silently coercing to float (the round-10 q105 miss).
 """
 import duckdb, json, sys, glob, math
+import audit_order
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -89,6 +90,22 @@ def main(sfdir, outdir):
             continue
         if len(sdf) != len(ddf):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sdf)} duck={len(ddf)}"
+            continue
+        # No final top-level ORDER BY (audit_order's detection): the
+        # emitted order is engine-dependent, so the emitted-order
+        # compare would misclassify a correct query as ORDER/VALUE_
+        # MISMATCH nondeterministically. Compare sorted and FLAG —
+        # the driver hash is nondeterministic for such a query, so
+        # it still counts as a failure to fix (add an ORDER BY).
+        keys, _why = audit_order.final_order_keys(sql, list(ddf.columns))
+        if keys is None and len(sdf) > 1:
+            ssorted = sdf[scols].sort_values(scols).reset_index(drop=True)
+            dsorted = ddf[dcols].sort_values(dcols).reset_index(drop=True)
+            bad0, _ = compare_cols(ssorted, dsorted, scols)
+            results[name] = (
+                "NO_ORDER_BY (values equal sorted; driver hash "
+                "nondeterministic — add a total ORDER BY)"
+                if bad0 is None else bad0)
             continue
         # Primary: emitted-order compare — exactly what the driver
         # hashes. rows already aligned; just project columns.

@@ -2953,6 +2953,49 @@ object SparkEntry {
           ORDER BY scol""")
   }
 
+  /** GROUPED metadata aggregates COLLAPSED BY THE PLANNER
+    * ([[graft.plans.MetadataOnlyAgg]]'s GROUP BY extension +
+    * [[graft.operators.TableLogFileIndex.groupAligned]]): the daily
+    * dashboard probe — `SELECT day, count(*), count/min/max/sum(col)
+    * GROUP BY day` — over a table whose commits are DAY-ALIGNED (one
+    * stageWithZoneMap commit per ingest day, each file provably
+    * holding exactly one day: stats lo == hi, zero nulls) collapses
+    * to a LocalRelation with ZERO files scanned: the scan's groups
+    * ARE the file partition, each group folding its own files' stats.
+    * At 100 TB a year's daily rollup costs O(#files) driver metadata
+    * instead of a full-table shuffle; a straddling file (multi-day
+    * compaction) or a null-bearing group column keeps the scan
+    * exactly (ScaleOpsSpec pins both and the zero-scan collapse).
+    * Reference: admin_lambda.py's per-day event counts, served
+    * without touching data. */
+  private val q170Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q170: Q = (s, d) => {
+    val root = cachedTmpArtifact(q170Cache, d, "graft_q170_gagg") { p =>
+      val tl = graft.operators.TableLog
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          col("event_id"))
+      // one commit per ingest day — the natural shape of a daily
+      // pipeline; days are bounded (one per calendar day)
+      val days = ev.select("day").distinct().collect()
+        .map(_.getDate(0)).sortBy(_.getTime)
+      days.foreach { day =>
+        val (f, zm) = tl.stageWithZoneMap(
+          ev.filter(col("day") === lit(day)), p,
+          "d" + day.toString.replace("-", ""), "day", 1,
+          statsCols = Seq("user_id"))
+        tl.commit(s, p, f, Nil, zmap = zm)
+      }
+    }
+    graft.operators.TableLogRelation.snapshotDf(s, root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("user_id")).as("n_user_rows"),
+        min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+        sum(col("user_id")).as("sum_u"))
+      .orderBy(col("day"))
+  }
+
   /** FILE-ALIGNED windowed aggregates COLLAPSED BY THE PLANNER
     * (q156's MetadataOnlyAgg extended through Filters +
     * [[graft.operators.TableLogFileIndex]].alignedSurvivors): a
@@ -3724,6 +3767,7 @@ object SparkEntry {
     "q167_window_stats" -> q167,
     "q168_aligned_meta_agg" -> q168,
     "q169_named_table" -> q169,
+    "q170_grouped_meta_agg" -> q170,
     "q171_sql_window_stats" -> q171,
   )
 
@@ -6100,6 +6144,15 @@ object SparkEntry {
             CAST(2.0 AS DOUBLE)))
            t(l_orderkey, l_linenumber, price_cents, l_quantity)
          ORDER BY l_orderkey, l_linenumber, price_cents, l_quantity""",
+    // The grouped collapse is layout, not semantics: the same daily
+    // rollup over raw events IS the oracle.
+    "q170_grouped_meta_agg" ->
+      """SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           count(user_id) AS n_user_rows,
+           min(user_id) AS min_u, max(user_id) AS max_u,
+           CAST(sum(user_id) AS BIGINT) AS sum_u
+         FROM events GROUP BY 1 ORDER BY day""",
     // Two faces, one answer: the SQL TVF must replay to exactly
     // q167's windowed aggregates.
     "q171_sql_window_stats" ->

@@ -70,7 +70,23 @@ object ExclusiveCreateLogStore extends LogStore {
                            body: Array[Byte]): Boolean = {
     val created =
       try Some(f.create(p, false))
-      catch { case _: java.io.IOException => None } // lost the race
+      catch {
+        // the explicit already-exists signal IS the lost race
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+        case _: java.nio.file.FileAlreadyExistsException => None
+        // any other IOException is ambiguous: re-check existence —
+        // the entry being there means a racer won; absent means the
+        // STORE failed, and swallowing it would turn a persistent
+        // outage into 64 silent "lost the race" retries ending in a
+        // misleading version-race error instead of the real failure
+        case e: java.io.IOException =>
+          val exists = try f.exists(p) catch { case _: Throwable => false }
+          if (exists) None
+          else throw new java.io.IOException(
+            s"LogStore: exclusive create of $p failed and the path " +
+              "does not exist — a store I/O failure, not a version race",
+            e)
+      }
     created match {
       case None => false
       case Some(out) =>

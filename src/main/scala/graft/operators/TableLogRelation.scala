@@ -253,6 +253,42 @@ class TableLogFileIndex(spark: SparkSession, root: String,
       if (survivors.toSet == full) Some(full) else None
     }
 
+  /** Partition `files` by a PROVEN single group value per file — the
+    * grouped-aggregate alignment gate ([[graft.plans.MetadataOnlyAgg]]
+    * with GROUP BY): Some iff the column's type has a zone kind and
+    * EVERY named file carries exactly one stats row of that kind with
+    * `lo == hi` (every non-null row equals it) AND `n_nulls == 0` (a
+    * null would form a NULL group the stats can't see — min/max skip
+    * nulls). Then every row of a file provably carries the file's one
+    * group value, so the scan's groups ARE the file partition:
+    * per-group aggregates fold per-file stats grouped by that value.
+    * A day-clustered table's daily-ingest commits have exactly this
+    * shape; a straddling file (multi-day compaction) declines the
+    * whole rewrite. Groups return sorted by the serialized bound
+    * (order-preserving), values CATALYST-INTERNAL. */
+  private[graft] def groupAligned(colName: String,
+      dt: org.apache.spark.sql.types.DataType,
+      files: Seq[String]): Option[Seq[(Any, Seq[String])]] =
+    TableLog.zkindFor(dt).flatMap { kind =>
+      val byFile = zones
+        .filter(z => z.scol.contains(colName) && z.kind == kind)
+        .groupBy(_.file)
+      val per: Seq[Option[(String, String)]] = files.map { rel =>
+        byFile.getOrElse(rel, Array.empty[TableLog.ZStat]).toSeq match {
+          case Seq(z) => (z.lo, z.hi, z.nNulls) match {
+            case (Some(l), Some(h), Some(0L)) if l == h => Some((l, rel))
+            case _ => None
+          }
+          case _ => None // no row, or conflicting duplicates
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else Some(per.flatten.groupBy(_._1).toSeq
+        .sortWith((a, b) => TableLog.zcmp(kind, a._1, b._1) < 0)
+        .map { case (ser, fs) =>
+          (TableLog.zparse(kind, ser, dt), fs.map(_._2)) })
+    }
+
   /** Active-file count — [[graft.plans.MetadataTopK]]'s no-op guard
     * (a rewrite that keeps every file must leave the plan unchanged,
     * or the fixed-point batch would loop on churn). */
@@ -266,15 +302,20 @@ class TableLogFileIndex(spark: SparkSession, root: String,
     * bound in the sort direction, accumulate non-null rows to k; the
     * prefix's worst bound t then caps the kth row's value, and files
     * strictly outside t prove empty of top-k rows. Null rows ride the
-    * null ordering: the null block is served greedily from the
-    * fewest null-holding files. Ties at t keep both sides (`hi == t`
-    * survives), so ANY valid top-k under SQL's tie freedom is
-    * reachable from the kept set. At 100 TB, "the latest 100 events"
-    * on a time-clustered table reads O(1) files instead of
-    * heap-scanning every row of every file. */
+    * null ordering: under a SINGLE-key sort (`tieFree` — any m null
+    * rows are interchangeable) the null block is served greedily from
+    * the fewest null-holding files; under a multi-key sort the
+    * TIEBREAKER picks specific null rows, so EVERY null-bearing file
+    * stays (the deterministic top-k's null rows may live in any of
+    * them). Ties at t keep both sides (`hi == t` survives), so ANY
+    * valid top-k under SQL's tie freedom is reachable from the kept
+    * set. At 100 TB, "the latest 100 events" on a time-clustered
+    * table reads O(1) files instead of heap-scanning every row of
+    * every file. */
   private[graft] def topKSurvivors(colName: String,
       dt: org.apache.spark.sql.types.DataType, k: Long,
-      desc: Boolean, nullsFirst: Boolean): Option[Set[String]] =
+      desc: Boolean, nullsFirst: Boolean,
+      tieFree: Boolean): Option[Set[String]] =
     TableLog.zkindFor(dt).flatMap { kind =>
       {
         // coverage declines per FILE below (rc.contains guards), not
@@ -304,9 +345,12 @@ class TableLogFileIndex(spark: SparkSession, root: String,
           val fs = per.flatten
           val totalNulls = fs.map(_.nulls).sum
           val totalNonNull = fs.map(_.nonNull).sum
-          // fewest null-holding files covering m null rows (any m null
-          // rows are interchangeable under the sort)
+          // fewest null-holding files covering m null rows — sound
+          // ONLY under single-key tie freedom (any m null rows
+          // interchangeable); a multi-key sort's tiebreaker selects
+          // SPECIFIC null rows, so every null-bearing file stays
           def nullPick(m: Long): Set[String] = {
+            if (!tieFree) return fs.filter(_.nulls > 0).map(_.rel).toSet
             var acc = 0L
             fs.filter(_.nulls > 0).sortBy(-_.nulls)
               .takeWhile { f => val need = acc < m; acc += f.nulls; need }
@@ -639,7 +683,7 @@ class TableLogFileIndex(spark: SparkSession, root: String,
     * walk, narrowed to the files that can matter. */
   private[graft] def topKSurvivorsFiltered(colName: String,
       dt: org.apache.spark.sql.types.DataType, k: Long,
-      desc: Boolean, nullsFirst: Boolean,
+      desc: Boolean, nullsFirst: Boolean, tieFree: Boolean,
       filters: Seq[Expression]): Option[Set[String]] =
     TableLog.zkindFor(dt).flatMap { kind =>
       fullRangesOf(filters).flatMap { fullPreds =>
@@ -702,12 +746,15 @@ class TableLogFileIndex(spark: SparkSession, root: String,
                   .map(_.rel).toSet
               }
             }
-            // fewest FULL files proving m matching null rows; when the
-            // proven nulls run short, every null-bearing candidate
-            // stays (a partial file may hold matching nulls)
+            // fewest FULL files proving m matching null rows — the
+            // greedy cover is sound only under single-key tie freedom
+            // (a multi-key tiebreaker selects SPECIFIC null rows:
+            // every null-bearing candidate stays); when the proven
+            // nulls run short, every null-bearing candidate stays
+            // too (a partial file may hold matching nulls)
             def nullPick(m: Long): Set[String] = {
               val provenTotal = fs.map(provenNulls).sum
-              if (provenTotal >= m) {
+              if (tieFree && provenTotal >= m) {
                 var acc = 0L
                 fs.filter(f => f.full && f.nulls > 0).sortBy(-_.nulls)
                   .takeWhile { f => val need = acc < m; acc += f.nulls; need }

@@ -16,9 +16,11 @@ import graft.operators.TableLogFileIndex
 
 /** METADATA-ONLY AGGREGATES over a [[graft.operators.TableLog]]
   * snapshot — the Delta `OptimizeMetadataOnlyQuery`/aggregate-pushdown
-  * analog as a Catalyst [[Rule]]: a global (no GROUP BY, no filter)
-  * `count(*)` / `count(col)` / `min(col)` / `max(col)` /
-  * `sum(integral col)` over a
+  * analog as a Catalyst [[Rule]]: a global (no GROUP BY, no filter) —
+  * or, when every in-scope file provably holds ONE value of the
+  * grouping column, a single-key GROUP BY ([[TableLogFileIndex
+  * .groupAligned]]) — `count(*)` / `count(col)` / `min(col)` /
+  * `max(col)` / `sum(integral col)` over a
   * [[graft.operators.TableLogRelation.snapshotDf]] relation collapses
   * to a [[LocalRelation]] holding the answer computed from the log's
   * typed zone-map sidecars — ZERO files scanned. At 100 TB,
@@ -129,6 +131,40 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
               else LocalRelation(agg.output,
                 Seq(InternalRow.fromSeq(answers.map(_.get))))
           }
+      }
+    // GROUPED metadata aggregates — `SELECT day, count(*) … GROUP BY
+    // day` over a day-clustered table (the daily dashboard probe):
+    // when every in-scope file PROVABLY holds exactly one value of
+    // the grouping column ([[TableLogFileIndex.groupAligned]]: stats
+    // row with lo == hi and zero nulls — daily-ingest commits have
+    // exactly this shape), the scan's groups ARE the file partition
+    // and each group's aggregates fold that group's per-file stats.
+    // A straddling file (multi-day compaction), a null-bearing file,
+    // or one unanswerable group keeps the scan. Groups are bounded by
+    // #files — O(metadata) driver work, same tier as the global rule.
+    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+      indexOf(child) match {
+        case None => agg
+        case Some((idx, conds)) =>
+          val scope: Option[Seq[String]] =
+            if (conds.isEmpty) Some(idx.activeRefs)
+            else idx.alignedSurvivors(conds).map(_.toSeq.sorted)
+          scope.flatMap(files =>
+            idx.groupAligned(g.name, g.dataType, files).flatMap { groups =>
+              val rows = groups.map { case (gv, gFiles) =>
+                val answers = aggExprs.map {
+                  case a: AttributeReference if a.exprId == g.exprId =>
+                    Some(gv)
+                  case Alias(a: AttributeReference, _)
+                      if a.exprId == g.exprId => Some(gv)
+                  case e => answer(e, idx, gFiles)
+                }
+                if (answers.exists(_.isEmpty)) None
+                else Some(InternalRow.fromSeq(answers.map(_.get)))
+              }
+              if (rows.exists(_.isEmpty)) None
+              else Some(LocalRelation(agg.output, rows.map(_.get)))
+            }).getOrElse(agg)
       }
   }
 }

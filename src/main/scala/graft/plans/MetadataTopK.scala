@@ -87,11 +87,17 @@ object MetadataTopK extends Rule[LogicalPlan] {
         }
         desc = so.direction == Descending
         nf = so.nullOrdering == NullsFirst
+        // single-key sorts are tie-free for nulls (any m null rows
+        // interchangeable); a multi-key sort's tiebreaker picks
+        // SPECIFIC null rows, so the survivor walk must keep every
+        // null-bearing file
+        tieFree = order.length == 1
         keep <-
           if (conds.isEmpty)
-            idx.topKSurvivors(a.name, a.dataType, k.toLong, desc, nf)
+            idx.topKSurvivors(a.name, a.dataType, k.toLong, desc, nf,
+              tieFree)
           else idx.topKSurvivorsFiltered(a.name, a.dataType, k.toLong,
-            desc, nf, conds)
+            desc, nf, tieFree, conds)
         if keep.size < idx.activeCount // no-op guard: fixed-point safe
       } yield {
         val restricted = rel.copy(location = idx.restrictedTo(keep))(

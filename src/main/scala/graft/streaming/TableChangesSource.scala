@@ -148,7 +148,9 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
     * monotone; the byte walk costs O(admission window) tiny entry
     * reads per trigger, only while a byte cap is set. */
   override def getOffset: Option[OffsetV1] = {
-    val latest = TableLog.versions(spark, root).lastOption
+    val listed = TableLog.versions(spark, root)
+    val latest = listed.lastOption
+    lazy val listedSet = listed.toSet
     latest.filter(_ >= startingVersion).map { l =>
       val capped =
         if (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) l
@@ -159,20 +161,26 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
             maxBytesPerTrigger match {
               case None => vCap
               case Some(budget) =>
-                // a version whose entry is GONE (expired below the
-                // horizon) weighs 0 — admit it and let getBatch's
-                // continuity check fail loudly, the documented
-                // lag-past-retention behavior. Any OTHER failure
-                // (transient store outage/throttling) must NOT weigh
-                // 0 — that would silently admit the whole backlog in
-                // one giant trigger, the exact batch the cap exists
-                // to prevent — so the walk STOPS at what it has
-                // weighed and retries next trigger (None = no
-                // progress this round, bounded and safe).
+                // a version whose entry is GONE because it EXPIRED
+                // below the retention horizon (absent from the log
+                // listing this walk started from) weighs 0 — admit it
+                // and let getBatch's continuity check fail loudly,
+                // the documented lag-past-retention behavior. A bare
+                // FileNotFound on a version the listing SHOWED is an
+                // eventually-consistent / flaky store, NOT expiry —
+                // weighing that 0 would admit a not-yet-visible entry
+                // unweighed beside others. Any such failure (and any
+                // other store error — outage, throttling) must NOT
+                // weigh 0, or the whole backlog lands in one giant
+                // trigger, the exact batch the cap exists to prevent
+                // — so the walk STOPS at what it has weighed and
+                // retries next trigger (None = no progress this
+                // round, bounded and safe).
                 def weigh(v: Long): Option[Long] =
                   try Some(TableLog.feedBytes(spark, root, v))
                   catch {
-                    case _: java.io.FileNotFoundException => Some(0L)
+                    case _: java.io.FileNotFoundException
+                        if !listedSet.contains(v) => Some(0L)
                     case e: Exception =>
                       System.err.println(
                         s"TableChangesSource: feedBytes($v) failed " +

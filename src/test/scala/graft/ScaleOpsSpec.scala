@@ -3080,6 +3080,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(keptFiles(g) === 9L, "an uncovered file must disable top-k pruning")
   }
 
+  test("MetadataTopK multi-key null ties: a tiebreaker's null rows may " +
+      "live in ANY null-bearing file — all of them must survive") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    TableLogRelation.enableMetadataTopK(spark0)
+    val root = Files.createTempDirectory("graft_tablelog_topk_nt").toString + "/t"
+    // file A: 5 null-a rows with the SMALLEST tiebreaker values;
+    // file B: 10 null-a rows with larger ones; file C: non-null.
+    // The greedy fewest-files null cover for k=6 would pick only B
+    // (10 ≥ 6) and lose A's b=0..4 — the deterministic top-6 under
+    // (a NULLS FIRST, b) is b=0..5, spanning BOTH null files.
+    val mkA = (0L until 5L).map(b => (None: Option[String], b, "A"))
+    val mkB = (5L until 15L).map(b => (None: Option[String], b, "B"))
+    val mkC = (100L until 120L).map(b => (Some(f"v$b%04d"), b, "C"))
+    Seq(mkA, mkB, mkC).zipWithIndex.foreach { case (rows, i) =>
+      val (f, zm) = TableLog.stageWithZoneMap(
+        rows.toDF("a", "b", "tag"), root, s"g$i", "b", 1,
+        statsCols = Seq("a"))
+      TableLog.commit(spark0, root, f, Nil, zmap = zm)
+    }
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    val multi = snap.orderBy(col("a"), col("b")).limit(6)
+    assert(multi.select("b").as[Long].collect().toSeq ===
+      (0L until 6L).toSeq,
+      "the multi-key top-6 must honor the tiebreaker across null files")
+    assert(keptFiles(multi) === 2L,
+      "both null-bearing files must survive; the non-null file prunes")
+    // single-key stays tie-free: any 6 null rows serve, the greedy
+    // cover keeps ONE file
+    val single = snap.orderBy(col("a")).limit(6)
+    assert(single.collect().forall(_.isNullAt(0)))
+    assert(keptFiles(single) === 1L,
+      "a single-key null block still serves from the fewest files")
+  }
+
   test("MetadataTopK under a filter: the windowed latest-k reads only the " +
       "boundary+cutoff files; strict bounds adjust on discrete kinds; an " +
       "untranslatable conjunct declines; proven-short walks keep all") {
@@ -3753,6 +3789,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"racing commits must claim DISTINCT serialized versions, got $vA/$vB")
     // both commits' files are active — neither claim was lost
     assert(TableLog.snapshot(spark0, root).count() === 2L)
+    // 4) ExclusiveCreateLogStore: an IOException from create when the
+    //    path does NOT exist is a STORE failure, not a lost race — it
+    //    must surface (64 silent "lost the race" retries ending in a
+    //    misleading version-race error would mask a persistent outage)
+    val failing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def create(p: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("store outage")
+    }
+    failing.initialize(new java.net.URI("file:///"), conf)
+    val outagePath = new org.apache.hadoop.fs.Path(s"$dir/outage/0.json")
+    val surfaced = intercept[java.io.IOException] {
+      graft.operators.ExclusiveCreateLogStore.putIfAbsent(
+        failing, outagePath, "x".getBytes("UTF-8"))
+    }
+    assert(surfaced.getMessage.contains("not a version race"))
+    //    ... while the same exception with the path PRESENT is the
+    //    lost race (returns false, no throw)
+    lfs.mkdirs(outagePath.getParent)
+    val out0 = lfs.create(outagePath, true)
+    out0.write("winner".getBytes("UTF-8")); out0.close()
+    val failingButExists = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def create(p: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException(s"$p already exists")
+    }
+    failingButExists.initialize(new java.net.URI("file:///"), conf)
+    assert(!graft.operators.ExclusiveCreateLogStore.putIfAbsent(
+      failingButExists, outagePath, "x".getBytes("UTF-8")),
+      "create failure with the entry present is the lost race")
   }
 
   test("metadataProfile: covered columns profile from the sidecar alone — " +
@@ -4001,6 +4067,81 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "t4", "data")),
       "sketch validation must run before the data write")
+  }
+
+  test("grouped metadata aggregates: a file-aligned GROUP BY collapses " +
+      "to zero scans; straddlers and null groups keep the scan") {
+    import graft.operators.{TableLog, TableLogRelation}
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_tablelog_gagg").toString
+    val root = s"$dir/t"
+    // three day-aligned commits, the daily-ingest shape: each file
+    // provably holds exactly one day (lo == hi, zero nulls)
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      .map(java.sql.Date.valueOf)
+    days.zipWithIndex.foreach { case (day, i) =>
+      val df = (0L until 100L).map(j =>
+        (day, i * 1000L + j, if (j % 10 == 0) None else Some(j)))
+        .toDF("day", "amount", "maybe")
+      val (f, zm) = TableLog.stageWithZoneMap(df, root, s"d$i", "day", 1,
+        statsCols = Seq("amount", "maybe"))
+      TableLog.commit(spark0, root, f, Nil, zmap = zm)
+    }
+    val snap = TableLogRelation.snapshotDf(spark0, root)
+    val q = snap.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), count(col("maybe")).as("nn"),
+        min(col("amount")).as("lo"), max(col("amount")).as("hi"),
+        sum(col("amount")).as("s"))
+      .orderBy(col("day"))
+    val rows = q.collect()
+    assert(rows.length === 3)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDate(0) === days(i))
+      assert(r.getLong(1) === 100L)
+      assert(r.getLong(2) === 90L, "count(maybe) must skip the nulls")
+      assert(r.getLong(3) === i * 1000L && r.getLong(4) === i * 1000L + 99L)
+      assert(r.getLong(5) === (0L until 100L).map(_ + i * 1000L).sum)
+    }
+    assert(fileScans(q) === 0,
+      "a day-aligned grouped aggregate must scan ZERO files")
+    // grouped + ALIGNED filter: the excluded day leaves the answer
+    val qf = snap.filter(col("day") >= days(1))
+      .groupBy(col("day")).agg(count(lit(1)).as("n")).orderBy(col("day"))
+    assert(qf.collect().map(_.getLong(1)).toSeq === Seq(100L, 100L))
+    assert(fileScans(qf) === 0, "aligned filter + group must collapse")
+    // a STRADDLING file (multi-day compaction) keeps the scan, answer
+    // stays exact
+    val mixed = Seq((days(0), 9000L, Some(1L)), (days(1), 9001L, Some(2L)))
+      .toDF("day", "amount", "maybe")
+    val (fm, zmm) = TableLog.stageWithZoneMap(mixed, root, "mix", "day", 1,
+      statsCols = Seq("amount", "maybe"))
+    TableLog.commit(spark0, root, fm, Nil, zmap = zmm)
+    val snap2 = TableLogRelation.snapshotDf(spark0, root)
+    val q2 = snap2.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+    assert(q2.collect().map(_.getLong(1)).toSeq === Seq(101L, 101L, 100L))
+    assert(fileScans(q2) > 0, "a straddling file must force the scan")
+    // a NULL-bearing group column keeps the scan (the NULL group is
+    // invisible to min/max stats)
+    val root2 = s"$dir/t2"
+    val nullDf = (0L until 50L).map(j =>
+        (if (j < 5) None else Some(days(0)), j))
+      .toDF("day", "amount")
+    val (fn, zn) = TableLog.stageWithZoneMap(nullDf, root2, "b", "day", 1,
+      statsCols = Seq("amount"))
+    TableLog.commit(spark0, root2, fn, Nil, zmap = zn)
+    val q3 = TableLogRelation.snapshotDf(spark0, root2)
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    assert(q3.collect().map(r =>
+      Option(r.getDate(0)).map(_.toString).getOrElse("null") -> r.getLong(1))
+      .toMap === Map("null" -> 5L, "2024-01-01" -> 45L))
+    assert(fileScans(q3) > 0, "a null-bearing group column must scan")
+    // grouping on an EXPRESSION (not a stored column) keeps the scan
+    val q4 = snap.groupBy((col("amount") % 2).as("par"))
+      .agg(count(lit(1)).as("n"))
+    assert(q4.collect().map(_.getLong(1)).sum === 300L)
+    assert(fileScans(q4) > 0, "expression grouping must scan")
   }
 }
 

@@ -198,6 +198,37 @@ class SqlFaceSpec extends AnyFunSuite {
     assert(byName.count() === 300L)
     assert(byName.queryExecution.executedPlan.toString
       .contains("TableLogFileIndex"), "name reads must plan the log index")
+    // zone-map file skipping INTACT through the name face: a range
+    // read of a clustered table opens fewer files than it holds
+    // (FileSourceScanExec's numFiles metric — inputFiles is the
+    // unpruned listing by contract)
+    val zdir = Files.createTempDirectory("graft_sqlface_zn").toString
+    val zroot = s"$zdir/t"
+    val (zf, zzm) = tl.stageWithZoneMap(
+      (0L until 800L).map(i => (i, s"v$i")).toDF("k", "v"), zroot,
+      "base", "k", 8)
+    tl.commit(spark, zroot, zf, Nil, zmap = zzm)
+    spark.sql(s"CREATE TABLE sqlface_zoned USING tablelog LOCATION '$zroot'")
+    val zq = spark.table("sqlface_zoned").where("k BETWEEN 0 AND 99")
+    // collect through zq ITSELF: metrics live on this plan's scan
+    // (a .count() is a different query execution)
+    assert(zq.collect().length === 100)
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => (o.children ++ o.subqueries).flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    assert(numFiles(zq) === 1L,
+      s"the name-face range read must prune to 1 of 8 files, " +
+        s"opened ${numFiles(zq)}")
+    spark.sql("DROP TABLE sqlface_zoned")
     // conditional MERGE by name: clause-gated update, delete, insert
     ((0L until 5L).map(i => (i, s"SRC$i", 99L)) ++
       Seq((70000L, "n", 1L), (70001L, "n2", 998L)))
