@@ -48,10 +48,54 @@ import graft.operators.{TableLog, TableLogRelation}
   * derived tables (consumer.py) re-expressed as idiomatic
   * DataFrameWriter calls. */
 class TableLogSource extends RelationProvider
+    with org.apache.spark.sql.sources.SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
     with StreamSinkProvider with StreamSourceProvider {
 
   override def shortName(): String = "tablelog"
+
+  /** The DECLARED-SCHEMA read face — what the session catalog passes
+    * for `CREATE TABLE t (<cols>) USING tablelog LOCATION '<root>'`:
+    * on a NOT-YET-COMMITTED location it returns an EMPTY relation
+    * with the declared schema (Delta's create-then-insert flow — the
+    * first `INSERT INTO t` routes through
+    * [[graft.plans.InsertIntoTableLogRule]] and commits v0; reads
+    * before that serve zero rows, not an "empty log" error). Once the
+    * log has a commit, the LOG is the schema authority and the plain
+    * path serves — a drifted catalog declaration never masks the
+    * committed schema. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val exists = TableLog.versions(spark, root).nonEmpty ||
+      TableLog.checkpointVersions(spark, root).nonEmpty
+    if (exists) createRelation(sqlContext, parameters)
+    else {
+      // a zero-file index that still CARRIES the root path — the
+      // insert analysis requires a single-path relation, and the
+      // location may not even exist yet (no listing, no mkdir)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val emptyIndex = new org.apache.spark.sql.execution.datasources.FileIndex {
+        override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(rootPath)
+        override def listFiles(
+            partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+            dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+            : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = Nil
+        override def inputFiles: Array[String] = Array.empty
+        override def refresh(): Unit = ()
+        override def sizeInBytes: Long = 0L
+        override def partitionSchema: StructType = StructType(Nil)
+      }
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        emptyIndex, StructType(Nil), schema, None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat(),
+        Map.empty[String, String])(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    }
+  }
 
   /** `writeStream.format(...)` — each micro-batch is ONE atomic
     * tag-idempotent commit (exactly-once from at-least-once replay;
@@ -193,4 +237,12 @@ class TableLogSource extends RelationProvider
     // landed (the caller would retry a write that already happened)
     TableLogRelation.relationAt(spark, root, None)._2
   }
+}
+
+/** `USING graft` / `format("graft")` alias of [[TableLogSource]] —
+  * one implementation under both the format's name and the
+  * project's (Delta registers exactly one name; two spellings cost
+  * one subclass and save every user who guesses the other). */
+class GraftSource extends TableLogSource {
+  override def shortName(): String = "graft"
 }

@@ -295,6 +295,42 @@ class SqlFaceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE sqlface_plain")
   }
 
+  test("create-then-insert and CTAS: an empty declared-schema table " +
+      "reads zero rows, the first INSERT commits v0; USING graft " +
+      "aliases the format") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft_sqlface_ct").toString
+    // CREATE with a declared schema over a not-yet-committed location
+    // (Delta's create-then-insert flow)
+    spark.sql("CREATE TABLE ct_empty (id BIGINT, text STRING) " +
+      s"USING tablelog LOCATION '$dir/e'")
+    assert(spark.table("ct_empty").count() === 0L,
+      "an uncommitted table must read as empty, not error")
+    spark.sql("INSERT INTO ct_empty VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table("ct_empty").count() === 2L)
+    // ... and the insert was a real v0 COMMIT, visible to the log face
+    assert(graft.operators.TableLog.versions(spark, s"$dir/e") === Seq(0L))
+    assert(graft.operators.TableLog.snapshot(spark, s"$dir/e")
+      .count() === 2L)
+    // CTAS through the CreatableRelationProvider face
+    spark.sql(s"CREATE TABLE ct_ctas USING tablelog LOCATION '$dir/c' " +
+      "AS SELECT id * 10 AS id, text FROM ct_empty")
+    assert(spark.table("ct_ctas").select("id").as[Long].collect().sorted
+      === Array(10L, 20L))
+    assert(graft.operators.TableLog.versions(spark, s"$dir/c").nonEmpty)
+    // the `graft` provider alias is the same implementation
+    spark.sql("CREATE TABLE ct_alias (k BIGINT) " +
+      s"USING graft LOCATION '$dir/g'")
+    spark.sql("INSERT INTO ct_alias VALUES (7)")
+    assert(spark.table("ct_alias").head().getLong(0) === 7L)
+    assert(graft.operators.TableLog.versions(spark, s"$dir/g") === Seq(0L))
+    // graft verbs resolve the aliased provider by name too
+    assert(spark.sql("DESCRIBE HISTORY ct_alias").count() === 1L)
+    Seq("ct_empty", "ct_ctas", "ct_alias")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("graft_table_window_stats / graft_table_window_distinct: the " +
       "range-scoped metadata aggregates as pure SQL") {
     val spark0 = spark
