@@ -126,8 +126,16 @@ def main(sfdir, outdir):
             if (sizes <= 1).all():
                 verdict = "TOTAL_ORDER"
             else:
-                distinct = grouped.apply(
-                    lambda g: len(g.drop_duplicates()), include_groups=False)
+                # ORDER BY every output column: the group keys ARE
+                # the whole row, so tie groups are identical by
+                # definition — pandas' zero-column drop_duplicates
+                # keeps all rows and would misreport TIE_UNSTABLE
+                if set(keys) >= set(df.columns):
+                    distinct = sizes * 0 + 1
+                else:
+                    distinct = grouped.apply(
+                        lambda g: len(g.drop_duplicates()),
+                        include_groups=False)
                 if (distinct <= 1).all():
                     verdict = f"TIES_IDENTICAL (max group {sizes.max()})"
                 else:

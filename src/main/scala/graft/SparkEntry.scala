@@ -2936,6 +2936,70 @@ object SparkEntry {
         col("price_cents"), col("l_quantity"))
   }
 
+  /** SQL-driven SCHEMA EVOLUTION (`ALTER TABLE … ADD COLUMNS` →
+    * [[graft.operators.TableLog.addColumns]]): ONE metadata-only
+    * commit widens the table — zero data I/O, every pre-alter file
+    * null-fills the new columns at read, and the very next `INSERT
+    * INTO` lands values in them through the same name face (the
+    * Delta ALTER shape; q139 proved the evolution read semantics for
+    * the Scala face — this oracles the SQL verb end to end). Oracle:
+    * the slice with NULL-filled new columns plus the two
+    * post-evolution inserted rows over raw lineitem. */
+  private val q172Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q172: Q = (s, d) => {
+    val root = cachedTmpArtifact(q172Cache, d, "graft_q172_alter") { p =>
+      val tl = graft.operators.TableLog
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= lit(2000L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      tl.commit(s, p, tl.stageWrite(li, p, "base"), Nil)
+      val tbl = "graft_q172_t_" +
+        graft.functions.Sketches.md5HexLocal(p).take(10)
+      s.sql(s"CREATE TABLE $tbl USING tablelog LOCATION '$p'")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING, bonus_cents BIGINT)")
+      s.sql(s"INSERT INTO $tbl VALUES " +
+        "(-7, 1, 7.0, 'alpha', 700), (-8, 2, 8.0, NULL, 800)")
+    }
+    val tbl = "graft_q172_t_" +
+      graft.functions.Sketches.md5HexLocal(root).take(10)
+    s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING tablelog LOCATION '$root'")
+    // this synthetic lineitem duplicates (l_orderkey, l_linenumber)
+    // pairs — the q159 lesson: order by EVERY column or the emitted
+    // order is not total
+    s.table(tbl).orderBy(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("note"), col("bonus_cents"))
+  }
+
+  /** SQL-driven TRUNCATE (`TRUNCATE TABLE` →
+    * [[graft.operators.TableLog.truncateTable]]): one metadata commit
+    * de-references the whole active file set — zero data I/O, time
+    * travel and RESTORE intact until VACUUM — and the table keeps
+    * taking writes after. Oracle: only the post-truncate append is
+    * visible; a truncate that leaked pre-truncate rows (or broke the
+    * surviving schema) mismatches. */
+  private val q173Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q173: Q = (s, d) => {
+    val root = cachedTmpArtifact(q173Cache, d, "graft_q173_trunc") { p =>
+      val tl = graft.operators.TableLog
+      def slice(lo: Long, hi: Long) = Tables.lineitem(s, d)
+        .filter(col("l_orderkey").between(lit(lo), lit(hi)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      tl.commit(s, p, tl.stageWrite(slice(1L, 3000L), p, "a"), Nil)
+      val tbl = "graft_q173_t_" +
+        graft.functions.Sketches.md5HexLocal(p).take(10)
+      s.sql(s"CREATE TABLE $tbl USING tablelog LOCATION '$p'")
+      s.sql(s"TRUNCATE TABLE $tbl")
+      // the truncated table keeps taking writes — the visible content
+      // is exactly this post-truncate append
+      tl.commit(s, p, tl.stageWrite(slice(1000L, 2000L), p, "b"), Nil)
+    }
+    val tbl = "graft_q173_t_" +
+      graft.functions.Sketches.md5HexLocal(root).take(10)
+    s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING tablelog LOCATION '$root'")
+    s.table(tbl).orderBy(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"))
+  }
+
   /** The range-scoped metadata aggregates as PURE SQL
     * (`graft_table_window_stats` — [[graft.plans.GraftSql]]'s TVF
     * over [[graft.operators.TableLog.metadataAggRange]]): q167's
@@ -3769,6 +3833,8 @@ object SparkEntry {
     "q169_named_table" -> q169,
     "q170_grouped_meta_agg" -> q170,
     "q171_sql_window_stats" -> q171,
+    "q172_sql_alter" -> q172,
+    "q173_sql_truncate" -> q173,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6153,6 +6219,29 @@ object SparkEntry {
            min(user_id) AS min_u, max(user_id) AS max_u,
            CAST(sum(user_id) AS BIGINT) AS sum_u
          FROM events GROUP BY 1 ORDER BY day""",
+    // The ALTER is metadata; its visible semantics are the slice
+    // with NULL-filled new columns plus the two rows inserted AFTER
+    // the widening.
+    "q172_sql_alter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(NULL AS VARCHAR) AS note,
+           CAST(NULL AS BIGINT) AS bonus_cents
+         FROM lineitem WHERE l_orderkey <= 2000
+         UNION ALL
+         SELECT * FROM (VALUES
+           (CAST(-7 AS BIGINT), CAST(1 AS INTEGER), CAST(7.0 AS DOUBLE),
+            'alpha', CAST(700 AS BIGINT)),
+           (CAST(-8 AS BIGINT), CAST(2 AS INTEGER), CAST(8.0 AS DOUBLE),
+            CAST(NULL AS VARCHAR), CAST(800 AS BIGINT)))
+           t(l_orderkey, l_linenumber, l_quantity, note, bonus_cents)
+         ORDER BY l_orderkey, l_linenumber, l_quantity, note,
+           bonus_cents""",
+    // TRUNCATE leaves exactly the post-truncate append visible — a
+    // leak of any pre-truncate row mismatches.
+    "q173_sql_truncate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     // Two faces, one answer: the SQL TVF must replay to exactly
     // q167's windowed aggregates.
     "q171_sql_window_stats" ->

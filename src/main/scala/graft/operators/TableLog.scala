@@ -219,6 +219,42 @@ object TableLog {
       StructField("tag", StringType, nullable = true)))
   }
 
+  /** DESCRIBE DETAIL — Delta's one-row table summary, answered in
+    * O(log) driver metadata (file sizes come from the commit entries'
+    * own per-file meta; a file whose meta the entry missed falls back
+    * to ONE stat for it alone, exactly the readers' discipline). */
+  val detailSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("num_delete_sidecars", LongType, nullable = false),
+      StructField("num_constraints", LongType, nullable = false),
+      StructField("schema_evolved", BooleanType, nullable = false),
+      StructField("num_retained_versions", LongType, nullable = false)))
+  }
+
+  def describeDetail(spark: SparkSession, root: String): Seq[org.apache.spark.sql.Row] = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    val v = vs.lastOption.orElse(checkpointVersions(spark, root).lastOption)
+      .getOrElse(sys.error(s"TableLog.describeDetail: empty log at $root"))
+    val files = activeFilesWithMeta(spark, root)
+    val size = files.map { case (p, m) =>
+      parseFileMeta(m).map(_._1).getOrElse(
+        f.getFileStatus(new Path(resolve(root, p))).getLen)
+    }.sum
+    Seq(org.apache.spark.sql.Row(
+      "tablelog", root, v, files.size.toLong, size,
+      activeDeletes(spark, root).size.toLong,
+      activeConstraints(spark, root).size.toLong,
+      activeSchemaRef(spark, root).nonEmpty,
+      vs.size.toLong))
+  }
+
   /** Log paths must stay parseable by the line-oriented entry format:
     * no commas, quotes, brackets or whitespace — enforced at commit
     * time rather than silently garbled at read time. */
@@ -1182,6 +1218,65 @@ object TableLog {
     commit(spark, root, add = files, remove = Nil,
       cdf = cdf, tag = tag, schema = schemaSeq,
       op = Some("EVOLVE_APPEND"), expectSchema = Some(refAtRead))
+  }
+
+  /** ALTER TABLE ADD COLUMNS — [[evolveAppend]]'s schema widening
+    * WITHOUT rows: one metadata-only commit (a new schema ref, zero
+    * data I/O) declares the added columns, and every read at or past
+    * it null-fills them for all existing files (the Delta `ALTER
+    * TABLE ADD COLUMNS` shape — admin_lambda.py's table-shape changes
+    * land as config edits to managed DynamoDB; here the log IS that
+    * config). Added columns are forced nullable — there is no value
+    * to backfill, so a non-null declaration would be a lie every
+    * pre-alter row immediately violates. An already-present column
+    * name refuses loudly (type CHANGES are not schema addition);
+    * concurrent evolutions conflict via the schema-ref pin exactly
+    * like [[evolveAppend]]. Returns the new version. */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: org.apache.spark.sql.types.StructType,
+                 name: String = "alter",
+                 tag: Option[String] = None): Long = {
+    require(cols.nonEmpty, "TableLog.addColumns: no columns to add")
+    val refAtRead = activeSchemaRef(spark, root)
+    val cur = refAtRead
+      .map(rel => readSchemaFile(fs(spark, root), root, rel))
+      .getOrElse {
+        val files = activeFiles(spark, root)
+        require(files.nonEmpty,
+          s"TableLog.addColumns: $root has no schema ref and no active " +
+            "files — nothing to derive the current schema from")
+        spark.read.parquet(files.map(resolve(root, _)): _*).schema
+      }
+    val existing = cur.map(_.name).toSet
+    cols.foreach(fld => require(!existing.contains(fld.name),
+      s"TableLog.addColumns: column '${fld.name}' already exists in " +
+        s"$root — type changes are not schema addition"))
+    val merged = org.apache.spark.sql.types.StructType(
+      cur ++ cols.map(_.copy(nullable = true)))
+    commit(spark, root, add = Nil, remove = Nil, tag = tag,
+      schema = Seq(stageSchema(spark, root, name, merged)),
+      op = Some("ADD_COLUMNS"), expectSchema = Some(refAtRead))
+  }
+
+  /** TRUNCATE: remove every active row as ONE metadata commit — the
+    * whole active file set is de-referenced and the delete-sidecar
+    * state resets, zero data I/O (files stay on disk for time travel
+    * / RESTORE until [[vacuum]] reclaims them; a full-purge commit is
+    * a legal state every read already serves as the empty frame with
+    * the last non-empty version's schema). Conflict-guarded as a
+    * rewrite over its full read set: a concurrent append/merge lands
+    * rows this truncate never saw, so it conflicts rather than
+    * silently deleting them. Returns the new version. */
+  def truncateTable(spark: SparkSession, root: String,
+                    tag: Option[String] = None): Long = {
+    val readV = versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.truncateTable: empty log at $root"))
+    val readFiles = activeFiles(spark, root, Some(readV))
+    val readDels = activeDeletes(spark, root, Some(readV))
+    commit(spark, root, add = Nil, remove = readFiles,
+      resetDeletes = true, tag = tag, op = Some("TRUNCATE"),
+      expectActive = readFiles, expectDeletes = Some(readDels),
+      expectNoConflictingAdds = Some((readV, _ => true)))
   }
 
   /** RESTORE: roll the table BACK to the content of version `toV` as

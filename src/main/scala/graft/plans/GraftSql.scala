@@ -185,9 +185,22 @@ object GraftSql {
   private val Vacuum =
     (s"""(?is)\\s*VACUUM\\s+$T\\s+RETAIN\\s+VERSION\\s+AS\\s+OF""" +
       """\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""").r
+  private val AlterAdd =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s*""" +
+      """\(\s*(.+?)\s*\)\s*;?\s*""").r
+  private val Trunc =
+    (s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$T\\s*;?\\s*""").r
+  private val Detail =
+    (s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""").r
+  private val AddCon =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)""" +
+      """\s+CHECK\s*\(\s*(.+?)\s*\)(?:\s+ID\s+(\w+))?\s*;?\s*""").r
+  private val DropCon =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)""" +
+      """\s*;?\s*""").r
   // a graft-addressed statement that matches none of the shapes above
   private val GraftHead =
-    """(?is)\s*(DESCRIBE\s+HISTORY|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|UPDATE|RESTORE|VACUUM)\s+graft\.`.*""".r
+    """(?is)\s*(DESCRIBE\s+HISTORY|DESCRIBE\s+DETAIL|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|UPDATE|RESTORE|VACUUM|ALTER\s+TABLE|TRUNCATE\s+TABLE)\s+graft\.`.*""".r
   // a DML verb on a NAMED table: only claimed (with a shape error)
   // when the name really is a tablelog table — everything else stays
   // Spark's to parse and reject with its own semantics
@@ -413,6 +426,57 @@ object GraftSql {
         GraftPathsCommand(s"VACUUM $root", t.refreshing(s =>
           graft.operators.TableLog.vacuum(s, root, v.toLong,
             dryRun = dry != null)))
+      }
+      // ALTER TABLE … ADD COLUMNS: a metadata-only schema-widening
+      // commit (TableLog.addColumns — zero data I/O; reads null-fill
+      // the new columns for every pre-alter file). The column list is
+      // parsed as DDL at parse time (pure — no filesystem touch); the
+      // catalog's declared schema follows the LOG's post-commit truth
+      // for named tables so DESCRIBE stays honest.
+      case AlterAdd(path, name, colsDdl) =>
+        // resolve FIRST: a non-tablelog table's ALTER must fall
+        // through to Spark untouched even when its column DDL uses a
+        // form this parse would reject
+        resolveTarget(path, name).map { t =>
+          val cols = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+          GraftVersionCommand(s"ALTER TABLE ${t.root} ADD COLUMNS",
+            t.refreshing { s =>
+              val v = graft.operators.TableLog.addColumns(s, t.root, cols)
+              for (id <- t.ident;
+                   st <- graft.operators.TableLog.logSchema(s, t.root))
+                s.sessionState.catalog.alterTableDataSchema(id, st)
+              v
+            })
+        }
+      // TRUNCATE TABLE: one metadata commit de-references the whole
+      // active file set (time travel / RESTORE keep working until
+      // VACUUM; concurrent writers conflict rather than lose rows).
+      case Trunc(path, name) => resolveTarget(path, name).map { t =>
+        GraftVersionCommand(s"TRUNCATE ${t.root}", t.refreshing(s =>
+          graft.operators.TableLog.truncateTable(s, t.root)))
+      }
+      // DESCRIBE DETAIL: Delta's one-row summary — O(log) metadata at
+      // EXECUTION (static schema keeps parse/EXPLAIN I/O-free).
+      case Detail(path, name) => resolveTarget(path, name).map { t =>
+        GraftRowsCommand(s"DESCRIBE DETAIL ${t.root}",
+          graft.operators.TableLog.detailSchema,
+          s => graft.operators.TableLog.describeDetail(s, t.root))
+      }
+      // ALTER TABLE … ADD CONSTRAINT <n> CHECK (<expr>) [ID <col>]:
+      // the Delta constraint verb — existing rows are validated first
+      // (a violating table refuses the declaration), then checked
+      // writes enforce it. The optional ID names the delete-sidecar
+      // id column for tables with deletes in force.
+      case AddCon(path, name, cname, expr, idCol) =>
+        resolveTarget(path, name).map { t =>
+          GraftVersionCommand(s"ADD CONSTRAINT $cname ON ${t.root}",
+            t.refreshing(s => graft.operators.TableLog.addCheckConstraint(
+              s, t.root, cname, expr, Option(idCol))))
+        }
+      case DropCon(path, name, cname) => resolveTarget(path, name).map { t =>
+        GraftVersionCommand(s"DROP CONSTRAINT $cname ON ${t.root}",
+          t.refreshing(s => graft.operators.TableLog.dropCheckConstraint(
+            s, t.root, cname)))
       }
       case GraftHead(verb) => sys.error(
         s"GraftSql: malformed $verb statement for a graft.`<root>` " +

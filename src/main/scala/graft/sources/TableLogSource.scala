@@ -149,10 +149,25 @@ class TableLogSource extends RelationProvider
     changesProvider.createSource(sqlContext, metadataPath, schema,
       providerName, parameters)
 
+  /** The table root: the `path` option, or — the catalog-named face
+    * for STREAMING reads/writes, where Spark's v1 plumbing has no
+    * name resolution of its own — `.option("table", <name>)`, which
+    * resolves the session catalog's registered tablelog table to its
+    * location (a non-tablelog name refuses loudly rather than
+    * streaming a foreign table's directory as if it were a log). */
   private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", sys.error(
-      "TableLogSource: pass the table root via .load(root)/.save(root) " +
-        "or .option(\"path\", root)"))
+    parameters.get("path").orElse(parameters.get("table").map { n =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(n)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      require(meta.provider.map(_.toLowerCase)
+          .exists(graft.plans.InsertIntoTableLogRule.providerNames.contains),
+        s"TableLogSource: table '$n' is not a tablelog table " +
+          s"(provider: ${meta.provider.getOrElse("none")})")
+      meta.location.toString
+    }).getOrElse(sys.error(
+      "TableLogSource: pass the table root via .load(root)/.save(root), " +
+        ".option(\"path\", root), or .option(\"table\", <catalog name>)"))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

@@ -293,8 +293,22 @@ class TableChangesSourceProvider extends StreamSourceProvider {
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
-    val root = parameters.getOrElse("path",
-      sys.error("tablechanges source requires option 'path' (the table root)"))
+    // `path`, or the catalog-named streaming face: `.option("table",
+    // <name>)` resolves a registered tablelog table to its location
+    // (non-tablelog names refuse loudly)
+    val root = parameters.get("path")
+      .orElse(parameters.get("table").map { n =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(n))
+        require(meta.provider.map(_.toLowerCase)
+            .exists(graft.plans.InsertIntoTableLogRule.providerNames.contains),
+          s"tablechanges: table '$n' is not a tablelog table " +
+            s"(provider: ${meta.provider.getOrElse("none")})")
+        meta.location.toString
+      })
+      .getOrElse(sys.error("tablechanges source requires option 'path' " +
+        "(the table root) or option 'table' (a catalog-named tablelog table)"))
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxV.foreach(k => require(k >= 1L,
       s"maxVersionsPerTrigger must be >= 1, got $k"))

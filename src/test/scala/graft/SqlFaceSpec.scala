@@ -331,6 +331,97 @@ class SqlFaceSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("ALTER TABLE ADD COLUMNS: a metadata-only schema widening — " +
+      "old rows null-fill, the next INSERT lands values, and the " +
+      "path-addressed form works; TRUNCATE TABLE empties as one " +
+      "metadata commit with time travel intact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshTable(2)
+    val tbl = "sqlface_alter_t"
+    spark.sql(s"CREATE TABLE $tbl USING tablelog LOCATION '$root'")
+    // by NAME: widen, old rows null-fill, catalog schema follows
+    val v = spark.sql(
+      s"ALTER TABLE $tbl ADD COLUMNS (score DOUBLE, tag STRING)")
+      .head().getLong(0)
+    assert(v === 1L)
+    assert(spark.table(tbl).columns.toSeq ===
+      Seq("id", "text", "grp", "score", "tag"))
+    assert(spark.table(tbl).filter(col("score").isNotNull).count() === 0L)
+    assert(spark.sql(s"DESCRIBE $tbl").count() >= 5L,
+      "the catalog's declared schema must follow the log's")
+    // the widened surface accepts INSERTs with the new columns
+    spark.sql(s"INSERT INTO $tbl VALUES (9001, 'n', 1, 0.5, 'fresh')")
+    val ins = spark.table(tbl).filter(col("id") === 9001L).head()
+    assert(ins.getDouble(3) === 0.5 && ins.getString(4) === "fresh")
+    // an existing column refuses loudly — type changes are not ADD
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (text BIGINT)"))
+    assert(e.getMessage.contains("already exists"))
+    // the path-addressed form drives the same commit
+    val root2 = freshTable(2)
+    spark.sql(s"ALTER TABLE graft.`$root2` ADD COLUMN (flag BOOLEAN)")
+    assert(graft.operators.TableLog.snapshot(spark, root2)
+      .columns.contains("flag"))
+    // a non-tablelog ALTER falls through to Spark untouched
+    spark.sql("CREATE TABLE sqlface_plain_alter (a INT) USING parquet " +
+      s"LOCATION '${Files.createTempDirectory("graft_plainalter")}/p'")
+    spark.sql("ALTER TABLE sqlface_plain_alter ADD COLUMNS (b STRING)")
+    assert(spark.table("sqlface_plain_alter").columns.toSeq ===
+      Seq("a", "b"))
+    // TRUNCATE: one metadata commit; history and time travel intact
+    val nBefore = spark.table(tbl).count()
+    assert(nBefore === 301L)
+    spark.sql(s"TRUNCATE TABLE $tbl")
+    assert(spark.table(tbl).count() === 0L)
+    assert(graft.operators.TableLog
+      .snapshot(spark, root, asOf = Some(v)).count() === 300L,
+      "pre-truncate versions must stay readable")
+    // the truncated table still takes writes
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'post', 0, NULL, NULL)")
+    assert(spark.table(tbl).count() === 1L)
+    Seq(tbl, "sqlface_plain_alter").foreach(t =>
+      spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("DESCRIBE DETAIL / ADD CONSTRAINT ... CHECK / DROP CONSTRAINT " +
+      "drive the table summary and the constraint lifecycle through " +
+      "spark.sql") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshTable(2)
+    // one-row summary, path-addressed
+    val d0 = spark.sql(s"DESCRIBE DETAIL graft.`$root`").head()
+    assert(d0.getString(0) === "tablelog" && d0.getString(1) === root)
+    assert(d0.getLong(2) === 0L && d0.getLong(3) === 2L)      // v0, 2 buckets
+    assert(d0.getLong(4) > 0L, "size_bytes from the commit's own meta")
+    assert(d0.getLong(5) === 0L && d0.getLong(6) === 0L)
+    assert(!d0.getBoolean(7) && d0.getLong(8) === 1L)
+    // constraint lifecycle by NAME
+    val tbl = "sqlface_con_t"
+    spark.sql(s"CREATE TABLE $tbl USING tablelog LOCATION '$root'")
+    spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT pos CHECK (id >= 0)")
+    assert(graft.operators.TableLog.activeConstraints(spark, root)
+      .keySet === Set("pos"))
+    // a checked write enforcing it refuses violating rows
+    val bad = Seq((-5L, "neg", 0L)).toDF("id", "text", "grp")
+    val e = intercept[Exception](
+      graft.operators.TableLog.checkedAppend(bad, root, "bad"))
+    assert(e.getMessage.contains("pos"))
+    // declaring a constraint existing rows violate refuses loudly
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $tbl ADD CONSTRAINT big CHECK (id > 100)"))
+    assert(e2.getMessage.contains("violate"))
+    // DESCRIBE DETAIL counts the in-force constraint; version moved
+    val d1 = spark.sql(s"DESCRIBE DETAIL $tbl").head()
+    assert(d1.getLong(6) === 1L && d1.getLong(2) === 1L)
+    spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT pos")
+    assert(graft.operators.TableLog.activeConstraints(spark, root).isEmpty)
+    // non-tablelog DESCRIBE stays Spark's
+    assert(spark.sql("DESCRIBE SELECT 1 AS one").count() === 1L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("graft_table_window_stats / graft_table_window_distinct: the " +
       "range-scoped metadata aggregates as pure SQL") {
     val spark0 = spark

@@ -151,4 +151,52 @@ class TableChangesContractSpec extends AnyFunSuite with StreamSourceContract {
     assert(rows() === 1200, s"re-served rows after cap re-enable: ${rows()}")
     assert(ids() === 1200)
   }
+
+  test("the catalog-named streaming face: option(\"table\") resolves a " +
+      "registered tablelog table on BOTH source and sink; a " +
+      "non-tablelog name refuses loudly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("tablechanges_named")
+    val src = base.resolve("s").toString
+    val dst = base.resolve("d").toString
+    val df = (0L until 50L).map(i => (i, s"r$i")).toDF("doc_id", "text")
+    TableLog.commit(spark, src, Nil, Nil) // v0: the (empty) base load
+    TableLog.commit(spark, src, TableLog.stageWrite(df, src, "b1"), Nil,
+      cdf = TableLog.stageFeed(
+        df.select(col("doc_id"), lit("added").as("status")), src, "b1"))
+    spark.sql(s"CREATE TABLE named_chg_src USING tablelog LOCATION '$src'")
+    spark.sql("CREATE TABLE named_chg_dst (version BIGINT, doc_id BIGINT, " +
+      s"status STRING) USING tablelog LOCATION '$dst'")
+    val q = spark.readStream
+      .format("graft.streaming.TableChangesSourceProvider")
+      .option("table", "named_chg_src").option("idCol", "doc_id")
+      .load()
+      .writeStream.format("tablelog").option("table", "named_chg_dst")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q.awaitTermination(120000)
+    assert(TableLog.snapshot(spark, dst).count() === 50L)
+    assert(spark.table("named_chg_dst").count() === 50L,
+      "the sink's commits must be visible through the name read too")
+    // a non-tablelog name refuses loudly rather than streaming a
+    // foreign directory as if it were a log
+    spark.sql("CREATE TABLE named_chg_plain (a INT) USING parquet " +
+      s"LOCATION '${base.resolve("p")}'")
+    val e = intercept[Exception] {
+      val qq = spark.readStream
+        .format("graft.streaming.TableChangesSourceProvider")
+        .option("table", "named_chg_plain").load()
+        .writeStream.format("parquet")
+        .option("path", base.resolve("pout").toString)
+        .option("checkpointLocation", base.resolve("pckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      qq.awaitTermination(120000)
+      qq.exception.foreach(throw _)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("not a tablelog table"), msgs)
+    Seq("named_chg_src", "named_chg_dst", "named_chg_plain")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }
