@@ -59,6 +59,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *                       -- reclaim below the horizon; returns paths
   * }}}
   *
+  * Every `'<root>'` argument above also accepts a catalog NAME
+  * (`graft_table('events', 3)` is named time travel) — a string
+  * without '/' resolving to a registered tablelog table uses its
+  * location; everything else is treated as a path.
+  *
   * Every verb routes to the existing [[graft.operators.TableLog]]
   * API — one implementation, two faces — so the SQL face inherits the
   * same zone-map pruning, bucket-pruned merges, conflict guards and
@@ -497,6 +502,24 @@ object GraftSql {
 
   // ---- table-valued functions: reads with time travel ----
 
+  /** TVF root arguments accept either a table ROOT PATH or a catalog
+    * NAME (the q169 face extended to the pure-SQL TVF readers —
+    * `graft_table('events', 3)` is named time travel). A string with
+    * a '/' is always a path; otherwise a catalog lookup resolving to
+    * a tablelog table wins, and anything unresolved falls back to
+    * being treated as a path so path-shaped errors stay loud and
+    * unchanged. */
+  private def resolveRoot(s: String): String =
+    if (s.contains("/")) s
+    else scala.util.Try {
+      val spark = SparkSession.active
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s))
+      meta.provider.map(_.toLowerCase)
+        .filter(InsertIntoTableLogRule.providerNames.contains)
+        .map(_ => meta.location.toString)
+    }.toOption.flatten.getOrElse(s)
+
   private def litString(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a string literal")
     val v = e.eval()
@@ -520,7 +543,7 @@ object GraftSql {
   def graftTableBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.nonEmpty && es.length <= 3,
       "graft_table(root[, version[, idCol]])")
-    val root = litString(es.head, "graft_table: root")
+    val root = resolveRoot(litString(es.head, "graft_table: root"))
     val asOf = es.lift(1).map(litLong(_, "graft_table: version"))
       .filter(_ >= 0L)
     val idCol = es.lift(2).map(litString(_, "graft_table: idCol"))
@@ -535,7 +558,7 @@ object GraftSql {
   def graftTableAtBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length == 2, "graft_table_at(root, isoTimestamp)")
     val spark = SparkSession.active
-    val root = litString(es.head, "graft_table_at: root")
+    val root = resolveRoot(litString(es.head, "graft_table_at: root"))
     val ts = java.time.Instant.parse(
       litString(es(1), "graft_table_at: timestamp"))
     val v = graft.operators.TableLog.versionAtTime(spark, root,
@@ -555,7 +578,7 @@ object GraftSql {
   def graftTableChangesBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length >= 3 && es.length <= 5,
       "graft_table_changes(root, fromVersion, toVersion[, idCol[, contentCol]])")
-    val root = litString(es.head, "graft_table_changes: root")
+    val root = resolveRoot(litString(es.head, "graft_table_changes: root"))
     val idCol = es.lift(3).map(litString(_, "graft_table_changes: idCol"))
       .getOrElse("doc_id")
     val contentCol = es.lift(4)
@@ -580,7 +603,7 @@ object GraftSql {
     require(es.nonEmpty && es.length <= 2,
       "graft_table_profile(root[, version])")
     val spark = SparkSession.active
-    val root = litString(es.head, "graft_table_profile: root")
+    val root = resolveRoot(litString(es.head, "graft_table_profile: root"))
     val asOf = es.lift(1).map(litLong(_, "graft_table_profile: version"))
       .filter(_ >= 0L)
     graft.operators.TableLog.metadataProfile(spark, root, asOf)
@@ -608,7 +631,7 @@ object GraftSql {
   def graftTableHistoryBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length == 1, "graft_table_history(root)")
     graft.operators.TableLog.history(SparkSession.active,
-        litString(es.head, "graft_table_history: root"))
+        resolveRoot(litString(es.head, "graft_table_history: root")))
       .queryExecution.logical
   }
 
@@ -638,7 +661,7 @@ object GraftSql {
   def graftTableWindowStatsBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length >= 5,
       "graft_table_window_stats(root, keyCol, lo, hi, col1[, ...])")
-    val root = litString(es.head, "graft_table_window_stats: root")
+    val root = resolveRoot(litString(es.head, "graft_table_window_stats: root"))
     val keyCol = litString(es(1), "graft_table_window_stats: keyCol")
     val lo = litBound(es(2), "graft_table_window_stats: lo")
     val hi = litBound(es(3), "graft_table_window_stats: hi")
@@ -663,7 +686,7 @@ object GraftSql {
   def graftTableWindowDistinctBuilder(es: Seq[Expression]): LogicalPlan = {
     require(es.length == 5,
       "graft_table_window_distinct(root, sketchCol, keyCol, lo, hi)")
-    val root = litString(es.head, "graft_table_window_distinct: root")
+    val root = resolveRoot(litString(es.head, "graft_table_window_distinct: root"))
     val sketchCol = litString(es(1), "graft_table_window_distinct: sketchCol")
     val keyCol = litString(es(2), "graft_table_window_distinct: keyCol")
     val lo = litBound(es(3), "graft_table_window_distinct: lo")

@@ -384,6 +384,32 @@ class SqlFaceSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t"))
   }
 
+  test("TVF root arguments accept catalog names: graft_table('name', v) " +
+      "is named time travel; unresolved strings stay paths") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshTable(2)
+    spark.sql(s"CREATE TABLE sqlface_tvf_named USING tablelog LOCATION '$root'")
+    graft.operators.TableLog.commit(spark, root,
+      graft.operators.TableLog.stageWrite(
+        Seq((7777L, "x", 0L)).toDF("id", "text", "grp").coalesce(1),
+        root, "b"), Nil)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_table('sqlface_tvf_named')")
+      .head().getLong(0) === 301L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_table('sqlface_tvf_named', 0)")
+      .head().getLong(0) === 300L, "named VERSION AS OF")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_table_history('sqlface_tvf_named')")
+      .head().getLong(0) === 2L)
+    // an unresolved name is treated as a path and errors path-shaped
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_table('no_such_table_xyz')").collect())
+    assert(e.getMessage.contains("no_such_table_xyz"))
+    spark.sql("DROP TABLE sqlface_tvf_named")
+  }
+
   test("DESCRIBE DETAIL / ADD CONSTRAINT ... CHECK / DROP CONSTRAINT " +
       "drive the table summary and the constraint lifecycle through " +
       "spark.sql") {
