@@ -92,7 +92,9 @@ object Bench {
     // ~1.8 KB raw / ~2.15 KB escaped; full precision lives in the
     // first line and BENCH_FULL.json.
     def trim(d: Double): String = {
-      val s = f"$d%.1f"
+      // Locale.ROOT: a comma-decimal default locale would render
+      // "1,2" and corrupt the JSON line
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val shortQs = results.map { case (k, v, err) =>

@@ -1247,10 +1247,17 @@ object TableLog {
             "files — nothing to derive the current schema from")
         spark.read.parquet(files.map(resolve(root, _)): _*).schema
       }
-    val existing = cur.map(_.name).toSet
-    cols.foreach(fld => require(!existing.contains(fld.name),
+    // CASE-INSENSITIVE collision check (Delta's rule): Spark resolves
+    // case-insensitively by default, so committing both `text` and
+    // `TEXT` would make every later SELECT fail AMBIGUOUS_REFERENCE —
+    // a durably bricked schema. Refuse under either session setting.
+    val existing = cur.map(_.name.toLowerCase).toSet
+    cols.foreach(fld => require(!existing.contains(fld.name.toLowerCase),
       s"TableLog.addColumns: column '${fld.name}' already exists in " +
-        s"$root — type changes are not schema addition"))
+        s"$root (names collide case-insensitively) — type changes are " +
+        "not schema addition"))
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      "TableLog.addColumns: added column names collide case-insensitively")
     val merged = org.apache.spark.sql.types.StructType(
       cur ++ cols.map(_.copy(nullable = true)))
     commit(spark, root, add = Nil, remove = Nil, tag = tag,
@@ -2939,11 +2946,12 @@ object TableLog {
     * Returns the new version. */
   def replaceWhere(spark: SparkSession, root: String, keyCol: String,
                    lo: Long, hi: Long, replacement: DataFrame,
-                   name: String, parts: Int): Long =
+                   name: String, parts: Int,
+                   asOf: Option[Long] = None): Long =
     replaceWhereCore(spark, root, keyCol, "long", lo.toString, hi.toString,
       org.apache.spark.sql.functions.lit(lo),
       org.apache.spark.sql.functions.lit(hi),
-      replacement, name, parts, trustLegacy = true)
+      replacement, name, parts, trustLegacy = true, asOf = asOf)
 
   /** TYPED [[replaceWhere]]: bounds of any [[zbound]]-supported type
     * — the date-keyed "recompute this day and swap it in" backfill,
@@ -2951,22 +2959,32 @@ object TableLog {
     * pruning and conflict contract as the long form. */
   def replaceWhereTyped(spark: SparkSession, root: String, keyCol: String,
                         lo: Any, hi: Any, replacement: DataFrame,
-                        name: String, parts: Int): Long = {
+                        name: String, parts: Int,
+                        asOf: Option[Long] = None): Long = {
     val (kind, qlo) = zbound(lo)
     val (kindHi, qhi) = zbound(hi)
     require(kind == kindHi,
       s"TableLog.replaceWhereTyped: bound kinds differ ($kind vs $kindHi)")
     replaceWhereCore(spark, root, keyCol, kind, qlo, qhi,
-      zlit(lo), zlit(hi), replacement, name, parts, trustLegacy = false)
+      zlit(lo), zlit(hi), replacement, name, parts, trustLegacy = false,
+      asOf = asOf)
   }
 
+  /** `asOf` pins the READ VERSION the replacement was derived from
+    * (GraftSql's UPDATE builds its slice from a version-pinned
+    * snapshot BEFORE calling in): the conflict guard then covers
+    * every commit after that pin — without it, a commit landing
+    * between the caller's read and this re-read would have its
+    * in-range rows silently dropped by the rewrite (the guard only
+    * rejects adds after ITS OWN readV). */
   private def replaceWhereCore(spark: SparkSession, root: String,
                                keyCol: String, kind: String,
                                qlo: String, qhi: String,
                                loLit: org.apache.spark.sql.Column,
                                hiLit: org.apache.spark.sql.Column,
                                replacement: DataFrame, name: String,
-                               parts: Int, trustLegacy: Boolean): Long = {
+                               parts: Int, trustLegacy: Boolean,
+                               asOf: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions._
     require(activeDeletes(spark, root).isEmpty,
       s"TableLog.replaceWhere: $root has delete sidecars in force — " +
@@ -2980,8 +2998,8 @@ object TableLog {
       s"TableLog.replaceWhere: replacement rows outside [$qlo, $qhi] on " +
         s"'$keyCol' (or with NULL key) — they would widen the " +
         "overwrite beyond the predicate")
-    val readV = versions(spark, root).lastOption.getOrElse(
-      sys.error(s"TableLog.replaceWhere: empty log at $root"))
+    val readV = asOf.getOrElse(versions(spark, root).lastOption.getOrElse(
+      sys.error(s"TableLog.replaceWhere: empty log at $root")))
     val zones = collectZoneRows(spark, root, Some(readV))
     val touched = touchedFrom(activeFiles(spark, root, Some(readV)),
       zones, keyCol, kind, Some(qlo), Some(qhi), trustLegacy)

@@ -135,11 +135,18 @@ object GraftSql {
     * snapshot. */
   private case class Target(root: String,
       ident: Option[org.apache.spark.sql.catalyst.TableIdentifier]) {
-    /** Wrap a mutation body: run, then invalidate the name's cached
-      * relation so subsequent name reads re-resolve at the new head. */
+    /** Wrap a mutation body: run, then invalidate the cached relation
+      * so subsequent name reads re-resolve at the new head. A
+      * NAME-addressed mutation drops exactly its own entry; a
+      * PATH-addressed one cannot know which catalog names point at
+      * this root (the relation cache is keyed by name), so it drops
+      * the whole relation cache — blunt, but mutations are rare next
+      * to reads and a stale version-pinned snapshot served forever is
+      * silent wrong data. */
     def refreshing[A](body: SparkSession => A): SparkSession => A = s => {
       val out = body(s)
-      ident.foreach(s.sessionState.catalog.refreshTable)
+      ident.fold(s.sessionState.catalog.invalidateAllCachedTables())(
+        s.sessionState.catalog.refreshTable)
       out
     }
   }
@@ -153,14 +160,8 @@ object GraftSql {
     * shape. */
   private def resolveTarget(path: String, name: String): Option[Target] =
     if (path != null) Some(Target(path, None))
-    else scala.util.Try {
-      val spark = SparkSession.active
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-      val meta = spark.sessionState.catalog.getTableMetadata(ident)
-      meta.provider.map(_.toLowerCase)
-        .filter(InsertIntoTableLogRule.providerNames.contains)
-        .map(_ => Target(meta.location.toString, Some(ident)))
-    }.toOption.flatten
+    else InsertIntoTableLogRule.resolveTableLog(SparkSession.active, name)
+      .map { case (ident, loc) => Target(loc, Some(ident)) }
 
   // ---- statement grammar (regex — fixed statement shapes, not a
   // ---- general SQL dialect; anything unmatched falls through to
@@ -181,9 +182,13 @@ object GraftSql {
   private val Merge =
     (s"""(?is)\\s*MERGE\\s+INTO\\s+$T\\s+USING\\s+""" +
       """([\w.]+|\(.*\))\s+ON\s+(\w+)\s+BUCKETS\s+(\d+)\s+(WHEN\s.*?);?\s*""").r
+  // clause boundaries anchor on `WHEN [NOT] MATCHED` specifically —
+  // a bare `WHEN` lookahead would split inside `CASE WHEN ...`
+  // expressions in a SET assignment
   private val MergeClauseRe =
     ("""(?is)\s*WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-      """(UPDATE\s+SET\s+(.+?)|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)""").r
+      """(UPDATE\s+SET\s+(.+?)|DELETE|INSERT\s+\*)\s*""" +
+      """(?=WHEN\s+(?:NOT\s+)?MATCHED\s|$)""").r
   private val Restore =
     (s"""(?is)\\s*RESTORE\\s+$T\\s+TO\\s+VERSION\\s+AS\\s+OF""" +
       """\s+(\d+)\s*;?\s*""").r
@@ -353,26 +358,47 @@ object GraftSql {
         resolveTarget(path, name).map { t => val root = t.root
           val assigns = parseAssigns(setText, "UPDATE")
           GraftVersionCommand(s"UPDATE $root", t.refreshing(s => {
-            import org.apache.spark.sql.functions.expr
+            import org.apache.spark.sql.functions.{col, expr}
             val tl = graft.operators.TableLog
-            val snap = graft.operators.TableLogRelation.snapshotDf(s, root)
-            assigns.foreach { case (c, _) =>
-              require(snap.columns.contains(c),
+            // pin the read version and derive the slice AT it, then
+            // hand the SAME pin to replaceWhere — its conflict guard
+            // then covers every commit after this read (an un-pinned
+            // pair would let a commit racing in between vanish)
+            val readV = tl.versions(s, root).lastOption.getOrElse(
+              sys.error(s"GraftSql: UPDATE on empty log at $root"))
+            val snap = graft.operators.TableLogRelation
+              .snapshotDf(s, root, Some(readV))
+            // SET columns resolve like Spark does (case-insensitive);
+            // one column assigned twice is ambiguous, refuse it
+            val byLower = snap.columns.map(c => c.toLowerCase -> c).toMap
+            val resolved = assigns.map { case (c, e) =>
+              byLower.getOrElse(c.toLowerCase, sys.error(
                 s"GraftSql: UPDATE SET column '$c' is not a table column " +
-                  s"(table has ${snap.columns.mkString(",")})") }
+                  s"(table has ${snap.columns.mkString(",")})")) -> e }
+            require(resolved.map(_._1).distinct.size == resolved.size,
+              s"GraftSql: UPDATE assigns a column more than once " +
+                s"(${resolved.map(_._1).mkString(", ")})")
+            val assignFor = resolved.toMap
             // the slice predicate reuses the ORIGINAL SQL literals —
             // DATE '...' / TIMESTAMP '...' are valid Spark SQL too
             val slice = snap.filter(expr(s"$keyCol BETWEEN $loS AND $hiS"))
-            val updated = assigns.foldLeft(slice) { case (df, (c, e)) =>
-              df.withColumn(c, expr(e).cast(snap.schema(c).dataType)) }
+            // ONE select: every RHS evaluates against the PRE-UPDATE
+            // row (SQL semantics — `SET a = b, b = a` swaps; a
+            // sequential withColumn chain would feed later
+            // assignments the already-updated values)
+            val updated = slice.select(snap.columns.toSeq.map { c =>
+              assignFor.get(c)
+                .map(e => expr(e).cast(snap.schema(c).dataType).as(c))
+                .getOrElse(col(c))
+            }: _*)
             val nParts = Option(parts).map(_.toInt).getOrElse(4)
             (sqlLit(loS), sqlLit(hiS)) match {
               case (lo: Long, hi: Long) =>
                 tl.replaceWhere(s, root, keyCol, lo, hi, updated,
-                  name = "sqlupdate", parts = nParts)
+                  name = "sqlupdate", parts = nParts, asOf = Some(readV))
               case (lo, hi) =>
                 tl.replaceWhereTyped(s, root, keyCol, lo, hi, updated,
-                  name = "sqlupdate", parts = nParts)
+                  name = "sqlupdate", parts = nParts, asOf = Some(readV))
             }
           }))
         }
@@ -511,14 +537,8 @@ object GraftSql {
     * unchanged. */
   private def resolveRoot(s: String): String =
     if (s.contains("/")) s
-    else scala.util.Try {
-      val spark = SparkSession.active
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(s))
-      meta.provider.map(_.toLowerCase)
-        .filter(InsertIntoTableLogRule.providerNames.contains)
-        .map(_ => meta.location.toString)
-    }.toOption.flatten.getOrElse(s)
+    else InsertIntoTableLogRule.resolveTableLog(SparkSession.active, s)
+      .map(_._2).getOrElse(s)
 
   private def litString(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a string literal")
@@ -529,7 +549,11 @@ object GraftSql {
   private def litLong(e: Expression, what: String): Long = {
     require(e.foldable, s"$what must be an integer literal")
     e.eval() match {
-      case n: Number => n.longValue
+      // INTEGRAL only — a Double/Float literal would silently
+      // truncate (1.9 -> 1) and answer for a different argument
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        n.asInstanceOf[Number].longValue
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got " +
           s"${Option(other).fold("NULL")(_.toString)}")
@@ -641,7 +665,11 @@ object GraftSql {
   private def litBound(e: Expression, what: String): Any = {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {
-      case n: Number => n.longValue
+      // INTEGRAL only — a fractional bound silently truncated would
+      // aggregate a different window than the user asked for
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        n.asInstanceOf[Number].longValue
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case other => throw new IllegalArgumentException(
         s"$what must be an integer or string literal, got " +

@@ -49,9 +49,32 @@ case class InsertIntoTableLogRule(session: SparkSession)
 
 object InsertIntoTableLogRule {
   /** Provider spellings that address [[graft.sources.TableLogSource]]
-    * in the catalog (`USING tablelog` / the full class name). */
+    * in the catalog (`USING tablelog` / `USING graft` / either full
+    * class name — a spelling missing here silently bypasses the
+    * transactional INSERT swap AND every named-target resolution, so
+    * the set must cover every way the provider can be written). */
   val providerNames: Set[String] =
-    Set("tablelog", "graft", "graft.sources.tablelogsource")
+    Set("tablelog", "graft", "graft.sources.tablelogsource",
+      "graft.sources.graftsource")
+
+  /** THE catalog-name resolution every graft face shares (SQL-text
+    * targets, TVF roots, the streaming `table` option): parse the
+    * identifier, look up the session catalog's metadata, and accept
+    * only a registered tablelog-provider table — returning its
+    * identifier (mutations must invalidate its cached relation) and
+    * location. None = absent or not a tablelog table; the caller
+    * decides whether that falls through (SQL statements) or refuses
+    * loudly (streaming). In-memory catalog metadata — no filesystem
+    * I/O. */
+  def resolveTableLog(spark: org.apache.spark.sql.SparkSession,
+      name: String): Option[
+      (org.apache.spark.sql.catalyst.TableIdentifier, String)] =
+    scala.util.Try {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      meta.provider.map(_.toLowerCase).filter(providerNames.contains)
+        .map(_ => (ident, meta.location.toString))
+    }.toOption.flatten
 }
 
 /** The swapped-in INSERT: evaluates the (already-analyzed,

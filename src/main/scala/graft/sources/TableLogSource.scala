@@ -157,14 +157,10 @@ class TableLogSource extends RelationProvider
     * streaming a foreign table's directory as if it were a log). */
   private def rootOf(parameters: Map[String, String]): String =
     parameters.get("path").orElse(parameters.get("table").map { n =>
-      val spark = org.apache.spark.sql.SparkSession.active
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(n)
-      val meta = spark.sessionState.catalog.getTableMetadata(ident)
-      require(meta.provider.map(_.toLowerCase)
-          .exists(graft.plans.InsertIntoTableLogRule.providerNames.contains),
-        s"TableLogSource: table '$n' is not a tablelog table " +
-          s"(provider: ${meta.provider.getOrElse("none")})")
-      meta.location.toString
+      graft.plans.InsertIntoTableLogRule
+        .resolveTableLog(org.apache.spark.sql.SparkSession.active, n)
+        .map(_._2).getOrElse(sys.error(
+          s"TableLogSource: table '$n' is not a tablelog table"))
     }).getOrElse(sys.error(
       "TableLogSource: pass the table root via .load(root)/.save(root), " +
         ".option(\"path\", root), or .option(\"table\", <catalog name>)"))

@@ -298,14 +298,10 @@ class TableChangesSourceProvider extends StreamSourceProvider {
     // (non-tablelog names refuse loudly)
     val root = parameters.get("path")
       .orElse(parameters.get("table").map { n =>
-        val spark = org.apache.spark.sql.SparkSession.active
-        val meta = spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(n))
-        require(meta.provider.map(_.toLowerCase)
-            .exists(graft.plans.InsertIntoTableLogRule.providerNames.contains),
-          s"tablechanges: table '$n' is not a tablelog table " +
-            s"(provider: ${meta.provider.getOrElse("none")})")
-        meta.location.toString
+        graft.plans.InsertIntoTableLogRule
+          .resolveTableLog(org.apache.spark.sql.SparkSession.active, n)
+          .map(_._2).getOrElse(sys.error(
+            s"tablechanges: table '$n' is not a tablelog table"))
       })
       .getOrElse(sys.error("tablechanges source requires option 'path' " +
         "(the table root) or option 'table' (a catalog-named tablelog table)"))

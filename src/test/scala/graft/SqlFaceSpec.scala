@@ -384,6 +384,71 @@ class SqlFaceSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $t"))
   }
 
+  test("review-pinned semantics: UPDATE SET evaluates every RHS against " +
+      "the PRE-update row; CASE WHEN inside MERGE SET parses; named " +
+      "reads see path-addressed mutations; fractional TVF bounds and " +
+      "case-colliding ADD COLUMNS refuse loudly; the full GraftSource " +
+      "class name keeps the transactional INSERT") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshTable(2)
+    // UPDATE swap semantics: both RHS see the pre-update row — a
+    // sequential withColumn chain would feed grp the UPDATED text
+    spark.sql(s"UPDATE graft.`$root` SET text = concat('g', grp), " +
+      "grp = length(text) WHERE id BETWEEN 10 AND 11")
+    val r10 = graft.operators.TableLog.snapshot(spark, root)
+      .filter(col("id") === 10L).head()
+    assert(r10.getString(1) === "g3", "text from the ORIGINAL grp (10%7=3)")
+    assert(r10.getLong(2) === 3L, "grp from the ORIGINAL text ('t10')")
+    // assigning one column twice is ambiguous
+    val eDup = intercept[Exception](spark.sql(
+      s"UPDATE graft.`$root` SET grp = 1, grp = 2 WHERE id BETWEEN 0 AND 1"))
+    assert(eDup.getMessage.contains("more than once"))
+    // a named read AFTER a path-addressed mutation must not serve the
+    // stale cached relation (fresh root: the UPDATE above re-staged
+    // un-bucketed files, and the MERGE below needs the bucketed base)
+    val root2 = freshTable(2)
+    val tbl = "sqlface_stale_t"
+    spark.sql(s"CREATE TABLE $tbl USING tablelog LOCATION '$root2'")
+    // CASE WHEN inside a MERGE SET assignment parses (clause split
+    // anchors on WHEN [NOT] MATCHED, not any WHEN) — run it on the
+    // still-bucketed base, before the DELETE re-stages files
+    Seq((100L, "u", 1L)).toDF("id", "text", "grp")
+      .createOrReplaceTempView("sqlface_case_src")
+    spark.sql(s"""MERGE INTO $tbl USING sqlface_case_src ON id BUCKETS 2
+      WHEN MATCHED THEN UPDATE SET
+        grp = CASE WHEN s.grp > 0 THEN 99 ELSE 0 END
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table(tbl).filter(col("id") === 100L)
+      .head().getLong(2) === 99L)
+    val before = spark.table(tbl).count() // warm the relation cache
+    assert(before === 300L)
+    spark.sql(s"DELETE FROM graft.`$root2` WHERE id BETWEEN 0 AND 99")
+    assert(spark.table(tbl).count() === 200L,
+      "path-addressed DELETE must invalidate the name's cached relation")
+    // fractional bounds refuse instead of silently truncating
+    val eFrac = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_table_window_stats('$root2', 'id', 1.9, 9.9, " +
+        "'grp')").collect())
+    assert(eFrac.getMessage.contains("integer"))
+    // case-colliding ADD COLUMNS refuses (the schema would brick
+    // every case-insensitive read)
+    val eCase = intercept[Exception](spark.sql(
+      s"ALTER TABLE $tbl ADD COLUMNS (TEXT BIGINT)"))
+    assert(eCase.getMessage.contains("already exists"))
+    spark.sql(s"DROP TABLE $tbl")
+    // the full GraftSource class name is a recognized provider: the
+    // INSERT must commit through the log, not drop unlogged parquet
+    val dir2 = Files.createTempDirectory("graft_sqlface_fullname").toString
+    spark.sql("CREATE TABLE sqlface_fullname (id BIGINT) " +
+      s"USING graft.sources.GraftSource LOCATION '$dir2/t'")
+    spark.sql("INSERT INTO sqlface_fullname VALUES (1)")
+    assert(graft.operators.TableLog.versions(spark, s"$dir2/t") === Seq(0L),
+      "the INSERT must be a logged commit under the full class name too")
+    assert(spark.table("sqlface_fullname").count() === 1L)
+    spark.sql("DROP TABLE sqlface_fullname")
+  }
+
   test("TVF root arguments accept catalog names: graft_table('name', v) " +
       "is named time travel; unresolved strings stay paths") {
     val spark0 = spark
