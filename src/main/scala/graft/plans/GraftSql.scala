@@ -208,6 +208,15 @@ object GraftSql {
   private val DropCon =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)""" +
       """\s*;?\s*""").r
+  // CREATE TABLE ... USING <graft provider> with a PARTITIONED BY /
+  // CLUSTERED BY clause: Spark's v1 path stores the spec in the
+  // catalog and then IGNORES it — files land unpartitioned while the
+  // catalog claims otherwise, the silent-wrong-layout class. Refuse
+  // at parse with the format's actual layout mechanism.
+  private val PartitionedCreate =
+    ("""(?is)\s*CREATE\s+TABLE\s+.*\bUSING\s+(?:tablelog|""" +
+      """graft\.sources\.tablelogsource|graft\.sources\.graftsource|""" +
+      """graft)\b.*\b(?:PARTITIONED|CLUSTERED)\s+BY\b.*""").r
   // a graft-addressed statement that matches none of the shapes above
   private val GraftHead =
     """(?is)\s*(DESCRIBE\s+HISTORY|DESCRIBE\s+DETAIL|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|UPDATE|RESTORE|VACUUM|ALTER\s+TABLE|TRUNCATE\s+TABLE)\s+graft\.`.*""".r
@@ -509,6 +518,13 @@ object GraftSql {
           t.refreshing(s => graft.operators.TableLog.dropCheckConstraint(
             s, t.root, cname)))
       }
+      case PartitionedCreate() => sys.error(
+        "GraftSql: PARTITIONED BY / CLUSTERED BY on a tablelog table " +
+          "is not supported — Spark's v1 path would silently ignore " +
+          "the spec (files land unpartitioned while the catalog claims " +
+          "otherwise). The format's layout mechanism is zone-map " +
+          "clustering: stage with stageWithZoneMap / the clusterBy " +
+          "writer option, or OPTIMIZE <table> KEY <id> CLUSTER BY (...)")
       case GraftHead(verb) => sys.error(
         s"GraftSql: malformed $verb statement for a graft.`<root>` " +
           "table — see graft.plans.GraftSql for the statement shapes")

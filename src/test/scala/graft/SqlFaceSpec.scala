@@ -447,6 +447,17 @@ class SqlFaceSpec extends AnyFunSuite {
       "the INSERT must be a logged commit under the full class name too")
     assert(spark.table("sqlface_fullname").count() === 1L)
     spark.sql("DROP TABLE sqlface_fullname")
+    // PARTITIONED BY on a tablelog CREATE refuses loudly — Spark's
+    // v1 path would silently ignore the spec (unpartitioned files
+    // under a catalog claiming otherwise)
+    val ePart = intercept[Exception](spark.sql(
+      "CREATE TABLE sqlface_part (id BIGINT, day STRING) USING " +
+        s"tablelog PARTITIONED BY (day) LOCATION '$dir2/p'"))
+    assert(ePart.getMessage.contains("zone-map"))
+    // ... while a non-graft PARTITIONED BY CREATE stays Spark's
+    spark.sql("CREATE TABLE sqlface_part_pq (id BIGINT, day STRING) " +
+      s"USING parquet PARTITIONED BY (day) LOCATION '$dir2/q'")
+    spark.sql("DROP TABLE sqlface_part_pq")
   }
 
   test("TVF root arguments accept catalog names: graft_table('name', v) " +
