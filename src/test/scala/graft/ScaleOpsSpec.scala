@@ -4143,6 +4143,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q4.collect().map(_.getLong(1)).sum === 300L)
     assert(fileScans(q4) > 0, "expression grouping must scan")
   }
+
+  test("replaceWhere asOf pin: a commit racing between the caller's " +
+      "read and the rewrite CONFLICTS instead of silently dropping its " +
+      "in-range rows; the re-derived retry commits cleanly") {
+    import graft.operators.TableLog
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_rw_pin").toString + "/t"
+    val base = (0L until 100L).map(i => (i, i * 2)).toDF("k", "v")
+    val (f0, zm0) = TableLog.stageWithZoneMap(base, root, "base", "k", 4)
+    TableLog.commit(spark0, root, f0, Nil, zmap = zm0)
+    // the caller (GraftSql's UPDATE shape) reads at v0 and derives its
+    // replacement slice from that pinned snapshot
+    val readV = TableLog.versions(spark0, root).last
+    def deriveAt(v: Long) = graft.operators.TableLogRelation
+      .snapshotDf(spark0, root, Some(v))
+      .filter(col("k").between(10L, 20L))
+      .withColumn("v", col("v") + 1000L)
+    val slice = deriveAt(readV)
+    // a concurrent append lands an IN-RANGE row AFTER that read
+    TableLog.commit(spark0, root,
+      TableLog.stageWrite(Seq((15L, 7L)).toDF("k", "v").coalesce(1),
+        root, "race"), Nil)
+    // PINNED at the caller's read version, the rewrite must refuse —
+    // committing would silently drop the raced k=15 row (an un-pinned
+    // rewrite re-reads the head as its own readV and the guard misses
+    // the commit in between)
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.replaceWhere(spark0, root, "k", 10L, 20L, slice,
+        name = "upd", parts = 2, asOf = Some(readV))
+    }
+    // the conflict-and-retry contract: re-derive at the NEW head and
+    // the same rewrite commits cleanly, updating BOTH k=15 rows
+    val head = TableLog.versions(spark0, root).last
+    TableLog.replaceWhere(spark0, root, "k", 10L, 20L, deriveAt(head),
+      name = "upd2", parts = 2, asOf = Some(head))
+    val after = TableLog.snapshot(spark0, root)
+    assert(after.filter(col("k") === 15L).count() === 2L)
+    assert(after.filter(col("k") === 15L && col("v") === 1007L)
+      .count() === 1L, "the raced row must be updated, not dropped")
+    assert(after.filter(col("k").between(10L, 20L) && col("v") < 1000L)
+      .count() === 0L)
+  }
 }
 
 /** A local filesystem registered under the `graftsd` scheme — the
@@ -4176,4 +4219,5 @@ object CountingLocalFs {
         p.getName.endsWith(".parquet")) dataStats.incrementAndGet()
   def reset(): Unit = dataStats.set(0)
   def dataFileStats(): Int = dataStats.get()
+
 }
