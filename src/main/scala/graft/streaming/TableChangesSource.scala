@@ -60,7 +60,9 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
                          maxVersionsPerTrigger: Option[Long] = None,
                          metadataPath: String = "",
                          maxBytesPerTrigger: Option[Long] = None)
-  extends Source {
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
@@ -147,14 +149,68 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
     * at or past `startingVersion`. Versions only grow, so offsets are
     * monotone; the byte walk costs O(admission window) tiny entry
     * reads per trigger, only while a byte cap is set. */
-  override def getOffset: Option[OffsetV1] = {
+  override def getOffset: Option[OffsetV1] =
+    cappedHead(servedHi.orElse(restoredServed)).map { capped =>
+      record(capped)
+      VersionOffset(capped)
+    }
+
+  // ---- Trigger.AvailableNow (the Delta DeltaSource pattern: a V1
+  // Source that ALSO implements SupportsTriggerAvailableNow /
+  // SupportsAdmissionControl, so the engine uses the source's OWN
+  // fence instead of wrapping it). Without this, Spark's
+  // AvailableNowSourceWrapper snapshots ONE getOffset call as the
+  // fence — which, under maxVersionsPerTrigger, is the FIRST CAPPED
+  // offset: a capped AvailableNow run would serve one bounded batch
+  // and terminate, silently leaving the rest of the backlog for the
+  // "next run" the user isn't going to start. Here the fence is the
+  // TRUE head at launch; capped triggers then drain TO it, and the
+  // run ends exactly when the fence is reached. ----
+  @volatile private var availableNowFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowFence = TableLog.versions(spark, root).lastOption
+      .filter(_ >= startingVersion)
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The SupportsAdmissionControl face of [[getOffset]]: the engine
+    * passes the previous end offset, which seeds the cap base exactly
+    * like the persisted marker (and survives the marker being lost).
+    * Returns null for "no data yet" per the v2 contract. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val engineBase = Option(start).map {
+      case o: OffsetV1 => VersionOffset.versionOf(o)
+      case other => other.json().trim.toLong
+    }
+    val base = engineBase.orElse(servedHi).orElse(restoredServed)
+    cappedHead(base) match {
+      case None => null
+      case Some(c) =>
+        // clamp to the launch fence: versions committed after
+        // prepare wait for the next run
+        val fenced = availableNowFence.fold(c)(f => math.min(c, f))
+        if (base.exists(_ >= fenced)) null
+        else { record(fenced); VersionOffset(fenced) }
+    }
+  }
+
+  /** The latest servable offset under the caps, from `base` (the
+    * last exposed/committed version; None = no base known). */
+  private def cappedHead(baseOpt: Option[Long]): Option[Long] = {
     val listed = TableLog.versions(spark, root)
     val latest = listed.lastOption
     lazy val listedSet = listed.toSet
     latest.filter(_ >= startingVersion).map { l =>
       val capped =
         if (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) l
-        else servedHi.orElse(restoredServed)
+        else baseOpt
           .orElse(if (freshCheckpoint) Some(startingVersion - 1L) else None)
           .fold(l) { base =>
             val vCap = maxVersionsPerTrigger.fold(l)(k => math.min(l, base + k))
@@ -201,8 +257,7 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
                 end
             }
           }
-      record(capped)
-      VersionOffset(capped)
+      capped
     }
   }
 

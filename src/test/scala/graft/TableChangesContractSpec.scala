@@ -152,6 +152,41 @@ class TableChangesContractSpec extends AnyFunSuite with StreamSourceContract {
     assert(ids() === 1200)
   }
 
+  test("Trigger.AvailableNow drains a capped backlog to the launch-time " +
+      "fence across bounded triggers, exactly once, and stops — new " +
+      "commits after launch wait for the next run") {
+    val env = fixture.newEnv()
+    env.append(800) // v1..v8: 100 rows each
+    // capped at 2 versions/trigger: AvailableNow must still drain the
+    // WHOLE pre-launch backlog (4 bounded triggers), then terminate
+    val q = env.stream(capped = true).writeStream.format("parquet")
+      .option("path", env.outDir)
+      .option("checkpointLocation", env.ckptDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    def rows() = spark.read.parquet(env.outDir).count()
+    def ids() = spark.read.parquet(env.outDir)
+      .select("doc_id").distinct().count()
+    assert(rows() === 800L && ids() === 800L,
+      s"AvailableNow must drain the whole backlog, got ${rows()}")
+    // commits landing AFTER the run ended are NOT served until the
+    // next explicitly-started run (the fence semantics)…
+    env.append(100)
+    assert(rows() === 800L)
+    // …and that next run serves exactly the delta, no re-serve
+    val q2 = env.stream(capped = true).writeStream.format("parquet")
+      .option("path", env.outDir)
+      .option("checkpointLocation", env.ckptDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(180000)
+    assert(rows() === 900L && ids() === 900L,
+      s"the second run must serve exactly the new commits, got ${rows()}")
+  }
+
   test("the catalog-named streaming face: option(\"table\") resolves a " +
       "registered tablelog table on BOTH source and sink; a " +
       "non-tablelog name refuses loudly") {
