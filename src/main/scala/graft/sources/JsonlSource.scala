@@ -187,9 +187,16 @@ class JsonlReaderFactory(fullSchema: StructType, required: StructType,
       partition.asInstanceOf[JsonlPartition])
 }
 
-/** Reads lines whose TERMINATOR lies in [start, end): the standard
-  * split-ownership rule — a line belongs to the split its newline ends
-  * in, so every line is read exactly once across splits. */
+/** Reads lines whose FIRST BYTE lies in [start, end): a line belongs
+  * to the range containing its start, and a line SPANNING a boundary
+  * is read whole by the range it starts in (the next range discards
+  * the remainder). First-byte ownership — unlike the Hadoop
+  * terminator rule — stays exactly-once across STREAMING BATCHES
+  * too: an uncapped micro-batch always ends at EOF, which is a line
+  * boundary, and the terminator rule would make the next batch
+  * discard a line nobody read (the previous batch could not overshoot
+  * past bytes that did not exist yet). Whether the boundary splits a
+  * line is decided locally by peeking the byte before `start`. */
 class JsonlReader(fullSchema: StructType, required: StructType,
                   pushed: Array[Filter], part: JsonlPartition)
   extends PartitionReader[InternalRow] {
@@ -200,12 +207,16 @@ class JsonlReader(fullSchema: StructType, required: StructType,
   private var row: InternalRow = _
   private var done = false
 
-  // seek, then discard the partial line owned by the previous split
+  // seek; discard the remainder of a line SPANNING our start (owned
+  // by the range containing its first byte). The byte before `start`
+  // tells which case holds: '\n' means `start` opens a fresh line —
+  // ours, nothing to discard.
   if (part.start > 0) {
     var skipped = 0L
-    while (skipped < part.start) skipped += in.skip(part.start - skipped)
+    while (skipped < part.start - 1) skipped += in.skip(part.start - 1 - skipped)
+    val prevByte = in.read()
     pos = part.start
-    readLine() // partial (or whole) line ending in our range: ours starts after it
+    if (prevByte != '\n') readLine() // mid-line: the starter read it whole
   }
 
   private def readLine(): String = {
@@ -269,10 +280,10 @@ class JsonlReader(fullSchema: StructType, required: StructType,
     if (done) return false
     var line: String = null
     var accepted = false
-    // start a new line while pos <= end: the line that STARTS exactly at
-    // `end` is read here and discarded by the next split's initial skip —
-    // the Hadoop LineRecordReader ownership pairing, exactly-once lines
-    while (!accepted && { line = if (pos <= part.end) readLine() else null; line != null }) {
+    // start a new line only while pos < end: a line whose first byte
+    // is AT `end` belongs to the next range (first-byte ownership);
+    // one STARTING before `end` is ours whole, reading past `end`
+    while (!accepted && { line = if (pos < part.end) readLine() else null; line != null }) {
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         val node = mapper.readTree(trimmed)
@@ -363,7 +374,8 @@ class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
                             maxBytesPerTrigger: Long,
                             retireDeleted: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   /** Per-file high-water mark of every offset this stream has seen —
@@ -381,6 +393,22 @@ class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
 
   override def initialOffset(): Offset = JsonlOffset(Map.empty)
 
+  // ---- Trigger.AvailableNow, implemented DIRECTLY (not via Spark's
+  // AvailableNowMicroBatchStreamWrapper): the wrapper snapshots ONE
+  // latestOffset call as the run's single batch end — under
+  // maxBytesPerTrigger that is the first CAPPED offset, so a capped
+  // AvailableNow run served one bounded batch and silently left the
+  // backlog. Here the fence is the TRUE per-file length snapshot at
+  // launch; capped triggers then drain TO the fence (files created
+  // after launch — or bytes appended past a fenced position — wait
+  // for the next run), and the run ends when the fence is reached.
+  @volatile private var availableNowFence: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = Some(
+      JsonlScan.listFiles(path)
+        .map(f => f.getAbsolutePath -> f.length()).toMap)
+
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Admission-control path: the engine hands us the batch's START
@@ -394,9 +422,14 @@ class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
     JsonlScan.listFiles(path).foreach { f =>
       val fp = f.getAbsolutePath
       val done = prev.getOrElse(fp, 0L)
+      // under an AvailableNow fence, a post-launch file (absent from
+      // the fence) and bytes past a fenced position wait for the
+      // next run
+      val visible = availableNowFence
+        .fold(f.length())(fence => math.min(f.length(), fence.getOrElse(fp, 0L)))
       // never regress a file's position (a shrunk file would otherwise
       // re-serve bytes); admission in stable name order up to the cap
-      val take = math.max(0L, math.min(f.length() - done, budget))
+      val take = math.max(0L, math.min(visible - done, budget))
       budget -= take
       out += fp -> (done + take)
     }

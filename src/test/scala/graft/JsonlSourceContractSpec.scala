@@ -48,4 +48,57 @@ class JsonlSourceContractSpec extends AnyFunSuite with StreamSourceContract {
       val outDir: String = base.resolve("out").toString
     }
   }
+
+  test("exactly-once across an EOF batch boundary: full drain, append, " +
+      "drain again — the first appended line is not dropped (an " +
+      "uncapped batch always ends at EOF, a line boundary; terminator-" +
+      "rule ownership discarded the next line nobody had read)") {
+    val env = fixture.newEnv()
+    def drain(): Unit = {
+      val q = env.stream(capped = false).writeStream.format("parquet")
+        .option("path", env.outDir)
+        .option("checkpointLocation", env.ckptDir)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    env.append(100)
+    drain()
+    def rows() = spark.read.parquet(env.outDir).count()
+    assert(rows() === 100L)
+    env.append(50) // resumes EXACTLY at the previous EOF line boundary
+    drain()
+    assert(rows() === 150L, s"the EOF-boundary resume dropped rows: ${rows()}")
+    assert(spark.read.parquet(env.outDir)
+      .select("event_id").distinct().count() === 150L)
+  }
+
+  test("Trigger.AvailableNow under maxBytesPerTrigger drains the whole " +
+      "pre-launch backlog in bounded triggers and stops at the " +
+      "launch-time fence; the next run serves exactly the delta") {
+    val env = fixture.newEnv()
+    env.append(2000) // ~120 KB >> the 9 KB cap: many bounded triggers
+    def run(): Unit = {
+      val q = env.stream(capped = true).writeStream.format("parquet")
+        .option("path", env.outDir)
+        .option("checkpointLocation", env.ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    run()
+    def rows() = spark.read.parquet(env.outDir).count()
+    def ids() = spark.read.parquet(env.outDir)
+      .select("event_id").distinct().count()
+    assert(rows() === 2000L && ids() === 2000L,
+      s"a capped AvailableNow run must drain to the launch fence, got ${rows()}")
+    // post-launch appends wait for the next explicitly-started run…
+    env.append(300)
+    assert(rows() === 2000L)
+    // …which serves exactly the delta, exactly once (mid-file fence:
+    // the new bytes append to the SAME file the fence cut)
+    run()
+    assert(rows() === 2300L && ids() === 2300L,
+      s"the second run must serve exactly the appended rows, got ${rows()}")
+  }
 }
