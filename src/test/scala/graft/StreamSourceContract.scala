@@ -109,4 +109,43 @@ trait StreamSourceContract { this: AnyFunSuite =>
     run(env, capped = false, once = false) // no new data arrived
     assert(rows(env) === 200, "idle restart replayed already-committed offsets")
   }
+
+  test(s"${fixture.sourceName} contract: exactly-once across a caught-up " +
+      "batch boundary (full drain, append, drain again — the first " +
+      "record appended after a drain is the classic boundary drop)") {
+    val env = fixture.newEnv()
+    env.append(300)
+    run(env, capped = false, once = false)
+    assert(rows(env) === 300)
+    env.append(100) // resumes exactly at the caught-up boundary offset
+    run(env, capped = false, once = false)
+    assert(rows(env) === 400,
+      s"the caught-up-boundary resume lost records: ${rows(env)}")
+    assert(distinctIds(env) === 400)
+  }
+
+  test(s"${fixture.sourceName} contract: Trigger.AvailableNow under " +
+      "admission caps drains the whole pre-launch backlog to the " +
+      "launch-time fence and stops; the next run serves exactly the delta") {
+    val env = fixture.newEnv()
+    env.append(1000)
+    def availableNow(): Unit = {
+      val q = env.stream(capped = true).writeStream.format("parquet")
+        .option("path", env.outDir)
+        .option("checkpointLocation", env.ckptDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    availableNow()
+    assert(rows(env) === 1000 && distinctIds(env) === 1000,
+      s"a capped AvailableNow run must drain to the launch fence, got ${rows(env)}")
+    env.append(200)
+    assert(rows(env) === 1000,
+      "records appended after the run must wait for the next run")
+    availableNow()
+    assert(rows(env) === 1200 && distinctIds(env) === 1200,
+      s"the second run must serve exactly the delta, got ${rows(env)}")
+  }
 }
