@@ -214,9 +214,14 @@ object GraftSql {
   // catalog claims otherwise, the silent-wrong-layout class. Refuse
   // at parse with the format's actual layout mechanism.
   private val PartitionedCreate =
-    ("""(?is)\s*CREATE\s+TABLE\s+.*\bUSING\s+(?:tablelog|""" +
+    ("""(?is)\s*CREATE\s+TABLE\s+.*\bUSING\s+`?(?:tablelog|""" +
       """graft\.sources\.tablelogsource|graft\.sources\.graftsource|""" +
-      """graft)\b.*\b(?:PARTITIONED|CLUSTERED)\s+BY\b.*""").r
+      """graft)`?(?![\w.]).*\b(?:PARTITIONED|CLUSTERED)\s+BY\b.*""").r
+  /** Single-quoted SQL literals blanked, so clause-keyword checks
+    * (PartitionedCreate) cannot false-match inside a COMMENT or
+    * LOCATION string. */
+  private def blankLiterals(sql: String): String =
+    sql.replaceAll("'[^']*'", "''")
   // a graft-addressed statement that matches none of the shapes above
   private val GraftHead =
     """(?is)\s*(DESCRIBE\s+HISTORY|DESCRIBE\s+DETAIL|OPTIMIZE|DELETE\s+FROM|MERGE\s+INTO|UPDATE|RESTORE|VACUUM|ALTER\s+TABLE|TRUNCATE\s+TABLE)\s+graft\.`.*""".r
@@ -518,7 +523,7 @@ object GraftSql {
           t.refreshing(s => graft.operators.TableLog.dropCheckConstraint(
             s, t.root, cname)))
       }
-      case PartitionedCreate() => sys.error(
+      case _ if PartitionedCreate.matches(blankLiterals(sqlText)) => sys.error(
         "GraftSql: PARTITIONED BY / CLUSTERED BY on a tablelog table " +
           "is not supported — Spark's v1 path would silently ignore " +
           "the spec (files land unpartitioned while the catalog claims " +

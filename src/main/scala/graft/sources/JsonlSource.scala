@@ -23,10 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * must be:
   *
   *  - **Byte-range splits**, not per-file tasks: each file is cut into
-  *    `split.bytes` chunks (default 32 MiB); a reader seeks to its
-  *    range, skips the partial first line (owned by the previous
-  *    split), and stops at the first line ending past its range — so
-  *    parallelism scales with DATA SIZE, not file count.
+  *    `split.bytes` chunks (default 32 MiB); a line belongs to the
+  *    range containing its FIRST byte — a reader seeks to its range,
+  *    discards the remainder of a line spanning its start (read whole
+  *    by the range the line starts in; the byte before the start
+  *    decides the case locally), and reads lines starting before its
+  *    end — so parallelism scales with DATA SIZE, not file count.
   *  - **Column pruning** (SupportsPushDownRequiredColumns): only
   *    requested fields are extracted from each JSON node.
   *  - **Filter pushdown** (SupportsPushDownFilters): eq/lt/gt/le/ge/
@@ -338,10 +340,15 @@ object JsonlOffset {
   *    a file that grows in place is still consumed correctly as long
   *    as appends are whole lines).
   *  - A batch's partitions are the byte ranges between the two
-  *    offsets, cut into `split.bytes` chunks — the SAME ownership rule
-  *    as the batch reader (a line belongs to the range its terminator
-  *    ends in), so consecutive batches partition the file's lines
-  *    exactly, even when a trigger cap cuts mid-line.
+  *    offsets, cut into `split.bytes` chunks — the SAME first-byte
+  *    ownership rule as the batch reader, so consecutive batches
+  *    partition the file's lines exactly, whether a boundary is a
+  *    trigger cap mid-line or a caught-up batch's EOF on a line
+  *    boundary. (Ownership-rule caveat: a checkpoint whose LAST
+  *    capped offset landed exactly on a line start, written by a
+  *    pre-first-byte-rule build, replays that one line on upgrade —
+  *    drain a query to caught-up before upgrading across the rule
+  *    change.)
   *  - Offsets live in the query's checkpoint WAL; a crashed batch is
   *    re-planned from identical offsets and re-reads identical rows
   *    (deterministic), which with an idempotent/transactional sink is

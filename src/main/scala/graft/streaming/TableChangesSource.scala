@@ -169,8 +169,12 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
   @volatile private var availableNowFence: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowFence = TableLog.versions(spark, root).lastOption
-      .filter(_ >= startingVersion)
+    // a table with nothing servable at launch fences BELOW
+    // startingVersion ("serve nothing") — fence None would conflate
+    // "no data at launch" with "no fence", and commits landing DURING
+    // the run would be served instead of waiting for the next run
+    availableNowFence = Some(TableLog.versions(spark, root).lastOption
+      .filter(_ >= startingVersion).getOrElse(startingVersion - 1L))
   }
 
   override def getDefaultReadLimit
@@ -190,14 +194,26 @@ class TableChangesSource(sqlContext: SQLContext, root: String,
       case other => other.json().trim.toLong
     }
     val base = engineBase.orElse(servedHi).orElse(restoredServed)
-    cappedHead(base) match {
-      case None => null
-      case Some(c) =>
-        // clamp to the launch fence: versions committed after
-        // prepare wait for the next run
-        val fenced = availableNowFence.fold(c)(f => math.min(c, f))
-        if (base.exists(_ >= fenced)) null
-        else { record(fenced); VersionOffset(fenced) }
+    (cappedHead(base), availableNowFence) match {
+      case (None, _) => null
+      case (Some(c), None) =>
+        if (base.exists(_ >= c)) null
+        else { record(c); VersionOffset(c) }
+      case (Some(c), Some(f)) =>
+        // clamp to the launch fence: versions committed after prepare
+        // wait for the next run
+        if (f < startingVersion || base.exists(_ >= f)) null // done
+        else if (base.exists(_ >= math.min(c, f)))
+          // below the fence yet NO admission progress: the byte walk
+          // stalled on a store failure. Under ProcessingTime that
+          // retries next trigger; under AvailableNow a null here ends
+          // the run "successfully" SHORT of the fence — fail loudly
+          // instead (a restart resumes from the committed offset).
+          throw new IllegalStateException(
+            s"TableChangesSource: AvailableNow admission made no " +
+              s"progress at $base below fence $f (transient store " +
+              "failure?) — failing the run rather than ending it short")
+        else { val fenced = math.min(c, f); record(fenced); VersionOffset(fenced) }
     }
   }
 

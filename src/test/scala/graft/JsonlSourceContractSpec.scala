@@ -84,7 +84,8 @@ class JsonlSourceContractSpec extends AnyFunSuite with StreamSourceContract {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      assert(q.awaitTermination(180000),
+        "AvailableNow run did not terminate — fence never reached?")
     }
     run()
     def rows() = spark.read.parquet(env.outDir).count()

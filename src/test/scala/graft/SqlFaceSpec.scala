@@ -458,6 +458,16 @@ class SqlFaceSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE sqlface_part_pq (id BIGINT, day STRING) " +
       s"USING parquet PARTITIONED BY (day) LOCATION '$dir2/q'")
     spark.sql("DROP TABLE sqlface_part_pq")
+    // the clause keywords inside a string LITERAL must not refuse a
+    // legal CREATE (literals are blanked before the check)…
+    spark.sql("CREATE TABLE sqlface_part_cmt (id BIGINT) USING tablelog " +
+      s"COMMENT 'events partitioned by day upstream' LOCATION '$dir2/c'")
+    spark.sql("DROP TABLE sqlface_part_cmt")
+    // …and a BACKQUOTED provider spelling still refuses
+    val ePartBq = intercept[Exception](spark.sql(
+      "CREATE TABLE sqlface_part_bq (id BIGINT, day STRING) USING " +
+        s"`tablelog` PARTITIONED BY (day) LOCATION '$dir2/b'"))
+    assert(ePartBq.getMessage.contains("zone-map"))
   }
 
   test("TVF root arguments accept catalog names: graft_table('name', v) " +

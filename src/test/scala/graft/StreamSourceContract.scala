@@ -136,7 +136,8 @@ trait StreamSourceContract { this: AnyFunSuite =>
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      assert(q.awaitTermination(180000),
+        "AvailableNow run did not terminate — fence never reached?")
     }
     availableNow()
     assert(rows(env) === 1000 && distinctIds(env) === 1000,

@@ -165,7 +165,8 @@ class TableChangesContractSpec extends AnyFunSuite with StreamSourceContract {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000),
+        "AvailableNow run did not terminate — fence never reached?")
     def rows() = spark.read.parquet(env.outDir).count()
     def ids() = spark.read.parquet(env.outDir)
       .select("doc_id").distinct().count()
@@ -182,7 +183,7 @@ class TableChangesContractSpec extends AnyFunSuite with StreamSourceContract {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(180000)
+    assert(q2.awaitTermination(180000), "second AvailableNow run did not terminate")
     assert(rows() === 900L && ids() === 900L,
       s"the second run must serve exactly the new commits, got ${rows()}")
   }
@@ -209,7 +210,7 @@ class TableChangesContractSpec extends AnyFunSuite with StreamSourceContract {
       .writeStream.format("tablelog").option("table", "named_chg_dst")
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "named-sink stream did not terminate")
     assert(TableLog.snapshot(spark, dst).count() === 50L)
     assert(spark.table("named_chg_dst").count() === 50L,
       "the sink's commits must be visible through the name read too")
