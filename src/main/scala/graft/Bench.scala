@@ -14,6 +14,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_INITIAL_PARTS: opt-in shuffle over-planning for
+      // LARGE inputs (sf10 spot checks set 8x cores) — shuffles plan
+      // wide and AQE coalesces down, splitting spill across enough
+      // partitions to stay in memory (q60 at sf10: x10.3 -> x5.9 per
+      // decade; q68 x6.3 -> x2.2). NOT the default: at sf0.1-sf1 the
+      // same setting costs the window-heavy plans their exchange
+      // reuse (q54/q60 measured ~2x slower), so the small-SF bench
+      // keeps plain cpus partitions and a real deployment sizes this
+      // per input volume (SURVEY §5's shuffle-sizing posture).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,7 +68,11 @@ object Bench {
       var best = Double.MaxValue
       var err: Option[String] = None
       var i = 0
-      while (i < 3 && err.isEmpty) {
+      // SPARK_GRAFT_BENCH_REPS: min-of-N (default 3); large-SF spot
+      // checks drop to fewer reps where runtime dwarfs host noise
+      val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+        .map(_.toInt).getOrElse(3)
+      while (i < reps && err.isEmpty) {
         val (t, e) = once()
         best = math.min(best, t); err = e; i += 1
       }
