@@ -9,24 +9,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // SPARK_GRAFT_INITIAL_PARTS: opt-in shuffle over-planning for
-      // LARGE inputs (sf10 spot checks set 8x cores) — shuffles plan
-      // wide and AQE coalesces down, splitting spill across enough
-      // partitions to stay in memory (q60 at sf10: x10.3 -> x5.9 per
-      // decade; q68 x6.3 -> x2.2). NOT the default: at sf0.1-sf1 the
-      // same setting costs the window-heavy plans their exchange
-      // reuse (q54/q60 measured ~2x slower), so the small-SF bench
-      // keeps plain cpus partitions and a real deployment sizes this
-      // per input volume (SURVEY §5's shuffle-sizing posture).
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_INITIAL_PARTS: opt-in shuffle over-planning for
+    // LARGE inputs (sf10 spot checks set 8x cores) — shuffles plan
+    // wide and AQE coalesces down, splitting spill across enough
+    // partitions to stay in memory (q60 at sf10: x10.3 -> x5.9 per
+    // decade; q68 x6.3 -> x2.2). NOT the default — and when absent
+    // the config stays genuinely UNSET: even initialPartitionNum ==
+    // shuffle.partitions changes AQE's coalesce behavior (measured
+    // ~2x on the window-heavy q54/q60 at sf1), so a deployment sizes
+    // this per input volume (SURVEY §5's shuffle-sizing posture).
+    val spark = sys.env.get("SPARK_GRAFT_INITIAL_PARTS")
+      .fold(builder0)(v => builder0.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.all.foreach { t =>
