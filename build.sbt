@@ -22,6 +22,15 @@ Test / unmanagedJars ++= sys.env.get("GRAFT_KAFKA_JARS")
   .map(d => (file(d) ** "*.jar").classpath.toSeq).getOrElse(Nil)
 Test / fork := true
 run / fork := true
+// The bench driver captures a bounded TAIL of `sbt "runMain
+// graft.Bench"` stdout and parses the LAST line as JSON. Two settings
+// make that last line actually BE Bench's compact JSON: no "[success]
+// Total time ..." epilogue after the forked run returns, and the
+// forked JVM's stdout passed through raw instead of re-logged with
+// "[info] " prefixes.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

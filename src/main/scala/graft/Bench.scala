@@ -71,8 +71,14 @@ object Bench {
       var i = 0
       // SPARK_GRAFT_BENCH_REPS: min-of-N (default 3); large-SF spot
       // checks drop to fewer reps where runtime dwarfs host noise
-      val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
-        .map(_.toInt).getOrElse(3)
+      val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map { v =>
+        val n = try v.trim.toInt catch { case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_BENCH_REPS must be a positive int, got '$v'") }
+        // 0/negative would skip the loop and report best = Double.MaxValue
+        // as a timing with n_failed=0 — refuse up front
+        require(n >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $n")
+        n
+      }.getOrElse(3)
       while (i < reps && err.isEmpty) {
         val (t, e) = once()
         best = math.min(best, t); err = e; i += 1

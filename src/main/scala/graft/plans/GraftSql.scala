@@ -138,17 +138,45 @@ object GraftSql {
     /** Wrap a mutation body: run, then invalidate the cached relation
       * so subsequent name reads re-resolve at the new head. A
       * NAME-addressed mutation drops exactly its own entry; a
-      * PATH-addressed one cannot know which catalog names point at
-      * this root (the relation cache is keyed by name), so it drops
-      * the whole relation cache — blunt, but mutations are rare next
-      * to reads and a stale version-pinned snapshot served forever is
-      * silent wrong data. */
+      * PATH-addressed one scans the session catalog's in-memory
+      * metadata for tablelog tables whose LOCATION is this root and
+      * refreshes exactly those (an unrelated table's cached relation
+      * — or cached DATA pinned via df.cache — must survive a mutation
+      * it cannot observe; the previous invalidateAllCachedTables
+      * evicted everything in the session per mutation). The scan is
+      * catalog metadata only, no filesystem I/O, and mutations are
+      * rare next to reads. */
     def refreshing[A](body: SparkSession => A): SparkSession => A = s => {
       val out = body(s)
-      ident.fold(s.sessionState.catalog.invalidateAllCachedTables())(
-        s.sessionState.catalog.refreshTable)
+      ident match {
+        case Some(i) => s.sessionState.catalog.refreshTable(i)
+        case None =>
+          val cat = s.sessionState.catalog
+          cat.listDatabases().foreach { db =>
+            cat.listTables(db).foreach { id =>
+              if (InsertIntoTableLogRule
+                    .resolveTableLog(s, id.unquotedString)
+                    .exists { case (_, loc) => sameRoot(loc, root) })
+                cat.refreshTable(id)
+            }
+          }
+      }
       out
     }
+  }
+
+  /** Whether two root strings address the same table location — the
+    * catalog stores a URI (`file:/tmp/t`) while callers pass bare
+    * paths (`/tmp/t`); normalize scheme (absent = file), authority
+    * and a trailing slash before comparing. */
+  private def sameRoot(a: String, b: String): Boolean = {
+    def norm(s: String) = {
+      val u = new org.apache.hadoop.fs.Path(s).toUri
+      (Option(u.getScheme).getOrElse("file"),
+        Option(u.getAuthority).getOrElse(""),
+        Option(u.getPath).getOrElse("").stripSuffix("/"))
+    }
+    norm(a) == norm(b)
   }
 
   /** Resolve a (path, name) target capture, or None when the named
@@ -399,10 +427,34 @@ object GraftSql {
             // ONE select: every RHS evaluates against the PRE-UPDATE
             // row (SQL semantics — `SET a = b, b = a` swaps; a
             // sequential withColumn chain would feed later
-            // assignments the already-updated values)
+            // assignments the already-updated values).
+            // Assignments follow the SAME store-assignment policy as
+            // the INSERT path into this table: an RHS type that is
+            // not ANSI-store-assignable to the column refuses at plan
+            // time, and the cast itself is pinned to ANSI eval mode
+            // (errors on 'abc' -> long, overflow on narrowing) — a
+            // session-conf-dependent legacy cast would silently
+            // rewrite the whole matched range to NULL instead.
             val updated = slice.select(snap.columns.toSeq.map { c =>
               assignFor.get(c)
-                .map(e => expr(e).cast(snap.schema(c).dataType).as(c))
+                .map { e =>
+                  val target = snap.schema(c).dataType
+                  val rhsT = slice.select(expr(e)).schema.head.dataType
+                  if (rhsT == target) expr(e).as(c)
+                  else {
+                    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, EvalMode}
+                    require(CCast.canANSIStoreAssign(rhsT, target),
+                      s"GraftSql: UPDATE SET $c = $e assigns " +
+                        s"${rhsT.sql} to a ${target.sql} column — not " +
+                        "an ANSI store assignment (same policy as " +
+                        "INSERT INTO this table); cast explicitly if " +
+                        "the conversion is intended")
+                    org.apache.spark.sql.graftbridge.Bridge.toColumn(
+                      CCast(org.apache.spark.sql.graftbridge.Bridge
+                        .toExpression(expr(e)), target,
+                        None, EvalMode.ANSI)).as(c)
+                  }
+                }
                 .getOrElse(col(c))
             }: _*)
             val nParts = Option(parts).map(_.toInt).getOrElse(4)
@@ -552,14 +604,29 @@ object GraftSql {
   /** TVF root arguments accept either a table ROOT PATH or a catalog
     * NAME (the q169 face extended to the pure-SQL TVF readers —
     * `graft_table('events', 3)` is named time travel). A string with
-    * a '/' is always a path; otherwise a catalog lookup resolving to
-    * a tablelog table wins, and anything unresolved falls back to
-    * being treated as a path so path-shaped errors stay loud and
-    * unchanged. */
+    * a '/' is always a path (so `./name` explicitly forces a relative
+    * path); otherwise a catalog lookup resolving to a tablelog table
+    * wins, and anything unresolved falls back to being treated as a
+    * path so path-shaped errors stay loud and unchanged.
+    *
+    * SHADOWING: a bare name that is both a registered table AND an
+    * existing relative directory resolves to the TABLE — creating a
+    * table named like a pre-existing relative-path argument silently
+    * changes what that caller reads, so the collision is logged
+    * loudly here; relative-path callers that must stay stable should
+    * write `./name`. */
   private def resolveRoot(s: String): String =
     if (s.contains("/")) s
     else InsertIntoTableLogRule.resolveTableLog(SparkSession.active, s)
-      .map(_._2).getOrElse(s)
+      .map { case (_, loc) =>
+        if (new java.io.File(s).isDirectory)
+          log.warn(s"GraftSql: TVF root '$s' resolves to catalog table " +
+            s"at $loc, SHADOWING the existing relative directory " +
+            s"'./$s' — pass './$s' to read the path instead")
+        loc
+      }.getOrElse(s)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def litString(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a string literal")

@@ -306,25 +306,51 @@ class JsonlReader(fullSchema: StructType, required: StructType,
 
 /** Streaming offset: a (file → bytes consumed) log. JSON is a single
   * sorted object so serialization is deterministic and diffable in the
-  * checkpoint's offset WAL. */
+  * checkpoint's offset WAL. The reserved `_format` key versions the
+  * OWNERSHIP RULE the byte positions were written under (2 =
+  * first-byte line ownership; absent = the pre-round-16 terminator
+  * rule) — see [[JsonlOffset.FORMAT]]. File keys are ABSOLUTE paths
+  * (they always contain '/'), so the bare reserved key can never
+  * collide with one. */
 case class JsonlOffset(files: Map[String, Long])
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
     val m = new ObjectMapper()
     val node = m.createObjectNode()
+    node.put(JsonlOffset.FORMAT_KEY, JsonlOffset.FORMAT)
     files.toSeq.sortBy(_._1).foreach { case (f, n) => node.put(f, n) }
     m.writeValueAsString(node)
   }
 }
 
 object JsonlOffset {
-  def fromJson(s: String): JsonlOffset = {
+  /** Offset format version. 2 = byte positions under the FIRST-BYTE
+    * line-ownership rule (a partition owns a line iff it owns its
+    * first byte). Version 1 (any checkpoint written before the key
+    * existed) used the terminator rule, whose capped offsets can land
+    * exactly ON a line start — under the new rule that one line
+    * replays once on resume. The version makes that upgrade hazard
+    * DETECTABLE: [[JsonlMicroBatchStream.deserializeOffset]] logs a
+    * loud warning on a v1 offset instead of resuming silently. */
+  val FORMAT = 2L
+  val FORMAT_KEY = "_format"
+
+  /** Parse an offset; returns the offset plus the format version the
+    * checkpoint was written under (1 when the key is absent). */
+  def fromJsonVersioned(s: String): (JsonlOffset, Long) = {
     val node = new ObjectMapper().readTree(s)
     val it = node.fields()
     val b = Map.newBuilder[String, Long]
-    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
-    JsonlOffset(b.result())
+    var fmt = 1L
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey == FORMAT_KEY) fmt = e.getValue.asLong()
+      else b += e.getKey -> e.getValue.asLong()
+    }
+    (JsonlOffset(b.result()), fmt)
   }
+
+  def fromJson(s: String): JsonlOffset = fromJsonVersioned(s)._1
 }
 
 /** Micro-batch streaming over a directory of jsonl files — the
@@ -479,7 +505,16 @@ class JsonlMicroBatchStream(fullSchema: StructType, required: StructType,
   override def deserializeOffset(json: String): Offset = {
     // the restart path: Spark replays the WAL's offsets through here
     // before the first latestOffset call — seed the admission baseline
-    val o = JsonlOffset.fromJson(json)
+    val (o, fmt) = JsonlOffset.fromJsonVersioned(json)
+    if (fmt < JsonlOffset.FORMAT)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"JsonlSource: resuming a format-$fmt checkpoint at $path — " +
+          "its byte positions were written under the pre-first-byte " +
+          "ownership rule, so a capped offset that landed exactly on " +
+          "a line start will replay that ONE line once. Drain the " +
+          "query to caught-up on the old build before upgrading to " +
+          "avoid this; the replayed line is a no-op under an " +
+          "idempotent sink.")
     baseline = mergeMax(baseline, o.files)
     o
   }

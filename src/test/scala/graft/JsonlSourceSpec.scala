@@ -114,10 +114,18 @@ class JsonlSourceSpec extends AnyFunSuite {
   test("offset log: JSON round-trip and latestOffset monotonicity guards") {
     import graft.sources.{JsonlMicroBatchStream, JsonlOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    // deterministic JSON (sorted keys) and exact round-trip
+    // deterministic JSON (format version first, then sorted keys) and
+    // exact round-trip
     val off = JsonlOffset(Map("/b.jsonl" -> 7L, "/a.jsonl" -> 3L))
-    assert(off.json() === """{"/a.jsonl":3,"/b.jsonl":7}""")
+    assert(off.json() === """{"_format":2,"/a.jsonl":3,"/b.jsonl":7}""")
     assert(JsonlOffset.fromJson(off.json()) === off)
+    // a current-build offset parses as format 2; a pre-versioning
+    // checkpoint (no _format key) parses as format 1 — the
+    // ownership-rule upgrade hazard is DETECTABLE on restart
+    assert(JsonlOffset.fromJsonVersioned(off.json())._2 === 2L)
+    val (legacy, fmt1) =
+      JsonlOffset.fromJsonVersioned("""{"/a.jsonl":3}""")
+    assert(fmt1 === 1L && legacy === JsonlOffset(Map("/a.jsonl" -> 3L)))
 
     val dir = Files.createTempDirectory("jsonl_off").toString
     def stream(cap: Long) = new JsonlMicroBatchStream(schema, schema,

@@ -571,4 +571,52 @@ class SqlFaceSpec extends AnyFunSuite {
       s"SELECT * FROM graft_table_window_distinct('$root', 'nope', 'k', 0, 9)") }
     assert(err.getMessage.contains("declined"))
   }
+
+  test("UPDATE SET follows the INSERT path's ANSI store-assignment " +
+      "policy, and path-addressed mutations invalidate ONLY names at " +
+      "that root") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = freshTable(2)
+    // string -> BIGINT column: not an ANSI store assignment — refuses
+    // at plan time instead of legacy-casting the whole matched range
+    // to NULL (the INSERT path refuses the same shape)
+    val eBad = intercept[Exception](spark.sql(
+      s"UPDATE graft.`$root` SET grp = 'abc' WHERE id BETWEEN 0 AND 4"))
+    assert(eBad.getMessage.contains("ANSI store assignment"),
+      s"got: ${eBad.getMessage}")
+    assert(graft.operators.TableLog.snapshot(spark, root)
+      .filter(col("grp").isNull).count() === 0L,
+      "a refused UPDATE must not have committed NULLs")
+    // a legal widening assignment (INT literal -> BIGINT) still works
+    spark.sql(s"UPDATE graft.`$root` SET grp = 42 " +
+      "WHERE id BETWEEN 0 AND 4")
+    assert(graft.operators.TableLog.snapshot(spark, root)
+      .filter(col("grp") === 42L).count() === 5L)
+
+    // cache-invalidation SCOPE: mutating root by PATH must refresh
+    // names at THIS root, and must NOT evict an unrelated table's
+    // cached data (the old blanket invalidateAllCachedTables did).
+    // The bystander is a plain PARQUET table: its relation
+    // canonicalizes across resolutions, so isCached can observe
+    // eviction (a tablelog relation re-resolves fresh each read and
+    // is invisible to isCached by design — version-pinned snapshots).
+    val other = Files.createTempDirectory("graft_sqlface_other")
+      .toString + "/o"
+    Seq((1L, "a")).toDF("id", "text").write.parquet(other)
+    spark.sql(s"CREATE TABLE sqlface_scope_here USING tablelog LOCATION '$root'")
+    spark.sql(s"CREATE TABLE sqlface_scope_other USING parquet LOCATION '$other'")
+    spark.catalog.cacheTable("sqlface_scope_other")
+    assert(spark.table("sqlface_scope_other").count() === 1L) // materialize
+    assert(spark.catalog.isCached("sqlface_scope_other"),
+      "precondition: the unrelated table IS cached before the mutation")
+    val nBefore = spark.table("sqlface_scope_here").count()
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id BETWEEN 0 AND 9")
+    assert(spark.table("sqlface_scope_here").count() === nBefore - 10L,
+      "the mutated root's name must see the new version")
+    assert(spark.catalog.isCached("sqlface_scope_other"),
+      "an unrelated table's cache must survive a path-addressed mutation")
+    Seq("sqlface_scope_here", "sqlface_scope_other")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }
