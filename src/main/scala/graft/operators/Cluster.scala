@@ -55,11 +55,16 @@ object Cluster {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
+    // LAZY checkpoint: the sig() action right below both materializes
+    // the checkpoint blocks and computes the fixpoint witness in ONE
+    // job — an eager checkpoint would pay a separate materialization
+    // job per round (2 driver round-trips instead of 1; the loop is
+    // round-trip-bound at bench scale)
     var e = edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // cheap set-equality witness: (row count, order-independent XOR of
     // 64-bit row hashes — xor never overflows under ANSI, where a long
@@ -100,13 +105,16 @@ object Cluster {
       // pair is (old v, m) with m the neighborhood minimum < v), so no
       // re-orientation pass is needed.
       val dirM = withMin(large).withColumnRenamed("__mn", "m")
+      // no inner distinct on the (u, m) branch: the outer distinct
+      // below dedupes the union anyway — the inner one was a whole
+      // extra exchange per round for nothing
       val small = dirM
         .select(col("v").as("a"), col("m").as("b"))
-        .unionByName(dirM.select(col("u").as("a"), col("m").as("b")).distinct())
+        .unionByName(dirM.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .select(col("a").as("u"), col("b").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s2 = sig(small)
       converged = s2 == s
       s = s2
@@ -117,7 +125,7 @@ object Cluster {
     // fixpoint edges are (member, root) stars; roots appear only on the
     // right — add their self-rows
     e.select(col("u").as("node"), col("v").as("component"))
-      .unionByName(e.select(col("v").as("node"), col("v").as("component")).distinct())
+      .unionByName(e.select(col("v").as("node"), col("v").as("component")))
       .distinct()
   }
 

@@ -62,6 +62,20 @@ object Dedup {
         explode(graft.plans.SortedShingleHashes.sortedShingleHashes(
           TextFunctions.tokens(col(textCol)), k)).as("shingle"))
 
+  /** [[shingleHashTable]] with the per-doc distinct-shingle count `n`
+    * riding each posting row. `n` is `size()` of the hash array the
+    * explode consumes — a map-only projection — where computing it
+    * downstream costs a full per-doc aggregation or window over the
+    * exploded postings (the pre-r17 prefix path paid a second Window
+    * sort for exactly this value). */
+  private def shingleHashTableWithN(docs: DataFrame, idCol: String,
+                                    textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.plans.SortedShingleHashes.sortedShingleHashes(
+          TextFunctions.tokens(col(textCol)), k).as("__arr"))
+      .select(col("doc_id"), size(col("__arr")).cast("long").as("n"),
+        explode(col("__arr")).as("shingle"))
+
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
     * Inverted-index join (shingle equi-join) — pairs are generated
     * per-shingle then aggregated, never by cross product. One shingle
@@ -79,7 +93,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
     val sh = shingleHashTable(docs, idCol, textCol, k)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // per-doc shingle count from the array itself (map-only size()),
+    // not an aggregation over the exploded postings; docs with zero
+    // shingles get n=0 rows that the inner join below never matches
+    // (they cannot appear in `inter`), so the pair set is unchanged
+    val sizes = docs.select(col(idCol).as("doc_id"),
+      size(graft.plans.SortedShingleHashes.sortedShingleHashes(
+        TextFunctions.tokens(col(textCol)), k)).cast("long").as("n_shingles"))
     val inter = sh.toDF("d1", "s").join(sh.toDF("d2", "s"), Seq("s"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2")
@@ -117,21 +137,24 @@ object Dedup {
     * between finishing and not. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               k: Int, threshold: Double): DataFrame = {
-    val sh = shingleHashTable(docs, idCol, textCol, k) // distinct postings
+    // postings carry the per-doc shingle count from the array itself
+    // (map-only size()) — the pre-r17 shape recomputed it as a second
+    // Window (count over the doc partition), one more full sort of the
+    // postings per join side
+    val sh = shingleHashTableWithN(docs, idCol, textCol, k)
     // global document frequency per shingle: ONE aggregate over the
     // postings, the price of a skew-proof canonical order
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // prefix selection DIRECTLY on the postings — rank each doc's
-    // shingles rarest-first and keep rank ≤ n − ⌈t·n⌉ + 1. A window
-    // (count + row_number over the doc partition) instead of a
-    // collect_list array rebuild: the self-join below recomputes its
-    // input subtree once per side, and rebuilding sorted arrays per
-    // side was a measured 19× regression at sf0.1; the identical
-    // window subtree on both sides reuses one exchange.
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val wRank = wDoc.orderBy(col("df"), col("shingle"))
+    // shingles rarest-first and keep rank ≤ n − ⌈t·n⌉ + 1. The
+    // self-join below recomputes its input subtree once per side but
+    // shares the exchanges (runtime reuse); a localCheckpoint here
+    // measured SLOWER (materialization job + block round-trip beat
+    // the duplicated Window it saves — r17), so only the Window sort
+    // runs per side and `n` rides the postings instead of costing a
+    // second Window.
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val prefix = sh.join(dfreq, "shingle")
-      .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("n"), col("shingle").as("s"))

@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Ad-hoc stage timing for optimization rounds: times labeled
+  * sub-plans of hot queries with the noop sink (guide §1.4/§1.5) so a
+  * query's cost splits into its operator stages. Measurement tool
+  * only — never part of the driver contract.
+  * Usage: Hotspot <sfDir> <case> [reps]
+  */
+object Hotspot {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "q54"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.all.foreach { t =>
+      try {
+        if (t == "events") Tables.events(spark, sfDir).count()
+        else Tables.load(spark, sfDir, t).count()
+      } catch { case _: Throwable => () }
+    }
+    def time(label: String)(df: => DataFrame): Unit = {
+      var best = Double.MaxValue
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"HOTSPOT $label%-28s $best%8.3f s")
+    }
+
+    which match {
+      case "q54" =>
+        val docs = Tables.documents(spark, sfDir)
+        val k = 3; val threshold = 0.5
+        val sh = graft.operators.Dedup.shingleHashTable(docs, "doc_id", "text", k)
+        time("postings(sh)")(sh)
+        val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        time("dfreq")(dfreq)
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val wRank = wDoc.orderBy(col("df"), col("shingle"))
+        val prefix = sh.join(dfreq, "shingle")
+          .withColumn("n", count(lit(1)).over(wDoc))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+          .select(col("doc_id"), col("n"), col("shingle").as("s"))
+        time("prefix")(prefix)
+        val cand = prefix.toDF("d1", "n1", "s")
+          .join(prefix.toDF("d2", "n2", "s"), Seq("s"))
+          .filter(col("d1") < col("d2") &&
+            lit(threshold) * col("n2") <= col("n1") &&
+            lit(threshold) * col("n1") <= col("n2"))
+          .select("d1", "d2", "n1", "n2").distinct()
+        time("candidates")(cand)
+        val lists = docs
+          .filter(size(TF.tokens(col("text"))) >= k)
+          .select(col("doc_id"),
+            graft.plans.SortedShingleHashes.sortedShingleHashes(
+              TF.tokens(col("text")), k).as("sharr"))
+        time("lists")(lists)
+        time("full_q54")(graft.operators.Dedup.ngramJaccardPairsPrefix(
+          docs, "doc_id", "text", k, threshold))
+      case "q75" =>
+        val docs = Tables.documents(spark, sfDir)
+        val sh = docs.select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(coalesce(col("text"), lit(""))), 16)).as("s"))
+          .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        time("shingle+hash")(sh)
+        val occ = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+        time("occ-agg")(occ)
+        time("full_q75")(graft.operators.Dedup.duplicateSpanStats(
+          docs, "doc_id", "text", win = 16))
+      case "q115" =>
+        val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        time("edges")(e)
+        time("full_q115")(
+          graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3)
+            .select(col("vertex").as("part"), col("rank").as("pr"))
+            .orderBy(col("part")))
+      case "q117" =>
+        val orders = Tables.orders(spark, sfDir)
+        time("profile_exact")(graft.operators.Profile.profile(orders))
+        time("profile_sketch")(graft.operators.Profile.profile(orders, exact = false))
+      case "q73" =>
+        time("full_q73")(graft.operators.SemDedup.semDedupAdaptive(
+          Tables.embeddings(spark, sfDir), threshold = 0.4))
+      case "q59cc" =>
+        val docs = Tables.documents(spark, sfDir)
+        val pairs = graft.operators.Dedup.ngramJaccardPairsPrefix(
+          docs, "doc_id", "text", k = 3, threshold = 0.5)
+        time("pairs_only")(pairs)
+        val t0 = System.nanoTime()
+        val cc = graft.operators.Cluster.connectedComponents(pairs, "d1", "d2")
+        cc.write.format("noop").mode("overwrite").save()
+        println(f"HOTSPOT cc_after_pairs            ${(System.nanoTime() - t0) / 1e9}%8.3f s (single run)")
+      case other => sys.error(s"unknown case $other")
+    }
+    spark.stop()
+  }
+}
