@@ -3296,9 +3296,19 @@ object SparkEntry {
     * cluster. */
   private val q115: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+    // co-purchase pairs via ONE partial-aggregated groupBy + a map-only
+    // double explode — the self-join formulation shuffled the lineitem
+    // projection twice (both SMJ sides) plus the pair set; this
+    // shuffles it once into per-order part sets (bounded by order
+    // size) and generates the same ordered pairs in-task. Same edge
+    // set: collect_set dedupes within an order, the global distinct
+    // dedupes across orders exactly as before.
+    val e = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+      .distinct()
     graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3)
       .select(col("vertex").as("part"), col("rank").as("pr"))
       .orderBy(col("part"))
@@ -3376,7 +3386,12 @@ object SparkEntry {
       idx
     })
     val v2 = q97V2(v1)
-    val content = concat_ws(",", col("embedding").cast("array<string>"))
+    // content fingerprint for the diff: the 64-bit array hash, not a
+    // per-row CSV render of 64 floats (equal embeddings ≡ equal hashes
+    // up to 2^-64 — the shingle-hash argument; the delta set, and so
+    // the probe output, is unchanged while both diff scans drop the
+    // float→string formatting)
+    val content = xxhash64(col("embedding")).cast("string")
     val delta = graft.operators.Versioning.datasetDiff(
       v1.withColumn("__c", content), v2.withColumn("__c", content),
       "vec_id", "__c")

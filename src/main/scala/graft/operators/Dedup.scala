@@ -464,10 +464,14 @@ object Dedup {
     * text replays it exactly (q75's oracle). */
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
                          win: Int): DataFrame = {
+    // one native loop per doc: window hashes come straight off the
+    // token array (ShingleHashes) — the window STRINGS were never
+    // consumed, so materializing each "w1 .. w16" through an
+    // interpreted HOF and re-hashing it in a separate xxhash64 node
+    // (the pre-r17 shape) paid ~2x the scan for nothing
     val sh = docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(
-          TextFunctions.tokens(coalesce(col(textCol), lit(""))), win)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        explode(graft.plans.ShingleHashes.shingleHashes(
+          TextFunctions.tokens(coalesce(col(textCol), lit(""))), win)).as("h"))
     val occ = sh.groupBy(col("h")).agg(count(lit(1)).as("occ"))
     sh.join(occ, "h")
       .groupBy(col("doc_id"))
@@ -509,9 +513,12 @@ object Dedup {
                            win: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("w"))
+    // positional window hashes in one native loop (see
+    // duplicateSpanStats) — positions are unchanged (posexplode over
+    // the hash array indexes windows exactly as it indexed strings)
     val sh = toks.select(col("doc_id"),
-        posexplode(TextFunctions.shingles(col("w"), win)).as(Seq("i", "s")))
-      .select(col("doc_id"), col("i"), xxhash64(col("s")).as("h"))
+        posexplode(graft.plans.ShingleHashes.shingleHashes(col("w"), win))
+          .as(Seq("i", "h")))
     val dup = sh.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("i"))).as("first"))

@@ -57,41 +57,48 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The out-degree is LOOP-INVARIANT, so it rides INSIDE the rank
+    // table: (vertex, deg, rank). The pre-r17 loop joined ranks ⋈
+    // outDeg every round to form the shares — one whole join (and its
+    // exchanges/broadcast build) per iteration for a value that never
+    // changes; with deg in the iterate, shares are a map-only
+    // projection of the cached ranks.
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    outDeg.count() // one action materializes e + outDeg
     val floor = (scale * (dampDen - dampNum)) / dampDen
-    var ranks = vertices.withColumn("rank", lit(scale))
-    var prev: Option[DataFrame] = None
+    var ranks = vertices
+      .join(outDeg, vertices("vertex") === outDeg("src"), "left")
+      .select(col("vertex"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(scale).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count() // one action materializes e + the initial iterate
+    var prev: DataFrame = ranks
     for (_ <- 1 to iterations) {
       // fresh aliases each round: every frame below descends from `e`,
       // so joins go through renamed columns, never same-lineage attrs
-      val shares = ranks
-        .join(outDeg, ranks("vertex") === outDeg("src"))
+      val shares = ranks.filter(col("deg") > 0)
         .select(col("vertex").as("share_src"), expr("rank div deg").as("share"))
       val incoming = e.join(shares, col("src") === col("share_src"))
         .groupBy(col("dst")).agg(sum(col("share")).as("s"))
         .select(col("dst").as("in_dst"), col("s"))
-      val next = vertices
+      val next = ranks
         .join(incoming, col("vertex") === col("in_dst"), "left")
-        .select(col("vertex"),
+        .select(col("vertex"), col("deg"),
           (lit(floor) +
             expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
-      prev.foreach(_.unpersist(false))
-      prev = Some(next)
+      prev.unpersist(false)
+      prev = next
       ranks = next
     }
     // the returned frame is materialized in cache; the loop-invariant
-    // inputs can be released now (recompute path stays correct if the
-    // cache is ever evicted). Callers running many invocations should
-    // unpersist the result when done.
-    e.unpersist(false); vertices.unpersist(false); outDeg.unpersist(false)
-    ranks
+    // edge list can be released now (recompute path stays correct if
+    // the cache is ever evicted). Callers running many invocations
+    // should unpersist the result when done.
+    e.unpersist(false)
+    ranks.select(col("vertex"), col("rank"))
   }
 }

@@ -40,23 +40,34 @@ object LanguageModel {
       TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("toks"))
 
     // bigram instances, position-stamped so the per-doc fold has a
-    // deterministic order
+    // deterministic order. Counting and joining key on NATIVE 64-bit
+    // shingle hashes, never the bigram/term strings: equal hashes ≡
+    // equal strings up to 2^-64 (the q75 span-hash argument), so every
+    // count — and the resulting log-prob — is unchanged, while the
+    // count exchanges and both scoring joins carry 8-byte keys instead
+    // of text, and the interpreted bigram-string HOF + substring_index
+    // disappear from the scan (one ShingleHashes loop per doc).
+    // w1 of bigram i is token i: element_at over the doc's token-hash
+    // array (k=1 shingle hashes ≡ xxhash64 per token), 1-based.
     val bi = toks
-      .select(col("doc_id"), posexplode(TextFunctions.shingles(col("toks"), 2)))
+      .select(col("doc_id"),
+        graft.plans.ShingleHashes.shingleHashes(col("toks"), 1).as("h1s"),
+        posexplode(graft.plans.ShingleHashes.shingleHashes(col("toks"), 2)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col").as("bigram"),
-        substring_index(col("col"), " ", 1).as("w1"))
+        col("col").as("h2"),
+        element_at(col("h1s"), (col("pos") + 1).cast("int")).as("h1"))
 
-    val uni = toks.select(explode(col("toks")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val uni = toks.select(explode(
+        graft.plans.ShingleHashes.shingleHashes(col("toks"), 1)).as("termh"))
+      .groupBy(col("termh")).agg(count(lit(1)).as("c1"))
       // vocab size below reads this tiny table, not the corpus again
       .localCheckpoint(true)
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bic = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val bic = bi.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
 
     val lp = bi
-      .join(bic, "bigram")
-      .join(uni, col("w1") === col("term"))
+      .join(bic, "h2")
+      .join(uni, col("h1") === col("termh"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("pos"),
         log((col("c2") + lit(1L)) / (col("c1") + col("v"))).as("lp"))

@@ -61,7 +61,13 @@ object Pagination {
     var n = 0
     var done = false
     while (!done && n < budget) {
-      val p = page(df, keys, after, pageSize)
+      // lazy checkpoint: the boundary action right below materializes
+      // the page's ≤ pageSize rows, so the stitched union reads them
+      // back instead of RE-RUNNING every page's filter+TakeOrdered
+      // scan when the caller's action finally executes (each page
+      // otherwise runs twice per drain — once here for the boundary,
+      // once at the sink)
+      val p = page(df, keys, after, pageSize).localCheckpoint(false)
       val boundary = p.agg(max(struct(keyCols: _*)).as("__b")).head()
       if (boundary.isNullAt(0)) done = true // empty page: cursor exhausted
       else {
@@ -227,9 +233,13 @@ object Pagination {
       if (sel.isEmpty) done = true
       else {
         val base = data.filter(col("pbucket").isin(sel: _*))
+        // lazy checkpoint for the same reason as [[stitched]]: the
+        // boundary action materializes the page once; the final union
+        // reads it back instead of re-scanning the bucket dirs
         val p = after.fold(base)(c => base.filter(col(key) > c))
           .orderBy(col(key)).limit(pageSize)
           .select(cols.map(col): _*)
+          .localCheckpoint(false)
         val boundary = p.agg(max(col(key))).head()
         if (boundary.isNullAt(0)) done = true
         else {

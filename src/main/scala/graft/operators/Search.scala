@@ -36,7 +36,18 @@ object Search {
 
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(coalesce(col(textCol), lit("")))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf and df matter ONLY for the query terms, so the token stream
+    // is pre-filtered with the literal term set (a pushable map-side
+    // In predicate) BEFORE any aggregation — the pre-r17 shape
+    // aggregated (doc_id, term) over the WHOLE vocabulary and then
+    // df over that, two corpus-wide string-keyed shuffles whose rows
+    // were immediately discarded by the qterms join. Per-query-term
+    // df/tf values are identical; only the rows that never matched
+    // disappear. The doc-length pass is the one remaining full scan
+    // (every doc's dl and the corpus avgdl are genuinely needed).
+    val qtermList = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    val qtoks = toks.filter(col("term").isin(qtermList: _*))
+    val tf = qtoks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       // scalars below read this tiny table, not the corpus again
       .localCheckpoint(true)

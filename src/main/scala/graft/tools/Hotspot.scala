@@ -87,14 +87,77 @@ object Hotspot {
           docs, "doc_id", "text", win = 16))
       case "q115" =>
         val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(col("ps")).as("src"), col("ps"))
+          .select(col("src"), explode(col("ps")).as("dst"))
           .filter(col("src") =!= col("dst"))
-          .select("src", "dst").distinct()
+          .distinct()
         time("edges")(e)
+        time("pr_iter1")(
+          graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 1))
+        time("pr_iter3")(
+          graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3))
         time("full_q115")(
           graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3)
             .select(col("vertex").as("part"), col("rank").as("pr"))
             .orderBy(col("part")))
+      case "q115b" =>
+        import org.apache.spark.storage.StorageLevel
+        val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+        val e0 = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(col("ps")).as("src"), col("ps"))
+          .select(col("src"), explode(col("ps")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val e = e0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        val vertices = e.select(col("src").as("vertex"))
+          .union(e.select(col("dst").as("vertex"))).distinct()
+        val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val scale = 1000000L; val dampNum = 85L; val dampDen = 100L
+        val fl = (scale * (dampDen - dampNum)) / dampDen
+        var ranks = vertices
+          .join(outDeg, vertices("vertex") === outDeg("src"), "left")
+          .select(col("vertex"), coalesce(col("deg"), lit(0L)).as("deg"),
+            lit(scale).as("rank"))
+        for (_ <- 1 to 3) {
+          val shares = ranks.filter(col("deg") > 0)
+            .select(col("vertex").as("share_src"), expr("rank div deg").as("share"))
+          val incoming = e.join(shares, col("src") === col("share_src"))
+            .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+            .select(col("dst").as("in_dst"), col("s"))
+          ranks = ranks
+            .join(incoming, col("vertex") === col("in_dst"), "left")
+            .select(col("vertex"), col("deg"),
+              (lit(fl) +
+                expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+                .as("rank"))
+        }
+        time("lazy_pr3")(ranks.select(col("vertex").as("part"), col("rank").as("pr"))
+          .orderBy(col("part")))
+        e.unpersist(false)
+      case "q110" =>
+        val docs = Tables.documents(spark, sfDir)
+        val toks = docs.select(col("doc_id"),
+          TF.tokens(coalesce(col("text"), lit(""))).as("w"))
+        val sh = toks.select(col("doc_id"),
+            posexplode(graft.plans.ShingleHashes.shingleHashes(col("w"), 16))
+              .as(Seq("i", "h")))
+        time("pos-hashes")(sh)
+        val dup = sh.groupBy(col("h"))
+          .agg(count(lit(1)).as("occ"),
+            min(struct(col("doc_id"), col("i"))).as("first"))
+          .filter(col("occ") >= 2)
+        time("dup-elect")(dup)
+        val marks = sh.join(dup, "h")
+          .filter(!(col("doc_id") === col("first.doc_id") &&
+            col("i") === col("first.i")))
+          .groupBy(col("doc_id")).agg(collect_list(col("i")).as("ms"))
+        time("marks")(marks)
+        time("full_q110")(graft.operators.Dedup.removeDuplicateSpans(
+          docs, "doc_id", "text", win = 16))
       case "q117" =>
         val orders = Tables.orders(spark, sfDir)
         time("profile_exact")(graft.operators.Profile.profile(orders))

@@ -660,11 +660,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     // q122 attaches the 1-row (N_target, N_raw) totals to the 256-row
     // bucket table before quantizing the ratio — scalar attach on a
     // CONSTANT-size frame, the corpus side joins the result by hash
+    // q117 (r17) cross-joins its TWO single-row profile aggregates
+    // (stats pass × distinct-count pass) — a 1-row × 1-row attach that
+    // replaced the SortAggregate-forcing combined pass
     val intentionalCross =
       Set("q26_ann_bruteforce", "q42_multimodal_ann", "q40_minhash_union",
         "q60_tfidf", "q64_mixture", "q65_vocab", "q72_lm_score", "q74_bm25",
         "q78_pq_ann", "q95_pq_trained", "q81_source_kl", "q105_token_budget",
-        "q109_hll_overlap", "q122_dsir_weights")
+        "q109_hll_overlap", "q122_dsir_weights", "q117_table_profile")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
       if (!intentionalCross(name)) {
