@@ -25,8 +25,20 @@ object Bench {
     // shuffle.partitions changes AQE's coalesce behavior (measured
     // ~2x on the window-heavy q54/q60 at sf1), so a deployment sizes
     // this per input volume (SURVEY §5's shuffle-sizing posture).
+    // SPARK_GRAFT_CONF: semicolon-separated key=value session confs —
+    // the A/B lever for session-level tuning experiments (r17) and the
+    // deployment's knob for scale-dependent settings. Default: unset,
+    // so the driver's bench runs the exact configuration above.
+    val builder1 = sys.env.get("SPARK_GRAFT_CONF").fold(builder0) { s =>
+      s.split(';').filter(_.nonEmpty).foldLeft(builder0) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k.trim, v.trim)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry not key=value: '$kv'")
+        }
+      }
+    }
     val spark = sys.env.get("SPARK_GRAFT_INITIAL_PARTS")
-      .fold(builder0)(v => builder0.config(
+      .fold(builder1)(v => builder1.config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -160,13 +160,25 @@ object Dedup {
       .select(col("doc_id"), col("n"), col("shingle").as("s"))
     // sizes ride along with the candidates (functionally dependent on
     // the ids, so distinct cardinality is unchanged) — saves two more
-    // shingling passes that separate size joins would cost
-    val cand = prefix.toDF("d1", "n1", "s")
-      .join(prefix.toDF("d2", "n2", "s"), Seq("s"))
-      .filter(col("d1") < col("d2") &&
-        lit(threshold) * col("n2") <= col("n1") &&
-        lit(threshold) * col("n1") <= col("n2"))
-      .select("d1", "d2", "n1", "n2").distinct()
+    // shingling passes that separate size joins would cost.
+    // Pair generation: group the prefix postings per shingle and
+    // explode ordered pairs in-task, NOT a prefix⋈prefix self-join —
+    // the join evaluated the whole join+Window prefix subtree once PER
+    // SIDE (exchange reuse shares the shuffles but re-runs both Window
+    // sorts) and shuffled the prefix twice; this shuffles it once.
+    // Skew-equivalent: an equi-join on s also colocates all of one
+    // shingle's pairs in one task, and rarest-first prefix selection
+    // is what bounds the group sizes in both shapes.
+    val cand = prefix.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("g"))
+      .select(explode(col("g")).as("a"), col("g"))
+      .select(col("a"), explode(col("g")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        lit(threshold) * col("b.n") <= col("a.n") &&
+        lit(threshold) * col("a.n") <= col("b.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
     // verification cost is proportional to CANDIDATES, not postings:
     // fetch the two hash-sorted arrays per candidate pair (the cheap
     // MAP-ONLY native projection — verification needs any consistent

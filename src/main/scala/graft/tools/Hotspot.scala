@@ -48,24 +48,32 @@ object Hotspot {
       case "q54" =>
         val docs = Tables.documents(spark, sfDir)
         val k = 3; val threshold = 0.5
-        val sh = graft.operators.Dedup.shingleHashTable(docs, "doc_id", "text", k)
+        // mirror of the CURRENT ngramJaccardPairsPrefix stages (keep in
+        // sync with Dedup.scala when restructuring)
+        val sh = docs.select(col("doc_id"),
+            graft.plans.SortedShingleHashes.sortedShingleHashes(
+              TF.tokens(col("text")), k).as("__arr"))
+          .select(col("doc_id"), size(col("__arr")).cast("long").as("n"),
+            explode(col("__arr")).as("shingle"))
         time("postings(sh)")(sh)
         val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         time("dfreq")(dfreq)
-        val wDoc = Window.partitionBy(col("doc_id"))
-        val wRank = wDoc.orderBy(col("df"), col("shingle"))
+        val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
         val prefix = sh.join(dfreq, "shingle")
-          .withColumn("n", count(lit(1)).over(wDoc))
           .withColumn("rn", row_number().over(wRank))
           .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
           .select(col("doc_id"), col("n"), col("shingle").as("s"))
         time("prefix")(prefix)
-        val cand = prefix.toDF("d1", "n1", "s")
-          .join(prefix.toDF("d2", "n2", "s"), Seq("s"))
-          .filter(col("d1") < col("d2") &&
-            lit(threshold) * col("n2") <= col("n1") &&
-            lit(threshold) * col("n1") <= col("n2"))
-          .select("d1", "d2", "n1", "n2").distinct()
+        val cand = prefix.groupBy(col("s"))
+          .agg(collect_list(struct(col("doc_id"), col("n"))).as("g"))
+          .select(explode(col("g")).as("a"), col("g"))
+          .select(col("a"), explode(col("g")).as("b"))
+          .filter(col("a.doc_id") < col("b.doc_id") &&
+            lit(threshold) * col("b.n") <= col("a.n") &&
+            lit(threshold) * col("a.n") <= col("b.n"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.n").as("n1"), col("b.n").as("n2"))
+          .distinct()
         time("candidates")(cand)
         val lists = docs
           .filter(size(TF.tokens(col("text"))) >= k)
