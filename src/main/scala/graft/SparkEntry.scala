@@ -6266,15 +6266,15 @@ object SparkEntry {
          )
          SELECT 'event_type' AS scol, 'string' AS kind,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_nulls,
+           CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS n_nulls,
            min(event_type) AS lo_s, max(event_type) AS hi_s,
            CAST(NULL AS VARCHAR) AS sum_s
          FROM w
          UNION ALL
          SELECT 'user_id', 'long', CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
-             AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT),
            CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
            CAST(sum(CAST(user_id AS DECIMAL(38,0))) AS VARCHAR)
          FROM w
@@ -6286,15 +6286,15 @@ object SparkEntry {
          )
          SELECT 'event_type' AS scol, 'string' AS kind,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_nulls,
+           CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS n_nulls,
            min(event_type) AS lo_s, max(event_type) AS hi_s,
            CAST(NULL AS VARCHAR) AS sum_s
          FROM w
          UNION ALL
          SELECT 'user_id', 'long', CAST(count(*) AS BIGINT),
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
-             AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT),
            CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
            CAST(sum(CAST(user_id AS DECIMAL(38,0))) AS VARCHAR)
          FROM w
