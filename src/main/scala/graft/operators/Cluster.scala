@@ -86,6 +86,13 @@ object Cluster {
       // the shuffle), and the join back on u is an equi-join AQE can
       // skew-split. A window over partitionBy(u) would put that entire
       // hot neighborhood on ONE reducer with no partial combine.
+      // (tried r17: pre-repartition(u) shared by the groupBy and the
+      // join-back — one exchange instead of two per star op. Measured
+      // SLOWER on the 5 CC queries (23.6s vs 19.8s subset): the
+      // repartition exchange is not reused across the two consumers'
+      // AQE stages, so it double-materializes AND loses the map-side
+      // partial min. Reverted; the groupBy+join shape also keeps AQE
+      // skew-split on the join-back.)
       def withMin(edges: DataFrame): DataFrame = {
         val mins = edges.groupBy("u").agg(min(col("v")).as("__mn"))
         edges.join(mins, "u")
@@ -93,12 +100,19 @@ object Cluster {
       // large-star: symmetrize; m(u) = min(N(u) ∪ {u}); emit (v, m(u))
       // for v in N(u), v > u.
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      // no distinct on the large-star output: |large| ≤ |sym|/2 by
+      // construction (one emission per v>u row), the small-star's
+      // groupBy(u) min combines duplicates map-side for free, and the
+      // final distinct's partial aggregation dedupes (u, m) per map
+      // partition before its shuffle — the removed exchange was a
+      // whole extra round-trip per round for a set the next two
+      // operators tolerate as a multiset (r17: −1 AQE job/round,
+      // measured on the 5 CC queries)
       val large = withMin(sym)
         .withColumn("m", least(col("u"), col("__mn")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: m(u) = min of the smaller neighborhood; emit
       // (v, m(u)) for each smaller neighbor and (u, m(u)). Large-star
       // output already satisfies u > v by construction (the emitted
