@@ -49,25 +49,28 @@ object Profile {
     }
     // Sketch mode pre-projects every column's (bucket, rho) BEFORE the
     // aggregate: a TypedImperativeAggregate evaluates its child with
-    // interpreted expression eval per row, so leaving the md5/hex
-    // trees inside the aggregate runs them outside codegen (measured
-    // ~10× slower); as plain Project columns they stay whole-stage
-    // codegen'd and the aggregate's child is two column refs (the q70
-    // shape).
+    // interpreted expression eval per row, so leaving the hash trees
+    // inside the aggregate runs them outside codegen (measured ~10×
+    // slower); as plain Project columns they stay whole-stage
+    // codegen'd and the aggregate's child is one column ref (the q70
+    // shape). The (bucket, rho) pair comes from the native
+    // [[graft.plans.Md5BucketRho]] — bit-identical to the md5-hex
+    // substring/conv/ltrim chain (same digest bits; the oracle still
+    // replays the hex form), without materializing a 32-char hex
+    // string per column per row (r17: the chain ran once per sketched
+    // column — 9× per row on q132's orders profile).
     val pre =
       if (exact) df
       else {
-        val extra = fields.flatMap { f =>
-          val hx = md5(canon(f))
-          Seq(Sketches.hllBucket(hx).as(s"${f.name}__hb"),
-            Sketches.hllRho(hx).as(s"${f.name}__hr"))
+        val extra = fields.map { f =>
+          graft.plans.Md5BucketRho.md5BucketRho(canon(f)).as(s"${f.name}__bs")
         }
         df.select(col("*") +: extra: _*)
       }
     def nd(f: StructField) =
       if (exact) countDistinct(col(f.name))
       else graft.plans.HllRegisters.hllRegisters(
-        struct(col(s"${f.name}__hb"), col(s"${f.name}__hr")), Sketches.M)
+        col(s"${f.name}__bs"), Sketches.M)
     def ndOut(name: String) =
       if (exact) col(s"${name}__nd")
       else round(Sketches.hllEstimate(col(s"${name}__nd"))).cast("long")

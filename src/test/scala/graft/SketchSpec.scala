@@ -278,4 +278,56 @@ class SketchSpec extends AnyFunSuite {
     }
     xs.foreach(x => assert(got(x) === model(x), s"x=$x"))
   }
+
+  test("native md5_bucket_rho ≡ the md5-hex bucket/rho chain, incl. nulls") {
+    // the q132 sketch-profile hot path swaps the hex-string chain for
+    // graft.plans.Md5BucketRho — the pair must be BIT-identical on
+    // arbitrary strings (incl. empty, unicode, long) and null-preserving
+    val strs: Seq[String] = Seq(
+      "", "a", "0", "hello world", "naïve — ünïcödé ✓",
+      "x" * 10000) ++ (1L to 2000L).map(_.toString) ++ Seq(null)
+    val hx = Sketches.hashHex(col("s"))
+    val rows = strs.toDF("s")
+      .select(col("s"),
+        Sketches.hllBucket(hx).as("hb"), Sketches.hllRho(hx).as("hr"),
+        graft.plans.Md5BucketRho.md5BucketRho(col("s").cast("string")).as("bs"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), "null row")
+      } else {
+        val st = r.getStruct(3)
+        assert(st.getLong(0) === r.getLong(1), s"bucket for '${r.getString(0).take(20)}'")
+        assert(st.getLong(1) === r.getLong(2), s"rho for '${r.getString(0).take(20)}'")
+      }
+    }
+  }
+
+  test("sketch-mode profile register banks are unchanged by the native pair") {
+    // end-to-end: Profile.profile(exact=false) must produce the exact
+    // n_distinct longs the hex-chain formulation produced (same
+    // registers → same harmonic sum → same rounded estimate)
+    import org.apache.spark.sql.types._
+    val df = (1L to 3000L).toDF("id")
+      .select(col("id"), (col("id") % 7).cast("string").as("s"),
+        (col("id") % 97).as("n"),
+        when(col("id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), col("id"))).as("maybe"))
+    val prof = graft.operators.Profile.profile(df, exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // hex-chain replay of the same estimate for one column
+    def hexEstimate(c: org.apache.spark.sql.Column): Long = {
+      val hx = md5(c.cast("string"))
+      val est = df.select(Sketches.hllBucket(hx).as("b"), Sketches.hllRho(hx).as("r"))
+        .agg(hllRegisters(struct(col("b"), col("r")), Sketches.M).as("regs"))
+        .select(round(Sketches.hllEstimate(col("regs"))).cast("long"))
+        .collect()(0).getLong(0)
+      est
+    }
+    assert(prof("id") === hexEstimate(col("id")))
+    assert(prof("s") === hexEstimate(col("s")))
+    assert(prof("n") === hexEstimate(col("n")))
+    assert(prof("maybe") === hexEstimate(col("maybe")))
+    assert(prof("s") === 7L) // tiny cardinality: the sketch is exact
+  }
 }
