@@ -990,14 +990,14 @@ object SparkEntry {
     * checks the registers themselves, not just the rounded estimate. */
   private val q70: Q = (s, d) => {
     import graft.functions.Sketches
-    val hx = Sketches.hashHex(col("user_id"))
+    // (bucket, rho) natively off the digest bytes (Md5BucketRho) —
+    // bit-identical to the md5-hex chain the oracle replays
     Tables.events(s, d)
       .filter(col("user_id").isNotNull)
-      .select(col("event_type"),
-        Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+      .select(col("event_type"), Sketches.bucketRho(col("user_id")).as("bs"))
       .groupBy(col("event_type"))
       .agg(graft.plans.HllRegisters.hllRegisters(
-        struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+        col("bs"), Sketches.M).as("regs"))
       .select(col("event_type"),
         Sketches.hllEstimate(col("regs")).as("est_distinct"),
         Sketches.nonZero(col("regs")).as("nz"),
@@ -1382,14 +1382,13 @@ object SparkEntry {
     * its oracle. */
   private val q109: Q = (s, d) => {
     import graft.functions.Sketches
-    val hx = Sketches.hashHex(col("user_id"))
+    // native (bucket, rho) — the q70 discipline, same register banks
     val banks = Tables.events(s, d)
       .filter(col("user_id").isNotNull)
-      .select(col("event_type"),
-        Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+      .select(col("event_type"), Sketches.bucketRho(col("user_id")).as("bs"))
       .groupBy(col("event_type"))
       .agg(graft.plans.HllRegisters.hllRegisters(
-        struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+        col("bs"), Sketches.M).as("regs"))
     val a = banks.select(col("event_type").as("t1"), col("regs").as("r1"))
     val b = banks.select(col("event_type").as("t2"), col("regs").as("r2"))
     a.join(b, col("t1") < col("t2")) // #segments rows per side — tiny

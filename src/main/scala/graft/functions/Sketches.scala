@@ -33,6 +33,16 @@ object Sketches {
   /** Lowercase-hex md5 of any column, the sketch's hash source. */
   def hashHex(x: Column): Column = md5(x.cast("string"))
 
+  /** The (bucket, rho) struct [[graft.plans.HllRegisters]] consumes,
+    * computed natively off the md5 digest bytes in one call
+    * ([[graft.plans.Md5BucketRho]]) — bit-identical to
+    * `struct(hllBucket(hashHex(x)), hllRho(hashHex(x)))` (same md5
+    * bits, same arithmetic; the hex chain stays the ORACLE's replay
+    * form) without materializing the 32-char hex string per row, and
+    * cheap even when evaluated interpreted as an aggregate child. */
+  def bucketRho(x: Column): Column =
+    graft.plans.Md5BucketRho.md5BucketRho(x.cast("string"))
+
   /** DRIVER-SIDE twin of [[hashHex]] / Spark's `md5(binary)` on a
     * string's UTF-8 bytes — lowercase hex, byte-identical to DuckDB's
     * `md5(varchar)`. The ONE md5-to-hex definition shared by every

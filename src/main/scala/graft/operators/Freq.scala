@@ -34,10 +34,20 @@ object Freq {
 
   /** The `depth` (row, bucket) cells a term hashes into. Public so the
     * streaming window sketch ([[graft.streaming.EventPipeline]]) uses
-    * the identical cell mapping as the batch grid. */
+    * the identical cell mapping as the batch grid.
+    *
+    * Unrolled to a literal `array(...)` over the plan-time-known
+    * depth, NOT `transform(sequence(...))`: higher-order functions
+    * are CodegenFallback nodes, so the md5+conv per cell ran
+    * INTERPRETED per token instance (depth× per token — the q76 build
+    * side's whole cost); as a plain CreateArray of codegen'd
+    * expressions the same cells (bit-identical — same "h:term" md5,
+    * same hex window, same mod) stay in whole-stage codegen. */
   def cmsCells(term: Column, depth: Int, width: Int): Column =
-    transform(sequence(lit(0), lit(depth - 1)),
-      h => struct(h.cast("long").as("row"), cmsBucket(h, term, width).as("bucket")))
+    array((0 until depth).map { h =>
+      struct(lit(h.toLong).as("row"),
+        cmsBucket(lit(h), term, width).as("bucket"))
+    }: _*)
 
   /** Count-min-sketch term frequencies (Cormode & Muthukrishnan 2005),
     * verified against exact counts for the top `topN` terms.
@@ -89,13 +99,20 @@ object Freq {
     * lever being the map-only probe below). 32 hex chars bound
     * `hashes` at 4; windows are independent uniform bits, the classic
     * partitioned-hash Bloom construction. */
-  private def bloomPositions(s: Column, hashes: Int, mBits: Int): Column = {
+  private def bloomPositionSeq(s: Column, hashes: Int, mBits: Int): Seq[Column] = {
     require(hashes <= 4, s"bloomPositions: at most 4 hash windows per md5, got $hashes")
     val digest = md5(s.cast("binary"))
-    transform(sequence(lit(0), lit(hashes - 1)),
-      h => conv(substring(digest, h * lit(8) + lit(1), lit(8)), 16, 10)
-        .cast("long") % mBits)
+    // plan-time unroll (hashes is a literal), NOT transform(sequence):
+    // a higher-order function is a CodegenFallback node, so the md5 +
+    // conv per window ran interpreted per row; as plain expressions
+    // the windows stay codegen'd and subexpression elimination shares
+    // the one digest. Values are bit-identical (same hex windows).
+    (0 until hashes).map(h =>
+      conv(substring(digest, h * 8 + 1, 8), 16, 10).cast("long") % mBits)
   }
+
+  private def bloomPositions(s: Column, hashes: Int, mBits: Int): Column =
+    array(bloomPositionSeq(s, hashes, mBits): _*)
 
   /** Benchmark decontamination through a Bloom filter: flag corpus
     * docs whose k-shingles look present in the eval set.
@@ -159,12 +176,17 @@ object Freq {
       }
     val bitmap = typedLit(words.toSeq)
     // all `hashes` positions set (with multiplicity if two hash rows
-    // collide) — element_at is 1-based; getbit tests inside the word
+    // collide) — element_at is 1-based; getbit tests inside the word.
+    // Unrolled conjunction instead of forall-over-array: forall is a
+    // CodegenFallback HOF, which made every probe evaluate its whole
+    // subtree (md5 included) interpreted; the AND of plain codegen'd
+    // tests is value-identical.
     def allSet(s: Column): Column =
-      forall(bloomPositions(s, hashes, mBits),
-        p => call_function("getbit",
+      bloomPositionSeq(s, hashes, mBits).map { p =>
+        call_function("getbit",
           element_at(bitmap, (p / 64).cast("int") + 1),
-          (p % 64).cast("int")) === 1)
+          (p % 64).cast("int")) === 1
+      }.reduce(_ && _)
     val pairs = corpus
       .select(col(idCol),
         explode(array_distinct(sh(col(textCol)))).as("s"))

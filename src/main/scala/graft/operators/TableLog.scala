@@ -1958,11 +1958,12 @@ object TableLog {
         // the file's NON-NULL values — the same universe the q70
         // oracle counts.
         (if (sketched.contains(c)) {
-          val hx = graft.functions.Sketches.hashHex(col(c))
+          // native (bucket, rho) off the digest bytes: this child is
+          // evaluated INTERPRETED inside the aggregate, where the
+          // md5-hex substring/conv/ltrim chain was the per-row cost
           array_join(transform(
             graft.plans.HllRegisters.hllRegisters(
-              struct(graft.functions.Sketches.hllBucket(hx).as("bucket"),
-                graft.functions.Sketches.hllRho(hx).as("rho")),
+              graft.functions.Sketches.bucketRho(col(c)),
               graft.functions.Sketches.M),
             r => r.cast("string")), ",")
         } else lit(null).cast("string")).as(s"__h__$c"))
@@ -2297,12 +2298,10 @@ object TableLog {
     if (scanSet.nonEmpty) {
       val reader = logSchema(spark, root, asOf)
         .fold(spark.read)(st => spark.read.schema(st))
-      val hx = graft.functions.Sketches.hashHex(col(sketchCol))
       val bank = reader.parquet(scanSet.map(resolve(root, _)): _*)
         .filter(col(keyCol) >= zlit(lo) && col(keyCol) <= zlit(hi))
         .select(graft.plans.HllRegisters.hllRegisters(
-          struct(graft.functions.Sketches.hllBucket(hx).as("bucket"),
-            graft.functions.Sketches.hllRho(hx).as("rho")),
+          graft.functions.Sketches.bucketRho(col(sketchCol)),
           graft.functions.Sketches.M).as("regs"))
         .head().getSeq[Long](0)
       var i = 0

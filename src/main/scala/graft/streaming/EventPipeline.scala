@@ -109,14 +109,15 @@ object EventPipeline {
   def windowedDistinctUsers(events: DataFrame, width: String = "1 hour",
                             watermark: String = "10 minutes"): DataFrame = {
     import graft.functions.Sketches
-    val hx = Sketches.hashHex(col("user_id"))
+    // native (bucket, rho) — bit-identical to the md5-hex chain, so
+    // banks (and the replayable estimate contract) are unchanged
     events
       .withWatermark("ts", watermark)
       .select(col("ts"), col("event_type"),
-        Sketches.hllBucket(hx).as("bucket"), Sketches.hllRho(hx).as("rho"))
+        Sketches.bucketRho(col("user_id")).as("bs"))
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(graft.plans.HllRegisters.hllRegisters(
-        struct(col("bucket"), col("rho")), Sketches.M).as("regs"))
+        col("bs"), Sketches.M).as("regs"))
       .select(col("window.start").as("win_start"), col("event_type"),
         Sketches.hllEstimate(col("regs")).as("approx_users"))
   }
