@@ -146,18 +146,27 @@ object Dedup {
     // postings, the price of a skew-proof canonical order
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // prefix selection DIRECTLY on the postings — rank each doc's
-    // shingles rarest-first and keep rank ≤ n − ⌈t·n⌉ + 1. The
-    // self-join below recomputes its input subtree once per side but
-    // shares the exchanges (runtime reuse); a localCheckpoint here
-    // measured SLOWER (materialization job + block round-trip beat
-    // the duplicated Window it saves — r17), so only the Window sort
-    // runs per side and `n` rides the postings instead of costing a
-    // second Window.
-    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    // shingles rarest-first and keep rank ≤ n − ⌈t·n⌉ + 1, computed
+    // per doc IN-ROW: collect the (df, shingle) pairs per doc (one
+    // exchange carrying one row per doc; the partial collect builds
+    // each doc's list map-side since a doc's postings are contiguous
+    // after the explode), sort_array (ascending (df, shingle) — the
+    // exact Window order; pairs are unique per doc, so the order is
+    // total) and slice the prefix. Replaces the row_number Window,
+    // whose exchange carried EVERY posting row and then globally
+    // sorted them, with per-doc array sorts — same prefix set
+    // row-for-row (r17 second session: q54 −0.5s, the CC composites
+    // inherit). A localCheckpoint of the prefix measured SLOWER
+    // (materialization job + block round-trip — r17), so the pair
+    // grouping below stays the single consumer instead.
     val prefix = sh.join(dfreq, "shingle")
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("n"), col("shingle").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ps"), lit(1),
+          (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))).as("p"))
+      .select(col("doc_id"), col("n"), col("p.shingle").as("s"))
     // sizes ride along with the candidates (functionally dependent on
     // the ids, so distinct cardinality is unchanged) — saves two more
     // shingling passes that separate size joins would cost.
