@@ -147,10 +147,12 @@ object Dedup {
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // prefix selection DIRECTLY on the postings — rank each doc's
     // shingles rarest-first and keep rank ≤ n − ⌈t·n⌉ + 1, computed
-    // per doc IN-ROW: collect the (df, shingle) pairs per doc (one
-    // exchange carrying one row per doc; the partial collect builds
-    // each doc's list map-side since a doc's postings are contiguous
-    // after the explode), sort_array (ascending (df, shingle) — the
+    // per doc IN-ROW: collect the (df, shingle) pairs per doc — the
+    // partial collect builds each doc's list map-side only while the
+    // dfreq join broadcasts (a doc's postings stay contiguous after
+    // the explode); at shuffle-join scale the doc_id exchange still
+    // carries all postings as fragmented partials, just without the
+    // Window's global sort — then sort_array (ascending (df, shingle) — the
     // exact Window order; pairs are unique per doc, so the order is
     // total) and slice the prefix. Replaces the row_number Window,
     // whose exchange carried EVERY posting row and then globally
@@ -548,10 +550,15 @@ object Dedup {
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("i") === col("first.i")))
       .groupBy(col("doc_id")).agg(collect_list(col("i")).as("ms"))
+    // surviving tokens in one native sweep (sorted marks + one token
+    // pass) — value-identical to the HOF pair
+    // `filter(w, (_, j) => !exists(ms, m => j >= m && j <= m+win-1))`,
+    // which evaluated an INTERPRETED exists over the mark list once
+    // per token (HOFs are CodegenFallback): O(tokens × marks) per doc
     toks.join(marks, Seq("doc_id"), "left")
       .withColumn("ms", coalesce(col("ms"), array().cast("array<int>")))
-      .withColumn("keep", filter(col("w"),
-        (_, j) => !exists(col("ms"), m => j >= m && j <= m + lit(win - 1))))
+      .withColumn("keep",
+        graft.plans.MarkFilter.markFilter(col("w"), col("ms"), win))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
         (size(col("w")) - size(col("keep"))).cast("long").as("n_removed"),
         array_join(col("keep"), " ").as("new_text"))

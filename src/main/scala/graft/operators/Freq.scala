@@ -100,7 +100,11 @@ object Freq {
     * `hashes` at 4; windows are independent uniform bits, the classic
     * partitioned-hash Bloom construction. */
   private def bloomPositionSeq(s: Column, hashes: Int, mBits: Int): Seq[Column] = {
-    require(hashes <= 4, s"bloomPositions: at most 4 hash windows per md5, got $hashes")
+    // the lower bound is load-bearing: hashes=0 would make the probe's
+    // reduce(_ && _) throw an opaque empty-collection error at plan
+    // build (the old forall-over-empty silently returned true)
+    require(hashes >= 1 && hashes <= 4,
+      s"bloomPositions: between 1 and 4 hash windows per md5, got $hashes")
     val digest = md5(s.cast("binary"))
     // plan-time unroll (hashes is a literal), NOT transform(sequence):
     // a higher-order function is a CodegenFallback node, so the md5 +

@@ -45,17 +45,17 @@ object LanguageModel {
     // equal strings up to 2^-64 (the q75 span-hash argument), so every
     // count — and the resulting log-prob — is unchanged, while the
     // count exchanges and both scoring joins carry 8-byte keys instead
-    // of text, and the interpreted bigram-string HOF + substring_index
-    // disappear from the scan (one ShingleHashes loop per doc).
-    // w1 of bigram i is token i: element_at over the doc's token-hash
-    // array (k=1 shingle hashes ≡ xxhash64 per token), 1-based.
+    // of text. Both hashes of a bigram — h2 of the window, h1 of its
+    // first token — come from ONE per-doc BigramHashes array that the
+    // posexplode consumes directly: selecting h1 separately
+    // (element_at into a ShingleHashes(toks, 1) array, the r17 shape)
+    // collapsed under Catalyst so the per-BIGRAM projection re-ran the
+    // whole doc's token-hash pass per row — O(n²) hashing per doc.
     val bi = toks
       .select(col("doc_id"),
-        graft.plans.ShingleHashes.shingleHashes(col("toks"), 1).as("h1s"),
-        posexplode(graft.plans.ShingleHashes.shingleHashes(col("toks"), 2)))
+        posexplode(graft.plans.BigramHashes.bigramHashes(col("toks"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col").as("h2"),
-        element_at(col("h1s"), (col("pos") + 1).cast("int")).as("h1"))
+        col("col.h2").as("h2"), col("col.h1").as("h1"))
 
     val uni = toks.select(explode(
         graft.plans.ShingleHashes.shingleHashes(col("toks"), 1)).as("termh"))

@@ -79,8 +79,10 @@ object Md5BucketRho {
     var i = 1
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     // rho = leading zeros within the 56-bit field + 1; the long holds
-    // the field in its low 56 bits, so subtract the 8 spare high bits
-    val rho = if (v == 0L) 57L
+    // the field in its low 56 bits, so subtract the 8 spare high bits.
+    // All-zero field caps at Sketches.MaxRho — the ONE sketch-geometry
+    // constant, shared so the native and hex paths cannot diverge.
+    val rho = if (v == 0L) graft.functions.Sketches.MaxRho.toLong
       else (java.lang.Long.numberOfLeadingZeros(v) - 8 + 1).toLong
     new GenericInternalRow(Array[Any](bucket, rho))
   }

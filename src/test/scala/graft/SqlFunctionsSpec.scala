@@ -74,6 +74,63 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("native BigramHashes matches the paired ShingleHashes reference") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    // pair i must be (ShingleHashes(toks,1)(i), ShingleHashes(toks,2)(i))
+    // — exactly the two arrays the r17 q72 shape consumed separately
+    val toks = TF.tokens(coalesce(col("text"), lit("")))
+    val mismatch = docs.select(
+        graft.plans.BigramHashes.bigramHashes(toks).as("pairs"),
+        graft.plans.ShingleHashes.shingleHashes(toks, 1).as("h1s"),
+        graft.plans.ShingleHashes.shingleHashes(toks, 2).as("h2s"))
+      .filter(
+        transform(col("pairs"), p => p.getField("h2")) =!= col("h2s") ||
+        transform(col("pairs"), p => p.getField("h1")) =!=
+          slice(col("h1s"), lit(1), greatest(size(col("h1s")) - 1, lit(0))))
+      .count()
+    assert(mismatch === 0)
+    // edge cases: 0 and 1 token → empty pair array
+    import spark.implicits._
+    val edge = Seq("", "one", "two tokens").toDF("t")
+      .select(graft.plans.BigramHashes.bigramHashes(
+        TF.tokens(col("t"))).as("p"))
+      .collect().map(_.getSeq[Any](0).length)
+    assert(edge.toSeq === Seq(0, 0, 1))
+  }
+
+  test("native MarkFilter matches the higher-order filter/exists reference") {
+    import graft.functions.{TextFunctions => TF}
+    val win = 16
+    // corpus tokens with deterministic synthetic marks (every 7th
+    // position, offset 2) — plus hand-picked edge shapes below
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(TF.tokens(coalesce(col("text"), lit(""))).as("w"))
+      .withColumn("ms", expr("filter(sequence(0, size(w)), j -> j % 7 = 2 AND j < size(w))"))
+    def hof(w: org.apache.spark.sql.Column, ms: org.apache.spark.sql.Column) =
+      filter(w, (_, j) => !exists(ms, m => j >= m && j <= m + lit(win - 1)))
+    val mismatch = docs.select(
+        graft.plans.MarkFilter.markFilter(col("w"), col("ms"), win).as("native"),
+        hof(col("w"), col("ms")).as("hofk"))
+      .filter(col("native") =!= col("hofk")).count()
+    assert(mismatch === 0)
+    // edges: no marks, unsorted/overlapping marks, full coverage, tail mark
+    import spark.implicits._
+    val edge = Seq(
+        ("a b c d e f g h", Seq[Int]()),
+        ("a b c d e f g h", Seq(4, 0, 2)),
+        ("a b", Seq(0)),
+        ("a b c d e", Seq(3))
+      ).toDF("t", "ms")
+      .select(TF.tokens(col("t")).as("w"), col("ms"))
+    val bad = edge.select(
+        graft.plans.MarkFilter.markFilter(col("w"), col("ms"), 3).as("native"),
+        filter(col("w"), (_, j) => !exists(col("ms"),
+          m => j >= m && j <= m + lit(2))).as("hofk"))
+      .filter(col("native") =!= col("hofk")).count()
+    assert(bad === 0)
+  }
+
   test("oracle SQL texts are ANSI enough to run on Spark SQL itself") {
     graft.sources.Tables.all.foreach {
       case "events" =>
