@@ -161,14 +161,19 @@ object Dedup {
     // inherit). A localCheckpoint of the prefix measured SLOWER
     // (materialization job + block round-trip — r17), so the pair
     // grouping below stays the single consumer instead.
+    // posexplode: each prefix posting carries its 1-based rank in the
+    // doc's FULL (df, shingle)-sorted list (the slice is the list's
+    // head, so prefix position ≡ list position) — the input to the
+    // PPJoin positional filter below
     val prefix = sh.join(dfreq, "shingle")
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("n"),
         sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
       .select(col("doc_id"), col("n"),
-        explode(slice(col("ps"), lit(1),
-          (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))).as("p"))
-      .select(col("doc_id"), col("n"), col("p.shingle").as("s"))
+        posexplode(slice(col("ps"), lit(1),
+          (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))))
+      .select(col("doc_id"), col("n"),
+        (col("pos") + 1).cast("long").as("p"), col("col.shingle").as("s"))
     // sizes ride along with the candidates (functionally dependent on
     // the ids, so distinct cardinality is unchanged) — saves two more
     // shingling passes that separate size joins would cost.
@@ -180,13 +185,31 @@ object Dedup {
     // Skew-equivalent: an equi-join on s also colocates all of one
     // shingle's pairs in one task, and rarest-first prefix selection
     // is what bounds the group sizes in both shapes.
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2), exact: for a
+    // pair sharing shingle s at list ranks (pa, pb), the true overlap
+    // O is bounded by 1 + min(n1−pa, n2−pb) WHEN s is the pair's FIRST
+    // common shingle in the total order (everything common after s
+    // sits among the n−p remaining entries of each list). J ≥ t needs
+    // O ≥ t·(n1+n2)/(1+t); the first common shingle of a qualifying
+    // pair is always in both prefixes (positions are monotone in the
+    // total order, and prefix sharing puts SOME common shingle there),
+    // and its row passes this test — so keeping a pair iff ANY of its
+    // shared-prefix rows passes loses nothing, while pairs that only
+    // share deep-prefix shingles (bound < required overlap) never
+    // reach verification. Measured at sf10: 31.0M → 12.5M candidates.
+    // The 1e-6 slack absorbs float rounding toward EXTRA candidates —
+    // false positives cost one verify row, false negatives would cost
+    // recall.
     val cand = prefix.groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("g"))
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("p"))).as("g"))
       .select(explode(col("g")).as("a"), col("g"))
       .select(col("a"), explode(col("g")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         lit(threshold) * col("b.n") <= col("a.n") &&
-        lit(threshold) * col("a.n") <= col("b.n"))
+        lit(threshold) * col("a.n") <= col("b.n") &&
+        (lit(1L) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) *
+          (lit(1.0) + lit(threshold)) >=
+          lit(threshold) * (col("a.n") + col("b.n")) - lit(1e-6))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
@@ -200,9 +223,26 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         graft.plans.SortedShingleHashes.sortedShingleHashes(
           TextFunctions.tokens(col(textCol)), k).as("sharr"))
+    // join strategy, sized from the plan's own estimate (guide §3.1):
+    // small corpora broadcast `lists` (AQE/planner does it below the
+    // threshold — leave the plan alone); past broadcast size the
+    // planner's default is sort-merge, which SORTS the candidate
+    // stream WITH its attached shingle array — at sf10 that is ~25 GB
+    // through the second join's sort, 3× the whole query. A
+    // shuffled-hash hint builds the hash table on the (per-partition
+    // tiny) lists side and only STREAMS the wide candidate rows —
+    // measured 214s → 78s on the sf10 verify tail. The hint would
+    // DISABLE the broadcast at small SF (hint priority beats size), so
+    // it is applied only when lists cannot broadcast anyway.
+    val broadcastable = lists.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def listsAs(id: String, arr: String): DataFrame = {
+      val l = lists.toDF(id, arr)
+      if (broadcastable) l else l.hint("shuffle_hash")
+    }
     cand
-      .join(lists.toDF("d1", "a1"), "d1")
-      .join(lists.toDF("d2", "a2"), "d2")
+      .join(listsAs("d1", "a1"), "d1")
+      .join(listsAs("d2", "a2"), "d2")
       .withColumn("inter", size(array_intersect(col("a1"), col("a2"))).cast("long"))
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") > threshold)

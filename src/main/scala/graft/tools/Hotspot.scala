@@ -58,11 +58,16 @@ object Hotspot {
         time("postings(sh)")(sh)
         val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         time("dfreq")(dfreq)
-        val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+        // the r17 in-row prefix (collect + sort_array + slice), not the
+        // removed row_number Window
         val prefix = sh.join(dfreq, "shingle")
-          .withColumn("rn", row_number().over(wRank))
-          .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-          .select(col("doc_id"), col("n"), col("shingle").as("s"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n"),
+            sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
+          .select(col("doc_id"), col("n"),
+            explode(slice(col("ps"), lit(1),
+              (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))).as("p"))
+          .select(col("doc_id"), col("n"), col("p.shingle").as("s"))
         time("prefix")(prefix)
         val cand = prefix.groupBy(col("s"))
           .agg(collect_list(struct(col("doc_id"), col("n"))).as("g"))
@@ -81,8 +86,89 @@ object Hotspot {
             graft.plans.SortedShingleHashes.sortedShingleHashes(
               TF.tokens(col("text")), k).as("sharr"))
         time("lists")(lists)
+        println(s"HOTSPOT n_candidates = ${cand.count()}")
+        val ver = cand
+          .join(lists.toDF("d1", "a1"), "d1")
+          .join(lists.toDF("d2", "a2"), "d2")
+          .withColumn("inter", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+          .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+          .filter(col("jaccard") > threshold)
+          .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+        time("verify_tail")(ver)
         time("full_q54")(graft.operators.Dedup.ngramJaccardPairsPrefix(
           docs, "doc_id", "text", k, threshold))
+      case "q54v" =>
+        // verification-tail variants at large SF: SMJ vs shuffled-hash
+        // array attach, and the exact PPJoin positional filter
+        val docs = Tables.documents(spark, sfDir)
+        val k = 3; val threshold = 0.5
+        val sh = docs.select(col("doc_id"),
+            graft.plans.SortedShingleHashes.sortedShingleHashes(
+              TF.tokens(col("text")), k).as("__arr"))
+          .select(col("doc_id"), size(col("__arr")).cast("long").as("n"),
+            explode(col("__arr")).as("shingle"))
+        val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        // prefix WITH positions (1-based rank in the doc's sorted list)
+        val prefixPos = sh.join(dfreq, "shingle")
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n"),
+            sort_array(collect_list(struct(col("df"), col("shingle")))).as("ps"))
+          .select(col("doc_id"), col("n"),
+            posexplode(slice(col("ps"), lit(1),
+              (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))))
+          .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("p"),
+            col("col.shingle").as("s"))
+        def candidatesFrom(pre: org.apache.spark.sql.DataFrame,
+                           positional: Boolean) = {
+          val g = pre.groupBy(col("s"))
+            .agg(collect_list(struct(col("doc_id"), col("n"), col("p"))).as("g"))
+            .select(explode(col("g")).as("a"), col("g"))
+            .select(col("a"), explode(col("g")).as("b"))
+            .filter(col("a.doc_id") < col("b.doc_id") &&
+              lit(threshold) * col("b.n") <= col("a.n") &&
+              lit(threshold) * col("a.n") <= col("b.n"))
+          val pf = if (positional)
+            g.filter((lit(1L) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))) *
+              (lit(1.0) + lit(threshold)) >=
+              lit(threshold) * (col("a.n") + col("b.n")) - lit(1e-6))
+          else g
+          pf.select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.n").as("n1"), col("b.n").as("n2"))
+            .distinct()
+        }
+        val lists = docs
+          .filter(size(TF.tokens(col("text"))) >= k)
+          .select(col("doc_id"),
+            graft.plans.SortedShingleHashes.sortedShingleHashes(
+              TF.tokens(col("text")), k).as("sharr"))
+        def tail(c: org.apache.spark.sql.DataFrame, shj: Boolean) = {
+          val l1 = if (shj) lists.toDF("d1", "a1").hint("shuffle_hash") else lists.toDF("d1", "a1")
+          val l2 = if (shj) lists.toDF("d2", "a2").hint("shuffle_hash") else lists.toDF("d2", "a2")
+          c.join(l1, "d1").join(l2, "d2")
+            .withColumn("inter", size(array_intersect(col("a1"), col("a2"))).cast("long"))
+            .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+            .filter(col("jaccard") > threshold)
+            .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+        }
+        val cPlain = candidatesFrom(prefixPos, positional = false)
+        val cPos = candidatesFrom(prefixPos, positional = true)
+        println(s"HOTSPOT n_cand plain = ${cPlain.count()}")
+        println(s"HOTSPOT n_cand positional = ${cPos.count()}")
+        time("tail_smj_plain")(tail(cPlain, shj = false))
+        time("tail_shj_plain")(tail(cPlain, shj = true))
+        time("tail_shj_positional")(tail(cPos, shj = true))
+        time("full_current")(graft.operators.Dedup.ngramJaccardPairsPrefix(
+          docs, "doc_id", "text", k, threshold))
+      case "stats" =>
+        val docs = Tables.documents(spark, sfDir)
+        val lists = docs
+          .filter(size(TF.tokens(col("text"))) >= 3)
+          .select(col("doc_id"),
+            graft.plans.SortedShingleHashes.sortedShingleHashes(
+              TF.tokens(col("text")), 3).as("sharr"))
+        println(s"HOTSPOT docs sizeInBytes  = ${docs.queryExecution.optimizedPlan.stats.sizeInBytes}")
+        println(s"HOTSPOT lists sizeInBytes = ${lists.queryExecution.optimizedPlan.stats.sizeInBytes}")
+        println(s"HOTSPOT autoBroadcast     = ${spark.sessionState.conf.autoBroadcastJoinThreshold}")
       case "q75" =>
         val docs = Tables.documents(spark, sfDir)
         val sh = docs.select(col("doc_id"),
@@ -182,6 +268,19 @@ object Hotspot {
         val cc = graft.operators.Cluster.connectedComponents(pairs, "d1", "d2")
         cc.write.format("noop").mode("overwrite").save()
         println(f"HOTSPOT cc_after_pairs            ${(System.nanoTime() - t0) / 1e9}%8.3f s (single run)")
+      case "q140" =>
+        // per-REP timing (not min): the q140 diagnosis needs to see
+        // whether the warm snapshot read is bimodal, and which rep
+        // pays — plus a stage split of build vs read vs orderBy
+        val t0 = System.nanoTime()
+        val q = graft.SparkEntry.queries("q140_replace_where")
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"HOTSPOT rep1(build+read)          ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        (2 to reps).foreach { i =>
+          val t = System.nanoTime()
+          q(spark, sfDir).write.format("noop").mode("overwrite").save()
+          println(f"HOTSPOT rep$i(read)                ${(System.nanoTime() - t) / 1e9}%8.3f s")
+        }
       case other => sys.error(s"unknown case $other")
     }
     spark.stop()
