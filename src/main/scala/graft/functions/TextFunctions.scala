@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empty tokens removed. */
+  /** Whitespace tokens, empty tokens removed. One native loop
+    * ([[graft.plans.Tokens]]) — value-identical to
+    * `filter(split(text, " "), t => t != "")`, whose higher-order
+    * filter ran interpreted per element on every text scan. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    graft.plans.Tokens.tokens(text)
 
   /** BPE-ish lexer tokens: runs of letters, runs of digits, or a single
     * other non-space char. */

@@ -74,6 +74,26 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("native Tokens matches the filter/split higher-order reference") {
+    import graft.functions.{TextFunctions => TF}
+    def hofTokens(text: org.apache.spark.sql.Column) =
+      filter(split(text, " "), t => t =!= lit(""))
+    // corpus parity (the type must match too: nullable elements, like
+    // filter(split(...)) declares)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val both = docs.select(TF.tokens(col("text")).as("native"),
+      hofTokens(col("text")).as("hof"))
+    assert(both.schema("native").dataType === both.schema("hof").dataType)
+    assert(both.filter(!(col("native") <=> col("hof"))).count() === 0)
+    // edges: multi-space runs, leading/trailing spaces, only spaces,
+    // empty, unicode (multi-byte chars must not split), null → null
+    import spark.implicits._
+    val edge = Seq("a  b", " a b ", "   ", "", "héllo wörld 日本 語", null)
+      .toDF("t")
+      .select(TF.tokens(col("t")).as("native"), hofTokens(col("t")).as("hof"))
+    assert(edge.filter(!(col("native") <=> col("hof"))).count() === 0)
+  }
+
   test("native BigramHashes matches the paired ShingleHashes reference") {
     import graft.functions.{TextFunctions => TF}
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
