@@ -3310,13 +3310,17 @@ object SparkEntry {
     // size) and generates the same ordered pairs in-task. Same edge
     // set: collect_set dedupes within an order, the global distinct
     // dedupes across orders exactly as before.
+    // cross-order dedup rides pageRankInt's OWN src-partitioned
+    // exchange (dedupEdges) — a .distinct() here would shuffle the
+    // full pair stream a second time on (src, dst) just to hand the
+    // operator a set it immediately re-partitions by src
     val e = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(col("ps")).as("src"), col("ps"))
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-    graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3)
+    graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3,
+        dedupEdges = true)
       .select(col("vertex").as("part"), col("rank").as("pr"))
       .orderBy(col("part"))
   }

@@ -37,9 +37,17 @@ object Graph {
     *
     * with damping num/den (default 85/100). Returns (vertex, rank)
     * for every vertex of the edge list. */
+  /** @param dedupEdges when true, duplicate (src, dst) rows are
+    *        dropped INSIDE the operator's own src-partitioned
+    *        exchange: hash(src) clusters equal (src, dst) rows, so
+    *        the dedup aggregate runs in-partition with NO exchange of
+    *        its own. A caller that `.distinct()`s before passing
+    *        edges pays a second full-edge shuffle (hash(src, dst) for
+    *        the distinct, then hash(src) here) — at 100× the bench SF
+    *        that second exchange was ~40% of q115's edge pipeline. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-                  scale: Long = 1000000L): DataFrame = {
+                  scale: Long = 1000000L, dedupEdges: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Materialize the loop-invariant frames ONCE. Without this the
     // unrolled plan re-derives the edge list in every iteration's
@@ -54,8 +62,15 @@ object Graph {
     // requirement and the per-iteration Exchange of the full edge list
     // disappears (GraphSpec pins the plan): iterations shuffle only
     // the ranks (O(V)) and the per-edge shares into groupBy(dst).
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // (A stats-sized explicit partition count for this exchange was
+    // measured at 100× bench SF and REJECTED: REPARTITION_BY_NUM is
+    // exempt from AQE coalescing, the explode pipeline's size estimate
+    // overshoots, and the extra partitions cost more in cache blocks +
+    // per-iteration scheduling than the dedup spill they saved —
+    // 74.6s → 87.1s. The plain hash(src) repartition stands.)
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src"))
+    val e = (if (dedupEdges) eRaw.dropDuplicates("src", "dst") else eRaw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The out-degree is LOOP-INVARIANT, so it rides INSIDE the rank
     // table: (vertex, deg, rank). The pre-r17 loop joined ranks ⋈
@@ -63,8 +78,13 @@ object Graph {
     // exchanges/broadcast build) per iteration for a value that never
     // changes; with deg in the iterate, shares are a map-only
     // projection of the cached ranks.
-    val vertices = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex"))).distinct()
+    // per-side distinct BEFORE the union: the src side dedupes with NO
+    // exchange (the cache is hash(src)-partitioned), the dst side
+    // shuffles |V|-bounded partials instead of |E| raw rows, and the
+    // outer distinct then sees ≤ 2|V| rows — where distinct-after-
+    // union shuffled the full 2|E| vertex stream
+    val vertices = e.select(col("src").as("vertex")).distinct()
+      .union(e.select(col("dst").as("vertex")).distinct()).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val floor = (scale * (dampDen - dampNum)) / dampDen
     var ranks = vertices
